@@ -1,0 +1,138 @@
+"""Scalar helpers: the Spark-native equivalents of the reference's
+``GHInsights.USql.Utility.Get*`` family and its dedup idioms.
+
+The reference stores each crawled JSON document flattened into a
+path->bytes map and extracts typed columns with scalar .NET helpers
+(SURVEY.md section 2.6; /root/reference/USQL/ProcessDaily.usql:98-129).
+Here documents are native nested structs, so "path extraction" is just
+struct access + cast - everything below is a Column expression (JVM-side,
+whole-stage codegen; zero Python UDFs, per SURVEY.md section 2.8).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+ColumnOrName = Column | str
+
+
+def _path(col: ColumnOrName) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def get_string(col: ColumnOrName) -> Column:
+    """Utility.GetString / GetUSqlString: path -> string, NULL if absent.
+
+    Ref: /root/reference/USQL/ProcessDaily.usql:100,115 (647 + 66 call
+    sites). Spark strings are unbounded so the 128KB-safe GetUSqlString
+    variant collapses into the same expression.
+    """
+    return _path(col).cast("string")
+
+
+def get_long(col: ColumnOrName) -> Column:
+    """Utility.GetInteger: path -> integer, NULL if absent/non-numeric.
+
+    Ref: /root/reference/USQL/ProcessDaily.usql:104 (485 call sites).
+    LongType because GitHub ids exceed int32.
+    """
+    return _path(col).cast("long")
+
+
+def get_bool(col: ColumnOrName) -> Column:
+    """Utility.GetBoolean (ref: /root/reference/USQL/ProcessDaily.usql:106)."""
+    return _path(col).cast("boolean")
+
+
+def get_timestamp(col: ColumnOrName) -> Column:
+    """Utility.GetDateTime: ISO-8601 string -> UTC timestamp.
+
+    Ref: /root/reference/USQL/ProcessDaily.usql:108. Session TZ is pinned
+    to UTC by the session factory, so a bare cast is exact.
+    """
+    return _path(col).cast("timestamp")
+
+
+def pii_hash(col: ColumnOrName) -> Column:
+    """Deterministic pseudonymization for PII columns.
+
+    The reference routes person-identifying fields (emails, real names,
+    company, blog - 32 call sites) through ``Utility.GetPiiString``
+    (/root/reference/USQL/ProcessDaily.usql:109-110,1874,3159-3167).
+    sha2-256 keeps the column joinable across tables and runs while
+    removing the cleartext. NULL stays NULL.
+    """
+    c = _path(col).cast("string")
+    return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(F.sha2(c, 256))
+
+
+def get_pii(col: ColumnOrName, scrub: bool = True) -> Column:
+    """GetPiiString: pass-through when ``scrub`` is off (compat mode)."""
+    return pii_hash(col) if scrub else get_string(col)
+
+
+def greatest_touched(deleted_at: ColumnOrName, processed_at: ColumnOrName) -> Column:
+    """The reference's "last touched" ordering timestamp.
+
+    Ref: ``DeletedAt > ProcessedAt ? DeletedAt : ProcessedAt``
+    (/root/reference/USQL/ProcessDaily.usql:139, 39 occurrences). Under C#
+    lifted-null semantics a NULL DeletedAt never wins, which is exactly
+    ``F.greatest`` (null-ignoring). Pinned by test (SURVEY.md Q5).
+    """
+    return F.greatest(_path(deleted_at), _path(processed_at))
+
+
+def latest_by(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+    strategy: str = "window",
+) -> DataFrame:
+    """Latest-version-wins dedup - the reference's W1, its single most
+    important operator (72 uses repo-wide).
+
+    Ref: ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY ts DESC) == 1``
+    (/root/reference/USQL/ProcessDaily.usql:137-140,176-177).
+
+    ``order_by`` columns are applied descending with NULLs last (U-SQL
+    DESC places NULLs last; pinned by test, SURVEY.md Q5). Callers should
+    append a unique tiebreaker column for deterministic results - the
+    reference breaks ties arbitrarily (SURVEY.md section 7.4.1).
+
+    strategy:
+      - ``window``: row_number + filter. One shuffle + per-partition sort.
+      - ``max_by``: ``groupBy(keys).agg(max_by(struct(*), ts))`` - same
+        semantics, hash-aggregate instead of a full sort; partial (map-side)
+        aggregation makes it the cheaper plan at the 100 TB target
+        (SURVEY.md section 4 "Dedup execution strategy"). Requires a
+        single order column (pack composites with F.struct beforehand).
+    """
+    if strategy == "max_by":
+        ord_col = order_by[0] if len(order_by) == 1 else F.struct(*order_by)
+        packed = df.groupBy(*keys).agg(
+            F.max_by(F.struct(*[c for c in df.columns if c not in keys]), ord_col).alias("_row")
+        )
+        return packed.select(*keys, "_row.*")
+    w = Window.partitionBy(*keys).orderBy(*[c.desc_nulls_last() for c in order_by])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def stable_long_hash(col: ColumnOrName, seed: int = 0) -> Column:
+    """Portable deterministic 63-bit non-negative hash of a string.
+
+    Built from md5 so the same value is computable in any SQL engine
+    (used by the dedup/similarity extension operators and their DuckDB
+    oracles; Spark's ``hash()``/``xxhash64`` are not portable).
+    """
+    c = _path(col).cast("string")
+    if seed:
+        c = F.concat(F.lit(f"s{seed}:"), c)
+    # First 15 hex chars of md5 -> 60 bits, always fits in a positive long.
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")

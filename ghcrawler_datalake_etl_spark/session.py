@@ -1,0 +1,64 @@
+"""SparkSession factory.
+
+Encodes the physical-execution decisions SURVEY.md section 4 maps from the
+reference's layout hints (hash buckets / clustered indexes,
+/root/reference/USQL/CreateGitHubDataTable.usql:23-26) onto Spark:
+
+- UTC session timezone (all reference timestamps are UTC,
+  /root/reference/USQL/CreateGitHubDataTable.usql:18-20) and required for
+  DuckDB-oracle comparison (duckdb timestamps are UTC-naive).
+- AQE on: runtime coalesce, auto-broadcast, skew-join handling replace the
+  reference's static ``DISTRIBUTE HASH(k) INTO n`` bucket counts.
+- Dynamic partition overwrite: the idempotent daily partition swap
+  (/root/reference/USQL/StageData.usql:24-36) without drop/add DDL.
+- Arrow enabled for the pandas-UDF extension operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "ghcrawler-datalake-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) the engine's SparkSession.
+
+    Local-mode defaults suit the test harness; on a real cluster the
+    master/memory settings come from spark-submit and only the SQL confs
+    below matter. Every conf here is also safe to set on an existing
+    session via ``spark.conf`` except the memory ones, which are ignored
+    after JVM start.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+    )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

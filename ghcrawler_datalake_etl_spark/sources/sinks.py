@@ -1,0 +1,115 @@
+"""Sinks: the versioned parquet table catalog + TSV export.
+
+The reference "upserts" by TRUNCATE + INSERT of a recomputed snapshot
+(S5, /root/reference/USQL/ProcessDaily.usql:142-177, 32 occurrences) -
+non-atomic, and a mid-run failure loses data (quirk Q8). ``ParquetCatalog``
+replaces that with a versioned-directory swap: write the new snapshot to
+``<table>/v<n+1>``, then atomically flip a pointer file. This also solves
+Spark's read-then-overwrite hazard (pattern A unions the very table it
+replaces - SURVEY.md 7.4.6): the read plan streams from v<n> while the
+write lands in v<n+1>, no checkpoint/materialization needed.
+
+This is a deliberately minimal stand-in for Delta/Iceberg (whose jars are
+not in this environment); on a real deployment the catalog maps 1:1 onto
+``MERGE INTO`` / ``replaceWhere``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+_POINTER = "_CURRENT"
+
+
+class ParquetCatalog:
+    """Warehouse of versioned parquet tables with atomic snapshot swap."""
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    def _table_dir(self, name: str) -> str:
+        return os.path.join(self.warehouse, name)
+
+    def _current_version(self, name: str) -> int | None:
+        ptr = os.path.join(self._table_dir(name), _POINTER)
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            return int(f.read().strip())
+
+    def current_path(self, name: str) -> str | None:
+        v = self._current_version(name)
+        if v is None:
+            return None
+        return os.path.join(self._table_dir(name), f"v{v}")
+
+    def exists(self, name: str) -> bool:
+        return self.current_path(name) is not None
+
+    def read(self, name: str) -> DataFrame:
+        path = self.current_path(name)
+        if path is None:
+            raise FileNotFoundError(f"table {name} not in catalog {self.warehouse}")
+        return self.spark.read.parquet(path)
+
+    def read_or_none(self, name: str) -> DataFrame | None:
+        path = self.current_path(name)
+        return None if path is None else self.spark.read.parquet(path)
+
+    def overwrite(
+        self,
+        df: DataFrame,
+        name: str,
+        num_files: int | None = None,
+        sort_by: Sequence[str] = (),
+    ) -> None:
+        """Atomic full-snapshot rewrite (the S5 TRUNCATE+INSERT analog).
+
+        ``num_files`` mirrors the reference's hash-bucket sizing signal
+        (DISTRIBUTE HASH INTO 20/60/200, SURVEY.md section 4); ``sort_by``
+        is the clustered-index analog (sortWithinPartitions -> parquet
+        row-group locality for the dedup keys).
+        """
+        old = self._current_version(name)
+        new = 0 if old is None else old + 1
+        tdir = self._table_dir(name)
+        os.makedirs(tdir, exist_ok=True)
+        out = os.path.join(tdir, f"v{new}")
+        writer = df
+        if num_files is not None:
+            writer = writer.coalesce(num_files)
+        if sort_by:
+            writer = writer.sortWithinPartitions(*sort_by)
+        writer.write.mode("overwrite").parquet(out)
+        tmp_ptr = os.path.join(tdir, _POINTER + ".tmp")
+        with open(tmp_ptr, "w") as f:
+            f.write(str(new))
+        os.replace(tmp_ptr, os.path.join(tdir, _POINTER))  # atomic flip
+        if old is not None:
+            shutil.rmtree(os.path.join(tdir, f"v{old}"), ignore_errors=True)
+
+    def tables(self) -> list[str]:
+        return sorted(
+            d
+            for d in os.listdir(self.warehouse)
+            if os.path.isdir(os.path.join(self.warehouse, d))
+            and self._current_version(d) is not None
+        )
+
+
+def write_tsv(df: DataFrame, path: str, num_files: int = 1) -> None:
+    """TSV export sink (S7, /root/reference/USQL/GetRepoData-unused.usql:17-19
+    ``OUTPUT ... USING Outputters.Tsv()``)."""
+    (
+        df.coalesce(num_files)
+        .write.mode("overwrite")
+        .option("sep", "\t")
+        .option("header", True)
+        .csv(path)
+    )

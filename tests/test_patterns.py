@@ -1,0 +1,287 @@
+"""Golden-output tests for the five ETL patterns over GHCrawler-shaped
+fixtures (SURVEY.md section 5.1-5.2), pinning the quirk decisions Q1-Q5
+(SURVEY.md 2.11).
+
+Two synthetic crawl days:
+  day1 2024-01-01: commit c1+c2, repo r1 v1, collaborators pages for
+                   r1 {u1,u2} and r2 {u9}, clones series, issue i1,
+                   user u1, org/team member pages.
+  day2 2024-01-02: re-crawl of c1 (newer), new c3, repo r1 v2,
+                   collaborators page ONLY for r1 {u2,u3}, clones
+                   re-report of an overlapping day with updated counts.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ghcrawler_datalake_etl_spark.pipeline import run_daily
+from ghcrawler_datalake_etl_spark.plans.catalog import CATALOG, spec_for
+from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
+from ghcrawler_datalake_etl_spark.sources.staging import read_staging, stage_json
+from tests.conftest import meta, write_docs
+
+T1 = "2024-01-01T06:00:00Z"
+T2 = "2024-01-02T06:00:00Z"
+REPO_URN = "urn:gh:repo:1"
+REPO2_URN = "urn:gh:repo:2"
+
+
+def commit_doc(sha, urn, fetched, processed, message, adds, files, parents,
+               deleted=None):
+    return {
+        "_metadata": meta("commit", urn, fetched, processed, deleted,
+                          {"repo": {"href": REPO_URN}}),
+        "sha": sha,
+        "commit": {
+            "author": {"date": "2023-12-30T01:00:00Z", "name": "Ann Author",
+                       "email": "ann@example.com"},
+            "committer": {"date": "2023-12-30T01:00:00Z", "name": "Con C",
+                          "email": "con@example.com"},
+            "message": message,
+            "comment_count": 0,
+        },
+        "stats": {"additions": adds, "deletions": 1, "total": adds + 1},
+        "author": {"login": "ann", "id": 101},
+        "committer": {"login": "con", "id": 102},
+        "files": files,
+        "parents": parents,
+    }
+
+
+def repo_doc(urn, fetched, processed, stars, updated_at):
+    return {
+        "_metadata": meta("repo", urn, fetched, processed, None,
+                          {"owner": {"href": "urn:gh:user:owner1"}}),
+        "id": 1, "name": "proj", "full_name": "acme/proj",
+        "owner": {"login": "acme", "id": 7},
+        "private": False, "fork": False, "language": "Python",
+        "forks_count": 2, "stargazers_count": stars, "watchers_count": stars,
+        "subscribers_count": 3, "open_issues_count": 4, "size": 100,
+        "default_branch": "main",
+        "created_at": "2020-01-01T00:00:00Z", "updated_at": updated_at,
+        "pushed_at": updated_at,
+    }
+
+
+def collab_page(origin, members, fetched, processed, n):
+    urn = f"{origin}:collab_page:{n}"
+    return {
+        "_metadata": meta(
+            "collaborators", urn, fetched, processed, None,
+            {"origin": {"href": origin},
+             "unique": {"href": f"{urn}:{processed}"},
+             "resources": {"hrefs": members}},
+        ),
+    }
+
+
+def members_page(origin, members, fetched, processed):
+    urn = f"{origin}:members_page"
+    return {
+        "_metadata": meta(
+            "members", urn, fetched, processed, None,
+            {"origin": {"href": origin},
+             "resources": {"hrefs": members}},
+        ),
+    }
+
+
+def clones_doc(urn, fetched, processed, series):
+    return {
+        "_metadata": meta("clones", urn, fetched, processed, None,
+                          {"repo": {"href": REPO_URN}}),
+        "clones": series,
+    }
+
+
+def issue_doc(urn, fetched, processed, labels):
+    return {
+        "_metadata": meta("issue", urn, fetched, processed, None,
+                          {"repo": {"href": REPO_URN},
+                           "user": {"href": "urn:gh:user:101"}}),
+        "id": 11, "number": 1, "state": "open", "title": "bug",
+        "body": "it broke", "user": {"login": "ann"}, "comments": 2,
+        "created_at": "2023-12-31T00:00:00Z",
+        "updated_at": "2023-12-31T12:00:00Z",
+        "locked": False, "labels": labels,
+    }
+
+
+def user_doc(urn, fetched, processed):
+    return {
+        "_metadata": meta("user", urn, fetched, processed, None),
+        "id": 101, "login": "ann", "name": "Ann Author",
+        "email": "ann@example.com", "company": "ACME", "location": "NYC",
+        "hireable": True, "public_repos": 5, "followers": 10, "following": 3,
+        "type": "User", "site_admin": False,
+        "created_at": "2019-01-01T00:00:00Z",
+        "updated_at": "2023-12-01T00:00:00Z",
+    }
+
+
+DAY1 = [
+    commit_doc("c1", "urn:gh:commit:c1", T1, T1, "first", 10,
+               files=[{"sha": "f1", "filename": "a.py", "status": "modified",
+                       "additions": 5, "deletions": 1, "changes": 6,
+                       "patch": "@@"},
+                      {"sha": "f2", "filename": "b.py", "status": "added",
+                       "additions": 5, "deletions": 0, "changes": 5,
+                       "patch": "@@"}],
+               parents=[{"sha": "p0", "url": "urn:gh:commit:p0"}]),
+    commit_doc("c2", "urn:gh:commit:c2", T1, T1, "second", 3,
+               files=[{"sha": "f3", "filename": "c.py", "status": "removed",
+                       "additions": 0, "deletions": 9, "changes": 9,
+                       "patch": None}],
+               parents=[{"sha": "c1", "url": "urn:gh:commit:c1"},
+                        {"sha": "p1", "url": "urn:gh:commit:p1"}]),
+    repo_doc(REPO_URN, T1, T1, stars=100, updated_at="2023-12-31T00:00:00Z"),
+    collab_page(REPO_URN, ["urn:gh:user:u1", "urn:gh:user:u2"], T1, T1, 1),
+    collab_page(REPO2_URN, ["urn:gh:user:u9"], T1, T1, 1),
+    members_page("urn:gh:org:o1", ["urn:gh:user:u1", "urn:gh:user:u2"], T1, T1),
+    members_page("urn:gh:team:t1", ["urn:gh:user:u2"], T1, T1),
+    clones_doc("urn:gh:clones:r1", T1, T1,
+               [{"timestamp": "2023-12-30T00:00:00Z", "count": 5, "uniques": 2},
+                {"timestamp": "2023-12-31T00:00:00Z", "count": 7, "uniques": 3}]),
+    issue_doc("urn:gh:issue:i1", T1, T1,
+              [{"name": "bug", "color": "red", "default": True},
+               {"name": "p1", "color": "blue", "default": False}]),
+    user_doc("urn:gh:user:101", T1, T1),
+]
+
+DAY2 = [
+    # re-crawl of c1: newer processedAt, message/stats changed, 1 file now
+    commit_doc("c1", "urn:gh:commit:c1", T2, T2, "first-amended", 20,
+               files=[{"sha": "f1b", "filename": "a.py", "status": "modified",
+                       "additions": 20, "deletions": 1, "changes": 21,
+                       "patch": "@@"}],
+               parents=[{"sha": "p0", "url": "urn:gh:commit:p0"}]),
+    commit_doc("c3", "urn:gh:commit:c3", T2, T2, "third", 1,
+               files=[], parents=[{"sha": "c2", "url": "urn:gh:commit:c2"}]),
+    repo_doc(REPO_URN, T2, T2, stars=150, updated_at="2024-01-01T18:00:00Z"),
+    # r1 collaborators refreshed (u1 dropped, u3 added); r2 NOT re-crawled
+    collab_page(REPO_URN, ["urn:gh:user:u2", "urn:gh:user:u3"], T2, T2, 2),
+    # clones re-report: overlapping day 2023-12-31 count corrected 7 -> 8
+    clones_doc("urn:gh:clones:r1", T2, T2,
+               [{"timestamp": "2023-12-31T00:00:00Z", "count": 8, "uniques": 3},
+                {"timestamp": "2024-01-01T00:00:00Z", "count": 4, "uniques": 4}]),
+]
+
+SPEC_SUBSET = tuple(
+    spec_for(t)
+    for t in (
+        "Commit", "CommitFile", "CommitParent", "Repo", "RepoLog", "User",
+        "Issue", "IssueLabel", "RepoCollaborators", "OrgMembers",
+        "TeamMembers", "Clones",
+    )
+)
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    """Stage both days and run the daily pipeline twice; also re-run day2
+    to assert idempotence."""
+    root = tmp_path_factory.mktemp("etl")
+    raw1 = str(root / "raw" / "2024-01-01")
+    raw2 = str(root / "raw" / "2024-01-02")
+    staging = str(root / "staging")
+    write_docs(raw1, DAY1)
+    write_docs(raw2, DAY2)
+    catalog = ParquetCatalog(spark, str(root / "warehouse"))
+    stage_json(spark, raw1, staging, "2024-01-01")
+    run_daily(spark, staging, "2024-01-01", catalog, specs=SPEC_SUBSET)
+    stage_json(spark, raw2, staging, "2024-01-02")
+    run_daily(spark, staging, "2024-01-02", catalog, specs=SPEC_SUBSET)
+    # idempotence: re-stage + re-run day2 (partition swap + dedup absorb it)
+    stage_json(spark, raw2, staging, "2024-01-02")
+    run_daily(spark, staging, "2024-01-02", catalog, specs=SPEC_SUBSET)
+    return catalog, staging
+
+
+def rows(catalog, table, *cols, where=None):
+    df = catalog.read(table)
+    if where is not None:
+        df = df.filter(where)
+    if cols:
+        df = df.select(*cols)
+    return sorted([tuple(r) for r in df.collect()])
+
+
+def test_staging_partition_swap_idempotent(spark, warehouse):
+    _, staging = warehouse
+    day2 = read_staging(spark, staging, "2024-01-02")
+    assert day2.count() == len(DAY2)
+    # entity_name/urn extracted from _metadata
+    assert day2.filter("entity_name = 'commit'").count() == 2
+
+
+def test_pattern_a_latest_wins(spark, warehouse):
+    catalog, _ = warehouse
+    got = rows(catalog, "Commit", "Sha", "Message", "Additions")
+    assert got == [("c1", "first-amended", 20), ("c2", "second", 3),
+                   ("c3", "third", 1)]
+
+
+def test_pattern_a_pii_scrubbed(spark, warehouse):
+    catalog, _ = warehouse
+    emails = [r[0] for r in rows(catalog, "User", "Email")]
+    assert all(e is not None and len(e) == 64 for e in emails)  # sha2-256 hex
+
+
+def test_pattern_b_commitfile_posexplode(spark, warehouse):
+    catalog, _ = warehouse
+    got = rows(catalog, "CommitFile", "Sha", "CommitFileId", "Filename",
+               "Additions")
+    # c1 re-crawl has ONE file: the day1 second file must be gone
+    assert got == [("c1", 0, "a.py", 20), ("c2", 0, "c.py", 0)]
+
+
+def test_pattern_b_commitparent_overwrite_not_append(spark, warehouse):
+    catalog, _ = warehouse
+    # Q1: the reference never truncates CommitParent (unbounded re-append);
+    # we overwrite like its siblings. Three commits -> 4 parent edges once.
+    got = rows(catalog, "CommitParent", "Sha", "CommitParentId", "ParentSha")
+    assert got == [("c1", 0, "p0"), ("c2", 0, "c1"), ("c2", 1, "p1"),
+                   ("c3", 0, "c2")]
+
+
+def test_pattern_c_replace_by_owner(spark, warehouse):
+    catalog, _ = warehouse
+    got = rows(catalog, "RepoCollaborators", "RepoUrn", "UserUrn")
+    # r1 replaced by day2 page; r2 carried over untouched (anti-join)
+    assert got == [
+        (REPO_URN, "urn:gh:user:u2"), (REPO_URN, "urn:gh:user:u3"),
+        (REPO2_URN, "urn:gh:user:u9"),
+    ]
+
+
+def test_pattern_c_members_split_by_origin(spark, warehouse):
+    catalog, _ = warehouse
+    org = rows(catalog, "OrgMembers", "OrgUrn", "UserUrn")
+    team = rows(catalog, "TeamMembers", "TeamUrn", "UserUrn")
+    assert org == [("urn:gh:org:o1", "urn:gh:user:u1"),
+                   ("urn:gh:org:o1", "urn:gh:user:u2")]
+    assert team == [("urn:gh:team:t1", "urn:gh:user:u2")]
+
+
+def test_pattern_d_one_row_per_series_element(spark, warehouse):
+    catalog, _ = warehouse
+    got = rows(catalog, "Clones", "DataDate", "Count", "Uniques")
+    # Q3 fixed: every series element is a row; overlapping 12-31 updated 7->8
+    dates_counts = [(str(d)[:10], c) for d, c, _ in got]
+    assert dates_counts == [("2023-12-30", 5), ("2023-12-31", 8),
+                            ("2024-01-01", 4)]
+
+
+def test_pattern_e_version_log_keeps_all_versions(spark, warehouse):
+    catalog, _ = warehouse
+    repo = rows(catalog, "Repo", "StargazersCount")
+    assert repo == [(150,)]  # snapshot: latest only
+    log = rows(catalog, "RepoLog", "StargazersCount", "UpdatedAt")
+    assert len(log) == 2 and sorted(s for s, _ in log) == [100, 150]
+
+
+def test_issue_labels_pattern_b_by_issue_urn(spark, warehouse):
+    catalog, _ = warehouse
+    got = rows(catalog, "IssueLabel", "IssueLabelId", "Name", "IsDefault")
+    assert got == [(0, "bug", True), (1, "p1", False)]
