@@ -1,0 +1,212 @@
+"""Similarity search over embedding columns: brute-force cosine top-k
+(exact baseline) and LSH-bucketed approximate nearest neighbors (the
+scale path).
+
+Two implementations of the exact form:
+- ``cosine_topk``: pure Column expressions (zip_with/aggregate dot
+  product + window top-k). Oracle-checkable in DuckDB; fine when the
+  query set is small (it is broadcast).
+- ``cosine_topk_pandas``: Arrow-batched numpy matmul via mapInPandas -
+  the throughput path (one BLAS GEMM per batch instead of per-row
+  folds). Same results, ~10-100x faster per core on wide vectors; use
+  when queries x corpus per partition is the bottleneck.
+
+Scale design: corpus stays partitioned; the query block is broadcast;
+per-partition top-k reduces to a global top-k (k rows per query per
+partition shuffle - tiny). The ANN variant cuts the per-partition work
+by random-hyperplane bucketing (probe multiplies recall).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ghcrawler_datalake_etl_spark.functions.core import stable_long_hash
+
+_DOT = lambda a, b: F.aggregate(  # noqa: E731
+    F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+)
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _normalized(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+    vec = _as_double(F.col(vec_col))
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
+    return df.select(
+        F.col(id_col).alias(f"{prefix}_id"),
+        F.transform(vec, lambda x: x / norm).alias(f"{prefix}_vec"),
+    ).filter(norm > 0)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for every query vector (brute force).
+
+    Returns (query_id, neighbor_id, cosine, rank); self-matches excluded.
+    Deterministic: ties broken by neighbor id ascending.
+    """
+    c = _normalized(corpus, id_col, vec_col, "neighbor")
+    q = _normalized(queries, id_col, vec_col, "query")
+    # broadcast the (small) query side: the corpus scan stays partitioned
+    scored = (
+        F.broadcast(q).crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_DOT(F.col("query_vec"), F.col("neighbor_vec")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched numpy GEMM (the fast path).
+
+    The query block is collected once (queries are small by contract)
+    and closed over - Spark broadcasts the closure to every partition.
+    Each corpus batch computes one (batch x dim) @ (dim x nq) matmul and
+    emits per-batch top-k; a window reduces to global top-k.
+    """
+    import numpy as np
+
+    qpd = queries.select(
+        F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("vec")
+    ).toPandas()
+    q_ids = qpd["qid"].to_numpy()
+    q_mat = np.stack(qpd["vec"].to_numpy())
+    q_mat = q_mat / np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+
+    corpus_proj = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("vec")
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf["neighbor_id"].to_numpy()
+            c_mat = np.stack(pdf["vec"].to_numpy())
+            c_mat = c_mat / np.maximum(
+                np.linalg.norm(c_mat, axis=1, keepdims=True), 1e-12
+            )
+            sims = c_mat @ q_mat.T  # (batch, nq)
+            # exclude self-matches BEFORE the per-batch top-k so they
+            # cannot displace true neighbors from the candidate set
+            sims[c_ids[:, None] == q_ids[None, :]] = -2.0
+            top = min(k, len(c_ids))
+            idx = np.argpartition(-sims, top - 1, axis=0)[:top]
+            out = {
+                "query_id": np.repeat(q_ids, top),
+                "neighbor_id": c_ids[idx].T.ravel(),
+                "cosine": np.round(
+                    np.take_along_axis(sims, idx, axis=0).T.ravel(), 6
+                ),
+            }
+            yield pd.DataFrame(out)
+
+    scored = corpus_proj.mapInPandas(
+        score, schema="query_id long, neighbor_id long, cosine double"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplane_bucket(vec_col, planes: int = 8, seed: int = 7) -> "F.Column":
+    """Random-hyperplane LSH bucket id (sign-bit signature) computed with
+    portable per-(dimension, plane) pseudo-random weights, so bucketing
+    is reproducible across engines.
+
+    Weight w(d, p) = (stable_hash("{seed}:{p}:{d}") mod 2001) - 1000,
+    a cheap symmetric integer weight; bucket bit p = sign(sum_d w*x_d).
+    """
+    def bit(p: int):
+        weighted = F.zip_with(
+            vec_col,
+            F.sequence(F.lit(0), F.size(vec_col) - 1),
+            lambda x, d: x.cast("double")
+            * (
+                (stable_long_hash(F.concat_ws(":", F.lit(seed), F.lit(p), d)) % 2001)
+                - 1000
+            ).cast("double"),
+        )
+        s = F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x)
+        return F.when(s >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+
+    out = F.lit(0)
+    for p in range(planes):
+        out = out + bit(p)
+    return out.cast("long")
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: equality-join on the hyperplane bucket, exact
+    cosine within the bucket. Recall < 1 by construction (candidates
+    limited to one bucket); raise recall with fewer planes or multi-probe.
+    At 100 TB this turns the all-pairs scan into ~|bucket| work per query.
+    """
+    c = _normalized(corpus, id_col, vec_col, "neighbor").withColumn(
+        "bucket", hyperplane_bucket(F.col("neighbor_vec"), planes)
+    )
+    q = _normalized(queries, id_col, vec_col, "query").withColumn(
+        "bucket", hyperplane_bucket(F.col("query_vec"), planes)
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_DOT(F.col("query_vec"), F.col("neighbor_vec")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

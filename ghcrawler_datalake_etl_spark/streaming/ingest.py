@@ -1,0 +1,83 @@
+"""Structured Streaming surface.
+
+The reference has NO streaming (SURVEY.md 2.10): its incrementality unit
+is the daily batch partition, with idempotent partition swap. These
+operators are the optional continuous-ingest add-on: the same staging
+contract driven by ``Trigger.AvailableNow`` (catch-up-and-stop, matching
+the daily-batch semantics while tolerating intra-day arrivals), plus a
+watermarked windowed aggregation as the canonical late-data pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def stream_stage_available_now(
+    spark: SparkSession,
+    input_path: str,
+    staging_path: str,
+    checkpoint: str,
+    ingest_date: str,
+) -> StreamingQuery:
+    """Streaming twin of sources.staging.stage_json: file-source stream
+    over the day's JSON, available-now trigger (process the backlog,
+    then stop) - idempotent via the checkpoint, exactly-once per file."""
+    from ghcrawler_datalake_etl_spark.sources.staging import _ENVELOPE_SCHEMA
+
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 64)
+        .load(input_path)
+    )
+    env = F.from_json(F.col("value"), _ENVELOPE_SCHEMA)
+    staged = raw.select(
+        env.getField("_metadata").getField("type").alias("entity_name"),
+        F.lit(ingest_date).alias("ingest_date"),
+        env.getField("_metadata").getField("fetchedAt").cast("timestamp").alias("fetched_at"),
+        env.getField("_metadata").getField("processedAt").cast("timestamp").alias("processed_at"),
+        env.getField("_metadata").getField("deletedAt").cast("timestamp").alias("deleted_at"),
+        env.getField("_metadata").getField("links").getField("self").getField("href").alias("urn"),
+        F.lit("stream").alias("source_file"),
+        F.col("value").alias("data_raw"),
+    ).filter(F.col("entity_name").isNotNull() & F.col("urn").isNotNull())
+    return (
+        staged.writeStream.format("parquet")
+        .option("path", staging_path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("ingest_date")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (works on both a stream
+    and a static frame - pass a readStream frame for streaming).
+
+    The late-data contract the reference lacks: rows later than
+    ``watermark`` behind the max event time are dropped; everything else
+    lands in its event-time window.
+    """
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return src.groupBy(
+        F.window(F.col(ts_col), window_duration).alias("win"), F.col(key_col)
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    ).select(
+        F.col("win.start").alias("window_start"),
+        F.col(key_col),
+        "n_events",
+        "total_value",
+    )

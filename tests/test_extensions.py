@@ -1,0 +1,219 @@
+"""Tests for the LLM-pipeline extension operators: dedup, similarity,
+text analysis, multimodal plumbing, streaming."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from ghcrawler_datalake_etl_spark.operators import dedup as D
+from ghcrawler_datalake_etl_spark.operators import multimodal as M
+from ghcrawler_datalake_etl_spark.operators import similarity as S
+from ghcrawler_datalake_etl_spark.operators import text as X
+from ghcrawler_datalake_etl_spark.streaming import windowed_event_counts
+
+DOC_A = "the quick brown fox jumps over the lazy dog near the river bank today"
+DOC_A_NEAR = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+DOC_B = "completely different content about spark partitions and shuffle behavior"
+DOC_C = "der hund läuft durch den park und die katze schläft auf dem sofa"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, DOC_A),
+            (2, DOC_A),          # exact dup of 1
+            (3, DOC_A_NEAR),     # near dup of 1
+            (4, DOC_B),
+            (5, DOC_C),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_duplicates(docs):
+    got = D.exact_duplicates(docs, "doc_id", "text").collect()
+    assert len(got) == 1
+    row = got[0]
+    assert row.canonical_id == 1 and row.dup_count == 2
+    assert row.member_ids == [1, 2]
+
+
+def test_ngram_jaccard_pairs(docs):
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                       threshold=0.5).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert (1, 3) in got and 0.5 < got[(1, 3)] < 1.0
+    assert all(a not in (4, 5) and b not in (4, 5) for a, b in got)
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.minhash_lsh_pairs(docs, "doc_id", "text", n=3,
+                                     num_hashes=64, bands=16,
+                                     threshold=0.5).collect()
+    }
+    # exact dups always collide in every band; near dup (1,3) has
+    # jaccard ~0.7 => P(caught) = 1-(1-0.7^4)^16 ~ 0.999
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert (1, 3) in got
+    # verify step reports EXACT jaccard, identical to the direct operator
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                       threshold=0.5).collect()
+    }
+    assert got == exact
+
+
+def test_simhash_pairs(docs):
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in D.simhash_pairs(docs, "doc_id", "text",
+                                    max_hamming=6).collect()}
+    assert (1, 2) in got and got[(1, 2)] == 0
+    assert (1, 3) in got and got[(1, 3)] <= 6
+    assert (4, 5) not in got
+
+
+def test_embedding_cosine_pairs(spark):
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.04, 0.0]),   # ~same direction as 1
+            (3, [0.0, 1.0, 0.0]),      # orthogonal
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {(r.id_a, r.id_b): r.cosine
+           for r in D.embedding_cosine_pairs(vecs, "vec_id", "embedding",
+                                             threshold=0.9).collect()}
+    assert list(got) == [(1, 2)] and got[(1, 2)] > 0.99
+
+
+def test_cosine_topk_expr_vs_pandas(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    a = S.cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    b = S.cosine_topk_pandas(emb, queries, "vec_id", "embedding", k=5)
+    ra = sorted((r.query_id, r.rank, r.neighbor_id, round(r.cosine, 5))
+                for r in a.collect())
+    rb = sorted((r.query_id, r.rank, r.neighbor_id, round(r.cosine, 5))
+                for r in b.collect())
+    assert ra == rb and len(ra) == 25
+
+
+def test_ann_lsh_is_subset_of_bucket_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    ann = S.ann_lsh_topk(emb, queries, "vec_id", "embedding", k=5, planes=4)
+    rows = ann.collect()
+    assert len(rows) > 0
+    exact = {(r.query_id, r.neighbor_id): r.cosine
+             for r in S.cosine_topk(emb, queries, "vec_id", "embedding",
+                                    k=500).collect()}
+    # every ANN cosine equals the exact cosine for that pair
+    for r in rows:
+        assert abs(exact[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog are in the house and it is warm"),
+            (2, "der hund und die katze sind nicht auf dem sofa"),
+            (3, "le chat et le chien sont dans la maison avec les enfants"),
+            (4, "el perro y el gato en la casa con los niños"),
+            (5, "xyzzy plugh 12345"),
+        ],
+        "id long, text string",
+    )
+    got = dict(
+        (r.id, r.lang)
+        for r in df.select("id", X.lang_id(F.col("text")).alias("lang")).collect()
+    )
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+
+
+def test_quality_and_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox, 4 dogs; and 12 cats!"), (2, "")],
+        "id long, text string",
+    )
+    row = df.select(
+        X.whitespace_token_count(F.col("text")).alias("ws"),
+        X.bpe_ish_token_count(F.col("text")).alias("bpe"),
+        X.quality_score(F.col("text")).alias("q"),
+    ).collect()
+    assert row[0].ws == 9
+    # letterruns: The quick brown fox dogs and cats =7; digits: 4, 12 =2;
+    # symbols: , ; ! =3  => 12
+    assert row[0].bpe == 12
+    assert 0.0 <= row[0].q <= 1.0
+    assert row[1].ws == 0 and row[1].bpe == 0 and row[1].q == 0.0
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta"), (3, "alpha beta")],
+        "id long, text string",
+    )
+    fps = [r.fp for r in df.select(X.fingerprint(F.col("text")).alias("fp"))
+           .collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_multimodal_feature_extraction(spark):
+    df = spark.createDataFrame(
+        [(1, "payload-one"), (2, "payload-two")], "doc_id long, payload string"
+    )
+    media = M.attach_binary(df, "doc_id", "payload")
+    feats = {r.doc_id: r for r in M.extract_features(media).collect()}
+    assert feats[1].n_bytes == len(b"payload-one")
+    assert feats[1].content_sha256 == hashlib.sha256(b"payload-one").hexdigest()
+    assert 0.0 <= feats[1].fake_mean_luma < 1.0
+    assert 1 <= feats[1].fake_n_frames <= 16
+    assert feats[1].content_sha256 != feats[2].content_sha256
+
+
+def test_windowed_counts_static_matches_groupby(spark, sf_dir):
+    from ghcrawler_datalake_etl_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    got = windowed_event_counts(events, window_duration="1 day")
+    expected = events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("window_start"), "event_type"
+    ).agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_streaming_stage_matches_batch(spark, tmp_path):
+    """Streaming ingest (availableNow) lands the same staging rows as
+    the batch path."""
+    import json
+
+    from ghcrawler_datalake_etl_spark.sources.staging import read_staging, stage_json
+    from ghcrawler_datalake_etl_spark.streaming import stream_stage_available_now
+    from tests.conftest import meta, write_docs
+
+    docs = [
+        {"_metadata": meta("user", f"urn:gh:user:{i}", "2024-01-01T00:00:00Z",
+                           "2024-01-01T00:05:00Z"), "id": i, "login": f"u{i}"}
+        for i in range(20)
+    ]
+    raw = str(tmp_path / "raw")
+    write_docs(raw, docs)
+    stage_json(spark, raw, str(tmp_path / "batch"), "2024-01-01")
+    q = stream_stage_available_now(
+        spark, raw, str(tmp_path / "stream"), str(tmp_path / "ckpt"), "2024-01-01"
+    )
+    q.awaitTermination(120)
+    batch = read_staging(spark, str(tmp_path / "batch")).drop("source_file")
+    stream = read_staging(spark, str(tmp_path / "stream")).drop("source_file")
+    assert sorted(map(tuple, batch.collect())) == sorted(map(tuple, stream.collect()))
