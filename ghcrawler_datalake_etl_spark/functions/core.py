@@ -124,6 +124,22 @@ def latest_by(
     )
 
 
+def quantize(col: Column, digits: int) -> Column:
+    """Cross-engine-stable quantization of a per-row computed double:
+    floor(x * 10^d) / 10^d.
+
+    ``round()`` is NOT portable for doubles: Spark rounds the shortest
+    decimal representation (HALF_UP on BigDecimal.valueOf), DuckDB rounds
+    the binary value - they disagree whenever the shortest repr is an
+    exact half (e.g. 1222.745). floor() of bit-identical doubles cannot
+    disagree. Use for per-row arithmetic (products, quotients, cosines);
+    keep round() for aggregates, whose binary values already differ by
+    summation order.
+    """
+    scale = 10**digits
+    return F.floor(col * scale) / scale
+
+
 def stable_long_hash(col: ColumnOrName, seed: int = 0) -> Column:
     """Portable deterministic 63-bit non-negative hash of a string.
 

@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ghcrawler_datalake_etl_spark.functions.core import stable_long_hash
+from ghcrawler_datalake_etl_spark.functions.core import quantize, stable_long_hash
 
 _DOT = lambda a, b: F.aggregate(  # noqa: E731
     F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -37,11 +37,15 @@ def _as_double(col):
 
 
 def _normalized(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+    """Raw double vector + its norm. Cosine is computed as
+    dot/(norm_a*norm_b) (NOT normalize-then-dot) so the arithmetic is
+    bit-identical to the DuckDB oracle's list_dot_product form."""
     vec = _as_double(F.col(vec_col))
     norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
     return df.select(
         F.col(id_col).alias(f"{prefix}_id"),
-        F.transform(vec, lambda x: x / norm).alias(f"{prefix}_vec"),
+        vec.alias(f"{prefix}_vec"),
+        norm.alias(f"{prefix}_norm"),
     ).filter(norm > 0)
 
 
@@ -66,9 +70,11 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_DOT(F.col("query_vec"), F.col("neighbor_vec")), 6).alias(
-                "cosine"
-            ),
+            quantize(
+                _DOT(F.col("query_vec"), F.col("neighbor_vec"))
+                / (F.col("query_norm") * F.col("neighbor_norm")),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -197,9 +203,11 @@ def ann_lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_DOT(F.col("query_vec"), F.col("neighbor_vec")), 6).alias(
-                "cosine"
-            ),
+            quantize(
+                _DOT(F.col("query_vec"), F.col("neighbor_vec"))
+                / (F.col("query_norm") * F.col("neighbor_norm")),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -102,10 +102,12 @@ def quality_score(col: ColumnOrName) -> Column:
         + F.lit(0.15)
         * (F.lit(1.0) - F.least(f["digit_ratio"] * F.lit(5.0), F.lit(1.0)))
     )
-    # empty/null documents score 0, not the no-digit-bonus floor
+    # empty/null documents score 0, not the no-digit-bonus floor.
+    # floor-quantize instead of round: round() half-case behavior differs
+    # across engines, floor of bit-identical doubles cannot.
     return F.when(
         F.coalesce(f["n_chars"], F.lit(0)) == 0, F.lit(0.0)
-    ).otherwise(F.round(score, 4))
+    ).otherwise(F.floor(score * 10000) / 10000)
 
 
 def lang_id(col: ColumnOrName) -> Column:

@@ -1,0 +1,978 @@
+"""The declared query inventory: one entry per operator family from
+SURVEY.md section 2 plus the LLM-pipeline extension operators, each as a
+(Spark DataFrame builder, DuckDB oracle SQL) pair over the driver's
+testdata tables (TESTDATA.md).
+
+Conventions for hash-stable differential testing:
+- every computed column is aliased identically in Spark and SQL;
+- doubles are rounded (sums to 2dp, ratios/cosines to 4-6dp) AFTER
+  arithmetic that is arranged to be bit-identical across engines
+  (sequential folds, dot/(na*nb) - see operators.similarity);
+- timestamps leave the result as epoch microseconds (unix_micros /
+  epoch_us) or ISO date strings - never raw timestamp columns;
+- all hashing is md5/sha2-based (portable), parameterized from the SAME
+  Python constants on both sides.
+
+Each builder takes (spark, sf_dir) and returns a DataFrame. The oracle
+dict maps the same keys to SQL strings DuckDB runs against views named
+region/nation/customer/supplier/part/orders/lineitem/events/documents/
+embeddings over the same parquet files.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ghcrawler_datalake_etl_spark.functions.core import latest_by, pii_hash, quantize
+from ghcrawler_datalake_etl_spark.operators import dedup as DD
+from ghcrawler_datalake_etl_spark.operators import similarity as SIM
+from ghcrawler_datalake_etl_spark.operators import text as TX
+from ghcrawler_datalake_etl_spark.operators.patterns import (
+    collection_refresh,
+    snapshot_upsert,
+    traffic_series,
+)
+from ghcrawler_datalake_etl_spark.streaming import windowed_event_counts
+from ghcrawler_datalake_etl_spark.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# =====================================================================
+# Flagship + aggregation (A2, P7; TPC-H Q1 shape)
+# =====================================================================
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                   AS avg_qty,
+           round(avg(l_discount), 4)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# =====================================================================
+# Projections / filters (P1, P2, P3, P5, P7 - SURVEY.md 2.2)
+# =====================================================================
+
+@register(
+    "p1_eq_filter",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           floor(l_extendedprice * (1 - l_discount) * 100) / 100 AS net_price
+    FROM lineitem WHERE l_returnflag = 'R' AND l_linestatus = 'F'
+    """,
+)
+def p1_eq_filter(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_returnflag") == "R") & (F.col("l_linestatus") == "F")
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        quantize(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+            "net_price"
+        ),
+    )
+
+
+@register(
+    "p2_like_filter",
+    """
+    SELECT p_partkey, p_name, p_brand FROM part
+    WHERE p_name LIKE '%a%e%' AND p_brand LIKE 'Brand%'
+    """,
+)
+def p2_like_filter(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").like("%a%e%") & F.col("p_brand").like("Brand%")
+    ).select("p_partkey", "p_name", "p_brand")
+
+
+@register(
+    "p3_isin_filter",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'P')
+    GROUP BY o_orderpriority
+    """,
+)
+def p3_isin_filter(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus").isin("F", "P"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "p5_string_predicates",
+    """
+    SELECT c_custkey, c_name, instr(c_name, '1') AS first_one,
+           substr(c_name, 1, 8) AS prefix, length(c_name) AS name_len
+    FROM customer
+    WHERE starts_with(c_name, 'Customer') AND instr(c_name, '9') > 0
+    """,
+)
+def p5_string_predicates(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.filter(
+        F.col("c_name").startswith("Customer") & (F.instr("c_name", "9") > 0)
+    ).select(
+        "c_custkey",
+        "c_name",
+        F.instr("c_name", "1").cast("long").alias("first_one"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.length("c_name").cast("long").alias("name_len"),
+    )
+
+
+# =====================================================================
+# Windows (W1 latest-wins, W2 unordered dedup; SURVEY.md 2.7)
+# =====================================================================
+
+@register(
+    "w1_latest_event_per_user",
+    """
+    SELECT user_id, event_id, event_type, value
+    FROM (SELECT user_id, event_id, event_type, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t
+    WHERE rn = 1
+    """,
+)
+def w1_latest_event_per_user(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    latest = latest_by(
+        ev.select("user_id", "event_id", "event_type", "value", "ts"),
+        ["user_id"],
+        [F.col("ts"), F.col("event_id")],
+    )
+    return latest.select("user_id", "event_id", "event_type", "value")
+
+
+@register(
+    "w1_maxby_latest_event_per_user",
+    """
+    SELECT user_id, event_id, event_type, value
+    FROM (SELECT user_id, event_id, event_type, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t
+    WHERE rn = 1
+    """,
+)
+def w1_maxby_latest_event_per_user(spark, sf_dir):
+    """Same semantics through the max_by (hash-agg, sort-free) strategy -
+    the 100 TB execution form (SURVEY.md section 4 dedup row)."""
+    ev = _t(spark, sf_dir, "events")
+    latest = latest_by(
+        ev.select("user_id", "event_id", "event_type", "value", "ts"),
+        ["user_id"],
+        [F.col("ts"), F.col("event_id")],
+        strategy="max_by",
+    )
+    return latest.select("user_id", "event_id", "event_type", "value")
+
+
+@register(
+    "w2_distinct_keys",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def w2_distinct_keys(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("user_id", "event_type").distinct()
+
+
+@register(
+    "topk_orders_per_segment",
+    """
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM (
+      SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+             row_number() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rnk
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey) t
+    WHERE rnk <= 5
+    """,
+)
+def topk_orders_per_segment(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+# =====================================================================
+# Joins (J1 inner, J2 anti, J3 chain, J4 semi - SURVEY.md 2.3)
+# =====================================================================
+
+@register(
+    "j1_inner_join_agg",
+    """
+    SELECT n.n_name, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def j1_inner_join_agg(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "j2_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j2_anti_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "j3_join_chain_q5",
+    """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def j3_join_chain_q5(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter((F.col("r_name") == "ASIA") & (F.col("o_orderdate") >= "1994-01-01"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "j4_semi_join",
+    """
+    SELECT s_suppkey, s_name FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_suppkey = s.s_suppkey
+                    AND l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00')
+    """,
+)
+def j4_semi_join(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    recent = li.filter(F.col("l_shipdate") >= "1998-01-01")
+    return s.join(
+        recent, s.s_suppkey == recent.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+# =====================================================================
+# Aggregations / set ops / scalar functions (A1, A3, A4, F1, F3, F9, F10)
+# =====================================================================
+
+@register(
+    "a1_collect_reassembly",
+    """
+    SELECT user_id,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types,
+           count(DISTINCT event_type) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def a1_collect_reassembly(spark, sf_dir):
+    """MAP_AGG analog (A1): reassemble exploded rows into one value per
+    group - here a sorted joined set, hash-stable across engines."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias(
+            "event_types"
+        ),
+        F.size(F.collect_set("event_type")).cast("long").alias("n_types"),
+    )
+
+
+@register(
+    "a4_union_all_agg",
+    """
+    SELECT bucket, count(*) AS n FROM (
+      SELECT 'high' AS bucket FROM orders WHERE o_totalprice >= 150000
+      UNION ALL
+      SELECT 'urgent' AS bucket FROM orders WHERE o_orderpriority = '1-URGENT'
+    ) t GROUP BY bucket
+    """,
+)
+def a4_union_all_agg(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    high = o.filter(F.col("o_totalprice") >= 150000).select(
+        F.lit("high").alias("bucket")
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.lit("urgent").alias("bucket")
+    )
+    return high.unionByName(urgent).groupBy("bucket").agg(F.count("*").alias("n"))
+
+
+@register(
+    "f1_json_extract",
+    """
+    SELECT json_extract_string(props, 'k') AS k_value, count(*) AS n
+    FROM events GROUP BY k_value
+    """,
+)
+def f1_json_extract(spark, sf_dir):
+    """The Utility.GetString path-extraction analog over raw JSON (F1)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.get_json_object("props", "$.k").alias("k_value")
+    ).groupBy("k_value").agg(F.count("*").alias("n"))
+
+
+@register(
+    "f3_pii_pseudonymize",
+    """
+    SELECT c_custkey, sha256(c_name) AS name_pseudonym FROM customer
+    """,
+)
+def f3_pii_pseudonymize(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey", pii_hash(F.col("c_name")).alias("name_pseudonym")
+    )
+
+
+@register(
+    "f10_greatest_last_touched",
+    """
+    SELECT CAST(greatest(l.l_shipdate, o.o_orderdate) AS DATE)::VARCHAR AS last_touched,
+           count(*) AS n
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY last_touched
+    """,
+)
+def f10_greatest_last_touched(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.greatest(F.col("l_shipdate"), F.col("o_orderdate"))
+            .cast("date")
+            .cast("string")
+            .alias("last_touched")
+        )
+        .groupBy("last_touched")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# =====================================================================
+# Explode / table-valued ops (X1, X3 - SURVEY.md 2.5)
+# =====================================================================
+
+@register(
+    "x3_posexplode_tokens",
+    f"""
+    SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS token
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '{TX.TOKEN_SPLIT_RE}'),
+                             x -> x <> '') AS toks
+          FROM documents WHERE doc_id < 50) t
+    """,
+)
+def x3_posexplode_tokens(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("doc_id") < 50)
+        .select("doc_id", TX.tokenize(F.col("text")).alias("toks"))
+        .select(
+            "doc_id", F.posexplode("toks").alias("pos", "token")
+        )
+        .withColumn("pos", F.col("pos").cast("long"))
+    )
+
+
+# =====================================================================
+# ETL patterns A/C/D emulated over the events stream (SURVEY.md 2.9)
+# =====================================================================
+
+_CUTOFF = "2024-01-10 00:00:00"
+
+
+@register(
+    "pattern_a_snapshot_upsert",
+    """
+    SELECT user_id, event_type, event_id, value
+    FROM (SELECT user_id, event_type, event_id, value,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t
+    WHERE rn = 1
+    """,
+)
+def pattern_a_snapshot_upsert(spark, sf_dir):
+    """Pattern A machinery over events: 'snapshot' = events before the
+    cutoff, 'new day' = events after; latest wins per (user, type)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "value", "ts"
+    )
+    snapshot = ev.filter(F.col("ts") < _CUTOFF)
+    new_day = ev.filter(F.col("ts") >= _CUTOFF)
+    merged = snapshot_upsert(
+        new_day,
+        snapshot,
+        keys=["user_id", "event_type"],
+        order_by=[F.col("ts")],
+        tiebreakers=["event_id"],
+    )
+    return merged.select("user_id", "event_type", "event_id", "value")
+
+
+@register(
+    "pattern_c_collection_refresh",
+    f"""
+    WITH pages AS (
+      SELECT user_id, CAST(ts AS DATE) AS page_date,
+             list_sort(list(DISTINCT event_type)) AS resources,
+             max(ts) AS processed_at
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ), latest_new AS (
+      SELECT user_id, resources FROM (
+        SELECT user_id, resources,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY processed_at DESC, page_date DESC) AS rn
+        FROM pages WHERE page_date >= DATE '2024-01-10') t WHERE rn = 1
+    ), latest_old AS (
+      SELECT user_id, resources FROM (
+        SELECT user_id, resources,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY processed_at DESC, page_date DESC) AS rn
+        FROM pages WHERE page_date < DATE '2024-01-10') t WHERE rn = 1
+    )
+    SELECT user_id, unnest(resources) AS member FROM latest_new
+    UNION
+    SELECT o.user_id, unnest(o.resources) AS member FROM latest_old o
+    WHERE NOT EXISTS (SELECT 1 FROM latest_new n WHERE n.user_id = o.user_id)
+    """,
+)
+def pattern_c_collection_refresh(spark, sf_dir):
+    """Pattern C machinery over events: each (user, day) is a collection
+    page listing the day's distinct event types; refresh-by-owner with
+    carryover for users not seen after the cutoff."""
+    ev = _t(spark, sf_dir, "events")
+    pages = (
+        ev.groupBy("user_id", F.col("ts").cast("date").alias("page_date"))
+        .agg(
+            F.sort_array(F.collect_set("event_type")).alias("resources"),
+            F.max("ts").alias("processed_at"),
+        )
+    )
+    new_pages = pages.filter(F.col("page_date") >= "2024-01-10")
+    old_pages = pages.filter(F.col("page_date") < "2024-01-10")
+    existing = collection_refresh(
+        old_pages.withColumnRenamed("user_id", "owner"),
+        None,
+        origin_col="owner",
+        member_col="member",
+        page_order=[F.col("processed_at"), F.col("page_date")],
+    )
+    refreshed = collection_refresh(
+        new_pages.withColumnRenamed("user_id", "owner"),
+        existing,
+        origin_col="owner",
+        member_col="member",
+        page_order=[F.col("processed_at"), F.col("page_date")],
+    )
+    return refreshed.select(F.col("owner").alias("user_id"), "member")
+
+
+@register(
+    "pattern_d_traffic_series",
+    """
+    SELECT event_type, CAST(ts AS DATE)::VARCHAR AS data_date,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+    """,
+)
+def pattern_d_traffic_series(spark, sf_dir):
+    """Pattern D machinery: two overlapping 'fetches' of the daily series
+    (split at the cutoff, re-reporting the cutoff day) deduped on the
+    natural key (event_type, data_date) - latest fetch wins; both fetches
+    report identical values so the result equals the direct aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").cast("string").alias("data_date")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    fetch1 = daily.filter(F.col("data_date") <= "2024-01-10").withColumn(
+        "fetched_at", F.lit(1)
+    )
+    fetch2 = daily.filter(F.col("data_date") >= "2024-01-10").withColumn(
+        "fetched_at", F.lit(2)
+    )
+    merged = traffic_series(
+        fetch2,
+        fetch1,
+        natural_key=["event_type", "data_date"],
+        order_by=[F.col("fetched_at")],
+    )
+    return merged.select("event_type", "data_date", "n", "total_value")
+
+
+@register(
+    "pattern_e_version_log",
+    """
+    SELECT user_id, version_date, event_id, event_type
+    FROM (SELECT user_id, CAST(ts AS DATE)::VARCHAR AS version_date,
+                 event_id, event_type,
+                 row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t
+    WHERE rn = 1
+    """,
+)
+def pattern_e_version_log(spark, sf_dir):
+    """Pattern E: keep one row per (entity, version) - here the latest
+    event per user per day, every day retained (vs pattern A's single
+    latest row per user)."""
+    ev = _t(spark, sf_dir, "events")
+    versions = latest_by(
+        ev.select(
+            "user_id",
+            F.col("ts").cast("date").cast("string").alias("version_date"),
+            "event_id",
+            "event_type",
+            "ts",
+        ),
+        ["user_id", "version_date"],
+        [F.col("ts"), F.col("event_id")],
+    )
+    return versions.select("user_id", "version_date", "event_id", "event_type")
+
+
+# =====================================================================
+# Streaming surface (windowed aggregation; SURVEY.md 2.10)
+# =====================================================================
+
+@register(
+    "stream_windowed_counts",
+    """
+    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def stream_windowed_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = windowed_event_counts(ev, window_duration="1 hour")
+    return out.select(
+        F.unix_micros(F.col("window_start")).alias("window_start_us"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+# =====================================================================
+# Dedup extensions (exact, n-gram Jaccard, MinHash+LSH, SimHash, cosine)
+# =====================================================================
+
+@register(
+    "dedup_exact_groups",
+    """
+    SELECT md5(text) AS content_md5, min(doc_id) AS canonical_id,
+           count(*) AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_groups(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("content_md5")).agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("dup_count")
+    )
+
+
+_SH_SQL = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(toks) - 2, 0) + 1), "
+    "i -> array_to_string(toks[i:i+2], ' ')))"
+)
+_TOKS_SQL = (
+    f"list_filter(string_split_regex(lower(text), '{TX.TOKEN_SPLIT_RE}'), "
+    "x -> x <> '')"
+)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_SH_SQL} AS sh
+      FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) t
+      WHERE len({_SH_SQL.replace('toks', 'toks')}) > 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           floor(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 10000) / 10000
+             AS jaccard
+    FROM sh a, sh b
+    WHERE a.doc_id < b.doc_id
+      AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+def _minhash_oracle(num_hashes: int = 64, bands: int = 16) -> str:
+    rows = num_hashes // bands
+    params = DD.minhash_params(num_hashes)
+    params_sql = "[" + ", ".join(f"[{a}::BIGINT, {b}::BIGINT]" for a, b in params) + "]"
+    p = DD.MINHASH_P
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {_SH_SQL} AS sh
+      FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) t
+    ), sig AS (
+      SELECT doc_id, sh,
+             list_transform({params_sql}, pp ->
+               coalesce(list_min(list_transform(sh, s ->
+                 ((cast(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {p})
+                   * pp[1] + pp[2]) % {p})), {p})) AS sig
+      FROM sh WHERE len(sh) > 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           floor(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 10000) / 10000
+             AS jaccard
+    FROM sig a, sig b
+    WHERE a.doc_id < b.doc_id
+      AND len(list_filter(range(0, {bands}),
+              bb -> a.sig[bb*{rows}+1 : bb*{rows}+{rows}]
+                  = b.sig[bb*{rows}+1 : bb*{rows}+{rows}])) > 0
+      AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    """
+
+
+@register("dedup_minhash_lsh", _minhash_oracle())
+def dedup_minhash_lsh(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.5
+    )
+
+
+@register(
+    "dedup_simhash_values",
+    f"""
+    SELECT doc_id,
+           coalesce(list_sum(list_transform(range(0, {DD.SIMHASH_BITS}), b ->
+             CASE WHEN coalesce(list_sum(list_transform(th, hh ->
+                    CASE WHEN (hh & (1::BIGINT << b)) <> 0 THEN 1 ELSE -1 END)), 0) > 0
+                  THEN (1::BIGINT << b) ELSE 0 END)), 0) AS simhash
+    FROM (SELECT doc_id,
+                 list_transform({_TOKS_SQL},
+                                t -> cast(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS th
+          FROM documents) t
+    """,
+)
+def dedup_simhash_values(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", DD.simhash(F.col("text")).alias("simhash"))
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec,
+                      sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           floor(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) * 10000) / 10000 AS cosine
+    FROM v a, v b
+    WHERE a.vec_id < b.vec_id
+      AND list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return DD.embedding_cosine_pairs(e, "vec_id", "embedding", threshold=0.4)
+
+
+# =====================================================================
+# Similarity search
+# =====================================================================
+
+@register(
+    "sim_knn_bruteforce",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec,
+                      sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
+               FROM embeddings)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             floor(list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm) * 1000000) / 1000000 AS cosine,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY floor(list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm) * 1000000) / 1000000 DESC,
+                        c.vec_id ASC) AS rank
+      FROM v q, v c
+      WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id) t
+    WHERE rank <= 5
+    """,
+)
+def sim_knn_bruteforce(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    queries_df = e.filter(F.col("vec_id") < 10)
+    return SIM.cosine_topk(e, queries_df, "vec_id", "embedding", k=5)
+
+
+@register("sim_ann_lsh")  # approximate: rows-only check (no oracle)
+def sim_ann_lsh(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    queries_df = e.filter(F.col("vec_id") < 10)
+    return SIM.ann_lsh_topk(e, queries_df, "vec_id", "embedding", k=5, planes=4)
+
+
+@register("sim_knn_pandas_gemm")  # numpy GEMM path: rows-only check
+def sim_knn_pandas_gemm(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    queries_df = e.filter(F.col("vec_id") < 10)
+    return SIM.cosine_topk_pandas(e, queries_df, "vec_id", "embedding", k=5)
+
+
+# =====================================================================
+# Text analysis
+# =====================================================================
+
+def _lang_oracle() -> str:
+    langs = sorted(TX.LANG_LEXICONS)
+    hit_cols = ", ".join(
+        "len(list_intersect(dt, ["
+        + ", ".join(f"'{w}'" for w in TX.LANG_LEXICONS[lang])
+        + f"])) AS h_{lang}"
+        for lang in langs
+    )
+    great = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN " + great + " = 0 THEN 'und' "
+    for lang in langs:
+        case += f"WHEN h_{lang} = {great} THEN '{lang}' "
+    case += "END"
+    return f"""
+    SELECT doc_id, {case} AS lang_pred FROM (
+      SELECT doc_id, {hit_cols}
+      FROM (SELECT doc_id, list_distinct({_TOKS_SQL}) AS dt FROM documents) t
+    ) h
+    """
+
+
+@register("text_lang_id", _lang_oracle())
+def text_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "text_stats",
+    f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+             AS ws_tokens,
+           len(regexp_extract_all(text, '{TX.BPE_ISH_RE}')) AS bpe_tokens,
+           floor(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE /
+                 greatest(length(text), 1) * 10000) / 10000 AS alpha_ratio,
+           floor(length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE /
+                 greatest(length(text), 1) * 10000) / 10000 AS digit_ratio,
+           md5(array_to_string(list_sort(list_distinct({_TOKS_SQL})), ' '))
+             AS fingerprint
+    FROM documents
+    """,
+)
+def text_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    feats = TX.quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_chars"].cast("long").alias("n_chars"),
+        TX.whitespace_token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        TX.bpe_ish_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+        quantize(feats["alpha_ratio"], 4).alias("alpha_ratio"),
+        quantize(feats["digit_ratio"], 4).alias("digit_ratio"),
+        TX.fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+@register(
+    "text_quality_score",
+    f"""
+    SELECT doc_id,
+      CASE WHEN coalesce(length(text), 0) = 0 THEN 0.0 ELSE
+        floor((
+          0.35 * least(len({_TOKS_SQL})::DOUBLE / 200.0, 1.0)
+        + 0.30 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE /
+                  greatest(length(text), 1))
+        + 0.20 * least((len(list_intersect(list_distinct({_TOKS_SQL}),
+                  [{", ".join(f"'{w}'" for w in TX.LANG_LEXICONS["en"])}]))::DOUBLE /
+                  greatest(len({_TOKS_SQL}), 1)) * 4.0, 1.0)
+        + 0.15 * (1.0 - least((length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE /
+                  greatest(length(text), 1)) * 5.0, 1.0))) * 10000) / 10000
+      END AS quality
+    FROM documents
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+
+# =====================================================================
+# Multimodal plumbing
+# =====================================================================
+
+@register(
+    "multimodal_features",
+    """
+    SELECT doc_id, strlen(text) AS n_bytes, sha256(text) AS content_sha256,
+           floor(cast(('0x' || substr(sha256(text), 1, 8)) AS BIGINT)::DOUBLE
+                 / 4294967296.0 * 1000000000) / 1000000000 AS fake_mean_luma,
+           cast(('0x' || substr(sha256(text), 9, 2)) AS BIGINT) % 16 + 1
+             AS fake_n_frames
+    FROM documents
+    """,
+)
+def multimodal_features(spark, sf_dir):
+    from ghcrawler_datalake_etl_spark.operators import multimodal as MM
+
+    d = _t(spark, sf_dir, "documents")
+    media = MM.attach_binary(d, "doc_id", "text")
+    feats = MM.extract_features(media)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "content_sha256",
+        quantize(F.col("fake_mean_luma"), 9).alias("fake_mean_luma"),
+        F.col("fake_n_frames").cast("long").alias("fake_n_frames"),
+    )
