@@ -140,6 +140,23 @@ def quantize(col: Column, digits: int) -> Column:
     return F.floor(col * scale) / scale
 
 
+def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a frame whose scan parallelism is below
+    the cluster's, so CPU-heavy narrow work (shingling, hashing, regex,
+    vector math) uses every core.
+
+    Single-row-group parquet files scan as ONE task no matter how many
+    executors exist - everything before the first shuffle then runs
+    single-threaded. At warehouse scale inputs have >= cores partitions
+    and this is a no-op; the repartition only fires on under-split
+    inputs, where shuffling them is cheap by construction.
+    """
+    target = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def stable_long_hash(col: ColumnOrName, seed: int = 0) -> Column:
     """Portable deterministic 63-bit non-negative hash of a string.
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ghcrawler_datalake_etl_spark.functions.core import quantize, stable_long_hash
+from ghcrawler_datalake_etl_spark.functions.core import fan_out, quantize, stable_long_hash
 from ghcrawler_datalake_etl_spark.operators.text import tokenize
 
 # Mersenne prime 2^31-1: keeps a*h+b within int64 after reducing h mod P.
@@ -55,11 +55,17 @@ def shingle_hashes(shingle_col: Column) -> Column:
     )
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature (array<long>, length num_hashes) computed
-    array-side: sig[i] = min over shingles of (a_i*h + b_i) mod P.
-    Empty shingle set -> signature of all P (never matches)."""
-    hs = shingle_hashes(shingle_col)
+def minhash_signature_from_hashes(hs: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature (array<long>, length num_hashes) from a
+    pre-hashed shingle array: sig[i] = min over shingles of
+    (a_i*h + b_i) mod P. Empty shingle set -> all P (never matches).
+
+    ``hs`` should be a plain column reference to a projection that
+    already materialized ``shingle_hashes`` - the 64 permutations each
+    scan the array, so the md5 work must not be inlined into them
+    (Catalyst's CollapseProject keeps the boundary because the hash
+    expression is non-cheap and multiply-referenced).
+    """
 
     def perm(a: int, b: int):
         return lambda h: (h * a + b) % MINHASH_P
@@ -71,6 +77,14 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
     return F.transform(
         F.array(*sigs), lambda s: F.coalesce(s, F.lit(MINHASH_P)).cast("long")
     )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature straight from a shingle array. Prefer the
+    two-projection form (shingle_hashes in one select, then
+    minhash_signature_from_hashes) - inlining here re-evaluates the md5
+    per permutation."""
+    return minhash_signature_from_hashes(shingle_hashes(shingle_col), num_hashes)
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -104,47 +118,52 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    stop_shingle_df: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by exact n-gram Jaccard, candidate-generated by
-    shared shingles (inverted index), verified on distinct shingle sets.
+    """Near-dup pairs by exact n-gram Jaccard, computed entirely from the
+    inverted index: shingles are distinct per document, so the number of
+    (id_a, id_b) matches across the index IS |A intersect B|, and
+    J = c / (|A| + |B| - c). No pair ever touches a shingle array - the
+    shuffle carries (shingle, id) then (id_a, id_b) partial counts, both
+    map-side combinable.
 
-    Scale: the explode emits (shingle, id); the self-join groups by
-    shingle - skew on boilerplate shingles is the hazard, mitigated by
-    dropping shingles above a document-frequency ceiling (stop-shingles
-    contribute candidates quadratically but little Jaccard evidence).
+    Scale: candidate volume is sum(df^2) over shingles - skew on
+    boilerplate shingles is the hazard. ``stop_shingle_df`` drops
+    shingles above a document-frequency ceiling; that makes the match
+    count a lower bound (boilerplate evidence discarded), a documented
+    approximation for 100 TB runs - leave None for exact results.
     """
-    sh = df.select(
+    sh = fan_out(df).select(
         F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n).alias("sh")
     ).filter(F.size("sh") > 0)
-    sh.cache()
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
-    # stop-shingle ceiling: df > 100 docs => boilerplate, skip (skew guard)
-    freq = inv.groupBy("shingle").agg(F.count("*").alias("df_count"))
-    inv = inv.join(freq.filter(F.col("df_count") <= 100), "shingle")
-    cand = _pairs_from_candidates(
+    if stop_shingle_df is not None:
+        freq = inv.groupBy("shingle").agg(F.count("*").alias("df_count"))
+        inv = inv.join(
+            freq.filter(F.col("df_count") <= stop_shingle_df), "shingle"
+        ).select("doc_id", "shingle")
+    matches = (
         inv.alias("a")
         .join(inv.alias("b"), "shingle")
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")),
-        "id_a",
-        "id_b",
-    )
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    verified = (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b"))
-            ).alias("jaccard"),
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
-        .filter(F.col("jaccard") >= threshold)
+        .agg(F.count("*").alias("shared"))
     )
-    return verified.select(
-        "id_a", "id_b", quantize(F.col("jaccard"), 4).alias("jaccard")
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("shared")
+    )
+    # sizes is one row per doc - tiny at test scale (AQE auto-broadcasts),
+    # a plain shuffle join at 100 TB; don't force a broadcast hint.
+    return (
+        matches.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", quantize(jac, 4).alias("jaccard"))
     )
 
 
@@ -165,12 +184,20 @@ def minhash_lsh_pairs(
     touches candidate pairs only.
     """
     rows = num_hashes // bands
-    base = df.select(
+    base = fan_out(df).select(
         F.col(id_col).alias("doc_id"),
         shingles(F.col(text_col), n).alias("sh"),
     ).filter(F.size("sh") > 0)
-    sig = base.select(
-        "doc_id", "sh", minhash_signature(F.col("sh"), num_hashes).alias("sig")
+    # Materialize the md5 shingle hashes in their own projection so the
+    # 64 permutation scans reference them instead of recomputing md5
+    # per permutation (64x the hash work otherwise).
+    hashed = base.select(
+        "doc_id", "sh", shingle_hashes(F.col("sh")).alias("hs")
+    )
+    sig = hashed.select(
+        "doc_id",
+        "sh",
+        minhash_signature_from_hashes(F.col("hs"), num_hashes).alias("sig"),
     )
     sig.cache()
     banded = sig.select(
@@ -212,12 +239,13 @@ def minhash_lsh_pairs(
 SIMHASH_BITS = 60  # md5-derived hashes carry 60 portable bits (15 hex chars)
 
 
-def simhash(col: Column | str, bits: int = SIMHASH_BITS) -> Column:
-    """SimHash of a text column as a non-negative long (bit b set iff the
-    token-hash bit-b vote is positive). Weighted by token frequency since
-    tokenize() keeps duplicates. Pure array expressions.
+def simhash_from_hashes(th: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash (non-negative long; bit b set iff the token-hash bit-b
+    vote is positive) from a pre-hashed token array. ``th`` should be a
+    plain column reference to a projection that materialized the token
+    hashes - the per-bit votes each scan the array, so the md5 must not
+    be inlined into all ``bits`` of them.
     """
-    th = F.transform(tokenize(col), lambda t: stable_long_hash(t))
     pow2 = [1 << b for b in range(bits)]
 
     def vote(p: int):
@@ -229,6 +257,32 @@ def simhash(col: Column | str, bits: int = SIMHASH_BITS) -> Column:
     return sum(
         [F.when(v > 0, F.lit(p)).otherwise(F.lit(0)).cast("long") for v, p in zip(votes, pow2)],
         F.lit(0).cast("long"),
+    )
+
+
+def simhash(col: Column | str, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash of a text column. Weighted by token frequency since
+    tokenize() keeps duplicates. Prefer simhash_df / the two-projection
+    simhash_from_hashes form - inlining here re-evaluates the token md5
+    once per bit."""
+    return simhash_from_hashes(
+        F.transform(tokenize(col), lambda t: stable_long_hash(t)), bits
+    )
+
+
+def simhash_df(
+    df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """(id, simhash) frame via the two-projection form: token hashes
+    materialized once, then the per-bit votes scan the cheap long array."""
+    th = fan_out(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(tokenize(F.col(text_col)), lambda t: stable_long_hash(t)).alias(
+            "th"
+        ),
+    )
+    return th.select(
+        "doc_id", simhash_from_hashes(F.col("th"), bits).alias("simhash")
     )
 
 
@@ -245,9 +299,7 @@ def simhash_pairs(
     values; verify with popcount(xor) <= max_hamming.
     """
     chunk_bits = SIMHASH_BITS // chunks
-    sh = df.select(
-        F.col(id_col).alias("doc_id"), simhash(F.col(text_col)).alias("simhash")
-    )
+    sh = simhash_df(df, id_col, text_col)
     sh.cache()
     mask = (1 << chunk_bits) - 1
     chunked = sh.select(
@@ -302,7 +354,7 @@ def embedding_cosine_pairs(
     """
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
-    v = df.select(
+    v = fan_out(df).select(
         F.col(id_col).alias("doc_id"), vec.alias("vec"), norm.alias("nrm")
     )
     a = v.select(

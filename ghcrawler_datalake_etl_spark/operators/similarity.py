@@ -25,7 +25,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ghcrawler_datalake_etl_spark.functions.core import quantize, stable_long_hash
+import hashlib
+
+from ghcrawler_datalake_etl_spark.functions.core import fan_out, quantize
 
 _DOT = lambda a, b: F.aggregate(  # noqa: E731
     F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -61,7 +63,7 @@ def cosine_topk(
     Returns (query_id, neighbor_id, cosine, rank); self-matches excluded.
     Deterministic: ties broken by neighbor id ascending.
     """
-    c = _normalized(corpus, id_col, vec_col, "neighbor")
+    c = _normalized(fan_out(corpus), id_col, vec_col, "neighbor")
     q = _normalized(queries, id_col, vec_col, "query")
     # broadcast the (small) query side: the corpus scan stays partitioned
     scored = (
@@ -110,7 +112,7 @@ def cosine_topk_pandas(
     q_mat = np.stack(qpd["vec"].to_numpy())
     q_mat = q_mat / np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
 
-    corpus_proj = corpus.select(
+    corpus_proj = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("vec")
     )
 
@@ -151,25 +153,39 @@ def cosine_topk_pandas(
     )
 
 
-def hyperplane_bucket(vec_col, planes: int = 8, seed: int = 7) -> "F.Column":
-    """Random-hyperplane LSH bucket id (sign-bit signature) computed with
-    portable per-(dimension, plane) pseudo-random weights, so bucketing
-    is reproducible across engines.
+def _plane_weights(dim: int, planes: int, seed: int) -> list[list[float]]:
+    """Portable pseudo-random hyperplane weights, computed ONCE in Python
+    (they are row-independent - deriving them with hash expressions would
+    redo dim x planes md5 calls per row).
 
-    Weight w(d, p) = (stable_hash("{seed}:{p}:{d}") mod 2001) - 1000,
-    a cheap symmetric integer weight; bucket bit p = sign(sum_d w*x_d).
+    w(d, p) = (md5_60bit("{seed}:{p}:{d}") mod 2001) - 1000, mirroring
+    functions.core.stable_long_hash so any engine can reproduce them.
     """
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    return [
+        [float(h(f"{seed}:{p}:{d}") % 2001 - 1000) for d in range(dim)]
+        for p in range(planes)
+    ]
+
+
+def hyperplane_bucket(
+    vec_col, dim: int, planes: int = 8, seed: int = 7
+) -> "F.Column":
+    """Random-hyperplane LSH bucket id (sign-bit signature): bucket bit
+    p = sign(w_p . x) with fixed portable weights (literal arrays, so the
+    per-row work is one fused multiply-add pass per plane)."""
+    weights = _plane_weights(dim, planes, seed)
+
     def bit(p: int):
-        weighted = F.zip_with(
-            vec_col,
-            F.sequence(F.lit(0), F.size(vec_col) - 1),
-            lambda x, d: x.cast("double")
-            * (
-                (stable_long_hash(F.concat_ws(":", F.lit(seed), F.lit(p), d)) % 2001)
-                - 1000
-            ).cast("double"),
+        w = F.array(*[F.lit(x) for x in weights[p]])
+        s = F.aggregate(
+            F.zip_with(vec_col, w, lambda x, wd: x.cast("double") * wd),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
-        s = F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x)
         return F.when(s >= 0, F.lit(1 << p)).otherwise(F.lit(0))
 
     out = F.lit(0)
@@ -191,11 +207,12 @@ def ann_lsh_topk(
     limited to one bucket); raise recall with fewer planes or multi-probe.
     At 100 TB this turns the all-pairs scan into ~|bucket| work per query.
     """
-    c = _normalized(corpus, id_col, vec_col, "neighbor").withColumn(
-        "bucket", hyperplane_bucket(F.col("neighbor_vec"), planes)
+    dim = len(corpus.select(vec_col).first()[0])
+    c = _normalized(fan_out(corpus), id_col, vec_col, "neighbor").withColumn(
+        "bucket", hyperplane_bucket(F.col("neighbor_vec"), dim, planes)
     )
     q = _normalized(queries, id_col, vec_col, "query").withColumn(
-        "bucket", hyperplane_bucket(F.col("query_vec"), planes)
+        "bucket", hyperplane_bucket(F.col("query_vec"), dim, planes)
     )
     scored = (
         q.join(c, "bucket")

@@ -57,16 +57,21 @@ def bpe_ish_token_count(col: ColumnOrName) -> Column:
     return F.size(F.regexp_extract_all(_path(col), F.lit(BPE_ISH_RE), 0))
 
 
-def quality_features(col: ColumnOrName) -> dict[str, Column]:
+def quality_features(
+    col: ColumnOrName, toks: Column | None = None
+) -> dict[str, Column]:
     """Heuristic quality-scoring features for a document column.
 
     Returns named Column expressions (callers pick and alias); ratios are
-    guarded against empty documents.
+    guarded against empty documents. Pass ``toks`` (a reference to a
+    projection that materialized ``tokenize``) in hot paths - several
+    features consume the token array and would otherwise each redo the
+    regex split.
     """
     c = _path(col)
     n_chars = F.length(c)
     safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
-    toks = tokenize(c)
+    toks = tokenize(c) if toks is None else toks
     n_tokens = F.size(toks)
     safe_tokens = F.greatest(n_tokens, F.lit(1)).cast("double")
     n_alpha = F.length(F.regexp_replace(c, "[^A-Za-z]", ""))
@@ -90,11 +95,11 @@ def quality_features(col: ColumnOrName) -> dict[str, Column]:
     }
 
 
-def quality_score(col: ColumnOrName) -> Column:
+def quality_score(col: ColumnOrName, toks: Column | None = None) -> Column:
     """Composite [0,1] quality score - a Gopher-rules-flavored linear
     blend of the features (weights are engineering choices, pinned by the
     DuckDB oracle, not a trained model)."""
-    f = quality_features(col)
+    f = quality_features(col, toks)
     score = (
         F.lit(0.35) * F.least(f["n_tokens"].cast("double") / F.lit(200.0), F.lit(1.0))
         + F.lit(0.30) * f["alpha_ratio"]
@@ -110,14 +115,17 @@ def quality_score(col: ColumnOrName) -> Column:
     ).otherwise(F.floor(score * 10000) / 10000)
 
 
-def lang_id(col: ColumnOrName) -> Column:
-    """Stopword-overlap language ID with deterministic tie-breaking.
+def lang_id_from_tokens(toks: Column) -> Column:
+    """Stopword-overlap language ID from a token array column.
 
     Per language: |distinct(tokens) ∩ lexicon|; winner = highest count,
     ties broken by language code ascending; no hits at all -> 'und'.
-    Pure array expressions - no shuffle, no UDF.
+    Pure array expressions - no shuffle, no UDF. Pass a plain reference
+    to a projection that materialized ``tokenize`` once: the per-language
+    intersections each consume the array, and inlining the regex split
+    into all of them multiplies the tokenization work.
     """
-    toks = F.array_distinct(tokenize(col))
+    toks = F.array_distinct(toks)
     scored = F.array(
         *[
             F.struct(
@@ -136,6 +144,12 @@ def lang_id(col: ColumnOrName) -> Column:
     )
     best = F.array_min(neg)
     return F.when(best["neg_hits"] < 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def lang_id(col: ColumnOrName) -> Column:
+    """Stopword-overlap language ID of a text column. Prefer the
+    two-projection lang_id_from_tokens form in hot paths."""
+    return lang_id_from_tokens(tokenize(col))
 
 
 def fingerprint(col: ColumnOrName) -> Column:

@@ -26,7 +26,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ghcrawler_datalake_etl_spark.functions.core import latest_by, pii_hash, quantize
+from ghcrawler_datalake_etl_spark.functions.core import (
+    fan_out,
+    latest_by,
+    pii_hash,
+    quantize,
+)
 from ghcrawler_datalake_etl_spark.operators import dedup as DD
 from ghcrawler_datalake_etl_spark.operators import similarity as SIM
 from ghcrawler_datalake_etl_spark.operators import text as TX
@@ -63,7 +68,13 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
+    df = load_table(spark, sf_dir, name)
+    if name in ("documents", "embeddings"):
+        # single-row-group test parquet scans as one task; the per-row
+        # work on these tables (regex, shingles, vector math) is the
+        # expensive part, so spread it across every core first.
+        df = fan_out(df)
+    return df
 
 
 # =====================================================================
@@ -800,7 +811,7 @@ def dedup_minhash_lsh(spark, sf_dir):
 )
 def dedup_simhash_values(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", DD.simhash(F.col("text")).alias("simhash"))
+    return DD.simhash_df(d, "doc_id", "text")
 
 
 @register(
@@ -891,7 +902,10 @@ def _lang_oracle() -> str:
 @register("text_lang_id", _lang_oracle())
 def text_lang_id(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
+    toks = d.select("doc_id", TX.tokenize(F.col("text")).alias("toks"))
+    return toks.select(
+        "doc_id", TX.lang_id_from_tokens(F.col("toks")).alias("lang_pred")
+    )
 
 
 @register(
@@ -945,7 +959,13 @@ def text_stats(spark, sf_dir):
 )
 def text_quality_score(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+    toks = d.select(
+        "doc_id", "text", TX.tokenize(F.col("text")).alias("toks")
+    )
+    return toks.select(
+        "doc_id",
+        TX.quality_score(F.col("text"), F.col("toks")).alias("quality"),
+    )
 
 
 # =====================================================================

@@ -54,6 +54,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Whole-stage codegen emits one large class per stage; a workload
+        # with many wide queries overflows the JVM's default 240m JIT
+        # code cache, silently disabling compilation for everything after
+        # (interpreted execution, 10-40x slower on expression-heavy
+        # stages). Size it for a long-lived session.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
