@@ -134,9 +134,13 @@ def cosine_topk_pandas(
             out = {
                 "query_id": np.repeat(q_ids, top),
                 "neighbor_id": c_ids[idx].T.ravel(),
-                "cosine": np.round(
-                    np.take_along_axis(sims, idx, axis=0).T.ravel(), 6
-                ),
+                # floor-quantize exactly like functions.core.quantize so
+                # this path is interchangeable with cosine_topk and
+                # shares its oracle (round() would differ on halves)
+                "cosine": np.floor(
+                    np.take_along_axis(sims, idx, axis=0).T.ravel() * 1e6
+                )
+                / 1e6,
             }
             yield pd.DataFrame(out)
 

@@ -860,14 +860,63 @@ def sim_knn_bruteforce(spark, sf_dir):
     return SIM.cosine_topk(e, queries_df, "vec_id", "embedding", k=5)
 
 
-@register("sim_ann_lsh")  # approximate: rows-only check (no oracle)
+def _ann_lsh_oracle(planes: int = 4, k: int = 5, dim: int = 64, seed: int = 7) -> str:
+    """The LSH buckets are exactly reproducible: weights are fixed
+    literals (similarity._plane_weights), bucket bit p = sign(w_p . x)."""
+    ws = SIM._plane_weights(dim, planes, seed)
+
+    def warr(p: int) -> str:
+        return "[" + ", ".join(str(x) for x in ws[p]) + "]::DOUBLE[]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(vec, {warr(p)}) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(planes)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec,
+                      sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
+               FROM embeddings),
+    b AS (SELECT vec_id, vec, nrm, {bucket} AS bucket FROM v WHERE nrm > 0)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             floor(list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm) * 1000000) / 1000000 AS cosine,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY floor(list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm) * 1000000) / 1000000 DESC,
+                        c.vec_id ASC) AS rank
+      FROM b q JOIN b c ON q.bucket = c.bucket
+      WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id) t
+    WHERE rank <= {k}
+    """
+
+
+@register("sim_ann_lsh", _ann_lsh_oracle())
 def sim_ann_lsh(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     queries_df = e.filter(F.col("vec_id") < 10)
     return SIM.ann_lsh_topk(e, queries_df, "vec_id", "embedding", k=5, planes=4)
 
 
-@register("sim_knn_pandas_gemm")  # numpy GEMM path: rows-only check
+@register(
+    "sim_knn_pandas_gemm",
+    # The GEMM path floor-quantizes like cosine_topk, so the exact
+    # brute-force SQL is its oracle too.
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec,
+                      sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
+               FROM embeddings)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             floor(list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm) * 1000000) / 1000000 AS cosine,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY floor(list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm) * 1000000) / 1000000 DESC,
+                        c.vec_id ASC) AS rank
+      FROM v q, v c
+      WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id) t
+    WHERE rank <= 5
+    """,
+)
 def sim_knn_pandas_gemm(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     queries_df = e.filter(F.col("vec_id") < 10)

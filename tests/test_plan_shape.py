@@ -1,0 +1,114 @@
+"""Physical-plan assertions (SURVEY.md section 5 item 5): the scale
+properties are plan properties, so pin them - filters reach the parquet
+scan, small dims broadcast, anti/semi joins stay first-class, parity
+paths never leave the JVM, staging reads prune partitions.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan(df, mode: str = "formatted") -> str:
+    qe = df._jdf.queryExecution()
+    return df.sparkSession._jvm.PythonSQLUtils.explainString(qe, mode)
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entrymod.queries()
+
+
+def test_filter_pushdown_reaches_scan(spark, queries):
+    p = plan(queries["p1_eq_filter"](spark, SF_DIR))
+    assert "PushedFilters" in p
+    assert "l_returnflag" in p.split("PushedFilters")[1][:400], (
+        "equality predicate not pushed to the parquet scan"
+    )
+
+
+def test_column_pruning_reaches_scan(spark, queries):
+    p = plan(queries["p2_like_filter"](spark, SF_DIR))
+    read_schema = p.split("ReadSchema")[1][:400]
+    assert "p_name" in read_schema
+    # part has 9 columns; the query selects 3 - the scan must not read others
+    assert "p_retailprice" not in read_schema, "unused column not pruned"
+
+
+def test_small_dims_broadcast(spark, queries):
+    p = plan(queries["j1_inner_join_agg"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p, "dim joins must broadcast, not sort-merge"
+
+
+def test_anti_and_semi_joins_first_class(spark, queries):
+    p_anti = plan(queries["j2_anti_join"](spark, SF_DIR))
+    p_semi = plan(queries["j4_semi_join"](spark, SF_DIR))
+    assert "LeftAnti" in p_anti
+    assert "LeftSemi" in p_semi
+
+
+def test_whole_stage_codegen_covers_agg(spark, queries):
+    df = queries["q1_pricing_summary"](spark, SF_DIR)
+    assert "WholeStageCodegen" in plan(df, "codegen")
+    # map-side partial aggregation: the shuffle carries 6 groups, not rows
+    simple = plan(df, "simple")
+    assert "partial_sum" in simple
+
+
+def test_parity_paths_have_no_python(spark, queries):
+    """Every reference-parity operator must stay JVM-side (SURVEY.md 2.8);
+    Python is allowed only in the explicitly-pandas extension paths."""
+    pandas_ok = {"sim_knn_pandas_gemm", "multimodal_features"}
+    for name, fn in entrymod.queries().items():
+        p = plan(fn(spark, SF_DIR), "simple")
+        assert "BatchEvalPython" not in p, f"{name}: row-at-a-time Python UDF"
+        if name not in pandas_ok:
+            assert "ArrowEvalPython" not in p and "MapInPandas" not in p, (
+                f"{name}: unexpected Python stage"
+            )
+
+
+def test_latest_by_maxby_strategy_is_sort_free(spark, queries):
+    """The 100 TB dedup form must hash-aggregate, not window-sort."""
+    p = plan(queries["w1_maxby_latest_event_per_user"](spark, SF_DIR), "simple")
+    assert "Window" not in p
+    p_window = plan(queries["w1_latest_event_per_user"](spark, SF_DIR), "simple")
+    assert "Window" in p_window
+
+
+def test_staging_read_prunes_partitions(spark, tmp_path):
+    """The daily-batch idiom: reading one ingest_date must touch one
+    partition directory (the reference's partition-swap contract,
+    /root/reference/USQL/StageData.usql:24-36)."""
+    import json
+
+    from ghcrawler_datalake_etl_spark.sources.staging import (
+        read_staging,
+        stage_json,
+    )
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    doc = {
+        "_metadata": {
+            "type": "repo",
+            "fetchedAt": "2024-01-05T10:00:00Z",
+            "processedAt": "2024-01-05T10:00:00Z",
+            "links": {"self": {"href": "urn:repo:1"}},
+        },
+        "id": 1,
+    }
+    (raw / "d.json").write_text(json.dumps(doc) + "\n")
+    staging = str(tmp_path / "staging")
+    stage_json(spark, str(raw), staging, "2024-01-05")
+    stage_json(spark, str(raw), staging, "2024-01-06")
+    day = read_staging(spark, staging, "2024-01-05")
+    p = plan(day)
+    assert "PartitionFilters" in p
+    pf = p.split("PartitionFilters")[1][:300]
+    assert "ingest_date" in pf, "ingest_date filter not used for pruning"
+    assert day.count() == 1
