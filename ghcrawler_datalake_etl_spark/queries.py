@@ -40,7 +40,10 @@ from ghcrawler_datalake_etl_spark.operators.patterns import (
     snapshot_upsert,
     traffic_series,
 )
-from ghcrawler_datalake_etl_spark.streaming import windowed_event_counts
+from ghcrawler_datalake_etl_spark.streaming import (
+    sessionize_batch,
+    windowed_event_counts,
+)
 from ghcrawler_datalake_etl_spark.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -683,6 +686,35 @@ def pattern_e_version_log(spark, sf_dir):
 # =====================================================================
 # Streaming surface (windowed aggregation; SURVEY.md 2.10)
 # =====================================================================
+
+@register(
+    "sessionize_events",
+    """
+    WITH marked AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, value,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), ids AS (
+      SELECT user_id, ts_us, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM ids GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (30 min) - the batch form of the custom
+    stateful operator; the applyInPandasWithState streaming form is
+    verified against this in tests/test_streaming_stateful.py."""
+    ev = _t(spark, sf_dir, "events")
+    return sessionize_batch(ev, gap_minutes=30)
+
 
 @register(
     "stream_windowed_counts",

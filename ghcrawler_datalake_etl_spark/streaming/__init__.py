@@ -2,5 +2,14 @@ from ghcrawler_datalake_etl_spark.streaming.ingest import (
     stream_stage_available_now,
     windowed_event_counts,
 )
+from ghcrawler_datalake_etl_spark.streaming.stateful import (
+    sessionize_batch,
+    sessionize_stream,
+)
 
-__all__ = ["stream_stage_available_now", "windowed_event_counts"]
+__all__ = [
+    "stream_stage_available_now",
+    "windowed_event_counts",
+    "sessionize_batch",
+    "sessionize_stream",
+]

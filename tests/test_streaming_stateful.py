@@ -1,0 +1,106 @@
+"""The applyInPandasWithState sessionizer must agree with the batch
+(window lag + running sum) form when the same events arrive split across
+micro-batches - state carries open sessions across the batch boundary.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from ghcrawler_datalake_etl_spark.streaming import (
+    sessionize_batch,
+    sessionize_stream,
+)
+
+EVENT_SCHEMA = "user_id long, event_id long, ts timestamp, value double"
+
+# Three users; sessions split by >30 min gaps; u1's first session spans
+# the micro-batch boundary (events in both files), u3 has one event per
+# session. A final far-future event per user closes every open session.
+BATCH_1 = [
+    (1, 1, "2024-01-01 10:00:00", 1.0),
+    (1, 2, "2024-01-01 10:10:00", 2.0),
+    (2, 3, "2024-01-01 09:00:00", 5.0),
+    (3, 4, "2024-01-01 08:00:00", 7.0),
+]
+BATCH_2 = [
+    (1, 5, "2024-01-01 10:25:00", 3.0),   # continues u1 session 1
+    (1, 6, "2024-01-01 12:00:00", 4.0),   # gap -> u1 session 2
+    (2, 7, "2024-01-01 09:20:00", 6.0),   # continues u2 session 1
+    (3, 8, "2024-01-01 11:30:00", 8.0),   # gap -> u3 session 2
+    # terminal sentinels: close everything open
+    (1, 900, "2024-01-02 00:00:00", 0.0),
+    (2, 901, "2024-01-02 00:00:00", 0.0),
+    (3, 902, "2024-01-02 00:00:00", 0.0),
+]
+
+
+def _write_batch(path, rows):
+    with open(path, "w") as f:
+        for uid, eid, ts, val in rows:
+            f.write(
+                json.dumps(
+                    {"user_id": uid, "event_id": eid, "ts": ts, "value": val}
+                )
+                + "\n"
+            )
+
+
+@pytest.mark.slow
+def test_stream_sessions_match_batch(spark, tmp_path):
+    indir = tmp_path / "in"
+    indir.mkdir()
+    _write_batch(indir / "b1.json", BATCH_1)
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir))
+    )
+    sessions = sessionize_stream(stream, gap_minutes=30)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(indir / "b2.json", BATCH_2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        tuple(r)
+        for r in spark.table("sessions_out")
+        .select(
+            "user_id", "session_start_us", "session_end_us", "n_events",
+            "total_value",
+        )
+        .collect()
+    }
+
+    all_events = spark.createDataFrame(
+        [(u, e, ts, v) for u, e, ts, v in BATCH_1 + BATCH_2],
+        "user_id long, event_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    batch = sessionize_batch(all_events, gap_minutes=30)
+    # streaming emits only CLOSED sessions; the sentinel events leave one
+    # open session per user (the sentinel itself) -> drop those from batch
+    sentinel_us = {r[0] for r in batch.filter(F.col("n_events") == 1)
+                   .filter(F.col("total_value") == 0.0)
+                   .select("session_start_us").collect()}
+    expected = {
+        tuple(r)
+        for r in batch.collect()
+        if not (r["n_events"] == 1 and r["total_value"] == 0.0
+                and r["session_start_us"] in sentinel_us)
+    }
+    assert got == expected
+    # state really crossed the batch boundary: u1 session 1 has 3 events
+    assert any(r[0] == 1 and r[3] == 3 for r in got)
