@@ -1049,6 +1049,77 @@ def text_quality_score(spark, sf_dir):
     )
 
 
+def _pipeline_oracle() -> str:
+    """Composed training-data pipeline oracle: tokens/hash computed once
+    in a CTE, then lang-ID + quality + exact-dedup + filters."""
+    langs = sorted(TX.LANG_LEXICONS)
+    hit_cols = ", ".join(
+        "len(list_intersect(dt, ["
+        + ", ".join(f"'{w}'" for w in TX.LANG_LEXICONS[lang])
+        + f"])) AS h_{lang}"
+        for lang in langs
+    )
+    great = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    lang_case = "CASE WHEN " + great + " = 0 THEN 'und' "
+    for lang in langs:
+        lang_case += f"WHEN h_{lang} = {great} THEN '{lang}' "
+    lang_case += "END"
+    en = ", ".join(f"'{w}'" for w in TX.LANG_LEXICONS["en"])
+    quality = f"""
+      CASE WHEN coalesce(length(text), 0) = 0 THEN 0.0 ELSE
+        floor((
+          0.35 * least(len(toks)::DOUBLE / 200.0, 1.0)
+        + 0.30 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE /
+                  greatest(length(text), 1))
+        + 0.20 * least((len(list_intersect(dt, [{en}]))::DOUBLE /
+                  greatest(len(toks), 1)) * 4.0, 1.0)
+        + 0.15 * (1.0 - least((length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE /
+                  greatest(length(text), 1)) * 5.0, 1.0))) * 10000) / 10000
+      END"""
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text, {_TOKS_SQL} AS toks,
+             list_distinct({_TOKS_SQL}) AS dt, md5(text) AS h
+      FROM documents
+    ), canon AS (
+      SELECT h, min(doc_id) AS doc_id FROM base GROUP BY h
+    ), scored AS (
+      SELECT doc_id, h, {lang_case} AS lang_pred, {quality} AS quality
+      FROM (SELECT doc_id, text, toks, dt, h, {hit_cols} FROM base) x
+    )
+    SELECT s.doc_id, s.lang_pred, s.quality
+    FROM scored s JOIN canon c ON s.doc_id = c.doc_id AND s.h = c.h
+    WHERE s.quality >= 0.5 AND s.lang_pred = 'en'
+    """
+
+
+@register("pipeline_training_data", _pipeline_oracle())
+def pipeline_training_data(spark, sf_dir):
+    """The composed LLM-data pipeline: tokenize once -> language ID +
+    quality score -> exact-dedup to canonical docs -> threshold filters.
+    One declarative plan: Catalyst fuses the narrow analysis stages; the
+    only shuffles are the dedup groupBy and its join back."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "text",
+        TX.tokenize(F.col("text")).alias("toks"),
+        F.md5("text").alias("h"),
+    )
+    canon = base.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    scored = base.select(
+        "doc_id",
+        "h",
+        TX.lang_id_from_tokens(F.col("toks")).alias("lang_pred"),
+        TX.quality_score(F.col("text"), F.col("toks")).alias("quality"),
+    )
+    return (
+        scored.join(canon, ["doc_id", "h"])
+        .filter((F.col("quality") >= 0.5) & (F.col("lang_pred") == "en"))
+        .select("doc_id", "lang_pred", "quality")
+    )
+
+
 # =====================================================================
 # Multimodal plumbing
 # =====================================================================

@@ -1,4 +1,5 @@
 from ghcrawler_datalake_etl_spark.streaming.ingest import (
+    stream_dedup,
     stream_stage_available_now,
     windowed_event_counts,
 )
@@ -8,6 +9,7 @@ from ghcrawler_datalake_etl_spark.streaming.stateful import (
 )
 
 __all__ = [
+    "stream_dedup",
     "stream_stage_available_now",
     "windowed_event_counts",
     "sessionize_batch",

@@ -53,6 +53,25 @@ def stream_stage_available_now(
     )
 
 
+def stream_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "processed_at",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming re-delivery absorption: first arrival per key wins,
+    duplicates within the watermark horizon are dropped, per-key state is
+    evicted past it (bounded state - the piece the batch W1 dedup gets
+    for free from the partition swap).
+
+    This is dedup-of-redelivery, not latest-wins: a *newer version* of a
+    key is still a duplicate here. Latest-wins stays a batch concern
+    (functions.core.latest_by over the staged table), matching the
+    reference's daily re-crawl semantics (SURVEY.md 2.10).
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(keys)
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",

@@ -104,3 +104,45 @@ def test_stream_sessions_match_batch(spark, tmp_path):
     assert got == expected
     # state really crossed the batch boundary: u1 session 1 has 3 events
     assert any(r[0] == 1 and r[3] == 3 for r in got)
+
+
+@pytest.mark.slow
+def test_stream_dedup_absorbs_redelivery(spark, tmp_path):
+    """Duplicate keys across micro-batches within the watermark emit once."""
+    from ghcrawler_datalake_etl_spark.streaming import stream_dedup
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    rows1 = [
+        {"urn": "urn:a", "ts": "2024-01-01 10:00:00", "v": 1},
+        {"urn": "urn:b", "ts": "2024-01-01 10:01:00", "v": 2},
+    ]
+    rows2 = [
+        {"urn": "urn:a", "ts": "2024-01-01 10:05:00", "v": 99},  # redelivery
+        {"urn": "urn:c", "ts": "2024-01-01 10:06:00", "v": 3},
+    ]
+    with open(indir / "b1.json", "w") as f:
+        f.writelines(json.dumps(r) + "\n" for r in rows1)
+
+    stream = (
+        spark.readStream.schema("urn string, ts timestamp, v long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir))
+    )
+    deduped = stream_dedup(stream, ["urn"], ts_col="ts", watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        with open(indir / "b2.json", "w") as f:
+            f.writelines(json.dumps(r) + "\n" for r in rows2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {(r["urn"], r["v"]) for r in spark.table("dedup_out").collect()}
+    assert got == {("urn:a", 1), ("urn:b", 2), ("urn:c", 3)}, got
