@@ -198,6 +198,98 @@ def hyperplane_bucket(
     return out.cast("long")
 
 
+def _centroid_rows(
+    corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int
+) -> list[tuple[int, list[float], float]]:
+    """Deterministic 'training': the n_centroids lowest-id corpus vectors
+    become the coarse quantizer. (Real IVF k-means-trains on a sample;
+    the index structure - assign, probe, scan short lists - is identical,
+    and determinism is what makes the operator oracle-checkable.)"""
+    import math
+
+    rows = (
+        corpus.select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("v"))
+        .orderBy("cid")
+        .limit(n_centroids)
+        .collect()
+    )
+    out = []
+    for i, r in enumerate(rows):
+        nrm = math.sqrt(sum(x * x for x in r["v"]))
+        out.append((i, list(r["v"]), nrm))
+    return out
+
+
+def _nearest_cells(vec, nrm, cents, n: int) -> "F.Column":
+    """Array of the n centroid ids nearest by cosine (ties -> lower id).
+    One pass over the row's vector per centroid - no row blowup, unlike a
+    corpus x centroids join."""
+    scored = F.array(
+        *[
+            F.struct(
+                (-(_DOT(vec, F.array(*[F.lit(x) for x in cv])) / (nrm * F.lit(cn)))).alias(
+                    "neg_cos"
+                ),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cv, cn in cents
+        ]
+    )
+    return F.transform(F.slice(F.array_sort(scored), 1, n), lambda s: s["cid"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into centroid
+    cells, probe the n_probe nearest cells per query, exact cosine within
+    the probed cells only.
+
+    Scale: assignment is a narrow projection (n_centroids dot products
+    per row, centroids broadcast as literals); the join is an equi-join
+    on cell id, so each query scans ~n_probe/n_centroids of the corpus.
+    Recall < 1 by construction; raise with n_probe.
+    """
+    cents = _centroid_rows(corpus, id_col, vec_col, n_centroids)
+    c = _normalized(fan_out(corpus), id_col, vec_col, "neighbor").withColumn(
+        "cell",
+        _nearest_cells(F.col("neighbor_vec"), F.col("neighbor_norm"), cents, 1)[0],
+    )
+    q = _normalized(queries, id_col, vec_col, "query").withColumn(
+        "cell",
+        F.explode(
+            _nearest_cells(F.col("query_vec"), F.col("query_norm"), cents, n_probe)
+        ),
+    )
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            quantize(
+                _DOT(F.col("query_vec"), F.col("neighbor_vec"))
+                / (F.col("query_norm") * F.col("neighbor_norm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -955,6 +955,46 @@ def sim_knn_pandas_gemm(spark, sf_dir):
     return SIM.cosine_topk_pandas(e, queries_df, "vec_id", "embedding", k=5)
 
 
+@register(
+    "sim_ivf_topk",
+    # Relational form of the same index: centroids = 16 lowest-id
+    # vectors, assignment/probes by cosine argmax (ties -> lower cid).
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec,
+                      sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
+               FROM embeddings),
+    cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                    vec AS cvec, nrm AS cnrm
+             FROM v ORDER BY vec_id LIMIT 16),
+    scored_cells AS (
+      SELECT v.vec_id, v.vec, v.nrm, c.cid,
+             row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY list_dot_product(v.vec, c.cvec) / (v.nrm * c.cnrm) DESC,
+                                         c.cid ASC) AS rn
+      FROM v, cent c),
+    assign AS (SELECT vec_id, vec, nrm, cid FROM scored_cells WHERE rn = 1),
+    probes AS (SELECT vec_id AS qid, vec AS qvec, nrm AS qnrm, cid
+               FROM scored_cells WHERE rn <= 4 AND vec_id < 10)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT p.qid AS query_id, a.vec_id AS neighbor_id,
+             floor(list_dot_product(p.qvec, a.vec) / (p.qnrm * a.nrm) * 1000000) / 1000000 AS cosine,
+             row_number() OVER (
+               PARTITION BY p.qid
+               ORDER BY floor(list_dot_product(p.qvec, a.vec) / (p.qnrm * a.nrm) * 1000000) / 1000000 DESC,
+                        a.vec_id ASC) AS rank
+      FROM probes p JOIN assign a ON p.cid = a.cid
+      WHERE p.qid <> a.vec_id) t
+    WHERE rank <= 5
+    """,
+)
+def sim_ivf_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    queries_df = e.filter(F.col("vec_id") < 10)
+    return SIM.ivf_topk(
+        e, queries_df, "vec_id", "embedding", k=5, n_centroids=16, n_probe=4
+    )
+
+
 # =====================================================================
 # Text analysis
 # =====================================================================

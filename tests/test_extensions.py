@@ -123,6 +123,24 @@ def test_ann_lsh_is_subset_of_bucket_exact(spark, sf_dir):
         assert abs(exact[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
 
 
+def test_ivf_topk_recall_and_exactness(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    ivf = S.ivf_topk(emb, queries, "vec_id", "embedding",
+                     k=5, n_centroids=8, n_probe=4).collect()
+    assert len(ivf) > 0
+    exact_all = S.cosine_topk(emb, queries, "vec_id", "embedding", k=500).collect()
+    exact = {(r.query_id, r.neighbor_id): r.cosine for r in exact_all}
+    for r in ivf:
+        # every IVF cosine is the true cosine for that pair
+        assert abs(exact[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
+    # probing half the cells should recover most of the true top-5
+    true_top = {(r.query_id, r.neighbor_id) for r in exact_all if r.rank <= 5}
+    got = {(r.query_id, r.neighbor_id) for r in ivf}
+    recall = len(got & true_top) / len(true_top)
+    assert recall >= 0.4, f"IVF recall {recall:.2f} suspiciously low"
+
+
 def test_lang_id(spark):
     df = spark.createDataFrame(
         [
