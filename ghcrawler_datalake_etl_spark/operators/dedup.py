@@ -87,22 +87,32 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
     return minhash_signature_from_hashes(shingle_hashes(shingle_col), num_hashes)
 
 
-def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def exact_duplicates(
+    df: DataFrame, id_col: str, text_col: str, max_members: int | None = None
+) -> DataFrame:
     """Exact dedup via content-hash groupBy: one row per duplicated hash
-    with the canonical (minimum) id, the dup count, and all member ids.
+    with the canonical (minimum) id, the dup count, and member ids.
 
     Scale: shuffles (hash, id) only - map-side partial aggregation makes
-    the exchange proportional to distinct hashes, not rows.
+    the exchange proportional to distinct hashes, not rows. A pathological
+    cluster (e.g. billions of empty documents) makes one giant member
+    array; ``max_members`` caps the OUTPUT listing (dup_count stays
+    exact). The aggregation state still accumulates the full list before
+    the slice - for truly unbounded clusters select only
+    (canonical_id, dup_count), which is fully map-side combinable.
     """
     hashed = df.select(
         F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("content_md5")
     )
+    members = F.sort_array(F.collect_list("doc_id"))
+    if max_members is not None:
+        members = F.slice(members, 1, max_members)
     return (
         hashed.groupBy("content_md5")
         .agg(
             F.min("doc_id").alias("canonical_id"),
             F.count("*").alias("dup_count"),
-            F.sort_array(F.collect_list("doc_id")).alias("member_ids"),
+            members.alias("member_ids"),
         )
         .filter(F.col("dup_count") > 1)
     )
@@ -218,20 +228,23 @@ def minhash_lsh_pairs(
         "id_a",
         "id_b",
     )
-    a = sig.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sig.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    a = sig.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sh").alias("sh_a"),
+        F.size("sh").alias("n_a"),
+    )
+    b = sig.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("sh").alias("sh_b"),
+        F.size("sh").alias("n_b"),
+    )
+    # |A u B| = na + nb - |A n B|: one set op per candidate, not two
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    jac = inter / (F.col("n_a") + F.col("n_b") - inter)
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            quantize(
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b")),
-                4,
-            ).alias("jaccard"),
-        )
+        .select("id_a", "id_b", quantize(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

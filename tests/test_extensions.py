@@ -235,3 +235,25 @@ def test_streaming_stage_matches_batch(spark, tmp_path):
     batch = read_staging(spark, str(tmp_path / "batch")).drop("source_file")
     stream = read_staging(spark, str(tmp_path / "stream")).drop("source_file")
     assert sorted(map(tuple, batch.collect())) == sorted(map(tuple, stream.collect()))
+
+
+def test_latest_by_strategies_agree_on_ties(spark):
+    """window and max_by must pick identical rows even when the primary
+    order column is tie-heavy (the case where a sloppy implementation
+    diverges); the unique tiebreaker forces a total order."""
+    import random
+
+    from ghcrawler_datalake_etl_spark.functions.core import latest_by
+
+    rng = random.Random(7)
+    rows = [
+        (rng.randrange(20), rng.randrange(5), i, rng.randrange(1000))
+        for i in range(400)
+    ]  # (key, ts with heavy ties, unique id, payload)
+    df = spark.createDataFrame(rows, "k long, ts long, uid long, payload long")
+    a = latest_by(df, ["k"], [F.col("ts"), F.col("uid")], strategy="window")
+    b = latest_by(df, ["k"], [F.col("ts"), F.col("uid")], strategy="max_by")
+    ra = sorted(map(tuple, a.select("k", "ts", "uid", "payload").collect()))
+    rb = sorted(map(tuple, b.select("k", "ts", "uid", "payload").collect()))
+    assert ra == rb
+    assert len(ra) == df.select("k").distinct().count()
