@@ -323,17 +323,50 @@ def simhash(col: Column | str, bits: int = SIMHASH_BITS) -> Column:
     )
 
 
+def simhash_pandas_udf(bits: int = SIMHASH_BITS):
+    """Vectorized (Arrow) form of simhash_from_hashes - bit-identical
+    (same integer votes), avoiding ``bits`` interpreted array scans per
+    row: one numpy unpack computes the whole vote matrix."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def sh(th: pd.Series) -> pd.Series:
+        out = []
+        for h in th:
+            if h is None or len(h) == 0:
+                out.append(0)
+                continue
+            hv = np.asarray(h, dtype=np.int64)[:, None]  # (n_tokens, 1)
+            bitmat = (hv >> np.arange(bits, dtype=np.int64)[None, :]) & 1
+            votes = np.where(bitmat == 1, 1, -1).sum(axis=0)
+            set_bits = (votes > 0).astype(np.int64)
+            out.append(int((set_bits << np.arange(bits, dtype=np.int64)).sum()))
+        return pd.Series(out, dtype="int64")
+
+    return sh
+
+
 def simhash_df(
-    df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = SIMHASH_BITS,
+    impl: str = "pandas",
 ) -> DataFrame:
     """(id, simhash) frame via the two-projection form: token hashes
-    materialized once, then the per-bit votes scan the cheap long array."""
+    materialized once (JVM md5), then the votes - vectorized by default;
+    ``impl="expr"`` keeps everything in Column expressions. Outputs are
+    bit-identical (pinned by test)."""
     th = fan_out(df).select(
         F.col(id_col).alias("doc_id"),
         F.transform(tokenize(F.col(text_col)), lambda t: stable_long_hash(t)).alias(
             "th"
         ),
     )
+    if impl == "pandas":
+        return th.select(
+            "doc_id", simhash_pandas_udf(bits)(F.col("th")).alias("simhash")
+        )
     return th.select(
         "doc_id", simhash_from_hashes(F.col("th"), bits).alias("simhash")
     )

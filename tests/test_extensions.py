@@ -266,3 +266,10 @@ def test_minhash_sig_impls_identical(spark, sf_dir):
     b = sorted(map(tuple, D.minhash_lsh_pairs(
         docs, "doc_id", "text", sig_impl="pandas").collect()))
     assert a == b and len(a) > 0
+
+
+def test_simhash_impls_identical(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    a = sorted(map(tuple, D.simhash_df(docs, "doc_id", "text", impl="expr").collect()))
+    b = sorted(map(tuple, D.simhash_df(docs, "doc_id", "text", impl="pandas").collect()))
+    assert a == b and len(a) == 300
