@@ -181,6 +181,9 @@ def ngram_jaccard_pairs(
     sh = fan_out(df).select(
         F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n).alias("sh")
     ).filter(F.size("sh") > 0)
+    # consumed three times (sizes + both self-join sides); persist so the
+    # tokenize/shingle pass runs once (MEMORY_AND_DISK: spills, never OOMs)
+    sh.persist()
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
     if stop_shingle_df is not None:
@@ -426,6 +429,58 @@ def simhash_pairs(
     )
 
 
+def embedding_cosine_pairs_gemm(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-dup pairs via blocked numpy GEMM (the throughput
+    form of embedding_cosine_pairs): each Arrow batch of the row side
+    multiplies against the broadcast column side in one BLAS call
+    instead of 2M interpreted per-pair folds.
+
+    All-pairs cosine is O(n^2) whichever way - at warehouse scale run
+    LSH/IVF candidate generation first and reserve this for within-bucket
+    verification; the broadcast side must fit an executor (block it
+    externally if not). float64 summation order differs from a
+    sequential fold by ~1e-15, so the quantized output can in principle
+    differ from the fold form on exact grid boundaries (~1e-10/pair).
+    """
+    import numpy as np
+    from collections.abc import Iterator
+
+    proj = fan_out(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    all_rows = proj.collect()
+    b_ids = np.array([r["doc_id"] for r in all_rows], dtype=np.int64)
+    b_mat = np.array([r["vec"] for r in all_rows], dtype=np.float64)
+    b_norm = np.sqrt((b_mat * b_mat).sum(axis=1))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            a_mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            a_norm = np.sqrt((a_mat * a_mat).sum(axis=1))
+            sims = (a_mat @ b_mat.T) / np.outer(a_norm, b_norm)
+            ai, bi = np.nonzero((sims >= threshold) & (a_ids[:, None] < b_ids[None, :]))
+            if not len(ai):
+                continue
+            yield pd.DataFrame(
+                {
+                    "id_a": a_ids[ai],
+                    "id_b": b_ids[bi],
+                    "cosine": np.floor(sims[ai, bi] * 1e4) / 1e4,
+                }
+            )
+
+    return proj.mapInPandas(score, schema="id_a long, id_b long, cosine double")
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     id_col: str,
@@ -436,7 +491,9 @@ def embedding_cosine_pairs(
     self-join baseline; for the ANN scale path see similarity.ann_lsh_topk).
 
     Computed in double precision with a sequential fold (zip_with +
-    aggregate) so the DuckDB oracle reproduces it bit-for-bit.
+    aggregate) so the DuckDB oracle reproduces it bit-for-bit. For
+    throughput, embedding_cosine_pairs_gemm computes the same pairs with
+    one BLAS call per Arrow batch.
     """
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))

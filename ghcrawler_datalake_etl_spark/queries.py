@@ -861,7 +861,7 @@ def dedup_simhash_values(spark, sf_dir):
 )
 def dedup_embedding_cosine(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
-    return DD.embedding_cosine_pairs(e, "vec_id", "embedding", threshold=0.4)
+    return DD.embedding_cosine_pairs_gemm(e, "vec_id", "embedding", threshold=0.4)
 
 
 # =====================================================================

@@ -273,3 +273,12 @@ def test_simhash_impls_identical(spark, sf_dir):
     a = sorted(map(tuple, D.simhash_df(docs, "doc_id", "text", impl="expr").collect()))
     b = sorted(map(tuple, D.simhash_df(docs, "doc_id", "text", impl="pandas").collect()))
     assert a == b and len(a) == 300
+
+
+def test_embedding_cosine_gemm_matches_fold(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = sorted(map(tuple, D.embedding_cosine_pairs(
+        emb, "vec_id", "embedding", threshold=0.4).collect()))
+    b = sorted(map(tuple, D.embedding_cosine_pairs_gemm(
+        emb, "vec_id", "embedding", threshold=0.4).collect()))
+    assert a == b and len(a) > 0
