@@ -40,8 +40,10 @@ def main() -> None:
     subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     names = subset.split(",") if subset else list(qs)
 
-    # JVM/codegen warmup on the flagship query (not timed).
+    # Warmup (not timed): JVM/codegen on the flagship query, plus the
+    # Python worker fleet + Arrow channel for the vectorized-UDF queries.
     force(qs["q1_pricing_summary"](spark, sf_dir))
+    force(qs["dedup_simhash_values"](spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in names:
