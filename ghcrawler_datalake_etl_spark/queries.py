@@ -71,6 +71,10 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the driver may hand us a session it built itself: pin the runtime-
+    # settable confs the oracle comparison depends on (DuckDB timestamps
+    # are UTC-naive; session TZ must be UTC or date/epoch casts shift)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = load_table(spark, sf_dir, name)
     if name in ("documents", "embeddings"):
         # single-row-group test parquet scans as one task; the per-row
