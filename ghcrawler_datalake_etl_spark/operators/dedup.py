@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -157,6 +158,22 @@ def _pairs_from_candidates(cands: DataFrame, left: str, right: str) -> DataFrame
     return cands.filter(F.col(left) < F.col(right)).distinct()
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Persist AND eagerly compute a frame that feeds a self-join.
+
+    ``cache()`` alone is lazy: the first action sees the cache empty, so
+    every concurrent consumer (both sides of a self-join plus the verify
+    joins - up to 4 scans) races to recompute the expensive
+    shingle/signature subtree before any partition lands in the cache.
+    Measured on local[32] at sf0.1 that race made minhash-LSH ~10x
+    slower than compute-once. One eager count() pays the subtree exactly
+    once; MEMORY_AND_DISK spills instead of OOMing at scale.
+    """
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    return df
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -181,9 +198,9 @@ def ngram_jaccard_pairs(
     sh = fan_out(df).select(
         F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n).alias("sh")
     ).filter(F.size("sh") > 0)
-    # consumed three times (sizes + both self-join sides); persist so the
-    # tokenize/shingle pass runs once (MEMORY_AND_DISK: spills, never OOMs)
-    sh.persist()
+    # consumed three times (sizes + both self-join sides); materialize so
+    # the tokenize/shingle pass runs exactly once
+    sh = _materialize(sh)
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     # join on a 60-bit shingle hash, not the string: ~5x less shuffle at
     # scale, same counts (injective up to md5-collisions - ~1e-10 at test
@@ -257,8 +274,8 @@ def minhash_lsh_pairs(
         sig_col = minhash_signature_pandas_udf(num_hashes)(F.col("hs"))
     else:
         sig_col = minhash_signature_from_hashes(F.col("hs"), num_hashes)
-    sig = hashed.select("doc_id", "sh", sig_col.alias("sig"))
-    sig.cache()
+    # sig feeds 4 scans (banded a/b, verify a/b) - materialize first
+    sig = _materialize(hashed.select("doc_id", "sh", sig_col.alias("sig")))
     banded = sig.select(
         "doc_id",
         F.posexplode(
@@ -394,8 +411,7 @@ def simhash_pairs(
     values; verify with popcount(xor) <= max_hamming.
     """
     chunk_bits = SIMHASH_BITS // chunks
-    sh = simhash_df(df, id_col, text_col)
-    sh.cache()
+    sh = _materialize(simhash_df(df, id_col, text_col))
     mask = (1 << chunk_bits) - 1
     chunked = sh.select(
         "doc_id",

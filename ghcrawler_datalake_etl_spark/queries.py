@@ -75,13 +75,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # settable confs the oracle comparison depends on (DuckDB timestamps
     # are UTC-naive; session TZ must be UTC or date/epoch casts shift)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = load_table(spark, sf_dir, name)
-    if name in ("documents", "embeddings"):
-        # single-row-group test parquet scans as one task; the per-row
-        # work on these tables (regex, shingles, vector math) is the
-        # expensive part, so spread it across every core first.
-        df = fan_out(df)
-    return df
+    # CPU-heavy queries fan_out AFTER their filters (a blanket
+    # repartition here would sit below the filter and block predicate
+    # pushdown to the scan); the dedup/similarity operators fan out
+    # internally.
+    return load_table(spark, sf_dir, name)
 
 
 # =====================================================================
@@ -1026,7 +1024,7 @@ def _lang_oracle() -> str:
 
 @register("text_lang_id", _lang_oracle())
 def text_lang_id(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = fan_out(_t(spark, sf_dir, "documents"))
     toks = d.select("doc_id", TX.tokenize(F.col("text")).alias("toks"))
     return toks.select(
         "doc_id", TX.lang_id_from_tokens(F.col("toks")).alias("lang_pred")
@@ -1051,7 +1049,7 @@ def text_lang_id(spark, sf_dir):
     """,
 )
 def text_stats(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = fan_out(_t(spark, sf_dir, "documents"))
     feats = TX.quality_features(F.col("text"))
     return d.select(
         "doc_id",
@@ -1083,7 +1081,7 @@ def text_stats(spark, sf_dir):
     """,
 )
 def text_quality_score(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = fan_out(_t(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id", "text", TX.tokenize(F.col("text")).alias("toks")
     )
@@ -1143,7 +1141,7 @@ def pipeline_training_data(spark, sf_dir):
     quality score -> exact-dedup to canonical docs -> threshold filters.
     One declarative plan: Catalyst fuses the narrow analysis stages; the
     only shuffles are the dedup groupBy and its join back."""
-    d = _t(spark, sf_dir, "documents")
+    d = fan_out(_t(spark, sf_dir, "documents"))
     base = d.select(
         "doc_id",
         "text",
@@ -1182,7 +1180,7 @@ def pipeline_training_data(spark, sf_dir):
 def multimodal_features(spark, sf_dir):
     from ghcrawler_datalake_etl_spark.operators import multimodal as MM
 
-    d = _t(spark, sf_dir, "documents")
+    d = fan_out(_t(spark, sf_dir, "documents"))
     media = MM.attach_binary(d, "doc_id", "text")
     feats = MM.extract_features(media)
     return feats.select(
