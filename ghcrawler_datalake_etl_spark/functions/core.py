@@ -37,23 +37,26 @@ def get_long(col: ColumnOrName) -> Column:
     """Utility.GetInteger: path -> integer, NULL if absent/non-numeric.
 
     Ref: /root/reference/USQL/ProcessDaily.usql:104 (485 call sites).
-    LongType because GitHub ids exceed int32.
+    LongType because GitHub ids exceed int32. try_cast keeps the
+    function total under ANSI mode (malformed -> NULL, never throw).
     """
-    return _path(col).cast("long")
+    return _path(col).try_cast("long")
 
 
 def get_bool(col: ColumnOrName) -> Column:
-    """Utility.GetBoolean (ref: /root/reference/USQL/ProcessDaily.usql:106)."""
-    return _path(col).cast("boolean")
+    """Utility.GetBoolean (ref: /root/reference/USQL/ProcessDaily.usql:106).
+    Total: malformed -> NULL (try_cast)."""
+    return _path(col).try_cast("boolean")
 
 
 def get_timestamp(col: ColumnOrName) -> Column:
     """Utility.GetDateTime: ISO-8601 string -> UTC timestamp.
 
     Ref: /root/reference/USQL/ProcessDaily.usql:108. Session TZ is pinned
-    to UTC by the session factory, so a bare cast is exact.
+    to UTC by the session factory, so a bare cast is exact. Total:
+    malformed -> NULL (try_cast).
     """
-    return _path(col).cast("timestamp")
+    return _path(col).try_cast("timestamp")
 
 
 def pii_hash(col: ColumnOrName) -> Column:

@@ -63,7 +63,9 @@ def _has_path(dtype: T.DataType, path: list[str]) -> bool:
 
 def safe_field(df: DataFrame, root: str, fld: Field, scrub_pii: bool = True) -> Column:
     """Typed path extraction, total like the reference's Utility.Get*:
-    absent path -> typed NULL (SURVEY.md 2.6 F1-F6)."""
+    absent path -> typed NULL, malformed value -> typed NULL (SURVEY.md
+    2.6 F1-F6). try_cast, not cast: under ANSI mode (Spark 4 default) a
+    plain cast would abort the whole daily run on one bad document."""
     root_type = df.schema[root].dataType
     parts = fld.path.split(".")
     if not _has_path(root_type, parts):
@@ -71,7 +73,7 @@ def safe_field(df: DataFrame, root: str, fld: Field, scrub_pii: bool = True) -> 
     col = F.col(f"{root}.{fld.path}")
     if fld.type == "pii":
         return get_pii(col, scrub=scrub_pii).alias(fld.name)
-    return col.cast(_TYPE[fld.type]).alias(fld.name)
+    return col.try_cast(_TYPE[fld.type]).alias(fld.name)
 
 
 def _element_field(elem_type: T.DataType, fld: Field, scrub_pii: bool) -> Column:
@@ -81,7 +83,7 @@ def _element_field(elem_type: T.DataType, fld: Field, scrub_pii: bool) -> Column
     col = F.col(f"element.{fld.path}")
     if fld.type == "pii":
         return get_pii(col, scrub=scrub_pii).alias(fld.name)
-    return col.cast(_TYPE[fld.type]).alias(fld.name)
+    return col.try_cast(_TYPE[fld.type]).alias(fld.name)
 
 
 def _entity_filter(spec: EntitySpec) -> Column:

@@ -75,15 +75,15 @@ def stage_json(
             F.lit(ingest_date).alias("ingest_date"),
             env.getField("_metadata")
             .getField("fetchedAt")
-            .cast("timestamp")
+            .try_cast("timestamp")
             .alias("fetched_at"),
             env.getField("_metadata")
             .getField("processedAt")
-            .cast("timestamp")
+            .try_cast("timestamp")
             .alias("processed_at"),
             env.getField("_metadata")
             .getField("deletedAt")
-            .cast("timestamp")
+            .try_cast("timestamp")
             .alias("deleted_at"),
             env.getField("_metadata")
             .getField("links")
