@@ -81,12 +81,13 @@ def extract_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            feats = [_decode_image_bytes(b) for b in pdf["content"]]
+            content = [b if b is not None else b"" for b in pdf["content"]]
+            feats = [_decode_image_bytes(b) for b in content]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
-                    "n_bytes": pdf["content"].map(len).astype("int64"),
+                    "n_bytes": [len(b) for b in content],
                     "content_sha256": [f["content_sha256"] for f in feats],
                     "fake_mean_luma": [f["fake_mean_luma"] for f in feats],
                     "fake_n_frames": [f["fake_n_frames"] for f in feats],
@@ -94,3 +95,84 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize every image row to (width, height) - MEDIA_SCHEMA in,
+    MEDIA_SCHEMA out, so resize stages compose/chain freely.
+
+    Plumbing is real (Arrow batches, binary in/binary out, no shuffle);
+    the pixel work is the codec stub: the fake "resized" payload is the
+    sha256 digest of (content, size) - deterministic, content- and
+    size-sensitive, so tests can pin exact bytes. With PIL installed the
+    stub body is the only thing that changes.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tag = f":{width}x{height}".encode()
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            content = [b if b is not None else b"" for b in pdf["content"]]
+            out = pdf.copy()
+            out["content"] = [
+                hashlib.sha256(b + tag).digest() for b in content
+            ]
+            out["width"] = width
+            out["height"] = height
+            out["width"] = out["width"].astype("int32")
+            out["height"] = out["height"].astype("int32")
+            yield out
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "doc_id long, media_type string, frame_idx int, frame_ts_ms long, "
+    "frame binary"
+)
+
+FRAME_INTERVAL_MS = 40  # fake 25 fps
+
+
+def sample_frames(media: DataFrame, max_frames: int = 8) -> DataFrame:
+    """Sample frames from every video row: one input row fans out to
+    n_frames output rows (FRAME_SCHEMA) - the row-multiplying UDTF shape
+    (mapInPandas yielding more rows than it consumes), which is the part
+    worth pinning with tests regardless of codec.
+
+    Frame count and bytes are the codec stub: n = digest[4] % max_frames
+    + 1 deterministic fake frames, frame i = sha256(content + b":" + i).
+    Every value is reproducible in SQL (sha256 is portable), so the
+    query layer carries a full DuckDB oracle despite the Python hop.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, mtypes, idxs, tss, frames = [], [], [], [], []
+            for doc_id, mtype, b in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["content"]
+            ):
+                b = b if b is not None else b""
+                n = hashlib.sha256(b).digest()[4] % max_frames + 1
+                for i in range(n):
+                    ids.append(doc_id)
+                    mtypes.append(mtype)
+                    idxs.append(i)
+                    tss.append(i * FRAME_INTERVAL_MS)
+                    frames.append(
+                        hashlib.sha256(b + b":" + str(i).encode()).digest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "media_type": mtypes,
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_ts_ms": pd.Series(tss, dtype="int64"),
+                    "frame": frames,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

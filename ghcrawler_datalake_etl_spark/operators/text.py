@@ -18,7 +18,11 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from ghcrawler_datalake_etl_spark.functions.core import ColumnOrName, _path
+from ghcrawler_datalake_etl_spark.functions.core import (
+    ColumnOrName,
+    _path,
+    stable_long_hash,
+)
 
 # Tiny deterministic stopword lexicons for the n-gram/stopword language
 # heuristic. Deliberately small: the operator's value is the plumbing
@@ -163,3 +167,64 @@ def fingerprint(col: ColumnOrName) -> Column:
 def content_hash(col: ColumnOrName) -> Column:
     """Exact content hash (md5 of the raw text)."""
     return F.md5(_path(col))
+
+
+# Rabin-Karp rolling-hash parameters. P is the Mersenne prime 2^31-1 so
+# acc stays < 2^31 and acc*B + h (< 2^31 * 2^20 + 2^31) never overflows
+# int64 - the identical fold is therefore exact in any BIGINT engine.
+ROLL_B = 1_000_003
+ROLL_P = 2_147_483_647
+
+
+def token_hashes(toks: Column) -> Column:
+    """Portable 60-bit md5 hash per token, reduced mod ROLL_P
+    (array<long>). Total: a NULL token array (null document) hashes like
+    an empty one, so downstream folds stay non-null. ``toks`` should
+    reference a materialized projection in hot paths (same discipline as
+    lang_id_from_tokens)."""
+    safe = F.coalesce(toks, F.array().cast("array<string>"))
+    return F.transform(safe, lambda t: stable_long_hash(t) % ROLL_P)
+
+
+def rolling_hash_from_hashes(th: Column) -> Column:
+    """Polynomial (Rabin-Karp) rolling hash of a token-hash array:
+    fold acc -> (acc*B + h) mod P, left to right. Order-SENSITIVE -
+    the complement of ``fingerprint`` (order-insensitive): shuffled
+    boilerplate gets a different rolling hash but the same fingerprint.
+    Empty/null documents hash to 0."""
+    return F.aggregate(
+        th,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * ROLL_B + h) % ROLL_P,
+    )
+
+
+def winnow_fingerprints(th: Column, window: int = 4) -> Column:
+    """Winnowing fingerprint sketch (Schleimer/Wilkerson/Aiken, the MOSS
+    scheme): the distinct minima of every ``window``-length sliding
+    window over the rolling token-hash sequence, sorted (array<long>).
+
+    Guarantees any shared token run of length >= window between two
+    documents contributes at least one common fingerprint - a local,
+    position-robust sketch for partial-overlap detection at a fraction
+    of the full shingle set's size. Documents shorter than ``window``
+    yield one fingerprint (min of all hashes); empty -> empty array.
+    Pure array expressions: narrow projection, no shuffle, no Python.
+    """
+    n = F.size(th)
+    nwin = F.greatest(n - (window - 1), F.least(n, F.lit(1)))
+    wins = F.transform(
+        F.sequence(F.lit(1), nwin),
+        lambda i: F.array_min(F.slice(th, i, window)),
+    )
+    # sequence(1, 0) would count DOWN [1, 0]; guard the empty case.
+    return F.when(n == 0, F.array().cast("array<long>")).otherwise(
+        F.array_sort(F.array_distinct(wins))
+    )
+
+
+def winnow_sketch_hash(th: Column, window: int = 4) -> Column:
+    """md5 digest of the winnowing sketch - one joinable string per
+    document for sketch-equality grouping."""
+    fps = winnow_fingerprints(th, window)
+    return F.md5(F.array_join(F.transform(fps, lambda x: x.cast("string")), ","))

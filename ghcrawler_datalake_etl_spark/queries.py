@@ -1062,6 +1062,55 @@ def text_stats(spark, sf_dir):
     )
 
 
+def _fingerprint_oracle(window: int = 4) -> str:
+    w1 = window - 1
+    return f"""
+    WITH th AS (
+      SELECT doc_id,
+             coalesce(list_transform({_TOKS_SQL},
+               t -> cast(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
+                    % {TX.ROLL_P}), []::BIGINT[]) AS th
+      FROM documents
+    ), fp AS (
+      SELECT doc_id, th,
+             list_sort(list_distinct(list_transform(
+               range(1, greatest(len(th) - {w1}, least(len(th), 1)) + 1),
+               i -> list_min(th[i:i+{w1}])))) AS fps
+      FROM th
+    )
+    SELECT doc_id,
+           list_reduce(list_prepend(0::BIGINT, th),
+             (acc, h) -> (acc * {TX.ROLL_B} + h) % {TX.ROLL_P}) AS roll_hash,
+           md5(array_to_string(fps, ',')) AS winnow_sketch,
+           len(fps)::BIGINT AS n_fingerprints
+    FROM fp
+    """
+
+
+@register("text_fingerprint", _fingerprint_oracle())
+def text_fingerprint(spark, sf_dir):
+    """Order-sensitive Rabin-Karp rolling hash + MOSS winnowing sketch
+    per document. Three narrow projections (tokenize -> token hashes ->
+    fingerprints), each materialized once so the md5 per token runs once
+    - no shuffle anywhere."""
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", TX.tokenize(F.col("text")).alias("toks"))
+    th = toks.select("doc_id", TX.token_hashes(F.col("toks")).alias("th"))
+    fps = th.select(
+        "doc_id", "th", TX.winnow_fingerprints(F.col("th"), window=4).alias("fps")
+    )
+    return fps.select(
+        "doc_id",
+        TX.rolling_hash_from_hashes(F.col("th")).alias("roll_hash"),
+        F.md5(
+            F.array_join(
+                F.transform(F.col("fps"), lambda x: x.cast("string")), ","
+            )
+        ).alias("winnow_sketch"),
+        F.size("fps").cast("long").alias("n_fingerprints"),
+    )
+
+
 @register(
     "text_quality_score",
     f"""
@@ -1189,4 +1238,40 @@ def multimodal_features(spark, sf_dir):
         "content_sha256",
         quantize(F.col("fake_mean_luma"), 9).alias("fake_mean_luma"),
         F.col("fake_n_frames").cast("long").alias("fake_n_frames"),
+    )
+
+
+@register(
+    "multimodal_frames",
+    """
+    WITH m AS (
+      SELECT doc_id, coalesce(text, '') AS c FROM documents
+    ), n AS (
+      SELECT doc_id, c,
+             ('0x' || substr(sha256(c), 9, 2))::INT % 8 + 1 AS n_frames
+      FROM m
+    ), e AS (
+      SELECT doc_id, c, unnest(range(0, n_frames)) AS i FROM n
+    )
+    SELECT doc_id, i::BIGINT AS frame_idx, (i * 40)::BIGINT AS frame_ts_ms,
+           sha256(c || ':' || i) AS frame_sha256
+    FROM e
+    """,
+)
+def multimodal_frames(spark, sf_dir):
+    """Video-frame sampling plumbing: one media row fans out to
+    n_frames rows through an Arrow-batched mapInPandas (the
+    row-multiplying UDTF shape). The codec stub's outputs are sha256-
+    derived, so even this Python-side operator carries an exact DuckDB
+    oracle; the query projects the frame bytes as hex for comparison."""
+    from ghcrawler_datalake_etl_spark.operators import multimodal as MM
+
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    media = MM.attach_binary(d, "doc_id", "text")
+    frames = MM.sample_frames(media, max_frames=8)
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "frame_ts_ms",
+        F.lower(F.hex("frame")).alias("frame_sha256"),
     )

@@ -187,6 +187,55 @@ def test_fingerprint_order_insensitive(spark):
     assert fps[0] == fps[1] != fps[2]
 
 
+def test_rolling_hash_and_winnowing(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "zeta epsilon delta gamma beta alpha"),  # same set, reversed
+            (3, "alpha beta"),                           # shorter than window
+            (4, ""),                                     # empty
+            (5, None),                                   # null
+        ],
+        "id long, text string",
+    )
+    th = X.token_hashes(X.tokenize(F.col("text")))
+    got = {
+        r.id: r
+        for r in df.select(
+            "id",
+            X.rolling_hash_from_hashes(th).alias("roll"),
+            X.winnow_fingerprints(th, window=4).alias("fps"),
+        ).collect()
+    }
+    # order-SENSITIVE: reversed token order -> different rolling hash
+    assert got[1].roll != got[2].roll
+    # winnowing: doc shorter than the window still gets one fingerprint
+    assert len(got[3].fps) == 1
+    # empty and null documents: hash 0, empty sketch
+    for i in (4, 5):
+        assert got[i].roll == 0 and got[i].fps == []
+    # sketch is sorted distinct minima, a subset of the token hashes
+    th_vals = df.filter(F.col("id") == 1).select(th.alias("t")).first()["t"]
+    assert got[1].fps == sorted(set(got[1].fps))
+    assert set(got[1].fps) <= set(th_vals)
+    # winnowing guarantee: a shared run of >= window tokens shares a print
+    df2 = spark.createDataFrame(
+        [
+            (10, "one two three four five six seven eight"),
+            (11, "zzz one two three four five yyy xxx www"),
+        ],
+        "id long, text string",
+    )
+    th2 = X.token_hashes(X.tokenize(F.col("text")))
+    sk = {
+        r.id: set(r.fps)
+        for r in df2.select(
+            "id", X.winnow_fingerprints(th2, window=4).alias("fps")
+        ).collect()
+    }
+    assert sk[10] & sk[11], "shared 5-token run must share a fingerprint"
+
+
 def test_multimodal_feature_extraction(spark):
     df = spark.createDataFrame(
         [(1, "payload-one"), (2, "payload-two")], "doc_id long, payload string"
@@ -198,6 +247,37 @@ def test_multimodal_feature_extraction(spark):
     assert 0.0 <= feats[1].fake_mean_luma < 1.0
     assert 1 <= feats[1].fake_n_frames <= 16
     assert feats[1].content_sha256 != feats[2].content_sha256
+
+
+def test_multimodal_resize_and_frames(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "another doc"), (3, None)],
+        "id long, text string",
+    )
+    media = M.attach_binary(df, "id", "text")
+
+    resized = M.resize_images(media, 64, 48)
+    rows = {r.doc_id: r for r in resized.collect()}
+    assert resized.columns == media.columns  # MEDIA_SCHEMA in == out
+    assert all(r.width == 64 and r.height == 48 for r in rows.values())
+    expect = hashlib.sha256(b"hello world" + b":64x48").digest()
+    assert bytes(rows[1].content) == expect
+    # chains: a second resize consumes the first's output schema
+    assert M.resize_images(resized, 8, 8).count() == 3
+
+    frames = M.sample_frames(media, max_frames=8).collect()
+    by_doc: dict[int, list] = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, text in ((1, b"hello world"), (2, b"another doc"), (3, b"")):
+        want_n = hashlib.sha256(text).digest()[4] % 8 + 1
+        got = sorted(by_doc[doc_id], key=lambda r: r.frame_idx)
+        assert len(got) == want_n, (doc_id, want_n)
+        assert [r.frame_idx for r in got] == list(range(want_n))
+        assert [r.frame_ts_ms for r in got] == [
+            i * M.FRAME_INTERVAL_MS for i in range(want_n)
+        ]
+        assert bytes(got[0].frame) == hashlib.sha256(text + b":0").digest()
 
 
 def test_windowed_counts_static_matches_groupby(spark, sf_dir):
