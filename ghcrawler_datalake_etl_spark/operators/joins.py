@@ -1,0 +1,77 @@
+"""Skew-aware join/aggregation rewrites.
+
+The reference's joins are all equi-joins on high-cardinality URN keys
+(SURVEY.md 2.3), where plain shuffle joins distribute fine. At 100 TB,
+two other shapes appear that DON'T distribute fine, and these are their
+standard rewrites:
+
+- A large fact joined on a LOW-cardinality / hot key (a handful of join
+  keys -> a handful of reduce tasks own all the data). ``salted_join``
+  splits every hot key into ``n_salt`` sub-keys: the skewed side gets a
+  deterministic salt, the compact side is replicated n_salt times, and
+  the join key becomes (key, salt) - n_salt times the parallelism for
+  n_salt times the small side's (tiny) shuffle volume. AQE's skew-join
+  splitting handles moderate skew automatically; salting is the explicit
+  form for extreme skew and for aggregations AQE can't split.
+- COUNT(DISTINCT x) grouped by a hot key: the distinct set for a hot
+  group must assemble on one task. ``two_stage_distinct_count`` rewrites
+  it as groupBy(key, x) -> groupBy(key): both stages hash-aggregate with
+  map-side partial combine, and stage 1's key space (key x value) is
+  high-cardinality, so no task owns a whole hot group.
+
+Both rewrites are result-identical to their naive forms - pinned by the
+DuckDB oracles of the queries that use them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT = "_salt"
+
+
+def salted_join(
+    skewed: DataFrame,
+    compact: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    n_salt: int = 16,
+) -> DataFrame:
+    """Equi-join a skewed large frame against a compact frame on ``on``,
+    salting the key to spread each hot key over ``n_salt`` reduce tasks.
+
+    ``compact`` is replicated n_salt times (cheap only because it is the
+    small side - do not pass two large frames). Supported ``how``:
+    inner/left - semantics identical to the unsalted join. The salt is a
+    deterministic hash of the skewed row's full tuple, so the plan is
+    stable run to run (no rand(): a retried task must re-derive the same
+    salt or shuffle retries double-count rows).
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salted = skewed.withColumn(
+        SALT, F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salt))
+    )
+    replicated = compact.withColumn(
+        SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<long>"))
+    )
+    return salted.join(replicated, [*on, SALT], how).drop(SALT)
+
+
+def two_stage_distinct_count(
+    df: DataFrame,
+    keys: Sequence[str],
+    distinct_col: str,
+    alias: str = "n_distinct",
+) -> DataFrame:
+    """COUNT(DISTINCT distinct_col) GROUP BY keys, rewritten so no
+    single task ever materializes a hot group's distinct set."""
+    return (
+        df.select(*keys, distinct_col)
+        .distinct()
+        .groupBy(*keys)
+        .agg(F.count(F.col(distinct_col)).alias(alias))
+    )

@@ -400,6 +400,54 @@ def j4_semi_join(spark, sf_dir):
     ).select("s_suppkey", "s_name")
 
 
+@register(
+    "j5_salted_skew_join",
+    """
+    SELECT e.event_id, e.event_type,
+           floor((e.value - m.type_max) * 10000) / 10000 AS value_vs_type_max
+    FROM events e
+    JOIN (SELECT event_type, max(value) AS type_max
+          FROM events GROUP BY event_type) m
+      ON e.event_type = m.event_type
+    """,
+)
+def j5_salted_skew_join(spark, sf_dir):
+    """Skew rewrite: events' join key (event_type) has ~5 hot values, so
+    an unsalted shuffle join lands everything on 5 reduce tasks at any
+    scale. salted_join spreads each hot key over n_salt sub-keys;
+    results are identical to the plain join (that IS the oracle)."""
+    from ghcrawler_datalake_etl_spark.operators import joins as JN
+
+    ev = _t(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(F.max("value").alias("type_max"))
+    joined = JN.salted_join(
+        ev.select("event_id", "event_type", "value"), dim,
+        ["event_type"], "inner", n_salt=8,
+    )
+    return joined.select(
+        "event_id",
+        "event_type",
+        quantize(F.col("value") - F.col("type_max"), 4).alias("value_vs_type_max"),
+    )
+
+
+@register(
+    "a5_distinct_count_two_stage",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def a5_distinct_count_two_stage(spark, sf_dir):
+    """COUNT(DISTINCT) over a hot group key, as the two-stage
+    hash-aggregate rewrite (no task ever holds a whole group's
+    distinct set)."""
+    from ghcrawler_datalake_etl_spark.operators import joins as JN
+
+    ev = _t(spark, sf_dir, "events")
+    return JN.two_stage_distinct_count(ev, ["event_type"], "user_id", "n_users")
+
+
 # =====================================================================
 # Aggregations / set ops / scalar functions (A1, A3, A4, F1, F3, F9, F10)
 # =====================================================================

@@ -249,6 +249,56 @@ def test_multimodal_feature_extraction(spark):
     assert feats[1].content_sha256 != feats[2].content_sha256
 
 
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from ghcrawler_datalake_etl_spark.operators import joins as JN
+
+    from ghcrawler_datalake_etl_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    dim = ev.groupBy("event_type").agg(F.max("value").alias("type_max"))
+    plain = ev.join(dim, "event_type").select("event_id", "type_max")
+    salted = JN.salted_join(ev, dim, ["event_type"], "inner", n_salt=4).select(
+        "event_id", "type_max"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+    # left join: unmatched skewed rows survive exactly once with NULLs
+    part_dim = dim.filter(F.col("event_type") == "click")
+    plain_l = ev.join(part_dim, "event_type", "left").select("event_id", "type_max")
+    salted_l = JN.salted_join(ev, part_dim, ["event_type"], "left", n_salt=4).select(
+        "event_id", "type_max"
+    )
+    assert sorted(
+        map(tuple, plain_l.collect()), key=str
+    ) == sorted(map(tuple, salted_l.collect()), key=str)
+    with pytest.raises(ValueError):
+        JN.salted_join(ev, dim, ["event_type"], "full", n_salt=4)
+
+
+def test_two_stage_distinct_count(spark, sf_dir):
+    from ghcrawler_datalake_etl_spark.operators import joins as JN
+
+    from ghcrawler_datalake_etl_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    got = {
+        r.event_type: r.n_users
+        for r in JN.two_stage_distinct_count(
+            ev, ["event_type"], "user_id", "n_users"
+        ).collect()
+    }
+    want = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_multimodal_resize_and_frames(spark):
     df = spark.createDataFrame(
         [(1, "hello world"), (2, "another doc"), (3, None)],

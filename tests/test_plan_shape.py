@@ -74,6 +74,20 @@ def test_parity_paths_have_no_python(spark, queries):
             )
 
 
+def test_salted_join_spreads_key(spark, queries):
+    """The skew rewrite must actually join on (key, salt), not key."""
+    p = plan(queries["j5_salted_skew_join"](spark, SF_DIR), "simple")
+    assert "_salt" in p and "xxhash64" in p
+
+
+def test_two_stage_distinct_count_is_expand_free(spark, queries):
+    """The explicit rewrite hash-aggregates twice; no Expand node (the
+    built-in count-distinct planning) and no sort anywhere."""
+    p = plan(queries["a5_distinct_count_two_stage"](spark, SF_DIR), "simple")
+    assert p.count("HashAggregate") >= 2
+    assert "Expand" not in p and "Sort" not in p
+
+
 def test_latest_by_maxby_strategy_is_sort_free(spark, queries):
     """The 100 TB dedup form must hash-aggregate, not window-sort."""
     p = plan(queries["w1_maxby_latest_event_per_user"](spark, SF_DIR), "simple")
