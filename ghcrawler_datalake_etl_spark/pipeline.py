@@ -98,14 +98,26 @@ def _entity_filter(spec: EntitySpec) -> Column:
     raise ValueError(f"unknown entity filter op {op}")
 
 
-def _envelope_cols() -> list[Column]:
-    return [
+def _envelope_cols(with_urn: bool = False) -> list[Column]:
+    """Staging-metadata columns every curated table carries.
+
+    ``with_urn`` adds the reference's redundant leading ``Urn`` column
+    (same value as EtlSourceId - scalar/traffic/log tables carry both,
+    child tables don't; e.g. Commit CTAS leads with Urn while CommitFile
+    starts at CommitUrn, /root/reference/USQL/CreateAndInitializeCommit.usql
+    vs CreateAndInitializeCommitFile.usql). EtlIngestDate is a UTC
+    timestamp like the reference's DateTime.Parse(IngestDate)
+    (/root/reference/USQL/ProcessDaily.usql:32)."""
+    cols = [
         F.col("urn").alias("EtlSourceId"),
-        F.col("ingest_date").alias("EtlIngestDate"),
+        F.col("ingest_date").try_cast("timestamp").alias("EtlIngestDate"),
         F.col("fetched_at").alias("FetchedAt"),
         F.col("processed_at").alias("ProcessedAt"),
         F.col("deleted_at").alias("DeletedAt"),
     ]
+    if with_urn:
+        cols.insert(0, F.col("urn").alias("Urn"))
+    return cols
 
 
 def _touched() -> Column:
@@ -116,7 +128,7 @@ def project_entity(
     entity_day: DataFrame, spec: EntitySpec, scrub_pii: bool = True
 ) -> DataFrame:
     """Wide typed projection over the parsed entity rows (P7)."""
-    cols = _envelope_cols() + [
+    cols = _envelope_cols(with_urn=True) + [
         safe_field(entity_day, "data", f, scrub_pii) for f in spec.fields
     ]
     return entity_day.select(*cols)
@@ -170,6 +182,13 @@ def build_table(
             *[c for c in exploded.columns if c != "element"],
             *[_element_field(elem_type, f, scrub_pii) for f in spec.element_fields],
         )
+        if spec.extra.get("ordinal_internal"):
+            # the reference's final projection overwrites the explode
+            # ordinal with an element field of the same role (e.g.
+            # EventPayloadReleaseAssetId = the asset's own id,
+            # /root/reference/USQL/ProcessDaily.usql:1397-1398); the
+            # ordinal stays internal.
+            new_df = new_df.drop(spec.child_id)
         # Replace-by-parent: a re-crawled parent's children are replaced
         # wholesale (handles shrinking arrays). The literal reference
         # dedups child rows by EtlSourceId ALONE (e.g. CommitFile,
@@ -198,9 +217,11 @@ def build_table(
         )
         pages = filtered.select(
             safe_field(filtered, "data", Field(spec.origin_col, "_metadata.links.origin.href")),
+            safe_field(filtered, "data", Field("UniqueUrn", "_metadata.links.unique.href")),
             resources.alias("resources"),
             F.col("processed_at").alias("ProcessedAt"),
             F.col("fetched_at").alias("FetchedAt"),
+            F.col("ingest_date").try_cast("timestamp").alias("EtlIngestDate"),
         ).filter(F.col(spec.origin_col).isNotNull())
         if origin_like:
             # The `members` entity feeds OrgMembers and TeamMembers from one
@@ -212,13 +233,17 @@ def build_table(
             origin_col=spec.origin_col,
             member_col=spec.member_col,
             page_order=[F.col("ProcessedAt"), F.col("FetchedAt")],
+            # page-constant passthroughs: the reference's membership rows
+            # carry the page's timestamps + UniqueUrn
+            # (/root/reference/USQL/ProcessDaily.usql:82-91)
+            extra_cols=("FetchedAt", "ProcessedAt", "EtlIngestDate", "UniqueUrn"),
         )
         return members
 
     if spec.pattern == "D":
         filtered = entity_day
         base = filtered.select(
-            *_envelope_cols(),
+            *_envelope_cols(with_urn=True),
             *[safe_field(filtered, "data", f, scrub_pii) for f in spec.fields],
             F.posexplode_outer(F.col(f"data.{spec.array_path}")).alias(
                 "_pos", "element"

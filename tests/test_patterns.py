@@ -217,7 +217,7 @@ def test_staging_partition_swap_idempotent(spark, warehouse):
 
 def test_pattern_a_latest_wins(spark, warehouse):
     catalog, _ = warehouse
-    got = rows(catalog, "Commit", "Sha", "Message", "Additions")
+    got = rows(catalog, "Commit", "CommitSha", "CommitMessage", "StatsAdditions")
     assert got == [("c1", "first-amended", 20), ("c2", "second", 3),
                    ("c3", "third", 1)]
 
@@ -230,7 +230,7 @@ def test_pattern_a_pii_scrubbed(spark, warehouse):
 
 def test_pattern_b_commitfile_posexplode(spark, warehouse):
     catalog, _ = warehouse
-    got = rows(catalog, "CommitFile", "Sha", "CommitFileId", "Filename",
+    got = rows(catalog, "CommitFile", "CommitSha", "CommitFileId", "FileName",
                "Additions")
     # c1 re-crawl has ONE file: the day1 second file must be gone
     assert got == [("c1", 0, "a.py", 20), ("c2", 0, "c.py", 0)]
@@ -240,7 +240,8 @@ def test_pattern_b_commitparent_overwrite_not_append(spark, warehouse):
     catalog, _ = warehouse
     # Q1: the reference never truncates CommitParent (unbounded re-append);
     # we overwrite like its siblings. Three commits -> 4 parent edges once.
-    got = rows(catalog, "CommitParent", "Sha", "CommitParentId", "ParentSha")
+    got = rows(catalog, "CommitParent", "CommitSha", "CommitParentId",
+               "CommitParentSha")
     assert got == [("c1", 0, "p0"), ("c2", 0, "c1"), ("c2", 1, "p1"),
                    ("c3", 0, "c2")]
 
@@ -283,5 +284,5 @@ def test_pattern_e_version_log_keeps_all_versions(spark, warehouse):
 
 def test_issue_labels_pattern_b_by_issue_urn(spark, warehouse):
     catalog, _ = warehouse
-    got = rows(catalog, "IssueLabel", "IssueLabelId", "Name", "IsDefault")
-    assert got == [(0, "bug", True), (1, "p1", False)]
+    got = rows(catalog, "IssueLabel", "IssueLabelId", "Name", "Color")
+    assert got == [(0, "bug", "red"), (1, "p1", "blue")]
