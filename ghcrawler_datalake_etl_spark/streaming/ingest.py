@@ -36,9 +36,9 @@ def stream_stage_available_now(
     staged = raw.select(
         env.getField("_metadata").getField("type").alias("entity_name"),
         F.lit(ingest_date).alias("ingest_date"),
-        env.getField("_metadata").getField("fetchedAt").cast("timestamp").alias("fetched_at"),
-        env.getField("_metadata").getField("processedAt").cast("timestamp").alias("processed_at"),
-        env.getField("_metadata").getField("deletedAt").cast("timestamp").alias("deleted_at"),
+        env.getField("_metadata").getField("fetchedAt").try_cast("timestamp").alias("fetched_at"),
+        env.getField("_metadata").getField("processedAt").try_cast("timestamp").alias("processed_at"),
+        env.getField("_metadata").getField("deletedAt").try_cast("timestamp").alias("deleted_at"),
         env.getField("_metadata").getField("links").getField("self").getField("href").alias("urn"),
         F.lit("stream").alias("source_file"),
         F.col("value").alias("data_raw"),
@@ -70,6 +70,48 @@ def stream_dedup(
     reference's daily re-crawl semantics (SURVEY.md 2.10).
     """
     return stream.withWatermark(ts_col, watermark).dropDuplicates(keys)
+
+
+def stream_upsert_snapshot(
+    stream: DataFrame,
+    catalog,
+    table: str,
+    keys: list[str],
+    checkpoint: str,
+    order_by=None,
+    tiebreakers: tuple[str, ...] = (),
+):
+    """Continuous pattern A: every micro-batch latest-wins-merges into
+    the catalog snapshot via foreachBatch - the streaming twin of
+    operators.patterns.snapshot_upsert (the reference's daily
+    truncate+reinsert, /root/reference/USQL/ProcessDaily.usql:142-177,
+    at micro-batch cadence).
+
+    Exactly-once effect: the checkpoint prevents re-processing, and a
+    REPLAYED batch is a no-op anyway because the merge is idempotent
+    (latest-wins dedup absorbs rows already in the snapshot). The
+    read-then-overwrite inside one batch is safe because the catalog
+    overwrite is a versioned-directory pointer swap, not an in-place
+    rewrite (SURVEY.md Q8).
+    """
+    from ghcrawler_datalake_etl_spark.operators.patterns import snapshot_upsert
+
+    def merge(batch_df: DataFrame, _batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        previous = catalog.read(table) if catalog.exists(table) else None
+        merged = snapshot_upsert(
+            batch_df, previous, keys=keys, order_by=order_by,
+            tiebreakers=list(tiebreakers),
+        )
+        catalog.overwrite(merged, table)
+
+    return (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def windowed_event_counts(

@@ -107,6 +107,58 @@ def test_stream_sessions_match_batch(spark, tmp_path):
 
 
 @pytest.mark.slow
+def test_stream_upsert_snapshot_latest_wins(spark, tmp_path):
+    """Continuous pattern A: micro-batches merge into the catalog
+    snapshot latest-wins; a re-run over the same input is a no-op."""
+    from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
+    from ghcrawler_datalake_etl_spark.streaming import stream_upsert_snapshot
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    catalog = ParquetCatalog(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                "urn string, processed_at timestamp, deleted_at timestamp,"
+                " stars long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(str(indir))
+        )
+        q = stream_upsert_snapshot(
+            stream, catalog, "StarsSnap", keys=["urn"], checkpoint=ckpt,
+            tiebreakers=("urn",),
+        )
+        q.awaitTermination()
+
+    rows1 = [
+        {"urn": "urn:a", "processed_at": "2024-01-01 10:00:00", "stars": 1},
+        {"urn": "urn:b", "processed_at": "2024-01-01 10:00:00", "stars": 5},
+    ]
+    with open(indir / "b1.json", "w") as f:
+        f.writelines(json.dumps(r) + "\n" for r in rows1)
+    run()
+    got = {r["urn"]: r["stars"] for r in catalog.read("StarsSnap").collect()}
+    assert got == {"urn:a": 1, "urn:b": 5}
+
+    # newer version of urn:a + new urn:c in a second batch
+    rows2 = [
+        {"urn": "urn:a", "processed_at": "2024-01-01 11:00:00", "stars": 9},
+        {"urn": "urn:c", "processed_at": "2024-01-01 11:00:00", "stars": 2},
+    ]
+    with open(indir / "b2.json", "w") as f:
+        f.writelines(json.dumps(r) + "\n" for r in rows2)
+    run()
+    got = {r["urn"]: r["stars"] for r in catalog.read("StarsSnap").collect()}
+    assert got == {"urn:a": 9, "urn:b": 5, "urn:c": 2}
+
+    # replay with no new files: checkpoint makes it a no-op
+    run()
+    assert catalog.read("StarsSnap").count() == 3
+
+
 def test_stream_dedup_absorbs_redelivery(spark, tmp_path):
     """Duplicate keys across micro-batches within the watermark emit once."""
     from ghcrawler_datalake_etl_spark.streaming import stream_dedup
