@@ -195,12 +195,18 @@ def ngram_jaccard_pairs(
     count a lower bound (boilerplate evidence discarded), a documented
     approximation for 100 TB runs - leave None for exact results.
     """
-    sh = fan_out(df).select(
-        F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n).alias("sh")
+    # Filter AFTER materializing: a filter on size(sh) directly above the
+    # projection gets its predicate substituted through the alias and
+    # below the repartition - the whole shingle expression would run
+    # TWICE, one copy single-threaded before the fan-out (measured 7x on
+    # this frame). Against the cache, size(sh) is a cheap array-length
+    # read. Also: consumed three times (sizes + both self-join sides).
+    sh = _materialize(
+        fan_out(df).select(
+            F.col(id_col).alias("doc_id"),
+            shingles(F.col(text_col), n).alias("sh"),
+        )
     ).filter(F.size("sh") > 0)
-    # consumed three times (sizes + both self-join sides); materialize so
-    # the tokenize/shingle pass runs exactly once
-    sh = _materialize(sh)
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     # join on a 60-bit shingle hash, not the string: ~5x less shuffle at
     # scale, same counts (injective up to md5-collisions - ~1e-10 at test
@@ -260,9 +266,15 @@ def minhash_lsh_pairs(
     Python anywhere). Outputs are bit-identical.
     """
     rows = num_hashes // bands
-    base = fan_out(df).select(
-        F.col(id_col).alias("doc_id"),
-        shingles(F.col(text_col), n).alias("sh"),
+    # Same shingle frame (and therefore the same cache slot) as
+    # ngram_jaccard_pairs; filter AFTER the materialization so the size
+    # predicate cannot duplicate the shingle expression below the
+    # repartition (see ngram_jaccard_pairs).
+    base = _materialize(
+        fan_out(df).select(
+            F.col(id_col).alias("doc_id"),
+            shingles(F.col(text_col), n).alias("sh"),
+        )
     ).filter(F.size("sh") > 0)
     # Materialize the md5 shingle hashes in their own projection so the
     # 64 permutation scans reference them instead of recomputing md5

@@ -223,17 +223,29 @@ def _centroid_rows(
 def _nearest_cells(vec, nrm, cents, n: int) -> "F.Column":
     """Array of the n centroid ids nearest by cosine (ties -> lower id).
     One pass over the row's vector per centroid - no row blowup, unlike a
-    corpus x centroids join."""
-    scored = F.array(
-        *[
-            F.struct(
-                (-(_DOT(vec, F.array(*[F.lit(x) for x in cv])) / (nrm * F.lit(cn)))).alias(
-                    "neg_cos"
-                ),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, cv, cn in cents
-        ]
+    corpus x centroids join.
+
+    The centroid matrix enters the plan as ONE nested-array literal, not
+    inline per-element literals: unrolling 16 centroids x 64 dims into
+    ~1000 expression nodes made codegen compile the bottleneck (seconds
+    per query at any data size). Same arithmetic, same fold order as
+    before, so the DuckDB oracle is unchanged.
+    """
+    cvs = F.lit([cv for _, cv, _ in cents])    # array<array<double>>
+    cns = F.lit([float(cn) for _, _, cn in cents])
+    cids = F.lit([int(cid) for cid, _, _ in cents])
+    idx = F.sequence(F.lit(1), F.lit(len(cents)))
+    scored = F.transform(
+        idx,
+        lambda i: F.struct(
+            (
+                -(
+                    _DOT(vec, F.element_at(cvs, i))
+                    / (nrm * F.element_at(cns, i))
+                )
+            ).alias("neg_cos"),
+            F.element_at(cids, i).alias("cid"),
+        ),
     )
     return F.transform(F.slice(F.array_sort(scored), 1, n), lambda s: s["cid"])
 

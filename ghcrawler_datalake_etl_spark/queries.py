@@ -881,10 +881,13 @@ def dedup_minhash_lsh(spark, sf_dir):
     "dedup_simhash_values",
     f"""
     SELECT doc_id,
+           -- ::BIGINT: list_sum yields HUGEINT, which pandas-based
+           -- harnesses convert to lossy float64 (60-bit values exceed
+           -- the 52-bit mantissa); the cast keeps int64 end to end
            coalesce(list_sum(list_transform(range(0, {DD.SIMHASH_BITS}), b ->
              CASE WHEN coalesce(list_sum(list_transform(th, hh ->
                     CASE WHEN (hh & (1::BIGINT << b)) <> 0 THEN 1 ELSE -1 END)), 0) > 0
-                  THEN (1::BIGINT << b) ELSE 0 END)), 0) AS simhash
+                  THEN (1::BIGINT << b) ELSE 0 END)), 0)::BIGINT AS simhash
     FROM (SELECT doc_id,
                  list_transform({_TOKS_SQL},
                                 t -> cast(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS th
