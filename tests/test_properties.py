@@ -1,0 +1,124 @@
+"""Property-based tests (hypothesis) for operator equivalences.
+
+Each property pins an algebraic identity the engine relies on:
+- the max_by dedup strategy is a drop-in for the window strategy
+- salted joins are result-identical to plain joins (incl. nulls)
+- the winnowing guarantee: a shared >=window token run shares a print
+- the rolling hash composes: h(A||B) == (h(A)*B^|B| + h(B)) mod P
+
+Spark round-trips are slow, so examples are few but shrinkable; the
+deadline is disabled (JVM warmup would trip it).
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from ghcrawler_datalake_etl_spark.functions.core import latest_by
+from ghcrawler_datalake_etl_spark.operators import joins as JN
+from ghcrawler_datalake_etl_spark.operators import text as TX
+
+SETTINGS = dict(max_examples=10, deadline=None, derandomize=True)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 4),                       # key (few values -> ties)
+        st.integers(0, 5),                       # ts day offset (ties likely)
+        st.integers(0, 100),                     # payload
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(**SETTINGS)
+@given(rows_strategy)
+def test_latest_by_window_equals_maxby(spark, rows):
+    df = spark.createDataFrame(
+        [(k, f"2024-01-0{t + 1} 00:00:00", v) for k, t, v in rows],
+        "k long, ts string, v long",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+    order = [F.col("ts"), F.col("v")]
+    a = latest_by(df, ["k"], order, strategy="window")
+    b = latest_by(df, ["k"], order, strategy="max_by")
+    ra = sorted(map(tuple, a.select("k", "ts", "v").collect()))
+    rb = sorted(map(tuple, b.select("k", "ts", "v").collect()))
+    assert ra == rb
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.one_of(st.none(), st.integers(0, 3)), st.integers(0, 9)),
+        min_size=0, max_size=20,
+    ),
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 9)),
+             min_size=0, max_size=6),
+    st.sampled_from(["inner", "left"]),
+    st.integers(1, 5),
+)
+def test_salted_join_equals_plain_join(spark, left_rows, right_rows, how, n_salt):
+    left = spark.createDataFrame(left_rows, "k long, v long")
+    right = spark.createDataFrame(
+        right_rows, "k long, w long"
+    ).dropDuplicates(["k"])
+    plain = left.join(right, ["k"], how).select("k", "v", "w")
+    salted = JN.salted_join(left, right, ["k"], how, n_salt=n_salt).select(
+        "k", "v", "w"
+    )
+    key = lambda r: tuple((x is None, x) for x in r)  # noqa: E731
+    assert sorted(map(tuple, plain.collect()), key=key) == sorted(
+        map(tuple, salted.collect()), key=key
+    )
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.sampled_from("abcdefgh"), min_size=4, max_size=12),
+    st.lists(st.sampled_from("stuvwxyz"), min_size=0, max_size=6),
+    st.lists(st.sampled_from("stuvwxyz"), min_size=0, max_size=6),
+)
+def test_winnowing_shared_run_guarantee(spark, shared, pre, post):
+    """Two documents containing the same >=window-length token run must
+    share at least one winnowing fingerprint (the MOSS guarantee)."""
+    doc_a = " ".join(shared)
+    doc_b = " ".join(pre + shared + post)
+    df = spark.createDataFrame([(1, doc_a), (2, doc_b)], "id long, text string")
+    th = TX.token_hashes(TX.tokenize(F.col("text")))
+    got = {
+        r.id: set(r.fps)
+        for r in df.select(
+            "id", TX.winnow_fingerprints(th, window=4).alias("fps")
+        ).collect()
+    }
+    assert got[1] & got[2], (doc_a, doc_b)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.sampled_from(["tok", "en", "xyz", "12", "q"]),
+             min_size=0, max_size=8),
+    st.lists(st.sampled_from(["tok", "en", "xyz", "12", "q"]),
+             min_size=0, max_size=8),
+)
+def test_rolling_hash_composes(spark, a_toks, b_toks):
+    """h(A||B) == (h(A) * B^|B| + h(B)) mod P - the Rabin-Karp identity
+    that makes the hash 'rolling' (checked against the Spark output)."""
+    df = spark.createDataFrame(
+        [(1, " ".join(a_toks)), (2, " ".join(b_toks)),
+         (3, " ".join(a_toks + b_toks))],
+        "id long, text string",
+    )
+    th = TX.token_hashes(TX.tokenize(F.col("text")))
+    got = {
+        r.id: r.h
+        for r in df.select(
+            "id", TX.rolling_hash_from_hashes(th).alias("h")
+        ).collect()
+    }
+    expect = (
+        got[1] * pow(TX.ROLL_B, len(b_toks), TX.ROLL_P) + got[2]
+    ) % TX.ROLL_P
+    assert got[3] == expect
