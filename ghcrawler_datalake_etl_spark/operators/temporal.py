@@ -1,0 +1,132 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join and
+interval (range) join.
+
+The reference has no temporal joins (all its joins are URN equi-joins,
+SURVEY.md 2.3); these are extension operators for event-stream analytics
+at scale, built as compositions of DataFrame primitives:
+
+- ``asof_join``: NOT the naive "join all earlier rows then pick max"
+  (which materializes O(left x right-per-key) pairs before pruning).
+  Both sides are tagged and unioned, shuffled ONCE on the key, sorted
+  within partition by time, and the right payload is carried forward
+  with last(ignorenulls) - O((|L|+|R|) log) per key, one exchange, no
+  pair blowup. This is the standard merge-join formulation of as-of.
+- ``interval_join``: a pure range predicate (no equi key) would be a
+  broadcast-nested-loop join in Spark. Binning makes it an equi-join:
+  each left row lands in one fixed-width time bin, each right interval
+  explodes to every bin it covers, the join runs on bin id, and the
+  exact BETWEEN predicate prunes bin-edge false positives. A pair can
+  only meet in the left row's own bin, so no dedup is needed.
+  Bin width tunes the replicate-vs-prune trade: ~median interval width
+  is a good default.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+    suffix: str = "_right",
+) -> DataFrame:
+    """For every left row, attach the right row with the greatest
+    ``right_ts`` <= ``left_ts`` (direction="backward") or the smallest
+    ``right_ts`` >= ``left_ts`` ("forward") within the same ``on`` key -
+    a left join (no match -> NULLs). Ties on the timestamp: the right
+    row counts as happening before the left row (inclusive match).
+
+    Right payload columns are appended with ``suffix``; the right
+    timestamp itself comes back as ``{right_ts}{suffix}``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
+    on = list(on)
+    r_payload = [c for c in right.columns if c not in on]
+    r_struct_type = right.select(
+        F.struct(*[F.col(c) for c in r_payload]).alias("_r")
+    ).schema["_r"].dataType
+
+    l_tag = left.select(
+        *[F.col(c) for c in on],
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+        F.lit(None).cast(r_struct_type).alias("_r"),
+    )
+    r_tag = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(
+            left.select(F.struct(*[F.col(c) for c in left.columns]).alias("x"))
+            .schema["x"].dataType
+        ).alias("_l"),
+        F.struct(*[F.col(c) for c in r_payload]).alias("_r"),
+    )
+    merged = l_tag.unionByName(r_tag)
+
+    # backward: ascending time, right rows sort before left rows at equal
+    # ts so an exactly-simultaneous right row matches. forward: mirror.
+    if direction == "backward":
+        order = [F.col("_ts").asc(), F.col("_is_left").asc()]
+    else:
+        order = [F.col("_ts").desc(), F.col("_is_left").asc()]
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        merged.withColumn("_match", F.last("_r", ignorenulls=True).over(w))
+        .filter(F.col("_is_left") == 1)
+    )
+    out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
+    out_cols += [F.col(f"_match.{c}").alias(f"{c}{suffix}") for c in r_payload]
+    return matched.select(*out_cols)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    start_col: str,
+    end_col: str,
+    bin_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each left row to every right interval containing its
+    timestamp (``start_col`` <= ``left_ts`` <= ``end_col``, inclusive),
+    with no equi key - the binned form of a range join.
+    """
+    if how != "inner":
+        raise ValueError("interval_join supports inner only")
+    w = F.lit(bin_seconds)
+    lb = left.withColumn(
+        "_bin", F.floor(F.col(left_ts).cast("double") / w).cast("long")
+    )
+    rb = right.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col).cast("double") / w).cast("long"),
+                F.floor(F.col(end_col).cast("double") / w).cast("long"),
+            )
+        ),
+    )
+    return (
+        lb.join(rb, "_bin")
+        .filter(
+            (F.col(left_ts) >= F.col(start_col))
+            & (F.col(left_ts) <= F.col(end_col))
+        )
+        .drop("_bin")
+    )

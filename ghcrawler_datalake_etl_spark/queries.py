@@ -448,6 +448,73 @@ def a5_distinct_count_two_stage(spark, sf_dir):
     return JN.two_stage_distinct_count(ev, ["event_type"], "user_id", "n_users")
 
 
+@register(
+    "asof_last_purchase",
+    """
+    SELECT e.event_id, e.user_id, e.ts, p.pts AS last_purchase_ts
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click') e
+    ASOF LEFT JOIN (SELECT user_id, ts AS pts FROM events
+                    WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND p.pts <= e.ts
+    """,
+)
+def asof_last_purchase(spark, sf_dir):
+    """As-of join: every click event matched to the same user's most
+    recent prior purchase. The Spark side is the single-shuffle
+    union+sort merge formulation; the oracle is DuckDB's native ASOF
+    JOIN - two different algorithms, same rows."""
+    from ghcrawler_datalake_etl_spark.operators import temporal as TP
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    return TP.asof_join(
+        clicks, purchases, ["user_id"], "ts", "pts", direction="backward",
+        suffix="",
+    ).select(
+        "event_id", "user_id", "ts",
+        F.col("pts").alias("last_purchase_ts"),
+    )
+
+
+@register(
+    "range_interval_join",
+    """
+    SELECT s.user_id AS window_user, s.ts AS window_start,
+           count(e.event_id) AS n_events
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+    JOIN events e
+      ON e.ts >= s.ts AND e.ts <= s.ts + INTERVAL 2 HOUR
+    GROUP BY s.user_id, s.ts
+    """,
+)
+def range_interval_join(spark, sf_dir):
+    """Interval (range) join with NO equi key: every signup opens a
+    2-hour window; count all events (any user) landing inside it. The
+    Spark side bins timestamps so the range predicate becomes an
+    equi-join on bin id instead of a nested-loop join."""
+    from ghcrawler_datalake_etl_spark.operators import temporal as TP
+
+    ev = _t(spark, sf_dir, "events")
+    windows = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("window_user"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("win_end"),
+    )
+    joined = TP.interval_join(
+        ev.select("event_id", "ts"), windows, "ts", "win_start", "win_end",
+        bin_seconds=7200,
+    )
+    return joined.groupBy(
+        "window_user", F.col("win_start").alias("window_start")
+    ).agg(F.count("event_id").alias("n_events"))
+
+
 # =====================================================================
 # Aggregations / set ops / scalar functions (A1, A3, A4, F1, F3, F9, F10)
 # =====================================================================

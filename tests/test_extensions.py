@@ -249,6 +249,68 @@ def test_multimodal_feature_extraction(spark):
     assert feats[1].content_sha256 != feats[2].content_sha256
 
 
+def test_asof_join_semantics(spark):
+    from ghcrawler_datalake_etl_spark.operators import temporal as TP
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 12:00:00"),
+         (2, "2024-01-01 10:00:00"), (3, "2024-01-01 10:00:00")],
+        "k long, ts string",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", 100), (1, "2024-01-01 11:00:00", 200),
+         (2, "2024-01-01 10:00:00", 300),   # exact tie: matches (inclusive)
+         (2, "2024-01-01 11:00:00", 400)],  # future: backward ignores
+        "k long, rts string, v long",
+    ).select("k", F.col("rts").cast("timestamp").alias("rts"), "v")
+
+    back = {
+        (r.k, str(r.ts)): r.v
+        for r in TP.asof_join(left, right, ["k"], "ts", "rts",
+                               suffix="").collect()
+    }
+    assert back[(1, "2024-01-01 10:00:00")] == 100
+    assert back[(1, "2024-01-01 12:00:00")] == 200
+    assert back[(2, "2024-01-01 10:00:00")] == 300  # tie inclusive
+    assert back[(3, "2024-01-01 10:00:00")] is None  # no right rows -> NULL
+
+    fwd = {
+        (r.k, str(r.ts)): r.v
+        for r in TP.asof_join(
+            left, right, ["k"], "ts", "rts", direction="forward", suffix=""
+        ).collect()
+    }
+    assert fwd[(1, "2024-01-01 10:00:00")] == 200  # next at 11:00
+    assert fwd[(1, "2024-01-01 12:00:00")] is None  # nothing later
+    assert fwd[(2, "2024-01-01 10:00:00")] == 300  # tie inclusive
+
+
+def test_interval_join_edges_and_bins(spark):
+    from ghcrawler_datalake_etl_spark.operators import temporal as TP
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 11:00:00"),
+         (3, "2024-01-01 11:00:01")],
+        "id long, ts string",
+    ).select("id", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(7, "2024-01-01 10:00:00", "2024-01-01 11:00:00")],
+        "win long, s string, e string",
+    ).select(
+        "win", F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+    )
+    # tiny bins force the interval to span many bins; endpoints inclusive
+    for bin_seconds in (60, 3600, 86400):
+        got = sorted(
+            r.id
+            for r in TP.interval_join(
+                left, right, "ts", "s", "e", bin_seconds=bin_seconds
+            ).collect()
+        )
+        assert got == [1, 2], bin_seconds
+
+
 def test_salted_join_matches_plain_join(spark, sf_dir):
     from ghcrawler_datalake_etl_spark.operators import joins as JN
 
