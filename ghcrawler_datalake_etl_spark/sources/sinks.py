@@ -103,6 +103,33 @@ class ParquetCatalog:
         )
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    path: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Write ``df`` as a bucketed (and optionally sorted) parquet table
+    registered in the session catalog - the Spark analog of the
+    reference's ``DISTRIBUTE HASH(k) INTO n`` + clustered index
+    (S6, e.g. /root/reference/USQL/CreateAndInitializeCommit.usql:49-55).
+
+    Two tables bucketed on their join key with the same bucket count
+    join with NO Exchange on either side (bucket-pruned, co-located
+    scan): for repeated large-large joins the shuffle is paid once at
+    write time instead of per query. Pinned by
+    tests/test_plan_shape.py::test_bucketed_join_is_exchange_free.
+    """
+    writer = df.write.mode("overwrite").option("path", path).bucketBy(
+        num_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(name)
+
+
 def write_tsv(df: DataFrame, path: str, num_files: int = 1) -> None:
     """TSV export sink (S7, /root/reference/USQL/GetRepoData-unused.usql:17-19
     ``OUTPUT ... USING Outputters.Tsv()``)."""
