@@ -282,6 +282,29 @@ def test_pattern_e_version_log_keeps_all_versions(spark, warehouse):
     assert len(log) == 2 and sorted(s for s, _ in log) == [100, 150]
 
 
+def test_export_repo_data_fan_out(spark, warehouse, tmp_path):
+    """GetRepoData equivalent: point-filter the fixture repo, fan out to
+    one-hop (Issue) and two-hop (Issue -> IssueLabel) children, TSVs on
+    disk with headers."""
+    import csv
+
+    from ghcrawler_datalake_etl_spark.export import export_repo_data
+
+    catalog, _ = warehouse
+    out = tmp_path / "export"
+    counts = export_repo_data(catalog, "acme", "proj", str(out))
+    assert counts["Repo"] == 1
+    assert counts["Issue"] == 1
+    assert counts["IssueLabel"] == 2  # two labels via the Issue hop
+    part = next(p for p in (out / "Repo").iterdir() if p.suffix == ".csv")
+    with open(part) as f:
+        rows = list(csv.DictReader(f, delimiter="\t"))
+    assert rows[0]["Name"] == "proj" and rows[0]["OwnerLogin"] == "acme"
+    # unknown repo exports an empty Repo set and no child rows
+    counts2 = export_repo_data(catalog, "acme", "nope", str(tmp_path / "e2"))
+    assert counts2["Repo"] == 0 and counts2.get("Issue", 0) == 0
+
+
 def test_issue_labels_pattern_b_by_issue_urn(spark, warehouse):
     catalog, _ = warehouse
     got = rows(catalog, "IssueLabel", "IssueLabelId", "Name", "Color")
