@@ -36,6 +36,7 @@ from ghcrawler_datalake_etl_spark.operators import dedup as DD
 from ghcrawler_datalake_etl_spark.operators import similarity as SIM
 from ghcrawler_datalake_etl_spark.operators import text as TX
 from ghcrawler_datalake_etl_spark.operators.patterns import (
+    array_child,
     collection_refresh,
     snapshot_upsert,
     traffic_series,
@@ -641,10 +642,56 @@ def x3_posexplode_tokens(spark, sf_dir):
 
 
 # =====================================================================
-# ETL patterns A/C/D emulated over the events stream (SURVEY.md 2.9)
+# ETL patterns A-E emulated over the events stream (SURVEY.md 2.9)
 # =====================================================================
 
 _CUTOFF = "2024-01-10 00:00:00"
+
+
+@register(
+    "pattern_b_array_child",
+    """
+    WITH parent AS (
+      SELECT user_id, CAST(ts AS DATE) AS crawl_day,
+             max(ts) AS processed_at,
+             list_sort(list(event_id)) AS items
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ), latest AS (
+      SELECT user_id, items FROM (
+        SELECT user_id, items,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY processed_at DESC, crawl_day DESC) AS rn
+        FROM parent) t WHERE rn = 1
+    )
+    SELECT user_id, generate_subscripts(items, 1) - 1 AS child_id,
+           unnest(items) AS event_id
+    FROM latest
+    """,
+)
+def pattern_b_array_child(spark, sf_dir):
+    """Pattern B machinery (nested-array child table, 7 reference tables
+    e.g. CommitFile /root/reference/USQL/ProcessDaily.usql:252-351): each
+    (user, day) is a crawled parent document whose array column is that
+    day's event ids; dedupe parents FIRST (latest crawl per user wins,
+    the RowNumber==1-inside-the-explode-filter of :292), then posexplode
+    with the position as the child id - replacing the reference's
+    explode/parse-index/MAP_AGG pipeline (X3)."""
+    ev = _t(spark, sf_dir, "events")
+    parents = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("crawl_day")
+    ).agg(
+        F.max("ts").alias("processed_at"),
+        F.sort_array(F.collect_list("event_id")).alias("items"),
+    )
+    latest = latest_by(
+        parents, ["user_id"], [F.col("processed_at"), F.col("crawl_day")]
+    )
+    child = array_child(
+        latest, "items", ["user_id"], "child_id", element_alias="event_id"
+    )
+    return child.select(
+        "user_id", F.col("child_id").cast("long").alias("child_id"), "event_id"
+    )
 
 
 @register(
