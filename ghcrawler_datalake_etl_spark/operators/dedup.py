@@ -40,13 +40,22 @@ def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
 
 
 def shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (array<string>)."""
+    """Distinct word n-gram shingles of a text column (array<string>).
+
+    Documents with fewer than ``n`` tokens (incl. empty/null text) yield
+    an EMPTY array: sequence(1, 0) counts DOWN [1, 0] and slice() throws
+    on start=0 under ANSI, so the short case must be guarded, not relied
+    on to no-op.
+    """
     toks = tokenize(col)
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
         lambda i: F.array_join(F.slice(toks, i, n), " "),
     )
-    return F.array_distinct(grams)
+    return F.when(count > 0, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def shingle_hashes(shingle_col: Column) -> Column:

@@ -53,6 +53,25 @@ def test_ngram_jaccard_pairs(docs):
     assert all(a not in (4, 5) and b not in (4, 5) for a, b in got)
 
 
+def test_shingles_short_docs_yield_empty_not_crash(spark):
+    """Docs with < n tokens must shingle to [] - sequence(1, 0) counts
+    DOWN and slice(toks, 0, n) THROWS under ANSI, so the guard in
+    shingles() is load-bearing (any real corpus has short docs)."""
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, "one"), (3, ""), (4, None), (5, DOC_A)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.sh for r in
+           df.select("doc_id", D.shingles(F.col("text"), 3).alias("sh")).collect()}
+    assert got[1] == [] and got[2] == [] and got[3] == [] and got[4] == []
+    assert len(got[5]) > 0
+    # and the pair operators run clean over a short-doc corpus
+    assert D.ngram_jaccard_pairs(df, "doc_id", "text", n=3,
+                                 threshold=0.5).collect() == []
+    assert D.minhash_lsh_pairs(df, "doc_id", "text", n=3, num_hashes=16,
+                               bands=4, threshold=0.5).collect() == []
+
+
 def test_minhash_lsh_finds_near_dups(docs):
     got = {
         (r.id_a, r.id_b): r.jaccard
