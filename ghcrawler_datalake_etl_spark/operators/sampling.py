@@ -1,0 +1,100 @@
+"""Deterministic hash-based sampling and dataset splitting.
+
+Training-data pipelines need reproducible sampling: ``rand()`` is
+useless at 100 TB because task retries re-roll it, repartitioning
+reorders it, and no other engine can replay it. Keying the decision on
+a stable id instead makes membership a pure function of the data:
+
+- a **narrow filter** - no shuffle, no state, any cluster size;
+- **idempotent** - re-runs, retries, and backfills pick identical rows;
+- **cross-engine** - md5 arithmetic replays bit-for-bit in the DuckDB
+  oracle (and any warehouse with md5());
+- **by key, not by row** - all rows of one key travel together, so
+  held-out splits never leak a document across the boundary;
+- **stable under growth** - adding new keys never moves an existing key
+  between splits (each key's bucket is independent of the rest of the
+  corpus), so yesterday's test set is still disjoint from today's
+  training set.
+
+The reference has no sampling surface (its unit of selection is the
+daily partition); this is a north-star extension for the LLM-pipeline
+workload (SURVEY.md 7.2 step 8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Bucket resolution: rates are exact multiples of 1e-6 (ppm). 60-bit
+# md5 prefix mod 1e6 is uniform to ~1e-12 bias (2^60 % 1e6 != 0 skews
+# the first few buckets by 2^-40), immaterial at any corpus size.
+BUCKETS = 1_000_000
+
+# Separator between seed and key, so (seed=1, key="2x") never collides
+# with (seed=12, key="x"). chr(31) = ASCII unit separator.
+_SEP = "\x1f"
+
+
+def hash_bucket(key: Column | str, seed: int = 42) -> Column:
+    """Deterministic bucket in [0, BUCKETS) for a key column: the
+    60-bit md5 prefix of ``seed <US> key`` reduced mod BUCKETS. Same
+    arithmetic as the shingle/minhash hashing (portable, no Spark
+    ``hash()`` whose seed/algorithm other engines can't replay).
+    NULL keys bucket to NULL and fail every range predicate - NULL-keyed
+    rows drop out of every sample and split (document it, don't guess)."""
+    col = key if isinstance(key, Column) else F.col(key)
+    # concat (not concat_ws): concat_ws SKIPS null args, which would
+    # bucket every NULL key as md5(seed) - concat propagates NULL,
+    # matching `||` in the oracle SQL
+    tagged = F.concat(F.lit(str(seed) + _SEP), col.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(tagged), 1, 15), 16, 10).cast("long") % BUCKETS
+    )
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate: float, seed: int = 42
+) -> DataFrame:
+    """Deterministic Bernoulli-by-key sample: keep a row iff its key's
+    bucket < rate * BUCKETS. A key is either fully in or fully out,
+    for every run and every engine."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.filter(hash_bucket(key_col, seed) < int(rate * BUCKETS))
+
+
+def split_column(
+    key: Column | str, weights: dict[str, float], seed: int = 42
+) -> Column:
+    """Named-split assignment column (e.g. train/valid/test): splits are
+    consecutive bucket ranges, so they are disjoint by construction and
+    each has exactly the requested measure. Weights summing to < 1 leave
+    the remainder unassigned (NULL) - useful for sample-then-split."""
+    total = sum(weights.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"weights sum to {total} > 1")
+    bucket = hash_bucket(key, seed)
+    expr: Column | None = None
+    lo = 0
+    for name, w in weights.items():
+        hi = lo + int(w * BUCKETS)
+        cond = (bucket >= lo) & (bucket < hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo = hi
+    assert expr is not None, "weights must name at least one split"
+    return expr
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Tag each row with its deterministic split name (narrow projection,
+    no shuffle). Downstream: ``df.filter(col('split') == 'train')`` -
+    the filter collapses into the scan, so reading one split never pays
+    for the others."""
+    return df.withColumn(out_col, split_column(key_col, weights, seed))

@@ -33,6 +33,7 @@ from ghcrawler_datalake_etl_spark.functions.core import (
     quantize,
 )
 from ghcrawler_datalake_etl_spark.operators import dedup as DD
+from ghcrawler_datalake_etl_spark.operators import sampling as SP
 from ghcrawler_datalake_etl_spark.operators import similarity as SIM
 from ghcrawler_datalake_etl_spark.operators import text as TX
 from ghcrawler_datalake_etl_spark.operators.patterns import (
@@ -896,6 +897,60 @@ def stream_windowed_counts(spark, sf_dir):
         "event_type",
         "n_events",
         "total_value",
+    )
+
+
+# =====================================================================
+# Deterministic sampling / splitting (training-data pipeline primitive)
+# =====================================================================
+
+_BUCKET_SQL = (
+    "cast(('0x' || substr(md5('42' || chr(31) || cast(doc_id AS VARCHAR)), "
+    "1, 15)) AS BIGINT) % 1000000"
+)
+
+
+@register(
+    "sample_hash_deterministic",
+    f"""
+    SELECT doc_id, length(text) AS text_len
+    FROM documents
+    WHERE {_BUCKET_SQL} < 100000
+    """,
+)
+def sample_hash_deterministic(spark, sf_dir):
+    """10% deterministic by-key sample: membership is a pure function of
+    doc_id (md5 bucket), so every run, engine, and cluster size picks
+    the SAME rows - rand()-sampling can't give an oracle at all."""
+    d = _t(spark, sf_dir, "documents")
+    return SP.hash_sample(d, "doc_id", 0.10, seed=42).select(
+        "doc_id", F.length("text").alias("text_len")
+    )
+
+
+@register(
+    "split_train_valid_test",
+    f"""
+    WITH b AS (SELECT doc_id, {_BUCKET_SQL} AS bucket FROM documents)
+    SELECT CASE WHEN bucket < 800000 THEN 'train'
+                WHEN bucket < 900000 THEN 'valid'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM b GROUP BY 1
+    """,
+)
+def split_train_valid_test(spark, sf_dir):
+    """80/10/10 deterministic document splits; disjoint consecutive
+    bucket ranges, leakage-free by construction and stable as the
+    corpus grows (a key's bucket ignores every other key)."""
+    d = _t(spark, sf_dir, "documents")
+    tagged = SP.hash_split(
+        d, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1}, seed=42
+    )
+    return tagged.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
     )
 
 

@@ -493,3 +493,46 @@ def test_embedding_cosine_gemm_matches_fold(spark, sf_dir):
     b = sorted(map(tuple, D.embedding_cosine_pairs_gemm(
         emb, "vec_id", "embedding", threshold=0.4).collect()))
     assert a == b and len(a) > 0
+
+
+def test_hash_sampling_deterministic_and_split_properties(spark):
+    from ghcrawler_datalake_etl_spark.operators import sampling as SP
+
+    keys = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s1 = sorted(r.doc_id for r in SP.hash_sample(keys, "doc_id", 0.2).collect())
+    s2 = sorted(r.doc_id for r in
+                SP.hash_sample(keys.repartition(7), "doc_id", 0.2).collect())
+    assert s1 == s2                      # partitioning-independent
+    assert 0.1 < len(s1) / 2000 < 0.3    # ~rate
+    # different seed -> different (mostly disjoint-ish) sample
+    s3 = sorted(r.doc_id for r in
+                SP.hash_sample(keys, "doc_id", 0.2, seed=7).collect())
+    assert s1 != s3
+    # growth stability: adding keys never reassigns an existing key
+    bigger = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    s4 = set(r.doc_id for r in SP.hash_sample(bigger, "doc_id", 0.2).collect())
+    assert set(s1) == {k for k in s4 if k < 2000}
+
+    # NULL keys: concat propagates null -> bucket NULL -> out of every
+    # sample (concat_ws would silently bucket them all as md5(seed))
+    nk = spark.createDataFrame([(1,), (None,), (3,)], "doc_id long")
+    assert sorted(r.doc_id for r in
+                  SP.hash_sample(nk, "doc_id", 1.0).collect()) == [1, 3]
+
+    tagged = SP.hash_split(
+        keys, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1}
+    )
+    counts = {r.split: r.n for r in
+              tagged.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "valid", "test"}   # total weights=1: no NULLs
+    assert sum(counts.values()) == 2000
+    assert counts["train"] > counts["valid"] and counts["train"] > counts["test"]
+    # sample-within-rate composes with split: sampled rows keep their split
+    sampled_ids = set(s1)
+    tagged_rows = {r.doc_id: r.split for r in tagged.collect()}
+    half = SP.hash_split(
+        SP.hash_sample(keys, "doc_id", 0.2), "doc_id",
+        {"train": 0.8, "valid": 0.1, "test": 0.1},
+    )
+    for r in half.collect():
+        assert r.doc_id in sampled_ids and tagged_rows[r.doc_id] == r.split
