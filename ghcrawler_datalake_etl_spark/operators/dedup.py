@@ -569,3 +569,70 @@ def embedding_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", quantize(F.col("cosine"), 4).alias("cosine"))
     )
+
+
+def connected_components(
+    pairs_df: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into CLUSTERS: connected components by
+    min-label propagation. Returns (node, cluster_id) for every node
+    that appears in at least one pair; cluster_id = the smallest node id
+    reachable from it (so the canonical document of each cluster is its
+    own cluster_id - "keep the lowest id" dedup falls out directly).
+
+    The genuinely iterative step of a dedup pipeline - not expressible
+    as one SQL query (the oracle uses a recursive CTE). Each round every
+    node takes the min of its own and its neighbors' labels; converges
+    in O(component diameter) rounds. Near-dup components are small
+    dense cliques (diameter 1-3), so 2-4 rounds in practice;
+    ``max_iterations`` bounds adversarial chains.
+
+    Scale: state is one (node, label) row per distinct node - tiny next
+    to the corpus; each round is one shuffle join on node id. The edge
+    list is symmetrized once and persisted. For graphs with huge
+    components switch to alternating small-star/large-star (same loop
+    shape); near-dup workloads never need it.
+    """
+    edges = pairs_df.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    sym = _materialize(
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    )
+    labels = _materialize(
+        sym.select("src").distinct().select(
+            F.col("src").alias("node"), F.col("src").alias("label")
+        )
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = _materialize(
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+        )
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "node")
+            .filter(F.col("o.label") != F.col("n.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("node", F.col("label").alias("cluster_id"))

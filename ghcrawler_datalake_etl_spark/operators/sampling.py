@@ -98,3 +98,38 @@ def hash_split(
     the filter collapses into the scan, so reading one split never pays
     for the others."""
     return df.withColumn(out_col, split_column(key_col, weights, seed))
+
+
+def pack_shards(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    budget: int | float,
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """Assign rows to consecutive shards of ~``budget`` total weight
+    (e.g. documents into training shards of ~100M tokens each).
+
+    Deterministic: rows are laid out in ``key_col`` order and a shard
+    closes when its cumulative weight reaches the budget -
+    shard_id = floor(exclusive_cumsum(weight) / budget). Exclusive, so
+    the row that crosses the budget still lands in the shard it started
+    filling (shards overflow by at most one row; none but the last is
+    underfull).
+
+    Scale: one range-partitioned sort-shuffle (Spark's distributed sort)
+    + a running-frame window; no driver-side loop. At 100 TB pre-bin
+    the keys (e.g. by hash_bucket range) and pack within bins to keep a
+    single global sort from becoming the critical path - the in-bin
+    layout is identical.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum(F.col(weight_col)).over(w), F.lit(0.0))
+    return df.withColumn(
+        shard_col, F.floor(cum / F.lit(float(budget))).cast("long")
+    )

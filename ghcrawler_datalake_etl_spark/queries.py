@@ -954,6 +954,40 @@ def split_train_valid_test(spark, sf_dir):
     )
 
 
+@register(
+    "pack_token_shards",
+    """
+    WITH w AS (SELECT doc_id, length(text)::DOUBLE AS wt FROM documents),
+    c AS (SELECT doc_id, wt,
+            coalesce(sum(wt) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS cum
+          FROM w)
+    SELECT CAST(floor(cum / 50000) AS BIGINT) AS shard_id,
+           count(*) AS n_docs,
+           round(sum(wt), 2) AS shard_chars,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM c GROUP BY 1
+    """,
+)
+def pack_token_shards(spark, sf_dir):
+    """Shard packing: documents laid out in key order, a shard closes at
+    ~50k chars of cumulative weight (stand-in for a token budget) -
+    deterministic training-shard assignment as one distributed sort +
+    running window, no driver loop."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.length("text").cast("double").alias("wt")
+    )
+    packed = SP.pack_shards(w, "doc_id", "wt", 50_000)
+    return packed.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.sum("wt"), 2).alias("shard_chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 # =====================================================================
 # Dedup extensions (exact, n-gram Jaccard, MinHash+LSH, SimHash, cosine)
 # =====================================================================
@@ -984,9 +1018,7 @@ _TOKS_SQL = (
 )
 
 
-@register(
-    "dedup_ngram_jaccard",
-    f"""
+_NGRAM_PAIRS_SQL = f"""
     WITH sh AS (
       SELECT doc_id, {_SH_SQL} AS sh
       FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) t
@@ -1000,11 +1032,44 @@ _TOKS_SQL = (
     WHERE a.doc_id < b.doc_id
       AND len(list_intersect(a.sh, b.sh))::DOUBLE /
           (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
-    """,
-)
+"""
+
+
+@register("dedup_ngram_jaccard", _NGRAM_PAIRS_SQL)
 def dedup_ngram_jaccard(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return DD.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.node
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id
+    FROM walk GROUP BY node
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Pairs -> clusters: connected components over the near-dup pair
+    graph by iterative min-label propagation (the genuinely iterative
+    dedup step; the oracle is a recursive CTE - two different
+    algorithms, same fixpoint). cluster_id = smallest reachable doc_id,
+    i.e. the canonical document to keep."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    return DD.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
 
 
 def _minhash_oracle(num_hashes: int = 64, bands: int = 16) -> str:

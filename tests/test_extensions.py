@@ -536,3 +536,49 @@ def test_hash_sampling_deterministic_and_split_properties(spark):
     )
     for r in half.collect():
         assert r.doc_id in sampled_ids and tagged_rows[r.doc_id] == r.split
+
+
+def test_pack_shards_budget_and_determinism(spark):
+    from ghcrawler_datalake_etl_spark.operators import sampling as SP
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7 * 10 + 5).cast("double").alias("wt"),
+    )
+    packed = SP.pack_shards(df, "doc_id", "wt", budget=100).collect()
+    by_shard: dict[int, list] = {}
+    for r in sorted(packed, key=lambda r: r.doc_id):
+        by_shard.setdefault(r.shard_id, []).append(r)
+    assert sorted(by_shard) == list(range(len(by_shard)))  # consecutive ids
+    max_wt = max(r.wt for r in packed)
+    for sid, rows in by_shard.items():
+        total = sum(r.wt for r in rows)
+        # floor-of-cumsum sharding: each shard owns one [k*B, (k+1)*B)
+        # window of cumulative mass, so its total is B +- one row's
+        # weight (the previous shard's overflow eats into the window)
+        if sid != max(by_shard):
+            assert total >= 100 - max_wt
+        # and a shard never holds a full budget BEFORE its last row
+        assert total - rows[-1].wt < 100
+    # shard boundaries follow doc order: each shard is a contiguous range
+    for sid, rows in by_shard.items():
+        ids = [r.doc_id for r in rows]
+        assert ids == list(range(min(ids), max(ids) + 1))
+    # partitioning-independent
+    again = SP.pack_shards(df.repartition(13), "doc_id", "wt", budget=100)
+    assert sorted((r.doc_id, r.shard_id) for r in again.collect()) == \
+           sorted((r.doc_id, r.shard_id) for r in packed)
+
+
+def test_connected_components_chain_and_cliques(spark):
+    # chain 1-2-3-4-5 (diameter 4: takes >1 propagation round),
+    # separate pair (10, 11), clique (20, 21, 22)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11),
+         (20, 21), (20, 22), (21, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r.node: r.cluster_id
+           for r in D.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
