@@ -1072,6 +1072,66 @@ def dedup_clusters(spark, sf_dir):
     )
 
 
+@register(
+    "pipeline_dedup_shards",
+    f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.node
+    ),
+    drop_docs AS (
+      SELECT node FROM walk GROUP BY node HAVING node <> min(label)
+    ),
+    kept AS (
+      SELECT doc_id, length(text)::DOUBLE AS wt,
+             {_BUCKET_SQL} AS bucket
+      FROM documents
+      WHERE doc_id NOT IN (SELECT node FROM drop_docs)
+    ),
+    train AS (SELECT doc_id, wt FROM kept WHERE bucket < 800000),
+    packed AS (
+      SELECT doc_id, wt,
+             coalesce(sum(wt) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum
+      FROM train)
+    SELECT CAST(floor(cum / 20000) AS BIGINT) AS shard_id,
+           count(*) AS n_docs, round(sum(wt), 2) AS shard_chars,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM packed GROUP BY 1
+    """,
+)
+def pipeline_dedup_shards(spark, sf_dir):
+    """The full training-data flow as ONE declarative plan: near-dup
+    cluster dedup (keep each cluster's canonical doc) -> deterministic
+    80% train split -> pack into ~20k-char shards. Composes
+    connected_components + hash_split + pack_shards; every stage has
+    exact cross-engine semantics, so the composition does too."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    drop = DD.connected_components(pairs).filter(
+        F.col("node") != F.col("cluster_id")
+    ).select(F.col("node").alias("doc_id"))
+    kept = d.join(F.broadcast(drop), "doc_id", "left_anti")
+    train = SP.hash_sample(kept, "doc_id", 0.8, seed=42).select(
+        "doc_id", F.length("text").cast("double").alias("wt")
+    )
+    packed = SP.pack_shards(train, "doc_id", "wt", 20_000)
+    return packed.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.sum("wt"), 2).alias("shard_chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 def _minhash_oracle(num_hashes: int = 64, bands: int = 16) -> str:
     rows = num_hashes // bands
     params = DD.minhash_params(num_hashes)
