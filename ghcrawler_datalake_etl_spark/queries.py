@@ -901,6 +901,86 @@ def stream_windowed_counts(spark, sf_dir):
 
 
 # =====================================================================
+# Analytics beyond the reference surface: percentiles, rollup, pivot
+# (the reference has NO aggregates at all - SURVEY.md 2.4 - these are
+# the missing-but-standard analytics a warehouse user expects)
+# =====================================================================
+
+@register(
+    "agg_value_percentiles",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           quantile_disc(value, 0.5) AS p50,
+           quantile_disc(value, 0.9) AS p90,
+           quantile_disc(value, 0.99) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_value_percentiles(spark, sf_dir):
+    """Exact DISCRETE percentiles (an actual data element, so the result
+    is bit-identical across engines - continuous interpolation is not:
+    (1-f)*a+f*b vs a+(b-a)*f differ in float rounding)."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_ev_pctl")
+    return spark.sql("""
+      SELECT event_type,
+             count(*) AS n,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+             percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90,
+             percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99
+      FROM _ev_pctl GROUP BY event_type
+    """)
+
+
+@register(
+    "agg_rollup_daily",
+    """
+    SELECT event_type, CAST(ts AS DATE)::VARCHAR AS day,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY ROLLUP(event_type, CAST(ts AS DATE)::VARCHAR)
+    """,
+)
+def agg_rollup_daily(spark, sf_dir):
+    """ROLLUP hierarchy (type+day / type / grand total) in one pass -
+    Spark plans one shuffle with grouping-set expansion map-side."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.rollup(
+        "event_type", F.col("ts").cast("date").cast("string").alias("day")
+    ).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "pivot_user_event_matrix",
+    f"""
+    SELECT user_id,
+           {", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+                      for t in _EVENT_TYPES)}
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_user_event_matrix(spark, sf_dir):
+    """Wide user x event-type count matrix. The pivot column list is
+    DECLARED, not discovered - at 100 TB an undeclared pivot forces an
+    extra distinct-scan job before the real one can even plan."""
+    ev = _t(spark, sf_dir, "events")
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, [t for t in _EVENT_TYPES])
+    )
+    return pivoted.select(
+        "user_id", *[F.col(t).alias(f"n_{t}") for t in _EVENT_TYPES]
+    )
+
+
+# =====================================================================
 # Deterministic sampling / splitting (training-data pipeline primitive)
 # =====================================================================
 
