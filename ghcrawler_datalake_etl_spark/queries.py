@@ -980,6 +980,162 @@ def pivot_user_event_matrix(spark, sf_dir):
     )
 
 
+@register(
+    "w3_lag_event_gaps",
+    """
+    SELECT user_id, event_id,
+           date_diff('second',
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                     ts) AS gap_s
+    FROM events
+    """,
+)
+def w3_lag_event_gaps(spark, sf_dir):
+    """LAG over a TOTAL order (ts, event_id) - the unique tiebreak is what
+    makes the result cross-engine deterministic. Integer seconds, so no
+    float canon issues; first event per user is NULL on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias(
+            "gap_s"
+        ),
+    )
+
+
+@register(
+    "w4_rank_quartiles",
+    """
+    SELECT c_custkey, c_mktsegment,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal DESC, c_custkey) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY floor(c_acctbal / 1000) DESC)
+    """,
+)
+def w4_rank_quartiles(spark, sf_dir):
+    """rank/dense_rank over a COARSE key (real ties - both are tie-stable,
+    so no tiebreak needed) plus ntile over a TOTAL order (ntile assigns by
+    row position, so it does need the unique tiebreak)."""
+    c = _t(spark, sf_dir, "customer")
+    w_tie = Window.partitionBy("c_mktsegment").orderBy(
+        F.floor(F.col("c_acctbal") / 1000).desc()
+    )
+    w_total = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w_tie).alias("rnk"),
+        F.dense_rank().over(w_tie).alias("drnk"),
+        F.ntile(4).over(w_total).alias("quartile"),
+    )
+
+
+@register(
+    "setop_user_cohorts",
+    """
+    SELECT 'both' AS cohort, user_id FROM
+      (SELECT user_id FROM events WHERE event_type = 'purchase'
+       INTERSECT
+       SELECT user_id FROM events WHERE event_type = 'error') t1
+    UNION ALL
+    SELECT 'purchase_only' AS cohort, user_id FROM
+      (SELECT user_id FROM events WHERE event_type = 'purchase'
+       EXCEPT
+       SELECT user_id FROM events WHERE event_type = 'error') t2
+    """,
+)
+def setop_user_cohorts(spark, sf_dir):
+    """INTERSECT / EXCEPT (distinct set semantics). Spark plans both as
+    aggregated joins: distinct -> left semi / left anti, all map-side
+    combinable; one scan feeds both branches."""
+    ev = _t(spark, sf_dir, "events")
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    errored = ev.filter(F.col("event_type") == "error").select("user_id")
+    both = purchasers.intersect(errored)
+    only = purchasers.subtract(errored)
+    return both.select(F.lit("both").alias("cohort"), "user_id").unionByName(
+        only.select(F.lit("purchase_only").alias("cohort"), "user_id")
+    )
+
+
+@register(
+    "q3_unshipped_topk",
+    """
+    SELECT o_orderkey, revenue, rnk FROM (
+      SELECT o.o_orderkey,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+             row_number() OVER (
+               ORDER BY round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                        DESC, o.o_orderkey) AS rnk
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        AND l.l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+      GROUP BY o.o_orderkey) t
+    WHERE rnk <= 10
+    """,
+)
+def q3_unshipped_topk(spark, sf_dir):
+    """TPC-H Q3 shape: selective join -> per-order revenue -> global top 10.
+    orderBy().limit(k) compiles to TakeOrderedAndProject: each partition
+    keeps its own k rows and only those merge at the driver - no global
+    sort, no single-task window, survives any row count. The rank column
+    is attached AFTER the limit (a window over 10 rows is free)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cut = "1995-03-15"
+    top = (
+        li.filter(F.col("l_shipdate") > cut)
+        .join(o.filter(F.col("o_orderdate") < cut), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+    return top.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        ),
+    )
+
+
+@register(
+    "cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total_price
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark, sf_dir):
+    """CUBE = all 4 grouping sets in one shuffle (grouping-set expansion
+    happens map-side, partials combine before the exchange)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
 # =====================================================================
 # Deterministic sampling / splitting (training-data pipeline primitive)
 # =====================================================================
