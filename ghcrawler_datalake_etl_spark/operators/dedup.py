@@ -636,3 +636,101 @@ def connected_components(
             break
     sym.unpersist()
     return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def _shingle_index(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> tuple[DataFrame, DataFrame]:
+    """Materialized (doc_id, sh) shingle frame (empty docs dropped) and
+    its inverted index (doc_id, shingle-hash). Same construction and
+    60-bit-hash convention as ngram_jaccard_pairs; see that docstring
+    for why the filter sits above the materialization."""
+    sh = _materialize(
+        fan_out(df).select(
+            F.col(id_col).alias("doc_id"),
+            shingles(F.col(text_col), n).alias("sh"),
+        )
+    ).filter(F.size("sh") > 0)
+    inv = sh.select("doc_id", F.explode("sh").alias("_s")).select(
+        "doc_id", stable_long_hash(F.col("_s")).alias("shingle")
+    )
+    return sh, inv
+
+
+def duplicate_span_fraction(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """First-occurrence span-dedup report (the C4/RefinedWeb move: keep a
+    repeated span only where the corpus first saw it): for each document,
+    the fraction of its distinct n-gram shingles already present in any
+    EARLIER document (smaller id = earlier corpus position).
+
+    Downstream either drops high-``dup_frac`` docs or rewrites them; the
+    report form keeps the operator composable with either policy.
+
+    Scale: one explode -> one map-side-combinable min() per shingle ->
+    one equi-join back on the shingle hash (co-partitioned with the
+    aggregate's exchange) -> one count per doc. No pairwise candidate
+    blow-up, no shingle strings past the first projection.
+    """
+    _, inv = _shingle_index(df, id_col, text_col, n)
+    first = inv.groupBy("shingle").agg(F.min("doc_id").alias("first_id"))
+    return (
+        inv.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_id") < F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_dup",
+            quantize(
+                F.col("n_dup").cast("double") / F.col("n_shingles"), 4
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def contamination_report(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: per candidate document, how many of its
+    distinct n-gram shingles appear anywhere in an evaluation/benchmark
+    set. Rows with n_eval_hits = 0 are kept (the report must cover every
+    candidate so a filter on it is total).
+
+    Scale: the eval side collapses to DISTINCT shingle hashes first -
+    for real benchmark suites that is millions of rows against a corpus
+    of trillions, so the join is broadcast-eligible; candidates shuffle
+    once on the hash.
+    """
+    sh, inv = _shingle_index(df, id_col, text_col, n)
+    eval_grams = (
+        _shingle_index(eval_df, id_col, text_col, n)[1]
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        inv.join(eval_grams, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_eval_hits"))
+    )
+    sizes = sh.select("doc_id", F.size("sh").alias("n_shingles"))
+    return sizes.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_eval_hits", F.lit(0)).alias("n_eval_hits"),
+        quantize(
+            F.coalesce("n_eval_hits", F.lit(0)).cast("double")
+            / F.col("n_shingles"),
+            4,
+        ).alias("contam_frac"),
+    )

@@ -1277,6 +1277,64 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return DD.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
 
 
+_SHINGLE_CTE_SQL = f"""
+    sh AS (
+      SELECT doc_id, {_SH_SQL} AS sh
+      FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) t
+      WHERE len({_SH_SQL}) > 0
+    )
+"""
+
+
+@register(
+    "dedup_span_first_occurrence",
+    f"""
+    WITH {_SHINGLE_CTE_SQL},
+    inv AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+    first AS (SELECT g, min(doc_id) AS first_id FROM inv GROUP BY g)
+    SELECT i.doc_id,
+           count(*) AS n_shingles,
+           count(*) FILTER (WHERE f.first_id < i.doc_id) AS n_dup,
+           floor(count(*) FILTER (WHERE f.first_id < i.doc_id)::DOUBLE
+                 / count(*) * 10000) / 10000 AS dup_frac
+    FROM inv i JOIN first f USING (g)
+    GROUP BY i.doc_id
+    """,
+)
+def dedup_span_first_occurrence(spark, sf_dir):
+    """C4/RefinedWeb-style span dedup report: per doc, the fraction of
+    its shingles first seen in an earlier doc (operators/dedup.py
+    duplicate_span_fraction)."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.duplicate_span_fraction(d, "doc_id", "text", n=3)
+
+
+@register(
+    "decontaminate_eval_overlap",
+    f"""
+    WITH {_SHINGLE_CTE_SQL},
+    ev AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 97 = 0),
+    cand AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 97 <> 0),
+    hits AS (SELECT c.doc_id, count(*) AS n_eval_hits
+             FROM cand c JOIN ev USING (g) GROUP BY c.doc_id)
+    SELECT s.doc_id, len(s.sh) AS n_shingles,
+           coalesce(h.n_eval_hits, 0) AS n_eval_hits,
+           floor(coalesce(h.n_eval_hits, 0)::DOUBLE / len(s.sh) * 10000)
+             / 10000 AS contam_frac
+    FROM sh s LEFT JOIN hits h USING (doc_id)
+    WHERE s.doc_id % 97 <> 0
+    """,
+)
+def decontaminate_eval_overlap(spark, sf_dir):
+    """Benchmark decontamination: candidate docs scored by n-gram overlap
+    against an eval set (here the deterministic doc_id % 97 == 0 slice;
+    operators/dedup.py contamination_report)."""
+    d = _t(spark, sf_dir, "documents")
+    eval_df = d.filter(F.col("doc_id") % 97 == 0)
+    cand_df = d.filter(F.col("doc_id") % 97 != 0)
+    return DD.contamination_report(cand_df, eval_df, "doc_id", "text", n=3)
+
+
 @register(
     "dedup_clusters",
     f"""
