@@ -84,6 +84,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+# DuckDB oracle fragments shared across document queries (defined early:
+# f-string oracles below evaluate at import time)
+_SH_SQL = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(toks) - 2, 0) + 1), "
+    "i -> array_to_string(toks[i:i+2], ' ')))"
+)
+_TOKS_SQL = (
+    f"list_filter(string_split_regex(lower(text), '{TX.TOKEN_SPLIT_RE}'), "
+    "x -> x <> '')"
+)
+
+
 # =====================================================================
 # Flagship + aggregation (A2, P7; TPC-H Q1 shape)
 # =====================================================================
@@ -967,16 +980,17 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 def pivot_user_event_matrix(spark, sf_dir):
     """Wide user x event-type count matrix. The pivot column list is
     DECLARED, not discovered - at 100 TB an undeclared pivot forces an
-    extra distinct-scan job before the real one can even plan."""
+    extra distinct-scan job before the real one can even plan. Written
+    as conditional aggregation rather than .pivot(): same result, ONE
+    exchange (df.pivot plans a (user,type) pre-aggregate plus a
+    pivotfirst aggregate = two shuffles; count-when is a single
+    map-side-combinable aggregate over user_id)."""
     ev = _t(spark, sf_dir, "events")
-    pivoted = (
-        ev.groupBy("user_id")
-        .pivot("event_type", _EVENT_TYPES)
-        .count()
-        .na.fill(0, [t for t in _EVENT_TYPES])
-    )
-    return pivoted.select(
-        "user_id", *[F.col(t).alias(f"n_{t}") for t in _EVENT_TYPES]
+    return ev.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ]
     )
 
 
@@ -1119,6 +1133,68 @@ def q3_unshipped_topk(spark, sf_dir):
 
 
 @register(
+    "w5_sliding_hour_frame",
+    """
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_prev_hour,
+           floor(max(value) OVER w * 10000) / 10000 AS max_prev_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def w5_sliding_hour_frame(spark, sf_dir):
+    """RANGE frame (trailing 1h per user). Only tie-stable aggregates
+    (count, max) - a float SUM over a frame is engine-dependent in the
+    last ulp (Spark adds sequentially, DuckDB uses a segment tree), so
+    it has no place in a hash-compared result. Spark range frames need a
+    numeric sort key: epoch seconds, frame [-3600, 0]."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_prev_hour"),
+        quantize(F.max("value").over(w), 4).alias("max_prev_hour"),
+    )
+
+
+@register(
+    "corpus_source_report",
+    f"""
+    SELECT source, lang,
+           count(*) AS n_docs,
+           sum(n_chars) AS sum_chars,
+           sum(len({_TOKS_SQL})) AS sum_tokens,
+           round(sum(n_chars)::DOUBLE / count(*), 2) AS avg_chars
+    FROM documents
+    GROUP BY source, lang
+    """,
+)
+def corpus_source_report(spark, sf_dir):
+    """Corpus composition report: doc/char/token budgets per (source,
+    lang) - the first query anyone runs before mixing training data.
+    Integer sums are exact; the mean is derived sum/count (NOT avg():
+    incremental float accumulation is engine-order-dependent)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.size(TX.tokenize(F.col("text")))).alias("sum_tokens"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count("*"), 2
+            ).alias("avg_chars"),
+        )
+    )
+
+
+@register(
     "cube_status_priority",
     """
     SELECT o_orderstatus, o_orderpriority,
@@ -1242,16 +1318,6 @@ def dedup_exact_groups(spark, sf_dir):
         F.min("doc_id").alias("canonical_id"), F.count("*").alias("dup_count")
     )
 
-
-_SH_SQL = (
-    "list_distinct(list_transform("
-    "range(1, greatest(len(toks) - 2, 0) + 1), "
-    "i -> array_to_string(toks[i:i+2], ' ')))"
-)
-_TOKS_SQL = (
-    f"list_filter(string_split_regex(lower(text), '{TX.TOKEN_SPLIT_RE}'), "
-    "x -> x <> '')"
-)
 
 
 _NGRAM_PAIRS_SQL = f"""

@@ -164,3 +164,36 @@ def test_staging_read_prunes_partitions(spark, tmp_path):
     pf = p.split("PartitionFilters")[1][:300]
     assert "ingest_date" in pf, "ingest_date filter not used for pruning"
     assert day.count() == 1
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, queries):
+    # orderBy+limit must compile to TakeOrderedAndProject (per-partition
+    # k then merge) - a global Sort before the limit would funnel every
+    # row through one ordering at 100 TB
+    p = plan(queries["q3_unshipped_topk"](spark, SF_DIR), "simple")
+    assert "TakeOrderedAndProject" in p
+    assert "GlobalLimit" not in p
+
+
+def test_grouping_sets_single_shuffle(spark, queries):
+    # rollup/cube = Expand + one aggregate exchange, not one job per set
+    for name in ("agg_rollup_daily", "cube_status_priority"):
+        p = plan(queries[name](spark, SF_DIR), "simple")
+        assert "Expand" in p, name
+        assert p.count("Exchange hashpartitioning") == 1, name
+
+
+def test_pivot_declared_columns_single_job(spark, queries):
+    # declared pivot values: one aggregate over user_id, no extra
+    # distinct-scan of event_type anywhere in the plan
+    p = plan(queries["pivot_user_event_matrix"](spark, SF_DIR), "simple")
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_span_dedup_no_pairwise_join(spark, queries):
+    # first-occurrence span dedup is index+join-back - any nested-loop /
+    # cartesian product means the pairwise blow-up snuck back in
+    for name in ("dedup_span_first_occurrence", "decontaminate_eval_overlap"):
+        p = plan(queries[name](spark, SF_DIR), "simple")
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
