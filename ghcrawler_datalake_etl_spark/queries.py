@@ -913,6 +913,43 @@ def stream_windowed_counts(spark, sf_dir):
     )
 
 
+@register(
+    "stream_static_enrich",
+    """
+    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, c_mktsegment,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY date_trunc('hour', ts), c_mktsegment
+    """,
+)
+def stream_static_enrich(spark, sf_dir):
+    """Stream-static enrichment then windowed aggregate - the batch twin
+    of streaming/ingest.py enrich_with_dim (the true streaming form is
+    pinned against this in tests/test_streaming_stateful.py). The dim
+    broadcasts, so on a stream each micro-batch joins without shuffling
+    the stream side."""
+    from ghcrawler_datalake_etl_spark.streaming.ingest import enrich_with_dim
+
+    ev = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = enrich_with_dim(ev, c, F.col("user_id") == F.col("c_custkey"))
+    return (
+        enriched.groupBy(
+            F.window("ts", "1 hour").alias("win"), F.col("c_mktsegment")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("win.start")).alias("window_start_us"),
+            "c_mktsegment",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 # =====================================================================
 # Analytics beyond the reference surface: percentiles, rollup, pivot
 # (the reference has NO aggregates at all - SURVEY.md 2.4 - these are

@@ -142,3 +142,24 @@ def windowed_event_counts(
         "n_events",
         "total_value",
     )
+
+
+def enrich_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    join_expr,
+    how: str = "inner",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static equi-join: each micro-batch joins the (re-read)
+    static dimension - the standard enrichment step before a windowed
+    aggregate. Works on a static frame too (the batch twin the oracle
+    checks).
+
+    Scale: stream-static joins replan per micro-batch, so a small dim
+    broadcasts every batch and the stream side never shuffles; set
+    ``broadcast_dim=False`` for a dim too large to broadcast (falls back
+    to a shuffled join on the batch's rows only).
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, join_expr, how)

@@ -198,3 +198,64 @@ def test_stream_dedup_absorbs_redelivery(spark, tmp_path):
 
     got = {(r["urn"], r["v"]) for r in spark.table("dedup_out").collect()}
     assert got == {("urn:a", 1), ("urn:b", 2), ("urn:c", 3)}, got
+
+
+@pytest.mark.slow
+def test_stream_static_enrich_matches_batch(spark, tmp_path):
+    """enrich_with_dim on a real stream (two micro-batches, complete
+    windowed agg) must equal the same plan run on the static union."""
+    from ghcrawler_datalake_etl_spark.streaming.ingest import enrich_with_dim
+
+    indir = tmp_path / "enrich_in"
+    indir.mkdir()
+    _write_batch(indir / "b1.json", BATCH_1)
+
+    dim = spark.createDataFrame(
+        [(1, "GOLD"), (2, "SILVER"), (3, "GOLD")], "user_id long, tier string"
+    )
+
+    def agg(df):
+        src = df
+        if src.isStreaming:
+            src = src.withWatermark("ts", "10 days")
+        enriched = enrich_with_dim(
+            src, dim, "user_id", how="inner"
+        )
+        return (
+            enriched.groupBy(
+                F.window("ts", "1 hour").alias("win"), F.col("tier")
+            )
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+            .select(
+                F.col("win.start").cast("string").alias("w"), "tier", "n", "v"
+            )
+        )
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir))
+    )
+    q = (
+        agg(stream)
+        .writeStream.format("memory")
+        .queryName("enrich_out")
+        .outputMode("complete")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(indir / "b2.json", BATCH_2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {tuple(r) for r in spark.table("enrich_out").collect()}
+    want = {
+        tuple(r)
+        for r in agg(
+            spark.read.schema(EVENT_SCHEMA).json(str(indir))
+        ).collect()
+    }
+    assert got == want and len(want) > 0
