@@ -343,3 +343,38 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def quantize_embeddings_int8(
+    df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = 127 / max|x|,
+    q[i] = floor(x[i] * scale + 0.5). 4x smaller embedding storage and
+    shuffle - at 100 TB the embedding column IS the bandwidth cost of
+    every similarity pass, and int8 dot products keep ~1e-2 cosine
+    accuracy, plenty for candidate generation (re-rank survivors in
+    float from the original column).
+
+    Determinism notes for the differential gate: all arithmetic is
+    forced to double (float32 inputs upcast exactly), and rounding is
+    the explicit floor(x + 0.5) - engines disagree on round()'s
+    half-case convention, floor does not. Zero/empty vectors get
+    scale 0 and an all-zero q.
+    """
+    x = F.col(vec_col)
+    mx = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    scale = F.when(mx > 0, F.lit(127.0) / mx).otherwise(F.lit(0.0))
+    # scale lands in its own projection so the transform below reads the
+    # materialized alias instead of re-deriving array_max per element
+    staged = df.select(F.col(id_col), x.alias("_v"), scale.alias("_scale"))
+    q = F.transform(
+        F.col("_v"),
+        lambda v: F.floor(v.cast("double") * F.col("_scale") + F.lit(0.5)).cast(
+            "int"
+        ),
+    )
+    return staged.select(
+        id_col,
+        q.alias("q8"),
+        quantize(F.col("_scale"), 6).alias("scale"),
+    )

@@ -914,6 +914,33 @@ def stream_windowed_counts(spark, sf_dir):
 
 
 @register(
+    "embedding_quantize_int8",
+    """
+    WITH s AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding, v -> abs(v::DOUBLE))) AS mx
+      FROM embeddings
+    )
+    SELECT e.vec_id,
+           list_transform(e.embedding,
+             v -> cast(floor(v::DOUBLE *
+                    (CASE WHEN s.mx > 0 THEN 127.0 / s.mx ELSE 0.0 END) + 0.5)
+                  AS INTEGER)) AS q8,
+           floor((CASE WHEN s.mx > 0 THEN 127.0 / s.mx ELSE 0.0 END)
+                 * 1000000) / 1000000 AS scale
+    FROM embeddings e JOIN s USING (vec_id)
+    """,
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization (operators/similarity.py
+    quantize_embeddings_int8): 4x smaller embedding storage/shuffle for
+    candidate-generation passes; floor(x+0.5) rounding because round()'s
+    half-case convention is engine-specific."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.quantize_embeddings_int8(emb, "vec_id", "embedding")
+
+
+@register(
     "stream_static_enrich",
     """
     SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, c_mktsegment,
