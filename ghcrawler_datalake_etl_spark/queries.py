@@ -1663,6 +1663,60 @@ def sim_knn_bruteforce(spark, sf_dir):
     return SIM.cosine_topk(e, queries_df, "vec_id", "embedding", k=5)
 
 
+@register(
+    "sim_knn_int8_dot",
+    """
+    WITH s AS (SELECT vec_id,
+                      list_max(list_transform(embedding, v -> abs(v::DOUBLE)))
+                        AS mx
+               FROM embeddings),
+    q AS (SELECT e.vec_id,
+                 list_transform(e.embedding,
+                   v -> floor(v::DOUBLE *
+                          (CASE WHEN s.mx > 0 THEN 127.0 / s.mx
+                                ELSE 0.0 END) + 0.5)) AS q8
+          FROM embeddings e JOIN s USING (vec_id))
+    SELECT query_id, neighbor_id, dot, rank FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             cast(list_dot_product(a.q8, b.q8) AS BIGINT) AS dot,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_dot_product(a.q8, b.q8) DESC, b.vec_id ASC)
+               AS rank
+      FROM q a, q b
+      WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id) t
+    WHERE rank <= 5
+    """,
+)
+def sim_knn_int8_dot(spark, sf_dir):
+    """The quantized candidate-generation pass end-to-end: int8 codes ->
+    top-k by INTEGER dot product (exact on both engines - no float-rank
+    ambiguity at the k-th place, unlike float cosine which needs the
+    quantize-then-rank trick above). At scale the codes are what
+    shuffles (4x less than float32); survivors re-rank in float."""
+    e = _t(spark, sf_dir, "embeddings")
+    q8 = SIM.quantize_embeddings_int8(e, "vec_id", "embedding")
+    queries_df = q8.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("q8").alias("qa")
+    )
+    corpus = q8.select(F.col("vec_id").alias("neighbor_id"), F.col("q8").alias("qb"))
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: (x * y).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        corpus.join(F.broadcast(queries_df))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", dot.alias("dot"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+
+
 def _ann_lsh_oracle(planes: int = 4, k: int = 5, dim: int = 64, seed: int = 7) -> str:
     """The LSH buckets are exactly reproducible: weights are fixed
     literals (similarity._plane_weights), bucket bit p = sign(w_p . x)."""
