@@ -122,3 +122,80 @@ def test_rolling_hash_composes(spark, a_toks, b_toks):
         got[1] * pow(TX.ROLL_B, len(b_toks), TX.ROLL_P) + got[2]
     ) % TX.ROLL_P
     assert got[3] == expect
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-10, 10, allow_nan=False, width=32),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_int8_quantization_bounds_and_error(spark, vecs):
+    """Codes stay in [-127, 127]; dequantized values reconstruct the
+    original within half a quantization step (|x| <= max|x|/254 + eps)."""
+    from ghcrawler_datalake_etl_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: (r["q8"], r["scale"])
+        for r in quantize_embeddings_int8(df, "vec_id", "embedding").collect()
+    }
+    for i, v in enumerate(vecs):
+        q8, scale = out[i]
+        assert all(-127 <= q <= 127 for q in q8)
+        mx = max(abs(x) for x in v)
+        if mx == 0:
+            assert scale == 0 and all(q == 0 for q in q8)
+            continue
+        step = mx / 127.0
+        for x, q in zip(v, q8):
+            assert abs(q * step - x) <= step / 2 + 1e-4 * mx
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=3, max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_span_fraction_bounds_and_first_doc_clean(spark, docs):
+    """dup_frac in [0,1]; the earliest doc never has a duplicated span;
+    identical docs after the first are 100% duplicated."""
+    from ghcrawler_datalake_etl_spark.operators.dedup import (
+        duplicate_span_fraction,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in duplicate_span_fraction(df, "doc_id", "text", n=3).collect()
+    }
+    if got:
+        first = min(got)
+        assert got[first]["n_dup"] == 0
+    for r in got.values():
+        assert 0 <= r["n_dup"] <= r["n_shingles"]
+        assert 0.0 <= r["dup_frac"] <= 1.0
+    # exact duplicate of the first doc -> everything already seen
+    dup_rows = rows + [(len(rows), rows[0][1])]
+    df2 = spark.createDataFrame(dup_rows, "doc_id long, text string")
+    got2 = {
+        r["doc_id"]: r
+        for r in duplicate_span_fraction(df2, "doc_id", "text", n=3).collect()
+    }
+    if len(rows[0][1].split()) >= 3:
+        assert got2[len(rows)]["dup_frac"] == 1.0
