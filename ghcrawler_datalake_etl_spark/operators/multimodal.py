@@ -176,3 +176,67 @@ def sample_frames(media: DataFrame, max_frames: int = 8) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+AUDIO_CHUNK_SCHEMA = (
+    "doc_id long, media_type string, chunk_idx int, "
+    "start_ms long, end_ms long, chunk binary"
+)
+
+# codec stub: 5 "ms" of fake audio per payload byte
+AUDIO_MS_PER_BYTE = 5
+
+
+def _decode_audio_duration_ms(content: bytes) -> int:
+    """STUB for the audio decode step (no audio libs in this
+    container): deterministic fake duration derived from payload size.
+    A real deployment swaps in soundfile/ffprobe behind the same
+    signature."""
+    return len(content) * AUDIO_MS_PER_BYTE
+
+
+def chunk_audio(media: DataFrame, chunk_ms: int = 1000) -> DataFrame:
+    """Split every audio row into fixed-duration chunks: the same
+    row-multiplying mapInPandas shape as sample_frames, with the extra
+    contract that the LAST chunk is truncated to the stream's duration
+    (end_ms = min((i+1)*chunk_ms, duration)) - the detail that matters
+    when chunk boundaries feed a transcription window downstream.
+
+    Chunk bytes are the codec stub sha256(content + b"@" + i); duration
+    is the stub above - both reproducible in SQL, so the query layer
+    carries a full DuckDB oracle despite the Python hop. Empty payloads
+    yield zero chunks (nothing to transcribe).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, mtypes, idxs, starts, ends, chunks = [], [], [], [], [], []
+            for doc_id, mtype, b in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["content"]
+            ):
+                b = b if b is not None else b""
+                dur = _decode_audio_duration_ms(b)
+                n = (dur + chunk_ms - 1) // chunk_ms
+                for i in range(n):
+                    ids.append(doc_id)
+                    mtypes.append(mtype)
+                    idxs.append(i)
+                    starts.append(i * chunk_ms)
+                    ends.append(min((i + 1) * chunk_ms, dur))
+                    chunks.append(
+                        hashlib.sha256(b + b"@" + str(i).encode()).digest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "media_type": mtypes,
+                    "chunk_idx": pd.Series(idxs, dtype="int32"),
+                    "start_ms": pd.Series(starts, dtype="int64"),
+                    "end_ms": pd.Series(ends, dtype="int64"),
+                    "chunk": chunks,
+                }
+            )
+
+    return media.mapInPandas(run, schema=AUDIO_CHUNK_SCHEMA)

@@ -2065,6 +2065,44 @@ def multimodal_features(spark, sf_dir):
 
 
 @register(
+    "multimodal_audio_chunks",
+    """
+    WITH m AS (
+      SELECT doc_id, coalesce(text, '') AS c FROM documents
+    ), n AS (
+      SELECT doc_id, c, strlen(c) * 5 AS dur_ms FROM m
+    ), e AS (
+      SELECT doc_id, c, dur_ms,
+             unnest(range(0, (dur_ms + 999) // 1000)) AS i
+      FROM n
+    )
+    SELECT doc_id, i::INT AS chunk_idx, (i * 1000)::BIGINT AS start_ms,
+           least((i + 1) * 1000, dur_ms)::BIGINT AS end_ms,
+           sha256(c || '@' || i) AS chunk_sha256
+    FROM e
+    """,
+)
+def multimodal_audio_chunks(spark, sf_dir):
+    """Audio chunking plumbing (operators/multimodal.py chunk_audio):
+    fixed-duration segments with a truncated final chunk, one row in ->
+    n rows out through Arrow-batched mapInPandas. Codec stub outputs
+    are sha256/length-derived, so the Python hop still carries an exact
+    DuckDB oracle."""
+    from ghcrawler_datalake_etl_spark.operators import multimodal as MM
+
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    media = MM.attach_binary(d, "doc_id", "text")
+    chunks = MM.chunk_audio(media, chunk_ms=1000)
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "start_ms",
+        "end_ms",
+        F.lower(F.hex("chunk")).alias("chunk_sha256"),
+    )
+
+
+@register(
     "multimodal_frames",
     """
     WITH m AS (
