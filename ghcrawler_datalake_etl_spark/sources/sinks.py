@@ -26,11 +26,18 @@ _POINTER = "_CURRENT"
 
 
 class ParquetCatalog:
-    """Warehouse of versioned parquet tables with atomic snapshot swap."""
+    """Warehouse of versioned parquet tables with atomic snapshot swap.
 
-    def __init__(self, spark: SparkSession, warehouse: str):
+    ``retain`` keeps that many trailing snapshots per table (>=1): the
+    previous version staying on disk is what makes the swap safe for a
+    reader mid-scan AND gives Delta/Iceberg-style time travel
+    (``read(name, version=...)``, ``versions``, ``vacuum``).
+    """
+
+    def __init__(self, spark: SparkSession, warehouse: str, retain: int = 2):
         self.spark = spark
         self.warehouse = warehouse
+        self.retain = max(1, retain)
         os.makedirs(warehouse, exist_ok=True)
 
     def _table_dir(self, name: str) -> str:
@@ -52,10 +59,33 @@ class ParquetCatalog:
     def exists(self, name: str) -> bool:
         return self.current_path(name) is not None
 
-    def read(self, name: str) -> DataFrame:
-        path = self.current_path(name)
-        if path is None:
-            raise FileNotFoundError(f"table {name} not in catalog {self.warehouse}")
+    def versions(self, name: str) -> list[int]:
+        """Snapshot versions still on disk, oldest first."""
+        tdir = self._table_dir(name)
+        if not os.path.isdir(tdir):
+            return []
+        return sorted(
+            int(d[1:])
+            for d in os.listdir(tdir)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+
+    def read(self, name: str, version: int | None = None) -> DataFrame:
+        """Read the current snapshot, or time-travel to ``version``
+        (must still be retained - see ``retain`` / ``vacuum``)."""
+        if version is None:
+            path = self.current_path(name)
+            if path is None:
+                raise FileNotFoundError(
+                    f"table {name} not in catalog {self.warehouse}"
+                )
+        else:
+            path = os.path.join(self._table_dir(name), f"v{version}")
+            if not os.path.isdir(path):
+                raise FileNotFoundError(
+                    f"table {name} version {version} not retained "
+                    f"(have {self.versions(name)})"
+                )
         return self.spark.read.parquet(path)
 
     def read_or_none(self, name: str) -> DataFrame | None:
@@ -91,8 +121,21 @@ class ParquetCatalog:
         with open(tmp_ptr, "w") as f:
             f.write(str(new))
         os.replace(tmp_ptr, os.path.join(tdir, _POINTER))  # atomic flip
-        if old is not None:
-            shutil.rmtree(os.path.join(tdir, f"v{old}"), ignore_errors=True)
+        self.vacuum(name, keep_last=self.retain)
+
+    def vacuum(self, name: str, keep_last: int = 1) -> list[int]:
+        """Drop all but the trailing ``keep_last`` snapshots; returns the
+        versions removed. Never removes the current pointer's target."""
+        keep_last = max(1, keep_last)
+        vs = self.versions(name)
+        cur = self._current_version(name)
+        drop = [v for v in vs[:-keep_last] if v != cur]
+        for v in drop:
+            shutil.rmtree(
+                os.path.join(self._table_dir(name), f"v{v}"),
+                ignore_errors=True,
+            )
+        return drop
 
     def tables(self) -> list[str]:
         return sorted(

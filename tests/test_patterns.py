@@ -309,3 +309,40 @@ def test_issue_labels_pattern_b_by_issue_urn(spark, warehouse):
     catalog, _ = warehouse
     got = rows(catalog, "IssueLabel", "IssueLabelId", "Name", "Color")
     assert got == [(0, "bug", "red"), (1, "p1", "blue")]
+
+
+def test_catalog_time_travel_and_vacuum(spark, tmp_path):
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"), retain=3)
+    for i in range(3):
+        cat.overwrite(
+            spark.createDataFrame([(i, f"snap{i}")], "k long, v string"),
+            "t",
+        )
+    assert cat.versions("t") == [0, 1, 2]
+    assert cat.read("t").collect()[0]["v"] == "snap2"
+    # time travel to a retained snapshot
+    assert cat.read("t", version=0).collect()[0]["v"] == "snap0"
+    # a fourth write rotates the oldest out (retain=3)
+    cat.overwrite(
+        spark.createDataFrame([(3, "snap3")], "k long, v string"), "t"
+    )
+    assert cat.versions("t") == [1, 2, 3]
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        cat.read("t", version=0)
+    # explicit vacuum keeps only the current snapshot
+    dropped = cat.vacuum("t", keep_last=1)
+    assert dropped == [1, 2]
+    assert cat.versions("t") == [3]
+    assert cat.read("t").collect()[0]["v"] == "snap3"
+
+
+def test_catalog_default_retention_protects_previous_reader(spark, tmp_path):
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    cat.overwrite(spark.createDataFrame([(1,)], "k long"), "t")
+    lazy_old = cat.read("t")  # plan pinned to v0's files
+    cat.overwrite(spark.createDataFrame([(2,)], "k long"), "t")
+    # default retain=2: v0 still on disk, the old plan must still run
+    assert lazy_old.collect()[0]["k"] == 1
+    assert cat.read("t").collect()[0]["k"] == 2

@@ -64,7 +64,8 @@ def test_parity_paths_have_no_python(spark, queries):
     """Every reference-parity operator must stay JVM-side (SURVEY.md 2.8);
     Python is allowed only in the explicitly-pandas extension paths."""
     pandas_ok = {"sim_knn_pandas_gemm", "multimodal_features",
-                 "multimodal_frames", "dedup_minhash_lsh",
+                 "multimodal_frames", "multimodal_audio_chunks",
+                 "dedup_minhash_lsh",
                  "dedup_simhash_values", "dedup_embedding_cosine"}
     for name, fn in entrymod.queries().items():
         p = plan(fn(spark, SF_DIR), "simple")
