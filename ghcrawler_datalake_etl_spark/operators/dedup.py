@@ -609,6 +609,11 @@ def connected_components(
             F.col("src").alias("node"), F.col("src").alias("label")
         )
     )
+    # labels are monotonically non-increasing per node, so the label SUM
+    # strictly decreases until the fixpoint: convergence is one cheap
+    # aggregate over the already-cached frame instead of an extra
+    # old-vs-new join per round
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iterations):
         nbr_min = (
             sym.join(labels, sym["dst"] == labels["node"])
@@ -624,16 +629,12 @@ def connected_components(
                 ).alias("label"),
             )
         )
-        changed = (
-            labels.alias("o")
-            .join(new_labels.alias("n"), "node")
-            .filter(F.col("o.label") != F.col("n.label"))
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     sym.unpersist()
     return labels.select("node", F.col("label").alias("cluster_id"))
 
