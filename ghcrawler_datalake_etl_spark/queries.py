@@ -1197,6 +1197,75 @@ def q3_unshipped_topk(spark, sf_dir):
 
 
 @register(
+    "q18_large_quantity_orders",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, round(t.total_qty, 2) AS total_qty
+    FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 150) t
+    JOIN orders o ON o.o_orderkey = t.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q18_large_quantity_orders(spark, sf_dir):
+    """TPC-H Q18 shape: aggregate -> HAVING -> join back to dims. The
+    HAVING filter runs on the aggregate's output partitioning, so the
+    big lineitem scan is reduced to the few qualifying orderkeys BEFORE
+    any join; quantities are whole numbers, so the double sum is exact
+    and the > 150 cut is engine-stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "subquery_lineitem_count",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           (SELECT count(*) FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey) AS n_lines
+    FROM orders o
+    WHERE (SELECT count(*) FROM lineitem l
+           WHERE l.l_orderkey = o.o_orderkey) >= 6
+    """,
+)
+def subquery_lineitem_count(spark, sf_dir):
+    """Correlated scalar subquery: Catalyst de-correlates it into an
+    aggregate + join (RewriteCorrelatedScalarSubquery), so the per-row
+    'subquery' costs one shuffle total, not one probe per row - the
+    property that lets subquery-style SQL survive 100 TB."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    o.createOrReplaceTempView("_sq_orders")
+    li.createOrReplaceTempView("_sq_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderpriority,
+               (SELECT count(*) FROM _sq_lineitem l
+                WHERE l.l_orderkey = o.o_orderkey) AS n_lines
+        FROM _sq_orders o
+        WHERE (SELECT count(*) FROM _sq_lineitem l
+               WHERE l.l_orderkey = o.o_orderkey) >= 6
+        """
+    )
+
+
+@register(
     "w5_sliding_hour_frame",
     """
     SELECT event_id, user_id,
