@@ -130,3 +130,33 @@ def interval_join(
         )
         .drop("_bin")
     )
+
+
+def fill_forward(
+    df: DataFrame,
+    cols: Sequence[str],
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+) -> DataFrame:
+    """Last-observation-carried-forward gap filling: for each column in
+    ``cols``, nulls take the most recent non-null value within the
+    partition under ``order_by`` (which must be a TOTAL order - include
+    a unique tiebreak column - or the fill is nondeterministic).
+
+    One window pass over a running ROWS frame: Spark keeps only the
+    current last-seen non-null per column in the frame state, so cost is
+    one shuffle on ``partition_by`` + a per-partition sort, independent
+    of gap length. The filled column keeps its source name with an
+    ``_filled`` suffix; originals are preserved.
+    """
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            f"{c}_filled", F.last(F.col(c), ignorenulls=True).over(w)
+        )
+    return out

@@ -1197,6 +1197,44 @@ def q3_unshipped_topk(spark, sf_dir):
 
 
 @register(
+    "locf_fill_forward",
+    """
+    WITH x AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'purchase'
+                  THEN json_extract_string(props, 'k')::BIGINT END AS obs
+      FROM events)
+    SELECT event_id, user_id, obs,
+           last_value(obs IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS obs_filled
+    FROM x
+    """,
+)
+def locf_fill_forward(spark, sf_dir):
+    """Last-observation-carried-forward (operators/temporal.py
+    fill_forward): only purchase events carry an observation; every
+    other event inherits the user's most recent one. Total order
+    (ts, event_id) makes the fill engine-deterministic; integer
+    observations keep the comparison exact."""
+    from ghcrawler_datalake_etl_spark.operators.temporal import fill_forward
+
+    ev = _t(spark, sf_dir, "events")
+    staged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.get_json_object("props", "$.k").cast("long"),
+        ).alias("obs"),
+    )
+    return fill_forward(
+        staged, ["obs"], partition_by=["user_id"], order_by=["ts", "event_id"]
+    ).select("event_id", "user_id", "obs", "obs_filled")
+
+
+@register(
     "q18_large_quantity_orders",
     """
     SELECT c.c_custkey, c.c_name, o.o_orderkey, round(t.total_qty, 2) AS total_qty
