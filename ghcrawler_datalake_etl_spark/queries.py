@@ -498,6 +498,40 @@ def asof_last_purchase(spark, sf_dir):
 
 
 @register(
+    "asof_next_purchase",
+    """
+    SELECT e.event_id, e.user_id, e.ts, p.pts AS next_purchase_ts
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click') e
+    ASOF LEFT JOIN (SELECT user_id, ts AS pts FROM events
+                    WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND p.pts >= e.ts
+    """,
+)
+def asof_next_purchase(spark, sf_dir):
+    """Forward as-of join: every click matched to the same user's NEXT
+    purchase at-or-after it (time-to-conversion analyses). Same
+    single-shuffle merge as the backward form with the sort mirrored;
+    the oracle flips DuckDB ASOF's inequality."""
+    from ghcrawler_datalake_etl_spark.operators import temporal as TP
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    return TP.asof_join(
+        clicks, purchases, ["user_id"], "ts", "pts", direction="forward",
+        suffix="",
+    ).select(
+        "event_id", "user_id", "ts",
+        F.col("pts").alias("next_purchase_ts"),
+    )
+
+
+@register(
     "range_interval_join",
     """
     SELECT s.user_id AS window_user, s.ts AS window_start,
