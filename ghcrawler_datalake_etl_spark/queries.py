@@ -1231,6 +1231,51 @@ def q3_unshipped_topk(spark, sf_dir):
 
 
 @register(
+    "funnel_click_to_purchase",
+    """
+    WITH c AS (SELECT user_id, min(ts) AS first_click
+               FROM events WHERE event_type = 'click' GROUP BY user_id),
+    p AS (SELECT c.user_id, min(e.ts) AS conv_ts
+          FROM c JOIN events e
+            ON e.user_id = c.user_id AND e.event_type = 'purchase'
+           AND e.ts >= c.first_click
+          GROUP BY c.user_id)
+    SELECT c.user_id, epoch_us(c.first_click) AS first_click_us,
+           epoch_us(p.conv_ts) AS conv_us,
+           date_diff('second', c.first_click, p.conv_ts) AS secs_to_convert
+    FROM c LEFT JOIN p USING (user_id)
+    """,
+)
+def funnel_click_to_purchase(spark, sf_dir):
+    """Ordered two-step funnel: first click, then the first purchase
+    AT-OR-AFTER it (the ordering constraint is what separates a funnel
+    from two independent mins); non-converters kept with NULLs. Two
+    map-side-combinable min-aggregates + one join - no per-user event
+    sorting, so it scales with users, not events."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") >= F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    return clicks.join(conv, "user_id", "left").select(
+        "user_id",
+        F.unix_micros("first_click").alias("first_click_us"),
+        F.unix_micros("conv_ts").alias("conv_us"),
+        (
+            F.unix_timestamp("conv_ts") - F.unix_timestamp("first_click")
+        ).alias("secs_to_convert"),
+    )
+
+
+@register(
     "locf_fill_forward",
     """
     WITH x AS (
