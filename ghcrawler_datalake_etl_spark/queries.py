@@ -956,10 +956,10 @@ def stream_windowed_counts(spark, sf_dir):
       FROM embeddings
     )
     SELECT e.vec_id,
-           list_transform(e.embedding,
-             v -> cast(floor(v::DOUBLE *
+           array_to_string(list_transform(e.embedding,
+             v -> cast(cast(floor(v::DOUBLE *
                     (CASE WHEN s.mx > 0 THEN 127.0 / s.mx ELSE 0.0 END) + 0.5)
-                  AS INTEGER)) AS q8,
+                  AS INTEGER) AS VARCHAR)), ',') AS q8_csv,
            floor((CASE WHEN s.mx > 0 THEN 127.0 / s.mx ELSE 0.0 END)
                  * 1000000) / 1000000 AS scale
     FROM embeddings e JOIN s USING (vec_id)
@@ -969,9 +969,19 @@ def embedding_quantize_int8(spark, sf_dir):
     """Symmetric per-vector int8 quantization (operators/similarity.py
     quantize_embeddings_int8): 4x smaller embedding storage/shuffle for
     candidate-generation passes; floor(x+0.5) rounding because round()'s
-    half-case convention is engine-specific."""
+    half-case convention is engine-specific. The q8 array is projected
+    to a CSV string here: the driver's canonicalizer pandas-sorts every
+    output column and list values are unhashable - result columns must
+    be scalar."""
     emb = _t(spark, sf_dir, "embeddings")
-    return SIM.quantize_embeddings_int8(emb, "vec_id", "embedding")
+    q = SIM.quantize_embeddings_int8(emb, "vec_id", "embedding")
+    return q.select(
+        "vec_id",
+        F.array_join(
+            F.transform(F.col("q8"), lambda v: v.cast("string")), ","
+        ).alias("q8_csv"),
+        "scale",
+    )
 
 
 @register(
@@ -1418,9 +1428,9 @@ def w5_sliding_hour_frame(spark, sf_dir):
     f"""
     SELECT source, lang,
            count(*) AS n_docs,
-           sum(n_chars) AS sum_chars,
-           sum(len({_TOKS_SQL})) AS sum_tokens,
-           round(sum(n_chars)::DOUBLE / count(*), 2) AS avg_chars
+           cast(sum(n_chars) AS BIGINT) AS sum_chars,
+           cast(sum(len({_TOKS_SQL})) AS BIGINT) AS sum_tokens,
+           floor(sum(n_chars)::DOUBLE / count(*) * 100) / 100 AS avg_chars
     FROM documents
     GROUP BY source, lang
     """,
@@ -1428,8 +1438,11 @@ def w5_sliding_hour_frame(spark, sf_dir):
 def corpus_source_report(spark, sf_dir):
     """Corpus composition report: doc/char/token budgets per (source,
     lang) - the first query anyone runs before mixing training data.
-    Integer sums are exact; the mean is derived sum/count (NOT avg():
-    incremental float accumulation is engine-order-dependent)."""
+    Integer sums are exact (cast BIGINT in the oracle: DuckDB sum(int)
+    is HUGEINT, which pandas reads as float64 and hash-mismatches); the
+    mean is derived sum/count quantized floor-style (NOT avg()/round():
+    float accumulation order and round() half-cases are engine-specific).
+    """
     d = _t(spark, sf_dir, "documents")
     return (
         d.groupBy("source", "lang")
@@ -1437,7 +1450,7 @@ def corpus_source_report(spark, sf_dir):
             F.count("*").alias("n_docs"),
             F.sum("n_chars").alias("sum_chars"),
             F.sum(F.size(TX.tokenize(F.col("text")))).alias("sum_tokens"),
-            F.round(
+            quantize(
                 F.sum("n_chars").cast("double") / F.count("*"), 2
             ).alias("avg_chars"),
         )

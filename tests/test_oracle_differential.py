@@ -32,6 +32,65 @@ def ddb():
     return con
 
 
+#: the driver canonicalizes by pandas sort_values over every output
+#: column, which requires hashable (scalar) cells - a list/map/struct
+#: column passes a naive str() comparison locally but kills the driver
+#: row with "unhashable type: 'list'". Reject them here first.
+_SCALAR_TYPES = (bool, int, float, str, bytes, bytearray)
+
+
+def assert_driver_sortable(name, cols, rows):
+    import datetime
+    import decimal
+
+    ok = _SCALAR_TYPES + (
+        datetime.date,
+        datetime.datetime,
+        decimal.Decimal,
+    )
+    for r in rows[:100]:
+        for c, v in zip(cols, r):
+            assert v is None or isinstance(v, ok), (
+                f"{name}.{c}: non-scalar value type {type(v).__name__} - "
+                "the driver's pandas canonicalizer cannot sort it; project "
+                "arrays to csv/digest or posexplode to rows"
+            )
+
+
+#: DuckDB type buckets that land in pandas as integers vs floats. The
+#: driver compares via pandas, so sum(int) -> HUGEINT -> float64 while
+#: Spark emits int64: identical values, different hash. fetchall() hides
+#: this (HUGEINT -> Python int), so check declared types statically.
+_DUCK_INT = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
+             "USMALLINT", "UINTEGER", "UBIGINT"}
+_DUCK_FLOAT = {"FLOAT", "DOUBLE"}
+_SPARK_INT = {"tinyint", "smallint", "int", "bigint"}
+_SPARK_FLOAT = {"float", "double"}
+
+
+def assert_pandas_type_parity(name, sdf, ddb, sql):
+    dtypes = {
+        r[0].lower(): r[1].upper()
+        for r in ddb.execute(f"DESCRIBE {sql}").fetchall()
+    }
+    for field in sdf.schema.fields:
+        dt = dtypes.get(field.name.lower())
+        if dt is None:
+            continue
+        st = field.dataType.simpleString()
+        if st in _SPARK_INT:
+            assert dt in _DUCK_INT, (
+                f"{name}.{field.name}: Spark {st} vs DuckDB {dt} - pandas "
+                "reads HUGEINT/DOUBLE as float64 and the driver hash "
+                "diverges; cast the oracle expression AS BIGINT"
+            )
+        if st in _SPARK_FLOAT:
+            assert dt in _DUCK_FLOAT, (
+                f"{name}.{field.name}: Spark {st} vs DuckDB {dt} - driver "
+                "hash will diverge; align the oracle cast"
+            )
+
+
 def canon(v):
     if v is None:
         return "NULL"
@@ -59,6 +118,8 @@ def test_query_matches_oracle(spark, ddb, name):
     sdf = qfn(spark, SF_DIR)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
+    assert_driver_sortable(name, scols, srows)
+    assert_pandas_type_parity(name, sdf, ddb, entrymod.oracle_sql()[name])
     res = ddb.execute(entrymod.oracle_sql()[name])
     dcols = [d[0] for d in res.description]
     drows = res.fetchall()
