@@ -1,0 +1,78 @@
+"""The build driver verifies only the first 50 registry entries; pin the
+invariant that every distinct component family is inside that window
+(round 1 shipped the whole extension layer at positions 51-72 and got
+zero driver CORRECTNESS rows for it)."""
+
+import __spark_entry__ as entrymod
+
+WINDOW = 50
+
+#: families that must each have every member in the driver window
+EXTENSION_PREFIXES = (
+    "dedup_",
+    "sim_",
+    "text_",
+    "pipeline_",
+    "multimodal_",
+    "embedding_",
+    "sample_",
+    "split_",
+    "pack_",
+    "corpus_",
+)
+
+#: one in-window query per SURVEY section-2 operator family
+PARITY_CORE = {
+    "q1_pricing_summary",
+    "p1_eq_filter",
+    "p2_like_filter",
+    "p3_isin_filter",
+    "p5_string_predicates",
+    "w1_latest_event_per_user",
+    "w2_distinct_keys",
+    "j1_inner_join_agg",
+    "j2_anti_join",
+    "j3_join_chain_q5",
+    "j4_semi_join",
+    "a1_collect_reassembly",
+    "a4_union_all_agg",
+    "f1_json_extract",
+    "f3_pii_pseudonymize",
+    "f10_greatest_last_touched",
+    "x3_posexplode_tokens",
+    "pattern_a_snapshot_upsert",
+    "pattern_b_array_child",
+    "pattern_c_collection_refresh",
+    "pattern_d_traffic_series",
+    "pattern_e_version_log",
+    "sessionize_events",
+}
+
+
+def test_every_extension_query_in_driver_window():
+    names = list(entrymod.queries())
+    window = set(names[:WINDOW])
+    stragglers = [
+        n for n in names
+        if n.startswith(EXTENSION_PREFIXES) and n not in window
+    ]
+    assert not stragglers, (
+        f"extension queries outside the driver's first-{WINDOW} window "
+        f"(no CORRECTNESS row will be recorded): {stragglers}"
+    )
+
+
+def test_parity_core_in_driver_window():
+    names = list(entrymod.queries())
+    window = set(names[:WINDOW])
+    missing = sorted(PARITY_CORE - window)
+    assert not missing, f"parity core outside driver window: {missing}"
+
+
+def test_queries_and_oracles_align():
+    qs = entrymod.queries()
+    os_ = entrymod.oracle_sql()
+    assert set(os_) <= set(qs)
+    # oracle iteration order must follow the query order (the driver
+    # zips by position in some paths; keep them identical)
+    assert [n for n in qs if n in os_] == list(os_)
