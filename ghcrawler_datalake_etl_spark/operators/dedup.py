@@ -477,51 +477,78 @@ def embedding_cosine_pairs_gemm(
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
+    num_blocks: int = 8,
 ) -> DataFrame:
-    """Embedding near-dup pairs via blocked numpy GEMM (the throughput
-    form of embedding_cosine_pairs): each Arrow batch of the row side
-    multiplies against the broadcast column side in one BLAS call
-    instead of 2M interpreted per-pair folds.
+    """Embedding near-dup pairs via triangular-blocked numpy GEMM (the
+    throughput form of embedding_cosine_pairs): rows are hashed into
+    ``num_blocks`` blocks, every unordered block pair (i, j), i <= j,
+    becomes one cogroup task, and each task scores its two blocks with a
+    single BLAS call.
 
-    All-pairs cosine is O(n^2) whichever way - at warehouse scale run
-    LSH/IVF candidate generation first and reserve this for within-bucket
-    verification; the broadcast side must fit an executor (block it
-    externally if not). float64 summation order differs from a
-    sequential fold by ~1e-15, so the quantized output can in principle
-    differ from the fold form on exact grid boundaries (~1e-10/pair).
+    Fully distributed: no driver collect, no broadcast - executor memory
+    holds at most two blocks (~2n/B rows), so ``num_blocks`` is the knob
+    that fits the corpus to the cluster (B blocks -> ~(B+1)/2 x shuffle
+    replication, n^2/B^2 work per task). All-pairs cosine is O(n^2)
+    whichever way - at warehouse scale run LSH/IVF candidate generation
+    first (similarity.ann_lsh_topk / ivf_topk) and reserve this for
+    within-bucket verification. Each pair's dot is one contiguous numpy
+    reduction exactly as in the unblocked form, so results are
+    bit-identical to it; float64 summation order differs from the
+    sequential zip_with fold by ~1e-15, which the 1e-4 quantization
+    absorbs except on exact grid boundaries (~1e-10/pair).
     """
     import numpy as np
-    from collections.abc import Iterator
 
     proj = fan_out(df).select(
         F.col(id_col).alias("doc_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
     )
-    all_rows = proj.collect()
-    b_ids = np.array([r["doc_id"] for r in all_rows], dtype=np.int64)
-    b_mat = np.array([r["vec"] for r in all_rows], dtype=np.float64)
-    b_norm = np.sqrt((b_mat * b_mat).sum(axis=1))
+    blk = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(num_blocks)).cast("int")
+    # row in block p joins every pair (bi=p, bj>=p) as the left side and
+    # every pair (bi<=p, bj=p) as the right side; each unordered block
+    # pair is materialized exactly once.
+    left = proj.withColumn("bi", blk).withColumn(
+        "bj", F.explode(F.sequence(F.col("bi"), F.lit(num_blocks - 1)))
+    )
+    right = proj.withColumn("bj", blk).withColumn(
+        "bi", F.explode(F.sequence(F.lit(0), F.col("bj")))
+    )
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            a_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-            a_mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
-            a_norm = np.sqrt((a_mat * a_mat).sum(axis=1))
-            sims = (a_mat @ b_mat.T) / np.outer(a_norm, b_norm)
-            ai, bi = np.nonzero((sims >= threshold) & (a_ids[:, None] < b_ids[None, :]))
-            if not len(ai):
-                continue
-            yield pd.DataFrame(
-                {
-                    "id_a": a_ids[ai],
-                    "id_b": b_ids[bi],
-                    "cosine": np.floor(sims[ai, bi] * 1e4) / 1e4,
-                }
-            )
+    def score_blocks(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        if not len(lpdf) or not len(rpdf):
+            return empty
+        a_ids = lpdf["doc_id"].to_numpy(dtype=np.int64)
+        b_ids = rpdf["doc_id"].to_numpy(dtype=np.int64)
+        a_mat = np.stack(lpdf["vec"].to_numpy()).astype(np.float64)
+        b_mat = np.stack(rpdf["vec"].to_numpy()).astype(np.float64)
+        a_norm = np.sqrt((a_mat * a_mat).sum(axis=1))
+        b_norm = np.sqrt((b_mat * b_mat).sum(axis=1))
+        sims = (a_mat @ b_mat.T) / np.outer(a_norm, b_norm)
+        # same-block groups see each unordered pair twice (left set ==
+        # right set): keep strictly-less to drop self-pairs and mirrors.
+        # cross-block groups see each pair exactly once but in arbitrary
+        # id order: keep all and emit as (min, max).
+        keep = sims >= threshold
+        if lpdf["bi"].iloc[0] == lpdf["bj"].iloc[0]:
+            keep &= a_ids[:, None] < b_ids[None, :]
+        ai, bi = np.nonzero(keep)
+        if not len(ai):
+            return empty
+        pa, pb = a_ids[ai], b_ids[bi]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(pa, pb),
+                "id_b": np.maximum(pa, pb),
+                "cosine": np.floor(sims[ai, bi] * 1e4) / 1e4,
+            }
+        )
 
-    return proj.mapInPandas(score, schema="id_a long, id_b long, cosine double")
+    return (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(score_blocks, schema="id_a long, id_b long, cosine double")
+    )
 
 
 def embedding_cosine_pairs(
@@ -612,8 +639,11 @@ def connected_components(
     # labels are monotonically non-increasing per node, so the label SUM
     # strictly decreases until the fixpoint: convergence is one cheap
     # aggregate over the already-cached frame instead of an extra
-    # old-vs-new join per round
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # old-vs-new join per round. Summed as decimal(38,0): node ids may be
+    # 60-bit hashes, whose int64 sum overflows after a handful of rows
+    # (ANSI mode would throw mid-iteration).
+    _label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_label_sum).collect()[0][0]
     for _ in range(max_iterations):
         nbr_min = (
             sym.join(labels, sym["dst"] == labels["node"])
@@ -629,7 +659,7 @@ def connected_components(
                 ).alias("label"),
             )
         )
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        new_sum = new_labels.agg(_label_sum).collect()[0][0]
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:

@@ -582,3 +582,57 @@ def test_connected_components_chain_and_cliques(spark):
            for r in D.connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_embedding_cosine_gemm_is_lazy_and_distributed(spark, sf_dir):
+    """Regression: the GEMM pair scorer used to .collect() the whole
+    corpus onto the driver at plan-BUILD time (a driver OOM at scale).
+    The blocked form must (a) build without running any Spark job and
+    (b) plan as a cogrouped pandas op, not a broadcast of the corpus."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sc = spark.sparkContext
+    sc.setJobGroup("gemm-build-probe", "no jobs may run during plan build")
+    try:
+        df = D.embedding_cosine_pairs_gemm(emb, "vec_id", "embedding",
+                                           threshold=0.4)
+        jobs = sc.statusTracker().getJobIdsForGroup("gemm-build-probe")
+        assert jobs == [], f"plan build ran driver-side jobs: {jobs}"
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_embedding_cosine_gemm_block_counts(spark):
+    """Every unordered pair must appear exactly once whatever block the
+    hash assigns - exercise odd block counts incl. B > n and B = 1."""
+    import itertools
+    rows = [(i, [float(i == j) + 0.5 for j in range(4)]) for i in range(9)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    expect = sorted(
+        (a, b) for a, b in itertools.combinations(range(9), 2)
+    )
+    for nb in (1, 3, 16):
+        got = sorted(
+            (r.id_a, r.id_b)
+            for r in D.embedding_cosine_pairs_gemm(
+                vecs, "vec_id", "embedding", threshold=0.0, num_blocks=nb
+            ).collect()
+        )
+        assert got == expect, f"num_blocks={nb}"
+
+
+def test_connected_components_huge_ids_no_overflow(spark):
+    """Regression: the convergence check sums labels; 60-bit hash ids
+    overflow an int64 sum after a handful of rows (ANSI mode throws).
+    Labels must be summed as unbounded decimal."""
+    base = (1 << 60) + 7
+    pairs = spark.createDataFrame(
+        [(base + i, base + i + 1) for i in range(0, 30, 2)]
+        + [(base + 1, base + 2)],  # chain two pairs together
+        "id_a long, id_b long",
+    )
+    out = D.connected_components(pairs)
+    got = {r.node: r.cluster_id for r in out.collect()}
+    assert got[base + 3] == base  # 0-1-2-3 chained via (1,2)
+    assert got[base + 4] == base + 4
