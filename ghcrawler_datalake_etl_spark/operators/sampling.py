@@ -106,6 +106,7 @@ def pack_shards(
     weight_col: str,
     budget: int | float,
     shard_col: str = "shard_id",
+    num_bins: int | None = None,
 ) -> DataFrame:
     """Assign rows to consecutive shards of ~``budget`` total weight
     (e.g. documents into training shards of ~100M tokens each).
@@ -117,19 +118,75 @@ def pack_shards(
     filling (shards overflow by at most one row; none but the last is
     underfull).
 
-    Scale: one range-partitioned sort-shuffle (Spark's distributed sort)
-    + a running-frame window; no driver-side loop. At 100 TB pre-bin
-    the keys (e.g. by hash_bucket range) and pack within bins to keep a
-    single global sort from becoming the critical path - the in-bin
-    layout is identical.
+    Computed as a two-level cumulative sum so no stage ever funnels the
+    dataset through one task (a bare ``Window.orderBy`` would):
+
+    1. range-partition by key into ``num_bins`` contiguous key ranges
+       (Spark's distributed sort machinery picks the boundaries);
+    2. per-bin exclusive running sum - a window PARTITIONED by bin, so
+       every bin sorts and sums in parallel;
+    3. per-bin totals (num_bins rows) get an exclusive prefix sum on
+       the driver-scale frame and broadcast back as each bin's offset.
+
+    bin_offset + in-bin cumsum equals the global key-order cumsum for
+    ANY contiguous binning, so the result is independent of where the
+    sampled range boundaries land (and identical to the single-window
+    form). Equal keys always share a bin (range partitioner contract),
+    so tie handling is unchanged.
+
+    The binned frame is persisted eagerly before fan-in: both consumers
+    (the per-bin cumsum and the bin-totals aggregate) must observe ONE
+    range partitioning, and Spark cannot ReuseExchange here because
+    ``spark_partition_id()`` is non-deterministic, so without the
+    materialization each branch would re-sample its own boundaries.
     """
     from pyspark.sql import Window
 
-    w = (
-        Window.orderBy(F.col(key_col))
+    from ghcrawler_datalake_etl_spark.operators.dedup import _materialize
+
+    spark = df.sparkSession
+    if num_bins is None:
+        num_bins = max(int(spark.sparkContext.defaultParallelism), 1)
+
+    binned = _materialize(
+        df.repartitionByRange(num_bins, F.col(key_col)).withColumn(
+            "_bin", F.spark_partition_id()
+        )
+    )
+
+    in_bin = (
+        Window.partitionBy("_bin")
+        .orderBy(F.col(key_col))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cum = F.coalesce(F.sum(F.col(weight_col)).over(w), F.lit(0.0))
-    return df.withColumn(
-        shard_col, F.floor(cum / F.lit(float(budget))).cast("long")
+    wt = F.coalesce(F.col(weight_col).cast("double"), F.lit(0.0))
+    with_cum = binned.withColumn(
+        "_cum_in_bin", F.coalesce(F.sum(wt).over(in_bin), F.lit(0.0))
+    )
+
+    bins = Window.orderBy("_bin").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        binned.groupBy("_bin")
+        .agg(F.sum(wt).alias("_bin_wt"))
+        # this window IS single-partition - over num_bins rows, not data
+        .select(
+            F.col("_bin").alias("_obin"),
+            F.coalesce(F.sum("_bin_wt").over(bins), F.lit(0.0)).alias(
+                "_bin_offset"
+            ),
+        )
+    )
+
+    return (
+        with_cum.join(
+            F.broadcast(offsets), F.col("_bin") == F.col("_obin"), "left"
+        )
+        .withColumn(
+            shard_col,
+            F.floor(
+                (F.coalesce(F.col("_bin_offset"), F.lit(0.0)) + F.col("_cum_in_bin"))
+                / F.lit(float(budget))
+            ).cast("long"),
+        )
+        .drop("_bin", "_obin", "_cum_in_bin", "_bin_offset")
     )

@@ -198,3 +198,42 @@ def test_span_dedup_no_pairwise_join(spark, queries):
         p = plan(queries[name](spark, SF_DIR), "simple")
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_pack_shards_no_global_single_partition_sort(spark):
+    """pack_shards' cumulative sum must be two-level (bin-partitioned
+    window + tiny offsets frame), never one Window.orderBy funnelling
+    the dataset through a single task. The only SinglePartition exchange
+    allowed is the one over the num_bins-row offsets aggregate."""
+    from pyspark.sql import Window
+
+    from ghcrawler_datalake_etl_spark.operators.sampling import pack_shards
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", F.length("text").alias("wt")
+    )
+    out = pack_shards(d, "doc_id", "wt", 50000, num_bins=8)
+    p = plan(out)
+    # the data-bearing window partitions by bin
+    assert "windowspecdefinition(_bin" in p
+    # binned frame is materialized once (cache scan), so both consumers
+    # observe the same non-deterministic spark_partition_id binning
+    assert "InMemoryTableScan" in p or "InMemoryRelation" in p
+    # exact same assignment as the reference single-window form
+    ref = d.withColumn(
+        "shard_id",
+        F.floor(
+            F.coalesce(
+                F.sum(F.col("wt").cast("double")).over(
+                    Window.orderBy("doc_id").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0.0),
+            )
+            / 50000.0
+        ).cast("long"),
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, ref.collect())
+    )
