@@ -157,6 +157,94 @@ def cosine_topk_pandas(
     )
 
 
+def int8_dot_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k by INTEGER dot product over int8-quantized codes, with BOTH
+    the quantization and the scoring done in one Arrow-batched numpy
+    pass (the zip_with/aggregate expression form runs interpreted and
+    loses the 4x bandwidth win back in expression-walk time; even the
+    Column-expression quantize pass alone costs more than the GEMM).
+
+    Quantization is bit-identical to quantize_embeddings_int8:
+    q = floor(v * (127 / max|v|) + 0.5) in float64 (float32 inputs
+    upcast exactly; same IEEE division and floor on both paths), so this
+    shares the oracle of the expression pipeline.
+
+    Exactness of the dot: q8 entries are in [-127, 127], so every
+    partial product (<= 16129) and every dot over any realistic dim
+    (< 2^38 total) is an integer far below 2^53 - a float64 BLAS GEMM
+    computes them exactly in any summation order; the result casts back
+    to int64 losslessly.
+
+    Integer dots tie often (unlike float cosine), so the per-batch
+    candidate cut sorts lexicographically by (dot desc, neighbor id asc)
+    - the same total order as the final window - or a tying neighbor
+    with a lower id could be cut from one batch and wrongly survive from
+    another.
+
+    Returns (query_id, neighbor_id, dot, rank); self-matches excluded.
+    """
+    import numpy as np
+
+    def _q8(mat: "np.ndarray") -> "np.ndarray":
+        mx = np.abs(mat).max(axis=1)
+        scale = np.where(mx > 0, 127.0 / np.where(mx > 0, mx, 1.0), 0.0)
+        return np.floor(mat * scale[:, None] + 0.5)
+
+    qpd = queries.select(
+        F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("vec")
+    ).toPandas()
+    q_ids = qpd["qid"].to_numpy()
+    q_mat = _q8(np.stack(qpd["vec"].to_numpy()))  # float64-exact int values
+
+    corpus_proj = fan_out(corpus).select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("vec")
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf["neighbor_id"].to_numpy()
+            c_mat = _q8(np.stack(pdf["vec"].to_numpy()))
+            dots = (c_mat @ q_mat.T).astype(np.int64)  # (batch, nq), exact
+            # self-match sentinel: strictly below any real dot, but NOT
+            # int64 min - lexsort negates the key and -int64.min wraps
+            # back to the minimum, which would sort the masked row FIRST
+            dots[c_ids[:, None] == q_ids[None, :]] = -(1 << 62)
+            top = min(k, len(c_ids))
+            out_q, out_n, out_d = [], [], []
+            for j in range(len(q_ids)):
+                order = np.lexsort((c_ids, -dots[:, j]))[:top]
+                out_q.append(np.full(top, q_ids[j]))
+                out_n.append(c_ids[order])
+                out_d.append(dots[order, j])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "dot": np.concatenate(out_d),
+                }
+            )
+
+    scored = corpus_proj.mapInPandas(
+        score, schema="query_id long, neighbor_id long, dot long"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot", "rank")
+    )
+
+
 def _plane_weights(dim: int, planes: int, seed: int) -> list[list[float]]:
     """Portable pseudo-random hyperplane weights, computed ONCE in Python
     (they are row-independent - deriving them with hash expressions would

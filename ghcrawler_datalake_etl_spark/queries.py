@@ -1892,28 +1892,16 @@ def sim_knn_int8_dot(spark, sf_dir):
     top-k by INTEGER dot product (exact on both engines - no float-rank
     ambiguity at the k-th place, unlike float cosine which needs the
     quantize-then-rank trick above). At scale the codes are what
-    shuffles (4x less than float32); survivors re-rank in float."""
+    shuffles (4x less than float32); survivors re-rank in float.
+    Quantized AND scored in one Arrow-batched numpy pass
+    (similarity.int8_dot_topk_pandas) - the interpreted
+    zip_with/aggregate dot walked the expression tree per element and
+    was SLOWER than the float brute force it is supposed to accelerate
+    (3.4x at sf0.1), and even the Column-expression quantize pass alone
+    cost more than the GEMM."""
     e = _t(spark, sf_dir, "embeddings")
-    q8 = SIM.quantize_embeddings_int8(e, "vec_id", "embedding")
-    queries_df = q8.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("q8").alias("qa")
-    )
-    corpus = q8.select(F.col("vec_id").alias("neighbor_id"), F.col("q8").alias("qb"))
-    dot = F.aggregate(
-        F.zip_with("qa", "qb", lambda x, y: (x * y).cast("bigint")),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("dot").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        corpus.join(F.broadcast(queries_df))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", dot.alias("dot"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-    )
+    queries_df = e.filter(F.col("vec_id") < 10)
+    return SIM.int8_dot_topk_pandas(e, queries_df, "vec_id", "embedding", k=5)
 
 
 def _ann_lsh_oracle(planes: int = 4, k: int = 5, dim: int = 64, seed: int = 7) -> str:
