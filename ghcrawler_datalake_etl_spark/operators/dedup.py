@@ -258,8 +258,8 @@ def minhash_lsh_pairs(
     id_col: str,
     text_col: str,
     n: int = 3,
-    num_hashes: int = 64,
-    bands: int = 16,
+    num_hashes: int = 32,
+    bands: int = 8,
     threshold: float = 0.5,
     sig_impl: str = "pandas",
 ) -> DataFrame:
@@ -269,6 +269,13 @@ def minhash_lsh_pairs(
     The scale path for fuzzy dedup: signature computation is shuffle-free;
     only (band_hash, id) shuffles for candidates; exact verification
     touches candidate pairs only.
+
+    Defaults are 32 hashes x 8 bands of 4 rows: half the signature and
+    band cost of the classic 64x16 at the same band width (the s-curve
+    keeps its shape; fewer bands trade some candidate recall just above
+    the threshold - at J=0.5 capture is ~0.40 vs ~0.64). Pass
+    num_hashes=64, bands=16 when recall at the margin matters more than
+    throughput.
 
     ``sig_impl``: "pandas" (default - vectorized permutations, see
     minhash_signature_pandas_udf) or "expr" (pure Column expressions, no
