@@ -16,13 +16,17 @@ not in this environment); on a real deployment the catalog maps 1:1 onto
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _POINTER = "_CURRENT"
+_MERGE_META = "_MERGE_META.json"
+_BUCKET_COL = "_kb"
 
 
 class ParquetCatalog:
@@ -86,11 +90,16 @@ class ParquetCatalog:
                     f"table {name} version {version} not retained "
                     f"(have {self.versions(name)})"
                 )
-        return self.spark.read.parquet(path)
+        df = self.spark.read.parquet(path)
+        # merged tables carry the internal hash-bucket partition column
+        return df.drop(_BUCKET_COL) if _BUCKET_COL in df.columns else df
 
     def read_or_none(self, name: str) -> DataFrame | None:
         path = self.current_path(name)
-        return None if path is None else self.spark.read.parquet(path)
+        if path is None:
+            return None
+        df = self.spark.read.parquet(path)
+        return df.drop(_BUCKET_COL) if _BUCKET_COL in df.columns else df
 
     def overwrite(
         self,
@@ -123,6 +132,129 @@ class ParquetCatalog:
         os.replace(tmp_ptr, os.path.join(tdir, _POINTER))  # atomic flip
         self.vacuum(name, keep_last=self.retain)
 
+    # -- incremental (partition-level) merge ---------------------------
+
+    def _merge_meta(self, name: str) -> dict | None:
+        p = os.path.join(self._table_dir(name), _MERGE_META)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def merge_upsert(
+        self,
+        delta: DataFrame,
+        name: str,
+        key_cols: Sequence[str],
+        num_buckets: int = 32,
+    ) -> dict[str, int]:
+        """Key-level upsert that rewrites ONLY the hash buckets the delta
+        touches - the incremental alternative to ``overwrite`` for the
+        snapshot tables (pattern A/E): a daily run over a 100 TB Commit
+        table must not rewrite a year of untouched data to land one day.
+
+        Layout: snapshots are partitioned by ``_kb =
+        pmod(xxhash64(keys), num_buckets)``. A merge:
+
+        1. computes the delta's affected bucket set (<= num_buckets ids);
+        2. reads ONLY those buckets from the current snapshot (partition
+           pruning does this from the directory layout), anti-joins the
+           delta's keys (delta row wins - TRUNCATE+INSERT semantics per
+           key) and writes delta union survivors as the new version's
+           affected partitions;
+        3. re-links every untouched bucket directory into the new
+           version file-by-file (hardlink, copy fallback) - file REUSE,
+           the local-fs analog of a Delta/Iceberg manifest pointing at
+           unchanged data files;
+        4. flips the version pointer atomically, exactly like
+           ``overwrite``.
+
+        The bucket count is fixed at table creation (persisted in
+        ``_MERGE_META.json``) - changing it, or merging into a table
+        written by plain ``overwrite``, rebuckets everything once (a
+        full rewrite) and is incremental from then on.
+
+        Returns {"rewritten": n, "linked": m} bucket counts (a full
+        rewrite reports every non-empty bucket as rewritten).
+        """
+        key_cols = list(key_cols)
+        if not key_cols:
+            raise ValueError("merge_upsert needs at least one key column")
+        bucket = F.pmod(
+            F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(num_buckets)
+        ).cast("int")
+
+        tdir = self._table_dir(name)
+        os.makedirs(tdir, exist_ok=True)
+        meta = self._merge_meta(name)
+        old_version = self._current_version(name)
+        compatible = (
+            meta is not None
+            and meta.get("key_cols") == key_cols
+            and meta.get("num_buckets") == num_buckets
+        )
+
+        new = 0 if old_version is None else old_version + 1
+        out = os.path.join(tdir, f"v{new}")
+
+        stats = {"rewritten": 0, "linked": 0}
+        delta_b = delta.withColumn(_BUCKET_COL, bucket)
+
+        if old_version is None or not compatible:
+            # bootstrap (or re-bucket): full write, partitioned layout
+            current = self.read_or_none(name)
+            if current is not None:
+                merged = current.join(
+                    delta.select(*key_cols).distinct(), key_cols, "left_anti"
+                ).unionByName(delta)
+            else:
+                merged = delta
+            merged.withColumn(_BUCKET_COL, bucket).write.mode(
+                "overwrite"
+            ).partitionBy(_BUCKET_COL).parquet(out)
+            stats["rewritten"] = sum(
+                1 for d in os.listdir(out) if d.startswith(f"{_BUCKET_COL}=")
+            )
+        else:
+            affected = sorted(
+                r[0]
+                for r in delta_b.select(_BUCKET_COL).distinct().collect()
+            )
+            cur_path = self.current_path(name)
+            old_df = self.spark.read.parquet(cur_path)
+            survivors = (
+                old_df.filter(F.col(_BUCKET_COL).isin(affected))
+                .join(delta.select(*key_cols).distinct(), key_cols, "left_anti")
+            )
+            merged = survivors.unionByName(
+                delta_b.select(*survivors.columns)
+            )
+            merged.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(out)
+            stats["rewritten"] = len(affected)
+            # re-link untouched buckets into the new snapshot
+            for d in os.listdir(cur_path):
+                if not d.startswith(f"{_BUCKET_COL}="):
+                    continue
+                b = int(d.split("=", 1)[1])
+                if b in set(affected):
+                    continue
+                _link_tree(
+                    os.path.join(cur_path, d), os.path.join(out, d)
+                )
+                stats["linked"] += 1
+
+        tmp_meta = os.path.join(tdir, _MERGE_META + ".tmp")
+        with open(tmp_meta, "w") as f:
+            json.dump({"key_cols": key_cols, "num_buckets": num_buckets}, f)
+        os.replace(tmp_meta, os.path.join(tdir, _MERGE_META))
+
+        tmp_ptr = os.path.join(tdir, _POINTER + ".tmp")
+        with open(tmp_ptr, "w") as f:
+            f.write(str(new))
+        os.replace(tmp_ptr, os.path.join(tdir, _POINTER))  # atomic flip
+        self.vacuum(name, keep_last=self.retain)
+        return stats
+
     def vacuum(self, name: str, keep_last: int = 1) -> list[int]:
         """Drop all but the trailing ``keep_last`` snapshots; returns the
         versions removed. Never removes the current pointer's target."""
@@ -144,6 +276,22 @@ class ParquetCatalog:
             if os.path.isdir(os.path.join(self.warehouse, d))
             and self._current_version(d) is not None
         )
+
+
+def _link_tree(src: str, dst: str) -> None:
+    """Mirror ``src`` into ``dst`` by hardlink (same-device no-copy file
+    reuse; vacuum of the old version later just drops link counts).
+    Falls back to copy when the filesystem refuses links."""
+    os.makedirs(dst, exist_ok=True)
+    for entry in os.listdir(src):
+        s, d = os.path.join(src, entry), os.path.join(dst, entry)
+        if os.path.isdir(s):
+            _link_tree(s, d)
+        else:
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
 
 
 def write_bucketed_table(

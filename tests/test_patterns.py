@@ -346,3 +346,71 @@ def test_catalog_default_retention_protects_previous_reader(spark, tmp_path):
     # default retain=2: v0 still on disk, the old plan must still run
     assert lazy_old.collect()[0]["k"] == 1
     assert cat.read("t").collect()[0]["k"] == 2
+
+
+def test_merge_upsert_rewrites_only_affected_buckets(spark, tmp_path):
+    """Incremental daily merge: day N+1 must rewrite only the hash
+    buckets containing delta keys; every other bucket's data files are
+    REUSED (hardlinked - same inode) in the new snapshot, and the merged
+    table reads identically to a full TRUNCATE+INSERT rewrite."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    day1 = spark.range(0, 1000).select(
+        F.col("id").alias("k"), F.lit("day1").alias("val")
+    )
+    s0 = cat.merge_upsert(day1, "T", ["k"], num_buckets=16)
+    assert s0["rewritten"] > 0 and s0["linked"] == 0  # bootstrap
+
+    # delta touches 3 keys -> at most 3 of 16 buckets
+    delta = spark.createDataFrame(
+        [(5, "day2"), (6, "day2"), (1005, "day2")], "k long, val string"
+    )
+    v_before = cat.current_path("T")
+    inodes_before = {}
+    for d in os.listdir(v_before):
+        if d.startswith("_kb="):
+            inodes_before[d] = {
+                f: os.stat(os.path.join(v_before, d, f)).st_ino
+                for f in os.listdir(os.path.join(v_before, d))
+            }
+
+    stats = cat.merge_upsert(delta, "T", ["k"], num_buckets=16)
+    assert stats["rewritten"] <= 3
+    assert stats["rewritten"] + stats["linked"] >= len(inodes_before)
+
+    v_after = cat.current_path("T")
+    assert v_after != v_before
+    # unaffected buckets share inodes with the previous snapshot
+    relinked = 0
+    for d, files in inodes_before.items():
+        after_dir = os.path.join(v_after, d)
+        after = {
+            f: os.stat(os.path.join(after_dir, f)).st_ino
+            for f in os.listdir(after_dir)
+        }
+        if after == files:
+            relinked += 1
+    assert relinked == stats["linked"]
+
+    # semantics identical to full rewrite: delta wins per key, the rest
+    # carries over
+    got = {r.k: r.val for r in cat.read("T").collect()}
+    assert len(got) == 1001
+    assert got[5] == "day2" and got[6] == "day2" and got[1005] == "day2"
+    assert got[4] == "day1" and got[999] == "day1"
+    assert "_kb" not in cat.read("T").columns
+
+    # empty delta: nothing rewritten, everything linked, data unchanged
+    empty = spark.createDataFrame([], "k long, val string")
+    s2 = cat.merge_upsert(empty, "T", ["k"], num_buckets=16)
+    assert s2["rewritten"] == 0
+    assert {r.k: r.val for r in cat.read("T").collect()} == got
+
+    # changing the bucket count rebuckets once (full rewrite), then
+    # results still match
+    s3 = cat.merge_upsert(delta, "T", ["k"], num_buckets=8)
+    assert s3["linked"] == 0
+    assert {r.k: r.val for r in cat.read("T").collect()} == got
