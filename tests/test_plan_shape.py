@@ -63,7 +63,8 @@ def test_whole_stage_codegen_covers_agg(spark, queries):
 def test_parity_paths_have_no_python(spark, queries):
     """Every reference-parity operator must stay JVM-side (SURVEY.md 2.8);
     Python is allowed only in the explicitly-pandas extension paths."""
-    pandas_ok = {"sim_knn_pandas_gemm", "multimodal_features",
+    pandas_ok = {"sim_knn_pandas_gemm", "sim_knn_int8_dot",
+                 "multimodal_features",
                  "multimodal_frames", "multimodal_audio_chunks",
                  "dedup_minhash_lsh",
                  "dedup_simhash_values", "dedup_embedding_cosine"}
