@@ -77,6 +77,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # settable confs the oracle comparison depends on (DuckDB timestamps
     # are UTC-naive; session TZ must be UTC or date/epoch casts shift)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # naive parquet timestamps must load as UTC TIMESTAMP, not NTZ:
+    # strict chrono functions (unix_micros, watermarks) reject NTZ and
+    # the oracle comparison assumes single-zone UTC (session.py)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # CPU-heavy queries fan_out AFTER their filters (a blanket
     # repartition here would sit below the filter and block predicate
     # pushdown to the scan); the dedup/similarity operators fan out

@@ -53,6 +53,13 @@ def get_spark(
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # The testdata parquet stores naive timestamps
+        # (isAdjustedToUTC=false); Spark 4's NTZ inference would load
+        # them as TIMESTAMP_NTZ, which strict chrono functions
+        # (unix_micros, window watermarks) reject. The engine's contract
+        # is reference-style single-zone UTC (CreateGitHubDataTable
+        # .usql:18-20): read every naive timestamp as UTC TIMESTAMP.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         # Whole-stage codegen emits one large class per stage; a workload
         # with many wide queries overflows the JVM's default 240m JIT
