@@ -183,6 +183,27 @@ def _materialize(df: DataFrame) -> DataFrame:
     return df
 
 
+def _checkpoint(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint: materialize AND truncate logical lineage.
+
+    For loop state in iterative algorithms, persist() is not enough -
+    the persisted frame keeps its full logical plan, so round k's query
+    embeds round k-1's plan several times (the state appears on both
+    sides of the round's join) and the tree grows geometrically.
+    Analysis/canonicalization of that tree is single-threaded driver
+    work: measured on the CC loop at sf0.1, round 2 spent 13s planning
+    a join over 477 cached rows with 31 of 32 cores idle. Checkpointing
+    flattens the state to a scanned RDD, so every round plans a
+    constant-size tree.
+
+    Trade-off vs persist: the checkpointed blocks have no recompute
+    lineage, so losing an executor mid-loop fails the job instead of
+    recomputing (the standard contract for iterative graph state; on a
+    cluster, reliable ``spark.checkpoint.dir`` checkpoints restore
+    fault-tolerance at the cost of an HDFS write per round)."""
+    return df.localCheckpoint(eager=True)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -190,6 +211,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     stop_shingle_df: int | None = None,
+    materialize_result: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard, computed entirely from the
     inverted index: shingles are distinct per document, so the number of
@@ -245,12 +267,22 @@ def ngram_jaccard_pairs(
     )
     # sizes is one row per doc - tiny at test scale (AQE auto-broadcasts),
     # a plain shuffle join at 100 TB; don't force a broadcast hint.
-    return (
+    out = (
         matches.join(sa, "id_a")
         .join(sb, "id_b")
         .filter(jac >= threshold)
         .select("id_a", "id_b", quantize(jac, 4).alias("jaccard"))
     )
+    if materialize_result:
+        # Persisting the (small, threshold-filtered) pairs output lets
+        # every downstream consumer with the same logical plan - the
+        # clustering and pipeline queries call this operator with
+        # identical args - substitute the cache instead of re-running
+        # the index self-join (the dominant cost). Re-persisting an
+        # already-cached plan is a no-op, so this is idempotent across
+        # call sites.
+        out = _materialize(out)
+    return out
 
 
 def minhash_lsh_pairs(
@@ -633,12 +665,16 @@ def connected_components(
     edges = pairs_df.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
-    sym = _materialize(
+    # _checkpoint, not _materialize: sym and labels appear in EVERY
+    # round's plan, and labels feeds back into itself - without lineage
+    # truncation the loop's logical tree grows geometrically and
+    # single-threaded driver planning dominates the wall clock.
+    sym = _checkpoint(
         edges.union(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct()
     )
-    labels = _materialize(
+    labels = _checkpoint(
         sym.select("src").distinct().select(
             F.col("src").alias("node"), F.col("src").alias("label")
         )
@@ -657,7 +693,7 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = _materialize(
+        new_labels = _checkpoint(
             labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
             .select(
                 "node",
@@ -667,12 +703,10 @@ def connected_components(
             )
         )
         new_sum = new_labels.agg(_label_sum).collect()[0][0]
-        labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    sym.unpersist()
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 

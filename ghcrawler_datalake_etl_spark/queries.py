@@ -1607,7 +1607,9 @@ _NGRAM_PAIRS_SQL = f"""
 @register("dedup_ngram_jaccard", _NGRAM_PAIRS_SQL)
 def dedup_ngram_jaccard(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return DD.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    return DD.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, materialize_result=True
+    )
 
 
 _SHINGLE_CTE_SQL = f"""
@@ -1693,7 +1695,9 @@ def dedup_clusters(spark, sf_dir):
     algorithms, same fixpoint). cluster_id = smallest reachable doc_id,
     i.e. the canonical document to keep."""
     d = _t(spark, sf_dir, "documents")
-    pairs = DD.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    pairs = DD.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, materialize_result=True
+    )
     return DD.connected_components(pairs).select(
         F.col("node").alias("doc_id"), "cluster_id"
     )
@@ -1742,7 +1746,9 @@ def pipeline_dedup_shards(spark, sf_dir):
     connected_components + hash_split + pack_shards; every stage has
     exact cross-engine semantics, so the composition does too."""
     d = _t(spark, sf_dir, "documents")
-    pairs = DD.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    pairs = DD.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, materialize_result=True
+    )
     drop = DD.connected_components(pairs).filter(
         F.col("node") != F.col("cluster_id")
     ).select(F.col("node").alias("doc_id"))
