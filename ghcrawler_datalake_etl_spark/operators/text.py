@@ -156,6 +156,77 @@ def lang_id(col: ColumnOrName) -> Column:
     return lang_id_from_tokens(tokenize(col))
 
 
+def _max_equal_run(arr: Column, init_type: str = "string") -> Column:
+    """Length of the longest run of EQUAL ADJACENT elements in an array
+    (0 for empty/null arrays). One left fold - O(n) interpreted, no
+    shuffle. On a sorted array this equals the max element multiplicity
+    (equal values are adjacent after sorting)."""
+    safe = F.coalesce(arr, F.array().cast(f"array<{init_type}>"))
+
+    def merge(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    init = F.struct(
+        F.lit(None).cast(init_type).alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+    return F.aggregate(safe, init, merge, lambda a: a["best"])
+
+
+def repetition_features(
+    col: ColumnOrName, toks: Column | None = None
+) -> dict[str, Column]:
+    """Gopher-style repetition/boilerplate signals for quality filtering:
+
+    - ``n_lines``: non-empty trimmed lines;
+    - ``dup_line_frac``: fraction of lines that are repeats of an
+      earlier line (1 - distinct/total) - boilerplate headers/footers;
+    - ``top_bigram_share``: share of all token bigrams taken by the
+      single most frequent bigram - high for templated/spun text;
+    - ``max_token_run``: longest run of the SAME token repeated
+      consecutively - degenerate generation loops.
+
+    All pure Column expressions (one narrow projection, no shuffle, no
+    Python): the bigram mode is computed as the longest equal-run of the
+    SORTED bigram array, not a groupBy. Pass ``toks`` referencing a
+    materialized ``tokenize`` projection in hot paths.
+    """
+    c = F.coalesce(_path(col), F.lit(""))
+    toks = tokenize(c) if toks is None else toks
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(n_lines == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0)
+        - F.size(F.array_distinct(lines)).cast("double") / n_lines
+    )
+    nt = F.size(toks)
+    bigrams = F.when(
+        nt >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(nt - 1, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top_bigram_share = F.when(nt < 2, F.lit(0.0)).otherwise(
+        _max_equal_run(F.array_sort(bigrams)).cast("double") / (nt - 1)
+    )
+    return {
+        "n_lines": n_lines,
+        "dup_line_frac": dup_line_frac,
+        "top_bigram_share": top_bigram_share,
+        "max_token_run": _max_equal_run(toks),
+    }
+
+
 def fingerprint(col: ColumnOrName) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted
     distinct token set (catches shuffled/near-identical boilerplate that

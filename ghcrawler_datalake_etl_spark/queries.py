@@ -2163,6 +2163,86 @@ def text_quality_score(spark, sf_dir):
     )
 
 
+@register(
+    "text_repetition_metrics",
+    f"""
+    WITH t AS (
+      SELECT doc_id, coalesce(text, '') AS txt, {_TOKS_SQL} AS toks
+      FROM documents
+    ),
+    lt AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(txt, chr(10)),
+                                        x -> trim(x)), x -> x <> '') AS lines
+      FROM t
+    ),
+    big AS (
+      SELECT doc_id, len(toks) AS nt,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i + 1])
+                  ELSE [] END AS bigrams
+      FROM t
+    ),
+    bg_top AS (
+      SELECT doc_id, max(c) AS topc FROM (
+        SELECT b.doc_id, g, count(*) AS c
+        FROM big b, unnest(b.bigrams) AS u(g)
+        GROUP BY b.doc_id, g)
+      GROUP BY doc_id
+    ),
+    run_len AS (
+      SELECT doc_id, max(c) AS max_run FROM (
+        SELECT doc_id, tok, grp, count(*) AS c FROM (
+          SELECT doc_id, tok,
+                 i - row_number() OVER (PARTITION BY doc_id, tok
+                                        ORDER BY i) AS grp
+          FROM (SELECT t.doc_id, t.toks[u.i] AS tok, u.i
+                FROM t, unnest(range(1, len(t.toks) + 1)) AS u(i)))
+        GROUP BY doc_id, tok, grp)
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           len(l.lines) AS n_lines,
+           CASE WHEN len(l.lines) = 0 THEN 0.0
+                ELSE floor((1 - len(list_distinct(l.lines))::DOUBLE
+                            / len(l.lines)) * 10000) / 10000
+           END AS dup_line_frac,
+           CASE WHEN b.nt < 2 THEN 0.0
+                ELSE floor(coalesce(bt.topc, 0)::DOUBLE / (b.nt - 1)
+                           * 10000) / 10000
+           END AS top_bigram_share,
+           coalesce(r.max_run, 0) AS max_token_run
+    FROM t
+    JOIN lt l USING (doc_id)
+    JOIN big b USING (doc_id)
+    LEFT JOIN bg_top bt USING (doc_id)
+    LEFT JOIN run_len r USING (doc_id)
+    """,
+)
+def text_repetition_metrics(spark, sf_dir):
+    """Gopher-style repetition filters (operators/text.repetition_features):
+    duplicate-line fraction, top-bigram share, longest same-token run.
+    One narrow projection, no shuffle - the bigram mode is the longest
+    equal-run of the SORTED bigram array, so no per-document groupBy.
+    The oracle computes the same stats the relational way (unnest +
+    window gaps-and-islands) - two algorithms, one answer."""
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    base = d.select(
+        "doc_id",
+        "text",
+        TX.tokenize(F.coalesce(F.col("text"), F.lit(""))).alias("toks"),
+    )
+    feats = TX.repetition_features(F.col("text"), toks=F.col("toks"))
+    return base.select(
+        "doc_id",
+        feats["n_lines"].alias("n_lines"),
+        quantize(feats["dup_line_frac"], 4).alias("dup_line_frac"),
+        quantize(feats["top_bigram_share"], 4).alias("top_bigram_share"),
+        feats["max_token_run"].alias("max_token_run"),
+    )
+
+
 def _pipeline_oracle() -> str:
     """Composed training-data pipeline oracle: tokens/hash computed once
     in a CTE, then lang-ID + quality + exact-dedup + filters."""
@@ -2432,6 +2512,7 @@ _DRIVER_ORDER = [
     "subquery_lineitem_count",
     "w5_sliding_hour_frame",
     "cube_status_priority",
+    "text_repetition_metrics",
 ]
 
 

@@ -636,3 +636,37 @@ def test_connected_components_huge_ids_no_overflow(spark):
     got = {r.node: r.cluster_id for r in out.collect()}
     assert got[base + 3] == base  # 0-1-2-3 chained via (1,2)
     assert got[base + 4] == base + 4
+
+
+def test_repetition_features_edge_cases(spark):
+    """Crafted documents pin each repetition metric: duplicate lines,
+    a dominant bigram, a token run, empties and NULLs."""
+    from ghcrawler_datalake_etl_spark.operators import text as T
+    import pyspark.sql.functions as F
+
+    docs = [
+        (0, "header\nbody one\nheader\n  \nfooter"),   # 4 lines, 1 dup
+        (1, "go go go go stop"),                        # run of 4, bigram "go go" x3 of 4
+        (2, "a b"),                                     # single bigram
+        (3, ""),                                        # empty
+        (4, None),                                      # null
+        (5, "x"),                                       # one token, no bigrams
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    f = T.repetition_features(F.col("text"))
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            f["n_lines"].alias("nl"),
+            f["dup_line_frac"].alias("dlf"),
+            f["top_bigram_share"].alias("tbs"),
+            f["max_token_run"].alias("mtr"),
+        ).collect()
+    }
+    assert out[0].nl == 4 and abs(out[0].dlf - 0.25) < 1e-9
+    assert out[1].mtr == 4 and abs(out[1].tbs - 0.75) < 1e-9
+    assert out[2].nl == 1 and out[2].tbs == 1.0 and out[2].mtr == 1
+    assert out[3].nl == 0 and out[3].dlf == 0.0 and out[3].tbs == 0.0
+    assert out[4].nl == 0 and out[4].mtr == 0
+    assert out[5].tbs == 0.0 and out[5].mtr == 1
