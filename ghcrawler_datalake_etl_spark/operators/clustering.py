@@ -1,0 +1,159 @@
+"""Distributed k-means (Lloyd's algorithm) over an embedding column.
+
+The iterative companion to the IVF index in operators/similarity.py
+(which takes centroids as a given): kmeans_fit LEARNS the centroids
+with the classic two-step loop - assign each vector to its nearest
+centroid, recompute each centroid as its cluster's mean - expressed so
+each iteration is ONE distributed pass:
+
+- the E-step is a narrow projection (distances to k literal centroids,
+  argmin via struct array_min) - no shuffle, no Python;
+- the M-step is one map-side-combinable groupBy over (cluster, dim) -
+  the only shuffle, k*d rows out;
+- only the k*d centroid matrix ever reaches the driver (the classic
+  iterate-on-driver-state pattern: state is O(k*d), data never moves).
+
+Cross-engine exactness (the property that makes a DuckDB oracle for an
+ITERATIVE float algorithm possible at all):
+
+1. centroid sums accumulate floor(x * 1e6) as BIGINT - integer sums are
+   associative, so partition order can't perturb them (a double sum
+   differs between engines by summation order);
+2. new centroids are floor(sum / count) / 1e6 - identical IEEE doubles
+   from identical integers on any engine;
+3. distances fold left-to-right from 0.0 over (x-c)^2 terms, matching
+   an explicit list_reduce in SQL - identical doubles in, identical
+   argmin out (ties broken by centroid index);
+4. init picks the k vectors with the smallest md5 hash-bucket of their
+   id (deterministic pseudo-random spread, engine-replayable).
+
+The 1e-6 quantization is the documented accuracy trade: centroids
+carry 6 decimals, plenty for unit-scale embeddings.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ghcrawler_datalake_etl_spark.operators.sampling import hash_bucket
+
+SCALE = 1_000_000
+
+
+def _dist_sq(vec: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance from a vector column to a literal centroid,
+    folded left-to-right from 0.0 (term order is part of the
+    cross-engine contract - see module docstring)."""
+    carr = F.array(*[F.lit(float(c)) for c in centroid])
+    return F.aggregate(
+        F.zip_with(vec, carr, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def _best(vec: Column, centroids: list[list[float]]) -> Column:
+    """struct(d, cid) of the nearest centroid: array_min over (dist,
+    idx) structs - lexicographic, so ties go to the lowest index."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(_dist_sq(vec, c).alias("d"), F.lit(i).alias("cid"))
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )
+
+
+def assign_clusters(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+) -> DataFrame:
+    """(id, cluster, dist_sq) under literal centroids: nearest centroid,
+    ties to the lowest index. Narrow projection - scan-scales, no
+    shuffle; centroids ride into the plan as literals (k*d doubles),
+    the same contract as similarity.ivf_topk."""
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    best = _best(vec, centroids)
+    return df.select(
+        F.col(id_col),
+        best["cid"].alias("cluster"),
+        best["d"].alias("dist_sq"),
+    )
+
+
+def kmeans_init(
+    df: DataFrame, id_col: str, vec_col: str, k: int, seed: int = 42
+) -> list[list[float]]:
+    """Deterministic init: the k vectors whose ids hash to the smallest
+    md5 buckets (ties by id). A pseudo-random spread any engine can
+    replay - unlike kmeans++ (sequential, distance-dependent) or
+    rand() (engine-private). Pulls exactly k*d floats to the driver."""
+    rows = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "_v"
+            ),
+            hash_bucket(id_col, seed).alias("_b"),
+        )
+        .orderBy("_b", "_id")
+        .limit(k)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"k={k} but only {len(rows)} non-null vectors")
+    return [[math.floor(x * SCALE) / SCALE for x in r._v] for r in rows]
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    iterations: int = 2,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Lloyd's iterations; returns the final centroid matrix (k lists of
+    d floats, 6-decimal quantized). A fixed iteration count (not a
+    convergence test) keeps the oracle expressible as unrolled SQL and
+    the cost predictable; clusters that lose all members keep their
+    previous centroid."""
+    pts = df.filter(F.col(vec_col).isNotNull())
+    centroids = kmeans_init(pts, id_col, vec_col, k, seed)
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    for _ in range(iterations):
+        # assignment inlined into the M-step projection: one pass, one
+        # shuffle per iteration, no self-join on the assignment. Two
+        # selects, not one: a generator (posexplode) alongside the
+        # struct argmin makes the analyzer drop the struct's field
+        # names (Generate re-analysis), so the argmin is projected
+        # first and the explode reads it as a plain column.
+        sums = (
+            pts.select(
+                _best(vec, centroids)["cid"].alias("cluster"), vec.alias("_v")
+            )
+            .select("cluster", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(
+                F.sum(F.floor(F.col("x") * SCALE).cast("long")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        new = {}
+        for r in sums:
+            new.setdefault(r.cluster, {})[r.pos] = math.floor(r.s / r.n) / SCALE
+        centroids = [
+            [new[i][p] for p in range(len(centroids[i]))]
+            if i in new
+            else centroids[i]
+            for i in range(k)
+        ]
+    return centroids

@@ -64,6 +64,40 @@ def hash_sample(
     return df.filter(hash_bucket(key_col, seed) < int(rate * BUCKETS))
 
 
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    seed: int = 42,
+    default: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sample: each stratum keeps its own
+    fraction of keys (e.g. downsample dominant languages, keep all of a
+    rare one - the classic corpus-rebalancing move).
+
+    Same contract as hash_sample, per stratum: a narrow filter with no
+    shuffle and no state; membership is a pure function of
+    (key, stratum fraction), so re-runs and other engines replay it
+    exactly. Strata absent from ``fractions`` keep ``default`` (0 =
+    drop, 1 = keep all). NULL strata take ``default``; NULL keys drop
+    (NULL bucket fails every predicate), as in hash_sample.
+    """
+    for s, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {s!r} must be in [0, 1], got {f}")
+    if not 0.0 <= default <= 1.0:
+        raise ValueError(f"default must be in [0, 1], got {default}")
+    thr: Column | None = None
+    for s, f in fractions.items():
+        cond = F.col(strata_col) == s
+        lim = F.lit(int(f * BUCKETS))
+        thr = F.when(cond, lim) if thr is None else thr.when(cond, lim)
+    lim_default = F.lit(int(default * BUCKETS))
+    thr = lim_default if thr is None else thr.otherwise(lim_default)
+    return df.filter(hash_bucket(key_col, seed) < thr)
+
+
 def split_column(
     key: Column | str, weights: dict[str, float], seed: int = 42
 ) -> Column:

@@ -32,6 +32,7 @@ from ghcrawler_datalake_etl_spark.functions.core import (
     pii_hash,
     quantize,
 )
+from ghcrawler_datalake_etl_spark.operators import clustering as CL
 from ghcrawler_datalake_etl_spark.operators import dedup as DD
 from ghcrawler_datalake_etl_spark.operators import sampling as SP
 from ghcrawler_datalake_etl_spark.operators import similarity as SIM
@@ -1508,6 +1509,34 @@ def sample_hash_deterministic(spark, sf_dir):
 
 
 @register(
+    "sample_stratified_by_lang",
+    f"""
+    SELECT doc_id, lang, length(text) AS text_len
+    FROM documents
+    WHERE {_BUCKET_SQL} <
+      CASE lang WHEN 'en' THEN 250000
+                WHEN 'zh' THEN 1000000
+                WHEN 'fr' THEN 600000
+                ELSE 0 END
+    """,
+)
+def sample_stratified_by_lang(spark, sf_dir):
+    """Corpus rebalancing (operators/sampling.stratified_sample):
+    downsample the dominant language, keep all of a rare one, drop
+    strata with no assigned fraction. Still one narrow filter - the
+    per-stratum threshold is a CASE on the stratum column, so no
+    shuffle and no per-stratum scan."""
+    d = _t(spark, sf_dir, "documents")
+    return SP.stratified_sample(
+        d,
+        "doc_id",
+        "lang",
+        {"en": 0.25, "zh": 1.0, "fr": 0.6},
+        seed=42,
+    ).select("doc_id", "lang", F.length("text").alias("text_len"))
+
+
+@register(
     "split_train_valid_test",
     f"""
     WITH b AS (SELECT doc_id, {_BUCKET_SQL} AS bucket FROM documents)
@@ -2020,6 +2049,86 @@ def sim_ivf_topk(spark, sf_dir):
     )
 
 
+def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
+    """Unrolled-SQL twin of clustering.kmeans_fit + assign: one CTE pair
+    (assign, M-step) per iteration. Exactness contract documented in
+    operators/clustering.py: integer-scaled sums, floor-quantized
+    centroids, left-fold distances."""
+    bucket = (
+        "cast(('0x' || substr(md5('42' || chr(31) || "
+        "cast(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000"
+    )
+    dist = (
+        "list_reduce(list_transform(range(1, len(p.v) + 1), "
+        "i -> (p.v[i] - c.c[i]) * (p.v[i] - c.c[i])), (a, b) -> a + b)"
+    )
+    ctes = [
+        f"""pts AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    )""",
+        f"""c0 AS (
+      SELECT cid, c FROM (
+        SELECT row_number() OVER (ORDER BY {bucket}, vec_id) - 1 AS cid,
+               list_transform(v, x -> floor(x * 1000000) / 1000000) AS c
+        FROM pts)
+      WHERE cid < {k}
+    )""",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(f"""a{t} AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT p.vec_id, p.v, c.cid AS cluster,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY {dist}, c.cid) AS rn
+        FROM pts p CROSS JOIN c{t - 1} c)
+      WHERE rn = 1
+    )""")
+        ctes.append(f"""m{t} AS (
+      SELECT cluster,
+             list(floor(s::DOUBLE / n) / 1000000 ORDER BY i) AS cl
+      FROM (
+        SELECT a.cluster, u.i,
+               sum(cast(floor(a.v[u.i] * 1000000) AS BIGINT)) AS s,
+               count(*) AS n
+        FROM a{t} a, unnest(range(1, len(a.v) + 1)) AS u(i)
+        GROUP BY a.cluster, u.i)
+      GROUP BY cluster
+    )""")
+        ctes.append(f"""c{t} AS (
+      SELECT prev.cid, coalesce(m.cl, prev.c) AS c
+      FROM c{t - 1} prev LEFT JOIN m{t} m ON m.cluster = prev.cid
+    )""")
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT vec_id, cluster, floor(d * 1000000) / 1000000 AS dist_q6
+    FROM (
+      SELECT p.vec_id, c.cid AS cluster, {dist} AS d,
+             row_number() OVER (PARTITION BY p.vec_id
+                                ORDER BY {dist}, c.cid) AS rn
+      FROM pts p CROSS JOIN c{iters} c)
+    WHERE rn = 1
+    """
+
+
+@register("sim_kmeans_assign", _kmeans_oracle(k=4, iters=2))
+def sim_kmeans_assign(spark, sf_dir):
+    """Learned clustering (operators/clustering.kmeans_fit): 2 Lloyd's
+    iterations at k=4, then the final assignment. The genuinely
+    iterative path of the similarity family - sim_ivf_topk consumes
+    centroids, this one produces them. Exact oracle despite iterating
+    on floats: integer-scaled centroid sums + floor quantization +
+    fold-ordered distances make every round bit-reproducible across
+    engines (full contract in operators/clustering.py)."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = CL.kmeans_fit(e, "vec_id", "embedding", k=4, iterations=2, seed=42)
+    out = CL.assign_clusters(e.filter(F.col("embedding").isNotNull()),
+                             "vec_id", "embedding", cents)
+    return out.select(
+        "vec_id", "cluster", quantize(F.col("dist_sq"), 6).alias("dist_q6")
+    )
+
+
 # =====================================================================
 # Text analysis
 # =====================================================================
@@ -2513,6 +2622,8 @@ _DRIVER_ORDER = [
     "w5_sliding_hour_frame",
     "cube_status_priority",
     "text_repetition_metrics",
+    "sample_stratified_by_lang",
+    "sim_kmeans_assign",
 ]
 
 

@@ -670,3 +670,37 @@ def test_repetition_features_edge_cases(spark):
     assert out[3].nl == 0 and out[3].dlf == 0.0 and out[3].tbs == 0.0
     assert out[4].nl == 0 and out[4].mtr == 0
     assert out[5].tbs == 0.0 and out[5].mtr == 1
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    """Two tight blobs -> 2 clusters must split them; the empty-cluster
+    fallback must survive k > distinct-point count (all ties land on one
+    cluster, the rest keep their init centroids)."""
+    from ghcrawler_datalake_etl_spark.operators import clustering as C
+
+    blob_a = [(i, [0.0 + 0.01 * i, 0.0]) for i in range(5)]
+    blob_b = [(10 + i, [5.0 + 0.01 * i, 5.0]) for i in range(5)]
+    df = spark.createDataFrame(
+        blob_a + blob_b, "vec_id long, embedding array<double>"
+    )
+    cents = C.kmeans_fit(df, "vec_id", "embedding", k=2, iterations=3)
+    out = {
+        r.vec_id: r.cluster
+        for r in C.assign_clusters(df, "vec_id", "embedding", cents).collect()
+    }
+    a_clusters = {out[i] for i, _ in blob_a}
+    b_clusters = {out[i] for i, _ in blob_b}
+    assert len(a_clusters) == 1 and len(b_clusters) == 1
+    assert a_clusters != b_clusters
+
+    # degenerate: 3 identical points, k=3 -> every point ties to one
+    # cluster; the two emptied clusters keep their init centroids
+    same = spark.createDataFrame(
+        [(i, [1.0, 1.0]) for i in range(3)], "vec_id long, embedding array<double>"
+    )
+    cents3 = C.kmeans_fit(same, "vec_id", "embedding", k=3, iterations=2)
+    assert len(cents3) == 3
+
+    # determinism: same inputs -> bit-identical centroids
+    again = C.kmeans_fit(df, "vec_id", "embedding", k=2, iterations=3)
+    assert again == cents
