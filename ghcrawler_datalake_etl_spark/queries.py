@@ -2580,7 +2580,7 @@ _DRIVER_ORDER = [
     "dedup_clusters",
     "dedup_embedding_cosine",
     "sim_knn_bruteforce",
-    "sim_knn_pandas_gemm",
+    "sim_kmeans_assign",
     "sim_knn_int8_dot",
     "sim_ann_lsh",
     "sim_ivf_topk",
@@ -2599,6 +2599,12 @@ _DRIVER_ORDER = [
     "multimodal_audio_chunks",
     "multimodal_frames",
     # ---------------- position 51+: past the driver window ----------
+    # extension entries out here are perf-twins or variants of an
+    # in-window component (tests/test_registry_order.py pins the list):
+    # sim_knn_pandas_gemm twins sim_knn_bruteforce (same oracle), the
+    # stratified sampler extends sample_hash_deterministic, repetition
+    # metrics extend the in-window text quality family.
+    "sim_knn_pandas_gemm",
     "w1_maxby_latest_event_per_user",
     "topk_orders_per_segment",
     "j5_salted_skew_join",
@@ -2623,7 +2629,6 @@ _DRIVER_ORDER = [
     "cube_status_priority",
     "text_repetition_metrics",
     "sample_stratified_by_lang",
-    "sim_kmeans_assign",
 ]
 
 

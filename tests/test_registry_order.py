@@ -21,6 +21,15 @@ EXTENSION_PREFIXES = (
     "corpus_",
 )
 
+#: extension queries deliberately OUTSIDE the window - each must be a
+#: perf-twin or variant of an in-window component (listed), never a
+#: distinct algorithm. Adding here requires naming the in-window proxy.
+OUT_OF_WINDOW_OK = {
+    "sim_knn_pandas_gemm": "sim_knn_bruteforce",   # same oracle, Arrow twin
+    "sample_stratified_by_lang": "sample_hash_deterministic",
+    "text_repetition_metrics": "text_quality_score",
+}
+
 #: one in-window query per SURVEY section-2 operator family
 PARITY_CORE = {
     "q1_pricing_summary",
@@ -54,12 +63,19 @@ def test_every_extension_query_in_driver_window():
     window = set(names[:WINDOW])
     stragglers = [
         n for n in names
-        if n.startswith(EXTENSION_PREFIXES) and n not in window
+        if n.startswith(EXTENSION_PREFIXES)
+        and n not in window
+        and n not in OUT_OF_WINDOW_OK
     ]
     assert not stragglers, (
         f"extension queries outside the driver's first-{WINDOW} window "
         f"(no CORRECTNESS row will be recorded): {stragglers}"
     )
+    for n, proxy in OUT_OF_WINDOW_OK.items():
+        assert proxy in window, (
+            f"{n} is allowed out-of-window only because {proxy} covers "
+            f"its component in-window - but {proxy} left the window"
+        )
 
 
 def test_parity_core_in_driver_window():
