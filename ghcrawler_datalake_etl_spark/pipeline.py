@@ -275,6 +275,43 @@ def build_table(
     raise ValueError(f"unknown pattern {spec.pattern}")
 
 
+def build_delta(
+    spec: EntitySpec,
+    entity_day: DataFrame,
+    previous: DataFrame,
+    scrub_pii: bool = True,
+) -> DataFrame:
+    """Incremental form of build_table for the keyed snapshot patterns
+    (A/E): the merged result restricted to the keys the day TOUCHES.
+
+    Semantics are identical to the full path - the day's typed rows are
+    resolved against the previous snapshot's rows FOR THOSE KEYS with
+    the same latest-wins window (the old row can still win a late
+    re-crawl), so handing the result to ``ParquetCatalog.merge_upsert``
+    (delta-wins per key) reproduces ``build_table`` + ``overwrite``
+    exactly while rewriting only the touched hash buckets. The
+    reference rewrites every table in full daily
+    (/root/reference/USQL/ProcessDaily.usql:142-177, TRUNCATE+INSERT) -
+    at 100 TB that full rewrite IS the job's cost, which is why the
+    incremental path exists.
+    """
+    if spec.pattern not in ("A", "E"):
+        raise ValueError(f"build_delta supports patterns A/E, not {spec.pattern}")
+    new_df = project_entity(entity_day, spec, scrub_pii)
+    keys = list(spec.key)
+    prev_subset = previous.join(
+        F.broadcast(new_df.select(*keys).distinct()), keys, "left_semi"
+    )
+    resolve = snapshot_upsert if spec.pattern == "A" else version_log
+    return resolve(
+        new_df,
+        prev_subset,
+        keys=keys,
+        order_by=[_touched()],
+        tiebreakers=["FetchedAt"],
+    )
+
+
 def run_daily(
     spark: SparkSession,
     staging_path: str,
@@ -284,6 +321,7 @@ def run_daily(
     scrub_pii: bool = True,
     init_mode: bool = False,
     entity_schemas: dict | None = None,
+    incremental: bool = False,
 ) -> list[str]:
     """Run every spec for one day (ProcessDaily); ``init_mode`` ignores
     previous snapshots (CreateAndInitialize* backfill path).
@@ -291,6 +329,14 @@ def run_daily(
     ``entity_schemas`` maps ``spec.entity_filter`` -> DDL schema string
     for the production no-inference path (SURVEY.md 1.3); unregistered
     entities fall back to per-day inference (sources.staging.parse_entity).
+
+    ``incremental=True`` routes the keyed snapshot patterns (A/E)
+    through ``build_delta`` + ``merge_upsert``: only the hash buckets
+    the day's keys land in are rewritten, untouched buckets hard-link
+    into the new version. Results are identical to the full path (the
+    first incremental run of a table pays a one-time re-bucket).
+    Patterns B/C/D keep the full rewrite (their refresh unit is the
+    parent document / collection page, not a row key).
     """
     staging_day = read_staging(spark, staging_path, ingest_date).cache()  # Q6
     entity_schemas = entity_schemas or {}
@@ -305,13 +351,23 @@ def run_daily(
                     spark, filtered, schema=entity_schemas.get(fkey)
                 ).cache()
             previous = None if init_mode else catalog.read_or_none(spec.table)
-            snapshot = build_table(spec, parsed[fkey], previous, scrub_pii)
-            catalog.overwrite(
-                snapshot,
-                spec.table,
-                num_files=max(1, spec.size_hint // 20),
-                sort_by=[k for k in spec.key if k in snapshot.columns],
-            )
+            if incremental and spec.pattern in ("A", "E"):
+                # first run bootstraps the bucketed layout through the
+                # same sink, so day 2 is already link-incremental
+                delta = (
+                    build_table(spec, parsed[fkey], None, scrub_pii)
+                    if previous is None
+                    else build_delta(spec, parsed[fkey], previous, scrub_pii)
+                )
+                catalog.merge_upsert(delta, spec.table, list(spec.key))
+            else:
+                snapshot = build_table(spec, parsed[fkey], previous, scrub_pii)
+                catalog.overwrite(
+                    snapshot,
+                    spec.table,
+                    num_files=max(1, spec.size_hint // 20),
+                    sort_by=[k for k in spec.key if k in snapshot.columns],
+                )
             built.append(spec.table)
     finally:
         for df in parsed.values():

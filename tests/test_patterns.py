@@ -414,3 +414,51 @@ def test_merge_upsert_rewrites_only_affected_buckets(spark, tmp_path):
     s3 = cat.merge_upsert(delta, "T", ["k"], num_buckets=8)
     assert s3["linked"] == 0
     assert {r.k: r.val for r in cat.read("T").collect()} == got
+
+
+def test_run_daily_incremental_matches_full(spark, tmp_path):
+    """incremental=True (build_delta + merge_upsert) must produce
+    byte-identical Commit (pattern A) and RepoLog (pattern E) snapshots
+    to the full-rewrite path, while rewriting only the day's buckets."""
+    root = tmp_path
+    raw1, raw2 = str(root / "r1"), str(root / "r2")
+    staging_f, staging_i = str(root / "sf"), str(root / "si")
+    write_docs(raw1, DAY1)
+    write_docs(raw2, DAY2)
+    specs = (spec_for("Commit"), spec_for("RepoLog"))
+
+    full = ParquetCatalog(spark, str(root / "wh_full"))
+    inc = ParquetCatalog(spark, str(root / "wh_inc"))
+    for staging, catalog, flag in (
+        (staging_f, full, False),
+        (staging_i, inc, True),
+    ):
+        stage_json(spark, raw1, staging, "2024-01-01")
+        run_daily(spark, staging, "2024-01-01", catalog, specs=specs,
+                  incremental=flag)
+        stage_json(spark, raw2, staging, "2024-01-02")
+        run_daily(spark, staging, "2024-01-02", catalog, specs=specs,
+                  incremental=flag)
+
+    for table in ("Commit", "RepoLog"):
+        a = sorted(map(tuple, full.read(table).collect()))
+        b = sorted(
+            map(tuple, inc.read(table).select(*full.read(table).columns).collect())
+        )
+        assert a == b, f"{table}: incremental diverged from full"
+
+    # day 1 bootstraps the bucketed layout, so day 2 is a true partial
+    # rewrite: untouched buckets are hard-linked (nlink > 1) from v0
+    import os
+    cur = inc.current_path("Commit")
+    assert cur.endswith("v1")
+    kb_dirs = [d for d in os.listdir(cur) if d.startswith("_kb=")]
+    assert len(kb_dirs) >= 2
+    linked = sum(
+        1
+        for d in kb_dirs
+        for f in os.listdir(os.path.join(cur, d))
+        if f.endswith(".parquet")
+        and os.stat(os.path.join(cur, d, f)).st_nlink > 1
+    )
+    assert linked > 0, "no untouched bucket was file-reused on day 2"
