@@ -1,0 +1,142 @@
+"""Lexical full-text search: BM25 scoring over the document corpus.
+
+The retrieval complement to the embedding paths in
+operators/similarity.py - at 100 TB the lexical index is the cheap
+first-stage retriever (exact term match, no model) in front of the
+vector rerankers.
+
+Spark-first shape: everything is one declarative plan over the inverted
+layout -
+
+1. tokenize -> posexplode -> per-(doc, term) term frequencies, with the
+   QUERY-TERM FILTER applied before the explode's groupBy, so the only
+   shuffle carries matched terms (a handful of rows per doc), never the
+   vocabulary;
+2. document frequency per query term (k rows) and the corpus constants
+   (N, total token count) - driver-scale aggregates, broadcast back as
+   literals/joins;
+3. per-term BM25 contributions, collected per doc as a TERM-SORTED
+   array and folded left-to-right - summation ORDER is pinned, so the
+   score is bit-reproducible across engines (a plain SUM() would add
+   doubles in partition order). ln() is the one per-engine wobble
+   (libm last-ulp); scores are floor-quantized before ranking.
+
+Uses the Lucene/BM25+ idf form: ln(1 + (N - df + 0.5)/(df + 0.5)),
+non-negative for any df.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ghcrawler_datalake_etl_spark.functions.core import quantize
+from ghcrawler_datalake_etl_spark.operators.text import tokenize
+
+K1 = 1.2
+B = 0.75
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    top_k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Top-k documents for a bag of query terms by BM25.
+
+    Returns (id, n_terms_matched, score) ranked by (quantized score
+    desc, id) - the quantized score is the ranking key so last-ulp ln()
+    noise can never flip the order between engines.
+
+    Scale: the tf frame after the query-term filter is O(matches), the
+    df/constants aggregates are k rows + 2 scalars, and the final
+    ranking is a distributed top-k (TakeOrderedAndProject), not a
+    global sort.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted(set(t.lower() for t in query_terms))
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize(F.col(text_col)).alias("toks"),
+    )
+    lens = base.select("doc_id", F.size("toks").alias("dl"))
+
+    tf = (
+        base.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+    consts = lens.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    # exact corpus constants ride in via a 1-row cross join (broadcast);
+    # avgdl derives as an exact integer ratio inside the expression
+    scored_terms = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * (k1 + 1))
+            ).alias("_num"),
+            (F.col("tf").cast("double")).alias("_tf"),
+            (F.col("total_dl").cast("double") / F.col("n_docs")).alias(
+                "_avgdl"
+            ),
+        )
+        .join(lens, "doc_id")
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("_num")
+                / (
+                    F.col("_tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1 - b)
+                        + F.lit(b) * F.col("dl") / F.col("_avgdl")
+                    )
+                )
+            ).alias("contrib"),
+        )
+    )
+
+    per_doc = (
+        scored_terms.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms_matched"),
+            F.array_sort(
+                F.collect_list(F.struct("term", "contrib"))
+            ).alias("_parts"),
+        )
+        .select(
+            "doc_id",
+            "n_terms_matched",
+            quantize(
+                F.aggregate(
+                    F.col("_parts"),
+                    F.lit(0.0),
+                    lambda acc, p: acc + p["contrib"],
+                ),
+                4,
+            ).alias("score"),
+        )
+    )
+    return per_doc.orderBy(F.desc("score"), "doc_id").limit(top_k)

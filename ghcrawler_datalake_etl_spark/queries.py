@@ -35,6 +35,7 @@ from ghcrawler_datalake_etl_spark.functions.core import (
 from ghcrawler_datalake_etl_spark.operators import clustering as CL
 from ghcrawler_datalake_etl_spark.operators import dedup as DD
 from ghcrawler_datalake_etl_spark.operators import sampling as SP
+from ghcrawler_datalake_etl_spark.operators import search as SR
 from ghcrawler_datalake_etl_spark.operators import similarity as SIM
 from ghcrawler_datalake_etl_spark.operators import text as TX
 from ghcrawler_datalake_etl_spark.operators.patterns import (
@@ -2352,6 +2353,51 @@ def text_repetition_metrics(spark, sf_dir):
     )
 
 
+_BM25_TERMS = ("join", "spark", "window")
+
+
+@register(
+    "search_bm25_topk",
+    f"""
+    WITH base AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    lens AS (SELECT doc_id, len(toks) AS dl FROM base),
+    tf AS (
+      SELECT b.doc_id, t.term, count(*) AS tf
+      FROM base b, unnest(b.toks) AS t(term)
+      WHERE t.term IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+      GROUP BY b.doc_id, t.term),
+    consts AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM lens),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT tf.doc_id, tf.term,
+             ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf::DOUBLE
+                  + 1.2 * (0.25 + 0.75 * l.dl
+                           / (c.total_dl::DOUBLE / c.n_docs))) AS contrib
+      FROM tf
+      JOIN dfreq d USING (term)
+      CROSS JOIN consts c
+      JOIN lens l ON l.doc_id = tf.doc_id),
+    agg AS (
+      SELECT doc_id, count(*) AS n_terms_matched,
+             floor(list_reduce(list(contrib ORDER BY term),
+                               (a, b) -> a + b) * 10000) / 10000 AS score
+      FROM contrib GROUP BY doc_id)
+    SELECT doc_id, n_terms_matched, score
+    FROM agg ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def search_bm25_topk(spark, sf_dir):
+    """Lexical retrieval (operators/search.bm25_topk): BM25 top-10 for a
+    3-term query. The per-term contributions fold in TERM-SORTED order
+    on both engines, so the float score is bit-reproducible and the
+    ranking key is the quantized score - ln()'s last-ulp libm wobble
+    can't flip an ordering."""
+    d = _t(spark, sf_dir, "documents")
+    return SR.bm25_topk(d, "doc_id", "text", list(_BM25_TERMS), top_k=10)
+
+
 def _pipeline_oracle() -> str:
     """Composed training-data pipeline oracle: tokens/hash computed once
     in a CTE, then lang-ID + quality + exact-dedup + filters."""
@@ -2629,6 +2675,7 @@ _DRIVER_ORDER = [
     "cube_status_priority",
     "text_repetition_metrics",
     "sample_stratified_by_lang",
+    "search_bm25_topk",
 ]
 
 

@@ -238,3 +238,15 @@ def test_pack_shards_no_global_single_partition_sort(spark):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, ref.collect())
     )
+
+
+def test_bm25_plan_filters_before_shuffle_and_takes_ordered(spark, queries):
+    # the query-term filter must sit below the tf aggregation (the only
+    # data-sized shuffle carries matched terms, never the vocabulary)
+    # and the final ranking must be a distributed top-k
+    p = plan(queries["search_bm25_topk"](spark, SF_DIR), "simple")
+    assert "TakeOrderedAndProject" in p
+    agg_pos = p.find("HashAggregate")
+    filt_pos = p.rfind("Filter")
+    assert agg_pos != -1 and filt_pos != -1
+    assert filt_pos > agg_pos, "term filter not below the tf aggregation"
