@@ -156,6 +156,38 @@ def lang_id(col: ColumnOrName) -> Column:
     return lang_id_from_tokens(tokenize(col))
 
 
+# PII patterns chosen to parse identically under Java regex (Spark) and
+# RE2 (DuckDB): plain character classes, bounded repeats, \b word
+# boundaries - no lookarounds, no backrefs (RE2 has neither).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+        "<EMAIL>",
+    ),
+    "ipv4": (
+        "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+        "<IP>",
+    ),
+    "phone": (
+        "\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}\\b",
+        "<PHONE>",
+    ),
+}
+
+
+def redact_pii(col: ColumnOrName) -> Column:
+    """Replace emails, IPv4 addresses, and international-format phone
+    numbers with typed placeholder tags - the text-body counterpart to
+    functions.core.pii_hash (which pseudonymizes KEY columns; bodies
+    need redaction, not a join key). One narrow projection of chained
+    regexp_replace calls: scan-scales, no shuffle, and the patterns are
+    Java/RE2-portable so the DuckDB oracle replays them exactly."""
+    c = _path(col)
+    for pattern, tag in PII_PATTERNS.values():
+        c = F.regexp_replace(c, pattern, tag)
+    return c
+
+
 def _max_equal_run(arr: Column, init_type: str = "string") -> Column:
     """Length of the longest run of EQUAL ADJACENT elements in an array
     (0 for empty/null arrays). One left fold - O(n) interpreted, no

@@ -2353,6 +2353,40 @@ def text_repetition_metrics(spark, sf_dir):
     )
 
 
+def _redact_sql_expr(col: str) -> str:
+    """Nested regexp_replace mirroring text.redact_pii's pattern order."""
+    expr = col
+    for pattern, tag in TX.PII_PATTERNS.values():
+        escaped = pattern.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{escaped}', '{tag}', 'g')"
+    return expr
+
+
+@register(
+    "text_redact_pii",
+    f"""
+    SELECT doc_id,
+           md5({_redact_sql_expr('text')}) AS redacted_md5,
+           ({_redact_sql_expr('text')} <> text) AS changed
+    FROM documents
+    """,
+)
+def text_redact_pii(spark, sf_dir):
+    """Body-text PII redaction (operators/text.redact_pii): emails,
+    IPv4, phone formats -> typed tags. The corpus is synthetic (no PII
+    hits - `changed` is all false here); the operator semantics are
+    pinned by crafted-document unit tests and the md5-of-redacted
+    oracle proves the pass is a byte-level no-op where nothing
+    matches."""
+    d = _t(spark, sf_dir, "documents")
+    red = TX.redact_pii(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.md5(red).alias("redacted_md5"),
+        (red != F.col("text")).alias("changed"),
+    )
+
+
 _BM25_TERMS = ("join", "spark", "window")
 
 
@@ -2676,6 +2710,7 @@ _DRIVER_ORDER = [
     "text_repetition_metrics",
     "sample_stratified_by_lang",
     "search_bm25_topk",
+    "text_redact_pii",
 ]
 
 

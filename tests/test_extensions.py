@@ -704,3 +704,24 @@ def test_kmeans_separates_obvious_clusters(spark):
     # determinism: same inputs -> bit-identical centroids
     again = C.kmeans_fit(df, "vec_id", "embedding", k=2, iterations=3)
     assert again == cents
+
+
+def test_redact_pii_crafted(spark):
+    from ghcrawler_datalake_etl_spark.operators import text as T
+    import pyspark.sql.functions as F
+
+    docs = [
+        (0, "mail me at a.user+tag@example.co.uk today"),
+        (1, "server at 10.0.255.3 and 192.168.1.1:8080"),
+        (2, "call +1-415-555-0199 or 44 20 7946 0958"),
+        (3, "clean text stays identical"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r.red for r in df.select(
+        "doc_id", T.redact_pii("text").alias("red")).collect()}
+    assert out[0] == "mail me at <EMAIL> today"
+    assert out[1] == "server at <IP> and <IP>:8080"
+    assert "<PHONE>" in out[2] and "0199" not in out[2]
+    assert out[3] == "clean text stays identical"
+    assert out[4] is None

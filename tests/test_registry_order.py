@@ -28,6 +28,7 @@ OUT_OF_WINDOW_OK = {
     "sim_knn_pandas_gemm": "sim_knn_bruteforce",   # same oracle, Arrow twin
     "sample_stratified_by_lang": "sample_hash_deterministic",
     "text_repetition_metrics": "text_quality_score",
+    "text_redact_pii": "f3_pii_pseudonymize",  # PII component in-window
 }
 
 #: one in-window query per SURVEY section-2 operator family
