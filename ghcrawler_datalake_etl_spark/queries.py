@@ -2353,6 +2353,53 @@ def text_repetition_metrics(spark, sf_dir):
     )
 
 
+@register(
+    "corpus_vocabulary_topk",
+    f"""
+    WITH tok AS (
+      SELECT t.term FROM
+        (SELECT {_TOKS_SQL} AS toks FROM documents) d, unnest(d.toks) AS t(term)
+    ),
+    counts AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+    tot AS (SELECT sum(n) AS total, count(*) AS vocab FROM counts)
+    SELECT term, n,
+           floor(n::DOUBLE / t.total * 1000000) / 1000000 AS share,
+           t.vocab AS vocab_size
+    FROM counts CROSS JOIN tot t
+    ORDER BY n DESC, term LIMIT 25
+    """,
+)
+def corpus_vocabulary_topk(spark, sf_dir):
+    """Zipf head of the corpus vocabulary: top-25 tokens with corpus
+    share and total vocabulary size. The canonical explode-heavy
+    aggregation: (term) partials combine map-side so the shuffle is
+    O(distinct terms), the share constants are a 1-row broadcast, and
+    the ranking is a distributed top-k. Ordered-output oracle (ties
+    broken by term)."""
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    counts = (
+        d.select(F.explode(TX.tokenize(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = counts.agg(
+        F.sum("n").alias("total"), F.count("*").alias("vocab")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            "n",
+            quantize(F.col("n").cast("double") / F.col("total"), 6).alias(
+                "share"
+            ),
+            F.col("vocab").alias("vocab_size"),
+        )
+        .orderBy(F.desc("n"), "term")
+        .limit(25)
+    )
+
+
 def _redact_sql_expr(col: str) -> str:
     """Nested regexp_replace mirroring text.redact_pii's pattern order."""
     expr = col
@@ -2711,6 +2758,7 @@ _DRIVER_ORDER = [
     "sample_stratified_by_lang",
     "search_bm25_topk",
     "text_redact_pii",
+    "corpus_vocabulary_topk",
 ]
 
 

@@ -29,6 +29,7 @@ OUT_OF_WINDOW_OK = {
     "sample_stratified_by_lang": "sample_hash_deterministic",
     "text_repetition_metrics": "text_quality_score",
     "text_redact_pii": "f3_pii_pseudonymize",  # PII component in-window
+    "corpus_vocabulary_topk": "corpus_source_report",
 }
 
 #: one in-window query per SURVEY section-2 operator family
