@@ -259,3 +259,62 @@ def test_stream_static_enrich_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_windowed_counts_drop_late_data(spark, tmp_path):
+    """The watermark contract end-to-end in append mode: an event
+    arriving later than the watermark behind max event time is DROPPED
+    (its closed window never updates), while in-watermark events land
+    in their event-time window."""
+    from ghcrawler_datalake_etl_spark.streaming import windowed_event_counts
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    # batch 1: two windows' worth of on-time events; max ts 13:30 puts
+    # the watermark (1h) at 12:30, past the 10:00-11:00 window end
+    rows1 = [
+        {"ts": "2024-01-01 10:15:00", "event_type": "click", "value": 1.0},
+        {"ts": "2024-01-01 10:45:00", "event_type": "click", "value": 2.0},
+        {"ts": "2024-01-01 13:30:00", "event_type": "view", "value": 5.0},
+    ]
+    # batch 2: a LATE click for the already-closed 10:00 window (beyond
+    # the watermark - must be dropped) and a far-future flusher that
+    # pushes the watermark past every other window end
+    rows2 = [
+        {"ts": "2024-01-01 10:20:00", "event_type": "click", "value": 100.0},
+        {"ts": "2024-01-02 00:00:00", "event_type": "flush", "value": 0.0},
+    ]
+    with open(indir / "b1.json", "w") as f:
+        f.writelines(json.dumps(r) + "\n" for r in rows1)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir))
+    )
+    counts = windowed_event_counts(
+        stream, window_duration="1 hour", watermark="1 hour"
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("late_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        with open(indir / "b2.json", "w") as f:
+            f.writelines(json.dumps(r) + "\n" for r in rows2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.table("late_out").collect()
+    }
+    # the 10:00 click window closed with its ON-TIME contents only
+    assert got[("2024-01-01 10:00:00", "click")] == (2, 3.0), got
+    # the late 100.0 click created/updated nothing else for that window
+    clicks = [k for k in got if k[1] == "click"]
+    assert clicks == [("2024-01-01 10:00:00", "click")], got
