@@ -346,6 +346,7 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 4,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into centroid
     cells, probe the n_probe nearest cells per query, exact cosine within
@@ -355,8 +356,20 @@ def ivf_topk(
     per row, centroids broadcast as literals); the join is an equi-join
     on cell id, so each query scans ~n_probe/n_centroids of the corpus.
     Recall < 1 by construction; raise with n_probe.
+
+    ``centroids``: pass a LEARNED centroid matrix (e.g.
+    clustering.kmeans_fit) instead of the deterministic
+    first-n-by-id quantizer; cell ids are the list positions.
     """
-    cents = _centroid_rows(corpus, id_col, vec_col, n_centroids)
+    import math
+
+    if centroids is not None:
+        cents = [
+            (i, [float(x) for x in c], math.sqrt(sum(x * x for x in c)))
+            for i, c in enumerate(centroids)
+        ]
+    else:
+        cents = _centroid_rows(corpus, id_col, vec_col, n_centroids)
     c = _normalized(fan_out(corpus), id_col, vec_col, "neighbor").withColumn(
         "cell",
         _nearest_cells(F.col("neighbor_vec"), F.col("neighbor_norm"), cents, 1)[0],

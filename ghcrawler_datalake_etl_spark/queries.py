@@ -2050,11 +2050,10 @@ def sim_ivf_topk(spark, sf_dir):
     )
 
 
-def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
-    """Unrolled-SQL twin of clustering.kmeans_fit + assign: one CTE pair
-    (assign, M-step) per iteration. Exactness contract documented in
-    operators/clustering.py: integer-scaled sums, floor-quantized
-    centroids, left-fold distances."""
+def _kmeans_ctes(k: int, iters: int) -> tuple[list[str], str]:
+    """The unrolled Lloyd's-iteration CTE chain; returns (ctes, name of
+    the final centroid CTE). Shared by the kmeans assignment oracle and
+    the learned-centroid IVF oracle."""
     bucket = (
         "cast(('0x' || substr(md5('42' || chr(31) || "
         "cast(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000"
@@ -2100,6 +2099,19 @@ def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
       SELECT prev.cid, coalesce(m.cl, prev.c) AS c
       FROM c{t - 1} prev LEFT JOIN m{t} m ON m.cluster = prev.cid
     )""")
+    return ctes, f"c{iters}"
+
+
+def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
+    """Unrolled-SQL twin of clustering.kmeans_fit + assign: one CTE pair
+    (assign, M-step) per iteration. Exactness contract documented in
+    operators/clustering.py: integer-scaled sums, floor-quantized
+    centroids, left-fold distances."""
+    ctes, _final = _kmeans_ctes(k, iters)
+    dist = (
+        "list_reduce(list_transform(range(1, len(p.v) + 1), "
+        "i -> (p.v[i] - c.c[i]) * (p.v[i] - c.c[i])), (a, b) -> a + b)"
+    )
     return f"""
     WITH {', '.join(ctes)}
     SELECT vec_id, cluster, floor(d * 1000000) / 1000000 AS dist_q6
@@ -2127,6 +2139,63 @@ def sim_kmeans_assign(spark, sf_dir):
                              "vec_id", "embedding", cents)
     return out.select(
         "vec_id", "cluster", quantize(F.col("dist_sq"), 6).alias("dist_q6")
+    )
+
+
+def _ivf_kmeans_oracle(k_cent: int = 8, iters: int = 2, n_probe: int = 2,
+                       topk: int = 5) -> str:
+    """Learned-centroid IVF: the kmeans CTE chain feeds the IVF
+    assign/probe/scan SQL (same shape as sim_ivf_topk's oracle, centroid
+    source swapped)."""
+    ctes, final = _kmeans_ctes(k_cent, iters)
+    ctes.append(f"""v AS (
+      SELECT vec_id, v AS vec,
+             sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+      FROM pts)""")
+    ctes.append(f"""cent AS (
+      SELECT cid, c AS cvec,
+             sqrt(list_sum(list_transform(c, x -> x*x))) AS cnrm
+      FROM {final})""")
+    ctes.append("""scored_cells AS (
+      SELECT v.vec_id, v.vec, v.nrm, c.cid,
+             row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY list_dot_product(v.vec, c.cvec) / (v.nrm * c.cnrm) DESC,
+                                         c.cid ASC) AS rn
+      FROM v, cent c)""")
+    ctes.append("""assign AS (
+      SELECT vec_id, vec, nrm, cid FROM scored_cells WHERE rn = 1)""")
+    ctes.append(f"""probes AS (
+      SELECT vec_id AS qid, vec AS qvec, nrm AS qnrm, cid
+      FROM scored_cells WHERE rn <= {n_probe} AND vec_id < 10)""")
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT p.qid AS query_id, a.vec_id AS neighbor_id,
+             floor(list_dot_product(p.qvec, a.vec) / (p.qnrm * a.nrm) * 1000000) / 1000000 AS cosine,
+             row_number() OVER (
+               PARTITION BY p.qid
+               ORDER BY floor(list_dot_product(p.qvec, a.vec) / (p.qnrm * a.nrm) * 1000000) / 1000000 DESC,
+                        a.vec_id ASC) AS rank
+      FROM probes p JOIN assign a ON p.cid = a.cid
+      WHERE p.qid <> a.vec_id) t
+    WHERE rank <= {topk}
+    """
+
+
+@register("sim_ivf_kmeans_topk", _ivf_kmeans_oracle())
+def sim_ivf_kmeans_topk(spark, sf_dir):
+    """The components composed: kmeans_fit LEARNS the coarse quantizer,
+    ivf_topk consumes it (centroids=...) - the production IVF shape
+    (train on data, assign, probe) instead of sim_ivf_topk's
+    deterministic first-n quantizer. Still exactly oracle-checkable
+    because the learned centroids are bit-reproducible (see
+    operators/clustering.py)."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = CL.kmeans_fit(e, "vec_id", "embedding", k=8, iterations=2, seed=42)
+    queries_df = e.filter(F.col("vec_id") < 10)
+    return SIM.ivf_topk(
+        e, queries_df, "vec_id", "embedding",
+        k=5, n_probe=2, centroids=cents,
     )
 
 
@@ -2759,6 +2828,7 @@ _DRIVER_ORDER = [
     "search_bm25_topk",
     "text_redact_pii",
     "corpus_vocabulary_topk",
+    "sim_ivf_kmeans_topk",
 ]
 
 

@@ -30,6 +30,7 @@ OUT_OF_WINDOW_OK = {
     "text_repetition_metrics": "text_quality_score",
     "text_redact_pii": "f3_pii_pseudonymize",  # PII component in-window
     "corpus_vocabulary_topk": "corpus_source_report",
+    "sim_ivf_kmeans_topk": "sim_ivf_topk",  # composition of two in-window ops
 }
 
 #: one in-window query per SURVEY section-2 operator family
