@@ -28,6 +28,9 @@ def main(argv: list[str] | None = None) -> int:
     p_daily.add_argument("--date", required=True)
     p_daily.add_argument("--init", action="store_true",
                          help="backfill mode (ignore previous snapshots)")
+    p_daily.add_argument("--incremental", action="store_true",
+                         help="bucket-level merge for keyed snapshots "
+                              "(rewrites only the day's buckets)")
     p_daily.add_argument("--tables", default=None,
                          help="comma-separated table subset")
 
@@ -64,6 +67,7 @@ def main(argv: list[str] | None = None) -> int:
             ParquetCatalog(spark, args.warehouse),
             specs=specs,
             init_mode=args.init,
+            incremental=args.incremental,
         )
         print("\n".join(built))
     else:

@@ -259,6 +259,65 @@ def repetition_features(
     }
 
 
+def chunk_starts(n_tokens: Column, chunk: int, overlap: int) -> Column:
+    """1-based token start positions for overlapping chunk windows:
+    stride = chunk - overlap; the count is ceil((n - overlap)/stride)
+    (>=1 for any non-empty doc), computed in integer arithmetic so any
+    engine replays it. Empty/null docs yield no starts."""
+    if not 0 <= overlap < chunk:
+        raise ValueError(f"need 0 <= overlap < chunk, got {overlap}/{chunk}")
+    stride = chunk - overlap
+    n = F.coalesce(n_tokens, F.lit(0))
+    n_chunks = F.greatest(
+        F.floor((n - overlap + stride - 1) / stride).cast("int"), F.lit(1)
+    )
+    return F.when(n == 0, F.array().cast("array<int>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: (i * stride + 1).cast("int"),
+        )
+    )
+
+
+def chunk_token_windows(
+    df,
+    id_col: str,
+    text_col: str,
+    chunk: int = 40,
+    overlap: int = 8,
+):
+    """Split documents into overlapping fixed-size token windows - the
+    step that turns variable-length documents into training sequences
+    (pack_shards then groups the chunks into shards).
+
+    One narrow projection + one row-multiplying posexplode; no shuffle.
+    Output: (id, chunk_idx, chunk_n_tokens, chunk_text). The final
+    (possibly short) window keeps the tail rather than dropping it;
+    chunk boundaries are a pure function of the token count, so the
+    layout is reproducible across engines and runs.
+    """
+    toks = tokenize(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("_toks")
+    ).select(
+        "doc_id",
+        "_toks",
+        chunk_starts(F.size("_toks"), chunk, overlap).alias("_starts"),
+    )
+    # generator in its own select (a posexplode alongside struct field
+    # access drops struct names - see clustering.kmeans_fit)
+    exploded = base.select(
+        "doc_id", "_toks", F.posexplode("_starts").alias("chunk_idx", "_start")
+    )
+    piece = F.slice(F.col("_toks"), F.col("_start"), chunk)
+    return exploded.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(piece).alias("chunk_n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
 def fingerprint(col: ColumnOrName) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted
     distinct token set (catches shuffled/near-identical boilerplate that

@@ -2469,6 +2469,38 @@ def corpus_vocabulary_topk(spark, sf_dir):
     )
 
 
+@register(
+    "text_chunk_windows",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) = 0 THEN []
+                  ELSE list_transform(
+                    range(0, greatest((len(toks) - 8 + 31) // 32, 1)),
+                    i -> (i * 32 + 1)::INT)
+             END AS starts
+      FROM t),
+    x AS (
+      SELECT doc_id, toks, u.i - 1 AS chunk_idx, starts[u.i] AS start
+      FROM s, unnest(range(1, len(starts) + 1)) AS u(i))
+    SELECT doc_id, chunk_idx,
+           len(toks[start:least(start + 39, len(toks))]) AS chunk_n_tokens,
+           array_to_string(toks[start:least(start + 39, len(toks))], ' ')
+             AS chunk_text
+    FROM x
+    """,
+)
+def text_chunk_windows(spark, sf_dir):
+    """Training-sequence chunking (operators/text.chunk_token_windows):
+    40-token windows with 8-token overlap; the tail window keeps its
+    remainder. One projection + one posexplode, no shuffle - boundaries
+    are a pure integer function of the token count, so the oracle
+    replays the layout exactly."""
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    return TX.chunk_token_windows(d, "doc_id", "text", chunk=40, overlap=8)
+
+
 def _redact_sql_expr(col: str) -> str:
     """Nested regexp_replace mirroring text.redact_pii's pattern order."""
     expr = col
@@ -2829,6 +2861,7 @@ _DRIVER_ORDER = [
     "text_redact_pii",
     "corpus_vocabulary_topk",
     "sim_ivf_kmeans_topk",
+    "text_chunk_windows",
 ]
 
 

@@ -725,3 +725,32 @@ def test_redact_pii_crafted(spark):
     assert "<PHONE>" in out[2] and "0199" not in out[2]
     assert out[3] == "clean text stays identical"
     assert out[4] is None
+
+
+def test_chunk_token_windows_edges(spark):
+    """Boundary pinning: exact multiples, tails shorter than overlap,
+    docs smaller than one chunk, empty and null docs."""
+    from ghcrawler_datalake_etl_spark.operators import text as T
+
+    docs = [
+        (0, " ".join(f"t{i}" for i in range(10))),  # 10 toks: chunks at 1,5,9
+        (1, "a b c"),                                # single short chunk
+        (2, ""),                                     # no chunks
+        (3, None),                                   # no chunks
+        (4, " ".join(f"x{i}" for i in range(8))),    # exactly chunk size
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = T.chunk_token_windows(df, "doc_id", "text", chunk=8, overlap=4)
+    rows = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk_n_tokens, r.chunk_text)
+        for r in out.collect()
+    )
+    by_doc = {}
+    for d, i, n, txt in rows:
+        by_doc.setdefault(d, []).append((i, n, txt))
+    # 10 tokens, stride 4: ceil((10-4)/4)=2 chunks at starts 1,5
+    assert [(i, n) for i, n, _ in by_doc[0]] == [(0, 8), (1, 6)]
+    assert by_doc[0][1][2].startswith("t4 t5")  # overlap of 4 tokens
+    assert by_doc[1] == [(0, 3, "a b c")]
+    assert 2 not in by_doc and 3 not in by_doc
+    assert by_doc[4] == [(0, 8, " ".join(f"x{i}" for i in range(8)))]

@@ -31,6 +31,7 @@ OUT_OF_WINDOW_OK = {
     "text_redact_pii": "f3_pii_pseudonymize",  # PII component in-window
     "corpus_vocabulary_topk": "corpus_source_report",
     "sim_ivf_kmeans_topk": "sim_ivf_topk",  # composition of two in-window ops
+    "text_chunk_windows": "pack_token_shards",  # sequence-layout family
 }
 
 #: one in-window query per SURVEY section-2 operator family
