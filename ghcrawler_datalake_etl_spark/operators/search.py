@@ -37,6 +37,77 @@ K1 = 1.2
 B = 0.75
 
 
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-document average unigram log-probability under the corpus's
+    own add-one-smoothed unigram model - the CCNet-style language-model
+    quality signal (wildly unlikely token streams score very negative;
+    typical prose sits near the corpus average) without shipping an
+    external LM.
+
+    Returns (id, n_tokens, avg_logprob). Shape: one exploded (doc,
+    term) tf aggregate (map-side combinable), the vocabulary derived
+    from it by a second O(distinct-terms) aggregate, a term equi-join,
+    and a TERM-SORTED fold per document so the float sum is
+    bit-reproducible (same contract as bm25_topk; ln() wobble is
+    floor-quantized away).
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize(F.col(text_col)).alias("toks"),
+    )
+    tf = (
+        base.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("n"))
+    consts = vocab.agg(
+        F.sum("n").alias("total"), F.count("*").alias("vocab")
+    )
+    contrib = (
+        tf.join(vocab, "term")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            (
+                F.col("tf")
+                * F.log(
+                    (F.col("n") + F.lit(1.0))
+                    / (F.col("total") + F.col("vocab"))
+                )
+            ).alias("contrib"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.array_sort(
+                F.collect_list(F.struct("term", "contrib"))
+            ).alias("_parts"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            quantize(
+                F.aggregate(
+                    F.col("_parts"),
+                    F.lit(0.0),
+                    lambda acc, p: acc + p["contrib"],
+                )
+                / F.col("n_tokens"),
+                4,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     id_col: str,

@@ -2535,6 +2535,35 @@ def text_redact_pii(spark, sf_dir):
     )
 
 
+@register(
+    "text_unigram_logprob",
+    f"""
+    WITH base AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    tf AS (
+      SELECT b.doc_id, t.term, count(*) AS tf
+      FROM base b, unnest(b.toks) AS t(term)
+      GROUP BY b.doc_id, t.term),
+    vocab AS (SELECT term, sum(tf) AS n FROM tf GROUP BY term),
+    consts AS (SELECT sum(n) AS total, count(*) AS vocab FROM vocab),
+    contrib AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             tf.tf * ln((v.n + 1.0) / (c.total + c.vocab)) AS contrib
+      FROM tf JOIN vocab v USING (term) CROSS JOIN consts c)
+    SELECT doc_id, cast(sum(tf) AS BIGINT) AS n_tokens,
+           floor(list_reduce(list(contrib ORDER BY term), (a, b) -> a + b)
+                 / sum(tf) * 10000) / 10000 AS avg_logprob
+    FROM contrib GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark, sf_dir):
+    """CCNet-style LM quality signal (operators/search.unigram_logprob):
+    average token log-probability under the corpus's own smoothed
+    unigram model. Term-sorted fold keeps the float sum
+    bit-reproducible across engines."""
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    return SR.unigram_logprob(d, "doc_id", "text")
+
+
 _BM25_TERMS = ("join", "spark", "window")
 
 
@@ -2862,6 +2891,7 @@ _DRIVER_ORDER = [
     "corpus_vocabulary_topk",
     "sim_ivf_kmeans_topk",
     "text_chunk_windows",
+    "text_unigram_logprob",
 ]
 
 

@@ -32,6 +32,7 @@ OUT_OF_WINDOW_OK = {
     "corpus_vocabulary_topk": "corpus_source_report",
     "sim_ivf_kmeans_topk": "sim_ivf_topk",  # composition of two in-window ops
     "text_chunk_windows": "pack_token_shards",  # sequence-layout family
+    "text_unigram_logprob": "text_quality_score",  # quality-scoring family
 }
 
 #: one in-window query per SURVEY section-2 operator family
