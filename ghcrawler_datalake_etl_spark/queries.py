@@ -2469,10 +2469,10 @@ def corpus_vocabulary_topk(spark, sf_dir):
     )
 
 
-@register(
-    "text_chunk_windows",
-    f"""
-    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+#: chunk layout CTEs (40-token windows, 8 overlap) shared by the chunk
+#: query and the chunk-level pipeline oracle; ends with CTE `chunks`
+_CHUNK_CTES_SQL = f"""
+    t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
     s AS (
       SELECT doc_id, toks,
              CASE WHEN len(toks) = 0 THEN []
@@ -2483,12 +2483,21 @@ def corpus_vocabulary_topk(spark, sf_dir):
       FROM t),
     x AS (
       SELECT doc_id, toks, u.i - 1 AS chunk_idx, starts[u.i] AS start
-      FROM s, unnest(range(1, len(starts) + 1)) AS u(i))
-    SELECT doc_id, chunk_idx,
-           len(toks[start:least(start + 39, len(toks))]) AS chunk_n_tokens,
-           array_to_string(toks[start:least(start + 39, len(toks))], ' ')
-             AS chunk_text
-    FROM x
+      FROM s, unnest(range(1, len(starts) + 1)) AS u(i)),
+    chunks AS (
+      SELECT doc_id, chunk_idx,
+             len(toks[start:least(start + 39, len(toks))]) AS chunk_n_tokens,
+             array_to_string(toks[start:least(start + 39, len(toks))], ' ')
+               AS chunk_text
+      FROM x)
+"""
+
+
+@register(
+    "text_chunk_windows",
+    f"""
+    WITH {_CHUNK_CTES_SQL}
+    SELECT doc_id, chunk_idx, chunk_n_tokens, chunk_text FROM chunks
     """,
 )
 def text_chunk_windows(spark, sf_dir):
@@ -2499,6 +2508,65 @@ def text_chunk_windows(spark, sf_dir):
     replays the layout exactly."""
     d = fan_out(_t(spark, sf_dir, "documents"))
     return TX.chunk_token_windows(d, "doc_id", "text", chunk=40, overlap=8)
+
+
+@register(
+    "pipeline_chunk_dedup_pack",
+    f"""
+    WITH {_CHUNK_CTES_SQL},
+    keyed AS (
+      SELECT doc_id, chunk_idx, chunk_n_tokens, md5(chunk_text) AS h,
+             doc_id * 1024 + chunk_idx AS ck
+      FROM chunks),
+    kept AS (
+      SELECT doc_id, chunk_idx, chunk_n_tokens, ck FROM (
+        SELECT *, row_number() OVER (PARTITION BY h
+                                     ORDER BY doc_id, chunk_idx) AS rn
+        FROM keyed)
+      WHERE rn = 1),
+    packed AS (
+      SELECT ck, chunk_n_tokens,
+             coalesce(sum(chunk_n_tokens) OVER (ORDER BY ck
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum
+      FROM kept)
+    SELECT CAST(floor(cum / 2000) AS BIGINT) AS shard_id,
+           count(*) AS n_chunks,
+           cast(sum(chunk_n_tokens) AS BIGINT) AS shard_tokens,
+           min(ck) AS first_chunk, max(ck) AS last_chunk
+    FROM packed GROUP BY 1
+    """,
+)
+def pipeline_chunk_dedup_pack(spark, sf_dir):
+    """Chunk-LEVEL training-data flow as one declarative plan:
+    overlapping token windows -> exact chunk dedup (first occurrence by
+    (doc_id, chunk_idx) wins - boilerplate chunks shared across docs
+    collapse even when the full documents differ) -> pack the surviving
+    chunks into ~2000-token shards. The chunk key packs as
+    doc_id*1024+chunk_idx (valid while docs stay under ~32k tokens -
+    40-token windows, stride 32)."""
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    chunks = TX.chunk_token_windows(d, "doc_id", "text", chunk=40, overlap=8)
+    keyed = chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_n_tokens",
+        F.md5("chunk_text").alias("h"),
+        (F.col("doc_id") * 1024 + F.col("chunk_idx")).alias("ck"),
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
+    kept = (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("ck", F.col("chunk_n_tokens").alias("wt"))
+    )
+    packed = SP.pack_shards(kept, "ck", "wt", 2000)
+    return packed.groupBy("shard_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("wt").cast("long").alias("shard_tokens"),
+        F.min("ck").alias("first_chunk"),
+        F.max("ck").alias("last_chunk"),
+    )
 
 
 def _redact_sql_expr(col: str) -> str:
@@ -2892,6 +2960,7 @@ _DRIVER_ORDER = [
     "sim_ivf_kmeans_topk",
     "text_chunk_windows",
     "text_unigram_logprob",
+    "pipeline_chunk_dedup_pack",
 ]
 
 

@@ -33,6 +33,7 @@ OUT_OF_WINDOW_OK = {
     "sim_ivf_kmeans_topk": "sim_ivf_topk",  # composition of two in-window ops
     "text_chunk_windows": "pack_token_shards",  # sequence-layout family
     "text_unigram_logprob": "text_quality_score",  # quality-scoring family
+    "pipeline_chunk_dedup_pack": "pipeline_dedup_shards",  # pipeline family
 }
 
 #: one in-window query per SURVEY section-2 operator family
