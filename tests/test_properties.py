@@ -199,3 +199,73 @@ def test_span_fraction_bounds_and_first_doc_clean(spark, docs):
     }
     if len(rows[0][1].split()) >= 3:
         assert got2[len(rows)]["dup_frac"] == 1.0
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.text(alphabet="ab c", min_size=0, max_size=60),
+             min_size=1, max_size=8),
+    st.integers(2, 6),
+    st.integers(0, 3),
+)
+def test_chunk_windows_cover_and_reconstruct(spark, texts, chunk, overlap):
+    """Chunking invariants for any doc/chunk/overlap combination:
+    (1) stride-aligned prefixes of each chunk concatenate back to the
+    full token stream (no token lost or duplicated outside overlaps);
+    (2) every chunk except the last has exactly `chunk` tokens' worth of
+    coverage obligations met (len == chunk), the last keeps the tail."""
+    from ghcrawler_datalake_etl_spark.operators.text import (
+        chunk_token_windows, tokenize,
+    )
+    if overlap >= chunk:
+        overlap = chunk - 1
+    stride = chunk - overlap
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    toks = {
+        r.doc_id: r.t
+        for r in df.select("doc_id", tokenize("text").alias("t")).collect()
+    }
+    out = chunk_token_windows(df, "doc_id", "text", chunk=chunk,
+                              overlap=overlap)
+    by_doc = {}
+    for r in sorted(out.collect(), key=lambda r: (r.doc_id, r.chunk_idx)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, expected in toks.items():
+        rows = by_doc.get(doc_id, [])
+        if not expected:
+            assert rows == []
+            continue
+        rebuilt = []
+        for i, r in enumerate(rows):
+            ts = r.chunk_text.split(" ") if r.chunk_text else []
+            assert len(ts) == r.chunk_n_tokens
+            if i < len(rows) - 1:
+                rebuilt.extend(ts[:stride])
+            else:
+                rebuilt.extend(ts)
+        assert rebuilt == expected, (doc_id, chunk, overlap)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.tuples(st.integers(0, 500), st.sampled_from(["en", "de", "zh"])),
+             min_size=0, max_size=30),
+)
+def test_stratified_sample_is_per_stratum_hash_sample(spark, rows):
+    """stratified_sample == the union of hash_sample applied per stratum
+    at that stratum's fraction (and strata without fractions drop)."""
+    from ghcrawler_datalake_etl_spark.operators.sampling import (
+        hash_sample, stratified_sample,
+    )
+    df = spark.createDataFrame(rows, "k long, lang string")
+    fr = {"en": 0.5, "de": 0.25}
+    got = sorted(map(tuple,
+        stratified_sample(df, "k", "lang", fr, seed=7).collect()))
+    want = []
+    for s, f in fr.items():
+        want.extend(map(tuple,
+            hash_sample(df.filter(F.col("lang") == s), "k", f, seed=7)
+            .collect()))
+    assert got == sorted(want)
