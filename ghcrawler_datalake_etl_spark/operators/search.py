@@ -55,11 +55,16 @@ def unigram_logprob(
     bit-reproducible (same contract as bm25_topk; ln() wobble is
     floor-quantized away).
     """
+    from ghcrawler_datalake_etl_spark.operators.dedup import _materialize
+
     base = df.select(
         F.col(id_col).alias("doc_id"),
         tokenize(F.col(text_col)).alias("toks"),
     )
-    tf = (
+    # tf feeds three consumers (the scoring join, the vocabulary, and
+    # the corpus constants); materialized so the tokenize+explode+
+    # aggregate subtree runs once, not once per branch
+    tf = _materialize(
         base.select("doc_id", F.explode("toks").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
