@@ -250,3 +250,27 @@ def test_bm25_plan_filters_before_shuffle_and_takes_ordered(spark, queries):
     filt_pos = p.rfind("Filter")
     assert agg_pos != -1 and filt_pos != -1
     assert filt_pos > agg_pos, "term filter not below the tf aggregation"
+
+
+def test_narrow_text_operators_have_no_exchange(spark, queries):
+    # chunking, redaction, and repetition metrics are pure projections
+    # (plus a generate for chunking): any Exchange would mean a shuffle
+    # crept into a scan-scaling path. fan_out's RoundRobin repartition
+    # on under-split local files is the one allowed exchange.
+    for name in ("text_chunk_windows", "text_redact_pii",
+                 "text_repetition_metrics"):
+        p = plan(queries[name](spark, SF_DIR), "simple")
+        stripped = p.replace("Exchange RoundRobinPartitioning", "")
+        assert "Exchange" not in stripped, f"{name} shuffles:\n{p}"
+
+
+def test_kmeans_assignment_is_narrow(spark):
+    # the E-step must be a pure projection against literal centroids -
+    # centroids ride in the plan, data never moves
+    from ghcrawler_datalake_etl_spark.operators import clustering as C
+
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = C.assign_clusters(df, "vec_id", "embedding",
+                            [[0.0] * 64, [0.1] * 64])
+    p = plan(out, "simple")
+    assert "Exchange" not in p, p
