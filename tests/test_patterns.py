@@ -440,6 +440,29 @@ def test_run_daily_incremental_matches_full(spark, tmp_path):
         run_daily(spark, staging, "2024-01-02", catalog, specs=specs,
                   incremental=flag)
 
+    # day 3: the adversarial merge cases - a DELETE marker for c2, and a
+    # LATE re-crawl of c1 older than the stored day-2 row (the stored row
+    # must win: merge resolves by last-touched, not delta-wins)
+    T0 = "2024-01-01T00:00:00Z"
+    T3 = "2024-01-03T06:00:00Z"
+    day3 = [
+        commit_doc("c2", "urn:gh:commit:c2", T3, T3, "second", 3,
+                   files=[], parents=[], deleted=T3),
+        commit_doc("c1", "urn:gh:commit:c1", T0, T0, "stale-first", 1,
+                   files=[], parents=[]),
+        repo_doc(REPO_URN, T3, T3, stars=170,
+                 updated_at="2024-01-02T18:00:00Z"),
+    ]
+    raw3 = str(root / "r3")
+    write_docs(raw3, day3)
+    for staging, catalog, flag in (
+        (staging_f, full, False),
+        (staging_i, inc, True),
+    ):
+        stage_json(spark, raw3, staging, "2024-01-03")
+        run_daily(spark, staging, "2024-01-03", catalog, specs=specs,
+                  incremental=flag)
+
     for table in ("Commit", "RepoLog"):
         a = sorted(map(tuple, full.read(table).collect()))
         b = sorted(
@@ -447,11 +470,17 @@ def test_run_daily_incremental_matches_full(spark, tmp_path):
         )
         assert a == b, f"{table}: incremental diverged from full"
 
+    commits = {r.EtlSourceId: r for r in inc.read("Commit").collect()}
+    # the late day-3 re-crawl of c1 LOST to the newer stored day-2 row
+    assert commits["urn:gh:commit:c1"].CommitMessage == "first-amended"
+    # c2's delete marker won (DeletedAt > ProcessedAt orders last)
+    assert commits["urn:gh:commit:c2"].DeletedAt is not None
+
     # day 1 bootstraps the bucketed layout, so day 2 is a true partial
     # rewrite: untouched buckets are hard-linked (nlink > 1) from v0
     import os
     cur = inc.current_path("Commit")
-    assert cur.endswith("v1")
+    assert cur.endswith("v2")  # day1 bootstrap v0, day2 merge v1, day3 merge v2
     kb_dirs = [d for d in os.listdir(cur) if d.startswith("_kb=")]
     assert len(kb_dirs) >= 2
     linked = sum(
