@@ -23,7 +23,7 @@ workload (SURVEY.md 7.2 step 8).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Bucket resolution: rates are exact multiples of 1e-6 (ppm). 60-bit
@@ -96,6 +96,43 @@ def stratified_sample(
     lim_default = F.lit(int(default * BUCKETS))
     thr = lim_default if thr is None else thr.otherwise(lim_default)
     return df.filter(hash_bucket(key_col, seed) < thr)
+
+
+def sample_fixed_n(
+    df: DataFrame, key_col: str, n: int, seed: int = 42
+) -> DataFrame:
+    """Deterministic EXACT-SIZE sample: the n keys with the smallest
+    hash buckets (ties by key). Rate-based sampling can't promise a
+    row count; carving a fixed-size eval set needs one. Compiles to a
+    distributed top-k (per-partition n, then merge) - no global sort,
+    no shuffle of the losers."""
+    return (
+        df.withColumn("_b", hash_bucket(key_col, seed))
+        .orderBy("_b", key_col)
+        .limit(n)
+        .drop("_b")
+    )
+
+
+def sample_n_per_group(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    n: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic n-per-group sample (fixed-size stratified): rank
+    keys within each group by hash bucket (ties by key), keep the first
+    n. One window sort partitioned BY GROUP - parallel across groups,
+    no global ordering anywhere."""
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(key_col, seed), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
 
 
 def split_column(

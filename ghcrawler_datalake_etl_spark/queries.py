@@ -1538,6 +1538,41 @@ def sample_stratified_by_lang(spark, sf_dir):
 
 
 @register(
+    "sample_eval_carve",
+    f"""
+    WITH b AS (SELECT doc_id, lang, {_BUCKET_SQL} AS bucket FROM documents),
+    fixed AS (
+      SELECT doc_id, lang, 'global' AS carve
+      FROM b ORDER BY bucket, doc_id LIMIT 40),
+    per_lang AS (
+      SELECT doc_id, lang, 'per_lang' AS carve FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY bucket, doc_id) AS rn
+        FROM b)
+      WHERE rn <= 5)
+    SELECT doc_id, lang, carve FROM fixed
+    UNION ALL
+    SELECT doc_id, lang, carve FROM per_lang
+    """,
+)
+def sample_eval_carve(spark, sf_dir):
+    """Fixed-SIZE eval-set carving (operators/sampling.sample_fixed_n /
+    sample_n_per_group): exactly 40 documents globally (distributed
+    top-k, no global sort) plus exactly 5 per language (one window
+    partitioned by group). Rate sampling can't promise row counts;
+    benchmark carving needs them."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    fixed = SP.sample_fixed_n(d, "doc_id", 40, seed=42).withColumn(
+        "carve", F.lit("global")
+    )
+    per = SP.sample_n_per_group(d, "doc_id", "lang", 5, seed=42).withColumn(
+        "carve", F.lit("per_lang")
+    )
+    return fixed.unionByName(per)
+
+
+@register(
     "split_train_valid_test",
     f"""
     WITH b AS (SELECT doc_id, {_BUCKET_SQL} AS bucket FROM documents)
@@ -2961,6 +2996,7 @@ _DRIVER_ORDER = [
     "text_chunk_windows",
     "text_unigram_logprob",
     "pipeline_chunk_dedup_pack",
+    "sample_eval_carve",
 ]
 
 
