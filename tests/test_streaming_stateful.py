@@ -318,3 +318,42 @@ def test_windowed_counts_drop_late_data(spark, tmp_path):
     # the late 100.0 click created/updated nothing else for that window
     clicks = [k for k in got if k[1] == "click"]
     assert clicks == [("2024-01-01 10:00:00", "click")], got
+
+
+def test_chunk_windows_work_on_streams(spark, tmp_path):
+    """The chunking operator is stateless-narrow, so the SAME function
+    runs unchanged on a readStream frame; output must equal the batch
+    twin row-for-row."""
+    from ghcrawler_datalake_etl_spark.operators.text import chunk_token_windows
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    docs = [
+        {"doc_id": 1, "text": " ".join(f"w{i}" for i in range(25))},
+        {"doc_id": 2, "text": "tiny doc"},
+        {"doc_id": 3, "text": ""},
+    ]
+    with open(indir / "d.json", "w") as f:
+        f.writelines(json.dumps(d) + "\n" for d in docs)
+
+    schema = "doc_id long, text string"
+    stream = spark.readStream.schema(schema).json(str(indir))
+    q = (
+        chunk_token_windows(stream, "doc_id", "text", chunk=10, overlap=2)
+        .writeStream.format("memory")
+        .queryName("chunk_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch = chunk_token_windows(
+        spark.read.schema(schema).json(str(indir)),
+        "doc_id", "text", chunk=10, overlap=2,
+    )
+    got = sorted(map(tuple, spark.table("chunk_stream").collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(want) == 4  # 3 chunks for doc1 + 1 for doc2
