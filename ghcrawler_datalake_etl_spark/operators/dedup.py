@@ -769,10 +769,11 @@ def duplicate_span_fraction(
 
 def contamination_report(
     df: DataFrame,
-    eval_df: DataFrame,
+    eval_df: DataFrame | None,
     id_col: str,
     text_col: str,
     n: int = 3,
+    eval_pred: Column | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: per candidate document, how many of its
     distinct n-gram shingles appear anywhere in an evaluation/benchmark
@@ -783,13 +784,26 @@ def contamination_report(
     for real benchmark suites that is millions of rows against a corpus
     of trillions, so the join is broadcast-eligible; candidates shuffle
     once on the hash.
+
+    When the eval set is a SLICE OF THE SAME CORPUS, pass ``eval_pred``
+    (a predicate over ``doc_id``) instead of ``eval_df``: both sides
+    then derive from ONE shingle index - a single shingle pass, sharing
+    the cache slot with the other shingle consumers (jaccard, minhash,
+    span-dedup) - instead of shingling two filtered sub-frames neither
+    of which can reuse anything.
     """
-    sh, inv = _shingle_index(df, id_col, text_col, n)
-    eval_grams = (
-        _shingle_index(eval_df, id_col, text_col, n)[1]
-        .select("shingle")
-        .distinct()
-    )
+    if eval_pred is not None:
+        full_sh, full_inv = _shingle_index(df, id_col, text_col, n)
+        sh = full_sh.filter(~eval_pred)
+        inv = full_inv.filter(~eval_pred)
+        eval_grams = full_inv.filter(eval_pred).select("shingle").distinct()
+    else:
+        sh, inv = _shingle_index(df, id_col, text_col, n)
+        eval_grams = (
+            _shingle_index(eval_df, id_col, text_col, n)[1]
+            .select("shingle")
+            .distinct()
+        )
     hits = (
         inv.join(eval_grams, "shingle")
         .groupBy("doc_id")

@@ -1730,9 +1730,10 @@ def decontaminate_eval_overlap(spark, sf_dir):
     against an eval set (here the deterministic doc_id % 97 == 0 slice;
     operators/dedup.py contamination_report)."""
     d = _t(spark, sf_dir, "documents")
-    eval_df = d.filter(F.col("doc_id") % 97 == 0)
-    cand_df = d.filter(F.col("doc_id") % 97 != 0)
-    return DD.contamination_report(cand_df, eval_df, "doc_id", "text", n=3)
+    return DD.contamination_report(
+        d, None, "doc_id", "text", n=3,
+        eval_pred=F.col("doc_id") % 97 == 0,
+    )
 
 
 @register(
