@@ -1874,6 +1874,39 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 @register(
+    "dedup_minhash_clusters",
+    f"""
+    WITH RECURSIVE mh_pairs AS ({_minhash_oracle()}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM mh_pairs
+      UNION
+      SELECT id_b, id_a FROM mh_pairs
+    ),
+    walk(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.node
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id
+    FROM walk GROUP BY node
+    """,
+)
+def dedup_minhash_clusters(spark, sf_dir):
+    """The 100 TB fuzzy-clustering composition: MinHash-LSH candidate
+    pairs (approximate, banded - the scale path) resolved into clusters
+    by checkpointed label propagation. dedup_clusters runs the same
+    resolution over EXACT jaccard pairs; this is the shape that
+    survives at a scale where exact pair generation no longer does."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.5
+    )
+    return DD.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+
+@register(
     "dedup_simhash_values",
     f"""
     SELECT doc_id,
@@ -2998,6 +3031,7 @@ _DRIVER_ORDER = [
     "text_unigram_logprob",
     "pipeline_chunk_dedup_pack",
     "sample_eval_carve",
+    "dedup_minhash_clusters",
 ]
 
 

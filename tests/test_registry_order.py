@@ -35,6 +35,7 @@ OUT_OF_WINDOW_OK = {
     "text_unigram_logprob": "text_quality_score",  # quality-scoring family
     "pipeline_chunk_dedup_pack": "pipeline_dedup_shards",  # pipeline family
     "sample_eval_carve": "sample_hash_deterministic",
+    "dedup_minhash_clusters": "dedup_clusters",  # same CC over LSH pairs
 }
 
 #: one in-window query per SURVEY section-2 operator family
