@@ -274,3 +274,16 @@ def test_kmeans_assignment_is_narrow(spark):
                             [[0.0] * 64, [0.1] * 64])
     p = plan(out, "simple")
     assert "Exchange" not in p, p
+
+
+def test_fixed_n_and_vocab_are_distributed_topk(spark, queries):
+    # exact-n carving and the Zipf head must both compile to
+    # TakeOrderedAndProject (per-partition n, merge n) - never a global
+    # sort of the losers
+    from ghcrawler_datalake_etl_spark.operators.sampling import sample_fixed_n
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p1 = plan(sample_fixed_n(d, "doc_id", 40), "simple")
+    assert "TakeOrderedAndProject" in p1 and "GlobalLimit" not in p1
+    p2 = plan(queries["corpus_vocabulary_topk"](spark, SF_DIR), "simple")
+    assert "TakeOrderedAndProject" in p2 and "GlobalLimit" not in p2
