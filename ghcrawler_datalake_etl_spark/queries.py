@@ -2925,42 +2925,25 @@ def multimodal_frames(spark, sf_dir):
 # Driver-window ordering
 # =====================================================================
 # The build driver records CORRECTNESS rows for the FIRST 50 registry
-# entries only (round 1 verified exactly positions 1-50 of 72, leaving
-# the whole LLM-pipeline extension layer driver-unchecked). Source order
-# above groups queries by topic for readability; this explicit list
-# re-orders the exported dicts so that every DISTINCT component - all
-# SURVEY.md section-2 parity operators plus every extension family
-# (dedup_*, sim_*, text_*, pipeline_*, multimodal_*, sampling/packing,
-# corpus/quantize) - sits inside the driver's 50-row window. Entries
-# past the window are secondary analytics variants, perf twins, or
-# compositions whose operator class is already proven in-window or by a
-# round-1 green row (asof / range / locf / funnel / rollup / cube /
-# pivot / setops / top-k / subqueries / skew-join / streaming twins /
-# the round-2 additions allowlisted in tests/test_registry_order.py),
-# and all of them stay green in the local differential harness
-# (tests/test_oracle_differential.py runs every entry regardless of
-# position, at sf0.001 by default and sf0.01 via
-# SPARK_GRAFT_ORACLE_SF_DIR).
+# entries only. Round-3 rotation: the 12 round-2 additions that sat at
+# positions 51+ last round (and therefore have no driver row yet) move
+# INTO the window; 12 parity-core queries with TWO consecutive green
+# driver rows (CORRECTNESS_r01.json + CORRECTNESS_r02.json: p1/p2/p3/
+# p5, j1/j4, a1/a4, f1/f3/f10, x3) rotate OUT to make room, per the
+# round-2 VERDICT's instruction. Entries past the window are either
+# double-green rotated-out parity queries or secondary variants/
+# compositions with at least one prior green row, and every entry
+# regardless of position stays green in the local differential harness
+# (tests/test_oracle_differential.py, sf0.001 by default and sf0.01
+# via SPARK_GRAFT_ORACLE_SF_DIR).
 
 _DRIVER_ORDER = [
-    # -- parity core: one query per SURVEY section-2 operator family --
+    # -- parity core kept in-window (representative per family group) --
     "q1_pricing_summary",        # A2 multi-key group-by (flagship)
-    "p1_eq_filter",              # P1
-    "p2_like_filter",            # P2
-    "p3_isin_filter",            # P3
-    "p5_string_predicates",      # P5/F9
     "w1_latest_event_per_user",  # W1/P6 row_number latest-wins
     "w2_distinct_keys",          # W2/A3
-    "j1_inner_join_agg",         # J1
     "j2_anti_join",              # J2/P4
     "j3_join_chain_q5",          # J3
-    "j4_semi_join",              # J4
-    "a1_collect_reassembly",     # A1 MAP_AGG
-    "a4_union_all_agg",          # A4
-    "f1_json_extract",           # F1/F2
-    "f3_pii_pseudonymize",       # F3
-    "f10_greatest_last_touched", # F10
-    "x3_posexplode_tokens",      # X1/X3
     "pattern_a_snapshot_upsert",
     "pattern_b_array_child",
     "pattern_c_collection_refresh",
@@ -2995,13 +2978,37 @@ _DRIVER_ORDER = [
     "multimodal_features",
     "multimodal_audio_chunks",
     "multimodal_frames",
-    # ---------------- position 51+: past the driver window ----------
-    # extension entries out here are perf-twins or variants of an
-    # in-window component (tests/test_registry_order.py pins the list):
-    # sim_knn_pandas_gemm twins sim_knn_bruteforce (same oracle), the
-    # stratified sampler extends sample_hash_deterministic, repetition
-    # metrics extend the in-window text quality family.
+    # -- round-2 additions rotated INTO the window for round 3 (no
+    #    driver row yet; each is a distinct algorithm) --
+    "search_bm25_topk",
+    "text_unigram_logprob",
+    "text_chunk_windows",
+    "text_redact_pii",
+    "text_repetition_metrics",
+    "corpus_vocabulary_topk",
+    "sample_eval_carve",
+    "sample_stratified_by_lang",
     "sim_knn_pandas_gemm",
+    "sim_ivf_kmeans_topk",
+    "pipeline_chunk_dedup_pack",
+    "dedup_minhash_clusters",
+    # ---------------- position 51+: past the driver window ----------
+    # first the 12 parity-core queries rotated out this round - each
+    # has green driver rows in BOTH CORRECTNESS_r01.json and
+    # CORRECTNESS_r02.json (tests/test_registry_order.py pins this):
+    "p1_eq_filter",              # P1
+    "p2_like_filter",            # P2
+    "p3_isin_filter",            # P3
+    "p5_string_predicates",      # P5/F9
+    "j1_inner_join_agg",         # J1
+    "j4_semi_join",              # J4
+    "a1_collect_reassembly",     # A1 MAP_AGG
+    "a4_union_all_agg",          # A4
+    "f1_json_extract",           # F1/F2
+    "f3_pii_pseudonymize",       # F3
+    "f10_greatest_last_touched", # F10
+    "x3_posexplode_tokens",      # X1/X3
+    # then analytics variants with prior green rows:
     "w1_maxby_latest_event_per_user",
     "topk_orders_per_segment",
     "j5_salted_skew_join",
@@ -3024,17 +3031,6 @@ _DRIVER_ORDER = [
     "subquery_lineitem_count",
     "w5_sliding_hour_frame",
     "cube_status_priority",
-    "text_repetition_metrics",
-    "sample_stratified_by_lang",
-    "search_bm25_topk",
-    "text_redact_pii",
-    "corpus_vocabulary_topk",
-    "sim_ivf_kmeans_topk",
-    "text_chunk_windows",
-    "text_unigram_logprob",
-    "pipeline_chunk_dedup_pack",
-    "sample_eval_carve",
-    "dedup_minhash_clusters",
 ]
 
 
