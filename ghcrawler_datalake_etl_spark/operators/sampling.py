@@ -178,6 +178,7 @@ def pack_shards(
     budget: int | float,
     shard_col: str = "shard_id",
     num_bins: int | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Assign rows to consecutive shards of ~``budget`` total weight
     (e.g. documents into training shards of ~100M tokens each).
@@ -192,26 +193,40 @@ def pack_shards(
     Computed as a two-level cumulative sum so no stage ever funnels the
     dataset through one task (a bare ``Window.orderBy`` would):
 
-    1. range-partition by key into ``num_bins`` contiguous key ranges
-       (Spark's distributed sort machinery picks the boundaries);
+    1. bin rows into ``num_bins`` contiguous key ranges. For numeric
+       keys the bin is a DETERMINISTIC expression of the key: boundary
+       values come from one ``approxQuantile`` pass (a driver-scale
+       array from a Greenwald-Khanna sketch over the pruned key column
+       - never the full rows), and ``_bin`` counts how many boundaries
+       the key exceeds. Non-numeric keys fall back to
+       ``repartitionByRange`` + ``spark_partition_id()`` behind an
+       eager persist (the partition id is non-deterministic, so that
+       path must pin ONE binning by materializing - the numeric path
+       exists precisely to avoid that full-frame persist);
     2. per-bin exclusive running sum - a window PARTITIONED by bin, so
        every bin sorts and sums in parallel;
-    3. per-bin totals (num_bins rows) get an exclusive prefix sum on
-       the driver-scale frame and broadcast back as each bin's offset.
+    3. per-bin totals (num_bins rows) collect to the driver, get an
+       exclusive prefix sum there, and return as a literal lookup
+       array - each row reads its bin's offset with one element_at,
+       no extra shuffle and no join.
 
     bin_offset + in-bin cumsum equals the global key-order cumsum for
     ANY contiguous binning, so the result is independent of where the
-    sampled range boundaries land (and identical to the single-window
-    form). Equal keys always share a bin (range partitioner contract),
-    so tie handling is unchanged.
+    quantile boundaries land (and identical to the single-window
+    form). ``_bin`` is monotone in the key and a pure function of it,
+    so equal keys always share a bin and both consumers (the per-bin
+    cumsum and the bin-totals aggregate) agree on the binning by
+    construction - no materialization needed.
 
-    The binned frame is persisted eagerly before fan-in: both consumers
-    (the per-bin cumsum and the bin-totals aggregate) must observe ONE
-    range partitioning, and Spark cannot ReuseExchange here because
-    ``spark_partition_id()`` is non-deterministic, so without the
-    materialization each branch would re-sample its own boundaries.
+    ``materialize=True`` persists the input before the fan-out for
+    callers whose upstream is expensive to recompute (the three plan
+    branches - quantile sketch, window, offsets - each execute it
+    once); pass it when ``df`` is a narrow projection of heavy work,
+    e.g. the chunk-dedup pipeline. Default off: for plain scans,
+    re-reading two pruned parquet columns is cheaper than persisting.
     """
     from pyspark.sql import Window
+    from pyspark.sql.types import IntegralType, NumericType
 
     from ghcrawler_datalake_etl_spark.operators.dedup import _materialize
 
@@ -219,11 +234,40 @@ def pack_shards(
     if num_bins is None:
         num_bins = max(int(spark.sparkContext.defaultParallelism), 1)
 
-    binned = _materialize(
-        df.repartitionByRange(num_bins, F.col(key_col)).withColumn(
-            "_bin", F.spark_partition_id()
+    if materialize:
+        df = _materialize(df)
+
+    ktype = df.schema[key_col].dataType
+    if isinstance(ktype, NumericType) and num_bins > 1:
+        quantiles = [i / num_bins for i in range(1, num_bins)]
+        # sketch over the pruned key column only - a parquet source
+        # then scans one column for this pass, not the weight exprs
+        # loose relativeError: boundary placement affects only bin
+        # BALANCE (within ~2% of corpus size per bin), never the
+        # output - the GK sketch cost scales with 1/eps
+        raw = df.select(key_col).stat.approxQuantile(
+            key_col, quantiles, 0.02
         )
-    )
+        integral = isinstance(ktype, IntegralType)
+        bounds: list = []
+        for b in raw:  # strictly-increasing unique boundaries
+            v = int(b) if integral else b
+            if not bounds or v > bounds[-1]:
+                bounds.append(v)
+        # NULL key: every `> boundary` is NULL -> otherwise(0) -> bin 0,
+        # matching repartitionByRange's nulls-first placement.
+        bin_expr = F.lit(0)
+        for b in bounds:
+            bin_expr = bin_expr + F.when(
+                F.col(key_col) > F.lit(b), 1
+            ).otherwise(0)
+        binned = df.withColumn("_bin", bin_expr)
+    else:
+        binned = _materialize(
+            df.repartitionByRange(num_bins, F.col(key_col)).withColumn(
+                "_bin", F.spark_partition_id()
+            )
+        )
 
     in_bin = (
         Window.partitionBy("_bin")
@@ -235,29 +279,31 @@ def pack_shards(
         "_cum_in_bin", F.coalesce(F.sum(wt).over(in_bin), F.lit(0.0))
     )
 
-    bins = Window.orderBy("_bin").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (
-        binned.groupBy("_bin")
-        .agg(F.sum(wt).alias("_bin_wt"))
-        # this window IS single-partition - over num_bins rows, not data
-        .select(
-            F.col("_bin").alias("_obin"),
-            F.coalesce(F.sum("_bin_wt").over(bins), F.lit(0.0)).alias(
-                "_bin_offset"
-            ),
-        )
+    # per-bin totals collect to the driver (num_bins rows - a bounded
+    # pull, like the kmeans centroid state) and come back as a literal
+    # exclusive-prefix array: one element_at lookup per row instead of
+    # a single-partition window + broadcast join - one less shuffle,
+    # no join, and bin-order float addition identical to the window
+    # form so the result is bit-for-bit unchanged.
+    totals = {
+        r["_bin"]: r["_w"] or 0.0
+        for r in binned.groupBy("_bin").agg(F.sum(wt).alias("_w")).collect()
+    }
+    n_offsets = max(totals, default=-1) + 2  # bins are 0-based
+    offs, acc = [], 0.0
+    for i in range(n_offsets):
+        offs.append(acc)
+        acc += totals.get(i, 0.0)
+    offset_expr = F.element_at(
+        F.array(*[F.lit(float(o)) for o in offs]), F.col("_bin") + 1
     )
 
     return (
-        with_cum.join(
-            F.broadcast(offsets), F.col("_bin") == F.col("_obin"), "left"
-        )
-        .withColumn(
+        with_cum.withColumn(
             shard_col,
             F.floor(
-                (F.coalesce(F.col("_bin_offset"), F.lit(0.0)) + F.col("_cum_in_bin"))
-                / F.lit(float(budget))
+                (offset_expr + F.col("_cum_in_bin")) / F.lit(float(budget))
             ).cast("long"),
         )
-        .drop("_bin", "_obin", "_cum_in_bin", "_bin_offset")
+        .drop("_bin", "_cum_in_bin")
     )

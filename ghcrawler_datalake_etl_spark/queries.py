@@ -1822,7 +1822,10 @@ def pipeline_dedup_shards(spark, sf_dir):
     train = SP.hash_sample(kept, "doc_id", 0.8, seed=42).select(
         "doc_id", F.length("text").cast("double").alias("wt")
     )
-    packed = SP.pack_shards(train, "doc_id", "wt", 20_000)
+    # materialize: `train` is a narrow (doc_id, wt) projection of the
+    # anti-join - cheap to persist, saves the 3 plan branches inside
+    # pack_shards re-running the join
+    packed = SP.pack_shards(train, "doc_id", "wt", 20_000, materialize=True)
     return packed.groupBy("shard_id").agg(
         F.count("*").alias("n_docs"),
         F.round(F.sum("wt"), 2).alias("shard_chars"),
@@ -2629,7 +2632,9 @@ def pipeline_chunk_dedup_pack(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("ck", F.col("chunk_n_tokens").alias("wt"))
     )
-    packed = SP.pack_shards(kept, "ck", "wt", 2000)
+    # materialize: `kept` is narrow (ck, wt) but its upstream is the
+    # full chunk explode + dedup window - persist once, not 3x
+    packed = SP.pack_shards(kept, "ck", "wt", 2000, materialize=True)
     return packed.groupBy("shard_id").agg(
         F.count("*").alias("n_chunks"),
         F.sum("wt").cast("long").alias("shard_tokens"),
