@@ -204,6 +204,29 @@ def _checkpoint(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _checkpoint_tracked(df: DataFrame):
+    """_checkpoint plus a release handle. ``DataFrame.unpersist`` is a
+    no-op for localCheckpoint state (the blocks belong to the internal
+    RDD, which the cache manager never sees - verified empirically), so
+    superseded loop rounds would hold executor storage until driver GC.
+    Track the persistent-RDD ids the checkpoint creates and unpersist
+    exactly those on release. Assumes no concurrent job persists RDDs
+    between the two snapshots - true inside our iterative loops, which
+    own the session while they run."""
+    sc = df.sparkSession.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    out = _checkpoint(df)
+    created = set(sc._jsc.getPersistentRDDs().keySet().toArray()) - before
+
+    def release() -> None:
+        m = sc._jsc.getPersistentRDDs()
+        for i in created:
+            if m.containsKey(i):
+                m.get(i).unpersist(False)
+
+    return out, release
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -669,12 +692,12 @@ def connected_components(
     # round's plan, and labels feeds back into itself - without lineage
     # truncation the loop's logical tree grows geometrically and
     # single-threaded driver planning dominates the wall clock.
-    sym = _checkpoint(
+    sym, release_sym = _checkpoint_tracked(
         edges.union(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct()
     )
-    labels = _checkpoint(
+    labels, release_labels = _checkpoint_tracked(
         sym.select("src").distinct().select(
             F.col("src").alias("node"), F.col("src").alias("label")
         )
@@ -693,7 +716,7 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = _checkpoint(
+        new_labels, release_new = _checkpoint_tracked(
             labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
             .select(
                 "node",
@@ -703,10 +726,16 @@ def connected_components(
             )
         )
         new_sum = new_labels.agg(_label_sum).collect()[0][0]
-        labels = new_labels
+        # the superseded round's checkpoint blocks otherwise sit in
+        # executor storage until driver GC reclaims the old DataFrame -
+        # release them as soon as the new round is materialized
+        # (round-2 ADVICE)
+        release_labels()
+        labels, release_labels = new_labels, release_new
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    release_sym()
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 

@@ -45,8 +45,13 @@ BPE_ISH_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 
 def tokenize(col: ColumnOrName) -> Column:
-    """Lowercased alphanumeric tokens (array<string>, no empties)."""
-    toks = F.split(F.lower(_path(col)), TOKEN_SPLIT_RE)
+    """Lowercased alphanumeric tokens (array<string>, no empties).
+    NULL text tokenizes as empty (NULL text = zero tokens, the same
+    convention as the oracles' coalesced _TOKS_SQL) so token counts,
+    fingerprints, and per-source sums never go NULL-infectious."""
+    toks = F.split(
+        F.lower(F.coalesce(_path(col), F.lit(""))), TOKEN_SPLIT_RE
+    )
     return F.filter(toks, lambda t: t != "")
 
 

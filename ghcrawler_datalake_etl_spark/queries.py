@@ -97,9 +97,13 @@ _SH_SQL = (
     "range(1, greatest(len(toks) - 2, 0) + 1), "
     "i -> array_to_string(toks[i:i+2], ' ')))"
 )
+# coalesce: the Spark twins treat NULL text as '' (empty token list);
+# without it a NULL-text doc makes len(toks) NULL, which turns the
+# chunk CTE's CASE guards and the repetition shares NULL instead of
+# 0/absent and diverges from the Spark side (round-2 ADVICE)
 _TOKS_SQL = (
-    f"list_filter(string_split_regex(lower(text), '{TX.TOKEN_SPLIT_RE}'), "
-    "x -> x <> '')"
+    "list_filter(string_split_regex(lower(coalesce(text, '')), "
+    f"'{TX.TOKEN_SPLIT_RE}'), x -> x <> '')"
 )
 
 
@@ -2053,7 +2057,11 @@ def _ann_lsh_oracle(planes: int = 4, k: int = 5, dim: int = 64, seed: int = 7) -
 def sim_ann_lsh(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     queries_df = e.filter(F.col("vec_id") < 10)
-    return SIM.ann_lsh_topk(e, queries_df, "vec_id", "embedding", k=5, planes=4)
+    # dim=64: the testdata embedding width (a fixture constant like k
+    # and planes) - passing it keeps plan construction job-free
+    return SIM.ann_lsh_topk(
+        e, queries_df, "vec_id", "embedding", k=5, planes=4, dim=64
+    )
 
 
 @register(
@@ -2317,8 +2325,9 @@ def text_lang_id(spark, sf_dir):
                  greatest(length(text), 1) * 10000) / 10000 AS alpha_ratio,
            floor(length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE /
                  greatest(length(text), 1) * 10000) / 10000 AS digit_ratio,
-           md5(array_to_string(list_sort(list_distinct({_TOKS_SQL})), ' '))
-             AS fingerprint
+           md5(coalesce(
+             array_to_string(list_sort(list_distinct({_TOKS_SQL})), ' '),
+             '')) AS fingerprint
     FROM documents
     """,
 )
@@ -2355,7 +2364,7 @@ def _fingerprint_oracle(window: int = 4) -> str:
     SELECT doc_id,
            list_reduce(list_prepend(0::BIGINT, th),
              (acc, h) -> (acc * {TX.ROLL_B} + h) % {TX.ROLL_P}) AS roll_hash,
-           md5(array_to_string(fps, ',')) AS winnow_sketch,
+           md5(coalesce(array_to_string(fps, ','), '')) AS winnow_sketch,
            len(fps)::BIGINT AS n_fingerprints
     FROM fp
     """
@@ -2624,7 +2633,24 @@ def pipeline_chunk_dedup_pack(spark, sf_dir):
         "chunk_idx",
         "chunk_n_tokens",
         F.md5("chunk_text").alias("h"),
-        (F.col("doc_id") * 1024 + F.col("chunk_idx")).alias("ck"),
+        # loud guard (round-2 ADVICE): a doc with >=1024 chunks
+        # (~32,800 tokens at stride 32) would silently collide packed
+        # keys across documents; raise instead. CASE branches evaluate
+        # lazily per row, so compliant rows never touch raise_error.
+        F.when(
+            F.col("chunk_idx") < 1024,
+            F.col("doc_id") * 1024 + F.col("chunk_idx"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("chunk_idx >= 1024 overflows the packed chunk "
+                          "key (doc_id*1024+chunk_idx) for doc_id="),
+                    F.col("doc_id").cast("string"),
+                )
+            ).cast("long")
+        )
+        .alias("ck"),
     )
     w = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
     kept = (

@@ -1,0 +1,94 @@
+"""NULL / empty / whitespace-only text must not diverge between the
+Spark queries and their DuckDB oracles (round-2 ADVICE: the oracles
+tokenized raw ``text`` while the Spark side yields no tokens, so a
+NULL-text doc made the chunk oracle emit a spurious row and the
+repetition oracle emit NULL shares - latent only because the pinned
+testdata happens to contain no NULL text).
+
+Builds a tiny documents.parquet containing the degenerate rows the
+testdata lacks and runs every documents-only query through the same
+differential gate as tests/test_oracle_differential.py.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.test_oracle_differential import rows_canon
+
+#: queries over `documents` alone (no other tables touched), so the
+#: synthetic corpus satisfies every read
+DOC_ONLY = [
+    "text_stats",
+    "text_lang_id",
+    "text_quality_score",
+    "text_fingerprint",
+    "text_repetition_metrics",
+    "text_redact_pii",
+    "text_chunk_windows",
+    "text_unigram_logprob",
+    "corpus_vocabulary_topk",
+    "corpus_source_report",
+    "pack_token_shards",
+    "pipeline_chunk_dedup_pack",
+    "x3_posexplode_tokens",
+    "dedup_exact_groups",
+    "sample_hash_deterministic",
+]
+
+
+@pytest.fixture(scope="module")
+def degenerate_sf_dir(tmp_path_factory):
+    folder = tmp_path_factory.mktemp("nulltext")
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog", "en", "web", 43),
+        (1, None, "en", "web", 0),
+        (2, "", "de", "news", 0),
+        (3, "   \n  \t ", "fr", "web", 8),
+        (4, "foo foo foo foo foo foo foo foo foo foo", "en", "books", 39),
+        (5, None, None, None, None),
+    ]
+    df = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    df = df.astype({"doc_id": "int64"})
+    con = duckdb.connect()
+    con.register("docs", df)
+    con.execute(
+        "COPY (SELECT doc_id, text, lang, source, CAST(n_chars AS BIGINT)"
+        f" AS n_chars FROM docs) TO '{folder}/documents.parquet'"
+        " (FORMAT PARQUET)"
+    )
+    return str(folder)
+
+
+@pytest.fixture(scope="module")
+def ddb(degenerate_sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{degenerate_sf_dir}/documents.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", DOC_ONLY)
+def test_degenerate_text_matches_oracle(spark, ddb, degenerate_sf_dir, name):
+    sdf = entrymod.queries()[name](spark, degenerate_sf_dir)
+    scols = [c.lower() for c in sdf.columns]
+    srows = [tuple(r) for r in sdf.collect()]
+    res = ddb.execute(entrymod.oracle_sql()[name])
+    dcols = [d[0].lower() for d in res.description]
+    drows = res.fetchall()
+    assert sorted(scols) == sorted(dcols), f"{name}: {scols} vs {dcols}"
+    assert len(srows) == len(drows), (
+        f"{name}: row count {len(srows)} vs oracle {len(drows)}"
+    )
+    sc = rows_canon(scols, srows)
+    dc = rows_canon(dcols, drows)
+    if sc != dc:
+        diffs = [(a, b) for a, b in zip(sc, dc) if a != b][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
