@@ -290,3 +290,29 @@ def test_fixed_n_and_vocab_are_distributed_topk(spark, queries):
     assert "TakeOrderedAndProject" in p1 and "GlobalLimit" not in p1
     p2 = plan(queries["corpus_vocabulary_topk"](spark, SF_DIR), "simple")
     assert "TakeOrderedAndProject" in p2 and "GlobalLimit" not in p2
+
+
+def test_kmeans_best_uses_nested_literal_at_large_k(spark):
+    """_best must carry the centroid matrix as ONE nested-array literal
+    (like similarity._nearest_cells), never k*d unrolled inline
+    literals whose codegen compilation dominates at large k. At k=64,
+    d=64 the unrolled form would put ~4096 literal nodes in the plan;
+    the nested form stays a single constant."""
+    from ghcrawler_datalake_etl_spark.operators import clustering as C
+
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = [[float(i) / (j + 1) for j in range(64)] for i in range(64)]
+    out = C.assign_clusters(df, "vec_id", "embedding", cents)
+    p = plan(out, "simple")
+    assert "Exchange" not in p, p
+    # the unrolled form repeats zip_with once per centroid; the nested
+    # form contains exactly one zip_with inside one transform
+    assert p.lower().count("zip_with") <= 2, (
+        f"{p.lower().count('zip_with')} zip_with nodes - centroid "
+        "matrix appears unrolled per centroid"
+    )
+    # result sanity at k=64: every row assigned, cluster in range
+    import pyspark.sql.functions as SF
+    agg = out.agg(SF.min("cluster"), SF.max("cluster"), SF.count("*")).collect()[0]
+    assert agg[2] > 0 and 0 <= agg[0] and agg[1] <= 63
+
