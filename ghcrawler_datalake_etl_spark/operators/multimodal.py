@@ -2,12 +2,17 @@
 columns with typed metadata, processed by Arrow-batched pandas UDFs.
 
 The Spark-side design is fully real - schemas, batch iteration,
-partition discipline - while the codec step is stubbed behind
-``_decode_image_bytes`` (the runtime image/audio libraries are not in
-this container). Swapping the stub for PIL/ffmpeg changes no plan shape:
-``mapInPandas`` streams Arrow record batches either way, and the 100 TB
-properties (no shuffle, per-batch vectorization, bounded memory via
-``spark.sql.execution.arrow.maxRecordsPerBatch``) are identical.
+partition discipline - and so is the decode step for the formats the
+pure-stdlib codecs cover (``operators/codecs.py``): PNG bytes decode
+to real pixels (real dimensions, real mean luma, real nearest-neighbor
+resize) and WAV bytes parse to their real duration. Bytes in any
+OTHER format fall back to deterministic sha256-derived surrogate
+values, which keeps every downstream oracle exact without native
+libraries. Swapping in PIL/libav for the remaining formats changes no
+plan shape: ``mapInPandas`` streams Arrow record batches either way,
+and the 100 TB properties (no shuffle, per-batch vectorization,
+bounded memory via ``spark.sql.execution.arrow.maxRecordsPerBatch``)
+are identical.
 """
 
 from __future__ import annotations
@@ -19,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ghcrawler_datalake_etl_spark.operators import codecs
+
 MEDIA_SCHEMA = (
     "doc_id long, media_type string, content binary, "
     "width int, height int, sample_rate int, duration_ms long"
@@ -26,45 +33,54 @@ MEDIA_SCHEMA = (
 
 FEATURE_SCHEMA = (
     "doc_id long, media_type string, n_bytes long, content_sha256 string, "
-    "fake_mean_luma double, fake_n_frames int"
+    "mean_luma double, n_frames int, width int, height int"
 )
-
-_REAL_CODECS = False
-try:  # pragma: no cover - not present in this container
-    import PIL.Image  # noqa: F401
-
-    _REAL_CODECS = True
-except Exception:
-    _REAL_CODECS = False
 
 
 def _decode_image_bytes(content: bytes) -> dict:
-    """Codec stub: deterministic fake features derived from the bytes.
+    """Feature-extract one media payload.
 
-    With real codecs installed this is where PIL/libav decode happens;
-    the deterministic fake keeps every downstream test meaningful
-    (stable values, correct types) without the native libraries.
+    PNG bytes take the REAL path: decode via the stdlib codec, real
+    mean luminance and dimensions. Anything else yields deterministic
+    sha256-derived surrogates (stable values, correct types) so
+    non-image payloads and exotic formats still flow through the
+    pipeline and stay oracle-checkable.
     """
-    if _REAL_CODECS:
-        raise NotImplementedError(
-            "real decode path intentionally unimplemented in this build; "
-            "plug PIL/av decoding here"
-        )
+    sha = hashlib.sha256(content).hexdigest()
+    if codecs.is_png(content):
+        try:
+            arr = codecs.png_decode(content)
+            return {
+                "content_sha256": sha,
+                "mean_luma": codecs.mean_luma(arr),
+                "n_frames": 1,
+                "width": arr.shape[1],
+                "height": arr.shape[0],
+            }
+        except ValueError:
+            pass  # malformed/unsupported-subset PNG -> surrogate path
     digest = hashlib.sha256(content).digest()
     return {
-        "content_sha256": hashlib.sha256(content).hexdigest(),
-        # fake luma in [0,1) from the first digest bytes - deterministic
-        "fake_mean_luma": int.from_bytes(digest[:4], "big") / 2**32,
-        "fake_n_frames": digest[4] % 16 + 1,
+        "content_sha256": sha,
+        # surrogate luma in [0,1) from the first digest bytes
+        "mean_luma": int.from_bytes(digest[:4], "big") / 2**32,
+        "n_frames": digest[4] % 16 + 1,
+        "width": None,
+        "height": None,
     }
 
 
-def attach_binary(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+def attach_binary(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    media_type: str = "image/fake",
+) -> DataFrame:
     """Wrap a column's bytes as a media row set (MEDIA_SCHEMA shape):
     the ingestion adapter from any source that yields (id, bytes)."""
     return df.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        F.lit("image/fake").alias("media_type"),
+        F.lit(media_type).alias("media_type"),
         F.encode(F.col(payload_col).cast("string"), "utf-8").alias("content"),
         F.lit(None).cast("int").alias("width"),
         F.lit(None).cast("int").alias("height"),
@@ -89,8 +105,16 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "media_type": pdf["media_type"],
                     "n_bytes": [len(b) for b in content],
                     "content_sha256": [f["content_sha256"] for f in feats],
-                    "fake_mean_luma": [f["fake_mean_luma"] for f in feats],
-                    "fake_n_frames": [f["fake_n_frames"] for f in feats],
+                    "mean_luma": [f["mean_luma"] for f in feats],
+                    "n_frames": pd.array(
+                        [f["n_frames"] for f in feats], dtype="Int32"
+                    ),
+                    "width": pd.array(
+                        [f["width"] for f in feats], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [f["height"] for f in feats], dtype="Int32"
+                    ),
                 }
             )
 
@@ -101,12 +125,22 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize every image row to (width, height) - MEDIA_SCHEMA in,
     MEDIA_SCHEMA out, so resize stages compose/chain freely.
 
-    Plumbing is real (Arrow batches, binary in/binary out, no shuffle);
-    the pixel work is the codec stub: the fake "resized" payload is the
-    sha256 digest of (content, size) - deterministic, content- and
-    size-sensitive, so tests can pin exact bytes. With PIL installed the
-    stub body is the only thing that changes.
+    PNG rows take the REAL path: decode -> nearest-neighbor resample ->
+    re-encode (operators/codecs.py; deterministic, no resampling-filter
+    ambiguity). Other payloads keep the surrogate: the "resized" bytes
+    are the sha256 digest of (content, size) - deterministic, content-
+    and size-sensitive, so tests can pin exact bytes for any input.
     """
+
+    def _resize_one(b: bytes, tag: bytes) -> bytes:
+        if codecs.is_png(b):
+            try:
+                return codecs.png_encode(
+                    codecs.resize_nearest(codecs.png_decode(b), width, height)
+                )
+            except ValueError:
+                pass
+        return hashlib.sha256(b + tag).digest()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tag = f":{width}x{height}".encode()
@@ -115,9 +149,7 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 continue
             content = [b if b is not None else b"" for b in pdf["content"]]
             out = pdf.copy()
-            out["content"] = [
-                hashlib.sha256(b + tag).digest() for b in content
-            ]
+            out["content"] = [_resize_one(b, tag) for b in content]
             out["width"] = width
             out["height"] = height
             out["width"] = out["width"].astype("int32")
@@ -188,10 +220,15 @@ AUDIO_MS_PER_BYTE = 5
 
 
 def _decode_audio_duration_ms(content: bytes) -> int:
-    """STUB for the audio decode step (no audio libs in this
-    container): deterministic fake duration derived from payload size.
-    A real deployment swaps in soundfile/ffprobe behind the same
-    signature."""
+    """Audio duration. WAV bytes take the REAL path - the RIFF header
+    carries byte rate and data size, no sample decode needed
+    (operators/codecs.py wav_info). Other payloads keep the
+    deterministic surrogate (5 "ms" per byte) so any bytes chunk
+    reproducibly. Compressed formats (mp3/ogg) would need a real
+    decoder here; same signature."""
+    info = codecs.wav_info(content)
+    if info is not None:
+        return info[1]
     return len(content) * AUDIO_MS_PER_BYTE
 
 

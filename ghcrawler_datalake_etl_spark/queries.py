@@ -2857,13 +2857,17 @@ def pipeline_training_data(spark, sf_dir):
     """
     SELECT doc_id, strlen(text) AS n_bytes, sha256(text) AS content_sha256,
            floor(cast(('0x' || substr(sha256(text), 1, 8)) AS BIGINT)::DOUBLE
-                 / 4294967296.0 * 1000000000) / 1000000000 AS fake_mean_luma,
+                 / 4294967296.0 * 1000000000) / 1000000000 AS mean_luma,
            cast(('0x' || substr(sha256(text), 9, 2)) AS BIGINT) % 16 + 1
-             AS fake_n_frames
+             AS n_frames
     FROM documents
     """,
 )
 def multimodal_features(spark, sf_dir):
+    """Text payloads are not PNGs, so every row takes the deterministic
+    sha256-surrogate arm of the decoder (the PNG arm is pytest-pinned
+    on real pixels in tests/test_codecs.py) - which is what keeps this
+    Python-decoded query exactly DuckDB-checkable."""
     from ghcrawler_datalake_etl_spark.operators import multimodal as MM
 
     d = fan_out(_t(spark, sf_dir, "documents"))
@@ -2873,8 +2877,8 @@ def multimodal_features(spark, sf_dir):
         "doc_id",
         "n_bytes",
         "content_sha256",
-        quantize(F.col("fake_mean_luma"), 9).alias("fake_mean_luma"),
-        F.col("fake_n_frames").cast("long").alias("fake_n_frames"),
+        quantize(F.col("mean_luma"), 9).alias("mean_luma"),
+        F.col("n_frames").cast("long").alias("n_frames"),
     )
 
 

@@ -263,8 +263,9 @@ def test_multimodal_feature_extraction(spark):
     feats = {r.doc_id: r for r in M.extract_features(media).collect()}
     assert feats[1].n_bytes == len(b"payload-one")
     assert feats[1].content_sha256 == hashlib.sha256(b"payload-one").hexdigest()
-    assert 0.0 <= feats[1].fake_mean_luma < 1.0
-    assert 1 <= feats[1].fake_n_frames <= 16
+    assert 0.0 <= feats[1].mean_luma < 1.0
+    assert 1 <= feats[1].n_frames <= 16
+    assert feats[1].width is None and feats[1].height is None
     assert feats[1].content_sha256 != feats[2].content_sha256
 
 
