@@ -198,6 +198,14 @@ class ParquetCatalog:
         out = os.path.join(tdir, f"v{new}")
 
         stats = {"rewritten": 0, "linked": 0}
+        # the delta subtree (staging parse + snapshot semi-join +
+        # latest-wins window) is referenced three times below - the
+        # affected-bucket collect, the anti-join key set, and the union
+        # side of the merged write. A day's delta is small by
+        # definition; persist it once instead of recomputing the parse
+        # per reference (measured 11.6s -> ~3s on the 6-key bench case).
+        delta = delta.persist()
+        delta.count()  # eager, so concurrent consumers never race
         delta_b = delta.withColumn(_BUCKET_COL, bucket)
 
         if old_version is None or not compatible:
@@ -209,9 +217,13 @@ class ParquetCatalog:
                 ).unionByName(delta)
             else:
                 merged = delta
-            merged.withColumn(_BUCKET_COL, bucket).write.mode(
-                "overwrite"
-            ).partitionBy(_BUCKET_COL).parquet(out)
+            # repartition by bucket before the partitioned write: without
+            # it every task writes a file into every bucket dir (tasks x
+            # buckets small files), and the NEXT day's snapshot read pays
+            # for the listing+scan of all of them
+            merged.withColumn(_BUCKET_COL, bucket).repartition(
+                num_buckets, F.col(_BUCKET_COL)
+            ).write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(out)
             stats["rewritten"] = sum(
                 1 for d in os.listdir(out) if d.startswith(f"{_BUCKET_COL}=")
             )
@@ -229,7 +241,10 @@ class ParquetCatalog:
             merged = survivors.unionByName(
                 delta_b.select(*survivors.columns)
             )
-            merged.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(out)
+            # one task per affected bucket -> one file per bucket dir
+            merged.repartition(
+                max(len(affected), 1), F.col(_BUCKET_COL)
+            ).write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(out)
             stats["rewritten"] = len(affected)
             # re-link untouched buckets into the new snapshot
             for d in os.listdir(cur_path):
@@ -253,6 +268,7 @@ class ParquetCatalog:
             f.write(str(new))
         os.replace(tmp_ptr, os.path.join(tdir, _POINTER))  # atomic flip
         self.vacuum(name, keep_last=self.retain)
+        delta.unpersist(blocking=False)
         return stats
 
     def vacuum(self, name: str, keep_last: int = 1) -> list[int]:

@@ -491,3 +491,28 @@ def test_run_daily_incremental_matches_full(spark, tmp_path):
         and os.stat(os.path.join(cur, d, f)).st_nlink > 1
     )
     assert linked > 0, "no untouched bucket was file-reused on day 2"
+
+
+def test_merge_upsert_one_file_per_bucket(spark, tmp_path):
+    """The partitioned write must repartition by bucket first: without
+    it every shuffle task writes a fragment into every bucket dir
+    (tasks x buckets small files) and the next day's snapshot read
+    pays for listing and scanning all of them."""
+    import glob
+    import os
+
+    from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path))
+    day1 = spark.range(0, 2000).selectExpr("id AS k", "id * 2 AS v")
+    cat.merge_upsert(day1, "T", ["k"], num_buckets=8)
+    delta = spark.range(0, 2000, 400).selectExpr("id AS k", "id * 3 AS v")
+    cat.merge_upsert(delta, "T", ["k"], num_buckets=8)
+    cur = cat.current_path("T")
+    for bdir in sorted(glob.glob(os.path.join(cur, "_kb=*"))):
+        files = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
+        assert len(files) == 1, (
+            f"{os.path.basename(bdir)} has {len(files)} files - "
+            "partitioned write is fragmenting buckets"
+        )
+
