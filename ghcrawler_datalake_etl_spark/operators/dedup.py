@@ -317,6 +317,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     sig_impl: str = "pandas",
+    materialize_result: bool = False,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: shingle -> signature -> band buckets
     -> bucket-join candidates -> exact-Jaccard verify.
@@ -390,12 +391,20 @@ def minhash_lsh_pairs(
     # |A u B| = na + nb - |A n B|: one set op per candidate, not two
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     jac = inter / (F.col("n_a") + F.col("n_b") - inter)
-    return (
+    out = (
         cand.join(a, "id_a")
         .join(b, "id_b")
         .select("id_a", "id_b", quantize(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+    if materialize_result:
+        # same contract as ngram_jaccard_pairs: the threshold-filtered
+        # pairs are small, and persisting them lets (a) the CC
+        # symmetrize-union reference them once instead of re-running
+        # the band self-join + verify on both union sides, and (b) any
+        # other query calling with identical args substitute the cache
+        out = _materialize(out)
+    return out
 
 
 SIMHASH_BITS = 60  # md5-derived hashes carry 60 portable bits (15 hex chars)

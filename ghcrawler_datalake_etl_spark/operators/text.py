@@ -15,7 +15,7 @@ testing impossible.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ghcrawler_datalake_etl_spark.functions.core import (
@@ -395,3 +395,41 @@ def winnow_sketch_hash(th: Column, window: int = 4) -> Column:
     document for sketch-equality grouping."""
     fps = winnow_fingerprints(th, window)
     return F.md5(F.array_join(F.transform(fps, lambda x: x.cast("string")), ","))
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str, top_n: int = 25
+) -> DataFrame:
+    """Byte-pair statistics for tokenizer training: the weighted count
+    of every adjacent character pair, i.e. exactly the table one BPE
+    merge step maximizes over (Sennrich et al. 2016 - public
+    algorithm). Returns the top_n (pair, n) rows, count-descending,
+    ties by pair.
+
+    The scale trick is the standard BPE one: pairs are enumerated over
+    the DISTINCT vocabulary (one row per unique word) and weighted by
+    corpus word frequency, so the expensive explode touches vocab-sized
+    data, never the corpus. Plan shape: corpus explode -> (word) count
+    with map-side partial aggregation (the only corpus-sized shuffle),
+    then a vocabulary-sized pair explode -> weighted sum -> distributed
+    top-n (TakeOrderedAndProject). No Python anywhere.
+    """
+    words = df.select(F.explode(tokenize(F.col(text_col))).alias("w"))
+    freq = words.groupBy("w").agg(F.count("*").alias("f"))
+    pairs = freq.filter(F.length("w") >= 2).select(
+        "f",
+        F.explode(
+            F.transform(
+                # sequence() with stop < start counts DOWN, never
+                # empty - the length filter above guards it
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(top_n)
+    )

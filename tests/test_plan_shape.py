@@ -316,3 +316,13 @@ def test_kmeans_best_uses_nested_literal_at_large_k(spark):
     agg = out.agg(SF.min("cluster"), SF.max("cluster"), SF.count("*")).collect()[0]
     assert agg[2] > 0 and 0 <= agg[0] and agg[1] <= 63
 
+
+
+def test_bpe_pairs_vocab_sized_shuffle_and_topk(spark, queries):
+    # the word count must partial-aggregate map-side (the only
+    # corpus-sized shuffle carries (word, partial count)); the pair
+    # ranking must be a distributed top-k, never a global sort
+    p = plan(queries["text_bpe_pair_stats"](spark, SF_DIR), "simple")
+    assert "partial_count" in p or "partial_sum" in p, p
+    assert "TakeOrderedAndProject" in p and "GlobalLimit" not in p
+

@@ -45,7 +45,6 @@ OUT_OF_WINDOW_OK = {}
 PARITY_CORE_IN_WINDOW = {
     "q1_pricing_summary",
     "w1_latest_event_per_user",
-    "w2_distinct_keys",
     "j2_anti_join",
     "j3_join_chain_q5",
     "pattern_a_snapshot_upsert",
@@ -57,6 +56,7 @@ PARITY_CORE_IN_WINDOW = {
 }
 
 PARITY_CORE_ROTATED_OUT = {
+    "w2_distinct_keys",  # ceded its slot to text_bpe_pair_stats (r3)
     "p1_eq_filter",
     "p2_like_filter",
     "p3_isin_filter",
