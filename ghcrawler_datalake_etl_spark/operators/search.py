@@ -216,3 +216,115 @@ def bm25_topk(
         )
     )
     return per_doc.orderBy(F.desc("score"), "doc_id").limit(top_k)
+
+
+def tfidf_cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    top_k: int = 10,
+) -> DataFrame:
+    """Top-k documents by TF-IDF cosine similarity to a bag-of-words
+    query - the vector-space retrieval classic (Salton), complementing
+    bm25_topk (probabilistic) and the embedding paths (dense).
+
+    Returns (id, n_terms_matched, score) ranked by (quantized score
+    desc, id). Weights: w = tf * idf with sklearn-style smooth
+    idf = ln((1+N)/(1+df)) + 1; query weights are the idf of each
+    distinct query term present in the corpus (binary query tf), and
+    the score is the cosine dot(w_d, w_q) / (|w_d| * |w_q|).
+
+    Cross-engine exactness: idf is floor-quantized to 6 decimals AT THE
+    SOURCE, so ln()'s last-ulp libm wobble never enters the arithmetic;
+    every later product/sum runs on bit-identical doubles in TERM-SORTED
+    fold order, and IEEE sqrt/divide are correctly rounded - the oracle
+    matches bit-for-bit before the final 4-decimal quantize.
+
+    Scale: unlike bm25_topk (which filters to query terms before any
+    shuffle), the document NORM is intrinsically corpus-wide - one
+    (doc, term) tf aggregate, one O(vocab) df aggregate, one term join,
+    one per-doc fold: the same cost class as unigram_logprob, paid
+    once per corpus in a real deployment (norms are query-independent
+    and cacheable). The query-dependent part - dot products and
+    ranking - touches only matched terms and ends in a distributed
+    top-k.
+    """
+    from ghcrawler_datalake_etl_spark.operators.dedup import _materialize
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted(set(t.lower() for t in query_terms))
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize(F.col(text_col)).alias("toks"),
+    )
+    tf = _materialize(
+        base.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    consts = base.agg(F.count("*").alias("n_docs"))
+    idf = _materialize(
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "term",
+            quantize(
+                F.log(
+                    (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+                )
+                + F.lit(1.0),
+                6,
+            ).alias("idf"),
+        )
+    )
+    w = tf.join(idf, "term").select(
+        "doc_id", "term", (F.col("tf") * F.col("idf")).alias("w"), "idf"
+    )
+
+    def _sorted_fold(parts, fn):
+        return F.aggregate(F.array_sort(parts), F.lit(0.0), fn)
+
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(
+            _sorted_fold(
+                F.collect_list(F.struct("term", "w")),
+                lambda acc, p: acc + p["w"] * p["w"],
+            )
+        ).alias("norm_d")
+    )
+    q = idf.filter(F.col("term").isin(terms))
+    norm_q = q.agg(
+        F.sqrt(
+            _sorted_fold(
+                F.collect_list(F.struct("term", "idf")),
+                lambda acc, p: acc + p["idf"] * p["idf"],
+            )
+        ).alias("norm_q")
+    )
+    dot = (
+        w.filter(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms_matched"),
+            _sorted_fold(
+                F.collect_list(F.struct("term", F.col("w"), F.col("idf"))),
+                lambda acc, p: acc + p["w"] * p["idf"],
+            ).alias("dot"),
+        )
+    )
+    scored = (
+        dot.join(norms, "doc_id")
+        .crossJoin(F.broadcast(norm_q))
+        .select(
+            "doc_id",
+            "n_terms_matched",
+            quantize(
+                F.col("dot") / (F.col("norm_d") * F.col("norm_q")), 4
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(top_k)

@@ -2811,6 +2811,58 @@ def search_bm25_topk(spark, sf_dir):
     return SR.bm25_topk(d, "doc_id", "text", list(_BM25_TERMS), top_k=10)
 
 
+@register(
+    "search_tfidf_cosine",
+    f"""
+    WITH base AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    tf AS (
+      SELECT b.doc_id, t.term, count(*)::BIGINT AS tf
+      FROM base b, unnest(b.toks) AS t(term)
+      GROUP BY b.doc_id, t.term),
+    consts AS (SELECT count(*) AS n_docs FROM base),
+    idf AS (
+      SELECT term,
+             floor((ln((c.n_docs + 1.0) / (count(*) + 1.0)) + 1.0) * 1000000)
+               / 1000000 AS idf
+      FROM tf CROSS JOIN consts c
+      GROUP BY term, c.n_docs),
+    w AS (
+      SELECT tf.doc_id, tf.term, tf.tf * i.idf AS w, i.idf
+      FROM tf JOIN idf i USING (term)),
+    norms AS (
+      SELECT doc_id,
+             sqrt(list_reduce(list_prepend(0.0, list(w * w ORDER BY term)),
+                              (a, b) -> a + b)) AS norm_d
+      FROM w GROUP BY doc_id),
+    nq AS (
+      SELECT sqrt(list_reduce(list_prepend(0.0, list(idf * idf ORDER BY term)),
+                              (a, b) -> a + b)) AS norm_q
+      FROM idf WHERE term IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})),
+    dots AS (
+      SELECT doc_id, count(*)::BIGINT AS n_terms_matched,
+             list_reduce(list_prepend(0.0, list(w * idf ORDER BY term)),
+                         (a, b) -> a + b) AS dot
+      FROM w
+      WHERE term IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+      GROUP BY doc_id)
+    SELECT d.doc_id, d.n_terms_matched,
+           floor(d.dot / (n.norm_d * q.norm_q) * 10000) / 10000 AS score
+    FROM dots d JOIN norms n USING (doc_id) CROSS JOIN nq q
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def search_tfidf_cosine(spark, sf_dir):
+    """Vector-space retrieval (operators/search.tfidf_cosine_topk):
+    TF-IDF cosine top-10 for the same 3-term query bm25 uses. idf is
+    floor-quantized at the source so ln() wobble never enters the
+    arithmetic; norms and dots fold term-sorted, so the score matches
+    the oracle bit-for-bit before the final quantize."""
+    d = _t(spark, sf_dir, "documents")
+    return SR.tfidf_cosine_topk(
+        d, "doc_id", "text", list(_BM25_TERMS), top_k=10
+    )
+
+
 def _pipeline_oracle() -> str:
     """Composed training-data pipeline oracle: tokens/hash computed once
     in a CTE, then lang-ID + quality + exact-dedup + filters."""
@@ -3011,7 +3063,6 @@ _DRIVER_ORDER = [
     "q1_pricing_summary",        # A2 multi-key group-by (flagship)
     "w1_latest_event_per_user",  # W1/P6 row_number latest-wins
     "j2_anti_join",              # J2/P4
-    "j3_join_chain_q5",          # J3
     "pattern_a_snapshot_upsert",
     "pattern_b_array_child",
     "pattern_c_collection_refresh",
@@ -3063,6 +3114,7 @@ _DRIVER_ORDER = [
     # -- round-3 addition (distinct algorithm -> needs a driver row;
     #    w2_distinct_keys ceded its slot with r1+r2 green rows) --
     "text_bpe_pair_stats",
+    "search_tfidf_cosine",
     # ---------------- position 51+: past the driver window ----------
     # first the 12 parity-core queries rotated out this round - each
     # has green driver rows in BOTH CORRECTNESS_r01.json and
@@ -3080,6 +3132,7 @@ _DRIVER_ORDER = [
     "f10_greatest_last_touched", # F10
     "x3_posexplode_tokens",      # X1/X3
     "w2_distinct_keys",          # W2/A3 (ceded its slot in round 3)
+    "j3_join_chain_q5",          # J3 (ceded its slot in round 3)
     # then analytics variants with prior green rows:
     "w1_maxby_latest_event_per_user",
     "topk_orders_per_segment",

@@ -326,3 +326,13 @@ def test_bpe_pairs_vocab_sized_shuffle_and_topk(spark, queries):
     assert "partial_count" in p or "partial_sum" in p, p
     assert "TakeOrderedAndProject" in p and "GlobalLimit" not in p
 
+
+
+def test_tfidf_cosine_is_distributed_topk(spark, queries):
+    # query-independent norms are corpus-wide by nature, but the final
+    # ranking must still be a distributed top-k, and the word count
+    # must partial-aggregate map-side
+    p = plan(queries["search_tfidf_cosine"](spark, SF_DIR), "simple")
+    assert "TakeOrderedAndProject" in p and "GlobalLimit" not in p
+    assert "partial_count" in p or "partial_sum" in p
+

@@ -46,7 +46,6 @@ PARITY_CORE_IN_WINDOW = {
     "q1_pricing_summary",
     "w1_latest_event_per_user",
     "j2_anti_join",
-    "j3_join_chain_q5",
     "pattern_a_snapshot_upsert",
     "pattern_b_array_child",
     "pattern_c_collection_refresh",
@@ -57,6 +56,7 @@ PARITY_CORE_IN_WINDOW = {
 
 PARITY_CORE_ROTATED_OUT = {
     "w2_distinct_keys",  # ceded its slot to text_bpe_pair_stats (r3)
+    "j3_join_chain_q5",  # ceded its slot to search_tfidf_cosine (r3)
     "p1_eq_filter",
     "p2_like_filter",
     "p3_isin_filter",
