@@ -30,6 +30,8 @@ DOC_ONLY = [
     "text_redact_pii",
     "text_chunk_windows",
     "text_unigram_logprob",
+    "text_bpe_pair_stats",
+    "search_tfidf_cosine",
     "corpus_vocabulary_topk",
     "corpus_source_report",
     "pack_token_shards",
@@ -92,3 +94,47 @@ def test_degenerate_text_matches_oracle(spark, ddb, degenerate_sf_dir, name):
     if sc != dc:
         diffs = [(a, b) for a, b in zip(sc, dc) if a != b][:5]
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(tmp_path_factory):
+    folder = tmp_path_factory.mktemp("emptydocs")
+    con = duckdb.connect()
+    con.execute(
+        'COPY (SELECT CAST(NULL AS BIGINT) AS doc_id,'
+        ' CAST(NULL AS VARCHAR) AS "text", CAST(NULL AS VARCHAR) AS lang,'
+        ' CAST(NULL AS VARCHAR) AS source,'
+        ' CAST(NULL AS BIGINT) AS n_chars WHERE false) TO'
+        f" '{folder}/documents.parquet' (FORMAT PARQUET)"
+    )
+    return str(folder)
+
+
+@pytest.fixture(scope="module")
+def ddb_empty(empty_sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{empty_sf_dir}/documents.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", DOC_ONLY)
+def test_empty_corpus_matches_oracle(spark, ddb_empty, empty_sf_dir, name):
+    """A zero-row corpus must neither crash nor diverge (aggregates may
+    legitimately emit a row; both engines must agree on it)."""
+    sdf = entrymod.queries()[name](spark, empty_sf_dir)
+    scols = [c.lower() for c in sdf.columns]
+    srows = [tuple(r) for r in sdf.collect()]
+    res = ddb_empty.execute(entrymod.oracle_sql()[name])
+    dcols = [d[0].lower() for d in res.description]
+    drows = res.fetchall()
+    assert sorted(scols) == sorted(dcols), f"{name}: {scols} vs {dcols}"
+    assert len(srows) == len(drows), (
+        f"{name}: row count {len(srows)} vs oracle {len(drows)}"
+    )
+    sc = rows_canon(scols, srows)
+    dc = rows_canon(dcols, drows)
+    assert sc == dc, f"{name}: {sc[:3]} vs {dc[:3]}"
+
