@@ -269,3 +269,60 @@ def test_stratified_sample_is_per_stratum_hash_sample(spark, rows):
             hash_sample(df.filter(F.col("lang") == s), "k", f, seed=7)
             .collect()))
     assert got == sorted(want)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 10_000),              # key (dups possible)
+            st.one_of(st.none(), st.floats(0, 500, allow_nan=False)),
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    st.integers(1, 6),                           # num_bins
+)
+def test_pack_shards_equals_single_window_form(spark, rows, num_bins):
+    """pack_shards' quantile-binned two-level cumsum must equal the
+    reference single-window global cumsum for ANY keys/weights
+    (duplicates, NULL weights, empty input) and ANY bin count - the
+    identity the de-persist rewrite (round 3) has to preserve."""
+    from pyspark.sql import Window
+
+    from ghcrawler_datalake_etl_spark.operators.sampling import pack_shards
+
+    # de-dup keys: exclusive cumsum over tied keys is order-dependent
+    # (documented contract: key_col is a unique id)
+    seen, uniq = set(), []
+    for k, w in rows:
+        if k not in seen:
+            seen.add(k)
+            uniq.append((k, w))
+    df = spark.createDataFrame(uniq, "k long, wt double") if uniq else (
+        spark.createDataFrame([], "k long, wt double")
+    )
+    got = sorted(
+        map(tuple, pack_shards(df, "k", "wt", 100, num_bins=num_bins).collect())
+    )
+    ref = sorted(
+        map(
+            tuple,
+            df.withColumn(
+                "shard_id",
+                F.floor(
+                    F.coalesce(
+                        F.sum(F.coalesce(F.col("wt"), F.lit(0.0))).over(
+                            Window.orderBy("k").rowsBetween(
+                                Window.unboundedPreceding, -1
+                            )
+                        ),
+                        F.lit(0.0),
+                    )
+                    / 100.0
+                ).cast("long"),
+            ).collect(),
+        )
+    )
+    assert got == ref
+
