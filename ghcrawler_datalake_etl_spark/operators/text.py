@@ -433,3 +433,33 @@ def bpe_pair_counts(
         .orderBy(F.desc("n"), "pair")
         .limit(top_n)
     )
+
+
+# C4-flavored line-keep rules (Raffel et al. 2020, public heuristics):
+# a kept line has >= CLEAN_MIN_WORDS whitespace words, ends in terminal
+# punctuation, and contains no brace or "lorem ipsum" boilerplate.
+CLEAN_MIN_WORDS = 3
+CLEAN_TERMINAL_RE = '[.!?"]$'
+
+
+def clean_lines(col: ColumnOrName) -> Column:
+    """Array of the lines of ``col`` that survive the C4-style
+    boilerplate filter (trimmed; NULL text = no lines). Pure Column
+    expressions chosen to parse identically under Java regex and RE2 -
+    same portability contract as PII_PATTERNS."""
+    lines = F.transform(
+        F.split(F.coalesce(_path(col), F.lit("")), "\n"),
+        lambda ln: F.trim(ln),
+    )
+
+    def _keep(ln: Column) -> Column:
+        words = F.size(F.filter(F.split(ln, "\\s+"), lambda w: w != ""))
+        return (
+            (words >= CLEAN_MIN_WORDS)
+            & ln.rlike(CLEAN_TERMINAL_RE)
+            & ~F.lower(ln).contains("lorem ipsum")
+            & ~ln.contains("{")
+            & ~ln.contains("}")
+        )
+
+    return F.filter(lines, _keep)

@@ -830,3 +830,35 @@ def test_ann_lsh_lazy_with_dim_and_empty_corpus_error(spark):
     with _pytest.raises(ValueError, match="corpus is empty"):
         SIM.ann_lsh_topk(empty, empty, "vec_id", "embedding")
 
+
+
+def test_clean_lines_c4_rules(spark):
+    """C4-style line cleaner: keeps >=3-word terminal-punctuated lines,
+    drops short/unterminated/brace/lorem boilerplate. Unit-pinned on
+    line-structured text (the synthetic bench corpus is single-line
+    word soup with no punctuation, so this operator is NOT registered
+    as a driver query - a green row on constant output would be
+    vacuous)."""
+    from ghcrawler_datalake_etl_spark.operators.text import clean_lines
+
+    doc = "\n".join([
+        "This sentence has enough words and ends properly.",
+        "Too short.",                                  # < 3 words
+        "this line just trails off with no period",    # no terminal punct
+        "  A trimmed line with punctuation works too!  ",
+        "function foo() { return 1; }",                # brace
+        "Lorem ipsum dolor sit amet, consectetur.",    # boilerplate
+        "",                                            # empty
+        'He said "stop right there."',                 # ends on quote? no - period inside quote then quote char
+    ])
+    df = spark.createDataFrame([(1, doc), (2, None)], "doc_id long, text string")
+    rows = {r.doc_id: r.kept for r in df.select(
+        "doc_id", clean_lines(F.col("text")).alias("kept")
+    ).collect()}
+    assert rows[1] == [
+        "This sentence has enough words and ends properly.",
+        "A trimmed line with punctuation works too!",
+        'He said "stop right there."',
+    ]
+    assert rows[2] == []  # NULL text = no lines
+
