@@ -669,6 +669,91 @@ def embedding_cosine_pairs(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float = 0.5,
+) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023, public
+    algorithm): cluster embeddings with k-means, then search for
+    near-duplicates WITHIN each cluster only, and greedily keep the
+    lowest id of every near-dup pair.
+
+    The scale story is the clustering itself: candidate pairs come from
+    a plain equi-join on the cluster id, so the pair space shrinks from
+    O(n^2) to O(sum n_c^2) - with k chosen so clusters stay bounded
+    (k ~ n / target_cluster_size; SemDeDup uses tens of thousands), each
+    join partition is a small block. A pathologically large cluster is
+    the skew case; split it with the triangular block trick of
+    embedding_cosine_pairs_gemm before the join if one arises.
+
+    Deterministic contract: a vector is DROPPED iff some same-cluster
+    vector with a smaller id has cosine >= threshold with it (greedy by
+    id, independent of scan order). Returns (vec_id, cluster, keep) for
+    every non-null vector, keep in {0, 1}. Exactly oracle-checkable:
+    centroids from kmeans_fit are bit-reproducible, the assignment uses
+    the same fold-ordered distance as assign_clusters, and the cosine is
+    the sequential zip_with fold DuckDB's list_dot_product replays
+    bit-for-bit (see embedding_cosine_pairs).
+    """
+    from ghcrawler_datalake_etl_spark.operators.clustering import _best
+
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
+    v = (
+        fan_out(df)
+        .filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("vec_id"),
+            vec.alias("vec"),
+            nrm.alias("nrm"),
+            _best(vec, centroids)["cid"].alias("cluster"),
+        )
+    )
+    v = _materialize(v)  # assignment feeds both join sides + the output
+    a = v.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+        F.col("nrm").alias("nrm_a"),
+        F.col("cluster").alias("cl_a"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+        F.col("nrm").alias("nrm_b"),
+        F.col("cluster").alias("cl_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with("vec_a", "vec_b", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("cl_a") == F.col("cl_b")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(dot / (F.col("nrm_a") * F.col("nrm_b")) >= threshold)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(1))
+    )
+    return (
+        v.select("vec_id", "cluster")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.when(F.col("_dropped").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("keep"),
+        )
+    )
+
+
 def connected_components(
     pairs_df: DataFrame,
     src_col: str = "id_a",

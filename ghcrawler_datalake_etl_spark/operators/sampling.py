@@ -135,6 +135,66 @@ def sample_n_per_group(
     )
 
 
+def target_mix_sample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    target_ppm: dict[str, int],
+    seed: int = 42,
+) -> DataFrame:
+    """Exact-mixture carve: the LARGEST sub-corpus whose group
+    composition equals ``target_ppm`` (parts-per-million shares), with
+    deterministic per-group membership.
+
+    stratified_sample fixes per-group RATES; a training mix fixes the
+    final PROPORTIONS, and the feasible total is data-dependent: the
+    binding group is the one with least headroom,
+    T = min_g(n_g * 1e6 div ppm_g), and group g contributes
+    need_g = ppm_g * T div 1e6 (<= n_g by construction). All integer
+    arithmetic - replays exactly on any engine at any corpus size (no
+    float division to misround past 2^53 rows).
+
+    Plan shape: one map-side-combined count per group (output = #groups
+    rows), the scalar T via a second tiny aggregate, the per-group
+    need_g broadcast back onto the corpus, and one window PARTITIONED
+    by group ranking keys by (hash bucket, key) - parallel across
+    groups, no global sort. Groups absent from ``target_ppm`` (and NULL
+    groups) drop. The contract is STRICT: a target group with zero
+    corpus rows binds T to 0 (the largest corpus matching the mix IS
+    empty) - the mixture guarantee never silently degrades to "the
+    groups that happened to exist".
+    """
+    total = sum(target_ppm.values())
+    if total > BUCKETS:
+        raise ValueError(f"target shares sum to {total} ppm > {BUCKETS}")
+    for g, p in target_ppm.items():
+        if p <= 0:
+            raise ValueError(f"share for {g!r} must be positive ppm, got {p}")
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(g, int(p)) for g, p in target_ppm.items()],
+        schema=f"{group_col} string, _ppm long",
+    )
+    counts = tgt.join(
+        df.groupBy(group_col).agg(F.count("*").alias("_n")), group_col, "left"
+    ).withColumn("_n", F.coalesce(F.col("_n"), F.lit(0)))
+    t = counts.agg(
+        F.min(F.expr(f"_n * {BUCKETS} div _ppm")).alias("_t")
+    )
+    need = counts.crossJoin(F.broadcast(t)).select(
+        group_col, F.expr(f"_ppm * _t div {BUCKETS}").alias("_need")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(key_col, seed), F.col(key_col)
+    )
+    return (
+        df.join(F.broadcast(need), group_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_need"))
+        .drop("_rn", "_need")
+    )
+
+
 def split_column(
     key: Column | str, weights: dict[str, float], seed: int = 42
 ) -> Column:

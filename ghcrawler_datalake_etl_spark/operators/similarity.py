@@ -157,6 +157,117 @@ def cosine_topk_pandas(
     )
 
 
+def knn_graph(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    num_blocks: int = 4,
+) -> DataFrame:
+    """Self-kNN graph: exact cosine top-k neighbors for EVERY corpus
+    vector (corpus x corpus), the building block for graph-based
+    curation (SemDeDup pruning scores, kNN-classification of quality,
+    connected-component topic islands).
+
+    cosine_topk broadcasts a SMALL query set; here the query set IS the
+    corpus, so neither side broadcasts. Same triangular block-cogroup
+    decomposition as dedup.embedding_cosine_pairs_gemm: rows hash into
+    ``num_blocks`` blocks, each unordered block pair is one cogroup
+    task scored by a single BLAS GEMM, and - the kNN twist - each task
+    emits only its LOCAL top-k per row (both directions for off-
+    diagonal pairs), so the shuffle out of the scoring stage is bounded
+    by n * num_blocks * k rows, never n^2. A window per query merges
+    local winners into the global top-k; top-k is merge-associative, so
+    the result is exactly the brute-force answer.
+
+    Executor memory holds at most two blocks (~2n/B rows); num_blocks
+    fits the corpus to the cluster exactly as in the GEMM dedup. Ties
+    broken by (floor-quantized cosine desc, neighbor id asc) in BOTH
+    the local and the merge ordering - the local cut can only discard
+    candidates that lose the global ordering too, keeping the merge
+    exact. Zero-norm vectors are excluded (as queries and candidates).
+    """
+    import numpy as np
+
+    vec = _as_double(F.col(vec_col))
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
+    proj = (
+        fan_out(corpus)
+        .filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), vec.alias("vec"), norm.alias("nrm"))
+        .filter(F.col("nrm") > 0)
+        .drop("nrm")
+    )
+    blk = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(num_blocks)).cast("int")
+    left = proj.withColumn("bi", blk).withColumn(
+        "bj", F.explode(F.sequence(F.col("bi"), F.lit(num_blocks - 1)))
+    )
+    right = proj.withColumn("bj", blk).withColumn(
+        "bi", F.explode(F.sequence(F.lit(0), F.col("bj")))
+    )
+
+    def local_topk(
+        q_ids: "np.ndarray", c_ids: "np.ndarray", qsims: "np.ndarray"
+    ) -> pd.DataFrame:
+        # qsims: (nq, nc) floor-quantized sims with candidates sorted by
+        # id ascending; stable argsort on -sim then keeps ties id-asc,
+        # the exact merge ordering.
+        top = min(k, qsims.shape[1])
+        order = np.argsort(-qsims, axis=1, kind="stable")[:, :top]
+        sel = np.take_along_axis(qsims, order, axis=1)
+        keep = sel > -2.0  # masked self-pairs never emit
+        rows = np.repeat(q_ids, top)[keep.ravel()]
+        return pd.DataFrame(
+            {
+                "query_id": rows,
+                "neighbor_id": c_ids[order.ravel()][keep.ravel()],
+                "cosine": sel.ravel()[keep.ravel()],
+            }
+        )
+
+    def score_blocks(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
+        if not len(lpdf) or not len(rpdf):
+            return empty
+        lpdf = lpdf.sort_values("doc_id")
+        rpdf = rpdf.sort_values("doc_id")
+        a_ids = lpdf["doc_id"].to_numpy(dtype=np.int64)
+        b_ids = rpdf["doc_id"].to_numpy(dtype=np.int64)
+        a_mat = np.stack(lpdf["vec"].to_numpy()).astype(np.float64)
+        b_mat = np.stack(rpdf["vec"].to_numpy()).astype(np.float64)
+        a_norm = np.sqrt((a_mat * a_mat).sum(axis=1))
+        b_norm = np.sqrt((b_mat * b_mat).sum(axis=1))
+        sims = (a_mat @ b_mat.T) / np.outer(a_norm, b_norm)
+        qsims = np.floor(sims * 1e6) / 1e6
+        if lpdf["bi"].iloc[0] == lpdf["bj"].iloc[0]:
+            # diagonal block: left set == right set; mask self-pairs and
+            # emit one direction only
+            qsims[a_ids[:, None] == b_ids[None, :]] = -3.0
+            return local_topk(a_ids, b_ids, qsims)
+        # off-diagonal: score once, emit both directions (a queries b,
+        # b queries a via the transpose)
+        return pd.concat(
+            [local_topk(a_ids, b_ids, qsims), local_topk(b_ids, a_ids, qsims.T)],
+            ignore_index=True,
+        )
+
+    cands = (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(
+            score_blocks, schema="query_id long, neighbor_id long, cosine double"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def int8_dot_topk_pandas(
     corpus: DataFrame,
     queries: DataFrame,

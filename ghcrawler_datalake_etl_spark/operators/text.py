@@ -264,6 +264,75 @@ def repetition_features(
     }
 
 
+# Gopher-flavored keep/drop bounds (Rae et al. 2021 publish the rule
+# SHAPES; the numbers here are tuned to this corpus's scale so both
+# outcomes occur - production corpora retune them). Evaluated in dict
+# order; the reason reported is the FIRST failing rule.
+GOPHER_BOUNDS: dict[str, float] = {
+    "min_tokens": 30,
+    "max_tokens": 100_000,
+    "min_mean_token_len": 2.0,
+    "max_mean_token_len": 12.0,
+    "min_alpha_ratio": 0.5,
+    "max_dup_line_frac": 0.30,
+    "max_top_bigram_share": 0.18,
+    "max_token_run": 8,
+}
+
+
+def gopher_filter(
+    col: ColumnOrName,
+    toks: Column | None = None,
+    bounds: dict[str, float] = GOPHER_BOUNDS,
+) -> tuple[Column, Column]:
+    """Composite Gopher-style document filter: (keep, reason) columns.
+
+    ``reason`` names the first rule the document fails (dict order of
+    ``bounds``), or 'keep'. ``keep`` is 1/0 (long). Pure Column
+    composition of quality_features + repetition_features - one narrow
+    projection, no shuffle, scan-scales. Every feature is integer-exact
+    or an IEEE ratio of integer-exact counts computed identically in
+    the DuckDB oracle, so the threshold comparisons (and therefore the
+    keep/drop decisions) replay bit-for-bit across engines.
+
+    NULL text coalesces to '' BEFORE the features (the repo-wide
+    convention): zero tokens -> fails min_tokens, instead of
+    NULL-infected predicates silently skipping every rule to 'keep'.
+    """
+    c = F.coalesce(_path(col), F.lit(""))
+    toks = tokenize(c) if toks is None else toks
+    qf = quality_features(c, toks)
+    rf = repetition_features(c, toks)
+    fails = [
+        ("min_tokens", qf["n_tokens"] < int(bounds["min_tokens"])),
+        ("max_tokens", qf["n_tokens"] > int(bounds["max_tokens"])),
+        (
+            "min_mean_token_len",
+            qf["mean_token_len"] < float(bounds["min_mean_token_len"]),
+        ),
+        (
+            "max_mean_token_len",
+            qf["mean_token_len"] > float(bounds["max_mean_token_len"]),
+        ),
+        ("min_alpha_ratio", qf["alpha_ratio"] < float(bounds["min_alpha_ratio"])),
+        (
+            "max_dup_line_frac",
+            rf["dup_line_frac"] > float(bounds["max_dup_line_frac"]),
+        ),
+        (
+            "max_top_bigram_share",
+            rf["top_bigram_share"] > float(bounds["max_top_bigram_share"]),
+        ),
+        ("max_token_run", rf["max_token_run"] > int(bounds["max_token_run"])),
+    ]
+    reason: Column | None = None
+    for name, pred in fails:
+        reason = F.when(pred, name) if reason is None else reason.when(pred, name)
+    reason = reason.otherwise(F.lit("keep"))
+    keep = F.when(reason == "keep", F.lit(1)).otherwise(F.lit(0)).cast("long")
+    return keep, reason
+
+
 def chunk_starts(n_tokens: Column, chunk: int, overlap: int) -> Column:
     """1-based token start positions for overlapping chunk windows:
     stride = chunk - overlap; the count is ceil((n - overlap)/stride)

@@ -1576,6 +1576,43 @@ def sample_eval_carve(spark, sf_dir):
     return fixed.unionByName(per)
 
 
+# target mixture for sample_target_mix: ppm shares per language. The
+# SAME dict drives the Spark call and (via this f-string) the oracle.
+_MIX_PPM = {"en": 400_000, "zh": 200_000, "es": 200_000, "de": 100_000, "fr": 100_000}
+
+
+@register(
+    "sample_target_mix",
+    f"""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    tgt(lang, ppm) AS (VALUES {", ".join(f"('{g}', {p})" for g, p in _MIX_PPM.items())}),
+    p AS (SELECT t.lang, coalesce(c.n, 0) AS n, t.ppm
+          FROM tgt t LEFT JOIN c USING (lang)),
+    t AS (SELECT min(n * 1000000 // ppm) AS t FROM p),
+    need AS (SELECT lang, ppm * (SELECT t FROM t) // 1000000 AS need FROM p),
+    r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY {_BUCKET_SQL}, doc_id) AS rn
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang
+    FROM r JOIN need USING (lang)
+    WHERE r.rn <= need.need
+    """,
+)
+def sample_target_mix(spark, sf_dir):
+    """Exact-PROPORTION corpus carve (operators/sampling.target_mix_sample):
+    the largest sub-corpus whose language composition matches the target
+    mixture, binding group determined from the data with pure integer
+    arithmetic. stratified_sample fixes rates; this fixes the mix - the
+    dataset-curation move for hitting a training recipe's composition."""
+    d = _t(spark, sf_dir, "documents")
+    return SP.target_mix_sample(d, "doc_id", "lang", _MIX_PPM, seed=42).select(
+        "doc_id", "lang"
+    )
+
+
 @register(
     "split_train_valid_test",
     f"""
@@ -2284,6 +2321,82 @@ def sim_ivf_kmeans_topk(spark, sf_dir):
     )
 
 
+def _semantic_dedup_oracle(k: int = 8, iters: int = 2, threshold: float = 0.5) -> str:
+    """SemDeDup: the kmeans CTE chain feeds a within-cluster cosine
+    near-dup prune (greedy keep-lowest-id). Relational twin of
+    dedup.semantic_dedup."""
+    ctes, final = _kmeans_ctes(k, iters)
+    dist = (
+        "list_reduce(list_transform(range(1, len(p.v) + 1), "
+        "i -> (p.v[i] - c.c[i]) * (p.v[i] - c.c[i])), (a, b) -> a + b)"
+    )
+    ctes.append(f"""assign AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT p.vec_id, p.v, c.cid AS cluster,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY {dist}, c.cid) AS rn
+        FROM pts p CROSS JOIN {final} c)
+      WHERE rn = 1)""")
+    ctes.append("""vv AS (
+      SELECT vec_id, v AS vec,
+             sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm, cluster
+      FROM assign)""")
+    ctes.append(f"""dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM vv a JOIN vv b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) >= {threshold})""")
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT v.vec_id, v.cluster,
+           (CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS keep
+    FROM vv v LEFT JOIN dropped d USING (vec_id)
+    """
+
+
+@register("dedup_semantic_prune", _semantic_dedup_oracle())
+def dedup_semantic_prune(spark, sf_dir):
+    """SemDeDup (public algorithm, Abbas et al. 2023): kmeans_fit learns
+    the clustering, then near-dup search runs WITHIN clusters only - the
+    pair space drops from O(n^2) to O(sum n_c^2), which is what makes
+    embedding dedup feasible at corpus scale (the all-pairs
+    dedup_embedding_cosine is the exact baseline it approximates).
+    Greedy keep-lowest-id; exact oracle because centroids, assignment,
+    and the fold-ordered cosine are all bit-reproducible."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = CL.kmeans_fit(e, "vec_id", "embedding", k=8, iterations=2, seed=42)
+    return DD.semantic_dedup(e, "vec_id", "embedding", cents, threshold=0.5)
+
+
+@register(
+    "sim_knn_graph",
+    # brute-force relational twin (the graph is exact, so the all-pairs
+    # SQL is its oracle; nrm > 0 mirrors the operator's zero-norm drop)
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec,
+                      sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
+               FROM embeddings WHERE embedding IS NOT NULL),
+    b AS (SELECT * FROM v WHERE nrm > 0)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             floor(list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm) * 1000000) / 1000000 AS cosine,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY floor(list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm) * 1000000) / 1000000 DESC,
+                        c.vec_id ASC) AS rank
+      FROM b q JOIN b c ON q.vec_id <> c.vec_id) t
+    WHERE rank <= 3
+    """,
+)
+def sim_knn_graph(spark, sf_dir):
+    """Self-kNN graph (operators/similarity.knn_graph): exact top-k
+    neighbors for EVERY corpus vector via the triangular block-cogroup
+    GEMM with per-task local top-k - shuffle bounded by n*blocks*k
+    rows, never n^2. The corpus-scale sibling of sim_knn_bruteforce
+    (whose query side must be small enough to broadcast)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.knn_graph(e, "vec_id", "embedding", k=3, num_blocks=4)
+
+
 # =====================================================================
 # Text analysis
 # =====================================================================
@@ -2506,6 +2619,112 @@ def text_repetition_metrics(spark, sf_dir):
         quantize(feats["top_bigram_share"], 4).alias("top_bigram_share"),
         feats["max_token_run"].alias("max_token_run"),
     )
+
+
+def _gopher_filter_oracle() -> str:
+    """Relational twin of text.gopher_filter: the same features via the
+    repetition oracle's CTE shapes, the same FIRST-failing-rule CASE
+    chain, thresholds read from the SAME dict (text.GOPHER_BOUNDS)."""
+    b = TX.GOPHER_BOUNDS
+    return f"""
+    WITH t AS (
+      SELECT doc_id, coalesce(text, '') AS txt, {_TOKS_SQL} AS toks
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, len(toks) AS nt,
+             coalesce(list_sum(list_transform(toks, tk -> length(tk))), 0)::DOUBLE
+               / greatest(len(toks), 1) AS mean_len,
+             length(regexp_replace(txt, '[^A-Za-z]', '', 'g'))::DOUBLE
+               / greatest(length(txt), 1) AS alpha_ratio
+      FROM t
+    ),
+    lt AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(txt, chr(10)),
+                                        x -> trim(x)), x -> x <> '') AS lines
+      FROM t
+    ),
+    dl AS (
+      SELECT doc_id,
+             CASE WHEN len(lines) = 0 THEN 0.0
+                  ELSE 1 - len(list_distinct(lines))::DOUBLE / len(lines)
+             END AS dup_line_frac
+      FROM lt
+    ),
+    big AS (
+      SELECT doc_id, len(toks) AS nt,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i + 1])
+                  ELSE [] END AS bigrams
+      FROM t
+    ),
+    bg_top AS (
+      SELECT doc_id, max(c) AS topc FROM (
+        SELECT b.doc_id, g, count(*) AS c
+        FROM big b, unnest(b.bigrams) AS u(g)
+        GROUP BY b.doc_id, g)
+      GROUP BY doc_id
+    ),
+    run_len AS (
+      SELECT doc_id, max(c) AS max_run FROM (
+        SELECT doc_id, tok, grp, count(*) AS c FROM (
+          SELECT doc_id, tok,
+                 i - row_number() OVER (PARTITION BY doc_id, tok
+                                        ORDER BY i) AS grp
+          FROM (SELECT t.doc_id, t.toks[u.i] AS tok, u.i
+                FROM t, unnest(range(1, len(t.toks) + 1)) AS u(i)))
+        GROUP BY doc_id, tok, grp)
+      GROUP BY doc_id
+    ),
+    r AS (
+      SELECT f.doc_id, f.nt, f.mean_len, f.alpha_ratio, d.dup_line_frac,
+             CASE WHEN bg.nt < 2 THEN 0.0
+                  ELSE coalesce(bt.topc, 0)::DOUBLE / (bg.nt - 1)
+             END AS top_bigram_share,
+             coalesce(rl.max_run, 0) AS max_token_run
+      FROM feat f
+      JOIN dl d USING (doc_id)
+      JOIN big bg USING (doc_id)
+      LEFT JOIN bg_top bt USING (doc_id)
+      LEFT JOIN run_len rl USING (doc_id)
+    )
+    SELECT doc_id,
+           (CASE WHEN reason = 'keep' THEN 1 ELSE 0 END)::BIGINT AS keep,
+           reason
+    FROM (
+      SELECT doc_id,
+             CASE WHEN nt < {int(b["min_tokens"])} THEN 'min_tokens'
+                  WHEN nt > {int(b["max_tokens"])} THEN 'max_tokens'
+                  WHEN mean_len < {float(b["min_mean_token_len"])} THEN 'min_mean_token_len'
+                  WHEN mean_len > {float(b["max_mean_token_len"])} THEN 'max_mean_token_len'
+                  WHEN alpha_ratio < {float(b["min_alpha_ratio"])} THEN 'min_alpha_ratio'
+                  WHEN dup_line_frac > {float(b["max_dup_line_frac"])} THEN 'max_dup_line_frac'
+                  WHEN top_bigram_share > {float(b["max_top_bigram_share"])} THEN 'max_top_bigram_share'
+                  WHEN max_token_run > {int(b["max_token_run"])} THEN 'max_token_run'
+                  ELSE 'keep' END AS reason
+      FROM r) x
+    """
+
+
+@register("text_gopher_filter", _gopher_filter_oracle())
+def text_gopher_filter(spark, sf_dir):
+    """Composite Gopher-rules document filter (operators/text.
+    gopher_filter): quality + repetition features fused into a single
+    keep/drop decision with the FIRST failing rule as the reason - the
+    curation pipeline's gatekeeper stage, downstream of the per-feature
+    queries (text_quality_score / text_repetition_metrics). One narrow
+    projection, no shuffle; every threshold comparison runs on values
+    both engines compute bit-identically, so the booleans match."""
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    base = d.select(
+        "doc_id",
+        "text",
+        TX.tokenize(F.coalesce(F.col("text"), F.lit(""))).alias("toks"),
+    )
+    keep, reason = TX.gopher_filter(F.col("text"), toks=F.col("toks"))
+    return base.select("doc_id", keep.alias("keep"), reason.alias("reason"))
 
 
 @register(
@@ -3067,8 +3286,6 @@ _DRIVER_ORDER = [
     "pattern_b_array_child",
     "pattern_c_collection_refresh",
     "pattern_d_traffic_series",
-    "pattern_e_version_log",
-    "sessionize_events",         # custom stateful (batch twin)
     # -- LLM-pipeline extension layer: every component family --
     "dedup_exact_groups",
     "dedup_ngram_jaccard",
@@ -3089,8 +3306,6 @@ _DRIVER_ORDER = [
     "text_quality_score",
     "text_fingerprint",
     "corpus_source_report",
-    "sample_hash_deterministic",
-    "split_train_valid_test",
     "pack_token_shards",
     "pipeline_dedup_shards",
     "pipeline_training_data",
@@ -3111,14 +3326,25 @@ _DRIVER_ORDER = [
     "sim_ivf_kmeans_topk",
     "pipeline_chunk_dedup_pack",
     "dedup_minhash_clusters",
-    # -- round-3 addition (distinct algorithm -> needs a driver row;
-    #    w2_distinct_keys ceded its slot with r1+r2 green rows) --
+    # -- round-3 additions (distinct algorithms -> each needs a driver
+    #    row; slots ceded by double-green queries per the registry
+    #    guard: w2_distinct_keys, j3_join_chain_q5, sessionize_events,
+    #    pattern_e_version_log, sample_hash_deterministic,
+    #    split_train_valid_test) --
     "text_bpe_pair_stats",
     "search_tfidf_cosine",
+    "dedup_semantic_prune",
+    "sim_knn_graph",
+    "text_gopher_filter",
+    "sample_target_mix",
     # ---------------- position 51+: past the driver window ----------
-    # first the 12 parity-core queries rotated out this round - each
-    # has green driver rows in BOTH CORRECTNESS_r01.json and
+    # first the parity-core queries rotated out this round - each has
+    # green driver rows in BOTH CORRECTNESS_r01.json and
     # CORRECTNESS_r02.json (tests/test_registry_order.py pins this):
+    "sessionize_events",
+    "pattern_e_version_log",
+    "sample_hash_deterministic",
+    "split_train_valid_test",
     "p1_eq_filter",              # P1
     "p2_like_filter",            # P2
     "p3_isin_filter",            # P3

@@ -862,3 +862,130 @@ def test_clean_lines_c4_rules(spark):
     ]
     assert rows[2] == []  # NULL text = no lines
 
+
+
+def test_target_mix_sample_exact_proportions(spark):
+    """The carve's composition equals the target mixture (up to the
+    documented integer floors), the binding group is fully consumed,
+    and membership is deterministic."""
+    from ghcrawler_datalake_etl_spark.operators import sampling as SP
+
+    rows = (
+        [(i, "en") for i in range(100)]
+        + [(1000 + i, "fr") for i in range(30)]
+        + [(2000 + i, "zh") for i in range(10)]   # binding group
+        + [(3000 + i, "xx") for i in range(7)]    # not in target: drops
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    target = {"en": 500_000, "fr": 300_000, "zh": 200_000}
+    got = SP.target_mix_sample(df, "doc_id", "lang", target)
+    by_lang = {
+        r.lang: r.n
+        for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # T = min(100*1e6//5e5, 30*1e6//3e5, 10*1e6//2e5) = min(200,100,50)=50
+    assert by_lang == {"en": 25, "fr": 15, "zh": 10}
+    # deterministic: second run picks the same doc_ids
+    ids1 = sorted(r.doc_id for r in got.collect())
+    ids2 = sorted(
+        r.doc_id
+        for r in SP.target_mix_sample(df, "doc_id", "lang", target).collect()
+    )
+    assert ids1 == ids2
+
+    # strict contract: a target group with no rows binds T to zero
+    df2 = df.filter(F.col("lang") != "zh")
+    assert SP.target_mix_sample(df2, "doc_id", "lang", target).count() == 0
+
+    with pytest.raises(ValueError, match="ppm"):
+        SP.target_mix_sample(df, "doc_id", "lang", {"en": 2_000_000})
+
+
+def test_gopher_filter_rules_and_order(spark):
+    """Each rule trips on a crafted doc; the FIRST failing rule wins."""
+    from ghcrawler_datalake_etl_spark.operators.text import gopher_filter
+
+    long_ok = " ".join(
+        f"word{i} the and is to of {'stretchy' * 1}" for i in range(10)
+    ) + ". It reads like plain healthy prose with enough variety in it."
+    docs = [
+        (1, long_ok, "keep"),
+        (2, "too short", "min_tokens"),
+        (3, " ".join("a" for _ in range(40)), "min_mean_token_len"),
+        (4, " ".join("extraordinarily" for _ in range(40)), "max_mean_token_len"),
+        (5, " ".join(str(i) + "123456" for i in range(40)), "min_alpha_ratio"),
+        (
+            6,
+            "\n".join(["same line here"] * 12 + [f"unique {i} line" for i in range(6)])
+            + "\n" + " ".join(f"w{i}" for i in range(30)),
+            "max_dup_line_frac",
+        ),
+        (7, None, "min_tokens"),
+    ]
+    # doc 3: mean token len 1 < 2; doc 4: 'extraordinarily' = 15 > 12;
+    # doc 5: digits dominate -> alpha_ratio < 0.5 (mean len ok: 7 chars)
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in docs], "doc_id long, text string"
+    )
+    keep, reason = gopher_filter(F.col("text"))
+    got = {
+        r.doc_id: (r.keep, r.reason)
+        for r in df.select(
+            "doc_id", keep.alias("keep"), reason.alias("reason")
+        ).collect()
+    }
+    for i, _, want in docs:
+        assert got[i][1] == want, f"doc {i}: want {want}, got {got[i][1]}"
+        assert got[i][0] == (1 if want == "keep" else 0)
+
+
+def test_semantic_dedup_prunes_within_cluster_only(spark):
+    """Near-identical vectors in the same cluster prune to the lowest
+    id; an equally-similar pair SPLIT across clusters is kept (the
+    approximation SemDeDup makes by design)."""
+    from ghcrawler_datalake_etl_spark.operators import dedup as DD
+
+    a = [1.0, 0.0, 0.0, 0.0]
+    a2 = [0.999, 0.001, 0.0, 0.0]   # near-dup of a, same cluster
+    b = [0.0, 1.0, 0.0, 0.0]
+    b2 = [0.0, 0.999, 0.001, 0.0]   # near-dup of b, same cluster
+    df = spark.createDataFrame(
+        [(1, a), (2, a2), (3, b), (4, b2)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [a, b]
+    got = {
+        r.vec_id: (r.cluster, r.keep)
+        for r in DD.semantic_dedup(
+            df, "vec_id", "embedding", cents, threshold=0.95
+        ).collect()
+    }
+    assert got[1] == (0, 1) and got[2] == (0, 0)   # 2 pruned by 1
+    assert got[3] == (1, 1) and got[4] == (1, 0)   # 4 pruned by 3
+    # raise the threshold: nothing prunes
+    got_hi = {
+        r.vec_id: r.keep
+        for r in DD.semantic_dedup(
+            df, "vec_id", "embedding", cents, threshold=0.9999999
+        ).collect()
+    }
+    assert all(v == 1 for v in got_hi.values())
+
+
+def test_knn_graph_matches_bruteforce(spark, sf_dir):
+    """The blocked local-top-k merge equals cosine_topk with the corpus
+    as its own query set, for every corpus vector."""
+    e = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 60)
+    )
+    got = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine)
+        for r in S.knn_graph(e, "vec_id", "embedding", k=3, num_blocks=3).collect()
+    )
+    want = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine)
+        for r in S.cosine_topk(e, e, "vec_id", "embedding", k=3).collect()
+    )
+    assert got == want
+    assert len({q for q, *_ in got}) == 60

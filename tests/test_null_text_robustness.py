@@ -39,6 +39,8 @@ DOC_ONLY = [
     "x3_posexplode_tokens",
     "dedup_exact_groups",
     "sample_hash_deterministic",
+    "text_gopher_filter",
+    "sample_target_mix",
 ]
 
 

@@ -36,7 +36,14 @@ EXTENSION_PREFIXES = (
 #: file recording its own green driver row from a prior round (the
 #: value is then verified against that file). Adding here requires
 #: evidence of one of the two kinds.
-OUT_OF_WINDOW_OK = {}
+OUT_OF_WINDOW_OK = {
+    # rotated out mid-round-3 to make room for the four new distinct
+    # algorithms (dedup_semantic_prune, sim_knn_graph,
+    # text_gopher_filter, sample_target_mix); both have green driver
+    # rows in r1 AND r2 - evidence kind: CORRECTNESS file.
+    "sample_hash_deterministic": "CORRECTNESS_r02.json",
+    "split_train_valid_test": "CORRECTNESS_r02.json",
+}
 
 #: one query per SURVEY section-2 operator family. Split into the
 #: in-window representatives and the rotated-out set; rotated-out
@@ -51,13 +58,13 @@ PARITY_CORE_IN_WINDOW = {
     "pattern_b_array_child",
     "pattern_c_collection_refresh",
     "pattern_d_traffic_series",
-    "pattern_e_version_log",
-    "sessionize_events",
 }
 
 PARITY_CORE_ROTATED_OUT = {
     "w2_distinct_keys",  # ceded its slot to text_bpe_pair_stats (r3)
     "j3_join_chain_q5",  # ceded its slot to search_tfidf_cosine (r3)
+    "sessionize_events",  # ceded its slot to dedup_semantic_prune (r3)
+    "pattern_e_version_log",  # ceded its slot to sim_knn_graph (r3)
     "p1_eq_filter",
     "p2_like_filter",
     "p3_isin_filter",
