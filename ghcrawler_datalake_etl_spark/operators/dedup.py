@@ -681,63 +681,59 @@ def semantic_dedup(
     near-duplicates WITHIN each cluster only, and greedily keep the
     lowest id of every near-dup pair.
 
-    The scale story is the clustering itself: candidate pairs come from
-    a plain equi-join on the cluster id, so the pair space shrinks from
+    The scale story is the clustering itself: candidates come from ONE
+    shuffle keyed on the cluster id, so the pair space shrinks from
     O(n^2) to O(sum n_c^2) - with k chosen so clusters stay bounded
     (k ~ n / target_cluster_size; SemDeDup uses tens of thousands), each
-    join partition is a small block. A pathologically large cluster is
-    the skew case; split it with the triangular block trick of
-    embedding_cosine_pairs_gemm before the join if one arises.
+    cluster scores as one small GEMM task. A pathologically large
+    cluster is the skew case; split it with the triangular block trick
+    of embedding_cosine_pairs_gemm before the cogroup if one arises.
 
     Deterministic contract: a vector is DROPPED iff some same-cluster
     vector with a smaller id has cosine >= threshold with it (greedy by
     id, independent of scan order). Returns (vec_id, cluster, keep) for
-    every non-null vector, keep in {0, 1}. Exactly oracle-checkable:
-    centroids from kmeans_fit are bit-reproducible, the assignment uses
-    the same fold-ordered distance as assign_clusters, and the cosine is
-    the sequential zip_with fold DuckDB's list_dot_product replays
-    bit-for-bit (see embedding_cosine_pairs).
+    every non-null vector, keep in {0, 1}. Oracle-checkable: centroids
+    from kmeans_fit are bit-reproducible, the assignment uses the same
+    fold-ordered distance as assign_clusters, and each cluster's
+    pairwise cosines come from one numpy GEMM whose float64 sums differ
+    from the oracle's sequential list_dot_product fold by ~1e-15 - a
+    threshold flip needs a pair EXACTLY on the quantization-free
+    boundary (~1e-10/pair odds), the same accepted contract as
+    embedding_cosine_pairs_gemm. (An interpreted zip_with-fold join
+    computes the identical answer bit-for-bit but walks the expression
+    tree per pair element - measured ~3x this whole query at sf0.1.)
     """
     from ghcrawler_datalake_etl_spark.operators.clustering import _best
 
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    nrm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
     v = (
         fan_out(df)
         .filter(F.col(vec_col).isNotNull())
         .select(
             F.col(id_col).alias("vec_id"),
             vec.alias("vec"),
-            nrm.alias("nrm"),
             _best(vec, centroids)["cid"].alias("cluster"),
         )
     )
-    v = _materialize(v)  # assignment feeds both join sides + the output
-    a = v.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("vec").alias("vec_a"),
-        F.col("nrm").alias("nrm_a"),
-        F.col("cluster").alias("cl_a"),
-    )
-    b = v.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("vec").alias("vec_b"),
-        F.col("nrm").alias("nrm_b"),
-        F.col("cluster").alias("cl_b"),
-    )
-    dot = F.aggregate(
-        F.zip_with("vec_a", "vec_b", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    v = _materialize(v)  # assignment feeds the cogroup AND the output
+
+    def drop_in_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64")})
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)[order]
+        mat = np.stack(pdf["vec"].to_numpy())[order].astype(np.float64)
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        sims = (mat @ mat.T) / np.outer(nrm, nrm)
+        iu = np.triu_indices(len(ids), k=1)
+        # ids sorted ascending -> the column index is the LARGER id of
+        # each (row < col) pair, i.e. the one the greedy rule drops
+        hits = np.unique(iu[1][sims[iu] >= threshold])
+        return pd.DataFrame({"vec_id": ids[hits]})
+
     dropped = (
-        a.join(
-            b,
-            (F.col("cl_a") == F.col("cl_b")) & (F.col("id_a") < F.col("id_b")),
-        )
-        .filter(dot / (F.col("nrm_a") * F.col("nrm_b")) >= threshold)
-        .select(F.col("id_b").alias("vec_id"))
-        .distinct()
+        v.groupby("cluster")
+        .applyInPandas(drop_in_cluster, schema="vec_id long")
         .withColumn("_dropped", F.lit(1))
     )
     return (

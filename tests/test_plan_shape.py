@@ -336,3 +336,34 @@ def test_tfidf_cosine_is_distributed_topk(spark, queries):
     assert "TakeOrderedAndProject" in p and "GlobalLimit" not in p
     assert "partial_count" in p or "partial_sum" in p
 
+
+
+def test_knn_graph_blocked_cogroup_no_cartesian(spark, queries):
+    """The self-kNN graph must decompose into the block-pair cogroup
+    (FlatMapCoGroupsInPandas) - never a cartesian/broadcast-nested-loop
+    self-join, which is the O(n^2)-shuffle shape it exists to avoid."""
+    p = plan(queries["sim_knn_graph"](spark, SF_DIR), "simple")
+    assert "FlatMapCoGroupsInPandas" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_semantic_prune_scores_per_cluster_group(spark, queries):
+    """SemDeDup's pair scoring must ride ONE shuffle keyed on the
+    cluster id (FlatMapGroupsInPandas over groupby(cluster)); the only
+    join is the broadcast left join of the dropped-id set back onto the
+    assignment - no cartesian, no sort-merge self-join."""
+    p = plan(queries["dedup_semantic_prune"](spark, SF_DIR), "simple")
+    assert "FlatMapGroupsInPandas" in p, p
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p, p
+
+
+def test_target_mix_broadcasts_need_no_global_sort(spark, queries):
+    """The per-group quota joins back by broadcast (it is #groups rows)
+    and the ranking window partitions BY GROUP - the plan must contain
+    no global (non-partitioned) sort and no shuffle join."""
+    p = plan(queries["sample_target_mix"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "windowspecdefinition(lang" in p, p
+    # global sorts print as `Sort [...], true, 0` in formatted plans
+    assert ", true, 0" not in p, f"global sort crept in:\n{p}"
