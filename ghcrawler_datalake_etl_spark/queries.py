@@ -2727,6 +2727,100 @@ def text_gopher_filter(spark, sf_dir):
     return base.select("doc_id", keep.alias("keep"), reason.alias("reason"))
 
 
+def _quality_mix_pack_oracle(budget: int = 2000) -> str:
+    """End-to-end curation: the gopher-filter CTE chain -> kept docs ->
+    the exact-mixture carve -> single-window shard pack (the oracle may
+    use the bare cumsum window; pack_shards' binned form equals it by
+    construction - pinned by the pack property test)."""
+    g = _gopher_filter_oracle()
+    # reuse the filter oracle verbatim as a subquery: (doc_id, keep, reason)
+    return f"""
+    WITH gf AS ({g}),
+    toks AS (SELECT doc_id, len({_TOKS_SQL}) AS nt FROM documents),
+    kept AS (
+      SELECT d.doc_id, d.lang, t.nt::DOUBLE AS wt
+      FROM documents d
+      JOIN gf ON gf.doc_id = d.doc_id
+      JOIN toks t ON t.doc_id = d.doc_id
+      WHERE gf.keep = 1
+    ),
+    c AS (SELECT lang, count(*) AS n FROM kept GROUP BY lang),
+    tgt(lang, ppm) AS (VALUES {", ".join(f"('{gr}', {p})" for gr, p in _MIX_PPM.items())}),
+    p AS (SELECT t2.lang, coalesce(c.n, 0) AS n, t2.ppm
+          FROM tgt t2 LEFT JOIN c USING (lang)),
+    tt AS (SELECT min(n * 1000000 // ppm) AS t FROM p),
+    need AS (SELECT lang, ppm * (SELECT t FROM tt) // 1000000 AS need FROM p),
+    rk AS (
+      SELECT doc_id, lang, wt,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY {_BUCKET_SQL}, doc_id) AS rn
+      FROM kept
+    ),
+    mixed AS (SELECT rk.doc_id, rk.wt FROM rk JOIN need USING (lang)
+              WHERE rk.rn <= need.need),
+    packed AS (
+      SELECT doc_id, wt,
+             coalesce(sum(wt) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum
+      FROM mixed)
+    SELECT CAST(floor(cum / {budget}) AS BIGINT) AS shard_id,
+           count(*) AS n_docs, CAST(sum(wt) AS BIGINT) AS shard_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM packed GROUP BY 1
+    """
+
+
+@register("pipeline_quality_mix_pack", _quality_mix_pack_oracle())
+def pipeline_quality_mix_pack(spark, sf_dir):
+    """The curation stack end-to-end as ONE declarative plan: Gopher
+    keep/drop filter -> exact-mixture language carve -> token-budget
+    shard packing. Composes gopher_filter + target_mix_sample +
+    pack_shards; each stage has exact cross-engine semantics, so the
+    composition does too. Shape at scale: narrow filter, broadcast
+    quota join + per-group window, quantile-binned two-level cumsum -
+    no stage funnels the corpus through one task."""
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    base = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        TX.tokenize(F.coalesce(F.col("text"), F.lit(""))).alias("toks"),
+    )
+    keep, _reason = TX.gopher_filter(F.col("text"), toks=F.col("toks"))
+    flagged = base.select(
+        "doc_id",
+        "lang",
+        F.size("toks").cast("double").alias("wt"),
+        keep.alias("_keep"),
+    )
+    # checkpoint BEFORE the keep-filter, for two measured reasons:
+    # 1. filtering first would push the predicate through the
+    #    projection, inlining the `toks` alias into every feature
+    #    reference - the tokenize regex re-runs ~6x per row (11s vs 3s
+    #    for the identical features in text_gopher_filter, whose
+    #    multi-reference projection Catalyst declines to collapse);
+    # 2. the gopher folds are an enormous expression TREE that the
+    #    mixture's three consumers and pack_shards' three branches
+    #    would each re-embed - with persist() alone Catalyst's
+    #    single-threaded analysis became the bottleneck (26s planning
+    #    the pack stage over 2,810 cached rows; same pathology and
+    #    same fix as the connected-components loop, dedup._checkpoint).
+    kept = (
+        DD._checkpoint(flagged).filter(F.col("_keep") == 1).drop("_keep")
+    )
+    mixed = SP.target_mix_sample(kept, "doc_id", "lang", _MIX_PPM, seed=42)
+    packed = SP.pack_shards(
+        mixed.select("doc_id", "wt"), "doc_id", "wt", 2_000, materialize=True
+    )
+    return packed.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("wt").cast("long").alias("shard_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 @register(
     "text_bpe_pair_stats",
     f"""
@@ -3287,7 +3381,6 @@ _DRIVER_ORDER = [
     "pattern_c_collection_refresh",
     "pattern_d_traffic_series",
     # -- LLM-pipeline extension layer: every component family --
-    "dedup_exact_groups",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash_values",
@@ -3337,6 +3430,7 @@ _DRIVER_ORDER = [
     "sim_knn_graph",
     "text_gopher_filter",
     "sample_target_mix",
+    "pipeline_quality_mix_pack",
     # ---------------- position 51+: past the driver window ----------
     # first the parity-core queries rotated out this round - each has
     # green driver rows in BOTH CORRECTNESS_r01.json and
@@ -3345,6 +3439,7 @@ _DRIVER_ORDER = [
     "pattern_e_version_log",
     "sample_hash_deterministic",
     "split_train_valid_test",
+    "dedup_exact_groups",
     "p1_eq_filter",              # P1
     "p2_like_filter",            # P2
     "p3_isin_filter",            # P3

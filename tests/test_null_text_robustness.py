@@ -41,6 +41,7 @@ DOC_ONLY = [
     "sample_hash_deterministic",
     "text_gopher_filter",
     "sample_target_mix",
+    "pipeline_quality_mix_pack",
 ]
 
 

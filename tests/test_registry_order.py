@@ -43,6 +43,10 @@ OUT_OF_WINDOW_OK = {
     # rows in r1 AND r2 - evidence kind: CORRECTNESS file.
     "sample_hash_deterministic": "CORRECTNESS_r02.json",
     "split_train_valid_test": "CORRECTNESS_r02.json",
+    # ceded its slot to pipeline_quality_mix_pack (r3); exact-dup
+    # semantics remain window-covered via dedup_span_first_occurrence
+    # and the chunk-dedup stage of pipeline_chunk_dedup_pack
+    "dedup_exact_groups": "CORRECTNESS_r02.json",
 }
 
 #: one query per SURVEY section-2 operator family. Split into the
