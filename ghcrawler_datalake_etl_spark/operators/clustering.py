@@ -121,6 +121,13 @@ def kmeans_init(
     return [[math.floor(x * SCALE) / SCALE for x in r._v] for r in rows]
 
 
+#: memo for use_cache=True fits: (plan semanticHash, args) -> centroids.
+#: Plain Python state - the fit result is a k x d float list, so unlike
+#: the DataFrame-level caches (dedup._materialize) nothing holds
+#: executor storage.
+_FIT_CACHE: dict[tuple, list[list[float]]] = {}
+
+
 def kmeans_fit(
     df: DataFrame,
     id_col: str,
@@ -128,13 +135,30 @@ def kmeans_fit(
     k: int = 4,
     iterations: int = 2,
     seed: int = 42,
+    use_cache: bool = False,
 ) -> list[list[float]]:
     """Lloyd's iterations; returns the final centroid matrix (k lists of
     d floats, 6-decimal quantized). A fixed iteration count (not a
     convergence test) keeps the oracle expressible as unrolled SQL and
     the cost predictable; clusters that lose all members keep their
-    previous centroid."""
+    previous centroid.
+
+    ``use_cache=True`` memoizes the fit on (input plan semanticHash,
+    args) so call sites training the SAME quantizer on the SAME frame
+    (the learned-centroid IVF and SemDeDup queries, k=8) pay the
+    iterations once per process. Opt-in because it assumes the data
+    behind the plan is immutable for the process lifetime - true for
+    benchmark/testdata scans, not for tables being rewritten in place.
+    """
     pts = df.filter(F.col(vec_col).isNotNull())
+    key = None
+    if use_cache:
+        try:
+            key = (df.semanticHash(), id_col, vec_col, k, iterations, seed)
+        except Exception:  # plan not hashable -> just fit
+            key = None
+        if key is not None and key in _FIT_CACHE:
+            return [list(c) for c in _FIT_CACHE[key]]
     centroids = kmeans_init(pts, id_col, vec_col, k, seed)
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     for _ in range(iterations):
@@ -165,4 +189,6 @@ def kmeans_fit(
             else centroids[i]
             for i in range(k)
         ]
+    if key is not None:
+        _FIT_CACHE[key] = [list(c) for c in centroids]
     return centroids

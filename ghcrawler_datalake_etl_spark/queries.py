@@ -2256,7 +2256,8 @@ def sim_kmeans_assign(spark, sf_dir):
     fold-ordered distances make every round bit-reproducible across
     engines (full contract in operators/clustering.py)."""
     e = _t(spark, sf_dir, "embeddings")
-    cents = CL.kmeans_fit(e, "vec_id", "embedding", k=4, iterations=2, seed=42)
+    cents = CL.kmeans_fit(e, "vec_id", "embedding", k=4, iterations=2,
+                          seed=42, use_cache=True)
     out = CL.assign_clusters(e.filter(F.col("embedding").isNotNull()),
                              "vec_id", "embedding", cents)
     return out.select(
@@ -2313,7 +2314,8 @@ def sim_ivf_kmeans_topk(spark, sf_dir):
     because the learned centroids are bit-reproducible (see
     operators/clustering.py)."""
     e = _t(spark, sf_dir, "embeddings")
-    cents = CL.kmeans_fit(e, "vec_id", "embedding", k=8, iterations=2, seed=42)
+    cents = CL.kmeans_fit(e, "vec_id", "embedding", k=8, iterations=2,
+                          seed=42, use_cache=True)
     queries_df = e.filter(F.col("vec_id") < 10)
     return SIM.ivf_topk(
         e, queries_df, "vec_id", "embedding",
@@ -2363,7 +2365,8 @@ def dedup_semantic_prune(spark, sf_dir):
     Greedy keep-lowest-id; exact oracle because centroids, assignment,
     and the fold-ordered cosine are all bit-reproducible."""
     e = _t(spark, sf_dir, "embeddings")
-    cents = CL.kmeans_fit(e, "vec_id", "embedding", k=8, iterations=2, seed=42)
+    cents = CL.kmeans_fit(e, "vec_id", "embedding", k=8, iterations=2,
+                          seed=42, use_cache=True)
     return DD.semantic_dedup(e, "vec_id", "embedding", cents, threshold=0.5)
 
 

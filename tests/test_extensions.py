@@ -989,3 +989,33 @@ def test_knn_graph_matches_bruteforce(spark, sf_dir):
     )
     assert got == want
     assert len({q for q, *_ in got}) == 60
+
+
+def test_kmeans_fit_cache_hits_same_plan_only(spark, sf_dir):
+    """use_cache=True returns the identical centroids for the same
+    (plan, args) without refitting, and distinguishes different args
+    and different plans."""
+    from ghcrawler_datalake_etl_spark.operators import clustering as CL
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    CL._FIT_CACHE.clear()
+    c1 = CL.kmeans_fit(e, "vec_id", "embedding", k=4, iterations=1,
+                       use_cache=True)
+    assert len(CL._FIT_CACHE) == 1
+    c2 = CL.kmeans_fit(e, "vec_id", "embedding", k=4, iterations=1,
+                       use_cache=True)
+    assert c1 == c2 and len(CL._FIT_CACHE) == 1
+    # mutated copies must not leak back into the cache
+    c2[0][0] += 1.0
+    assert CL.kmeans_fit(e, "vec_id", "embedding", k=4, iterations=1,
+                         use_cache=True) == c1
+    # different args -> separate entry; uncached call -> no entry
+    CL.kmeans_fit(e, "vec_id", "embedding", k=2, iterations=1, use_cache=True)
+    assert len(CL._FIT_CACHE) == 2
+    CL.kmeans_fit(e, "vec_id", "embedding", k=3, iterations=1)
+    assert len(CL._FIT_CACHE) == 2
+    # different plan (filtered frame) -> separate entry
+    CL.kmeans_fit(e.filter("vec_id < 100"), "vec_id", "embedding", k=4,
+                  iterations=1, use_cache=True)
+    assert len(CL._FIT_CACHE) == 3
+    CL._FIT_CACHE.clear()
