@@ -1019,3 +1019,21 @@ def test_kmeans_fit_cache_hits_same_plan_only(spark, sf_dir):
                   iterations=1, use_cache=True)
     assert len(CL._FIT_CACHE) == 3
     CL._FIT_CACHE.clear()
+
+
+def test_knn_graph_edges_small_corpus_and_zero_norm(spark):
+    """k larger than the corpus, mostly-empty blocks, and zero-norm
+    vectors (excluded as both query and candidate)."""
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.6, 0.8]),
+            (3, [0.0, 0.0]),   # zero norm: must not appear at all
+            (4, None),         # null vector: dropped
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = S.knn_graph(df, "vec_id", "embedding", k=5, num_blocks=4).collect()
+    got = {(r.query_id, r.neighbor_id): r.rank for r in rows}
+    assert got == {(1, 2): 1, (2, 1): 1}
+    assert all(r.cosine == 0.6 for r in rows)  # floor(0.6*1e6)/1e6
