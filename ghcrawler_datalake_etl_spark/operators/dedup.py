@@ -570,7 +570,10 @@ def embedding_cosine_pairs_gemm(
     """
     import numpy as np
 
-    proj = fan_out(df).select(
+    # NULL vectors must drop BEFORE np.stack (a None in the batch is a
+    # shape error); the fold twin and the oracle exclude them the quiet
+    # way (NULL-propagating dot -> threshold comparison never true)
+    proj = fan_out(df).filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
     )

@@ -105,14 +105,23 @@ def cosine_topk_pandas(
     """
     import numpy as np
 
-    qpd = queries.select(
-        F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("vec")
-    ).toPandas()
+    # same exclusions as _normalized on the expression path: NULL
+    # vectors (a None in an Arrow batch is a np.stack shape error) and
+    # zero-norm vectors (the 1e-12 norm floor would otherwise admit
+    # them with cosine 0.0, where the oracle's NULL-propagating divide
+    # excludes them)
+    qpd = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("vec"))
+        .toPandas()
+    )
     q_ids = qpd["qid"].to_numpy()
-    q_mat = np.stack(qpd["vec"].to_numpy())
+    q_mat = np.stack(qpd["vec"].to_numpy()) if len(qpd) else np.zeros((0, 1))
+    q_nz = np.linalg.norm(q_mat, axis=1) > 0
+    q_ids, q_mat = q_ids[q_nz], q_mat[q_nz]
     q_mat = q_mat / np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
 
-    corpus_proj = fan_out(corpus).select(
+    corpus_proj = fan_out(corpus).filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("vec")
     )
 
@@ -122,6 +131,10 @@ def cosine_topk_pandas(
                 continue
             c_ids = pdf["neighbor_id"].to_numpy()
             c_mat = np.stack(pdf["vec"].to_numpy())
+            c_nz = np.linalg.norm(c_mat, axis=1) > 0
+            c_ids, c_mat = c_ids[c_nz], c_mat[c_nz]
+            if not len(c_ids):
+                continue
             c_mat = c_mat / np.maximum(
                 np.linalg.norm(c_mat, axis=1, keepdims=True), 1e-12
             )
@@ -307,13 +320,19 @@ def int8_dot_topk_pandas(
         scale = np.where(mx > 0, 127.0 / np.where(mx > 0, mx, 1.0), 0.0)
         return np.floor(mat * scale[:, None] + 0.5)
 
-    qpd = queries.select(
-        F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("vec")
-    ).toPandas()
+    # NULL vectors drop before np.stack (shape error otherwise); the
+    # oracle's NULL-propagating arithmetic excludes them the quiet way.
+    # Zero-norm vectors stay: _q8 quantizes them to all-zero codes with
+    # dot 0 on BOTH engines (the CASE in the oracle), unlike cosine.
+    qpd = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("vec"))
+        .toPandas()
+    )
     q_ids = qpd["qid"].to_numpy()
     q_mat = _q8(np.stack(qpd["vec"].to_numpy()))  # float64-exact int values
 
-    corpus_proj = fan_out(corpus).select(
+    corpus_proj = fan_out(corpus).filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("vec")
     )
 
@@ -407,7 +426,8 @@ def _centroid_rows(
     import math
 
     rows = (
-        corpus.select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("v"))
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("v"))
         .orderBy("cid")
         .limit(n_centroids)
         .collect()
@@ -415,6 +435,15 @@ def _centroid_rows(
     out = []
     for i, r in enumerate(rows):
         nrm = math.sqrt(sum(x * x for x in r["v"]))
+        if nrm == 0.0:
+            # same loud-failure contract as the learned-centroid arm:
+            # a zero-norm centroid makes every cosine cell assignment
+            # divide by zero (engine-specific NaN-vs-NULL ranking)
+            raise ValueError(
+                f"corpus row {r['cid']} is a zero-norm vector inside the "
+                f"first-{n_centroids} centroid range; filter it out or "
+                "pass learned centroids"
+            )
         out.append((i, list(r["v"]), nrm))
     return out
 

@@ -2136,10 +2136,13 @@ def sim_knn_pandas_gemm(spark, sf_dir):
     "sim_ivf_topk",
     # Relational form of the same index: centroids = 16 lowest-id
     # vectors, assignment/probes by cosine argmax (ties -> lower cid).
+    # NULL and zero-norm vectors are excluded exactly as the operator's
+    # _normalized does (engines disagree on NaN-vs-NULL ranking, so the
+    # exclusion must be explicit, not left to NULL propagation).
     """
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec,
                       sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
-               FROM embeddings),
+               FROM embeddings WHERE embedding IS NOT NULL),
     cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
                     vec AS cvec, nrm AS cnrm
              FROM v ORDER BY vec_id LIMIT 16),
@@ -2148,7 +2151,7 @@ def sim_knn_pandas_gemm(spark, sf_dir):
              row_number() OVER (PARTITION BY v.vec_id
                                 ORDER BY list_dot_product(v.vec, c.cvec) / (v.nrm * c.cnrm) DESC,
                                          c.cid ASC) AS rn
-      FROM v, cent c),
+      FROM v, cent c WHERE v.nrm > 0),
     assign AS (SELECT vec_id, vec, nrm, cid FROM scored_cells WHERE rn = 1),
     probes AS (SELECT vec_id AS qid, vec AS qvec, nrm AS qnrm, cid
                FROM scored_cells WHERE rn <= 4 AND vec_id < 10)
