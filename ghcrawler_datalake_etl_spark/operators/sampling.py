@@ -154,11 +154,15 @@ def target_mix_sample(
     arithmetic - replays exactly on any engine at any corpus size (no
     float division to misround past 2^53 rows).
 
-    Plan shape: one map-side-combined count per group (output = #groups
-    rows), the scalar T via a second tiny aggregate, the per-group
-    need_g broadcast back onto the corpus, and one window PARTITIONED
-    by group ranking keys by (hash bucket, key) - parallel across
-    groups, no global sort. Groups absent from ``target_ppm`` (and NULL
+    Plan shape: one map-side-combined count per target group - the
+    aggregate output is bounded by len(target_ppm) rows (pruned to the
+    target groups BEFORE the agg), so it collects to the driver like
+    the other bounded pulls in this repo (kmeans centroids, pack-shard
+    offsets); T and the per-group quotas are exact Python-int
+    arithmetic and return to the plan as one literal map lookup. The
+    corpus then takes a single pass: a window PARTITIONED by group
+    ranking keys by (hash bucket, key) - parallel across groups, no
+    global sort, no join. Groups absent from ``target_ppm`` (and NULL
     groups) drop. The contract is STRICT: a target group with zero
     corpus rows binds T to 0 (the largest corpus matching the mix IS
     empty) - the mixture guarantee never silently degrades to "the
@@ -170,28 +174,29 @@ def target_mix_sample(
     for g, p in target_ppm.items():
         if p <= 0:
             raise ValueError(f"share for {g!r} must be positive ppm, got {p}")
-    spark = df.sparkSession
-    tgt = spark.createDataFrame(
-        [(g, int(p)) for g, p in target_ppm.items()],
-        schema=f"{group_col} string, _ppm long",
-    )
-    counts = tgt.join(
-        df.groupBy(group_col).agg(F.count("*").alias("_n")), group_col, "left"
-    ).withColumn("_n", F.coalesce(F.col("_n"), F.lit(0)))
-    t = counts.agg(
-        F.min(F.expr(f"_n * {BUCKETS} div _ppm")).alias("_t")
-    )
-    need = counts.crossJoin(F.broadcast(t)).select(
-        group_col, F.expr(f"_ppm * _t div {BUCKETS}").alias("_need")
-    )
+    groups = list(target_ppm)
+    have = {
+        r["g"]: r["n"]
+        for r in (
+            df.filter(F.col(group_col).isin(groups))
+            .groupBy(F.col(group_col).alias("g"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+    }
+    t = min((have.get(g, 0) * BUCKETS) // p for g, p in target_ppm.items())
+    need = {g: (p * t) // BUCKETS for g, p in target_ppm.items()}
+    need_col = F.create_map(
+        *[F.lit(x) for g in groups for x in (g, need[g])]
+    )[F.col(group_col)]
     w = Window.partitionBy(group_col).orderBy(
         hash_bucket(key_col, seed), F.col(key_col)
     )
     return (
-        df.join(F.broadcast(need), group_col)
+        df.filter(F.col(group_col).isin(groups))
         .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= F.col("_need"))
-        .drop("_rn", "_need")
+        .filter(F.col("_rn") <= need_col)
+        .drop("_rn")
     )
 
 

@@ -357,13 +357,13 @@ def test_semantic_prune_scores_per_cluster_group(spark, queries):
     assert "CartesianProduct" not in p and "SortMergeJoin" not in p, p
 
 
-def test_target_mix_broadcasts_need_no_global_sort(spark, queries):
-    """The per-group quota joins back by broadcast (it is #groups rows)
-    and the ranking window partitions BY GROUP - the plan must contain
-    no global (non-partitioned) sort and no shuffle join."""
+def test_target_mix_single_pass_no_join_no_global_sort(spark, queries):
+    """The per-group quotas ride into the plan as one literal map (they
+    were computed from a bounded driver pull), so the corpus pass is a
+    single group-partitioned window - no join of any kind and no global
+    (non-partitioned) sort."""
     p = plan(queries["sample_target_mix"](spark, SF_DIR))
-    assert "BroadcastHashJoin" in p, p
-    assert "SortMergeJoin" not in p, p
+    assert "Join" not in p, p
     assert "windowspecdefinition(lang" in p, p
     # global sorts print as `Sort [...], true, 0` in formatted plans
     assert ", true, 0" not in p, f"global sort crept in:\n{p}"
