@@ -330,7 +330,9 @@ def int8_dot_topk_pandas(
         .toPandas()
     )
     q_ids = qpd["qid"].to_numpy()
-    q_mat = _q8(np.stack(qpd["vec"].to_numpy()))  # float64-exact int values
+    q_mat = _q8(
+        np.stack(qpd["vec"].to_numpy()) if len(qpd) else np.zeros((0, 1))
+    )  # float64-exact int values
 
     corpus_proj = fan_out(corpus).filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("vec")

@@ -98,3 +98,31 @@ def test_degenerate_embeddings_match_oracle(
     if sc != dc:
         diffs = [(a, b) for a, b in zip(sc, dc) if a != b][:5]
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+def test_empty_embeddings_contracts(spark):
+    """A zero-row embeddings corpus: the pair/graph operators return
+    empty frames; the learned-centroid operators fail LOUDLY (k-means
+    cannot init k centroids from nothing) rather than emitting
+    garbage."""
+    from ghcrawler_datalake_etl_spark.operators import clustering as CL
+    from ghcrawler_datalake_etl_spark.operators import dedup as DD
+    from ghcrawler_datalake_etl_spark.operators import similarity as S
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    assert DD.embedding_cosine_pairs_gemm(
+        empty, "vec_id", "embedding", threshold=0.5
+    ).count() == 0
+    assert S.knn_graph(empty, "vec_id", "embedding", k=3).count() == 0
+    assert S.cosine_topk_pandas(empty, empty, "vec_id", "embedding", k=3).count() == 0
+    assert S.int8_dot_topk_pandas(empty, empty, "vec_id", "embedding", k=3).count() == 0
+    with pytest.raises(ValueError, match="only 0 non-null vectors"):
+        CL.kmeans_fit(empty, "vec_id", "embedding", k=4)
+    with pytest.raises(ValueError, match="only 0 non-null vectors"):
+        # SemDeDup's training stage inherits the same loud contract
+        DD.semantic_dedup(
+            empty, "vec_id", "embedding",
+            CL.kmeans_fit(empty, "vec_id", "embedding", k=2), threshold=0.5,
+        )
