@@ -200,6 +200,39 @@ def target_mix_sample(
     )
 
 
+def top_share_per_group(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    order_col: str,
+    share_ppm: int,
+    descending: bool = True,
+) -> DataFrame:
+    """Keep the top ``share_ppm`` (parts-per-million) of each group's
+    rows by ``order_col`` - RELATIVE thresholding ("top 25% by quality
+    per source"), where an absolute cutoff would gut weak sources and
+    barely touch strong ones.
+
+    Deterministic: rows rank by (order_col desc|asc, key_col asc);
+    group g keeps its first floor(share_ppm * n_g / 1e6) rows - the
+    comparison is the pure-integer rn * 1e6 <= share_ppm * n_g, so any
+    engine replays it at any group size. One window partitioned BY
+    GROUP carrying both the row_number and the group count - parallel
+    across groups, no global sort, no join, single shuffle.
+    """
+    if not 0 <= share_ppm <= BUCKETS:
+        raise ValueError(f"share_ppm must be in [0, {BUCKETS}], got {share_ppm}")
+    order = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    w = Window.partitionBy(group_col).orderBy(order, F.col(key_col))
+    wcnt = Window.partitionBy(group_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(wcnt))
+        .filter(F.col("_rn") * BUCKETS <= F.lit(share_ppm) * F.col("_n"))
+        .drop("_rn", "_n")
+    )
+
+
 def split_column(
     key: Column | str, weights: dict[str, float], seed: int = 42
 ) -> Column:

@@ -2518,10 +2518,9 @@ def text_fingerprint(spark, sf_dir):
     )
 
 
-@register(
-    "text_quality_score",
-    f"""
-    SELECT doc_id,
+# the quality-score formula, shared by the per-doc score query and the
+# top-share-per-group selector below (same constants as TX.quality_score)
+_QUALITY_EXPR_SQL = f"""
       CASE WHEN coalesce(length(text), 0) = 0 THEN 0.0 ELSE
         floor((
           0.35 * least(len({_TOKS_SQL})::DOUBLE / 200.0, 1.0)
@@ -2532,7 +2531,14 @@ def text_fingerprint(spark, sf_dir):
                   greatest(len({_TOKS_SQL}), 1)) * 4.0, 1.0)
         + 0.15 * (1.0 - least((length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE /
                   greatest(length(text), 1)) * 5.0, 1.0))) * 10000) / 10000
-      END AS quality
+      END
+"""
+
+
+@register(
+    "text_quality_score",
+    f"""
+    SELECT doc_id, {_QUALITY_EXPR_SQL} AS quality
     FROM documents
     """,
 )
@@ -2544,6 +2550,43 @@ def text_quality_score(spark, sf_dir):
     return toks.select(
         "doc_id",
         TX.quality_score(F.col("text"), F.col("toks")).alias("quality"),
+    )
+
+
+@register(
+    "sample_top_share_quality",
+    f"""
+    WITH s AS (SELECT doc_id, source, {_QUALITY_EXPR_SQL} AS quality
+               FROM documents),
+    r AS (SELECT doc_id, source, quality,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY quality DESC, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY source) AS n
+          FROM s)
+    SELECT doc_id, source, quality FROM r
+    WHERE rn * 1000000 <= 250000 * n
+    """,
+)
+def sample_top_share_quality(spark, sf_dir):
+    """RELATIVE quality thresholding (operators/sampling.
+    top_share_per_group): keep each source's top 25% of documents by
+    quality score - an absolute cutoff would gut weak sources and
+    barely touch strong ones; per-group shares preserve source
+    diversity while raising the floor. Deterministic: the score is the
+    floor-quantized blend both engines compute bit-identically, ties
+    break by doc_id, and the keep rule is pure-integer
+    rn * 1e6 <= share_ppm * n_group."""
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    base = d.select(
+        "doc_id", "source", "text", TX.tokenize(F.col("text")).alias("toks")
+    )
+    scored = base.select(
+        "doc_id",
+        "source",
+        TX.quality_score(F.col("text"), F.col("toks")).alias("quality"),
+    )
+    return SP.top_share_per_group(
+        scored, "doc_id", "source", "quality", share_ppm=250_000
     )
 
 
@@ -3394,7 +3437,6 @@ _DRIVER_ORDER = [
     "decontaminate_eval_overlap",
     "dedup_clusters",
     "dedup_embedding_cosine",
-    "sim_knn_bruteforce",
     "sim_kmeans_assign",
     "sim_knn_int8_dot",
     "sim_ann_lsh",
@@ -3437,6 +3479,7 @@ _DRIVER_ORDER = [
     "text_gopher_filter",
     "sample_target_mix",
     "pipeline_quality_mix_pack",
+    "sample_top_share_quality",
     # ---------------- position 51+: past the driver window ----------
     # first the parity-core queries rotated out this round - each has
     # green driver rows in BOTH CORRECTNESS_r01.json and
@@ -3446,6 +3489,7 @@ _DRIVER_ORDER = [
     "sample_hash_deterministic",
     "split_train_valid_test",
     "dedup_exact_groups",
+    "sim_knn_bruteforce",
     "p1_eq_filter",              # P1
     "p2_like_filter",            # P2
     "p3_isin_filter",            # P3

@@ -1037,3 +1037,25 @@ def test_knn_graph_edges_small_corpus_and_zero_norm(spark):
     got = {(r.query_id, r.neighbor_id): r.rank for r in rows}
     assert got == {(1, 2): 1, (2, 1): 1}
     assert all(r.cosine == 0.6 for r in rows)  # floor(0.6*1e6)/1e6
+
+
+def test_top_share_per_group_floor_and_determinism(spark):
+    """floor(share*n) rows survive per group (0 for tiny groups below
+    the floor), ordering is (value desc, key asc), ties deterministic."""
+    from ghcrawler_datalake_etl_spark.operators.sampling import top_share_per_group
+
+    rows = (
+        [(i, "a", float(i)) for i in range(10)]      # 10 rows, distinct
+        + [(100 + i, "b", 5.0) for i in range(4)]    # 4 rows, all tied
+        + [(200, "c", 9.9)]                          # 1 row: floor(0.25)=0
+    )
+    df = spark.createDataFrame(rows, "doc_id long, grp string, val double")
+    got = sorted(
+        (r.grp, r.doc_id)
+        for r in top_share_per_group(df, "doc_id", "grp", "val", 250_000).collect()
+    )
+    # a: top 2 of 10 by val desc = ids 9, 8; b: floor(1.0)=1 row, tie ->
+    # lowest id 100; c: floor(0.25)=0 rows
+    assert got == [("a", 8), ("a", 9), ("b", 100)]
+    with pytest.raises(ValueError, match="share_ppm"):
+        top_share_per_group(df, "doc_id", "grp", "val", 2_000_000)

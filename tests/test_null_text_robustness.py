@@ -42,6 +42,7 @@ DOC_ONLY = [
     "text_gopher_filter",
     "sample_target_mix",
     "pipeline_quality_mix_pack",
+    "sample_top_share_quality",
 ]
 
 

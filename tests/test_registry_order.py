@@ -47,6 +47,9 @@ OUT_OF_WINDOW_OK = {
     # semantics remain window-covered via dedup_span_first_occurrence
     # and the chunk-dedup stage of pipeline_chunk_dedup_pack
     "dedup_exact_groups": "CORRECTNESS_r02.json",
+    # ceded its slot to sample_top_share_quality (r3); the in-window
+    # sim_knn_pandas_gemm runs the SAME oracle SQL (exact twin)
+    "sim_knn_bruteforce": "CORRECTNESS_r02.json",
 }
 
 #: one query per SURVEY section-2 operator family. Split into the
