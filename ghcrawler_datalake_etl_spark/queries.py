@@ -3471,7 +3471,8 @@ _DRIVER_ORDER = [
     #    row; slots ceded by double-green queries per the registry
     #    guard: w2_distinct_keys, j3_join_chain_q5, sessionize_events,
     #    pattern_e_version_log, sample_hash_deterministic,
-    #    split_train_valid_test) --
+    #    split_train_valid_test, dedup_exact_groups,
+    #    sim_knn_bruteforce) --
     "text_bpe_pair_stats",
     "search_tfidf_cosine",
     "dedup_semantic_prune",

@@ -4,10 +4,12 @@ invariant that every distinct component family is inside that window
 zero driver CORRECTNESS rows for it; round 2's 12 additions sat at 51+
 and were likewise never driver-checked).
 
-Round-3 layout: those 12 round-2 additions are now IN the window, and
-12 parity-core queries with two consecutive green driver rows
-(CORRECTNESS_r01.json + CORRECTNESS_r02.json) rotated out to make
-room, per the round-2 VERDICT instruction #1."""
+Round-3 layout: the 12 round-2 additions are IN the window, plus the
+eight round-3 queries (BPE pairs, TF-IDF, SemDeDup, kNN graph, gopher
+filter, target mix, quality-mix-pack pipeline, top-share selector);
+room came from parity-core and extension queries with two consecutive
+green driver rows (CORRECTNESS_r01.json + CORRECTNESS_r02.json), per
+the round-2 VERDICT instruction #1."""
 
 import __spark_entry__ as entrymod
 
