@@ -261,7 +261,7 @@ def test_narrow_text_operators_have_no_exchange(spark, queries):
     # crept into a scan-scaling path. fan_out's RoundRobin repartition
     # on under-split local files is the one allowed exchange.
     for name in ("text_chunk_windows", "text_redact_pii",
-                 "text_repetition_metrics"):
+                 "text_repetition_metrics", "text_gopher_filter"):
         p = plan(queries[name](spark, SF_DIR), "simple")
         stripped = p.replace("Exchange RoundRobinPartitioning", "")
         assert "Exchange" not in stripped, f"{name} shuffles:\n{p}"
@@ -367,3 +367,12 @@ def test_target_mix_single_pass_no_join_no_global_sort(spark, queries):
     assert "windowspecdefinition(lang" in p, p
     # global sorts print as `Sort [...], true, 0` in formatted plans
     assert ", true, 0" not in p, f"global sort crept in:\n{p}"
+
+
+def test_top_share_single_window_shuffle(spark, queries):
+    """Rank and group-count ride ONE group-partitioned exchange (the
+    sort satisfies both window specs); no join, no global sort."""
+    p = plan(queries["sample_top_share_quality"](spark, SF_DIR), "simple")
+    stripped = p.replace("Exchange RoundRobinPartitioning", "")
+    assert stripped.count("Exchange") == 1, p
+    assert "Join" not in p, p
