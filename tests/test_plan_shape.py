@@ -67,12 +67,19 @@ def test_parity_paths_have_no_python(spark, queries):
                  "multimodal_features",
                  "multimodal_frames", "multimodal_audio_chunks",
                  "dedup_minhash_lsh",
-                 "dedup_simhash_values", "dedup_embedding_cosine"}
+                 "dedup_simhash_values", "dedup_embedding_cosine",
+                 # round-3 pandas-backed extensions (cogroup/group GEMMs)
+                 "sim_knn_graph", "dedup_semantic_prune",
+                 "dedup_minhash_clusters"}
     for name, fn in entrymod.queries().items():
         p = plan(fn(spark, SF_DIR), "simple")
         assert "BatchEvalPython" not in p, f"{name}: row-at-a-time Python UDF"
         if name not in pandas_ok:
-            assert "ArrowEvalPython" not in p and "MapInPandas" not in p, (
+            # "InPandas" catches every Arrow-batched node shape:
+            # MapInPandas, FlatMapGroupsInPandas, FlatMapCoGroupsInPandas
+            # (the old "MapInPandas" substring silently missed the
+            # grouped/cogrouped forms)
+            assert "ArrowEvalPython" not in p and "InPandas" not in p, (
                 f"{name}: unexpected Python stage"
             )
 
