@@ -543,6 +543,29 @@ def simhash_pairs(
     )
 
 
+def _block_pair_fanout(proj: DataFrame, num_blocks: int) -> DataFrame:
+    """Fan ``proj`` out to every unordered block pair it participates
+    in, as ONE union-of-two-explosions frame tagged ``side`` (0 = the
+    pair's left/row set, 1 = its right/column set). Grouping the union
+    on (bi, bj) replaces a self-cogroup of twin lineages, which Spark's
+    ambiguous-self-join analyzer rejects whenever the input plan
+    already contains a join - and shuffles one exchange instead of two.
+    Shared by embedding_cosine_pairs_gemm and similarity.knn_graph.
+    """
+    blk = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(num_blocks)).cast("int")
+    left = (
+        proj.withColumn("bi", blk)
+        .withColumn("bj", F.explode(F.sequence(F.col("bi"), F.lit(num_blocks - 1))))
+        .withColumn("side", F.lit(0))
+    )
+    right = (
+        proj.withColumn("bj", blk)
+        .withColumn("bi", F.explode(F.sequence(F.lit(0), F.col("bj"))))
+        .withColumn("side", F.lit(1))
+    )
+    return left.unionByName(right)
+
+
 def embedding_cosine_pairs_gemm(
     df: DataFrame,
     id_col: str,
@@ -577,19 +600,19 @@ def embedding_cosine_pairs_gemm(
         F.col(id_col).alias("doc_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
     )
-    blk = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(num_blocks)).cast("int")
-    # row in block p joins every pair (bi=p, bj>=p) as the left side and
-    # every pair (bi<=p, bj=p) as the right side; each unordered block
-    # pair is materialized exactly once.
-    left = proj.withColumn("bi", blk).withColumn(
-        "bj", F.explode(F.sequence(F.col("bi"), F.lit(num_blocks - 1)))
-    )
-    right = proj.withColumn("bj", blk).withColumn(
-        "bi", F.explode(F.sequence(F.lit(0), F.col("bj")))
-    )
+    # row in block p reaches every pair (bi=p, bj>=p) tagged side 0 and
+    # every pair (bi<=p, bj=p) tagged side 1; each unordered block pair
+    # is materialized exactly once. The two explosions UNION into one
+    # frame grouped on (bi, bj) - a self-COGROUP of twin lineages would
+    # trip Spark's ambiguous-self-join analyzer whenever the input plan
+    # already contains a join (any composed pipeline); the union form
+    # has no join anywhere and shuffles once instead of twice.
+    both = _block_pair_fanout(proj, num_blocks)
 
-    def score_blocks(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+    def score_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        lpdf = pdf[pdf["side"] == 0]
+        rpdf = pdf[pdf["side"] == 1]
         if not len(lpdf) or not len(rpdf):
             return empty
         a_ids = lpdf["doc_id"].to_numpy(dtype=np.int64)
@@ -604,7 +627,7 @@ def embedding_cosine_pairs_gemm(
         # cross-block groups see each pair exactly once but in arbitrary
         # id order: keep all and emit as (min, max).
         keep = sims >= threshold
-        if lpdf["bi"].iloc[0] == lpdf["bj"].iloc[0]:
+        if pdf["bi"].iloc[0] == pdf["bj"].iloc[0]:
             keep &= a_ids[:, None] < b_ids[None, :]
         ai, bi = np.nonzero(keep)
         if not len(ai):
@@ -618,10 +641,8 @@ def embedding_cosine_pairs_gemm(
             }
         )
 
-    return (
-        left.groupBy("bi", "bj")
-        .cogroup(right.groupBy("bi", "bj"))
-        .applyInPandas(score_blocks, schema="id_a long, id_b long, cosine double")
+    return both.groupBy("bi", "bj").applyInPandas(
+        score_blocks, schema="id_a long, id_b long, cosine double"
     )
 
 

@@ -589,7 +589,8 @@ def test_embedding_cosine_gemm_is_lazy_and_distributed(spark, sf_dir):
     """Regression: the GEMM pair scorer used to .collect() the whole
     corpus onto the driver at plan-BUILD time (a driver OOM at scale).
     The blocked form must (a) build without running any Spark job and
-    (b) plan as a cogrouped pandas op, not a broadcast of the corpus."""
+    (b) plan as a grouped pandas op over the side-tagged block-pair
+    union, not a broadcast of the corpus."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     sc = spark.sparkContext
     sc.setJobGroup("gemm-build-probe", "no jobs may run during plan build")
@@ -601,7 +602,7 @@ def test_embedding_cosine_gemm_is_lazy_and_distributed(spark, sf_dir):
     finally:
         sc.setLocalProperty("spark.jobGroup.id", None)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapCoGroupsInPandas" in plan
+    assert "FlatMapGroupsInPandas" in plan
 
 
 def test_embedding_cosine_gemm_block_counts(spark):

@@ -345,12 +345,13 @@ def test_tfidf_cosine_is_distributed_topk(spark, queries):
 
 
 
-def test_knn_graph_blocked_cogroup_no_cartesian(spark, queries):
-    """The self-kNN graph must decompose into the block-pair cogroup
-    (FlatMapCoGroupsInPandas) - never a cartesian/broadcast-nested-loop
-    self-join, which is the O(n^2)-shuffle shape it exists to avoid."""
+def test_knn_graph_blocked_group_no_cartesian(spark, queries):
+    """The self-kNN graph must decompose into the grouped block-pair
+    union (FlatMapGroupsInPandas over the side-tagged fan-out) - never
+    a cartesian/broadcast-nested-loop self-join, which is the
+    O(n^2)-shuffle shape it exists to avoid."""
     p = plan(queries["sim_knn_graph"](spark, SF_DIR), "simple")
-    assert "FlatMapCoGroupsInPandas" in p, p
+    assert "FlatMapGroupsInPandas" in p, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
 
 
