@@ -576,7 +576,7 @@ def embedding_cosine_pairs_gemm(
     """Embedding near-dup pairs via triangular-blocked numpy GEMM (the
     throughput form of embedding_cosine_pairs): rows are hashed into
     ``num_blocks`` blocks, every unordered block pair (i, j), i <= j,
-    becomes one cogroup task, and each task scores its two blocks with a
+    becomes one grouped task, and each task scores its two blocks with a
     single BLAS call.
 
     Fully distributed: no driver collect, no broadcast - executor memory

@@ -2395,7 +2395,7 @@ def dedup_semantic_prune(spark, sf_dir):
 )
 def sim_knn_graph(spark, sf_dir):
     """Self-kNN graph (operators/similarity.knn_graph): exact top-k
-    neighbors for EVERY corpus vector via the triangular block-cogroup
+    neighbors for EVERY corpus vector via the triangular block-pair
     GEMM with per-task local top-k - shuffle bounded by n*blocks*k
     rows, never n^2. The corpus-scale sibling of sim_knn_bruteforce
     (whose query side must be small enough to broadcast)."""

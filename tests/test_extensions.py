@@ -1060,3 +1060,32 @@ def test_top_share_per_group_floor_and_determinism(spark):
     assert got == [("a", 8), ("a", 9), ("b", 100)]
     with pytest.raises(ValueError, match="share_ppm"):
         top_share_per_group(df, "doc_id", "grp", "val", 2_000_000)
+
+
+def test_dedup_operators_compose_on_join_derived_inputs(spark, sf_dir):
+    """Operators must accept inputs whose plan already contains a join
+    (the composed-pipeline case). The block-GEMM ops used to crash here
+    with Spark's ambiguous-self-join AnalysisException (twin-lineage
+    cogroup); the alias-based index self-joins always composed - pin
+    both facts."""
+    from pyspark.sql import functions as F
+
+    d0 = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    reps = spark.range(2).withColumnRenamed("id", "rep")
+    d = d0.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"), "text"
+    )
+    assert D.ngram_jaccard_pairs(d, "doc_id", "text", n=3,
+                                 threshold=0.5).count() >= 30
+    assert D.minhash_lsh_pairs(d, "doc_id", "text", threshold=0.5).count() >= 30
+
+    e0 = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(30)
+    e = e0.crossJoin(reps).select(
+        (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
+        "embedding",
+    )
+    # every original vector meets its replica at cosine 1.0
+    assert D.embedding_cosine_pairs_gemm(
+        e, "vec_id", "embedding", threshold=0.999
+    ).count() >= 30
+    assert S.knn_graph(e, "vec_id", "embedding", k=1).count() == 60
