@@ -623,7 +623,9 @@ def a4_union_all_agg(spark, sf_dir):
 @register(
     "f1_json_extract",
     """
-    SELECT json_extract_string(props, 'k') AS k_value, count(*) AS n
+    SELECT CASE WHEN json_valid(props)
+                THEN json_extract_string(props, 'k') END AS k_value,
+           count(*) AS n
     FROM events GROUP BY k_value
     """,
 )
@@ -759,7 +761,7 @@ def pattern_b_array_child(spark, sf_dir):
     FROM (SELECT user_id, event_type, event_id, value,
                  row_number() OVER (PARTITION BY user_id, event_type
                                     ORDER BY ts DESC, event_id DESC) AS rn
-          FROM events) t
+          FROM events WHERE ts IS NOT NULL) t
     WHERE rn = 1
     """,
 )
@@ -786,7 +788,8 @@ def pattern_a_snapshot_upsert(spark, sf_dir):
     f"""
     WITH pages AS (
       SELECT user_id, CAST(ts AS DATE) AS page_date,
-             list_sort(list(DISTINCT event_type)) AS resources,
+             list_sort(list(DISTINCT event_type)
+                       FILTER (event_type IS NOT NULL)) AS resources,
              max(ts) AS processed_at
       FROM events GROUP BY user_id, CAST(ts AS DATE)
     ), latest_new AS (
@@ -844,7 +847,8 @@ def pattern_c_collection_refresh(spark, sf_dir):
     """
     SELECT event_type, CAST(ts AS DATE)::VARCHAR AS data_date,
            count(*) AS n, round(sum(value), 2) AS total_value
-    FROM events GROUP BY event_type, CAST(ts AS DATE)
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY event_type, CAST(ts AS DATE)
     """,
 )
 def pattern_d_traffic_series(spark, sf_dir):
@@ -917,7 +921,7 @@ def pattern_e_version_log(spark, sf_dir):
              CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), ids AS (
       SELECT user_id, ts_us, value,
@@ -943,7 +947,8 @@ def sessionize_events(spark, sf_dir):
     """
     SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
            count(*) AS n_events, round(sum(value), 2) AS total_value
-    FROM events GROUP BY date_trunc('hour', ts), event_type
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY date_trunc('hour', ts), event_type
     """,
 )
 def stream_windowed_counts(spark, sf_dir):
@@ -1300,12 +1305,12 @@ def funnel_click_to_purchase(spark, sf_dir):
     """
     WITH x AS (
       SELECT event_id, user_id, ts,
-             CASE WHEN event_type = 'purchase'
+             CASE WHEN event_type = 'purchase' AND json_valid(props)
                   THEN json_extract_string(props, 'k')::BIGINT END AS obs
       FROM events)
     SELECT event_id, user_id, obs,
            last_value(obs IGNORE NULLS) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
+             PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
              ROWS UNBOUNDED PRECEDING) AS obs_filled
     FROM x
     """,

@@ -126,9 +126,11 @@ def windowed_event_counts(
 
     The late-data contract the reference lacks: rows later than
     ``watermark`` behind the max event time are dropped; everything else
-    lands in its event-time window.
+    lands in its event-time window. Rows with a NULL event time are
+    excluded EXPLICITLY (streaming watermarks drop them anyway; the
+    batch twin must agree rather than rely on window(NULL) semantics).
     """
-    src = events
+    src = events.filter(F.col(ts_col).isNotNull())
     if src.isStreaming:
         src = src.withWatermark(ts_col, watermark)
     return src.groupBy(

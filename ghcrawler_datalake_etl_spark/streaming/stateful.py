@@ -46,7 +46,14 @@ def sessionize_batch(
     value_col: str = "value",
 ) -> DataFrame:
     """Sessions = maximal runs of a user's events with inter-event gaps
-    <= gap. Returns one row per session (closed or open-ended)."""
+    <= gap. Returns one row per session (closed or open-ended).
+
+    Events with a NULL event time are EXCLUDED (explicitly, matching
+    the streaming twin where watermarking drops them anyway): a
+    timestamp-less event cannot be placed in any session, and leaving
+    it to implicit sort placement would diverge across engines (Spark
+    orders ascending NULLS FIRST, DuckDB NULLS LAST)."""
+    events = events.filter(F.col(ts_col).isNotNull())
     gap_us = gap_minutes * 60 * 1_000_000
     w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
     ts_us = F.unix_micros(F.col(ts_col))
@@ -126,7 +133,9 @@ def sessionize_stream(
                 ],
             )
 
-    prepared = events.select(
+    # same NULL-event-time exclusion as sessionize_batch: the twins
+    # must agree, and a None _ts_us would poison the pandas sort/state
+    prepared = events.filter(F.col(ts_col).isNotNull()).select(
         F.col(user_col).alias("user_id"),
         F.unix_micros(F.col(ts_col)).alias("_ts_us"),
         F.col("event_id").alias("_tie"),

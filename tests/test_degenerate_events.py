@@ -1,0 +1,116 @@
+"""Degenerate-events differential suite: NULL timestamps, NULL users,
+NULL values/types, malformed JSON props, and exact-timestamp ties must
+not diverge between the Spark queries and their DuckDB oracles (the
+events twin of the null-text and embeddings suites).
+
+The dangerous class this hunts: window/sort NULL placement. Spark
+orders ascending NULLS FIRST by default, DuckDB NULLS LAST - any
+ORDER BY over a nullable column where neither side pins the placement
+diverges the moment a NULL appears. The pinned events testdata has no
+NULLs anywhere, so every such divergence is latent until now.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.test_oracle_differential import rows_canon
+
+#: queries over `events` alone (no other tables touched)
+EVENTS_ONLY = [
+    "w1_latest_event_per_user",
+    "w1_maxby_latest_event_per_user",
+    "w2_distinct_keys",
+    "j5_salted_skew_join",
+    "a5_distinct_count_two_stage",
+    "asof_last_purchase",
+    "asof_next_purchase",
+    "range_interval_join",
+    "a1_collect_reassembly",
+    "f1_json_extract",
+    "pattern_a_snapshot_upsert",
+    "pattern_b_array_child",
+    "pattern_c_collection_refresh",
+    "pattern_d_traffic_series",
+    "pattern_e_version_log",
+    "sessionize_events",
+    "stream_windowed_counts",
+    "agg_value_percentiles",
+    "agg_rollup_daily",
+    "pivot_user_event_matrix",
+    "w3_lag_event_gaps",
+    "setop_user_cohorts",
+    "funnel_click_to_purchase",
+    "locf_fill_forward",
+    "w5_sliding_hour_frame",
+]
+
+
+@pytest.fixture(scope="module")
+def degenerate_events_dir(tmp_path_factory):
+    folder = tmp_path_factory.mktemp("degevents")
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0,
+         '{"page": "a", "items": [{"id": 11, "qty": 2}]}'),
+        (2, "2024-01-01 10:10:00", 1, "view", 2.5, '{"page": "b"}'),
+        (3, "2024-01-01 11:30:00", 1, "purchase", 9.9, '{"page": "c"}'),
+        (4, "2024-01-02 09:00:00", 2, "click", None, None),      # NULL value+props
+        (5, "2024-01-02 09:05:00", 2, None, 1.5, "not json"),    # NULL type, bad props
+        (6, None, 2, "view", 2.0, '{"page": "d"}'),              # NULL ts
+        (7, "2024-01-02 09:05:00", None, "click", 3.0, "{}"),    # NULL user
+        (8, "2024-01-01 10:10:00", 1, "view", 2.5, '{"page": "b"}'),  # exact ts tie
+        (9, "2024-01-02 23:59:59", 3, "purchase", None, '{"page": "e"}'),
+        # purchase WITH an observation for user 2: makes LOCF null-
+        # placement observable (a NULL-ts row either precedes or
+        # follows this depending on the engine's default null order)
+        (10, "2024-01-02 08:00:00", 2, "purchase", 4.0, '{"k": "7"}'),
+        # purchase with MALFORMED props: the json path must yield NULL,
+        # not an engine error, even when the extraction branch is taken
+        (11, "2024-01-02 09:30:00", 2, "purchase", 5.0, "{broken"),
+    ]
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    con = duckdb.connect()
+    con.register("ev", df)
+    con.execute(
+        "COPY (SELECT CAST(event_id AS BIGINT) AS event_id,"
+        " CAST(ts AS TIMESTAMP) AS ts, CAST(user_id AS BIGINT) AS user_id,"
+        " event_type, CAST(value AS DOUBLE) AS value, props FROM ev) TO"
+        f" '{folder}/events.parquet' (FORMAT PARQUET)"
+    )
+    return str(folder)
+
+
+@pytest.fixture(scope="module")
+def ddb_events(degenerate_events_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{degenerate_events_dir}/events.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", EVENTS_ONLY)
+def test_degenerate_events_match_oracle(
+    spark, ddb_events, degenerate_events_dir, name
+):
+    sdf = entrymod.queries()[name](spark, degenerate_events_dir)
+    scols = [c.lower() for c in sdf.columns]
+    srows = [tuple(r) for r in sdf.collect()]
+    res = ddb_events.execute(entrymod.oracle_sql()[name])
+    dcols = [d[0].lower() for d in res.description]
+    drows = res.fetchall()
+    assert sorted(scols) == sorted(dcols), f"{name}: {scols} vs {dcols}"
+    assert len(srows) == len(drows), (
+        f"{name}: row count {len(srows)} vs oracle {len(drows)}"
+    )
+    sc = rows_canon(scols, srows)
+    dc = rows_canon(dcols, drows)
+    if sc != dc:
+        diffs = [(a, b) for a, b in zip(sc, dc) if a != b][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
