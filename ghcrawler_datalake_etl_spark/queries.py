@@ -1071,10 +1071,16 @@ def agg_value_percentiles(spark, sf_dir):
 
 @register(
     "agg_rollup_daily",
+    # HAVING n > 0 pins Spark's empty-input semantics: Spark's rollup
+    # emits NO rows over an empty frame, while the SQL-spec grand-total
+    # grouping set (which DuckDB follows) emits one (NULL, NULL, 0,
+    # NULL) row; only that row can ever have count 0, so the HAVING is
+    # a no-op on any non-empty input.
     """
     SELECT event_type, CAST(ts AS DATE)::VARCHAR AS day,
            count(*) AS n, round(sum(value), 2) AS total_value
     FROM events GROUP BY ROLLUP(event_type, CAST(ts AS DATE)::VARCHAR)
+    HAVING count(*) > 0
     """,
 )
 def agg_rollup_daily(spark, sf_dir):
@@ -1478,6 +1484,7 @@ def corpus_source_report(spark, sf_dir):
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n, round(sum(o_totalprice), 2) AS total_price
     FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    HAVING count(*) > 0
     """,
 )
 def cube_status_priority(spark, sf_dir):

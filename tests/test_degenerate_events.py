@@ -114,3 +114,44 @@ def test_degenerate_events_match_oracle(
     if sc != dc:
         diffs = [(a, b) for a, b in zip(sc, dc) if a != b][:5]
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+@pytest.fixture(scope="module")
+def empty_events_dir(tmp_path_factory):
+    folder = tmp_path_factory.mktemp("emptyevents")
+    con = duckdb.connect()
+    con.execute(
+        "COPY (SELECT CAST(NULL AS BIGINT) AS event_id,"
+        " CAST(NULL AS TIMESTAMP) AS ts, CAST(NULL AS BIGINT) AS user_id,"
+        " CAST(NULL AS VARCHAR) AS event_type, CAST(NULL AS DOUBLE) AS value,"
+        " CAST(NULL AS VARCHAR) AS props WHERE false) TO"
+        f" '{folder}/events.parquet' (FORMAT PARQUET)"
+    )
+    return str(folder)
+
+
+@pytest.fixture(scope="module")
+def ddb_empty_events(empty_events_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{empty_events_dir}/events.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", EVENTS_ONLY)
+def test_empty_events_match_oracle(spark, ddb_empty_events, empty_events_dir, name):
+    """A zero-row events table must neither crash nor diverge (global
+    aggregates may legitimately emit a row; both engines must agree)."""
+    sdf = entrymod.queries()[name](spark, empty_events_dir)
+    scols = [c.lower() for c in sdf.columns]
+    srows = [tuple(r) for r in sdf.collect()]
+    res = ddb_empty_events.execute(entrymod.oracle_sql()[name])
+    dcols = [d[0].lower() for d in res.description]
+    drows = res.fetchall()
+    assert sorted(scols) == sorted(dcols), f"{name}: {scols} vs {dcols}"
+    assert len(srows) == len(drows), (
+        f"{name}: row count {len(srows)} vs oracle {len(drows)}"
+    )
+    assert rows_canon(scols, srows) == rows_canon(dcols, drows)
