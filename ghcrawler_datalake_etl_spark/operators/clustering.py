@@ -128,6 +128,80 @@ def kmeans_init(
 _FIT_CACHE: dict[tuple, list[list[float]]] = {}
 
 
+def _iteration_sums_expr(pts: DataFrame, vec_col: str, centroids) -> list:
+    """One Lloyd's pass, pure Column expressions: assignment inlined
+    into the M-step projection - one pass, one shuffle, no self-join.
+    Two selects, not one: a generator (posexplode) alongside the struct
+    argmin makes the analyzer drop the struct's field names (Generate
+    re-analysis), so the argmin is projected first and the explode
+    reads it as a plain column. This is the ORACLE-EXACT path: the
+    fold-ordered (x-c)^2 distance matches the SQL list_reduce term by
+    term."""
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return (
+        pts.select(_best(vec, centroids)["cid"].alias("cluster"), vec.alias("_v"))
+        .select("cluster", F.posexplode("_v").alias("pos", "x"))
+        .groupBy("cluster", "pos")
+        .agg(
+            F.sum(F.floor(F.col("x") * SCALE).cast("long")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+
+
+def _iteration_sums_gemm(pts: DataFrame, vec_col: str, centroids) -> list:
+    """One Lloyd's pass via Arrow-batched numpy: assignment by one GEMM
+    (|v|^2 - 2 v.C^T + |c|^2, argmin ties -> lowest cid via argmin's
+    first-occurrence rule) and the partial sums reduced per batch, so
+    the exchange carries <= partitions * k * d rows instead of rows * d.
+
+    The integer-scaled sums are EXACT given the same assignment; the
+    assignment itself can differ from the expression path only when two
+    centroids are equidistant within float rounding (the expanded-form
+    error window, ~1e-9 relative, vs the fold's ~1e-15) - measure-zero
+    on real embeddings but NOT contractually bit-identical, which is
+    why the oracle-checked queries stay on impl='expr'."""
+    import numpy as np
+    import pandas as pd
+
+    cents = np.array([[float(x) for x in c] for c in centroids], dtype=np.float64)
+    k, d = cents.shape
+    c_sq = (cents * cents).sum(axis=1)
+
+    proj = pts.select(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v")
+    )
+
+    def partial(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            d2 = (mat * mat).sum(1)[:, None] - 2.0 * (mat @ cents.T) + c_sq[None, :]
+            cl = d2.argmin(axis=1)
+            q = np.floor(mat * SCALE).astype(np.int64)
+            sums = np.zeros((k, d), dtype=np.int64)
+            np.add.at(sums, cl, q)
+            counts = np.bincount(cl, minlength=k).astype(np.int64)
+            ks = np.nonzero(counts > 0)[0]
+            yield pd.DataFrame(
+                {
+                    "cluster": np.repeat(ks, d).astype(np.int32),
+                    "pos": np.tile(np.arange(d, dtype=np.int32), len(ks)),
+                    "s": sums[ks].ravel(),
+                    "n": np.repeat(counts[ks], d),
+                }
+            )
+
+    return (
+        proj.mapInPandas(partial, schema="cluster int, pos int, s long, n long")
+        .groupBy("cluster", "pos")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .collect()
+    )
+
+
 def kmeans_fit(
     df: DataFrame,
     id_col: str,
@@ -136,6 +210,7 @@ def kmeans_fit(
     iterations: int = 2,
     seed: int = 42,
     use_cache: bool = False,
+    impl: str = "expr",
 ) -> list[list[float]]:
     """Lloyd's iterations; returns the final centroid matrix (k lists of
     d floats, 6-decimal quantized). A fixed iteration count (not a
@@ -149,37 +224,36 @@ def kmeans_fit(
     iterations once per process. Opt-in because it assumes the data
     behind the plan is immutable for the process lifetime - true for
     benchmark/testdata scans, not for tables being rewritten in place.
+
+    ``impl``: 'expr' (default) evaluates the E-step as interpreted
+    Column expressions - bit-exact against the unrolled-SQL oracle.
+    'gemm' runs each pass as one Arrow/numpy GEMM with per-batch
+    partial sums. Measured parity at 40k vectors x 64 dims up to k=64
+    (the nested-literal expression form holds up well); the gemm form
+    is the LARGE-k path: it ships centroids in the task closure where
+    the expression form embeds a k x d literal matrix into every
+    iteration's plan (at SemDeDup-production k ~ 10^4 that literal is
+    the bottleneck), and its per-batch reduction bounds the exchange at
+    partitions * k * d rows. Same integer-exact M-step; assignment
+    ties within float rounding may resolve differently (see
+    _iteration_sums_gemm), so it is the scale path, not the oracle
+    path.
     """
+    if impl not in ("expr", "gemm"):
+        raise ValueError(f"impl must be 'expr' or 'gemm', got {impl!r}")
     pts = df.filter(F.col(vec_col).isNotNull())
     key = None
     if use_cache:
         try:
-            key = (df.semanticHash(), id_col, vec_col, k, iterations, seed)
+            key = (df.semanticHash(), id_col, vec_col, k, iterations, seed, impl)
         except Exception:  # plan not hashable -> just fit
             key = None
         if key is not None and key in _FIT_CACHE:
             return [list(c) for c in _FIT_CACHE[key]]
     centroids = kmeans_init(pts, id_col, vec_col, k, seed)
-    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    step = _iteration_sums_expr if impl == "expr" else _iteration_sums_gemm
     for _ in range(iterations):
-        # assignment inlined into the M-step projection: one pass, one
-        # shuffle per iteration, no self-join on the assignment. Two
-        # selects, not one: a generator (posexplode) alongside the
-        # struct argmin makes the analyzer drop the struct's field
-        # names (Generate re-analysis), so the argmin is projected
-        # first and the explode reads it as a plain column.
-        sums = (
-            pts.select(
-                _best(vec, centroids)["cid"].alias("cluster"), vec.alias("_v")
-            )
-            .select("cluster", F.posexplode("_v").alias("pos", "x"))
-            .groupBy("cluster", "pos")
-            .agg(
-                F.sum(F.floor(F.col("x") * SCALE).cast("long")).alias("s"),
-                F.count("*").alias("n"),
-            )
-            .collect()
-        )
+        sums = step(pts, vec_col, centroids)
         new = {}
         for r in sums:
             new.setdefault(r.cluster, {})[r.pos] = math.floor(r.s / r.n) / SCALE

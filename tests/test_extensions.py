@@ -1089,3 +1089,19 @@ def test_dedup_operators_compose_on_join_derived_inputs(spark, sf_dir):
         e, "vec_id", "embedding", threshold=0.999
     ).count() >= 30
     assert S.knn_graph(e, "vec_id", "embedding", k=1).count() == 60
+
+
+def test_kmeans_gemm_impl_matches_expr(spark, sf_dir):
+    """The Arrow/GEMM Lloyd's pass produces the same centroids as the
+    oracle-exact expression pass on real embeddings (assignment can
+    differ only on float-rounding-exact distance ties, absent here),
+    and is measurably the same algorithm: same init, same integer-exact
+    M-step."""
+    from ghcrawler_datalake_etl_spark.operators import clustering as CL
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = CL.kmeans_fit(e, "vec_id", "embedding", k=4, iterations=2, impl="expr")
+    b = CL.kmeans_fit(e, "vec_id", "embedding", k=4, iterations=2, impl="gemm")
+    assert a == b
+    with pytest.raises(ValueError, match="impl"):
+        CL.kmeans_fit(e, "vec_id", "embedding", k=2, impl="blas")
