@@ -326,3 +326,104 @@ def test_pack_shards_equals_single_window_form(spark, rows, num_bins):
     )
     assert got == ref
 
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 200), st.sampled_from(["a", "b", "c", "x"])),
+        min_size=0, max_size=40, unique_by=lambda t: t[0],
+    ),
+    st.dictionaries(
+        st.sampled_from(["a", "b", "c"]), st.integers(1, 500_000),
+        min_size=1, max_size=3,
+    ),
+)
+def test_target_mix_exact_proportions_property(spark, rows, target):
+    """For ANY corpus and target: per-group counts equal exactly
+    floor(ppm_g * T / 1e6) with T = min_g(n_g * 1e6 div ppm_g); groups
+    outside the target never appear; empty target-group => empty carve."""
+    from ghcrawler_datalake_etl_spark.operators.sampling import (
+        BUCKETS,
+        target_mix_sample,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, grp string") if rows else (
+        spark.createDataFrame([], "doc_id long, grp string")
+    )
+    got = target_mix_sample(df, "doc_id", "grp", target).collect()
+    have = {}
+    for _, g in rows:
+        have[g] = have.get(g, 0) + 1
+    t = min((have.get(g, 0) * BUCKETS) // p for g, p in target.items())
+    want = {g: (p * t) // BUCKETS for g, p in target.items()}
+    by_grp = {}
+    for r in got:
+        by_grp[r.grp] = by_grp.get(r.grp, 0) + 1
+    assert by_grp == {g: n for g, n in want.items() if n > 0}
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 100),
+            st.sampled_from(["a", "b"]),
+            st.integers(0, 5),  # few values -> boundary ties guaranteed
+        ),
+        min_size=0, max_size=30, unique_by=lambda t: t[0],
+    ),
+    st.integers(0, 1_000_000),
+)
+def test_top_share_floor_property(spark, rows, share_ppm):
+    """Each group keeps exactly floor(share * n_g / 1e6) rows, and they
+    are the lexicographically first under (val desc, key asc)."""
+    from ghcrawler_datalake_etl_spark.operators.sampling import top_share_per_group
+
+    df = spark.createDataFrame(rows, "doc_id long, grp string, val long") if rows \
+        else spark.createDataFrame([], "doc_id long, grp string, val long")
+    got = sorted(
+        (r.grp, r.doc_id)
+        for r in top_share_per_group(df, "doc_id", "grp", "val", share_ppm).collect()
+    )
+    want = []
+    for g in {r[1] for r in rows}:
+        members = sorted(
+            ((v, k) for k, gg, v in rows if gg == g),
+            key=lambda t: (-t[0], t[1]),
+        )
+        keep = (share_ppm * len(members)) // 1_000_000
+        want += [(g, k) for _, k in members[:keep]]
+    assert got == sorted(want)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 1_000),
+            st.lists(st.integers(-3, 3), min_size=4, max_size=4),
+        ),
+        min_size=0, max_size=25, unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 4),
+    st.integers(1, 5),
+)
+def test_knn_graph_equals_bruteforce_property(spark, rows, num_blocks, k):
+    """For ANY corpus (duplicates, ties, zero vectors), the blocked
+    local-top-k merge equals brute-force cosine_topk with the corpus as
+    its own query set."""
+    from ghcrawler_datalake_etl_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    ) if rows else spark.createDataFrame([], "vec_id long, embedding array<double>")
+    got = sorted(
+        map(tuple, S.knn_graph(df, "vec_id", "embedding", k=k,
+                               num_blocks=num_blocks).collect())
+    )
+    want = sorted(
+        map(tuple, S.cosine_topk(df, df, "vec_id", "embedding", k=k).collect())
+    )
+    assert got == want
