@@ -5,6 +5,12 @@ Env:
   SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[] core count (default 32)
   SPARK_GRAFT_BENCH_QUERIES  comma-separated subset (default: all)
+  SPARK_GRAFT_BENCH_REPEAT   per-query repeats, record the MINIMUM
+                       (default 1). The build host's documented 2-3x
+                       CPU-noise phases make single cold timings
+                       unusable for regression verdicts; min-of-N on an
+                       isolated rerun is the noise-resistant protocol
+                       (min, not mean: noise only ever ADDS time).
 
 Each query is forced with a noop-format write (computes every column on
 the executors, no driver collect) so timings reflect the full plan, not
@@ -125,11 +131,15 @@ def main() -> None:
     force(qs["q1_pricing_summary"](spark, sf_dir))
     force(qs["dedup_simhash_values"](spark, sf_dir))
 
+    repeat = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1")), 1)
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        force(qs[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            force(qs[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
