@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ghcrawler_datalake_etl_spark.functions.core import quantize
+
 # Bucket resolution: rates are exact multiples of 1e-6 (ppm). 60-bit
 # md5 prefix mod 1e6 is uniform to ~1e-12 bias (2^60 % 1e6 != 0 skews
 # the first few buckets by 2^-40), immaterial at any corpus size.
@@ -404,4 +406,115 @@ def pack_shards(
             ).cast("long"),
         )
         .drop("_bin", "_cum_in_bin")
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred: Column,
+    n: int,
+    num_buckets: int = 256,
+    seed: int = 1,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    public algorithm): rank raw documents by how much more likely their
+    hashed-unigram feature profile is under the TARGET distribution
+    than under the RAW corpus distribution, and keep the top ``n``.
+
+    ``target_pred`` marks the in-domain exemplar rows (e.g. a trusted
+    high-quality slice); both feature models train in the SAME pass:
+
+    1. tokens hash into ``num_buckets`` portable md5 buckets;
+    2. one (doc, bucket) tf aggregate feeds everything downstream;
+    3. bucket models: raw counts = all docs, target counts = pred docs
+       (one conditional sum - not a second scan), add-one smoothed;
+    4. per-doc log importance weight = sum over positions of
+       ln p_target(bucket) - ln p_raw(bucket), computed on
+       floor-quantized-at-source ln values (the tfidf exactness recipe)
+       with a bucket-sorted fold, so the weight is bit-reproducible;
+    5. global top-n by (weight desc, doc_id asc) - a TakeOrdered, never
+       a full sort.
+
+    Returns (doc_id, n_tokens, log_weight, rank), rank 1..n.
+
+    Scale shape: the only corpus-sized shuffle is the (doc, bucket) tf
+    aggregate (map-side combinable, bounded at num_buckets rows per
+    doc); the bucket model is <= num_buckets rows -> broadcast join; the
+    result is k rows. The original paper streams the same two counting
+    passes; here they fuse into one.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(target_pred.cast("boolean"), F.lit(False)).alias("is_target"),
+        _tokenize_buckets(text_col, num_buckets, seed).alias("buckets"),
+    )
+    tf = (
+        base.select("doc_id", "is_target", F.explode("buckets").alias("b"))
+        .groupBy("doc_id", "is_target", "b")
+        .agg(F.count("*").alias("tf"))
+    )
+    counts = tf.groupBy("b").agg(
+        F.sum("tf").alias("cr"),
+        F.sum(F.when(F.col("is_target"), F.col("tf")).otherwise(F.lit(0))).alias(
+            "ct"
+        ),
+    )
+    consts = counts.agg(
+        F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
+    )
+    model = counts.crossJoin(F.broadcast(consts)).select(
+        "b",
+        (
+            quantize(
+                F.log(
+                    (F.col("ct") + F.lit(1.0))
+                    / (F.col("tt") + F.lit(float(num_buckets)))
+                ),
+                6,
+            )
+            - quantize(
+                F.log(
+                    (F.col("cr") + F.lit(1.0))
+                    / (F.col("tr") + F.lit(float(num_buckets)))
+                ),
+                6,
+            )
+        ).alias("r"),
+    )
+    scored = (
+        tf.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.array_sort(F.collect_list(F.struct("b", "tf", "r"))).alias("_parts"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            quantize(
+                F.aggregate(
+                    F.col("_parts"),
+                    F.lit(0.0),
+                    lambda acc, p: acc + p["tf"] * p["r"],
+                ),
+                4,
+            ).alias("log_weight"),
+        )
+    )
+    topped = scored.orderBy(F.desc("log_weight"), "doc_id").limit(n)
+    w = Window.orderBy(F.desc("log_weight"), "doc_id")
+    # the rank window runs over the already-limited n rows (driver-small)
+    return topped.withColumn("rank", F.row_number().over(w))
+
+
+def _tokenize_buckets(text_col: str, num_buckets: int, seed: int) -> Column:
+    """tokens -> portable md5 feature buckets (array<long>)."""
+    from ghcrawler_datalake_etl_spark.functions.core import stable_long_hash
+    from ghcrawler_datalake_etl_spark.operators.text import tokenize
+
+    return F.transform(
+        tokenize(F.col(text_col)),
+        lambda t: stable_long_hash(t, seed=seed) % num_buckets,
     )

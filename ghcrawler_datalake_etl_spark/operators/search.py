@@ -328,3 +328,120 @@ def tfidf_cosine_topk(
         )
     )
     return scored.orderBy(F.desc("score"), "doc_id").limit(top_k)
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lam: float = 0.9,
+) -> DataFrame:
+    """Per-document average log-probability under an interpolated
+    bigram model trained on the corpus itself - the KenLM/CCNet-style
+    fluency signal one notch above :func:`unigram_logprob` (a unigram
+    model cannot see scrambled word ORDER; a bigram model scores it
+    harshly).
+
+    p(w2 | w1) = lam * c(w1,w2)/c(w1,*)  +  (1-lam) * p_add1(w2)
+
+    where c(*) are corpus bigram counts (MLE term - always defined for
+    scored bigrams, since the model is trained on the very corpus being
+    scored, so c(w1,w2) >= 1) and p_add1 is the add-one-smoothed
+    unigram fallback, exactly the model unigram_logprob uses. Returns
+    (doc_id, n_bigrams, avg_logprob); documents with < 2 tokens have no
+    bigram positions and are absent (same absent-row convention as
+    unigram_logprob for zero-token docs).
+
+    Cross-engine exactness (the tfidf_cosine_topk recipe): every count
+    and total is integer-exact; the interpolated probability is a fixed
+    IEEE expression tree over bit-identical doubles; ln() - the one
+    libm wobble - is floor-quantized AT THE SOURCE (6 decimals) so all
+    downstream products and the term-sorted per-document fold run on
+    bit-identical values.
+
+    Scale shape: the corpus-sized shuffles are the (doc, w1, w2) tf
+    aggregate (map-side combinable) and the model joins on the bigram /
+    left-unigram keys; the corpus constants are one broadcast row. No
+    Python anywhere. Bigram vocabulary is larger than the unigram one
+    but the joins stay key-partitioned equi-joins - the 100 TB plan is
+    the same shape as a word-count.
+    """
+    from ghcrawler_datalake_etl_spark.operators.dedup import _materialize
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize(F.col(text_col)).alias("toks"),
+    )
+    # bigram positions: pair i = (toks[i], toks[i+1]); slice is 1-based,
+    # transform's index 0-based, so sliced[i] = toks[i+1] and the left
+    # token is element_at(toks, i+1) (1-based) = toks[i]
+    pairs = F.transform(
+        F.slice(F.col("toks"), 2, F.greatest(F.size("toks") - 1, F.lit(0))),
+        lambda x, i: F.struct(
+            F.element_at(F.col("toks"), i + 1).alias("w1"), x.alias("w2")
+        ),
+    )
+    # tf feeds the scoring join AND the corpus bigram model: one
+    # explode+aggregate, materialized once (same contract as
+    # unigram_logprob's tf)
+    tf = _materialize(
+        base.select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("tf"))
+    )
+    big = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("cvw"))
+    left = big.groupBy("w1").agg(F.sum("cvw").alias("cv"))
+    vocab = (
+        base.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    consts = vocab.agg(F.sum("n").alias("total"), F.count("*").alias("vocab"))
+    contrib = (
+        tf.join(big, ["w1", "w2"])
+        .join(left, "w1")
+        .join(vocab.withColumnRenamed("term", "w2"), "w2")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "doc_id",
+            "w1",
+            "w2",
+            "tf",
+            (
+                F.col("tf")
+                * quantize(
+                    F.log(
+                        F.lit(lam)
+                        * (F.col("cvw").cast("double") / F.col("cv").cast("double"))
+                        + (F.lit(1.0) - F.lit(lam))
+                        * (
+                            (F.col("n") + F.lit(1.0))
+                            / (F.col("total") + F.col("vocab"))
+                        )
+                    ),
+                    6,
+                )
+            ).alias("contrib"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.array_sort(
+                F.collect_list(F.struct("w1", "w2", "contrib"))
+            ).alias("_parts"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            quantize(
+                F.aggregate(
+                    F.col("_parts"), F.lit(0.0), lambda acc, p: acc + p["contrib"]
+                )
+                / F.col("n_bigrams"),
+                4,
+            ).alias("avg_logprob"),
+        )
+    )

@@ -117,9 +117,14 @@ def cosine_topk_pandas(
     )
     q_ids = qpd["qid"].to_numpy()
     q_mat = np.stack(qpd["vec"].to_numpy()) if len(qpd) else np.zeros((0, 1))
-    q_nz = np.linalg.norm(q_mat, axis=1) > 0
-    q_ids, q_mat = q_ids[q_nz], q_mat[q_nz]
-    q_mat = q_mat / np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    # dot-then-divide, NOT pre-normalize: normalizing first rounds every
+    # component, so an exact-duplicate pair lands at 0.99999... instead
+    # of exactly 1.0 and the floor-quantize splits from the oracle at
+    # the grid boundary. Raw dot / (norm_a * norm_b) reproduces the
+    # expression path's arithmetic (see embedding_cosine_pairs_gemm).
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    q_nz = q_norm > 0
+    q_ids, q_mat, q_norm = q_ids[q_nz], q_mat[q_nz], q_norm[q_nz]
 
     corpus_proj = fan_out(corpus).filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("vec")
@@ -131,14 +136,12 @@ def cosine_topk_pandas(
                 continue
             c_ids = pdf["neighbor_id"].to_numpy()
             c_mat = np.stack(pdf["vec"].to_numpy())
-            c_nz = np.linalg.norm(c_mat, axis=1) > 0
-            c_ids, c_mat = c_ids[c_nz], c_mat[c_nz]
+            c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+            c_nz = c_norm > 0
+            c_ids, c_mat, c_norm = c_ids[c_nz], c_mat[c_nz], c_norm[c_nz]
             if not len(c_ids):
                 continue
-            c_mat = c_mat / np.maximum(
-                np.linalg.norm(c_mat, axis=1, keepdims=True), 1e-12
-            )
-            sims = c_mat @ q_mat.T  # (batch, nq)
+            sims = (c_mat @ q_mat.T) / np.outer(c_norm, q_norm)  # (batch, nq)
             # exclude self-matches BEFORE the per-batch top-k so they
             # cannot displace true neighbors from the candidate set
             sims[c_ids[:, None] == q_ids[None, :]] = -2.0

@@ -3237,6 +3237,96 @@ def search_tfidf_cosine(spark, sf_dir):
     )
 
 
+@register(
+    "text_bigram_logprob",
+    f"""
+    WITH base AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    bg AS (
+      SELECT b.doc_id, b.toks[i.i] AS w1, b.toks[i.i + 1] AS w2
+      FROM base b, unnest(range(1, greatest(len(b.toks) - 1, 0) + 1)) AS i(i)),
+    tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY doc_id, w1, w2),
+    big AS (SELECT w1, w2, sum(tf) AS cvw FROM tf GROUP BY w1, w2),
+    lft AS (SELECT w1, sum(cvw) AS cv FROM big GROUP BY w1),
+    vocab AS (
+      SELECT t.term, count(*) AS n
+      FROM base b, unnest(b.toks) AS t(term) GROUP BY t.term),
+    consts AS (SELECT sum(n) AS total, count(*) AS vocab FROM vocab),
+    contrib AS (
+      SELECT tf.doc_id, tf.w1, tf.w2, tf.tf,
+             tf.tf * (floor(ln(
+                 0.9 * (cast(g.cvw AS DOUBLE) / cast(l.cv AS DOUBLE))
+                 + (1.0 - 0.9) * ((v.n + 1.0) / (c.total + c.vocab))
+               ) * 1000000) / 1000000) AS contrib
+      FROM tf JOIN big g USING (w1, w2) JOIN lft l USING (w1)
+           JOIN vocab v ON v.term = tf.w2 CROSS JOIN consts c)
+    SELECT doc_id, cast(sum(tf) AS BIGINT) AS n_bigrams,
+           floor(list_reduce(list(contrib ORDER BY w1, w2), (a, b) -> a + b)
+                 / sum(tf) * 10000) / 10000 AS avg_logprob
+    FROM contrib GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram-LM fluency signal
+    (operators/search.bigram_logprob): avg log p(w2|w1) under the
+    corpus's own 0.9-interpolated bigram model with add-one unigram
+    fallback - the word-ORDER-sensitive step up from
+    text_unigram_logprob. ln() floor-quantized at the source, bigram-
+    sorted per-doc fold (the tfidf exactness recipe)."""
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    return SR.bigram_logprob(d, "doc_id", "text")
+
+
+_DSIR_BUCKETS = 256
+
+
+@register(
+    "sample_dsir_select",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             coalesce(lang = 'en', false) AS is_target,
+             list_transform({_TOKS_SQL},
+               t -> cast(('0x' || substr(md5('s1:' || t), 1, 15)) AS BIGINT)
+                    % {_DSIR_BUCKETS}) AS bks
+      FROM documents),
+    tf AS (
+      SELECT doc_id, is_target, t.b AS b, count(*) AS tf
+      FROM base, unnest(base.bks) AS t(b)
+      GROUP BY doc_id, is_target, t.b),
+    counts AS (
+      SELECT b, sum(tf) AS cr,
+             sum(CASE WHEN is_target THEN tf ELSE 0 END) AS ct
+      FROM tf GROUP BY b),
+    consts AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM counts),
+    model AS (
+      SELECT b,
+        (floor(ln((ct + 1.0) / (tt + {_DSIR_BUCKETS}.0)) * 1000000) / 1000000)
+        - (floor(ln((cr + 1.0) / (tr + {_DSIR_BUCKETS}.0)) * 1000000) / 1000000)
+        AS r
+      FROM counts CROSS JOIN consts),
+    scored AS (
+      SELECT tf.doc_id, cast(sum(tf.tf) AS BIGINT) AS n_tokens,
+             floor(list_reduce(list(tf.tf * m.r ORDER BY tf.b),
+                               (a, b) -> a + b) * 10000) / 10000 AS log_weight
+      FROM tf JOIN model m USING (b) GROUP BY tf.doc_id)
+    SELECT doc_id, n_tokens, log_weight,
+           row_number() OVER (ORDER BY log_weight DESC, doc_id) AS rank
+    FROM scored ORDER BY log_weight DESC, doc_id LIMIT 200
+    """,
+)
+def sample_dsir_select(spark, sf_dir):
+    """DSIR data selection (operators/sampling.dsir_select, Xie et al.
+    2023): hashed-unigram importance weights ln p_target/p_raw with the
+    'en' slice as the in-domain target; top-200 by (weight desc, id).
+    Both feature models train in one (doc, bucket) tf pass; the bucket
+    model is a broadcast join; the result is a TakeOrdered top-n."""
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    return SP.dsir_select(
+        d, "doc_id", "text", F.col("lang") == "en", n=200,
+        num_buckets=_DSIR_BUCKETS, seed=1,
+    )
+
+
 def _pipeline_oracle() -> str:
     """Composed training-data pipeline oracle: tokens/hash computed once
     in a CTE, then lang-ID + quality + exact-dedup + filters."""
@@ -3438,8 +3528,6 @@ _DRIVER_ORDER = [
     "w1_latest_event_per_user",  # W1/P6 row_number latest-wins
     "j2_anti_join",              # J2/P4
     "pattern_a_snapshot_upsert",
-    "pattern_b_array_child",
-    "pattern_c_collection_refresh",
     "pattern_d_traffic_series",
     # -- LLM-pipeline extension layer: every component family --
     "dedup_ngram_jaccard",
@@ -3493,6 +3581,11 @@ _DRIVER_ORDER = [
     "sample_target_mix",
     "pipeline_quality_mix_pack",
     "sample_top_share_quality",
+    # -- later round-3 additions (distinct algorithms: bigram LM,
+    #    DSIR selection); slots ceded by the double-green
+    #    pattern_b_array_child / pattern_c_collection_refresh --
+    "text_bigram_logprob",
+    "sample_dsir_select",
     # ---------------- position 51+: past the driver window ----------
     # first the parity-core queries rotated out this round - each has
     # green driver rows in BOTH CORRECTNESS_r01.json and
@@ -3517,6 +3610,8 @@ _DRIVER_ORDER = [
     "x3_posexplode_tokens",      # X1/X3
     "w2_distinct_keys",          # W2/A3 (ceded its slot in round 3)
     "j3_join_chain_q5",          # J3 (ceded its slot in round 3)
+    "pattern_b_array_child",     # B (ceded its slot in round 3)
+    "pattern_c_collection_refresh",  # C (ceded its slot in round 3)
     # then analytics variants with prior green rows:
     "w1_maxby_latest_event_per_user",
     "topk_orders_per_segment",

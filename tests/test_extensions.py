@@ -1105,3 +1105,50 @@ def test_kmeans_gemm_impl_matches_expr(spark, sf_dir):
     assert a == b
     with pytest.raises(ValueError, match="impl"):
         CL.kmeans_fit(e, "vec_id", "embedding", k=2, impl="blas")
+
+
+def test_bigram_lm_penalizes_scrambled_word_order(spark):
+    """The motivating property: a unigram model cannot distinguish a
+    document from its word-order scramble, a bigram model scores the
+    scramble strictly lower (its bigrams are rare in the corpus)."""
+    from ghcrawler_datalake_etl_spark.operators import search as SR
+
+    fluent = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, fluent) for i in range(8)]
+    rows.append((8, "dog the over quick lazy jumps brown the fox"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in SR.bigram_logprob(df, "doc_id", "text").collect()
+    }
+    assert out[8] < out[0], out
+    # every doc has 8 bigram positions
+    n = {
+        r["doc_id"]: r["n_bigrams"]
+        for r in SR.bigram_logprob(df, "doc_id", "text").collect()
+    }
+    assert set(n.values()) == {8}
+
+
+def test_dsir_ranks_target_like_docs_first(spark):
+    """Documents whose token profile matches the TARGET slice must
+    outrank ones matching only the raw background."""
+    from ghcrawler_datalake_etl_spark.operators import sampling as SP
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(10):  # target exemplars: "domain" tokens
+        rows.append((i, "model training tokens corpus quality data", "tgt"))
+    for i in range(10, 20):  # background noise
+        rows.append((i, "lorem ipsum dolor sit amet consectetur", "raw"))
+    # candidates: one target-like, one background-like (both in raw)
+    rows.append((100, "model training corpus data quality tokens", "raw"))
+    rows.append((101, "ipsum lorem amet dolor consectetur sit", "raw"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, kind string")
+    out = SP.dsir_select(
+        df, "doc_id", "text", F.col("kind") == "tgt", n=25, num_buckets=64
+    ).collect()
+    w = {r["doc_id"]: r["log_weight"] for r in out}
+    assert w[100] > w[101], w
+    ranks = {r["doc_id"]: r["rank"] for r in out}
+    assert sorted(ranks.values()) == list(range(1, len(out) + 1))

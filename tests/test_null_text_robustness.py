@@ -43,6 +43,8 @@ DOC_ONLY = [
     "sample_target_mix",
     "pipeline_quality_mix_pack",
     "sample_top_share_quality",
+    "text_bigram_logprob",
+    "sample_dsir_select",
 ]
 
 

@@ -384,3 +384,23 @@ def test_top_share_single_window_shuffle(spark, queries):
     stripped = p.replace("Exchange RoundRobinPartitioning", "")
     assert stripped.count("Exchange") == 1, p
     assert "Join" not in p, p
+
+
+def test_bigram_lm_partial_agg_and_broadcast_consts(spark, queries):
+    """The corpus-sized shuffles (bigram tf, model counts) must
+    partial-aggregate map-side, and the one-row constants frame must
+    ride a broadcast - never a shuffled join."""
+    p = plan(queries["text_bigram_logprob"](spark, SF_DIR), "simple")
+    assert "partial_count" in p or "partial_sum" in p, p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_dsir_broadcast_model_and_distributed_topk(spark, queries):
+    """The bucket model (<= num_buckets rows) must broadcast into the
+    scoring join, and the global top-n must compile to
+    TakeOrderedAndProject - never a full sort of the corpus."""
+    p = plan(queries["sample_dsir_select"](spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "TakeOrderedAndProject" in p, p
+    assert "SortMergeJoin" not in p, p

@@ -64,14 +64,14 @@ PARITY_CORE_IN_WINDOW = {
     "w1_latest_event_per_user",
     "j2_anti_join",
     "pattern_a_snapshot_upsert",
-    "pattern_b_array_child",
-    "pattern_c_collection_refresh",
     "pattern_d_traffic_series",
 }
 
 PARITY_CORE_ROTATED_OUT = {
     "w2_distinct_keys",  # ceded its slot to text_bpe_pair_stats (r3)
     "j3_join_chain_q5",  # ceded its slot to search_tfidf_cosine (r3)
+    "pattern_b_array_child",  # ceded its slot to text_bigram_logprob (r3)
+    "pattern_c_collection_refresh",  # ceded to sample_dsir_select (r3)
     "sessionize_events",  # ceded its slot to dedup_semantic_prune (r3)
     "pattern_e_version_log",  # ceded its slot to sim_knn_graph (r3)
     "p1_eq_filter",
