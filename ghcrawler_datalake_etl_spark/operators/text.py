@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ghcrawler_datalake_etl_spark.functions.core import (
     ColumnOrName,
     _path,
+    quantize,
     stable_long_hash,
 )
 
@@ -532,3 +533,121 @@ def clean_lines(col: ColumnOrName) -> Column:
         )
 
     return F.filter(lines, _keep)
+
+
+def bpe_train_merges(
+    df: DataFrame, text_col: str, num_merges: int = 8
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Greedy BPE tokenizer training (Sennrich et al. 2016, public
+    algorithm): ``num_merges`` rounds of merge-the-most-frequent
+    adjacent symbol pair, over the DISTINCT word vocabulary weighted by
+    corpus frequency - the full trainer on top of the single-round
+    statistics :func:`bpe_pair_counts` exposes.
+
+    Returns ``(merges, vocab)``: the ordered merge table
+    [(w1, w2, pair_count), ...] and the vocabulary frame
+    (w, f, repr) holding each word's final symbol segmentation.
+
+    Representation: symbols joined by TWO spaces, single-space padded
+    (`` a  b  c ``). One literal ``replace`` of `` w1  w2 `` with
+    `` w1w2 `` then applies a merge to every boundary-aligned,
+    non-overlapping occurrence at once - exactly Sennrich's per-round
+    regex - with no way to match a symbol SUFFIX (every symbol is
+    space-flanked; no regex, so nothing to escape).
+
+    Scale shape: the one corpus-sized job is the word count (map-side
+    combinable); every merge round is a vocabulary-sized pair explode +
+    aggregate + a ONE-ROW collect (the same bounded-pull contract as
+    the k-means centroid loop). Ties break (count desc, w1 asc, w2 asc)
+    so training is deterministic. If the vocabulary runs out of pairs
+    early, training stops - remaining rounds are no-ops (the SQL oracle
+    mirrors this with a NULL-guarded CASE per round).
+    """
+    from ghcrawler_datalake_etl_spark.operators.dedup import _materialize
+
+    words = df.select(F.explode(tokenize(F.col(text_col))).alias("w"))
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    vocab = _materialize(
+        words.groupBy("w")
+        .agg(F.count("*").alias("f"))
+        .select(
+            "w",
+            "f",
+            F.concat(
+                F.lit(" "), F.array_join(chars, "  "), F.lit(" ")
+            ).alias("repr"),
+        )
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        syms = F.split(F.trim(F.col("repr")), "  ")
+        pairs = vocab.select(
+            "f",
+            F.explode(
+                F.transform(
+                    F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
+                    lambda x, i: F.struct(
+                        F.element_at(syms, i + 1).alias("w1"), x.alias("w2")
+                    ),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+            .agg(F.sum("f").alias("n"))
+            .orderBy(F.desc("n"), "w1", "w2")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        w1, w2, n = best[0]["w1"], best[0]["w2"], int(best[0]["n"])
+        merges.append((w1, w2, n))
+        vocab = vocab.withColumn(
+            "repr",
+            F.replace(
+                F.col("repr"),
+                F.lit(f" {w1}  {w2} "),
+                F.lit(f" {w1}{w2} "),
+            ),
+        )
+    return merges, vocab
+
+
+def bpe_encode_stats(
+    df: DataFrame, id_col: str, text_col: str, num_merges: int = 8
+) -> DataFrame:
+    """Train a ``num_merges``-round BPE model on the corpus
+    (:func:`bpe_train_merges`) and report per-document encoding cost:
+    (doc_id, n_tokens, n_symbols, avg_symbols_per_token). The word ->
+    symbol-count table is vocabulary-sized and joins back to the doc
+    token stream on the word key (plain equi-join; at warehouse scale
+    the vocabulary exceeds broadcast range, the join stays
+    key-partitioned)."""
+    _, vocab = bpe_train_merges(df, text_col, num_merges)
+    n_sym = vocab.select(
+        "w", F.size(F.split(F.trim(F.col("repr")), "  ")).alias("n_sym")
+    )
+    doc_words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(F.col(text_col))).alias("w"),
+    )
+    return (
+        doc_words.join(n_sym, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("n_sym").alias("n_symbols"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_symbols",
+            quantize(
+                F.col("n_symbols") / F.col("n_tokens"), 4
+            ).alias("avg_symbols_per_token"),
+        )
+    )

@@ -3327,6 +3327,73 @@ def sample_dsir_select(spark, sf_dir):
     )
 
 
+def _bpe_oracle(num_merges: int = 8) -> str:
+    """Unrolled-CTE oracle for the BPE trainer+encoder: each merge
+    round k computes its pair table p{{k}}, picks the best pair b{{k}}
+    with a scalar subquery ((count desc, w1, w2) - the trainer's exact
+    tiebreak), and applies it with the same double-space literal
+    replace; the CASE guard makes a dried-up round a no-op, mirroring
+    the trainer's early stop."""
+    # every CTE is MATERIALIZED and referenced once (the best-pair rides
+    # a LEFT JOIN ON TRUE): without this, inlining duplicates each
+    # stage's lineage per reference and the plan grows exponentially in
+    # num_merges (observed: "too many open files" from ~4^8 base scans)
+    stages = []
+    for k in range(num_merges):
+        stages.append(f"""
+    b{k} AS MATERIALIZED (
+      SELECT s.syms[i.i] AS w1, s.syms[i.i + 1] AS w2, sum(s.f) AS n
+      FROM (SELECT f, string_split(trim(repr), '  ') AS syms FROM v{k}) s,
+           unnest(range(1, greatest(len(s.syms) - 1, 0) + 1)) AS i(i)
+      GROUP BY w1, w2 ORDER BY n DESC, w1, w2 LIMIT 1),
+    v{k + 1} AS MATERIALIZED (
+      SELECT v.w, v.f,
+             CASE WHEN b.w1 IS NULL THEN v.repr
+                  ELSE replace(v.repr,
+                               ' ' || b.w1 || '  ' || b.w2 || ' ',
+                               ' ' || b.w1 || b.w2 || ' ')
+             END AS repr
+      FROM v{k} v LEFT JOIN b{k} b ON TRUE)""")
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    words AS (
+      SELECT t.term AS w, count(*) AS f
+      FROM base b, unnest(b.toks) AS t(term) GROUP BY t.term),
+    v0 AS MATERIALIZED (
+      SELECT w, f,
+             ' ' || array_to_string(
+               list_transform(range(1, length(w) + 1),
+                              i -> substr(w, i, 1)), '  ') || ' ' AS repr
+      FROM words),{",".join(stages)},
+    enc AS (
+      SELECT w, len(string_split(trim(repr), '  ')) AS n_sym
+      FROM v{num_merges}),
+    doc_words AS (
+      SELECT b.doc_id, t.term AS w
+      FROM base b, unnest(b.toks) AS t(term))
+    SELECT d.doc_id, count(*) AS n_tokens,
+           cast(sum(e.n_sym) AS BIGINT) AS n_symbols,
+           floor(sum(e.n_sym) / count(*) * 10000) / 10000
+             AS avg_symbols_per_token
+    FROM doc_words d JOIN enc e USING (w)
+    GROUP BY d.doc_id
+    """
+
+
+@register("text_bpe_encode", _bpe_oracle(8))
+def text_bpe_encode(spark, sf_dir):
+    """Full BPE tokenizer training + encoding cost
+    (operators/text.bpe_train_merges / bpe_encode_stats): 8 greedy
+    merge rounds over the frequency-weighted vocabulary, then per-doc
+    (n_tokens, n_symbols, avg_symbols_per_token). Each round is a
+    vocabulary-sized job ending in a one-row bounded pull (the kmeans
+    centroid contract); the corpus is scanned once for the word
+    count and once for the encode join."""
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    return TX.bpe_encode_stats(d, "doc_id", "text", num_merges=8)
+
+
 def _pipeline_oracle() -> str:
     """Composed training-data pipeline oracle: tokens/hash computed once
     in a CTE, then lang-ID + quality + exact-dedup + filters."""
@@ -3525,7 +3592,6 @@ def multimodal_frames(spark, sf_dir):
 _DRIVER_ORDER = [
     # -- parity core kept in-window (representative per family group) --
     "q1_pricing_summary",        # A2 multi-key group-by (flagship)
-    "w1_latest_event_per_user",  # W1/P6 row_number latest-wins
     "j2_anti_join",              # J2/P4
     "pattern_a_snapshot_upsert",
     "pattern_d_traffic_series",
@@ -3586,6 +3652,10 @@ _DRIVER_ORDER = [
     #    pattern_b_array_child / pattern_c_collection_refresh --
     "text_bigram_logprob",
     "sample_dsir_select",
+    # -- BPE trainer+encoder (slot ceded by the double-green
+    #    w1_latest_event_per_user; its w1_maxby twin pins the same
+    #    latest-wins semantics and both stay oracle-checked locally) --
+    "text_bpe_encode",
     # ---------------- position 51+: past the driver window ----------
     # first the parity-core queries rotated out this round - each has
     # green driver rows in BOTH CORRECTNESS_r01.json and
@@ -3612,6 +3682,7 @@ _DRIVER_ORDER = [
     "j3_join_chain_q5",          # J3 (ceded its slot in round 3)
     "pattern_b_array_child",     # B (ceded its slot in round 3)
     "pattern_c_collection_refresh",  # C (ceded its slot in round 3)
+    "w1_latest_event_per_user",  # W1/P6 (ceded its slot in round 3)
     # then analytics variants with prior green rows:
     "w1_maxby_latest_event_per_user",
     "topk_orders_per_segment",

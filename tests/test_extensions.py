@@ -1152,3 +1152,26 @@ def test_dsir_ranks_target_like_docs_first(spark):
     assert w[100] > w[101], w
     ranks = {r["doc_id"]: r["rank"] for r in out}
     assert sorted(ranks.values()) == list(range(1, len(out) + 1))
+
+
+def test_bpe_train_greedy_merges_and_boundary_safety(spark):
+    """Pin the trainer's greedy order on a corpus with a known count
+    table, and that a merged multi-char symbol can never be matched as
+    a SUFFIX by a later merge (the double-space repr guarantee)."""
+    from ghcrawler_datalake_etl_spark.operators import text as TX
+
+    # "aaab" x3, "ab" x2. Round 1: (a,a) has TWO occurrences per
+    # "aaab" -> 6, (a,b) 3+2=5 -> merge (a,a); only the leftmost
+    # occurrence merges per word (non-overlapping, Sennrich): aaab ->
+    # [aa, a, b]. Round 2: (aa,a) 3, (a,b) 3+2=5 -> merge (a,b) ->
+    # aaab = [aa, ab], ab = [ab]. Round 3: (aa,ab) 3.
+    rows = [(0, "aaab aaab aaab ab ab")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges, vocab = TX.bpe_train_merges(df, "text", num_merges=3)
+    assert merges == [("a", "a", 6), ("a", "b", 5), ("aa", "ab", 3)]
+    reprs = {r["w"]: r["repr"] for r in vocab.collect()}
+    assert reprs["aaab"] == " aaab "
+    assert reprs["ab"] == " ab "
+    # early-stop: more rounds than merge opportunities is a no-op
+    merges2, _ = TX.bpe_train_merges(df, "text", num_merges=10)
+    assert len(merges2) <= 5

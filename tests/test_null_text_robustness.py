@@ -45,6 +45,7 @@ DOC_ONLY = [
     "sample_top_share_quality",
     "text_bigram_logprob",
     "sample_dsir_select",
+    "text_bpe_encode",
 ]
 
 
