@@ -20,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark import StorageLevel
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ghcrawler_datalake_etl_spark.functions.core import fan_out, quantize, stable_long_hash
@@ -963,3 +963,40 @@ def contamination_report(
             4,
         ).alias("contam_frac"),
     )
+
+
+def keep_best_per_cluster(
+    scored: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Quality-aware near-duplicate resolution: given per-document
+    scores and a (node, cluster_id) near-dup clustering (e.g.
+    connected_components over minhash_lsh_pairs), keep each cluster's
+    HIGHEST-scoring member - the curation policy real pipelines want
+    (canonical-by-min-id keeps an arbitrary copy; this keeps the best
+    one). Ties break by id ascending. Documents in no cluster keep
+    themselves, reported with cluster_id = their own id (a singleton is
+    its own cluster - no NULLs in the output).
+
+    Scale shape: the clusters frame is bounded by the near-dup pair
+    population (tiny next to the corpus), so both the winner join and
+    the singleton anti-join broadcast it; the winner pick is one
+    window over cluster_id partitions of that same small frame. The
+    corpus is scanned once.
+    """
+    c = clusters.select(F.col("node").alias(id_col), "cluster_id")
+    members = scored.join(F.broadcast(c), id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(score_col), F.col(id_col).asc()
+    )
+    winners = (
+        members.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    singles = scored.join(
+        F.broadcast(c.select(id_col)), id_col, "left_anti"
+    ).withColumn("cluster_id", F.col(id_col))
+    return winners.unionByName(singles)

@@ -2566,6 +2566,58 @@ def text_quality_score(spark, sf_dir):
 
 
 @register(
+    "dedup_keep_best_quality",
+    f"""
+    WITH RECURSIVE mh_pairs AS ({_minhash_oracle()}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM mh_pairs
+      UNION
+      SELECT id_b, id_a FROM mh_pairs
+    ),
+    walk(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.node
+    ),
+    clusters AS (
+      SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node
+    ),
+    q AS (SELECT doc_id, {_QUALITY_EXPR_SQL} AS quality FROM documents),
+    members AS (
+      SELECT q.doc_id, q.quality, c.cluster_id,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY q.quality DESC, q.doc_id) AS rn
+      FROM q JOIN clusters c USING (doc_id))
+    SELECT doc_id, quality, cluster_id FROM members WHERE rn = 1
+    UNION ALL
+    SELECT q.doc_id, q.quality, q.doc_id AS cluster_id
+    FROM q LEFT JOIN clusters c USING (doc_id) WHERE c.doc_id IS NULL
+    """,
+)
+def dedup_keep_best_quality(spark, sf_dir):
+    """Quality-aware near-dup resolution
+    (operators/dedup.keep_best_per_cluster): MinHash-LSH clusters
+    resolved by keeping each cluster's HIGHEST-quality member (ties by
+    id) instead of the arbitrary min-id canonical; singletons keep
+    themselves. Shares the LSH pairs cache slot with
+    dedup_minhash_lsh/_clusters."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.5,
+        materialize_result=True,
+    )
+    clusters = DD.connected_components(pairs)
+    toks = fan_out(d).select(
+        "doc_id", "text", TX.tokenize(F.col("text")).alias("toks")
+    )
+    scored = toks.select(
+        "doc_id",
+        TX.quality_score(F.col("text"), F.col("toks")).alias("quality"),
+    )
+    return DD.keep_best_per_cluster(scored, clusters, "doc_id", "quality")
+
+
+@register(
     "sample_top_share_quality",
     f"""
     WITH s AS (SELECT doc_id, source, {_QUALITY_EXPR_SQL} AS quality
@@ -3592,7 +3644,6 @@ def multimodal_frames(spark, sf_dir):
 _DRIVER_ORDER = [
     # -- parity core kept in-window (representative per family group) --
     "q1_pricing_summary",        # A2 multi-key group-by (flagship)
-    "j2_anti_join",              # J2/P4
     "pattern_a_snapshot_upsert",
     "pattern_d_traffic_series",
     # -- LLM-pipeline extension layer: every component family --
@@ -3656,6 +3707,10 @@ _DRIVER_ORDER = [
     #    w1_latest_event_per_user; its w1_maxby twin pins the same
     #    latest-wins semantics and both stay oracle-checked locally) --
     "text_bpe_encode",
+    # -- quality-aware near-dup resolution (slot ceded by the
+    #    double-green j2_anti_join; anti-join semantics stay pinned by
+    #    pattern C in-window and the plan-shape tests) --
+    "dedup_keep_best_quality",
     # ---------------- position 51+: past the driver window ----------
     # first the parity-core queries rotated out this round - each has
     # green driver rows in BOTH CORRECTNESS_r01.json and
@@ -3683,6 +3738,7 @@ _DRIVER_ORDER = [
     "pattern_b_array_child",     # B (ceded its slot in round 3)
     "pattern_c_collection_refresh",  # C (ceded its slot in round 3)
     "w1_latest_event_per_user",  # W1/P6 (ceded its slot in round 3)
+    "j2_anti_join",              # J2/P4 (ceded its slot in round 3)
     # then analytics variants with prior green rows:
     "w1_maxby_latest_event_per_user",
     "topk_orders_per_segment",

@@ -1175,3 +1175,22 @@ def test_bpe_train_greedy_merges_and_boundary_safety(spark):
     # early-stop: more rounds than merge opportunities is a no-op
     merges2, _ = TX.bpe_train_merges(df, "text", num_merges=10)
     assert len(merges2) <= 5
+
+
+def test_keep_best_per_cluster_prefers_quality_over_min_id(spark):
+    """The winner must be the highest-scoring member, not the min-id
+    canonical; singletons keep themselves with cluster_id = own id."""
+    from ghcrawler_datalake_etl_spark.operators import dedup as DD
+
+    scored = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (7, 0.5)],
+        "doc_id long, quality double",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "node long, cluster_id long"
+    )
+    out = {r["doc_id"]: r for r in
+           DD.keep_best_per_cluster(scored, clusters).collect()}
+    assert set(out) == {2, 7}          # 2 beats 3 on the id tiebreak
+    assert out[2]["cluster_id"] == 1
+    assert out[7]["cluster_id"] == 7   # singleton keeps itself

@@ -46,6 +46,7 @@ DOC_ONLY = [
     "text_bigram_logprob",
     "sample_dsir_select",
     "text_bpe_encode",
+    "dedup_keep_best_quality",
 ]
 
 

@@ -61,7 +61,6 @@ OUT_OF_WINDOW_OK = {
 #: files are present).
 PARITY_CORE_IN_WINDOW = {
     "q1_pricing_summary",
-    "j2_anti_join",
     "pattern_a_snapshot_upsert",
     "pattern_d_traffic_series",
 }
@@ -72,6 +71,7 @@ PARITY_CORE_ROTATED_OUT = {
     "pattern_b_array_child",  # ceded its slot to text_bigram_logprob (r3)
     "pattern_c_collection_refresh",  # ceded to sample_dsir_select (r3)
     "w1_latest_event_per_user",  # ceded its slot to text_bpe_encode (r3)
+    "j2_anti_join",  # ceded its slot to dedup_keep_best_quality (r3)
     "sessionize_events",  # ceded its slot to dedup_semantic_prune (r3)
     "pattern_e_version_log",  # ceded its slot to sim_knn_graph (r3)
     "p1_eq_filter",
