@@ -427,3 +427,66 @@ def test_knn_graph_equals_bruteforce_property(spark, rows, num_blocks, k):
         map(tuple, S.cosine_topk(df, df, "vec_id", "embedding", k=k).collect())
     )
     assert got == want
+
+
+def _bpe_reference(word_freq: dict, num_merges: int):
+    """Pure-Python Sennrich BPE trainer: symbols per word, merge the
+    most frequent adjacent pair (count desc, pair asc), all
+    non-overlapping occurrences left-to-right, for num_merges rounds."""
+    vocab = {w: list(w) for w in word_freq}
+    merges = []
+    for _ in range(num_merges):
+        counts = {}
+        for w, syms in vocab.items():
+            f = word_freq[w]
+            i = 0
+            while i < len(syms) - 1:
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+                i += 1
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), n = best
+        merges.append((a, b, n))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=6),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(1, 5),
+)
+def test_bpe_trainer_matches_python_reference(spark, words, num_merges):
+    """The distributed trainer must reproduce the classic in-memory
+    Sennrich algorithm exactly: same merges in the same order with the
+    same counts, same final segmentations. The tiny 'ab' alphabet
+    maximizes overlapping-pair and repeated-merge collisions (aa, ab,
+    aab, abab...) where non-overlapping left-to-right semantics and the
+    tiebreak actually bite."""
+    text = " ".join(words)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    merges, vocab = TX.bpe_train_merges(df, "text", num_merges=num_merges)
+    freq = {}
+    for w in words:
+        freq[w] = freq.get(w, 0) + 1
+    ref_merges, ref_vocab = _bpe_reference(freq, num_merges)
+    assert merges == ref_merges, (merges, ref_merges)
+    got = {
+        r["w"]: r["repr"].strip().split("  ") for r in vocab.collect()
+    }
+    assert got == {w: s for w, s in ref_vocab.items()}, (got, ref_vocab)
