@@ -1090,6 +1090,17 @@ def test_dedup_operators_compose_on_join_derived_inputs(spark, sf_dir):
     ).count() >= 30
     assert S.knn_graph(e, "vec_id", "embedding", k=1).count() == 60
 
+    # the text-model operators too (bigram LM, DSIR, BPE): their
+    # tf/model self-referencing joins must survive a join-derived input
+    from ghcrawler_datalake_etl_spark.operators import sampling as SP
+    from ghcrawler_datalake_etl_spark.operators import search as SR
+
+    assert SR.bigram_logprob(d, "doc_id", "text").count() == 60
+    assert SP.dsir_select(
+        d, "doc_id", "text", F.col("doc_id") < 15, n=10, num_buckets=32
+    ).count() == 10
+    assert X.bpe_encode_stats(d, "doc_id", "text", num_merges=3).count() == 60
+
 
 def test_kmeans_gemm_impl_matches_expr(spark, sf_dir):
     """The Arrow/GEMM Lloyd's pass produces the same centroids as the
