@@ -225,3 +225,54 @@ def wav_encode_silence(
         + data
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+JPEG_MAGIC = b"\xff\xd8"
+#: SOF markers that carry frame dimensions (baseline, extended,
+#: progressive, lossless, and their arithmetic-coded twins); C4/C8/CC
+#: are DHT/JPG/DAC, not frames.
+_JPEG_SOF = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}
+
+
+def is_jpeg(data: bytes) -> bool:
+    return len(data) >= 2 and data[:2] == JPEG_MAGIC
+
+
+def jpeg_dims(data: bytes) -> tuple[int, int]:
+    """(width, height) from the first SOF marker of a JPEG stream -
+    a pure header scan (ITU T.81 B.2), no entropy decode. The 100 TB
+    use case is exactly this: dimension/metadata extraction over binary
+    columns without paying for pixel decode."""
+    if not is_jpeg(data):
+        raise ValueError("not a JPEG (bad signature)")
+    i = 2
+    n = len(data)
+    while i + 3 < n:
+        if data[i] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        # fill bytes: FF may repeat before the marker id
+        while i < n and data[i] == 0xFF:
+            i += 1
+        if i >= n:
+            break
+        marker = data[i]
+        i += 1
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue  # SOI / TEM / RSTn carry no length
+        if i + 1 >= n:
+            break
+        seglen = int.from_bytes(data[i:i + 2], "big")
+        if seglen < 2 or i + seglen > n:
+            raise ValueError("truncated JPEG segment")
+        if marker in _JPEG_SOF:
+            if seglen < 7:
+                raise ValueError("truncated JPEG SOF")
+            height = int.from_bytes(data[i + 3:i + 5], "big")
+            width = int.from_bytes(data[i + 5:i + 7], "big")
+            return width, height
+        if marker == 0xDA:  # SOS: entropy data follows, no SOF seen
+            break
+        i += seglen
+    raise ValueError("JPEG has no SOF frame header")

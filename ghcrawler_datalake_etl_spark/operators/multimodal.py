@@ -60,6 +60,20 @@ def _decode_image_bytes(content: bytes) -> dict:
         except ValueError:
             pass  # malformed/unsupported-subset PNG -> surrogate path
     digest = hashlib.sha256(content).digest()
+    if codecs.is_jpeg(content):
+        try:
+            w, h = codecs.jpeg_dims(content)
+            return {
+                "content_sha256": sha,
+                # dims are a REAL header parse (no entropy decode - the
+                # warehouse-scale metadata path); luma stays surrogate
+                "mean_luma": int.from_bytes(digest[:4], "big") / 2**32,
+                "n_frames": 1,
+                "width": w,
+                "height": h,
+            }
+        except ValueError:
+            pass  # malformed JPEG -> surrogate path
     return {
         "content_sha256": sha,
         # surrogate luma in [0,1) from the first digest bytes

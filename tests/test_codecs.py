@@ -198,3 +198,57 @@ def test_chunk_audio_real_wav_through_spark(spark):
     assert len(chunks) == 3  # 2500 ms -> 1000, 1000, 500
     assert chunks[-1].end_ms == 2500
     assert chunks[-1].start_ms == 2000
+
+
+def _minimal_jpeg(width: int, height: int) -> bytes:
+    """Hand-built JPEG header stream: SOI, APP0, DQT stub, SOF0, SOS."""
+    import struct
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xDB, bytes(65))
+    sof0 = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
+    )
+    sos = seg(0xDA, bytes([1, 1, 0, 0, 63, 0]))
+    return b"\xff\xd8" + app0 + dqt + sof0 + sos + b"\x00\xff\xd9"
+
+
+def test_jpeg_dims_header_scan():
+    from ghcrawler_datalake_etl_spark.operators import codecs as C
+
+    data = _minimal_jpeg(640, 480)
+    assert C.is_jpeg(data)
+    assert C.jpeg_dims(data) == (640, 480)
+    # progressive SOF2 parses too
+    prog = data.replace(b"\xff\xc0", b"\xff\xc2")
+    assert C.jpeg_dims(prog) == (640, 480)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        C.jpeg_dims(b"\xff\xd8\xff\xda\x00\x04\x00\x00")  # SOS before SOF
+    with _pytest.raises(ValueError):
+        C.jpeg_dims(b"not a jpeg")
+
+
+def test_extract_features_real_jpeg_dims(spark):
+    """JPEG payloads flow the real-dims path through the Spark
+    mapInPandas operator (luma stays surrogate by design)."""
+    from ghcrawler_datalake_etl_spark.operators import multimodal as MM
+
+    data = _minimal_jpeg(320, 200)
+    df = spark.createDataFrame(
+        [
+            (1, "image/jpeg", data, None, None, None, None),
+            (2, "application/octet-stream", b"not media", None, None, None, None),
+        ],
+        "doc_id long, media_type string, content binary, width int,"
+        " height int, sample_rate int, duration_ms long",
+    )
+    out = {r["doc_id"]: r for r in MM.extract_features(df).collect()}
+    assert out[1]["width"] == 320 and out[1]["height"] == 200
+    assert out[1]["n_frames"] == 1
+    assert out[2]["width"] is None  # surrogate arm unchanged
+    assert out[2]["n_frames"] >= 1
