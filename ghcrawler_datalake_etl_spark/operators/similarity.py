@@ -660,3 +660,163 @@ def quantize_embeddings_int8(
         q.alias("q8"),
         quantize(F.col("_scale"), 6).alias("scale"),
     )
+
+
+def pq_train(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    k_sub: int = 8,
+    iterations: int = 2,
+    seed: int = 42,
+    dim: int = 64,
+    use_cache: bool = True,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jegou et al. 2011, public
+    algorithm): split the vector into ``m`` contiguous subspaces and
+    train an independent k-means codebook (k_sub centroids) per
+    subspace - the embedding-COMPRESSION complement of the IVF/LSH
+    candidate generators (64 floats -> m bytes per vector at m=4,
+    k_sub<=256: a 64x storage cut for the candidate store).
+
+    Returns m centroid matrices. Each fit is the bit-reproducible
+    clustering.kmeans_fit (integer-scaled sums, quantized centroids,
+    same deterministic init rows for every subspace - the init hashes
+    ids, not values), so the whole codebook has an exact SQL oracle.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    from ghcrawler_datalake_etl_spark.operators import clustering as CL
+
+    sub = dim // m
+    vec = _as_double(F.col(vec_col))
+    base = corpus.filter(F.col(vec_col).isNotNull())
+    books = []
+    for j in range(m):
+        pj = base.select(
+            F.col(id_col), F.slice(vec, j * sub + 1, sub).alias("subvec")
+        )
+        books.append(
+            CL.kmeans_fit(
+                pj, id_col, "subvec", k=k_sub, iterations=iterations,
+                seed=seed, use_cache=use_cache,
+            )
+        )
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    books: list[list[list[float]]],
+) -> DataFrame:
+    """(id, code0..code{m-1}): each vector's nearest sub-centroid per
+    subspace (ties to the lowest centroid index). A narrow projection -
+    the codebooks ride in the plan as literals, nothing shuffles."""
+    from ghcrawler_datalake_etl_spark.operators import clustering as CL
+
+    vec = _as_double(F.col(vec_col))
+    sub = len(books[0][0])
+    cols = [
+        CL._best(F.slice(vec, j * sub + 1, sub), book)["cid"].alias(f"code{j}")
+        for j, book in enumerate(books)
+    ]
+    return corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), *cols
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    m: int = 4,
+    k_sub: int = 8,
+    iterations: int = 2,
+    seed: int = 42,
+    dim: int = 64,
+    use_cache: bool = True,
+) -> DataFrame:
+    """Approximate top-k by asymmetric-distance (ADC) scoring over PQ
+    codes: train codebooks, encode the corpus once (m small ints per
+    vector), build each query's m x k_sub exact subspace-distance
+    table, and score every (query, vector) pair as a SUM OF TABLE
+    LOOKUPS - no vector arithmetic in the corpus pass at all.
+
+    Returns (query_id, neighbor_id, adc_q6, rank): L2-squared ADC
+    distance ascending, ties by neighbor id. Scale shape: the corpus
+    side carries only (id, j, code) rows (m per vector); the
+    query-distance table (nq * m * k_sub rows) broadcasts into the
+    join; the per-pair sum folds j-sorted (m quantized doubles - exact
+    on both engines); one hash aggregate and one per-query window.
+    Zero-norm and all-zero vectors are fine (L2 needs no norm divide);
+    NULL vectors are excluded on both sides.
+    """
+    from ghcrawler_datalake_etl_spark.operators import clustering as CL
+
+    sub = dim // m
+    books = pq_train(
+        corpus, id_col, vec_col, m, k_sub, iterations, seed, dim, use_cache
+    )
+    codes = pq_encode(fan_out(corpus), id_col, vec_col, books)
+    codes_long = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode(
+            F.array(*[F.col(f"code{j}") for j in range(m)])
+        ).alias("j", "code"),
+    )
+    qvec = _as_double(F.col(vec_col))
+    entries = []
+    for j, book in enumerate(books):
+        sq = F.slice(qvec, j * sub + 1, sub)
+        for cid, cent in enumerate(book):
+            entries.append(
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.lit(cid).cast("int").alias("code"),
+                    CL._dist_sq(sq, F.lit([float(x) for x in cent])).alias(
+                        "dq"
+                    ),
+                )
+            )
+    qtab = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.explode(F.array(*entries)).alias("e"),
+        )
+        .select(
+            "query_id",
+            F.col("e.j").alias("j"),
+            F.col("e.code").alias("code"),
+            F.col("e.dq").alias("dq"),
+        )
+    )
+    scored = (
+        codes_long.join(F.broadcast(qtab), ["j", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.array_sort(F.collect_list(F.struct("j", "dq"))).alias("_p"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            quantize(
+                F.aggregate(
+                    F.col("_p"), F.lit(0.0), lambda a, p: a + p["dq"]
+                ),
+                6,
+            ).alias("adc_q6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_q6").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_q6", "rank")
+    )

@@ -2187,10 +2187,16 @@ def sim_ivf_topk(spark, sf_dir):
     )
 
 
-def _kmeans_ctes(k: int, iters: int) -> tuple[list[str], str]:
+def _kmeans_ctes(
+    k: int,
+    iters: int,
+    prefix: str = "",
+    vexpr: str = "list_transform(embedding, x -> x::DOUBLE)",
+) -> tuple[list[str], str]:
     """The unrolled Lloyd's-iteration CTE chain; returns (ctes, name of
-    the final centroid CTE). Shared by the kmeans assignment oracle and
-    the learned-centroid IVF oracle."""
+    the final centroid CTE). Shared by the kmeans assignment oracle,
+    the learned-centroid IVF oracle, and (prefixed, once per subspace
+    slice) the PQ oracle."""
     bucket = (
         "cast(('0x' || substr(md5('42' || chr(31) || "
         "cast(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000"
@@ -2199,44 +2205,45 @@ def _kmeans_ctes(k: int, iters: int) -> tuple[list[str], str]:
         "list_reduce(list_transform(range(1, len(p.v) + 1), "
         "i -> (p.v[i] - c.c[i]) * (p.v[i] - c.c[i])), (a, b) -> a + b)"
     )
+    p = prefix
     ctes = [
-        f"""pts AS (
-      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        f"""{p}pts AS MATERIALIZED (
+      SELECT vec_id, {vexpr} AS v
       FROM embeddings WHERE embedding IS NOT NULL
     )""",
-        f"""c0 AS (
+        f"""{p}c0 AS (
       SELECT cid, c FROM (
         SELECT row_number() OVER (ORDER BY {bucket}, vec_id) - 1 AS cid,
                list_transform(v, x -> floor(x * 1000000) / 1000000) AS c
-        FROM pts)
+        FROM {p}pts)
       WHERE cid < {k}
     )""",
     ]
     for t in range(1, iters + 1):
-        ctes.append(f"""a{t} AS (
+        ctes.append(f"""{p}a{t} AS (
       SELECT vec_id, v, cluster FROM (
         SELECT p.vec_id, p.v, c.cid AS cluster,
                row_number() OVER (PARTITION BY p.vec_id
                                   ORDER BY {dist}, c.cid) AS rn
-        FROM pts p CROSS JOIN c{t - 1} c)
+        FROM {p}pts p CROSS JOIN {p}c{t - 1} c)
       WHERE rn = 1
     )""")
-        ctes.append(f"""m{t} AS (
+        ctes.append(f"""{p}m{t} AS (
       SELECT cluster,
              list(floor(s::DOUBLE / n) / 1000000 ORDER BY i) AS cl
       FROM (
         SELECT a.cluster, u.i,
                sum(cast(floor(a.v[u.i] * 1000000) AS BIGINT)) AS s,
                count(*) AS n
-        FROM a{t} a, unnest(range(1, len(a.v) + 1)) AS u(i)
+        FROM {p}a{t} a, unnest(range(1, len(a.v) + 1)) AS u(i)
         GROUP BY a.cluster, u.i)
       GROUP BY cluster
     )""")
-        ctes.append(f"""c{t} AS (
+        ctes.append(f"""{p}c{t} AS MATERIALIZED (
       SELECT prev.cid, coalesce(m.cl, prev.c) AS c
-      FROM c{t - 1} prev LEFT JOIN m{t} m ON m.cluster = prev.cid
+      FROM {p}c{t - 1} prev LEFT JOIN {p}m{t} m ON m.cluster = prev.cid
     )""")
-    return ctes, f"c{iters}"
+    return ctes, f"{p}c{iters}"
 
 
 def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
@@ -2259,6 +2266,72 @@ def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
       FROM pts p CROSS JOIN c{iters} c)
     WHERE rn = 1
     """
+
+
+def _pq_oracle(m: int = 4, k_sub: int = 8, iters: int = 2, sub: int = 16,
+               topk: int = 5) -> str:
+    """Product-quantization ADC oracle: one prefixed kmeans CTE chain
+    per subspace slice (identical init rows - the init hashes ids),
+    per-subspace code assignment + query distance tables, then the
+    ADC sum as a j-sorted fold. MATERIALIZED chain state (the BPE
+    lesson): four chains of plain CTEs would re-inline per reference."""
+    ctes: list[str] = []
+    parts_selects = []
+    dist = (
+        "list_reduce(list_transform(range(1, len(p.v) + 1), "
+        "i -> (p.v[i] - c.c[i]) * (p.v[i] - c.c[i])), (a, b) -> a + b)"
+    )
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        vexpr = f"list_transform(embedding[{lo}:{hi}], x -> x::DOUBLE)"
+        chain, final = _kmeans_ctes(k_sub, iters, prefix=f"s{j}_", vexpr=vexpr)
+        ctes += chain
+        ctes.append(f"""s{j}_code AS MATERIALIZED (
+      SELECT vec_id, cid AS code FROM (
+        SELECT p.vec_id, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY {dist}, c.cid) AS rn
+        FROM s{j}_pts p CROSS JOIN {final} c) WHERE rn = 1)""")
+        ctes.append(f"""s{j}_qt AS MATERIALIZED (
+      SELECT p.vec_id AS qid, c.cid AS code, {dist} AS dq
+      FROM s{j}_pts p CROSS JOIN {final} c WHERE p.vec_id < 10)""")
+        parts_selects.append(
+            f"SELECT q.qid AS query_id, s.vec_id AS neighbor_id, "
+            f"{j} AS j, q.dq "
+            f"FROM s{j}_code s JOIN s{j}_qt q ON s.code = q.code"
+        )
+    parts = " UNION ALL ".join(parts_selects)
+    return f"""
+    WITH {', '.join(ctes)},
+    parts AS ({parts}),
+    agg AS (
+      SELECT query_id, neighbor_id,
+             floor(list_reduce(list(dq ORDER BY j), (a, b) -> a + b)
+                   * 1000000) / 1000000 AS adc_q6
+      FROM parts WHERE query_id <> neighbor_id
+      GROUP BY query_id, neighbor_id)
+    SELECT query_id, neighbor_id, adc_q6, rank FROM (
+      SELECT agg.*, row_number() OVER (PARTITION BY query_id
+                      ORDER BY adc_q6, neighbor_id) AS rank FROM agg) t
+    WHERE rank <= {topk}
+    """
+
+
+@register("sim_pq_adc_topk", _pq_oracle())
+def sim_pq_adc_topk(spark, sf_dir):
+    """Product quantization + asymmetric-distance top-k
+    (operators/similarity.pq_train/pq_encode/pq_topk, Jegou et al.
+    2011): 4 subspaces x 8 centroids learned by the bit-reproducible
+    kmeans, corpus encoded to 4 small ints per vector (16x compression
+    at this dim; 64x at k_sub=256), queries scored as sums of
+    broadcast-table lookups. The compression complement of the
+    IVF/LSH candidate generators."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return SIM.pq_topk(
+        e, q, "vec_id", "embedding", k=5, m=4, k_sub=8, iterations=2,
+        dim=64, use_cache=True,
+    )
 
 
 @register("sim_kmeans_assign", _kmeans_oracle(k=4, iters=2))
@@ -3645,7 +3718,6 @@ _DRIVER_ORDER = [
     # -- parity core kept in-window (representative per family group) --
     "q1_pricing_summary",        # A2 multi-key group-by (flagship)
     "pattern_a_snapshot_upsert",
-    "pattern_d_traffic_series",
     # -- LLM-pipeline extension layer: every component family --
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -3711,6 +3783,10 @@ _DRIVER_ORDER = [
     #    double-green j2_anti_join; anti-join semantics stay pinned by
     #    pattern C in-window and the plan-shape tests) --
     "dedup_keep_best_quality",
+    # -- product quantization + ADC (slot ceded by the double-green
+    #    pattern_d_traffic_series; pattern D semantics stay pinned by
+    #    the local oracle mirror and the pattern/plan pytest suites) --
+    "sim_pq_adc_topk",
     # ---------------- position 51+: past the driver window ----------
     # first the parity-core queries rotated out this round - each has
     # green driver rows in BOTH CORRECTNESS_r01.json and
@@ -3739,6 +3815,7 @@ _DRIVER_ORDER = [
     "pattern_c_collection_refresh",  # C (ceded its slot in round 3)
     "w1_latest_event_per_user",  # W1/P6 (ceded its slot in round 3)
     "j2_anti_join",              # J2/P4 (ceded its slot in round 3)
+    "pattern_d_traffic_series",  # D (ceded its slot in round 3)
     # then analytics variants with prior green rows:
     "w1_maxby_latest_event_per_user",
     "topk_orders_per_segment",

