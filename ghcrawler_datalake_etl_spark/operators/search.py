@@ -37,6 +37,28 @@ K1 = 1.2
 B = 0.75
 
 
+def _doc_term_tf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The shared lexical index: (doc_id, term, tf), materialized.
+
+    Every consumer builds this frame with the IDENTICAL construction on
+    the same input plan, so Spark's cache manager substitutes one
+    persisted copy for all of them (the jaccard-pairs-cache contract):
+    the unigram LM, TF-IDF retrieval, and the bigram model's unigram
+    fallback pay the tokenize + explode + tf shuffle once per process,
+    not once per query."""
+    from ghcrawler_datalake_etl_spark.operators.dedup import _materialize
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize(F.col(text_col)).alias("toks"),
+    )
+    return _materialize(
+        base.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
 def unigram_logprob(
     df: DataFrame,
     id_col: str,
@@ -55,20 +77,10 @@ def unigram_logprob(
     bit-reproducible (same contract as bm25_topk; ln() wobble is
     floor-quantized away).
     """
-    from ghcrawler_datalake_etl_spark.operators.dedup import _materialize
-
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        tokenize(F.col(text_col)).alias("toks"),
-    )
-    # tf feeds three consumers (the scoring join, the vocabulary, and
-    # the corpus constants); materialized so the tokenize+explode+
-    # aggregate subtree runs once, not once per branch
-    tf = _materialize(
-        base.select("doc_id", F.explode("toks").alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
+    # tf feeds three consumers here (the scoring join, the vocabulary,
+    # and the corpus constants) AND other lexical queries in the same
+    # process - the shared _doc_term_tf cache slot
+    tf = _doc_term_tf(df, id_col, text_col)
     vocab = tf.groupBy("term").agg(F.sum("tf").alias("n"))
     consts = vocab.agg(
         F.sum("n").alias("total"), F.count("*").alias("vocab")
@@ -260,11 +272,8 @@ def tfidf_cosine_topk(
         F.col(id_col).alias("doc_id"),
         tokenize(F.col(text_col)).alias("toks"),
     )
-    tf = _materialize(
-        base.select("doc_id", F.explode("toks").alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
+    # shared lexical index (one cache slot with unigram/bigram LM)
+    tf = _doc_term_tf(df, id_col, text_col)
     consts = base.agg(F.count("*").alias("n_docs"))
     idf = _materialize(
         tf.groupBy("term")
@@ -392,10 +401,13 @@ def bigram_logprob(
     )
     big = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("cvw"))
     left = big.groupBy("w1").agg(F.sum("cvw").alias("cv"))
+    # unigram fallback model from the SHARED (doc, term) tf frame -
+    # same cache slot as unigram_logprob / tfidf_cosine_topk, and one
+    # less corpus scan for this query (sum of per-doc tf == raw count)
     vocab = (
-        base.select(F.explode("toks").alias("term"))
+        _doc_term_tf(df, id_col, text_col)
         .groupBy("term")
-        .agg(F.count("*").alias("n"))
+        .agg(F.sum("tf").alias("n"))
     )
     consts = vocab.agg(F.sum("n").alias("total"), F.count("*").alias("vocab"))
     contrib = (

@@ -3355,8 +3355,10 @@ def search_tfidf_cosine(spark, sf_dir):
     TF-IDF cosine top-10 for the same 3-term query bm25 uses. idf is
     floor-quantized at the source so ln() wobble never enters the
     arithmetic; norms and dots fold term-sorted, so the score matches
-    the oracle bit-for-bit before the final quantize."""
-    d = _t(spark, sf_dir, "documents")
+    the oracle bit-for-bit before the final quantize. fan_out matches
+    the unigram/bigram queries' input plan exactly, so all three
+    substitute ONE cached (doc, term) tf frame."""
+    d = fan_out(_t(spark, sf_dir, "documents"))
     return SR.tfidf_cosine_topk(
         d, "doc_id", "text", list(_BM25_TERMS), top_k=10
     )
