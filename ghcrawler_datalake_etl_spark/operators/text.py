@@ -614,6 +614,15 @@ def bpe_train_merges(
                 F.lit(f" {w1}{w2} "),
             ),
         )
+        # the plan accumulates one nested replace per round; at the
+        # default 8 that replay over the cached vocab is free, but a
+        # production-sized merge table (10^3-10^4 rounds) would pay
+        # O(rounds^2) expression replay - flatten the lineage every 16
+        # rounds (the CC-loop checkpoint discipline)
+        if len(merges) % 16 == 0:
+            from ghcrawler_datalake_etl_spark.operators.dedup import _checkpoint
+
+            vocab = _checkpoint(vocab)
     return merges, vocab
 
 

@@ -490,3 +490,18 @@ def test_bpe_trainer_matches_python_reference(spark, words, num_merges):
         r["w"]: r["repr"].strip().split("  ") for r in vocab.collect()
     }
     assert got == {w: s for w, s in ref_vocab.items()}, (got, ref_vocab)
+
+
+def test_bpe_trainer_checkpoint_boundary_matches_reference(spark):
+    """A >16-round training run crosses the every-16-rounds lineage
+    checkpoint; the flattening must not perturb the merges."""
+    df = spark.createDataFrame(
+        [(0, "abcdefgh ijklmnop qrstuvwx yzabcdef ghijklmn opqrstuv")],
+        "doc_id long, text string",
+    )
+    merges, vocab = TX.bpe_train_merges(df, "text", num_merges=20)
+    assert len(merges) == 20
+    got = {r["w"]: r["repr"].strip().split("  ") for r in vocab.collect()}
+    ref_m, ref_v = _bpe_reference({w: 1 for w in got}, 20)
+    assert list(merges) == ref_m
+    assert got == ref_v
