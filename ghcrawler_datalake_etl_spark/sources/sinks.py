@@ -347,3 +347,23 @@ def write_tsv(df: DataFrame, path: str, num_files: int = 1) -> None:
         .option("header", True)
         .csv(path)
     )
+
+
+def read_tsv(spark, path: str, schema) -> DataFrame:
+    """Typed TSV re-ingest - the round-trip complement of write_tsv
+    (S7): read an export back under an explicit schema (header row
+    skipped, try-cast semantics per CSV reader). Pass the frame schema
+    you exported (``df.schema``) or a hand-built StructType.
+
+    TSV is a lossy text format: NULL and '' both serialize to an empty
+    field, so a round-trip maps empty strings to NULL - the same
+    ambiguity the reference's Outputters.Tsv/Extractors.Tsv pair has.
+    Everything else (longs, booleans, timestamps under the session UTC
+    zone) round-trips exactly.
+    """
+    return (
+        spark.read.option("sep", "\t")
+        .option("header", True)
+        .schema(schema)
+        .csv(path)
+    )

@@ -49,3 +49,33 @@ def test_cli_stage_daily_export(spark, tmp_path):
     assert tsvs, "export produced no TSV part file"
     body = open(os.path.join(out, "Repo", tsvs[0])).read()
     assert "cliproj" in body
+
+
+def test_tsv_round_trip_typed(spark, tmp_path):
+    """write_tsv -> read_tsv under the exported schema reproduces the
+    frame exactly, modulo the documented empty-string -> NULL collapse
+    (TSV cannot distinguish them)."""
+    from pyspark.sql import functions as F
+    from ghcrawler_datalake_etl_spark.sources.sinks import read_tsv, write_tsv
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha", True, "2024-01-05 01:02:03", 9.5),
+            (2, None, False, None, None),
+            (3, "", None, "2024-02-29 23:59:59", -0.25),
+        ],
+        "id long, name string, flag boolean, ts string, score double",
+    ).select(
+        "id", "name", "flag", F.col("ts").cast("timestamp").alias("ts"),
+        "score",
+    )
+    out = str(tmp_path / "tsv")
+    write_tsv(df, out)
+    back = read_tsv(spark, out, df.schema)
+    norm = df.withColumn(
+        "name", F.when(F.col("name") == "", None).otherwise(F.col("name"))
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, norm.collect())
+    )
+    assert back.schema == df.schema
