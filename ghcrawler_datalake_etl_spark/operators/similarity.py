@@ -680,30 +680,98 @@ def pq_train(
     candidate generators (64 floats -> m bytes per vector at m=4,
     k_sub<=256: a 64x storage cut for the candidate store).
 
-    Returns m centroid matrices. Each fit is the bit-reproducible
-    clustering.kmeans_fit (integer-scaled sums, quantized centroids,
-    same deterministic init rows for every subspace - the init hashes
-    ids, not values), so the whole codebook has an exact SQL oracle.
+    Returns m centroid matrices, bit-identical to running
+    clustering.kmeans_fit per sliced subspace (pinned by pytest):
+    integer-scaled sums, quantized centroids, and the SAME init rows
+    for every subspace (the init hashes ids, not values; slicing the
+    quantized full vector equals quantizing the slice pointwise) - so
+    the whole codebook has an exact SQL oracle.
+
+    Fused training: all m subspaces advance in ONE job per iteration -
+    the per-subspace assignments are m argmin columns in a single
+    projection and the M-step is one (subspace, cluster, pos) aggregate
+    (m*k_sub*(dim/m) = k_sub*dim rows to the driver - the bounded-pull
+    contract). m separate kmeans_fit calls cost m*iterations jobs of
+    launch overhead for identical numbers.
     """
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    import math
+
     from ghcrawler_datalake_etl_spark.operators import clustering as CL
 
     sub = dim // m
     vec = _as_double(F.col(vec_col))
     base = corpus.filter(F.col(vec_col).isNotNull())
-    books = []
-    for j in range(m):
-        pj = base.select(
-            F.col(id_col), F.slice(vec, j * sub + 1, sub).alias("subvec")
-        )
-        books.append(
-            CL.kmeans_fit(
-                pj, id_col, "subvec", k=k_sub, iterations=iterations,
-                seed=seed, use_cache=use_cache,
+    key = None
+    if use_cache:
+        try:
+            key = (
+                base.semanticHash(), id_col, vec_col, m, k_sub,
+                iterations, seed, dim,
             )
+        except Exception:
+            key = None
+        if key is not None and key in _PQ_FIT_CACHE:
+            return [[list(c) for c in b] for b in _PQ_FIT_CACHE[key]]
+    init_full = CL.kmeans_init(base, id_col, vec_col, k_sub, seed)
+    books = [
+        [row[j * sub:(j + 1) * sub] for row in init_full] for j in range(m)
+    ]
+    for _ in range(iterations):
+        # argmin in its own select, generator in the next (the
+        # _iteration_sums_expr analyzer contract)
+        proj = base.select(
+            *[
+                CL._best(F.slice(vec, j * sub + 1, sub), books[j])[
+                    "cid"
+                ].alias(f"_c{j}")
+                for j in range(m)
+            ],
+            vec.alias("_v"),
         )
+        rows = (
+            proj.select(
+                F.array(*[F.col(f"_c{j}") for j in range(m)]).alias("_cs"),
+                F.posexplode("_v").alias("pos", "x"),
+            )
+            .select(
+                (F.col("pos") / F.lit(sub)).cast("int").alias("j"),
+                F.element_at(
+                    F.col("_cs"), (F.col("pos") / F.lit(sub)).cast("int") + 1
+                ).alias("cluster"),
+                (F.col("pos") % F.lit(sub)).alias("pos_in"),
+                F.col("x"),
+            )
+            .groupBy("j", "cluster", "pos_in")
+            .agg(
+                F.sum(F.floor(F.col("x") * CL.SCALE).cast("long")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        new: dict = {}
+        for r in rows:
+            new.setdefault((r.j, r.cluster), {})[r.pos_in] = (
+                math.floor(r.s / r.n) / CL.SCALE
+            )
+        books = [
+            [
+                [new[(j, c)][p] for p in range(sub)]
+                if (j, c) in new
+                else books[j][c]
+                for c in range(k_sub)
+            ]
+            for j in range(m)
+        ]
+    if key is not None:
+        _PQ_FIT_CACHE[key] = [[list(c) for c in b] for b in books]
     return books
+
+
+#: memo for pq_train use_cache=True: plain Python floats, no executor
+#: storage (the kmeans _FIT_CACHE contract)
+_PQ_FIT_CACHE: dict[tuple, list[list[list[float]]]] = {}
 
 
 def pq_encode(

@@ -1246,3 +1246,20 @@ def test_pq_codes_and_adc_recall(spark, sf_dir):
             f"query {qid}: ADC picks are no better than random "
             f"({mean_sel:.3f} vs corpus mean {mean_all:.3f})"
         )
+
+
+def test_pq_fused_fit_equals_per_subspace_kmeans(spark, sf_dir):
+    """The fused one-job-per-iteration trainer must be bit-identical to
+    m independent kmeans_fit calls on the sliced columns."""
+    from ghcrawler_datalake_etl_spark.operators import clustering as CL
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    fused = S.pq_train(emb, "vec_id", "embedding", m=4, k_sub=8,
+                       iterations=2, dim=64, use_cache=False)
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.filter(F.col("embedding").isNotNull())
+    for j in range(4):
+        pj = base.select("vec_id", F.slice(vec, j * 16 + 1, 16).alias("sv"))
+        ref = CL.kmeans_fit(pj, "vec_id", "sv", k=8, iterations=2,
+                            seed=42, use_cache=False)
+        assert fused[j] == ref, f"subspace {j} diverges"
