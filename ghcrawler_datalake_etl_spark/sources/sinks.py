@@ -38,11 +38,28 @@ class ParquetCatalog:
     (``read(name, version=...)``, ``versions``, ``vacuum``).
     """
 
-    def __init__(self, spark: SparkSession, warehouse: str, retain: int = 2):
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        retain: int = 2,
+        data_format: str = "parquet",
+    ):
+        if data_format not in ("parquet", "orc"):
+            raise ValueError(
+                f"data_format must be 'parquet' or 'orc', got {data_format!r}"
+            )
         self.spark = spark
         self.warehouse = warehouse
         self.retain = max(1, retain)
+        #: columnar file format of every snapshot (parquet default; orc
+        #: is the drop-in alternative - the versioned-pointer machinery,
+        #: bucket partitioning, and hardlink relinking are format-blind)
+        self.data_format = data_format
         os.makedirs(warehouse, exist_ok=True)
+
+    def _read_files(self, path: str) -> DataFrame:
+        return self.spark.read.format(self.data_format).load(path)
 
     def _table_dir(self, name: str) -> str:
         return os.path.join(self.warehouse, name)
@@ -90,7 +107,7 @@ class ParquetCatalog:
                     f"table {name} version {version} not retained "
                     f"(have {self.versions(name)})"
                 )
-        df = self.spark.read.parquet(path)
+        df = self._read_files(path)
         # merged tables carry the internal hash-bucket partition column
         return df.drop(_BUCKET_COL) if _BUCKET_COL in df.columns else df
 
@@ -98,7 +115,7 @@ class ParquetCatalog:
         path = self.current_path(name)
         if path is None:
             return None
-        df = self.spark.read.parquet(path)
+        df = self._read_files(path)
         return df.drop(_BUCKET_COL) if _BUCKET_COL in df.columns else df
 
     def overwrite(
@@ -125,7 +142,7 @@ class ParquetCatalog:
             writer = writer.coalesce(num_files)
         if sort_by:
             writer = writer.sortWithinPartitions(*sort_by)
-        writer.write.mode("overwrite").parquet(out)
+        writer.write.mode("overwrite").format(self.data_format).save(out)
         tmp_ptr = os.path.join(tdir, _POINTER + ".tmp")
         with open(tmp_ptr, "w") as f:
             f.write(str(new))
@@ -223,7 +240,9 @@ class ParquetCatalog:
             # for the listing+scan of all of them
             merged.withColumn(_BUCKET_COL, bucket).repartition(
                 num_buckets, F.col(_BUCKET_COL)
-            ).write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(out)
+            ).write.mode("overwrite").partitionBy(_BUCKET_COL).format(
+                self.data_format
+            ).save(out)
             stats["rewritten"] = sum(
                 1 for d in os.listdir(out) if d.startswith(f"{_BUCKET_COL}=")
             )
@@ -233,7 +252,7 @@ class ParquetCatalog:
                 for r in delta_b.select(_BUCKET_COL).distinct().collect()
             )
             cur_path = self.current_path(name)
-            old_df = self.spark.read.parquet(cur_path)
+            old_df = self._read_files(cur_path)
             survivors = (
                 old_df.filter(F.col(_BUCKET_COL).isin(affected))
                 .join(delta.select(*key_cols).distinct(), key_cols, "left_anti")
@@ -244,7 +263,9 @@ class ParquetCatalog:
             # one task per affected bucket -> one file per bucket dir
             merged.repartition(
                 max(len(affected), 1), F.col(_BUCKET_COL)
-            ).write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(out)
+            ).write.mode("overwrite").partitionBy(_BUCKET_COL).format(
+                self.data_format
+            ).save(out)
             stats["rewritten"] = len(affected)
             # re-link untouched buckets into the new snapshot
             for d in os.listdir(cur_path):
