@@ -165,3 +165,54 @@ def enrich_with_dim(
     """
     d = F.broadcast(dim) if broadcast_dim else dim
     return stream.join(d, join_expr, how)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "2 hours",
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    prefix: tuple[str, str] = ("l_", "r_"),
+) -> DataFrame:
+    """Stream-stream inner join on a key within an event-time interval:
+    a right row matches a left row when ``r.ts`` falls in
+    ``[l.ts + lower, l.ts + upper]`` - the click-to-purchase /
+    impression-attribution shape (the streaming twin of
+    temporal.interval_join; the interval bound is what lets Spark age
+    state out instead of buffering both streams forever).
+
+    Both sides are watermarked and NULL-event-time rows are excluded
+    explicitly (the batch-twin parity convention of
+    windowed_event_counts). Works identically on two STATIC frames -
+    the oracle-checkable batch twin - because the join condition is the
+    same Column expression either way.
+
+    Scale: state per key is bounded by ``watermark + upper``; the join
+    itself is a key-partitioned shuffle on both sides, exactly like a
+    batch equi-join on (key) with the range as a residual predicate.
+    """
+    lp, rp = prefix
+    lf = left.filter(F.col(left_ts).isNotNull())
+    rf = right.filter(F.col(right_ts).isNotNull())
+    if lf.isStreaming:
+        lf = lf.withWatermark(left_ts, watermark)
+    if rf.isStreaming:
+        rf = rf.withWatermark(right_ts, watermark)
+    lsel = lf.select([F.col(c).alias(f"{lp}{c}") for c in lf.columns])
+    rsel = rf.select([F.col(c).alias(f"{rp}{c}") for c in rf.columns])
+    cond = (
+        (F.col(f"{lp}{key_col}") == F.col(f"{rp}{key_col}"))
+        & (
+            F.col(f"{rp}{right_ts}")
+            >= F.col(f"{lp}{left_ts}") + F.expr(f"INTERVAL {lower}")
+        )
+        & (
+            F.col(f"{rp}{right_ts}")
+            <= F.col(f"{lp}{left_ts}") + F.expr(f"INTERVAL {upper}")
+        )
+    )
+    return lsel.join(rsel, cond, "inner")

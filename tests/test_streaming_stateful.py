@@ -357,3 +357,74 @@ def test_chunk_windows_work_on_streams(spark, tmp_path):
     got = sorted(map(tuple, spark.table("chunk_stream").collect()))
     want = sorted(map(tuple, batch.collect()))
     assert got == want and len(want) == 4  # 3 chunks for doc1 + 1 for doc2
+
+
+@pytest.mark.slow
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Two file streams joined within an event-time interval produce
+    exactly the rows the SAME operator yields on the static frames
+    (the batch-twin parity contract); a right event outside the
+    interval or with a NULL timestamp never matches."""
+    from ghcrawler_datalake_etl_spark.streaming.ingest import (
+        stream_stream_interval_join,
+    )
+
+    ldir, rdir = tmp_path / "l", tmp_path / "r"
+    ldir.mkdir(), rdir.mkdir()
+    clicks = [
+        {"user_id": "u1", "ts": "2024-01-01 10:00:00", "page": "a"},
+        {"user_id": "u2", "ts": "2024-01-01 10:05:00", "page": "b"},
+        {"user_id": "u3", "ts": None, "page": "c"},          # NULL ts
+    ]
+    buys = [
+        {"user_id": "u1", "ts": "2024-01-01 10:30:00", "amount": 5.0},
+        {"user_id": "u1", "ts": "2024-01-01 12:30:00", "amount": 9.0},  # late
+        {"user_id": "u2", "ts": "2024-01-01 10:04:00", "amount": 1.0},  # early
+        {"user_id": "u2", "ts": "2024-01-01 11:00:00", "amount": 2.0},
+    ]
+    with open(ldir / "l.json", "w") as f:
+        f.writelines(json.dumps(r) + "\n" for r in clicks)
+    with open(rdir / "r.json", "w") as f:
+        f.writelines(json.dumps(r) + "\n" for r in buys)
+
+    lschema = "user_id string, ts timestamp, page string"
+    rschema = "user_id string, ts timestamp, amount double"
+    out = stream_stream_interval_join(
+        spark.readStream.schema(lschema).json(str(ldir)),
+        spark.readStream.schema(rschema).json(str(rdir)),
+        key_col="user_id",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r["l_user_id"], str(r["r_ts"]), r["r_amount"])
+            for r in spark.sql("SELECT * FROM ssj_out").collect()
+        )
+    finally:
+        q.stop()
+    batch = stream_stream_interval_join(
+        spark.createDataFrame(
+            [(c["user_id"], c["ts"], c["page"]) for c in clicks],
+            "user_id string, ts string, page string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")),
+        spark.createDataFrame(
+            [(b["user_id"], b["ts"], b["amount"]) for b in buys],
+            "user_id string, ts string, amount double",
+        ).withColumn("ts", F.col("ts").cast("timestamp")),
+        key_col="user_id",
+    )
+    want = sorted(
+        (r["l_user_id"], str(r["r_ts"]), r["r_amount"])
+        for r in batch.collect()
+    )
+    assert got == want
+    assert got == [
+        ("u1", "2024-01-01 10:30:00", 5.0),
+        ("u2", "2024-01-01 11:00:00", 2.0),
+    ]
