@@ -404,3 +404,22 @@ def test_dsir_broadcast_model_and_distributed_topk(spark, queries):
     assert "BroadcastHashJoin" in p, p
     assert "TakeOrderedAndProject" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_pq_adc_is_broadcast_table_lookup(spark, queries):
+    """The ADC scoring plan must join the corpus code rows to a
+    BROADCAST query-distance table and never fall back to a cartesian
+    or sort-merge join; training happens before the plan (bounded
+    pulls), so no fit machinery appears in it."""
+    p = plan(queries["sim_pq_adc_topk"](spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p, p
+
+
+def test_keep_best_broadcasts_cluster_frame(spark, queries):
+    """Both the winner join and the singleton anti-join must broadcast
+    the pair-bounded clusters frame - the corpus never shuffles for
+    either."""
+    p = plan(queries["dedup_keep_best_quality"](spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
