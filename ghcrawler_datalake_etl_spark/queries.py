@@ -35,6 +35,7 @@ from ghcrawler_datalake_etl_spark.functions.core import (
 from ghcrawler_datalake_etl_spark.operators import clustering as CL
 from ghcrawler_datalake_etl_spark.operators import dedup as DD
 from ghcrawler_datalake_etl_spark.operators import sampling as SP
+from ghcrawler_datalake_etl_spark.operators import classifier as CF
 from ghcrawler_datalake_etl_spark.operators import search as SR
 from ghcrawler_datalake_etl_spark.operators import similarity as SIM
 from ghcrawler_datalake_etl_spark.operators import text as TX
@@ -2638,6 +2639,77 @@ def text_quality_score(spark, sf_dir):
     )
 
 
+def _logreg_oracle(iterations: int = 3, lr: float = 0.5) -> str:
+    """Unrolled-GD oracle for the logistic-regression quality
+    classifier: one (gradient-aggregate, weight-update) CTE pair per
+    iteration, the classifier.py exactness contract (source-quantized
+    sigmoid, integer gradient sums, re-quantized weights)."""
+    lex = ", ".join(f"'{w}'" for w in TX.LANG_LEXICONS["en"])
+    sig = (
+        "floor(1.0 / (1.0 + exp(-(w.b + w.w1 * f.f1 + w.w2 * f.f2"
+        " + w.w3 * f.f3 + w.w4 * f.f4))) * 1000000) / 1000000"
+    )
+    ctes = [
+        f"""feats AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(coalesce(lang = 'en', false) AS INT) AS y,
+             least(len({_TOKS_SQL})::DOUBLE / 200.0, 1.0) AS f1,
+             length(regexp_replace(coalesce(text, ''), '[^A-Za-z]', '', 'g'))::DOUBLE
+               / greatest(length(coalesce(text, '')), 1) AS f2,
+             len(list_intersect(list_distinct({_TOKS_SQL}), [{lex}]))::DOUBLE
+               / greatest(len({_TOKS_SQL}), 1) AS f3,
+             length(regexp_replace(coalesce(text, ''), '[^0-9]', '', 'g'))::DOUBLE
+               / greatest(length(coalesce(text, '')), 1) AS f4
+      FROM documents)""",
+        "w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2,"
+        " 0.0 AS w3, 0.0 AS w4)",
+    ]
+    for t in range(1, iterations + 1):
+        grads = ", ".join(
+            f"sum(CAST(floor((p - y) * {'1.0' if j == 0 else f'f{j}'}"
+            f" * 1000000) AS BIGINT)) AS g{j}"
+            for j in range(5)
+        )
+        ctes.append(f"""g{t} AS MATERIALIZED (
+      SELECT count(*) AS n, {grads}
+      FROM (SELECT f.y, f.f1, f.f2, f.f3, f.f4, {sig} AS p
+            FROM feats f CROSS JOIN w{t - 1} w) s)""")
+        ups = ", ".join(
+            f"floor((w.{'b' if j == 0 else f'w{j}'} - {lr}"
+            f" * (g.g{j} / (g.n * 1000000.0))) * 1000000) / 1000000"
+            f" AS {'b' if j == 0 else f'w{j}'}"
+            for j in range(5)
+        )
+        ctes.append(
+            f"w{t} AS MATERIALIZED (SELECT {ups}"
+            f" FROM w{t - 1} w CROSS JOIN g{t} g)"
+        )
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT doc_id, y, p AS p_q6, p >= 0.5 AS predicted
+    FROM (SELECT f.doc_id, f.y, {sig} AS p
+          FROM feats f CROSS JOIN w{iterations} w) t
+    """
+
+
+@register("text_quality_classifier", _logreg_oracle())
+def text_quality_classifier(spark, sf_dir):
+    """Supervised quality/domain classifier
+    (operators/classifier.logreg_fit/score): logistic regression over
+    integer-ratio text features, trained by 3 full-batch GD iterations
+    against the lang='en' label, then scored corpus-wide. The
+    fastText-style classifier step of real pipelines as an exactly
+    oracle-checkable iterative algorithm: source-quantized sigmoid,
+    int64 gradient sums (order-independent), re-quantized weights each
+    round (the kmeans recipe applied to supervised learning)."""
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    feats = CF.quality_feature_frame(
+        d, "doc_id", "text", F.col("lang") == "en"
+    )
+    w = CF.logreg_fit(feats, iterations=3, lr=0.5)
+    return CF.logreg_score(feats, w)
+
+
 @register(
     "dedup_keep_best_quality",
     f"""
@@ -3718,7 +3790,6 @@ def multimodal_frames(spark, sf_dir):
 
 _DRIVER_ORDER = [
     # -- parity core kept in-window (representative per family group) --
-    "q1_pricing_summary",        # A2 multi-key group-by (flagship)
     "pattern_a_snapshot_upsert",
     # -- LLM-pipeline extension layer: every component family --
     "dedup_ngram_jaccard",
@@ -3789,6 +3860,10 @@ _DRIVER_ORDER = [
     #    pattern_d_traffic_series; pattern D semantics stay pinned by
     #    the local oracle mirror and the pattern/plan pytest suites) --
     "sim_pq_adc_topk",
+    # -- supervised quality classifier (slot ceded by the double-green
+    #    q1_pricing_summary - which additionally stays smoke-checked
+    #    EVERY round as the entry() flagship the driver runs directly) --
+    "text_quality_classifier",
     # ---------------- position 51+: past the driver window ----------
     # first the parity-core queries rotated out this round - each has
     # green driver rows in BOTH CORRECTNESS_r01.json and
@@ -3818,6 +3893,8 @@ _DRIVER_ORDER = [
     "w1_latest_event_per_user",  # W1/P6 (ceded its slot in round 3)
     "j2_anti_join",              # J2/P4 (ceded its slot in round 3)
     "pattern_d_traffic_series",  # D (ceded its slot in round 3)
+    "q1_pricing_summary",        # A2 (ceded its slot in round 3; still
+                                 # driver-run every round via entry())
     # then analytics variants with prior green rows:
     "w1_maxby_latest_event_per_user",
     "topk_orders_per_segment",

@@ -1263,3 +1263,33 @@ def test_pq_fused_fit_equals_per_subspace_kmeans(spark, sf_dir):
         ref = CL.kmeans_fit(pj, "vec_id", "sv", k=8, iterations=2,
                             seed=42, use_cache=False)
         assert fused[j] == ref, f"subspace {j} diverges"
+
+
+def test_logreg_classifier_learns_the_label(spark):
+    """Three GD iterations on a separable corpus must actually learn:
+    stopword-rich English docs get higher p than digit-soup docs, and
+    training accuracy beats the majority-class baseline."""
+    from pyspark.sql import functions as F
+
+    from ghcrawler_datalake_etl_spark.operators import classifier as CF
+
+    rows = []
+    for i in range(20):
+        rows.append((i, "the cat and the dog are in the house and it is "
+                        "warm with the fire", "en"))
+    for i in range(20, 40):
+        rows.append((i, "12345 67890 11 22 33 44 55 66 77 88 99 000", "und"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    feats = CF.quality_feature_frame(df, "doc_id", "text",
+                                     F.col("lang") == "en")
+    w = CF.logreg_fit(feats, iterations=3, lr=0.5)
+    out = {r["doc_id"]: r for r in CF.logreg_score(feats, w).collect()}
+    assert out[0]["p_q6"] > out[20]["p_q6"]
+    acc = sum(1 for r in out.values()
+              if r["predicted"] == bool(r["y"])) / len(out)
+    assert acc > 0.5, f"accuracy {acc} no better than chance"
+    # empty frame: no-op fit, empty score
+    empty = feats.filter(F.lit(False))
+    w0 = CF.logreg_fit(empty, iterations=2)
+    assert w0 == [0.0] * 5
+    assert CF.logreg_score(empty, w0).count() == 0

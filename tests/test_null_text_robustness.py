@@ -47,6 +47,7 @@ DOC_ONLY = [
     "sample_dsir_select",
     "text_bpe_encode",
     "dedup_keep_best_quality",
+    "text_quality_classifier",
 ]
 
 

@@ -60,7 +60,6 @@ OUT_OF_WINDOW_OK = {
 #: (verified by test_rotated_out_parity_has_two_green_rows when the
 #: files are present).
 PARITY_CORE_IN_WINDOW = {
-    "q1_pricing_summary",
     "pattern_a_snapshot_upsert",
 }
 
@@ -72,6 +71,10 @@ PARITY_CORE_ROTATED_OUT = {
     "w1_latest_event_per_user",  # ceded its slot to text_bpe_encode (r3)
     "j2_anti_join",  # ceded its slot to dedup_keep_best_quality (r3)
     "pattern_d_traffic_series",  # ceded its slot to sim_pq_adc_topk (r3)
+    # ceded its slot to text_quality_classifier (r3); beyond its two
+    # green rows it remains driver-RUN every round as the entry()
+    # flagship smoke check
+    "q1_pricing_summary",
     "sessionize_events",  # ceded its slot to dedup_semantic_prune (r3)
     "pattern_e_version_log",  # ceded its slot to sim_knn_graph (r3)
     "p1_eq_filter",
