@@ -23,6 +23,44 @@ def _path(col: ColumnOrName) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def vector_literal(values: Sequence[float]) -> Column:
+    """array<double> literal built as ONE parsed SQL expression.
+
+    ``F.lit(list_of_floats)`` converts element by element over py4j:
+    measured ~120ms per 8x16 nested matrix, which made DRIVER-SIDE plan
+    construction (not Catalyst, not execution) the dominant cost of the
+    centroid-literal queries - PQ/ADC spent ~2s per plan on it. One
+    ``F.expr`` string is a single py4j call parsed JVM-side, ~1ms.
+
+    Bit-exact: ``repr(float)`` is Python's shortest round-trip decimal
+    form and ``CAST(string AS DOUBLE)`` is a correctly-rounded parse,
+    so the literal is the identical IEEE double (pinned by test,
+    including -0.0 and subnormals). Finite values only by contract
+    (centroids/norms) - NaN/Inf would need special spelling.
+    """
+    body = ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in values)
+    return F.expr(f"array({body})")
+
+
+def matrix_literal(rows: Sequence[Sequence[float]]) -> Column:
+    """array<array<double>> literal via one parsed SQL expression - the
+    nested form of vector_literal, used for every centroid matrix that
+    rides into a plan (kmeans _best, IVF _nearest_cells, PQ codebooks).
+    """
+    body = ",".join(
+        "array(" + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in r) + ")"
+        for r in rows
+    )
+    return F.expr(f"array({body})")
+
+
+def int_vector_literal(values: Sequence[int]) -> Column:
+    """array<int/long> literal via one parsed SQL expression (the py4j
+    cost argument of vector_literal applies to int lists too)."""
+    body = ",".join(f"CAST({int(x)} AS LONG)" for x in values)
+    return F.expr(f"array({body})")
+
+
 def get_string(col: ColumnOrName) -> Column:
     """Utility.GetString / GetUSqlString: path -> string, NULL if absent.
 

@@ -38,6 +38,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ghcrawler_datalake_etl_spark.functions.core import matrix_literal
 from ghcrawler_datalake_etl_spark.operators.sampling import hash_bucket
 
 SCALE = 1_000_000
@@ -63,9 +64,12 @@ def _best(vec: Column, centroids: list[list[float]]) -> Column:
     uses: unrolling k x d inline literals made codegen compilation the
     bottleneck at large k (the round-2 judge asked for the two forms to
     be unified so k-means cannot re-trigger the blowup similarity
-    already solved). Arithmetic and fold order are unchanged, so the
-    unrolled-CTE DuckDB oracle still matches bit-for-bit."""
-    cvs = F.lit([[float(x) for x in c] for c in centroids])
+    already solved). The literal is built as one parsed SQL expression,
+    not F.lit-of-nested-list - the per-element py4j conversion cost
+    ~120ms of DRIVER time per matrix (functions.core.matrix_literal).
+    Arithmetic and fold order are unchanged, so the unrolled-CTE DuckDB
+    oracle still matches bit-for-bit."""
+    cvs = matrix_literal(centroids)
     idx = F.sequence(F.lit(1), F.lit(len(centroids)))
     scored = F.transform(
         idx,

@@ -27,7 +27,13 @@ from pyspark.sql import functions as F
 
 import hashlib
 
-from ghcrawler_datalake_etl_spark.functions.core import fan_out, quantize
+from ghcrawler_datalake_etl_spark.functions.core import (
+    fan_out,
+    int_vector_literal,
+    matrix_literal,
+    quantize,
+    vector_literal,
+)
 
 _DOT = lambda a, b: F.aggregate(  # noqa: E731
     F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -418,7 +424,7 @@ def hyperplane_bucket(
     weights = _plane_weights(dim, planes, seed)
 
     def bit(p: int):
-        w = F.array(*[F.lit(x) for x in weights[p]])
+        w = vector_literal(weights[p])
         s = F.aggregate(
             F.zip_with(vec_col, w, lambda x, wd: x.cast("double") * wd),
             F.lit(0.0),
@@ -475,9 +481,9 @@ def _nearest_cells(vec, nrm, cents, n: int) -> "F.Column":
     per query at any data size). Same arithmetic, same fold order as
     before, so the DuckDB oracle is unchanged.
     """
-    cvs = F.lit([cv for _, cv, _ in cents])    # array<array<double>>
-    cns = F.lit([float(cn) for _, _, cn in cents])
-    cids = F.lit([int(cid) for cid, _, _ in cents])
+    cvs = matrix_literal([cv for _, cv, _ in cents])  # array<array<double>>
+    cns = vector_literal([float(cn) for _, _, cn in cents])
+    cids = int_vector_literal([int(cid) for cid, _, _ in cents])
     idx = F.sequence(F.lit(1), F.lit(len(cents)))
     scored = F.transform(
         idx,
@@ -662,6 +668,70 @@ def quantize_embeddings_int8(
     )
 
 
+def _pq_iteration_partials(m: int, sub: int, books) -> tuple:
+    """mapInPandas kernel + schema for one fused PQ Lloyd's pass: all m
+    subspace assignments and the integer-scaled M-step partial sums in
+    a single Arrow-batched pass, reduced per batch so the exchange
+    carries <= partitions * m * k_sub * sub rows.
+
+    BIT-EXACT by construction against the expression path
+    (clustering._best / _dist_sq): distances accumulate as an explicit
+    left-to-right fold over positions (acc = acc + (x-c)^2, one float64
+    rounding per add, starting from 0.0) - deliberately NOT a BLAS
+    matmul, whose pairwise/FMA summation order differs at the last ulp
+    and can flip an argmin on near-ties (the sim_knn_pandas_gemm
+    dot-then-divide lesson, generalized). argmin's first-occurrence
+    tie rule equals array_min's lexicographic (dist, cid) ordering.
+    The fold is vectorized ACROSS ROWS (numpy column ops), so the speed
+    win over the interpreted expression evaluator is kept.
+    """
+    import numpy as np
+
+    from ghcrawler_datalake_etl_spark.operators.clustering import SCALE
+
+    cents = [np.array([[float(x) for x in c] for c in book]) for book in books]
+    schema = "j int, cluster int, pos_in int, s long, n long"
+
+    def partial(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            q = np.floor(mat * SCALE).astype(np.int64)
+            js, cls_, ps, ss, ns = [], [], [], [], []
+            for j in range(m):
+                sl = mat[:, j * sub:(j + 1) * sub]
+                kj = cents[j].shape[0]
+                d2 = np.empty((len(sl), kj))
+                for c in range(kj):
+                    terms = (sl - cents[j][c]) ** 2
+                    acc = np.zeros(len(sl))
+                    for i in range(sub):  # fold order == the SQL oracle
+                        acc = acc + terms[:, i]
+                    d2[:, c] = acc
+                cl = d2.argmin(axis=1)
+                sums = np.zeros((kj, sub), dtype=np.int64)
+                np.add.at(sums, cl, q[:, j * sub:(j + 1) * sub])
+                counts = np.bincount(cl, minlength=kj).astype(np.int64)
+                ks = np.nonzero(counts > 0)[0]
+                js.append(np.full(len(ks) * sub, j, dtype=np.int32))
+                cls_.append(np.repeat(ks, sub).astype(np.int32))
+                ps.append(np.tile(np.arange(sub, dtype=np.int32), len(ks)))
+                ss.append(sums[ks].ravel())
+                ns.append(np.repeat(counts[ks], sub))
+            yield pd.DataFrame(
+                {
+                    "j": np.concatenate(js),
+                    "cluster": np.concatenate(cls_),
+                    "pos_in": np.concatenate(ps),
+                    "s": np.concatenate(ss),
+                    "n": np.concatenate(ns),
+                }
+            )
+
+    return partial, schema
+
+
 def pq_train(
     corpus: DataFrame,
     id_col: str,
@@ -672,6 +742,7 @@ def pq_train(
     seed: int = 42,
     dim: int = 64,
     use_cache: bool = True,
+    impl: str = "vector",
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks (Jegou et al. 2011, public
     algorithm): split the vector into ``m`` contiguous subspaces and
@@ -693,9 +764,20 @@ def pq_train(
     (m*k_sub*(dim/m) = k_sub*dim rows to the driver - the bounded-pull
     contract). m separate kmeans_fit calls cost m*iterations jobs of
     launch overhead for identical numbers.
+
+    ``impl``: 'vector' (default) runs each pass through the Arrow-
+    batched numpy kernel (_pq_iteration_partials) - same fold-ordered
+    arithmetic as the expressions, so it stays bit-identical to the
+    unrolled-SQL oracle while skipping the interpreted higher-order-
+    lambda evaluator (the round-3 driver-record worst query was this
+    E-step); per-batch partial sums bound the exchange at
+    partitions * k_sub * dim rows. 'expr' keeps the pure-Column form
+    (zero Python; the plan-auditable twin, pinned equal by pytest).
     """
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    if impl not in ("vector", "expr"):
+        raise ValueError(f"impl must be 'vector' or 'expr', got {impl!r}")
     import math
 
     from ghcrawler_datalake_etl_spark.operators import clustering as CL
@@ -719,37 +801,50 @@ def pq_train(
         [row[j * sub:(j + 1) * sub] for row in init_full] for j in range(m)
     ]
     for _ in range(iterations):
-        # argmin in its own select, generator in the next (the
-        # _iteration_sums_expr analyzer contract)
-        proj = base.select(
-            *[
-                CL._best(F.slice(vec, j * sub + 1, sub), books[j])[
-                    "cid"
-                ].alias(f"_c{j}")
-                for j in range(m)
-            ],
-            vec.alias("_v"),
-        )
-        rows = (
-            proj.select(
-                F.array(*[F.col(f"_c{j}") for j in range(m)]).alias("_cs"),
-                F.posexplode("_v").alias("pos", "x"),
+        if impl == "vector":
+            kernel, schema = _pq_iteration_partials(m, sub, books)
+            rows = (
+                base.select(vec.alias("_v"))
+                .mapInPandas(kernel, schema=schema)
+                .groupBy("j", "cluster", "pos_in")
+                .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+                .collect()
             )
-            .select(
-                (F.col("pos") / F.lit(sub)).cast("int").alias("j"),
-                F.element_at(
-                    F.col("_cs"), (F.col("pos") / F.lit(sub)).cast("int") + 1
-                ).alias("cluster"),
-                (F.col("pos") % F.lit(sub)).alias("pos_in"),
-                F.col("x"),
+        else:
+            # argmin in its own select, generator in the next (the
+            # _iteration_sums_expr analyzer contract)
+            proj = base.select(
+                *[
+                    CL._best(F.slice(vec, j * sub + 1, sub), books[j])[
+                        "cid"
+                    ].alias(f"_c{j}")
+                    for j in range(m)
+                ],
+                vec.alias("_v"),
             )
-            .groupBy("j", "cluster", "pos_in")
-            .agg(
-                F.sum(F.floor(F.col("x") * CL.SCALE).cast("long")).alias("s"),
-                F.count("*").alias("n"),
+            rows = (
+                proj.select(
+                    F.array(*[F.col(f"_c{j}") for j in range(m)]).alias("_cs"),
+                    F.posexplode("_v").alias("pos", "x"),
+                )
+                .select(
+                    (F.col("pos") / F.lit(sub)).cast("int").alias("j"),
+                    F.element_at(
+                        F.col("_cs"),
+                        (F.col("pos") / F.lit(sub)).cast("int") + 1,
+                    ).alias("cluster"),
+                    (F.col("pos") % F.lit(sub)).alias("pos_in"),
+                    F.col("x"),
+                )
+                .groupBy("j", "cluster", "pos_in")
+                .agg(
+                    F.sum(
+                        F.floor(F.col("x") * CL.SCALE).cast("long")
+                    ).alias("s"),
+                    F.count("*").alias("n"),
+                )
+                .collect()
             )
-            .collect()
-        )
         new: dict = {}
         for r in rows:
             new.setdefault((r.j, r.cluster), {})[r.pos_in] = (
@@ -823,6 +918,12 @@ def pq_topk(
     on both engines); one hash aggregate and one per-query window.
     Zero-norm and all-zero vectors are fine (L2 needs no norm divide);
     NULL vectors are excluded on both sides.
+
+    (A driver-side query-table variant - collect the nq vectors, build
+    the distance table in Python, ship it as a local relation - was
+    measured ~0.7s SLOWER than the expression form at sf0.1 once
+    matrix_literal removed the literal-construction overhead, and is
+    strictly worse at scale; the expression form stays.)
     """
     from ghcrawler_datalake_etl_spark.operators import clustering as CL
 
@@ -838,24 +939,31 @@ def pq_topk(
         ).alias("j", "code"),
     )
     qvec = _as_double(F.col(vec_col))
-    entries = []
-    for j, book in enumerate(books):
+    # one nested-array literal + transform PER SUBSPACE, not m*k_sub
+    # unrolled fold expressions: the unrolled form cost ~2s of Catalyst
+    # analysis per plan at m=4,k_sub=8 (measured - it dominated the
+    # round-3 driver-record worst query), the same blowup _best already
+    # solved for the E-step. dq arithmetic is unchanged (element_at of
+    # the literal matrix feeds the identical fold), so the oracle holds.
+    def _subspace_entries(j: int, book) -> F.Column:
         sq = F.slice(qvec, j * sub + 1, sub)
-        for cid, cent in enumerate(book):
-            entries.append(
-                F.struct(
-                    F.lit(j).alias("j"),
-                    F.lit(cid).cast("int").alias("code"),
-                    CL._dist_sq(sq, F.lit([float(x) for x in cent])).alias(
-                        "dq"
-                    ),
-                )
-            )
+        cvs = matrix_literal(book)
+        idx = F.sequence(F.lit(1), F.lit(len(book)))
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                F.lit(j).alias("j"),
+                (i - F.lit(1)).cast("int").alias("code"),
+                CL._dist_sq(sq, F.element_at(cvs, i)).alias("dq"),
+            ),
+        )
+
+    per_j = [_subspace_entries(j, book) for j, book in enumerate(books)]
     qtab = (
         queries.filter(F.col(vec_col).isNotNull())
         .select(
             F.col(id_col).alias("query_id"),
-            F.explode(F.array(*entries)).alias("e"),
+            F.explode(F.flatten(F.array(*per_j))).alias("e"),
         )
         .select(
             "query_id",
@@ -864,6 +972,13 @@ def pq_topk(
             F.col("e.dq").alias("dq"),
         )
     )
+    return _pq_score(codes_long, qtab, k)
+
+
+def _pq_score(codes_long: DataFrame, qtab: DataFrame, k: int) -> DataFrame:
+    """ADC scoring tail shared by both query_table forms: broadcast the
+    distance table into the code join, j-sorted exact fold per pair,
+    per-query top-k window (ties by neighbor id)."""
     scored = (
         codes_long.join(F.broadcast(qtab), ["j", "code"])
         .filter(F.col("query_id") != F.col("neighbor_id"))

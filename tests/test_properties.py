@@ -505,3 +505,43 @@ def test_bpe_trainer_checkpoint_boundary_matches_reference(spark):
     ref_m, ref_v = _bpe_reference({w: 1 for w in got}, 20)
     assert list(merges) == ref_m
     assert got == ref_v
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            allow_nan=False,
+            allow_infinity=False,
+            width=64,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_sql_literal_vectors_are_bit_identical_to_lit(spark, xs):
+    """functions.core.vector_literal / matrix_literal build array
+    literals as ONE parsed SQL string (the py4j-cost fix); the parsed
+    doubles must be bit-identical to F.lit's element conversion for any
+    finite double, including -0.0, subnormals, and extreme exponents -
+    repr() round-trip + correctly-rounded CAST is the contract."""
+    import math
+    import struct as _struct
+
+    from ghcrawler_datalake_etl_spark.functions.core import (
+        matrix_literal,
+        vector_literal,
+    )
+
+    row = spark.range(1).select(
+        F.lit(xs).alias("a"),
+        vector_literal(xs).alias("b"),
+        matrix_literal([xs, xs]).alias("m"),
+    ).first()
+
+    def bits(v):
+        return _struct.pack("<d", v)
+
+    assert [bits(x) for x in row["a"]] == [bits(x) for x in row["b"]]
+    for r in row["m"]:
+        assert [bits(x) for x in r] == [bits(x) for x in row["a"]]
