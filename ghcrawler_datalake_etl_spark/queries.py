@@ -3772,6 +3772,138 @@ def multimodal_frames(spark, sf_dir):
     )
 
 
+@register(
+    "text_clean_lines",
+    """
+    WITH d AS (
+      SELECT doc_id % 50 AS grp, doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN 'Lorem Ipsum dolor sit amet.'
+                  WHEN doc_id % 3 = 0 THEN text || '.'
+                  WHEN doc_id % 3 = 1 THEN text
+                  ELSE text || ' {x}' END AS ln
+      FROM documents WHERE text IS NOT NULL
+    ), c AS (
+      SELECT grp, string_agg(ln, chr(10) ORDER BY doc_id) AS txt
+      FROM d GROUP BY grp
+    )
+    SELECT grp, unnest(list_filter(
+             list_transform(string_split(txt, chr(10)), l -> trim(l)),
+             l -> len(list_filter(string_split_regex(l, '\\s+'),
+                                  w -> w <> '')) >= 3
+                  AND regexp_matches(l, '[.!?"]$')
+                  AND NOT contains(lower(l), 'lorem ipsum')
+                  AND NOT contains(l, '{')
+                  AND NOT contains(l, '}'))) AS line
+    FROM c
+    """,
+)
+def text_clean_lines(spark, sf_dir):
+    """C4-style line-level boilerplate filter (operators/text.clean_lines)
+    over a DERIVED multi-line corpus: the pinned testdata is single-line
+    word soup with no terminal punctuation, so the raw-table oracle would
+    be vacuously empty (SURVEY.md section 2.9b kept this pytest-only
+    through round 3). Decorating lines by doc_id residue exercises every
+    filter arm non-vacuously - kept (terminal '.'), dropped-no-terminal,
+    dropped-brace, dropped-lorem-ipsum - and grouping 50 docs per corpus
+    makes each text genuinely multi-line before the split."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    decorated = d.select(
+        (F.col("doc_id") % 50).alias("grp"),
+        F.col("doc_id"),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.lit("Lorem Ipsum dolor sit amet.")
+        )
+        .when(F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(".")))
+        .when(F.col("doc_id") % 3 == 1, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" {x}")))
+        .alias("ln"),
+    )
+    corpus = decorated.groupBy("grp").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "ln"))),
+                lambda s: s["ln"],
+            ),
+            "\n",
+        ).alias("txt")
+    )
+    return corpus.select(
+        "grp", F.explode(TX.clean_lines(F.col("txt"))).alias("line")
+    )
+
+
+@register(
+    "tsv_round_trip",
+    """
+    SELECT event_id, user_id,
+           CASE WHEN event_type = 'error' THEN NULL
+                ELSE event_type END AS tag,
+           value, value > 5 AS big, epoch_us(ts) AS ts_us
+    FROM events
+    """,
+)
+def tsv_round_trip(spark, sf_dir):
+    """Typed TSV export/re-ingest round trip (sources/sinks.write_tsv +
+    read_tsv - S7 and its Extractors.Tsv complement,
+    /root/reference/USQL/GetRepoData-unused.usql:17-19): write a typed
+    events projection to TSV, read it back under the exported schema,
+    return the re-ingested frame. The oracle states the round-trip
+    CONTRACT directly: every typed column survives exactly (longs,
+    doubles via shortest-round-trip repr, booleans, timestamps as epoch
+    micros) and the documented lossy arm - TSV cannot distinguish ''
+    from NULL - collapses the injected empty strings to NULL (the
+    'error' rows)."""
+    import tempfile
+
+    from ghcrawler_datalake_etl_spark.sources.sinks import read_tsv, write_tsv
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_type") == "error", F.lit(""))
+        .otherwise(F.col("event_type"))
+        .alias("tag"),
+        "value",
+        (F.col("value") > 5).alias("big"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    out = tempfile.mkdtemp(prefix="spark_graft_tsv_rt_")
+    write_tsv(ev, out)
+    return read_tsv(spark, out, ev.schema)
+
+
+@register(
+    "orc_catalog_roundtrip",
+    """
+    SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS acctbal
+    FROM supplier
+    """,
+)
+def orc_catalog_roundtrip(spark, sf_dir):
+    """ORC-backed catalog snapshot write + read-back (sources/sinks.
+    ParquetCatalog(data_format='orc') - the catalog is format-blind:
+    pointer-swap versioning, overwrite, and merge all operate on file
+    layout, S4-S6). The query overwrites a supplier projection into a
+    fresh ORC warehouse and returns the catalog read; the oracle is the
+    projection itself - ORC round-trips every type exactly (no TSV-style
+    text collapse), which is why the reference keeps columnar formats
+    for snapshots and TSV only at the export edge."""
+    import tempfile
+
+    from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
+
+    proj = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        F.round(F.col("s_acctbal"), 2).alias("acctbal"),
+    )
+    wh = tempfile.mkdtemp(prefix="spark_graft_orc_wh_")
+    cat = ParquetCatalog(spark, wh, data_format="orc")
+    cat.overwrite(proj, "SupplierSnapshot")
+    return cat.read("SupplierSnapshot")
+
+
 # =====================================================================
 # Driver-window ordering
 # =====================================================================
@@ -3795,7 +3927,6 @@ _DRIVER_ORDER = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash_values",
-    "dedup_span_first_occurrence",
     "decontaminate_eval_overlap",
     "dedup_clusters",
     "dedup_embedding_cosine",
@@ -3807,14 +3938,12 @@ _DRIVER_ORDER = [
     "text_lang_id",
     "text_stats",
     "text_quality_score",
-    "text_fingerprint",
     "corpus_source_report",
     "pack_token_shards",
     "pipeline_dedup_shards",
     "pipeline_training_data",
     "multimodal_features",
     "multimodal_audio_chunks",
-    "multimodal_frames",
     # -- round-2 additions rotated INTO the window for round 3 (no
     #    driver row yet; each is a distinct algorithm) --
     "search_bm25_topk",
@@ -3864,7 +3993,23 @@ _DRIVER_ORDER = [
     #    q1_pricing_summary - which additionally stays smoke-checked
     #    EVERY round as the entry() flagship the driver runs directly) --
     "text_quality_classifier",
+    # -- round-4 additions: driver oracles for the three surfaces the
+    #    round-3 verdict listed as pytest-only (What's missing #1).
+    #    Slots ceded by double-green (r02+r03) queries whose families
+    #    stay represented in-window: dedup_span_first_occurrence (dedup:
+    #    jaccard/minhash/simhash/clusters/cosine/decontaminate/semantic/
+    #    keep-best all in-window), text_fingerprint (text: stats/
+    #    quality/lang_id/unigram/bigram/redact/repetition in-window),
+    #    multimodal_frames (multimodal: features + audio_chunks
+    #    in-window, same mapInPandas fan-out shape as frames) --
+    "text_clean_lines",
+    "tsv_round_trip",
+    "orc_catalog_roundtrip",
     # ---------------- position 51+: past the driver window ----------
+    # round-4 rotated-out (double-green r02+r03; see slot comments):
+    "dedup_span_first_occurrence",
+    "text_fingerprint",
+    "multimodal_frames",
     # first the parity-core queries rotated out this round - each has
     # green driver rows in BOTH CORRECTNESS_r01.json and
     # CORRECTNESS_r02.json (tests/test_registry_order.py pins this):

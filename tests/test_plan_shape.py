@@ -250,6 +250,44 @@ def test_pack_shards_no_global_single_partition_sort(spark):
     )
 
 
+def test_pack_shards_string_key_no_persist_no_partition_id(spark):
+    """A STRING-keyed pack must take the same deterministic quantile
+    path as numeric keys (via the monotone byte-prefix proxy), never
+    the old repartitionByRange + spark_partition_id + eager persist
+    fallback the round-3 verdict flagged as the last default-path
+    scale-killer - and must still equal the single-window form."""
+    from pyspark.sql import Window
+
+    from ghcrawler_datalake_etl_spark.operators.sampling import pack_shards
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("k"),
+        F.length("text").alias("wt"),
+    )
+    out = pack_shards(d, "k", "wt", 50000, num_bins=8)
+    p = plan(out)
+    assert "windowspecdefinition(_bin" in p
+    assert "InMemoryTableScan" not in p and "InMemoryRelation" not in p
+    assert "SPARK_PARTITION_ID" not in p.upper()
+    ref = d.withColumn(
+        "shard_id",
+        F.floor(
+            F.coalesce(
+                F.sum(F.col("wt").cast("double")).over(
+                    Window.orderBy("k").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0.0),
+            )
+            / 50000.0
+        ).cast("long"),
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, ref.collect())
+    )
+
+
 def test_bm25_plan_filters_before_shuffle_and_takes_ordered(spark, queries):
     # the query-term filter must sit below the tf aggregation (the only
     # data-sized shuffle carries matched terms, never the vocabulary)

@@ -545,3 +545,67 @@ def test_sql_literal_vectors_are_bit_identical_to_lit(spark, xs):
     assert [bits(x) for x in row["a"]] == [bits(x) for x in row["b"]]
     for r in row["m"]:
         assert [bits(x) for x in r] == [bits(x) for x in row["a"]]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(
+                    codec="utf-8", exclude_categories=("Cs",)
+                ),
+                max_size=12,
+            ),
+            st.floats(0, 1000, allow_nan=False),
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+    st.integers(1, 6),
+)
+def test_pack_shards_string_keys_equal_single_window_form(
+    spark, rows, num_bins
+):
+    """String-keyed packs ride the monotone byte-prefix proxy; for ANY
+    keys (empty strings, shared prefixes, multi-byte UTF-8) the result
+    must equal the single global window ordered by the key itself -
+    the proxy only places bin boundaries, never reorders."""
+    from pyspark.sql import Window
+
+    from ghcrawler_datalake_etl_spark.operators.sampling import pack_shards
+
+    seen, uniq = set(), []
+    for k, w in rows:
+        if k not in seen:
+            seen.add(k)
+            uniq.append((k, w))
+    df = spark.createDataFrame(uniq, "k string, wt double") if uniq else (
+        spark.createDataFrame([], "k string, wt double")
+    )
+    got = sorted(
+        map(
+            tuple,
+            pack_shards(df, "k", "wt", 100, num_bins=num_bins).collect(),
+        )
+    )
+    ref = sorted(
+        map(
+            tuple,
+            df.withColumn(
+                "shard_id",
+                F.floor(
+                    F.coalesce(
+                        F.sum(F.coalesce(F.col("wt"), F.lit(0.0))).over(
+                            Window.orderBy("k").rowsBetween(
+                                Window.unboundedPreceding, -1
+                            )
+                        ),
+                        F.lit(0.0),
+                    )
+                    / 100.0
+                ).cast("long"),
+            ).collect(),
+        )
+    )
+    assert got == ref

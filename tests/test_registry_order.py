@@ -4,16 +4,41 @@ invariant that every distinct component family is inside that window
 zero driver CORRECTNESS rows for it; round 2's 12 additions sat at 51+
 and were likewise never driver-checked).
 
-Round-3 layout: the 12 round-2 additions are IN the window, plus the
-eight round-3 queries (BPE pairs, TF-IDF, SemDeDup, kNN graph, gopher
-filter, target mix, quality-mix-pack pipeline, top-share selector);
-room came from parity-core and extension queries with two consecutive
-green driver rows (CORRECTNESS_r01.json + CORRECTNESS_r02.json), per
-the round-2 VERDICT instruction #1."""
+Round-4 discipline (VERDICT r3 #8): rotation evidence lives in ONE
+generated artifact, EVIDENCE.json (query -> green driver rounds/files),
+rebuilt from the CORRECTNESS files by gen_evidence.py. This suite
+regenerates it in-memory and asserts the committed file matches - the
+artifact can never go stale - then derives every rotation rule from it:
+an extension query may sit outside the window only with a recorded
+green row (or a named in-window exact twin), and a parity-core query
+only with green rows in at least TWO rounds."""
+
+import json
+import os
 
 import __spark_entry__ as entrymod
+from gen_evidence import build_evidence
 
 WINDOW = 50
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _evidence():
+    """The committed EVIDENCE.json, verified fresh against the
+    CORRECTNESS files it is generated from. Returns None on a fresh
+    checkout without driver artifacts."""
+    path = os.path.join(ROOT, "EVIDENCE.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        committed = json.load(fh)
+    assert committed == build_evidence(ROOT), (
+        "EVIDENCE.json is stale - rerun `python gen_evidence.py` after "
+        "new CORRECTNESS files land"
+    )
+    return committed
+
 
 #: families that must each have every member in the driver window.
 #: Keep this list in sync with every query-name prefix that denotes a
@@ -31,52 +56,53 @@ EXTENSION_PREFIXES = (
     "split_",
     "pack_",
     "corpus_",
+    "tsv_",
+    "orc_",
 )
 
-#: extension queries deliberately OUTSIDE the window - each must either
-#: name a perf-twin/variant in-window proxy, or name the CORRECTNESS
-#: file recording its own green driver row from a prior round (the
-#: value is then verified against that file). Adding here requires
-#: evidence of one of the two kinds.
+#: extension queries deliberately OUTSIDE the window. Value: either the
+#: name of an in-window query that is an exact twin / in-window proxy,
+#: or "evidence" - the query must then hold a green driver row in
+#: EVIDENCE.json. Adding here requires one of the two kinds.
 OUT_OF_WINDOW_OK = {
-    # rotated out mid-round-3 to make room for the four new distinct
-    # algorithms (dedup_semantic_prune, sim_knn_graph,
-    # text_gopher_filter, sample_target_mix); both have green driver
-    # rows in r1 AND r2 - evidence kind: CORRECTNESS file.
-    "sample_hash_deterministic": "CORRECTNESS_r02.json",
-    "split_train_valid_test": "CORRECTNESS_r02.json",
+    # rotated out mid-round-3 (green r1+r2):
+    "sample_hash_deterministic": "evidence",
+    "split_train_valid_test": "evidence",
     # ceded its slot to pipeline_quality_mix_pack (r3); exact-dup
-    # semantics remain window-covered via dedup_span_first_occurrence
-    # and the chunk-dedup stage of pipeline_chunk_dedup_pack
-    "dedup_exact_groups": "CORRECTNESS_r02.json",
+    # semantics remain window-covered via the chunk-dedup stage of
+    # pipeline_chunk_dedup_pack
+    "dedup_exact_groups": "evidence",
     # ceded its slot to sample_top_share_quality (r3); the in-window
     # sim_knn_pandas_gemm runs the SAME oracle SQL (exact twin)
-    "sim_knn_bruteforce": "CORRECTNESS_r02.json",
+    "sim_knn_bruteforce": "sim_knn_pandas_gemm",
+    # round-4 rotations (green r2+r3), ceding slots to the three new
+    # surface oracles (text_clean_lines, tsv_round_trip,
+    # orc_catalog_roundtrip); families stay represented in-window:
+    "dedup_span_first_occurrence": "evidence",
+    "text_fingerprint": "evidence",
+    "multimodal_frames": "evidence",
 }
 
-#: one query per SURVEY section-2 operator family. Split into the
-#: in-window representatives and the rotated-out set; rotated-out
-#: queries must carry green rows in BOTH prior CORRECTNESS files
-#: (verified by test_rotated_out_parity_has_two_green_rows when the
-#: files are present).
+#: one query per SURVEY section-2 operator family. The in-window
+#: representative set; everything else in the parity core must carry
+#: green rows in >= 2 rounds (EVIDENCE.json) to sit outside.
 PARITY_CORE_IN_WINDOW = {
     "pattern_a_snapshot_upsert",
 }
 
 PARITY_CORE_ROTATED_OUT = {
-    "w2_distinct_keys",  # ceded its slot to text_bpe_pair_stats (r3)
-    "j3_join_chain_q5",  # ceded its slot to search_tfidf_cosine (r3)
-    "pattern_b_array_child",  # ceded its slot to text_bigram_logprob (r3)
-    "pattern_c_collection_refresh",  # ceded to sample_dsir_select (r3)
-    "w1_latest_event_per_user",  # ceded its slot to text_bpe_encode (r3)
-    "j2_anti_join",  # ceded its slot to dedup_keep_best_quality (r3)
-    "pattern_d_traffic_series",  # ceded its slot to sim_pq_adc_topk (r3)
-    # ceded its slot to text_quality_classifier (r3); beyond its two
-    # green rows it remains driver-RUN every round as the entry()
-    # flagship smoke check
+    "w2_distinct_keys",
+    "j3_join_chain_q5",
+    "pattern_b_array_child",
+    "pattern_c_collection_refresh",
+    "w1_latest_event_per_user",
+    "j2_anti_join",
+    "pattern_d_traffic_series",
+    # beyond its green rows, q1 remains driver-RUN every round as the
+    # entry() flagship smoke check
     "q1_pricing_summary",
-    "sessionize_events",  # ceded its slot to dedup_semantic_prune (r3)
-    "pattern_e_version_log",  # ceded its slot to sim_knn_graph (r3)
+    "sessionize_events",
+    "pattern_e_version_log",
     "p1_eq_filter",
     "p2_like_filter",
     "p3_isin_filter",
@@ -92,6 +118,17 @@ PARITY_CORE_ROTATED_OUT = {
 }
 
 
+def test_evidence_artifact_is_fresh():
+    ev = _evidence()
+    if ev is None:
+        return
+    # sanity: the artifact is non-trivial and every value well-formed
+    assert len(ev) >= 50
+    for q, rec in ev.items():
+        assert rec["green_rounds"] == sorted(set(rec["green_rounds"])), q
+        assert len(rec["files"]) == len(rec["green_rounds"]), q
+
+
 def test_every_extension_query_in_driver_window():
     names = list(entrymod.queries())
     window = set(names[:WINDOW])
@@ -105,25 +142,19 @@ def test_every_extension_query_in_driver_window():
         f"extension queries outside the driver's first-{WINDOW} window "
         f"(no CORRECTNESS row will be recorded): {stragglers}"
     )
-    for n, evidence in OUT_OF_WINDOW_OK.items():
-        if evidence.endswith(".json"):
-            import json
-            import os
-
-            path = os.path.join(
-                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                evidence,
-            )
-            if not os.path.exists(path):
+    ev = _evidence()
+    for n, kind in OUT_OF_WINDOW_OK.items():
+        if kind == "evidence":
+            if ev is None:
                 continue  # fresh checkout without driver artifacts
-            rec = json.load(open(path)).get(n)
-            assert rec and rec.get("hash_match"), (
-                f"{n} is out-of-window on the strength of a green row in "
-                f"{evidence}, but that file records none"
+            rec = ev.get(n)
+            assert rec and rec["green_rounds"], (
+                f"{n} is out-of-window on the strength of a recorded "
+                f"green driver row, but EVIDENCE.json has none"
             )
         else:
-            assert evidence in window, (
-                f"{n} is allowed out-of-window only because {evidence} "
+            assert kind in window, (
+                f"{n} is allowed out-of-window only because {kind} "
                 f"covers its component in-window - but it left the window"
             )
 
@@ -135,26 +166,18 @@ def test_parity_core_in_driver_window():
     assert not missing, f"parity core outside driver window: {missing}"
 
 
-def test_rotated_out_parity_has_two_green_rows():
-    """A parity query may leave the window only with two consecutive
-    green driver rows on record."""
-    import json
-    import os
-
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    rows = []
-    for fname in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
-        path = os.path.join(root, fname)
-        if not os.path.exists(path):  # fresh checkout without artifacts
-            return
-        rows.append(json.load(open(path)))
+def test_rotated_out_parity_has_two_green_rounds():
+    """A parity query may leave the window only with green driver rows
+    in at least two rounds on record (EVIDENCE.json)."""
+    ev = _evidence()
+    if ev is None:  # fresh checkout without driver artifacts
+        return
     for n in sorted(PARITY_CORE_ROTATED_OUT):
-        for rnd, data in zip((1, 2), rows):
-            rec = data.get(n)
-            assert rec is not None, f"{n} has no round-{rnd} driver row"
-            assert rec.get("rows_match") and rec.get("schema_match") and rec.get("hash_match"), (
-                f"{n} round-{rnd} driver row is not green: {rec}"
-            )
+        rec = ev.get(n)
+        assert rec is not None, f"{n} has no green driver row on record"
+        assert len(rec["green_rounds"]) >= 2, (
+            f"{n} rotated out with only rounds {rec['green_rounds']} green"
+        )
 
 
 def test_queries_and_oracles_align():
