@@ -116,6 +116,82 @@ def bench_incremental_merge(spark, n_docs: int = 150_000):
     return out
 
 
+def bench_scaling(spark) -> dict:
+    """10x-of-sf0.1 scaling probe over the operators whose scale design
+    the bench SF cannot exercise (round-3 VERDICT #7: the ad-hoc /tmp
+    probes become a per-round driver record): the blocked-GEMM self-kNN
+    graph (20k x 64 vectors = 400M scored pairs), the banded MinHash-LSH
+    -> connected-components composition (50k synthetic docs), and the
+    two-level-cumsum shard pack (50k rows). A regression in the block
+    decomposition, the CC loop, or the pack binning shows up here long
+    before it would at sf0.1. Synthetic data only (seeded numpy, written
+    to a throwaway /tmp parquet so operators see a real scan, not a
+    LocalRelation)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ghcrawler_datalake_etl_spark.operators import dedup as DD
+    from ghcrawler_datalake_etl_spark.operators import sampling as SP
+    from ghcrawler_datalake_etl_spark.operators import similarity as SIM
+
+    root = tempfile.mkdtemp(prefix="bench_scaling_")
+    out: dict[str, float] = {}
+    try:
+        rng = np.random.RandomState(42)
+        n_vec, dim = 20_000, 64
+        vecs = rng.normal(size=(n_vec, dim)).astype(np.float32)
+        spark.createDataFrame(
+            [(int(i), v.tolist()) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        ).repartition(32).write.mode("overwrite").parquet(f"{root}/emb")
+
+        vocab = [f"w{i}" for i in range(500)]
+        n_docs = 50_000
+        words = rng.randint(0, len(vocab), size=(n_docs, 40))
+        # ~10% near-duplicate pairs so LSH banding and CC do real work
+        docs = []
+        for i in range(n_docs):
+            toks = [vocab[j] for j in words[i]]
+            if i % 10 == 9:  # near-dup of the previous doc (1 token off)
+                toks = [vocab[j] for j in words[i - 1]]
+                toks[0] = vocab[words[i][0]]
+            docs.append((i, " ".join(toks)))
+        spark.createDataFrame(
+            docs, "doc_id long, text string"
+        ).repartition(32).write.mode("overwrite").parquet(f"{root}/docs")
+
+        emb = spark.read.parquet(f"{root}/emb")
+        d = spark.read.parquet(f"{root}/docs")
+
+        t0 = time.perf_counter()
+        SIM.knn_graph(emb, "vec_id", "embedding", k=3, num_blocks=8).count()
+        out["knn_graph_20k_sec"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        pairs = DD.minhash_lsh_pairs(
+            d, "doc_id", "text", n=3, num_hashes=32, bands=8,
+            threshold=0.5, materialize_result=True,
+        )
+        DD.connected_components(pairs).count()
+        out["minhash_clusters_50k_sec"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        SP.pack_shards(
+            d.select("doc_id", F.length("text").alias("wt")),
+            "doc_id", "wt", 100_000,
+        ).count()
+        out["pack_shards_50k_sec"] = round(time.perf_counter() - t0, 3)
+
+        out["n_vectors"] = n_vec
+        out["n_docs"] = n_docs
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -177,6 +253,8 @@ def main() -> None:
     }
     if not subset:  # full runs only - keep targeted reruns cheap
         sidecar["incremental_merge"] = bench_incremental_merge(spark)
+        if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+            sidecar["scaling"] = bench_scaling(spark)
     sidecar_path = Path(__file__).resolve().parent / "BENCH_FULL.json"
     sidecar_path.write_text(json.dumps(sidecar, indent=1) + "\n")
 

@@ -120,11 +120,16 @@ def logreg_fit(
         row = feats.agg(
             F.count("*").alias("n"),
             *[
+                # per-row terms are +-1e6-bounded longs; SUM as
+                # decimal(38,0), not int64 - an int64 sum overflows (and
+                # under ANSI mode throws mid-fit) past ~9.2e12 rows,
+                # while DuckDB's BIGINT sum widens to HUGEINT. Same
+                # widen-the-accumulator fix as connected_components.
                 F.sum(
                     F.floor(
                         err * (F.lit(1.0) if j == 0 else F.col(f"f{j}"))
                         * SCALE
-                    ).cast("long")
+                    ).cast("decimal(38,0)")
                 ).alias(f"g{j}")
                 for j in range(5)
             ],
@@ -132,9 +137,13 @@ def logreg_fit(
         n = row["n"]
         if not n:
             break
+        # int(Decimal) is exact; int / float divides after a correctly-
+        # rounded int->double conversion - the same arithmetic DuckDB's
+        # HUGEINT / DOUBLE performs in the unrolled oracle
         w = [
             math.floor(
-                (w[j] - lr * (row[f"g{j}"] / (n * float(SCALE)))) * SCALE
+                (w[j] - lr * (int(row[f"g{j}"]) / (n * float(SCALE))))
+                * SCALE
             )
             / SCALE
             for j in range(5)

@@ -276,3 +276,139 @@ def jpeg_dims(data: bytes) -> tuple[int, int]:
             break
         i += seglen
     raise ValueError("JPEG has no SOF frame header")
+
+
+# -- GIF (GIF87a/89a, public spec) ------------------------------------
+
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def is_gif(data: bytes) -> bool:
+    return len(data) >= 6 and data[:6] in GIF_MAGICS
+
+
+def gif_info(data: bytes) -> tuple[int, int, int]:
+    """(width, height, n_frames) from a GIF stream: logical-screen
+    descriptor for the dims, then a block walk counting image
+    descriptors - color tables and LZW data are SKIPPED by their
+    declared sizes, never decoded (the metadata-extraction path,
+    same contract as jpeg_dims)."""
+    if not is_gif(data):
+        raise ValueError("not a GIF (bad signature)")
+    n = len(data)
+    if n < 13:
+        raise ValueError("truncated GIF header")
+    width = int.from_bytes(data[6:8], "little")
+    height = int.from_bytes(data[8:10], "little")
+    flags = data[10]
+    i = 13
+    if flags & 0x80:  # global color table: 3 * 2^(N+1) bytes
+        i += 3 * (2 << (flags & 0x07))
+
+    def _skip_subblocks(j: int) -> int:
+        while True:
+            if j >= n:
+                raise ValueError("truncated GIF sub-blocks")
+            size = data[j]
+            j += 1
+            if size == 0:
+                return j
+            j += size
+
+    frames = 0
+    while i < n:
+        block = data[i]
+        i += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label byte + sub-blocks
+            if i >= n:
+                raise ValueError("truncated GIF extension")
+            i += 1
+            i = _skip_subblocks(i)
+        elif block == 0x2C:  # image descriptor
+            if i + 9 > n:
+                raise ValueError("truncated GIF image descriptor")
+            lflags = data[i + 8]
+            i += 9
+            if lflags & 0x80:  # local color table
+                i += 3 * (2 << (lflags & 0x07))
+            if i >= n:
+                raise ValueError("truncated GIF image data")
+            i += 1  # LZW minimum code size
+            i = _skip_subblocks(i)
+            frames += 1
+        else:
+            raise ValueError(f"bad GIF block id 0x{block:02x}")
+    if frames == 0:
+        raise ValueError("GIF contains no image descriptor")
+    return width, height, frames
+
+
+# -- BMP (BITMAPINFOHEADER / BITMAPCOREHEADER, public spec) -----------
+
+
+def is_bmp(data: bytes) -> bool:
+    return len(data) >= 2 and data[:2] == b"BM"
+
+
+#: DIB header sizes actually defined by the spec lineage (CORE, INFO,
+#: V2/V3 INFO, V4, V5). An exact-match whitelist, NOT `>= 40`: the "BM"
+#: magic is printable ASCII, so a text payload starting with "BM" would
+#: otherwise read letters as a huge header size and return garbage dims
+#: instead of falling back to the surrogate arm.
+_BMP_HEADER_SIZES = frozenset({12, 40, 52, 56, 108, 124})
+
+
+def bmp_info(data: bytes) -> tuple[int, int]:
+    """(width, height) from a BMP file header. Negative height means a
+    top-down DIB - dimensions are reported absolute."""
+    if not is_bmp(data):
+        raise ValueError("not a BMP (bad signature)")
+    if len(data) < 26:
+        raise ValueError("truncated BMP header")
+    hdr = int.from_bytes(data[14:18], "little")
+    if hdr not in _BMP_HEADER_SIZES:
+        raise ValueError(f"unsupported BMP header size {hdr}")
+    if hdr == 12:  # BITMAPCOREHEADER: u16 dims
+        w = int.from_bytes(data[18:20], "little")
+        h = int.from_bytes(data[20:22], "little")
+    else:  # BITMAPINFOHEADER and successors: i32 dims
+        w = int.from_bytes(data[18:22], "little", signed=True)
+        h = int.from_bytes(data[22:26], "little", signed=True)
+    if w == 0 or h == 0:
+        raise ValueError("degenerate BMP dimensions")
+    return abs(w), abs(h)
+
+
+def bmp_decode(data: bytes) -> np.ndarray:
+    """Decode an UNCOMPRESSED (BI_RGB) 24/32-bit BMP into an (h, w, 3)
+    RGB array: BGR(A) pixel order per the spec, 4-byte row padding,
+    bottom-up rows unless height is negative. The common screenshot/
+    export subset - anything else raises and the caller falls back to
+    its surrogate arm."""
+    w, h = bmp_info(data)
+    hdr = int.from_bytes(data[14:18], "little")
+    if hdr < 40:
+        raise ValueError("bmp_decode needs BITMAPINFOHEADER")
+    if len(data) < 34:
+        raise ValueError("truncated BMP info header")
+    raw_h = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    compression = int.from_bytes(data[30:34], "little")
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(
+            f"unsupported BMP (compression={compression}, bpp={bpp})"
+        )
+    offset = int.from_bytes(data[10:14], "little")
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    need = offset + stride * h
+    if len(data) < need:
+        raise ValueError("truncated BMP pixel array")
+    rows = np.frombuffer(
+        data[offset:offset + stride * h], dtype=np.uint8
+    ).reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
+    if raw_h > 0:  # bottom-up storage
+        rows = rows[::-1]
+    return rows[:, :, [2, 1, 0]].copy()  # BGR(A) -> RGB, alpha dropped

@@ -970,6 +970,7 @@ def keep_best_per_cluster(
     clusters: DataFrame,
     id_col: str = "doc_id",
     score_col: str = "quality",
+    broadcast_clusters: bool = True,
 ) -> DataFrame:
     """Quality-aware near-duplicate resolution: given per-document
     scores and a (node, cluster_id) near-dup clustering (e.g.
@@ -980,14 +981,21 @@ def keep_best_per_cluster(
     themselves, reported with cluster_id = their own id (a singleton is
     its own cluster - no NULLs in the output).
 
-    Scale shape: the clusters frame is bounded by the near-dup pair
-    population (tiny next to the corpus), so both the winner join and
-    the singleton anti-join broadcast it; the winner pick is one
-    window over cluster_id partitions of that same small frame. The
-    corpus is scanned once.
+    Scale shape: with ``broadcast_clusters=True`` (default) both the
+    winner join and the singleton anti-join broadcast the clusters
+    frame and the corpus is scanned once, shuffle-free - right whenever
+    cluster membership is small next to the corpus. On web-scale
+    corpora near-dup nodes routinely cover a LARGE fraction of the
+    documents; a forced broadcast then hits Spark's broadcast size
+    ceiling and fails the job, so pass ``broadcast_clusters=False`` to
+    take plain shuffle joins (both sides hash-exchange on ``id_col``;
+    same results, mirrors enrich_with_dim's broadcast_dim flag). The
+    winner window always partitions by cluster_id - its cost scales
+    with clustered rows either way.
     """
     c = clusters.select(F.col("node").alias(id_col), "cluster_id")
-    members = scored.join(F.broadcast(c), id_col)
+    maybe_b = F.broadcast if broadcast_clusters else (lambda df: df)
+    members = scored.join(maybe_b(c), id_col)
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc(score_col), F.col(id_col).asc()
     )
@@ -997,6 +1005,6 @@ def keep_best_per_cluster(
         .drop("_rn")
     )
     singles = scored.join(
-        F.broadcast(c.select(id_col)), id_col, "left_anti"
+        maybe_b(c.select(id_col)), id_col, "left_anti"
     ).withColumn("cluster_id", F.col(id_col))
     return winners.unionByName(singles)

@@ -40,8 +40,13 @@ FEATURE_SCHEMA = (
 def _decode_image_bytes(content: bytes) -> dict:
     """Feature-extract one media payload.
 
-    PNG bytes take the REAL path: decode via the stdlib codec, real
-    mean luminance and dimensions. Anything else yields deterministic
+    Real-decode coverage (operators/codecs.py, stdlib-only):
+    - PNG: full decode - real luma, dims;
+    - BMP (uncompressed 24/32-bit): full decode - real luma, dims;
+      other BMP variants: header dims only;
+    - JPEG: SOF header dims (no entropy decode);
+    - GIF: header dims + REAL frame count from the block walk.
+    Anything else (and any malformed payload) yields deterministic
     sha256-derived surrogates (stable values, correct types) so
     non-image payloads and exotic formats still flow through the
     pipeline and stay oracle-checkable.
@@ -74,6 +79,44 @@ def _decode_image_bytes(content: bytes) -> dict:
             }
         except ValueError:
             pass  # malformed JPEG -> surrogate path
+    if codecs.is_bmp(content):
+        try:
+            # full decode for the uncompressed 24/32-bit subset (real
+            # luma); header-only dims for everything else BMP-shaped
+            try:
+                arr = codecs.bmp_decode(content)
+                return {
+                    "content_sha256": sha,
+                    "mean_luma": codecs.mean_luma(arr),
+                    "n_frames": 1,
+                    "width": arr.shape[1],
+                    "height": arr.shape[0],
+                }
+            except ValueError:
+                w, h = codecs.bmp_info(content)
+                return {
+                    "content_sha256": sha,
+                    "mean_luma": int.from_bytes(digest[:4], "big") / 2**32,
+                    "n_frames": 1,
+                    "width": w,
+                    "height": h,
+                }
+        except ValueError:
+            pass  # malformed BMP -> surrogate path
+    if codecs.is_gif(content):
+        try:
+            w, h, frames = codecs.gif_info(content)
+            return {
+                "content_sha256": sha,
+                # REAL frame count from the block walk; luma would need
+                # an LZW decode - surrogate until then
+                "mean_luma": int.from_bytes(digest[:4], "big") / 2**32,
+                "n_frames": frames,
+                "width": w,
+                "height": h,
+            }
+        except ValueError:
+            pass  # malformed GIF -> surrogate path
     return {
         "content_sha256": sha,
         # surrogate luma in [0,1) from the first digest bytes

@@ -499,6 +499,17 @@ def dsir_select(
     5. global top-n by (weight desc, doc_id asc) - a TakeOrdered, never
        a full sort.
 
+    DELIBERATE DEVIATION from the paper: this is the deterministic
+    RANKING variant - top-n by importance weight - not the paper's
+    Gumbel-noise importance RESAMPLING. Xie et al. note deterministic
+    top-k over-selects near-duplicates of the target profile; this
+    implementation trades that for bit-reproducibility (the oracle
+    gate), and near-dup pressure is handled by the dedup stage that
+    precedes selection in every composed pipeline here. A seeded-noise
+    resampling mode would perturb log_weight with a per-doc md5-derived
+    Gumbel draw before the same top-n - the ranking machinery below
+    would not change.
+
     Returns (doc_id, n_tokens, log_weight, rank), rank 1..n.
 
     Scale shape: the only corpus-sized shuffle is the (doc, bucket) tf

@@ -126,8 +126,15 @@ def cosine_topk_pandas(
     # dot-then-divide, NOT pre-normalize: normalizing first rounds every
     # component, so an exact-duplicate pair lands at 0.99999... instead
     # of exactly 1.0 and the floor-quantize splits from the oracle at
-    # the grid boundary. Raw dot / (norm_a * norm_b) reproduces the
-    # expression path's arithmetic (see embedding_cosine_pairs_gemm).
+    # the grid boundary. Raw dot / (norm_a * norm_b) matches the
+    # expression path on grid-INTERIOR values and puts exact duplicates
+    # at exactly 1.0; it is NOT a bit-parity guarantee at 1e-6 grid
+    # boundaries - the BLAS dot's summation order (pairwise/FMA,
+    # build-dependent) can differ from the left-to-right fold by an
+    # ulp. Where bit-parity IS the contract, use the explicit fold
+    # (_pq_iteration_partials); here the quantize-grid argument plus
+    # the duplicate fix is the documented envelope
+    # (see embedding_cosine_pairs_gemm).
     q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
     q_nz = q_norm > 0
     q_ids, q_mat, q_norm = q_ids[q_nz], q_mat[q_nz], q_norm[q_nz]

@@ -164,6 +164,7 @@ class ParquetCatalog:
         name: str,
         key_cols: Sequence[str],
         num_buckets: int = 32,
+        dense_rewrite_fraction: float = 0.5,
     ) -> dict[str, int]:
         """Key-level upsert that rewrites ONLY the hash buckets the delta
         touches - the incremental alternative to ``overwrite`` for the
@@ -190,6 +191,16 @@ class ParquetCatalog:
         ``_MERGE_META.json``) - changing it, or merging into a table
         written by plain ``overwrite``, rebuckets everything once (a
         full rewrite) and is incremental from then on.
+
+        A DENSE delta auto-falls-back: when the delta touches more than
+        ``dense_rewrite_fraction`` of the buckets, the per-bucket merge
+        would rewrite most of the table anyway and pay the pruning +
+        re-link bookkeeping on top of it (measured: dense merge 3.04s
+        vs 2.87s full rewrite, round-3 bench sidecar), so the merge
+        degenerates to the bucketed full rewrite - same semantics, same
+        layout, every non-empty bucket reported rewritten, nothing
+        linked. The affected-bucket pull needed for the decision is the
+        one the pruned path does anyway.
 
         Returns {"rewritten": n, "linked": m} bucket counts (a full
         rewrite reports every non-empty bucket as rewritten).
@@ -253,31 +264,52 @@ class ParquetCatalog:
             )
             cur_path = self.current_path(name)
             old_df = self._read_files(cur_path)
-            survivors = (
-                old_df.filter(F.col(_BUCKET_COL).isin(affected))
-                .join(delta.select(*key_cols).distinct(), key_cols, "left_anti")
-            )
-            merged = survivors.unionByName(
-                delta_b.select(*survivors.columns)
-            )
-            # one task per affected bucket -> one file per bucket dir
-            merged.repartition(
-                max(len(affected), 1), F.col(_BUCKET_COL)
-            ).write.mode("overwrite").partitionBy(_BUCKET_COL).format(
-                self.data_format
-            ).save(out)
-            stats["rewritten"] = len(affected)
-            # re-link untouched buckets into the new snapshot
-            for d in os.listdir(cur_path):
-                if not d.startswith(f"{_BUCKET_COL}="):
-                    continue
-                b = int(d.split("=", 1)[1])
-                if b in set(affected):
-                    continue
-                _link_tree(
-                    os.path.join(cur_path, d), os.path.join(out, d)
+            if len(affected) > dense_rewrite_fraction * num_buckets:
+                # dense delta: merge machinery costs more than it saves
+                # (docstring) - bucketed full rewrite, nothing linked
+                merged = old_df.join(
+                    delta.select(*key_cols).distinct(), key_cols, "left_anti"
+                ).unionByName(delta_b.select(*old_df.columns))
+                merged.repartition(
+                    num_buckets, F.col(_BUCKET_COL)
+                ).write.mode("overwrite").partitionBy(_BUCKET_COL).format(
+                    self.data_format
+                ).save(out)
+                stats["rewritten"] = sum(
+                    1
+                    for d in os.listdir(out)
+                    if d.startswith(f"{_BUCKET_COL}=")
                 )
-                stats["linked"] += 1
+            else:
+                survivors = (
+                    old_df.filter(F.col(_BUCKET_COL).isin(affected))
+                    .join(
+                        delta.select(*key_cols).distinct(),
+                        key_cols,
+                        "left_anti",
+                    )
+                )
+                merged = survivors.unionByName(
+                    delta_b.select(*survivors.columns)
+                )
+                # one task per affected bucket -> one file per bucket dir
+                merged.repartition(
+                    max(len(affected), 1), F.col(_BUCKET_COL)
+                ).write.mode("overwrite").partitionBy(_BUCKET_COL).format(
+                    self.data_format
+                ).save(out)
+                stats["rewritten"] = len(affected)
+                # re-link untouched buckets into the new snapshot
+                for d in os.listdir(cur_path):
+                    if not d.startswith(f"{_BUCKET_COL}="):
+                        continue
+                    b = int(d.split("=", 1)[1])
+                    if b in set(affected):
+                        continue
+                    _link_tree(
+                        os.path.join(cur_path, d), os.path.join(out, d)
+                    )
+                    stats["linked"] += 1
 
         tmp_meta = os.path.join(tdir, _MERGE_META + ".tmp")
         with open(tmp_meta, "w") as f:

@@ -252,3 +252,109 @@ def test_extract_features_real_jpeg_dims(spark):
     assert out[1]["n_frames"] == 1
     assert out[2]["width"] is None  # surrogate arm unchanged
     assert out[2]["n_frames"] >= 1
+
+
+def _gif_bytes(w: int, h: int, frames: int) -> bytes:
+    """Hand-built GIF89a: global 2-color table, a comment extension,
+    then `frames` image descriptors with fake LZW sub-blocks (the
+    parser skips data by declared size, never decodes it)."""
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80, 0, 0])       # GCT present, size bits 0 -> 2 entries
+    out += b"\x00\x00\x00\xff\xff\xff"  # 2 * 3 color bytes
+    out += b"\x21\xfe\x03abc\x00"    # comment extension: 3-byte sub-block
+    for _ in range(frames):
+        out += b"\x2c"
+        out += (0).to_bytes(2, "little") * 2
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out += bytes([0x00])          # no local color table
+        out += bytes([0x02])          # LZW min code size
+        out += b"\x04\x01\x02\x03\x04\x00"  # one 4-byte sub-block + end
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _bmp_bytes(pixels, top_down=False, bpp=24) -> bytes:
+    """Uncompressed BITMAPINFOHEADER BMP from an (h, w, 3) RGB nested
+    list; rows padded to 4 bytes, stored bottom-up unless top_down."""
+    h, w = len(pixels), len(pixels[0])
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    rows = pixels if top_down else pixels[::-1]
+    body = bytearray()
+    for row in rows:
+        line = bytearray()
+        for (r, g, b) in row:
+            line += bytes([b, g, r] + ([0] if nch == 4 else []))
+        line += b"\x00" * (stride - len(line))
+        body += line
+    offset = 14 + 40
+    hdr = bytearray(b"BM")
+    hdr += (offset + len(body)).to_bytes(4, "little")
+    hdr += b"\x00\x00\x00\x00"
+    hdr += offset.to_bytes(4, "little")
+    hdr += (40).to_bytes(4, "little")
+    hdr += w.to_bytes(4, "little", signed=True)
+    hdr += (h if not top_down else -h).to_bytes(4, "little", signed=True)
+    hdr += (1).to_bytes(2, "little") + bpp.to_bytes(2, "little")
+    hdr += (0).to_bytes(4, "little")              # BI_RGB
+    hdr += len(body).to_bytes(4, "little")
+    hdr += b"\x00" * 16
+    return bytes(hdr + body)
+
+
+def test_gif_info_block_walk():
+    assert codecs.gif_info(_gif_bytes(7, 5, 1)) == (7, 5, 1)
+    assert codecs.gif_info(_gif_bytes(640, 480, 3)) == (640, 480, 3)
+    with pytest.raises(ValueError):
+        codecs.gif_info(b"GIF89a\x07\x00\x05\x00\x00\x00\x00\x3b")  # no frame
+    with pytest.raises(ValueError):
+        codecs.gif_info(_gif_bytes(7, 5, 1)[:-4])  # truncated sub-blocks
+    with pytest.raises(ValueError):
+        codecs.gif_info(b"not a gif at all")
+
+
+def test_bmp_info_and_decode():
+    px = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]]
+    data = _bmp_bytes(px)
+    assert codecs.bmp_info(data) == (2, 2)
+    arr = codecs.bmp_decode(data)
+    assert arr.shape == (2, 2, 3)
+    assert arr.tolist() == [[list(p) for p in row] for row in px]
+    # top-down DIB (negative height) decodes to the same image
+    assert (codecs.bmp_decode(_bmp_bytes(px, top_down=True)) == arr).all()
+    # 32-bit variant decodes identically (alpha dropped)
+    assert (codecs.bmp_decode(_bmp_bytes(px, bpp=32)) == arr).all()
+    # Rec.601 luma of pure R+G+B+white quadrants
+    exp = (0.299 + 0.587 + 0.114 + 1.0) / 4
+    assert abs(codecs.mean_luma(arr) - exp) < 1e-9
+    # printable-ASCII payload starting with "BM" must NOT parse: the
+    # header-size whitelist rejects it and the surrogate arm keeps the
+    # multimodal oracle exact
+    with pytest.raises(ValueError):
+        codecs.bmp_info(b"BM this is just text that happens to start with BM..")
+    with pytest.raises(ValueError):
+        codecs.bmp_info(_bmp_bytes(px)[:20])
+
+
+def test_extract_features_gif_bmp_through_spark(spark):
+    """GIF dims + real frame count and BMP full-decode luma flow
+    through the Spark operator; surrogate arm untouched."""
+    from ghcrawler_datalake_etl_spark.operators import multimodal as MM
+
+    px = [[(10, 20, 30), (40, 50, 60)], [(70, 80, 90), (100, 110, 120)]]
+    df = spark.createDataFrame(
+        [
+            (1, "image/gif", _gif_bytes(12, 9, 4), None, None, None, None),
+            (2, "image/bmp", _bmp_bytes(px), None, None, None, None),
+            (3, "text/plain", b"BM but actually text", None, None, None, None),
+        ],
+        "doc_id long, media_type string, content binary, width int,"
+        " height int, sample_rate int, duration_ms long",
+    )
+    out = {r["doc_id"]: r for r in MM.extract_features(df).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["n_frames"]) == (12, 9, 4)
+    assert (out[2]["width"], out[2]["height"]) == (2, 2)
+    exp = codecs.mean_luma(codecs.bmp_decode(_bmp_bytes(px)))
+    assert abs(out[2]["mean_luma"] - exp) < 1e-12
+    assert out[3]["width"] is None and out[3]["n_frames"] >= 1

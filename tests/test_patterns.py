@@ -416,6 +416,42 @@ def test_merge_upsert_rewrites_only_affected_buckets(spark, tmp_path):
     assert {r.k: r.val for r in cat.read("T").collect()} == got
 
 
+def test_merge_upsert_dense_delta_falls_back_to_full_rewrite(
+    spark, tmp_path
+):
+    """A delta touching more than dense_rewrite_fraction of the buckets
+    must skip the per-bucket merge machinery and do the bucketed full
+    rewrite (round-3 bench: dense merge lost to the plain rewrite) -
+    nothing hardlinked, every non-empty bucket rewritten, read-back
+    semantics identical to the pruned path."""
+    from pyspark.sql import functions as F
+
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    day1 = spark.range(0, 1000).select(
+        F.col("id").alias("k"), F.lit("day1").alias("val")
+    )
+    cat.merge_upsert(day1, "T", ["k"], num_buckets=16)
+
+    # 400 uniformly-hashed keys touch (virtually) all 16 buckets
+    dense = spark.range(0, 1000, 2).select(
+        F.col("id").alias("k"), F.lit("day2").alias("val")
+    )
+    stats = cat.merge_upsert(dense, "T", ["k"], num_buckets=16)
+    assert stats["linked"] == 0, "dense fallback must not link buckets"
+    assert stats["rewritten"] == 16
+
+    got = {r.k: r.val for r in cat.read("T").collect()}
+    assert len(got) == 1000
+    assert got[0] == "day2" and got[998] == "day2"
+    assert got[1] == "day1" and got[999] == "day1"
+
+    # a sparse follow-up on the SAME table still prunes + links
+    sparse = spark.createDataFrame([(3, "day3")], "k long, val string")
+    s2 = cat.merge_upsert(sparse, "T", ["k"], num_buckets=16)
+    assert s2["rewritten"] == 1 and s2["linked"] == 15
+    assert cat.read("T").filter(F.col("k") == 3).first().val == "day3"
+
+
 def test_run_daily_incremental_matches_full(spark, tmp_path):
     """incremental=True (build_delta + merge_upsert) must produce
     byte-identical Commit (pattern A) and RepoLog (pattern E) snapshots
