@@ -25,19 +25,37 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _evidence():
-    """The committed EVIDENCE.json, verified fresh against the
+    """The committed EVIDENCE.json, verified consistent with the
     CORRECTNESS files it is generated from. Returns None on a fresh
-    checkout without driver artifacts."""
+    checkout without driver artifacts.
+
+    Contract (VERDICT r4 #5): the driver writes CORRECTNESS_r{N}.json
+    AFTER the builder's end-of-round snapshot commit, so at every round
+    boundary the checked-out tree plus driver artifacts legitimately
+    contains one more CORRECTNESS file than EVIDENCE.json reflects. The
+    freshness check therefore asserts the committed artifact is a
+    *consistent prefix* of the regenerated one: every committed entry's
+    green_rounds must be a prefix of the regenerated entry's, and no
+    committed entry may vanish. Regenerating+committing EVIDENCE.json
+    (`python gen_evidence.py`) remains the first action of each round;
+    this relaxation only keeps the boundary state green, it does not
+    excuse skipping the regenerate step."""
     path = os.path.join(ROOT, "EVIDENCE.json")
     if not os.path.exists(path):
         return None
     with open(path) as fh:
         committed = json.load(fh)
-    assert committed == build_evidence(ROOT), (
-        "EVIDENCE.json is stale - rerun `python gen_evidence.py` after "
-        "new CORRECTNESS files land"
-    )
-    return committed
+    regenerated = build_evidence(ROOT)
+    for q, rec in committed.items():
+        new = regenerated.get(q)
+        assert new is not None and new["green_rounds"][: len(rec["green_rounds"])] == rec["green_rounds"], (
+            f"EVIDENCE.json is inconsistent for {q} - a committed green "
+            f"row disappeared from the CORRECTNESS files; rerun "
+            f"`python gen_evidence.py` and inspect the diff"
+        )
+    # the regenerated set may be a superset (round-boundary state);
+    # return it so rotation rules see the newest green rows too.
+    return regenerated
 
 
 #: families that must each have every member in the driver window.
