@@ -8,6 +8,13 @@ implemented from the public file-format specs with nothing but
   0/2/3/4/6, all five scanline filters, non-interlaced. Enough to
   decode real-world screenshots/thumbnails and to round-trip our own
   encoder output losslessly.
+- JPEG baseline (ITU T.81): encoder (FDCT + Annex-K quant + canonical
+  Huffman, a fixture generator) and a DC-only entropy decoder - real
+  mean luma from DC coefficients alone, no IDCT.
+- GIF (GIF87a/89a): header walk for dims/frame count, full LZW decode
+  of the first frame (interlace included), and a fixture encoder.
+- BMP (BITMAPINFOHEADER): full decode of the uncompressed 24/32-bit
+  subset.
 - WAV/RIFF header parse: sample rate + duration from ``fmt ``/``data``
   chunk sizes - no sample decoding needed for chunking metadata.
 
@@ -240,6 +247,450 @@ def is_jpeg(data: bytes) -> bool:
     return len(data) >= 2 and data[:2] == JPEG_MAGIC
 
 
+# -- JPEG baseline entropy layer (ITU T.81, public spec) ---------------
+#
+# Enough of the baseline-sequential process to (a) ENCODE real arrays
+# into spec-valid JPEGs as test fixtures (FDCT + Annex-K quant tables +
+# canonical single-length Huffman tables written to DHT) and (b) DECODE
+# the entropy stream of any baseline JPEG far enough to recover every
+# block's DC coefficient - which is exactly the 8x8-block mean, so the
+# image-wide mean luma needs NO IDCT and no AC dequantization: AC
+# coefficients are Huffman-walked to keep bitstream position and then
+# dropped. Progressive (SOF2) and arithmetic-coded processes raise, so
+# those payloads route to the callers' surrogate arms.
+
+#: Annex K.1/K.2 example quantization tables (luminance, chrominance).
+_JQ_LUM = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.int32)
+_JQ_CHROM = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], dtype=np.int32)
+
+
+def _zigzag_positions() -> list[tuple[int, int]]:
+    """The 64 (row, col) positions in JPEG zigzag order, generated from
+    the anti-diagonal walk rather than hardcoded."""
+    out = []
+    for s in range(15):
+        rng = list(range(max(0, s - 7), min(7, s) + 1))
+        for r in (rng if s % 2 else reversed(rng)):
+            out.append((r, s - r))
+    return out
+
+
+_ZIGZAG = _zigzag_positions()
+
+#: orthonormal DCT-II basis: C @ block @ C.T == the T.81 A.3.3 FDCT
+_DCT_C = np.array([
+    [
+        (np.sqrt(1 / 8) if u == 0 else 0.5)
+        * np.cos((2 * x + 1) * u * np.pi / 16)
+        for x in range(8)
+    ]
+    for u in range(8)
+])
+
+
+def _bit_category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+        return bytes(self.out)
+
+
+def _canonical_codes(symbols: list[int]) -> tuple[bytes, dict[int, tuple[int, int]]]:
+    """A spec-valid DHT payload giving every symbol the SAME canonical
+    9-bit code (counts fit: <= 256 symbols < 2^9 - 1, the all-ones code
+    stays unused as T.81 requires). Fixture-encoder simplicity over
+    compression - any conforming decoder accepts it."""
+    assert 0 < len(symbols) <= 256
+    bits = [0] * 16
+    bits[8] = len(symbols)  # 9-bit codes (bits[i] = codes of length i+1)
+    table = {s: (i, 9) for i, s in enumerate(symbols)}
+    return bytes(bits) + bytes(symbols), table
+
+
+def jpeg_encode(arr: np.ndarray) -> bytes:
+    """uint8 (H, W) grayscale or (H, W, 3) RGB -> baseline JPEG bytes
+    (SOF0, 4:4:4, Annex-K quant tables, single-length canonical Huffman
+    tables). The fixture generator for the DC-luma decoder - the same
+    role png_encode/wav_encode_silence play for their parsers."""
+    if arr.dtype != np.uint8:
+        raise ValueError("jpeg_encode expects uint8")
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nch = arr.shape
+    if nch not in (1, 3):
+        raise ValueError(f"unsupported channel count {nch}")
+    a = arr.astype(np.float64)
+    if nch == 3:
+        r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+        comps = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+        quants = [_JQ_LUM, _JQ_CHROM, _JQ_CHROM]
+    else:
+        comps = [a[:, :, 0]]
+        quants = [_JQ_LUM]
+    # pad to 8x8 blocks by edge replication
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    coeffs = []  # per component: (blocks_y, blocks_x, 64) zigzag ints
+    for plane, q in zip(comps, quants):
+        p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
+        blocks = p.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+        f = np.einsum("ux,byxv,wv->byuw", _DCT_C, blocks, _DCT_C)
+        qz = np.round(f / q).astype(np.int64)
+        zz = np.stack([qz[:, :, r, c] for (r, c) in _ZIGZAG], axis=-1)
+        coeffs.append(zz)
+
+    # entropy-code with per-table symbol collection first
+    dc_syms: list[set[int]] = [set(), set()]
+    ac_syms: list[set[int]] = [set(), set()]
+    tokens = []  # (tbl, kind, symbol, extra_value, extra_len)
+    preds = [0] * len(coeffs)
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            for ci, zz in enumerate(coeffs):
+                tbl = 0 if ci == 0 else 1
+                blk = zz[by, bx]
+                diff = int(blk[0]) - preds[ci]
+                preds[ci] = int(blk[0])
+                t = _bit_category(diff)
+                dc_syms[tbl].add(t)
+                extra = diff if diff >= 0 else diff + (1 << t) - 1
+                tokens.append((tbl, "dc", t, extra, t))
+                run = 0
+                last_nz = max(
+                    (i for i in range(1, 64) if blk[i]), default=0
+                )
+                for i in range(1, last_nz + 1):
+                    v = int(blk[i])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ac_syms[tbl].add(0xF0)
+                        tokens.append((tbl, "ac", 0xF0, 0, 0))
+                        run -= 16
+                    t = _bit_category(v)
+                    sym = (run << 4) | t
+                    ac_syms[tbl].add(sym)
+                    extra = v if v >= 0 else v + (1 << t) - 1
+                    tokens.append((tbl, "ac", sym, extra, t))
+                    run = 0
+                if last_nz < 63:
+                    ac_syms[tbl].add(0x00)
+                    tokens.append((tbl, "ac", 0x00, 0, 0))
+
+    n_tbl = 1 if nch == 1 else 2
+    dc_tables = [_canonical_codes(sorted(dc_syms[i])) for i in range(n_tbl)]
+    ac_tables = [_canonical_codes(sorted(ac_syms[i])) for i in range(n_tbl)]
+    bw = _BitWriter()
+    for tbl, kind, sym, extra, elen in tokens:
+        code, length = (dc_tables if kind == "dc" else ac_tables)[tbl][1][sym]
+        bw.write(code, length)
+        if elen:
+            bw.write(extra, elen)
+    entropy = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    zz_lum = bytes(int(_JQ_LUM[r, c]) for (r, c) in _ZIGZAG)
+    out = bytearray(JPEG_MAGIC)
+    out += seg(0xDB, b"\x00" + zz_lum)
+    if nch == 3:
+        zz_chr = bytes(int(_JQ_CHROM[r, c]) for (r, c) in _ZIGZAG)
+        out += seg(0xDB, b"\x01" + zz_chr)
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof.append(nch)
+    for ci in range(nch):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += seg(0xC0, bytes(sof))
+    for i in range(n_tbl):
+        out += seg(0xC4, bytes([0x00 | i]) + dc_tables[i][0])
+        out += seg(0xC4, bytes([0x10 | i]) + ac_tables[i][0])
+    sos = bytearray([nch])
+    for ci in range(nch):
+        t = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, bytes(sos))
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first reader over a JPEG entropy segment: un-stuffs FF 00,
+    surfaces RSTn as restart events, stops at any other marker."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.done = False
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            self.done = True
+            return
+        byte = d[self.pos]
+        if byte == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # restart: caller handles via sync
+                self.done = True
+                return
+            else:  # EOI or next segment
+                self.done = True
+                return
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+            if self.nbits == 0:
+                # past the marker: T.81 says pad with 1s
+                return 1
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Consume an expected RSTn marker and realign to byte."""
+        self.acc = 0
+        self.nbits = 0
+        self.done = False
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("expected JPEG restart marker")
+
+
+def _huff_decode_table(body: bytes, at: int) -> tuple[int, dict, int]:
+    """One DHT table from a DHT segment body -> (class<<4|id, lookup,
+    next_offset); lookup maps (length, code) -> symbol."""
+    tc_th = body[at]
+    counts = body[at + 1 : at + 17]
+    total = sum(counts)
+    values = body[at + 17 : at + 17 + total]
+    if len(values) != total:
+        raise ValueError("truncated DHT")
+    lookup: dict[tuple[int, int], int] = {}
+    code = 0
+    vi = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            lookup[(length, code)] = values[vi]
+            code += 1
+            vi += 1
+        code <<= 1
+    return tc_th, lookup, at + 17 + total
+
+
+def _read_huff(br: _BitReader, lookup: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = lookup.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def jpeg_dc_luma(data: bytes) -> float:
+    """Mean luminance in [0, 1] of a BASELINE JPEG from its DC
+    coefficients alone (ITU T.81): Huffman-decode the entropy stream,
+    keep each luma block's cumulative DC (the dequantized DC of an 8x8
+    block is 8x the block's mean-minus-128), walk-and-drop the ACs, do
+    no IDCT. Sampling factors (4:2:0 etc.) and restart intervals are
+    honored; padding blocks outside the frame are excluded from the
+    mean. Progressive/arithmetic/12-bit streams raise ValueError (the
+    callers' surrogate arms)."""
+    if not is_jpeg(data):
+        raise ValueError("not a JPEG (bad signature)")
+    i, n = 2, len(data)
+    qtables: dict[int, list[int]] = {}
+    htables: dict[int, dict] = {}
+    sof = None
+    restart = 0
+    while i + 3 < n:
+        while i < n and data[i] == 0xFF:
+            i += 1
+        if i >= n:
+            break
+        marker = data[i]
+        i += 1
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        seglen = int.from_bytes(data[i : i + 2], "big")
+        if seglen < 2 or i + seglen > n:
+            raise ValueError("truncated JPEG segment")
+        body = data[i + 2 : i + seglen]
+        if marker == 0xDB:
+            at = 0
+            while at < len(body):
+                pq, tq = body[at] >> 4, body[at] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant table unsupported")
+                qtables[tq] = list(body[at + 1 : at + 65])
+                at += 65
+        elif marker == 0xC4:
+            at = 0
+            while at < len(body):
+                tc_th, lookup, at = _huff_decode_table(body, at)
+                htables[tc_th] = lookup
+        elif marker == 0xDD:
+            restart = int.from_bytes(body[:2], "big")
+        elif marker in _JPEG_SOF:
+            if marker != 0xC0 and marker != 0xC1:
+                raise ValueError(
+                    f"non-baseline JPEG process (SOF{marker - 0xC0})"
+                )
+            if body[0] != 8:
+                raise ValueError("12-bit JPEG unsupported")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            sof = (w, h, comps)
+        elif marker == 0xDA:
+            if sof is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cs, tdta = body[1 + 2 * c], body[2 + 2 * c]
+                scan.append((cs, tdta >> 4, tdta & 0x0F))
+            return _jpeg_dc_scan(
+                data, i + seglen, sof, scan, qtables, htables, restart
+            )
+        i += seglen
+    raise ValueError("JPEG has no scan")
+
+
+def _jpeg_dc_scan(
+    data: bytes, pos: int, sof, scan, qtables, htables, restart
+) -> float:
+    w, h, comps = sof
+    by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * max_h))
+    mcus_y = -(-h // (8 * max_v))
+    luma_id = comps[0][0]
+    lq = qtables.get(by_id[luma_id][2])
+    if lq is None:
+        raise ValueError("missing quant table")
+    members = []
+    for cs, td, ta in scan:
+        hi, vi, _tq = by_id[cs]
+        dc = htables.get(0x00 | td)
+        ac = htables.get(0x10 | ta)
+        if dc is None or ac is None:
+            raise ValueError("missing Huffman table")
+        cw = -(-(w * hi) // max_h)   # component pixel width
+        ch = -(-(h * vi) // max_v)
+        members.append((cs, hi, vi, dc, ac, cw, ch))
+    br = _BitReader(data, pos)
+    preds = {cs: 0 for cs, *_ in members}
+    total = 0.0
+    count = 0
+    mcu_i = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and mcu_i and mcu_i % restart == 0:
+                br.sync_restart()
+                preds = {cs: 0 for cs in preds}
+            mcu_i += 1
+            for cs, hi, vi, dc, ac, cw, ch in members:
+                for bv in range(vi):
+                    for bh in range(hi):
+                        t = _read_huff(br, dc)
+                        diff = _extend(br.read_bits(t), t) if t else 0
+                        preds[cs] += diff
+                        k = 1
+                        while k < 64:
+                            sym = _read_huff(br, ac)
+                            if sym == 0x00:
+                                break
+                            run, size = sym >> 4, sym & 0x0F
+                            if size == 0 and run != 15:
+                                raise ValueError("bad JPEG AC symbol")
+                            k += run + 1
+                            if size:
+                                br.read_bits(size)  # AC value dropped
+                        if cs == luma_id:
+                            x0 = (mx * hi + bh) * 8
+                            y0 = (my * vi + bv) * 8
+                            if x0 < cw and y0 < ch:
+                                mean = preds[cs] * lq[0] / 8.0 + 128.0
+                                total += min(max(mean, 0.0), 255.0)
+                                count += 1
+    if count == 0:
+        raise ValueError("JPEG scan decoded no luma blocks")
+    return total / count / 255.0
+
+
 def jpeg_dims(data: bytes) -> tuple[int, int]:
     """(width, height) from the first SOF marker of a JPEG stream -
     a pure header scan (ITU T.81 B.2), no entropy decode. The 100 TB
@@ -345,6 +796,204 @@ def gif_info(data: bytes) -> tuple[int, int, int]:
     return width, height, frames
 
 
+def _gif_lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytes:
+    """GIF-variant LZW (GIF89a spec appendix): LSB-first codes of
+    growing width, CLEAR resets the dictionary, codes cap at 12 bits.
+    Returns exactly n_pixels palette indices."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    # bit reader state
+    acc = 0
+    nbits = 0
+    pos = 0
+    code_size = min_code_size + 1
+    dictionary: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    while len(out) < n_pixels:
+        while nbits < code_size:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            dictionary = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(dictionary):
+            entry = dictionary[code]
+        elif code == len(dictionary) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("bad GIF LZW code")
+        out.extend(entry)
+        if prev is not None and len(dictionary) < 4096:
+            dictionary.append(prev + entry[:1])
+        if len(dictionary) >= (1 << code_size) and code_size < 12:
+            code_size += 1
+        prev = entry
+    if len(out) < n_pixels:
+        raise ValueError("GIF LZW stream ended early")
+    return bytes(out[:n_pixels])
+
+
+#: GIF interlace passes: (first_row, step)
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def gif_decode_first_frame(data: bytes) -> np.ndarray:
+    """Decode the FIRST image of a GIF into an (h, w, 3) RGB uint8
+    array: color-table lookup after a real LZW decode of the image
+    data; interlaced frames are de-interlaced. The frame is returned on
+    its own w x h canvas (disposal/composition across frames is out of
+    scope - frame 1 IS the canvas for the luma use case). Raises
+    ValueError on anything malformed so callers fall back to their
+    surrogate arm."""
+    if not is_gif(data):
+        raise ValueError("not a GIF (bad signature)")
+    n = len(data)
+    if n < 13:
+        raise ValueError("truncated GIF header")
+    flags = data[10]
+    i = 13
+    global_pal = None
+    if flags & 0x80:
+        size = 3 * (2 << (flags & 0x07))
+        global_pal = np.frombuffer(
+            data[i : i + size], dtype=np.uint8
+        ).reshape(-1, 3)
+        i += size
+
+    def _subblocks(j: int) -> tuple[bytes, int]:
+        chunks = bytearray()
+        while True:
+            if j >= n:
+                raise ValueError("truncated GIF sub-blocks")
+            size = data[j]
+            j += 1
+            if size == 0:
+                return bytes(chunks), j
+            chunks.extend(data[j : j + size])
+            j += size
+
+    while i < n:
+        block = data[i]
+        i += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            i += 1
+            _, i = _subblocks(i)
+        elif block == 0x2C:
+            if i + 9 > n:
+                raise ValueError("truncated GIF image descriptor")
+            w = int.from_bytes(data[i + 4 : i + 6], "little")
+            h = int.from_bytes(data[i + 6 : i + 8], "little")
+            lflags = data[i + 8]
+            i += 9
+            pal = global_pal
+            if lflags & 0x80:
+                size = 3 * (2 << (lflags & 0x07))
+                pal = np.frombuffer(
+                    data[i : i + size], dtype=np.uint8
+                ).reshape(-1, 3)
+                i += size
+            if pal is None:
+                raise ValueError("GIF image has no color table")
+            if i >= n:
+                raise ValueError("truncated GIF image data")
+            min_code = data[i]
+            if not 2 <= min_code <= 11:
+                raise ValueError(f"bad GIF LZW minimum code size {min_code}")
+            lzw, i = _subblocks(i + 1)
+            idx = np.frombuffer(
+                _gif_lzw_decode(min_code, lzw, w * h), dtype=np.uint8
+            )
+            if idx.max(initial=0) >= len(pal):
+                raise ValueError("GIF pixel index outside color table")
+            rows = idx.reshape(h, w)
+            if lflags & 0x40:  # interlaced: reorder rows into passes
+                out = np.empty_like(rows)
+                src = 0
+                for first, step in _GIF_INTERLACE:
+                    for y in range(first, h, step):
+                        out[y] = rows[src]
+                        src += 1
+                rows = out
+            return pal[rows]
+        else:
+            raise ValueError(f"bad GIF block id 0x{block:02x}")
+    raise ValueError("GIF contains no image descriptor")
+
+
+def gif_encode(arr: np.ndarray, interlace: bool = False) -> bytes:
+    """uint8 (H, W, 3) RGB array -> single-frame GIF89a bytes. Fixture
+    generator for the LZW decoder: the palette is the image's unique
+    colors (<= 256 or ValueError); compression is the spec-valid
+    CLEAR-before-every-code scheme (code width never grows), which any
+    conforming decoder accepts."""
+    if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("gif_encode expects uint8 (H, W, 3)")
+    h, w = arr.shape[:2]
+    flat = arr.reshape(-1, 3)
+    colors, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("gif_encode fixture supports <= 256 colors")
+    pal_bits = max((len(colors) - 1).bit_length(), 1)
+    pal_n = 1 << pal_bits
+    pal = np.zeros((pal_n, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    min_code = max(pal_bits, 2)
+    clear = 1 << min_code
+    code_size = min_code + 1
+    bits = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    pix = idx.reshape(h, w)
+    if interlace:
+        order = [
+            y for first, step in _GIF_INTERLACE for y in range(first, h, step)
+        ]
+        pix = pix[order]
+    for v in pix.ravel():
+        emit(clear)
+        emit(int(v))
+    emit(clear + 1)  # end-of-information
+    if nbits:
+        bits.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (pal_bits - 1), 0, 0])
+    out += pal.tobytes()
+    out += b"\x2c" + b"\x00\x00\x00\x00"
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x40 if interlace else 0x00])
+    out += bytes([min_code])
+    for at in range(0, len(bits), 255):
+        chunk = bits[at : at + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 # -- BMP (BITMAPINFOHEADER / BITMAPCOREHEADER, public spec) -----------
 
 
@@ -401,6 +1050,10 @@ def bmp_decode(data: bytes) -> np.ndarray:
             f"unsupported BMP (compression={compression}, bpp={bpp})"
         )
     offset = int.from_bytes(data[10:14], "little")
+    if offset < 14 + hdr:
+        # bfOffBits pointing inside the headers would silently decode
+        # header bytes as pixels - route to the surrogate arm instead
+        raise ValueError("BMP pixel offset inside header")
     nch = bpp // 8
     stride = (w * nch + 3) & ~3
     need = offset + stride * h

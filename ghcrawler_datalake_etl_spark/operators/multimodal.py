@@ -44,8 +44,11 @@ def _decode_image_bytes(content: bytes) -> dict:
     - PNG: full decode - real luma, dims;
     - BMP (uncompressed 24/32-bit): full decode - real luma, dims;
       other BMP variants: header dims only;
-    - JPEG: SOF header dims (no entropy decode);
-    - GIF: header dims + REAL frame count from the block walk.
+    - JPEG (baseline): SOF header dims + REAL luma from the
+      DC-coefficient entropy decode (no IDCT); progressive/arithmetic:
+      dims only;
+    - GIF: header dims + REAL frame count + REAL first-frame luma from
+      the LZW decode.
     Anything else (and any malformed payload) yields deterministic
     sha256-derived surrogates (stable values, correct types) so
     non-image payloads and exotic formats still flow through the
@@ -68,11 +71,17 @@ def _decode_image_bytes(content: bytes) -> dict:
     if codecs.is_jpeg(content):
         try:
             w, h = codecs.jpeg_dims(content)
+            try:
+                # REAL luma for baseline streams: DC-coefficient mean
+                # from the entropy decode (codecs.jpeg_dc_luma) - no
+                # IDCT. Progressive/arithmetic streams keep the
+                # surrogate.
+                luma = codecs.jpeg_dc_luma(content)
+            except ValueError:
+                luma = int.from_bytes(digest[:4], "big") / 2**32
             return {
                 "content_sha256": sha,
-                # dims are a REAL header parse (no entropy decode - the
-                # warehouse-scale metadata path); luma stays surrogate
-                "mean_luma": int.from_bytes(digest[:4], "big") / 2**32,
+                "mean_luma": luma,
                 "n_frames": 1,
                 "width": w,
                 "height": h,
@@ -106,11 +115,18 @@ def _decode_image_bytes(content: bytes) -> dict:
     if codecs.is_gif(content):
         try:
             w, h, frames = codecs.gif_info(content)
+            try:
+                # REAL first-frame luma from the LZW decode
+                # (codecs.gif_decode_first_frame); frames past the
+                # first never need decoding for this feature.
+                luma = codecs.mean_luma(
+                    codecs.gif_decode_first_frame(content)
+                )
+            except ValueError:
+                luma = int.from_bytes(digest[:4], "big") / 2**32
             return {
                 "content_sha256": sha,
-                # REAL frame count from the block walk; luma would need
-                # an LZW decode - surrogate until then
-                "mean_luma": int.from_bytes(digest[:4], "big") / 2**32,
+                "mean_luma": luma,
                 "n_frames": frames,
                 "width": w,
                 "height": h,

@@ -358,3 +358,104 @@ def test_extract_features_gif_bmp_through_spark(spark):
     exp = codecs.mean_luma(codecs.bmp_decode(_bmp_bytes(px)))
     assert abs(out[2]["mean_luma"] - exp) < 1e-12
     assert out[3]["width"] is None and out[3]["n_frames"] >= 1
+
+
+# -- JPEG baseline entropy layer (round 5) ----------------------------
+
+
+def test_jpeg_encode_decode_dc_luma_gray_and_color():
+    """Encoder fixtures -> DC-luma decoder: flat images are exact,
+    block-aligned gradients agree with the true mean to DC-quantization
+    precision."""
+    flat = np.full((8, 16), 100, np.uint8)
+    assert abs(codecs.jpeg_dc_luma(codecs.jpeg_encode(flat)) - 100 / 255) < 1e-9
+    g = np.linspace(40, 210, 24 * 40).reshape(24, 40).astype(np.uint8)
+    for arr in (
+        g,
+        np.stack([g, g // 2 + 30, 255 - g], axis=-1).astype(np.uint8),
+    ):
+        data = codecs.jpeg_encode(arr)
+        assert codecs.is_jpeg(data)
+        h, w = arr.shape[:2]
+        assert codecs.jpeg_dims(data) == (w, h)
+        assert abs(codecs.jpeg_dc_luma(data) - codecs.mean_luma(arr)) < 0.01
+
+
+def test_jpeg_dc_luma_rejects_non_baseline():
+    # progressive SOF2 header: dims parse fine, DC decode refuses
+    prog = (
+        b"\xff\xd8"
+        + b"\xff\xc2\x00\x0b\x08\x01\xe0\x02\x80\x01\x01\x11\x00"
+        + b"\xff\xd9"
+    )
+    assert codecs.jpeg_dims(prog) == (640, 480)
+    with pytest.raises(ValueError):
+        codecs.jpeg_dc_luma(prog)
+    with pytest.raises(ValueError):
+        codecs.jpeg_dc_luma(b"not a jpeg")
+    # truncated entropy stream must raise, not return garbage
+    data = codecs.jpeg_encode(np.full((16, 16), 77, np.uint8))
+    with pytest.raises(ValueError):
+        codecs.jpeg_dc_luma(data[: len(data) // 2])
+
+
+# -- GIF LZW decode (round 5) -----------------------------------------
+
+
+def test_gif_encode_decode_roundtrip_lossless():
+    rng = np.random.RandomState(7)
+    for h, w in [(1, 1), (5, 7), (20, 33)]:
+        arr = (rng.randint(0, 8, (h, w, 1)) * 32
+               + np.array([[[0, 8, 16]]])).astype(np.uint8)
+        for interlace in (False, True):
+            data = codecs.gif_encode(arr, interlace=interlace)
+            assert codecs.gif_info(data) == (w, h, 1)
+            assert (codecs.gif_decode_first_frame(data) == arr).all()
+
+
+def test_gif_decode_rejects_malformed():
+    arr = np.zeros((4, 4, 3), np.uint8)
+    data = codecs.gif_encode(arr)
+    with pytest.raises(ValueError):
+        codecs.gif_decode_first_frame(data[:-6])  # truncated
+    with pytest.raises(ValueError):
+        codecs.gif_decode_first_frame(b"GIF89a\x04\x00\x04\x00\x00\x00\x00\x3b")
+    # 257 distinct colors exceed the fixture encoder's palette
+    big = np.arange(258 * 3, dtype=np.uint8).reshape(-1, 1, 3) % 255
+    big[:, 0, 0] = np.arange(258) // 2
+    with pytest.raises(ValueError):
+        codecs.gif_encode(np.ascontiguousarray(big))
+
+
+def test_bmp_decode_rejects_offset_inside_header():
+    px = [[(10, 20, 30), (40, 50, 60)], [(70, 80, 90), (100, 110, 120)]]
+    data = bytearray(_bmp_bytes(px))
+    data[10:14] = (20).to_bytes(4, "little")  # bfOffBits into the header
+    with pytest.raises(ValueError):
+        codecs.bmp_decode(bytes(data))
+
+
+def test_extract_features_real_jpeg_gif_luma_through_spark(spark):
+    """The JPEG baseline and GIF arms now carry REAL luma through the
+    Spark operator (surrogate only for non-baseline streams)."""
+    from ghcrawler_datalake_etl_spark.operators import multimodal as MM
+
+    g = np.linspace(20, 230, 16 * 24).reshape(16, 24).astype(np.uint8)
+    jpg = codecs.jpeg_encode(np.stack([g, g, g], axis=-1).astype(np.uint8))
+    gif = codecs.gif_encode(
+        np.stack([g // 16 * 16] * 3, axis=-1).astype(np.uint8)
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "image/jpeg", jpg, None, None, None, None),
+            (2, "image/gif", gif, None, None, None, None),
+        ],
+        "doc_id long, media_type string, content binary, width int,"
+        " height int, sample_rate int, duration_ms long",
+    )
+    out = {r["doc_id"]: r for r in MM.extract_features(df).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (24, 16)
+    assert abs(out[1]["mean_luma"] - codecs.jpeg_dc_luma(jpg)) < 1e-12
+    assert (out[2]["width"], out[2]["height"], out[2]["n_frames"]) == (24, 16, 1)
+    exp = codecs.mean_luma(codecs.gif_decode_first_frame(gif))
+    assert abs(out[2]["mean_luma"] - exp) < 1e-12
