@@ -76,6 +76,7 @@ EXTENSION_PREFIXES = (
     "corpus_",
     "tsv_",
     "orc_",
+    "stream_",
 )
 
 #: extension queries deliberately OUTSIDE the window. Value: either the
@@ -99,6 +100,15 @@ OUT_OF_WINDOW_OK = {
     "dedup_span_first_occurrence": "evidence",
     "text_fingerprint": "evidence",
     "multimodal_frames": "evidence",
+    # round-5 rotation (green r2+r3+r4), ceding its slot to
+    # stream_interval_join; multimodal_features keeps the family
+    # (same mapInPandas shape) in-window:
+    "multimodal_audio_chunks": "evidence",
+    # batch twins of the streaming surface, green r1, out-of-window
+    # since round 2 (the "stream_" prefix joined EXTENSION_PREFIXES in
+    # round 5 when the true streaming run entered the window):
+    "stream_windowed_counts": "evidence",
+    "stream_static_enrich": "evidence",
 }
 
 #: one query per SURVEY section-2 operator family. The in-window
