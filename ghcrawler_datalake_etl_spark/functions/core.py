@@ -36,9 +36,12 @@ def vector_literal(values: Sequence[float]) -> Column:
     form and ``CAST(string AS DOUBLE)`` is a correctly-rounded parse,
     so the literal is the identical IEEE double (pinned by test,
     including -0.0 and subnormals). Finite values only by contract
-    (centroids/norms) - NaN/Inf would need special spelling.
+    (centroids/norms) - NaN/Inf would need special spelling. Elements
+    are coerced through float() first (matching matrix_literal): a
+    numpy>=2.0 scalar reprs as ``np.float64(1.5)``, which would
+    otherwise CAST to NULL under non-ANSI Spark.
     """
-    body = ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in values)
+    body = ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in values)
     return F.expr(f"array({body})")
 
 

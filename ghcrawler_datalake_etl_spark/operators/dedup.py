@@ -965,12 +965,32 @@ def contamination_report(
     )
 
 
+#: conservative per-row estimate for a (node, cluster_id) frame when
+#: sizing the broadcast decision: two longs or a short string id plus
+#: row overhead.
+_CLUSTER_ROW_EST_BYTES = 48
+
+
+def _size_bytes(conf_value: str) -> int:
+    """Parse a Spark byte-size conf string ('10MB', '10485760b',
+    '-1') into bytes; -1 means broadcast disabled."""
+    s = conf_value.strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s.endswith("b"):
+        s = s[:-1]
+    mult = 1
+    if s and s[-1] in units:
+        mult = units[s[-1]]
+        s = s[:-1]
+    return int(s) * mult
+
+
 def keep_best_per_cluster(
     scored: DataFrame,
     clusters: DataFrame,
     id_col: str = "doc_id",
     score_col: str = "quality",
-    broadcast_clusters: bool = True,
+    broadcast_clusters: bool | None = None,
 ) -> DataFrame:
     """Quality-aware near-duplicate resolution: given per-document
     scores and a (node, cluster_id) near-dup clustering (e.g.
@@ -981,18 +1001,36 @@ def keep_best_per_cluster(
     themselves, reported with cluster_id = their own id (a singleton is
     its own cluster - no NULLs in the output).
 
-    Scale shape: with ``broadcast_clusters=True`` (default) both the
-    winner join and the singleton anti-join broadcast the clusters
-    frame and the corpus is scanned once, shuffle-free - right whenever
-    cluster membership is small next to the corpus. On web-scale
-    corpora near-dup nodes routinely cover a LARGE fraction of the
-    documents; a forced broadcast then hits Spark's broadcast size
-    ceiling and fails the job, so pass ``broadcast_clusters=False`` to
-    take plain shuffle joins (both sides hash-exchange on ``id_col``;
-    same results, mirrors enrich_with_dim's broadcast_dim flag). The
-    winner window always partitions by cluster_id - its cost scales
-    with clustered rows either way.
+    Scale shape: with broadcast both the winner join and the singleton
+    anti-join broadcast the clusters frame and the corpus is scanned
+    once, shuffle-free - right whenever cluster membership is small
+    next to the corpus. On web-scale corpora near-dup nodes routinely
+    cover a LARGE fraction of the documents; a forced broadcast then
+    hits Spark's broadcast size ceiling and fails the job, so the
+    non-broadcast arm takes plain shuffle joins (both sides
+    hash-exchange on ``id_col``; same results, mirrors
+    enrich_with_dim's broadcast_dim flag). The winner window always
+    partitions by cluster_id - its cost scales with clustered rows
+    either way.
+
+    ``broadcast_clusters=None`` (default, VERDICT r4 #7) DECIDES BY
+    MEASUREMENT, the dense_rewrite_fraction pattern: one count of the
+    clusters frame (cheap - CC output arrives localCheckpointed), then
+    broadcast only if the estimated frame size
+    (rows x _CLUSTER_ROW_EST_BYTES) fits the session's
+    spark.sql.autoBroadcastJoinThreshold; a threshold of -1 (broadcast
+    disabled) always takes the shuffle arm. Pass True/False to pin an
+    arm explicitly.
     """
+    if broadcast_clusters is None:
+        thr = _size_bytes(
+            scored.sparkSession.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10m"
+            )
+        )
+        broadcast_clusters = (
+            thr > 0 and clusters.count() * _CLUSTER_ROW_EST_BYTES <= thr
+        )
     c = clusters.select(F.col("node").alias(id_col), "cluster_id")
     maybe_b = F.broadcast if broadcast_clusters else (lambda df: df)
     members = scored.join(maybe_b(c), id_col)

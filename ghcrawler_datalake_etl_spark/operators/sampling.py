@@ -299,6 +299,7 @@ def _monotone_proxy(key: Column, ktype) -> tuple[Column, bool]:
     matching ascending NULLS FIRST window order.
     """
     from pyspark.sql.types import (
+        BinaryType,
         DateType,
         IntegralType,
         NumericType,
@@ -309,7 +310,9 @@ def _monotone_proxy(key: Column, ktype) -> tuple[Column, bool]:
 
     if isinstance(ktype, NumericType):
         return key, isinstance(ktype, IntegralType)
-    if isinstance(ktype, StringType):
+    if isinstance(ktype, (StringType, BinaryType)):
+        # first-7-bytes big-endian (hex is byte-order-preserving for
+        # both UTF-8 strings and raw binary keys, e.g. hash digests)
         prefix = F.rpad(F.substring(F.hex(key), 1, 14), 14, "0")
         return F.conv(prefix, 16, 10).cast("long"), True
     if isinstance(ktype, DateType):
@@ -389,6 +392,13 @@ def pack_shards(
     once); pass it when ``df`` is a narrow projection of heavy work,
     e.g. the chunk-dedup pipeline. Default off: for plain scans,
     re-reading two pruned parquet columns is cheaper than persisting.
+
+    Raises:
+        ValueError: if ``key_col``'s type has no monotone numeric
+            proxy (boolean, array, struct, map). Supported key types:
+            numerics, string, binary (first-7-bytes big-endian proxy),
+            date, timestamp, timestamp_ntz. Cast anything else to one
+            of those first.
     """
     from pyspark.sql import Window
 

@@ -482,3 +482,36 @@ def test_keep_best_broadcasts_cluster_frame(spark, queries):
     p = plan(queries["dedup_keep_best_quality"](spark, SF_DIR), "simple")
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_keep_best_measured_broadcast_policy(spark):
+    """VERDICT r4 #7: broadcast_clusters=None sizes the clusters frame
+    against spark.sql.autoBroadcastJoinThreshold - small frames take
+    the broadcast arm, an over-threshold (or broadcast-disabled)
+    session takes shuffle joins, and both arms agree on results."""
+    import ghcrawler_datalake_etl_spark.operators.dedup as DD
+
+    scored = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(40)], "doc_id long, quality double"
+    )
+    clusters = spark.createDataFrame(
+        [(i, i // 2) for i in range(20)], "node long, cluster_id long"
+    )
+    auto = DD.keep_best_per_cluster(scored, clusters)
+    p = plan(auto, "simple")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p, p
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        shuffled = DD.keep_best_per_cluster(scored, clusters)
+        p2 = plan(shuffled, "simple")
+        assert "BroadcastHashJoin" not in p2, p2
+        got = sorted(map(tuple, shuffled.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert got == sorted(map(tuple, auto.collect()))
+    # a tiny positive threshold also routes to the shuffle arm
+    assert DD._size_bytes("-1") == -1
+    assert DD._size_bytes("10m") == 10 << 20
+    assert DD._size_bytes("10485760b") == 10485760
+    assert DD._size_bytes("1G") == 1 << 30

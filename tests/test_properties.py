@@ -624,3 +624,60 @@ def test_pack_shards_string_keys_equal_single_window_form(
         )
     )
     assert got == ref
+
+
+def test_pack_shards_binary_keys_equal_single_window_form(spark):
+    """Binary-keyed packs (e.g. hash-digest keys) ride the same
+    byte-prefix proxy as strings (ADVICE r4: the round-4 proxy rewrite
+    had silently dropped binary support the old repartitionByRange
+    fallback carried)."""
+    import hashlib
+
+    from pyspark.sql import Window
+
+    from ghcrawler_datalake_etl_spark.operators.sampling import pack_shards
+
+    rows = [
+        (hashlib.sha256(str(i).encode()).digest(), float(i % 9) + 1)
+        for i in range(60)
+    ] + [(b"", 3.0), (b"\x00", 1.0), (b"\xff" * 20, 2.0)]
+    df = spark.createDataFrame(rows, "k binary, wt double")
+    got = sorted(
+        (bytes(r["k"]), r["wt"], r["shard_id"])
+        for r in pack_shards(df, "k", "wt", 50, num_bins=4).collect()
+    )
+    ref = sorted(
+        (bytes(r["k"]), r["wt"], r["shard_id"])
+        for r in df.withColumn(
+            "shard_id",
+            F.floor(
+                F.coalesce(
+                    F.sum("wt").over(
+                        Window.orderBy("k").rowsBetween(
+                            Window.unboundedPreceding, -1
+                        )
+                    ),
+                    F.lit(0.0),
+                )
+                / 50.0
+            ).cast("long"),
+        ).collect()
+    )
+    assert got == ref
+
+
+def test_vector_literal_coerces_numpy_scalars(spark):
+    """ADVICE r4: numpy>=2.0 scalars repr as np.float64(x) - the
+    literal builder must coerce through float() like matrix_literal."""
+    import numpy as np
+
+    from ghcrawler_datalake_etl_spark.functions.core import vector_literal
+
+    vals = np.array([1.5, -0.0, 3.25e-300])
+    got = spark.range(1).select(
+        vector_literal(list(vals)).alias("v")
+    ).head()["v"]
+    assert got == [1.5, -0.0, 3.25e-300]
+    import math
+
+    assert math.copysign(1.0, got[1]) == -1.0
