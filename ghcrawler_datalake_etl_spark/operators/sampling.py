@@ -202,6 +202,81 @@ def target_mix_sample(
     )
 
 
+def temperature_mix_sample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    budget: int,
+    alpha: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-weighted multilingual/multi-source rebalancing
+    (XLM-R / mC4's exponentiated sampling, public recipe): draw a
+    ``budget``-row corpus with per-group quotas proportional to
+    ``n_g ** alpha`` - alpha < 1 flattens the distribution, boosting
+    low-resource groups relative to raw proportions without the
+    fixed-target bookkeeping of :func:`target_mix_sample` (which pins
+    EXACT shares; temperature mixing pins a reweighting FORMULA and
+    lets the data decide the shares).
+
+    Quotas: need_g = min(n_g, floor(budget * w_g / W)) with
+    w_g = n_g ** alpha and W the sum of weights in GROUP-SORTED order
+    (the float fold order is part of the contract so any engine
+    replays it). At the default alpha = 0.5 the weight is
+    ``math.sqrt`` - correctly rounded by IEEE 754, so the quota
+    arithmetic is bit-identical across engines (an arbitrary alpha
+    rides ``pow``, which is only as portable as the host libm - fine
+    within one cluster, flagged for cross-engine differential use).
+    Selection within a group is the deterministic (hash bucket, key)
+    ranking shared by every sampler here. NULL groups drop.
+
+    Plan shape: one map-side-combined per-group count (bounded by the
+    number of groups - the bounded driver pull of target_mix_sample),
+    then a single corpus pass with a window PARTITIONED by group - no
+    global sort, no join.
+    """
+    import math
+
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    have = {
+        r["g"]: r["n"]
+        for r in (
+            df.filter(F.col(group_col).isNotNull())
+            .groupBy(F.col(group_col).alias("g"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+    }
+    if not have:
+        return df.filter(F.lit(False))
+    weight = (
+        (lambda n: math.sqrt(n)) if alpha == 0.5 else (lambda n: n ** alpha)
+    )
+    groups = sorted(have)
+    w = {g: weight(have[g]) for g in groups}
+    total_w = 0.0
+    for g in groups:  # sorted fold: the order is part of the contract
+        total_w += w[g]
+    need = {
+        g: min(have[g], int(budget * w[g] / total_w)) for g in groups
+    }
+    need_col = F.create_map(
+        *[F.lit(x) for g in groups for x in (g, need[g])]
+    )[F.col(group_col)]
+    win = Window.partitionBy(group_col).orderBy(
+        hash_bucket(key_col, seed), F.col(key_col)
+    )
+    return (
+        df.filter(F.col(group_col).isNotNull())
+        .withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= need_col)
+        .drop("_rn")
+    )
+
+
 def top_share_per_group(
     df: DataFrame,
     key_col: str,

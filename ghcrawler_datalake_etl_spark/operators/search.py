@@ -125,6 +125,80 @@ def unigram_logprob(
     )
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, public
+    recipe): score every document with the corpus's own smoothed
+    unigram LM (:func:`unigram_logprob`) and split the corpus into
+    head / middle / tail thirds by that score - the standard
+    quality-tiering step before mixing training data (head = most
+    LM-typical text).
+
+    Returns (doc_id, n_tokens, avg_logprob, bucket). Bucket boundaries
+    are DISCRETE thirds computed with pure integer arithmetic - no
+    percentile interpolation anywhere, so any engine replays the exact
+    same split: avg_logprob is mapped to integer micro-units
+    (round(x * 1e4) - exact: x is already floor-quantized to 4dp), the
+    bounded distinct-value histogram gets an ascending running count,
+    and boundary b_k is the smallest value whose running count reaches
+    ceil(k * N / 3). Ties share a value and therefore a bucket, so
+    bucket sizes deviate from N/3 only by tie mass.
+
+    Scale shape: the LM scoring is unigram_logprob's (shared tf cache,
+    map-side aggregates); the per-doc score frame feeds three
+    consumers (histogram, corpus count, final labeling) and is
+    persisted once - a narrow (id, 2 numbers) projection, spill-safe.
+    The histogram is an aggregate over distinct 4dp score values -
+    bounded cardinality (~1e5 for real corpora) regardless of corpus
+    size, so its single-partition running-sum window and the two-row
+    boundary pull are driver-scale, the same bounded-frame contract as
+    pack_shards offsets. The corpus then takes one broadcast-join pass
+    to label buckets.
+    """
+    from pyspark.sql import Window
+
+    from ghcrawler_datalake_etl_spark.operators.dedup import _materialize
+
+    lp = _materialize(
+        unigram_logprob(df, id_col, text_col).withColumn(
+            "_lpi", F.round(F.col("avg_logprob") * 10000, 0).cast("long")
+        )
+    )
+    hist = lp.groupBy("_lpi").agg(F.count("*").alias("_c"))
+    cum = hist.withColumn(
+        "_cum",
+        F.sum("_c").over(
+            Window.orderBy("_lpi").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    consts = lp.agg(F.count("*").alias("_n"))
+    bounds = cum.crossJoin(F.broadcast(consts)).agg(
+        F.min(
+            F.when(F.col("_cum") * 3 >= F.col("_n"), F.col("_lpi"))
+        ).alias("_b1"),
+        F.min(
+            F.when(F.col("_cum") * 3 >= F.col("_n") * 2, F.col("_lpi"))
+        ).alias("_b2"),
+    )
+    return (
+        lp.crossJoin(F.broadcast(bounds))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "avg_logprob",
+            F.when(F.col("_lpi") <= F.col("_b1"), F.lit("tail"))
+            .when(F.col("_lpi") <= F.col("_b2"), F.lit("middle"))
+            .otherwise(F.lit("head"))
+            .alias("bucket"),
+        )
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     id_col: str,

@@ -1627,6 +1627,42 @@ def sample_target_mix(spark, sf_dir):
 
 
 @register(
+    "sample_temperature_mix",
+    f"""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents
+               WHERE lang IS NOT NULL GROUP BY lang),
+    w AS (SELECT lang, n, sqrt(n::DOUBLE) AS w FROM c),
+    tot AS (SELECT list_reduce(list(w ORDER BY lang), (a, b) -> a + b) AS tw
+            FROM w),
+    need AS (SELECT lang,
+                    least(n, cast(floor(300 * w / (SELECT tw FROM tot))
+                                  AS BIGINT)) AS need
+             FROM w),
+    r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY {_BUCKET_SQL}, doc_id) AS rn
+      FROM documents WHERE lang IS NOT NULL
+    )
+    SELECT r.doc_id, r.lang
+    FROM r JOIN need USING (lang)
+    WHERE r.rn <= need.need
+    """,
+)
+def sample_temperature_mix(spark, sf_dir):
+    """Temperature-weighted source rebalancing (operators/sampling.
+    temperature_mix_sample, the XLM-R/mC4 n^alpha recipe at
+    alpha = 0.5): per-language quotas proportional to sqrt(n) within a
+    300-doc budget - sqrt is IEEE-correctly-rounded, so the float quota
+    arithmetic replays bit-identically on both engines (the group-sorted
+    weight fold order is part of the contract)."""
+    d = _t(spark, sf_dir, "documents")
+    return SP.temperature_mix_sample(
+        d, "doc_id", "lang", budget=300, alpha=0.5, seed=42
+    ).select("doc_id", "lang")
+
+
+@register(
     "split_train_valid_test",
     f"""
     WITH b AS (SELECT doc_id, {_BUCKET_SQL} AS bucket FROM documents)
@@ -3337,6 +3373,55 @@ def text_unigram_logprob(spark, sf_dir):
     return SR.unigram_logprob(d, "doc_id", "text")
 
 
+@register(
+    "text_perplexity_buckets",
+    f"""
+    WITH base AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    tf AS (
+      SELECT b.doc_id, t.term, count(*) AS tf
+      FROM base b, unnest(b.toks) AS t(term)
+      GROUP BY b.doc_id, t.term),
+    vocab AS (SELECT term, sum(tf) AS n FROM tf GROUP BY term),
+    consts AS (SELECT sum(n) AS total, count(*) AS vocab FROM vocab),
+    contrib AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             tf.tf * ln((v.n + 1.0) / (c.total + c.vocab)) AS contrib
+      FROM tf JOIN vocab v USING (term) CROSS JOIN consts c),
+    lp AS (
+      SELECT doc_id, cast(sum(tf) AS BIGINT) AS n_tokens,
+             floor(list_reduce(list(contrib ORDER BY term), (a, b) -> a + b)
+                   / sum(tf) * 10000) / 10000 AS avg_logprob
+      FROM contrib GROUP BY doc_id),
+    lpi AS (SELECT doc_id, n_tokens, avg_logprob,
+                   cast(round(avg_logprob * 10000) AS BIGINT) AS v
+            FROM lp),
+    hist AS (SELECT v, count(*) AS c FROM lpi GROUP BY v),
+    cum AS (SELECT v, sum(c) OVER (ORDER BY v
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+            FROM hist),
+    nn AS (SELECT count(*) AS n FROM lpi),
+    bounds AS (
+      SELECT min(CASE WHEN cum * 3 >= n THEN v END) AS b1,
+             min(CASE WHEN cum * 3 >= n * 2 THEN v END) AS b2
+      FROM cum CROSS JOIN nn)
+    SELECT doc_id, n_tokens, avg_logprob,
+           CASE WHEN v <= (SELECT b1 FROM bounds) THEN 'tail'
+                WHEN v <= (SELECT b2 FROM bounds) THEN 'middle'
+                ELSE 'head' END AS bucket
+    FROM lpi
+    """,
+)
+def text_perplexity_buckets(spark, sf_dir):
+    """CCNet perplexity tiering (operators/search.perplexity_buckets,
+    Wenzek et al. 2020): head/middle/tail thirds of the corpus by its
+    own unigram-LM score, with DISCRETE integer-arithmetic boundaries
+    (no percentile interpolation - the split replays exactly on any
+    engine). The histogram the boundaries come from is bounded by the
+    distinct 4dp score values, not the corpus."""
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    return SR.perplexity_buckets(d, "doc_id", "text")
+
+
 _BM25_TERMS = ("join", "spark", "window")
 
 
@@ -4060,11 +4145,18 @@ _DRIVER_ORDER = [
     #    driver row yet; each is a distinct algorithm) --
     "search_bm25_topk",
     "text_unigram_logprob",
-    "text_chunk_windows",
+    # -- round-5 additions: CCNet perplexity tiering and XLM-R
+    #    temperature mixing (new operators). Slots ceded by the
+    #    double-green (r03+r04) text_chunk_windows (text family keeps
+    #    stats/quality/lang_id/unigram/bigram/redact/repetition/bpe
+    #    in-window; the chunk shape stays via pipeline_chunk_dedup_pack)
+    #    and sample_eval_carve (sample family keeps stratified/
+    #    target_mix/top_share/dsir in-window) --
+    "text_perplexity_buckets",
+    "sample_temperature_mix",
     "text_redact_pii",
     "text_repetition_metrics",
     "corpus_vocabulary_topk",
-    "sample_eval_carve",
     "sample_stratified_by_lang",
     "sim_knn_pandas_gemm",
     "sim_ivf_kmeans_topk",
@@ -4120,6 +4212,9 @@ _DRIVER_ORDER = [
     # ---------------- position 51+: past the driver window ----------
     # round-5 rotated-out (triple-green r02+r03+r04):
     "multimodal_audio_chunks",
+    # round-5 rotated-out (double-green r03+r04; see slot comments):
+    "text_chunk_windows",
+    "sample_eval_carve",
     # round-4 rotated-out (double-green r02+r03; see slot comments):
     "dedup_span_first_occurrence",
     "text_fingerprint",

@@ -1293,3 +1293,52 @@ def test_logreg_classifier_learns_the_label(spark):
     w0 = CF.logreg_fit(empty, iterations=2)
     assert w0 == [0.0] * 5
     assert CF.logreg_score(empty, w0).count() == 0
+
+
+def test_temperature_mix_flattens_distribution(spark):
+    """alpha < 1 boosts low-resource groups: the sampled share of the
+    rare group must exceed its corpus share; quotas never exceed group
+    sizes; selection is deterministic."""
+    import ghcrawler_datalake_etl_spark.operators.sampling as SP
+
+    rows = [(i, "big") for i in range(900)] + [
+        (i, "rare") for i in range(900, 1000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = SP.temperature_mix_sample(df, "doc_id", "grp", budget=200, alpha=0.5)
+    got = {r["grp"]: r["n"] for r in out.groupBy("grp").count()
+           .withColumnRenamed("count", "n").collect()}
+    # sqrt weights: w_big=30, w_rare=10 -> quotas 150 / 50
+    assert got == {"big": 150, "rare": 50}
+    # rare corpus share 10% -> sampled share 25%: flattened
+    assert got["rare"] / sum(got.values()) > 0.1
+    again = SP.temperature_mix_sample(df, "doc_id", "grp", budget=200, alpha=0.5)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    # alpha=0 is uniform-over-groups; alpha=1 reproduces raw shares
+    uni = SP.temperature_mix_sample(df, "doc_id", "grp", budget=200, alpha=0.0)
+    got0 = {r["grp"]: r["n"] for r in uni.groupBy("grp").count()
+            .withColumnRenamed("count", "n").collect()}
+    assert got0 == {"big": 100, "rare": 100}
+    raw = SP.temperature_mix_sample(df, "doc_id", "grp", budget=200, alpha=1.0)
+    got1 = {r["grp"]: r["n"] for r in raw.groupBy("grp").count()
+            .withColumnRenamed("count", "n").collect()}
+    assert got1 == {"big": 180, "rare": 20}
+
+
+def test_perplexity_buckets_thirds_and_labels(spark):
+    """Bucket sizes are thirds up to tie mass; ordering is semantic:
+    every tail doc scores <= every middle doc <= every head doc."""
+    import ghcrawler_datalake_etl_spark.operators.search as SR
+
+    rows = [(i, " ".join(["common"] * 5)) for i in range(6)]
+    rows += [(10 + i, "common rareword%d etc" % i) for i in range(6)]
+    rows += [(20 + i, "zz%d qq%d vv%d" % (i, i, i)) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = SR.perplexity_buckets(df, "doc_id", "text").collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["avg_logprob"])
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    assert max(by_bucket["tail"]) <= min(by_bucket["middle"])
+    assert max(by_bucket["middle"]) <= min(by_bucket["head"])
+    assert len(out) == 18 and len(by_bucket["tail"]) == 6

@@ -48,6 +48,8 @@ DOC_ONLY = [
     "text_bpe_encode",
     "dedup_keep_best_quality",
     "text_quality_classifier",
+    "text_perplexity_buckets",
+    "sample_temperature_mix",
 ]
 
 

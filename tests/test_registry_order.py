@@ -104,6 +104,11 @@ OUT_OF_WINDOW_OK = {
     # stream_interval_join; multimodal_features keeps the family
     # (same mapInPandas shape) in-window:
     "multimodal_audio_chunks": "evidence",
+    # round-5 rotations (green r3+r4), ceding slots to the new
+    # text_perplexity_buckets / sample_temperature_mix operators;
+    # both families stay broadly represented in-window:
+    "text_chunk_windows": "evidence",
+    "sample_eval_carve": "evidence",
     # batch twins of the streaming surface, green r1, out-of-window
     # since round 2 (the "stream_" prefix joined EXTENSION_PREFIXES in
     # round 5 when the true streaming run entered the window):
