@@ -723,6 +723,67 @@ def bpe_train_merges(
     return merges, vocab
 
 
+def bpe_encode_ids(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_merges: int = 8,
+    strategy: str = "driver",
+) -> DataFrame:
+    """The actual tokenization step: train a ``num_merges``-round BPE
+    model (:func:`bpe_train_merges`) and encode every document to its
+    BPE symbol-ID SEQUENCE - (doc_id, n_ids, ids_csv) with ids in
+    document order. This is what a training-data pipeline feeds the
+    shard packer with: train -> encode ids -> pack.
+
+    The id space is the trained symbol set (initial characters plus
+    merged symbols, at most alphabet + num_merges entries) numbered in
+    lexicographic order - deterministic and engine-replayable, the
+    same convention a released tokenizer's vocab.json would freeze.
+
+    Scale shape: the symbol table is tiny and broadcast; the
+    vocabulary (word -> symbol array) join is vocabulary-sized against
+    the corpus-sized token stream (plain equi-join on the word); the
+    per-document id sequence is assembled by an array_sort over
+    (token position, symbol position) structs - per-doc state bounded
+    by document length, the same collect shape as chunking. ids_csv is
+    a CSV projection because the driver's canonicalizer needs scalar
+    cells (the array form is one split() away).
+    """
+    from pyspark.sql import Window
+
+    _, vocab = bpe_train_merges(df, text_col, num_merges, strategy=strategy)
+    syms_arr = F.split(F.trim(F.col("repr")), "  ")
+    word_syms = vocab.select("w", syms_arr.alias("syms"))
+    sym_tab = (
+        vocab.select(F.explode(syms_arr).alias("sym"))
+        .distinct()
+        .withColumn(
+            "sym_id", F.row_number().over(Window.orderBy("sym")) - 1
+        )
+    )
+    doc_words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "w"),
+    )
+    doc_syms = doc_words.join(word_syms, "w").select(
+        "doc_id", "pos", F.posexplode("syms").alias("spos", "sym")
+    )
+    with_ids = doc_syms.join(F.broadcast(sym_tab), "sym")
+    return with_ids.groupBy("doc_id").agg(
+        F.count("*").alias("n_ids"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "spos", "sym_id"))
+                ),
+                lambda s: s["sym_id"].cast("string"),
+            ),
+            ",",
+        ).alias("ids_csv"),
+    )
+
+
 def bpe_encode_stats(
     df: DataFrame,
     id_col: str,

@@ -3611,13 +3611,13 @@ def sample_dsir_select(spark, sf_dir):
     )
 
 
-def _bpe_oracle(num_merges: int = 8) -> str:
-    """Unrolled-CTE oracle for the BPE trainer+encoder: each merge
-    round k computes its pair table p{{k}}, picks the best pair b{{k}}
-    with a scalar subquery ((count desc, w1, w2) - the trainer's exact
-    tiebreak), and applies it with the same double-space literal
-    replace; the CASE guard makes a dried-up round a no-op, mirroring
-    the trainer's early stop."""
+def _bpe_vocab_cte(num_merges: int) -> str:
+    """Shared unrolled-CTE prefix for the BPE oracles: word frequencies
+    and v0..v{num_merges} vocab stages. Each merge round k computes its
+    pair table, picks the best pair b{{k}} with a scalar subquery
+    ((count desc, w1, w2) - the trainer's exact tiebreak), and applies
+    it with the same double-space literal replace; the CASE guard makes
+    a dried-up round a no-op, mirroring the trainer's early stop."""
     # every CTE is MATERIALIZED and referenced once (the best-pair rides
     # a LEFT JOIN ON TRUE): without this, inlining duplicates each
     # stage's lineage per reference and the plan grows exponentially in
@@ -3649,7 +3649,13 @@ def _bpe_oracle(num_merges: int = 8) -> str:
              ' ' || array_to_string(
                list_transform(range(1, length(w) + 1),
                               i -> substr(w, i, 1)), '  ') || ' ' AS repr
-      FROM words),{",".join(stages)},
+      FROM words),{",".join(stages)}"""
+
+
+def _bpe_oracle(num_merges: int = 8) -> str:
+    """Unrolled-CTE oracle for the BPE trainer+encoder (see
+    _bpe_vocab_cte for the shared training stages)."""
+    return f"""{_bpe_vocab_cte(num_merges)},
     enc AS (
       SELECT w, len(string_split(trim(repr), '  ')) AS n_sym
       FROM v{num_merges}),
@@ -3662,6 +3668,40 @@ def _bpe_oracle(num_merges: int = 8) -> str:
              AS avg_symbols_per_token
     FROM doc_words d JOIN enc e USING (w)
     GROUP BY d.doc_id
+    """
+
+
+def _bpe_ids_oracle(num_merges: int = 8) -> str:
+    """Unrolled-CTE oracle for the BPE id-sequence encoder: the shared
+    training stages, a lexicographic symbol-id table, and per-document
+    (token position, symbol position)-ordered id assembly."""
+    n = num_merges
+    return f"""{_bpe_vocab_cte(n)},
+    wsyms AS (SELECT w, string_split(trim(repr), '  ') AS syms FROM v{n}),
+    symtab AS (
+      SELECT sym, row_number() OVER (ORDER BY sym) - 1 AS sym_id
+      FROM (SELECT DISTINCT unnest(string_split(trim(repr), '  ')) AS sym
+            FROM v{n})),
+    docw AS (
+      SELECT u.doc_id, u.p.pos AS pos, u.p.term AS w
+      FROM (SELECT doc_id,
+                   unnest(list_transform(toks,
+                     (t, i) -> struct_pack(pos := i, term := t))) AS p
+            FROM base) u),
+    docsym AS (
+      SELECT x.doc_id, x.pos, x.p.spos AS spos, x.p.sym AS sym
+      FROM (SELECT d.doc_id, d.pos,
+                   unnest(list_transform(ws.syms,
+                     (t, i) -> struct_pack(spos := i, sym := t))) AS p
+            FROM docw d JOIN wsyms ws USING (w)) x),
+    ids AS (
+      SELECT ds.doc_id, ds.pos, ds.spos, st.sym_id
+      FROM docsym ds JOIN symtab st USING (sym))
+    SELECT doc_id, count(*) AS n_ids,
+           array_to_string(
+             list(cast(sym_id AS VARCHAR) ORDER BY pos, spos), ',')
+             AS ids_csv
+    FROM ids GROUP BY doc_id
     """
 
 
@@ -3679,6 +3719,19 @@ def text_bpe_encode(spark, sf_dir):
     once for the distributed encode join."""
     d = fan_out(_t(spark, sf_dir, "documents"))
     return TX.bpe_encode_stats(d, "doc_id", "text", num_merges=8)
+
+
+@register("text_bpe_encode_ids", _bpe_ids_oracle(8))
+def text_bpe_encode_ids(spark, sf_dir):
+    """The actual tokenization step (operators/text.bpe_encode_ids):
+    train the 8-merge BPE model and emit every document's symbol-ID
+    SEQUENCE in document order (train -> encode ids -> pack is the
+    full tokenizer path; text_bpe_encode reports the cost statistics,
+    this emits the ids a shard would store). Driver-strategy trainer:
+    O(1) actions in the merge count; the symbol-id table broadcasts;
+    per-doc assembly is an array_sort over (pos, spos) structs."""
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    return TX.bpe_encode_ids(d, "doc_id", "text", num_merges=8)
 
 
 def _pipeline_oracle() -> str:
@@ -4153,7 +4206,6 @@ _DRIVER_ORDER = [
     "stream_interval_join",
     # -- round-2 additions rotated INTO the window for round 3 (no
     #    driver row yet; each is a distinct algorithm) --
-    "search_bm25_topk",
     "text_unigram_logprob",
     # -- round-5 additions: CCNet perplexity tiering and XLM-R
     #    temperature mixing (new operators). Slots ceded by the
@@ -4195,6 +4247,11 @@ _DRIVER_ORDER = [
     #    w1_latest_event_per_user; its w1_maxby twin pins the same
     #    latest-wins semantics and both stay oracle-checked locally) --
     "text_bpe_encode",
+    # -- round-5: the BPE id-sequence encoder (the tokenizer's actual
+    #    output path). Slot ceded by the double-green (r03+r04)
+    #    search_bm25_topk; the search family stays in-window via
+    #    search_tfidf_cosine (same inverted-tf + ordered-top-k shape) --
+    "text_bpe_encode_ids",
     # -- quality-aware near-dup resolution (slot ceded by the
     #    double-green j2_anti_join; anti-join semantics stay pinned by
     #    pattern C in-window and the plan-shape tests) --
@@ -4225,6 +4282,7 @@ _DRIVER_ORDER = [
     # round-5 rotated-out (double-green r03+r04; see slot comments):
     "text_chunk_windows",
     "sample_eval_carve",
+    "search_bm25_topk",
     # round-4 rotated-out (double-green r02+r03; see slot comments):
     "dedup_span_first_occurrence",
     "text_fingerprint",

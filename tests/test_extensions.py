@@ -1342,3 +1342,27 @@ def test_perplexity_buckets_thirds_and_labels(spark):
     assert max(by_bucket["tail"]) <= min(by_bucket["middle"])
     assert max(by_bucket["middle"]) <= min(by_bucket["head"])
     assert len(out) == 18 and len(by_bucket["tail"]) == 6
+
+
+def test_bpe_encode_ids_roundtrip_to_text(spark):
+    """Decoding the emitted id sequence through the trained symbol
+    table must reproduce each document's tokenized text exactly - the
+    lossless-tokenization contract (spaces aside)."""
+    import ghcrawler_datalake_etl_spark.operators.text as TX
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "lowest low"), (3, None)],
+        "doc_id long, text string",
+    )
+    _, vocab = TX.bpe_train_merges(df, "text", num_merges=4)
+    syms = sorted(
+        {s for r in vocab.collect() for s in r["repr"].strip().split("  ")}
+    )
+    out = {r["doc_id"]: r for r in
+           TX.bpe_encode_ids(df, "doc_id", "text", num_merges=4).collect()}
+    assert 3 not in out  # NULL text -> no tokens -> no row
+    for doc_id, text in [(1, "low lower lowest"), (2, "lowest low")]:
+        ids = [int(x) for x in out[doc_id]["ids_csv"].split(",")]
+        assert out[doc_id]["n_ids"] == len(ids)
+        decoded = "".join(syms[i] for i in ids)
+        assert decoded == text.replace(" ", "")

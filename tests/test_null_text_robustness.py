@@ -50,6 +50,7 @@ DOC_ONLY = [
     "text_quality_classifier",
     "text_perplexity_buckets",
     "sample_temperature_mix",
+    "text_bpe_encode_ids",
 ]
 
 
