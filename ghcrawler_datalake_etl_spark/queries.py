@@ -3671,10 +3671,11 @@ def _bpe_oracle(num_merges: int = 8) -> str:
     """
 
 
-def _bpe_ids_oracle(num_merges: int = 8) -> str:
-    """Unrolled-CTE oracle for the BPE id-sequence encoder: the shared
-    training stages, a lexicographic symbol-id table, and per-document
-    (token position, symbol position)-ordered id assembly."""
+def _bpe_ids_cte(num_merges: int) -> str:
+    """Shared CTE chain through ``ids`` (doc_id, pos, spos, sym_id):
+    training stages + lexicographic symbol-id table + per-document
+    positional symbol assembly. _bpe_ids_oracle and
+    _tokenize_pack_oracle both build on it."""
     n = num_merges
     return f"""{_bpe_vocab_cte(n)},
     wsyms AS (SELECT w, string_split(trim(repr), '  ') AS syms FROM v{n}),
@@ -3696,7 +3697,13 @@ def _bpe_ids_oracle(num_merges: int = 8) -> str:
             FROM docw d JOIN wsyms ws USING (w)) x),
     ids AS (
       SELECT ds.doc_id, ds.pos, ds.spos, st.sym_id
-      FROM docsym ds JOIN symtab st USING (sym))
+      FROM docsym ds JOIN symtab st USING (sym))"""
+
+
+def _bpe_ids_oracle(num_merges: int = 8) -> str:
+    """Unrolled-CTE oracle for the BPE id-sequence encoder (see
+    _bpe_ids_cte)."""
+    return f"""{_bpe_ids_cte(num_merges)}
     SELECT doc_id, count(*) AS n_ids,
            array_to_string(
              list(cast(sym_id AS VARCHAR) ORDER BY pos, spos), ',')
@@ -3732,6 +3739,47 @@ def text_bpe_encode_ids(spark, sf_dir):
     per-doc assembly is an array_sort over (pos, spos) structs."""
     d = fan_out(_t(spark, sf_dir, "documents"))
     return TX.bpe_encode_ids(d, "doc_id", "text", num_merges=8)
+
+
+def _tokenize_pack_oracle(num_merges: int = 8, budget: int = 400) -> str:
+    """Composed tokenizer-path oracle: the BPE id-sequence stages
+    (through the ``ids`` CTE of _bpe_ids_cte), then shard packing by
+    per-doc token count - the pack_token_shards running-window form
+    over n_ids instead of chars."""
+    return f"""{_bpe_ids_cte(num_merges)},
+    doc_n AS (SELECT doc_id, count(*) AS n_ids FROM ids GROUP BY doc_id),
+    packed AS (
+      SELECT doc_id, n_ids,
+             coalesce(sum(n_ids::DOUBLE) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum
+      FROM doc_n)
+    SELECT CAST(floor(cum / {budget}) AS BIGINT) AS shard_id,
+           count(*) AS n_docs,
+           cast(sum(n_ids) AS BIGINT) AS shard_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM packed GROUP BY 1
+    """
+
+
+@register("pipeline_tokenize_pack", _tokenize_pack_oracle(8, 400))
+def pipeline_tokenize_pack(spark, sf_dir):
+    """The full tokenizer path composed end to end: train the BPE
+    model, encode every document to its id sequence
+    (operators/text.bpe_encode_ids), pack documents into ~400-token
+    training shards by key order (operators/sampling.pack_shards), and
+    report per-shard stats. The composition the extension layer exists
+    for: train -> encode -> pack as one declarative plan."""
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    ids = TX.bpe_encode_ids(d, "doc_id", "text", num_merges=8)
+    w = ids.select("doc_id", F.col("n_ids").cast("double").alias("wt"))
+    packed = SP.pack_shards(w, "doc_id", "wt", 400)
+    return packed.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("wt").cast("long").alias("shard_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
 
 
 def _pipeline_oracle() -> str:
@@ -4223,7 +4271,11 @@ _DRIVER_ORDER = [
     "sim_knn_pandas_gemm",
     "sim_ivf_kmeans_topk",
     "pipeline_chunk_dedup_pack",
-    "dedup_minhash_clusters",
+    # -- round-5: the composed tokenizer path (train -> encode ids ->
+    #    pack). Slot ceded by the double-green (r03+r04)
+    #    dedup_minhash_clusters, a composition whose two parts
+    #    (dedup_minhash_lsh, dedup_clusters) are BOTH in-window --
+    "pipeline_tokenize_pack",
     # -- round-3 additions (distinct algorithms -> each needs a driver
     #    row; slots ceded by double-green queries per the registry
     #    guard: w2_distinct_keys, j3_join_chain_q5, sessionize_events,
@@ -4283,6 +4335,7 @@ _DRIVER_ORDER = [
     "text_chunk_windows",
     "sample_eval_carve",
     "search_bm25_topk",
+    "dedup_minhash_clusters",
     # round-4 rotated-out (double-green r02+r03; see slot comments):
     "dedup_span_first_occurrence",
     "text_fingerprint",

@@ -51,6 +51,7 @@ DOC_ONLY = [
     "text_perplexity_buckets",
     "sample_temperature_mix",
     "text_bpe_encode_ids",
+    "pipeline_tokenize_pack",
 ]
 
 

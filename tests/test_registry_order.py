@@ -113,6 +113,10 @@ OUT_OF_WINDOW_OK = {
     # text_bpe_encode_ids; search_tfidf_cosine keeps the search family
     # (same inverted-tf + ordered-top-k shape) in-window:
     "search_bm25_topk": "evidence",
+    # round-5 rotation (green r3+r4), ceding its slot to
+    # pipeline_tokenize_pack; both of its component queries
+    # (dedup_minhash_lsh, dedup_clusters) remain in-window:
+    "dedup_minhash_clusters": "evidence",
     # batch twins of the streaming surface, green r1, out-of-window
     # since round 2 (the "stream_" prefix joined EXTENSION_PREFIXES in
     # round 5 when the true streaming run entered the window):
