@@ -604,13 +604,17 @@ def ann_lsh_topk(
     instead of a subscript on None.
     """
     if dim is None:
-        first = corpus.select(vec_col).first()
-        if first is None or first[0] is None:
+        first = (
+            corpus.select(F.size(F.col(vec_col)).alias("_d"))
+            .filter(F.col("_d") > 0)
+            .first()
+        )
+        if first is None:
             raise ValueError(
-                "ann_lsh_topk: corpus is empty (or first vector NULL) - "
+                "ann_lsh_topk: corpus has no non-empty vectors - "
                 "pass dim= explicitly to build the plan without data"
             )
-        dim = len(first[0])
+        dim = int(first["_d"])
     c = _normalized(fan_out(corpus), id_col, vec_col, "neighbor").withColumn(
         "bucket", hyperplane_bucket(F.col("neighbor_vec"), dim, planes)
     )

@@ -828,8 +828,18 @@ def test_ann_lsh_lazy_with_dim_and_empty_corpus_error(spark):
     assert after == before, "plan construction launched a Spark job"
     assert plan_df.count() == 0
 
-    with _pytest.raises(ValueError, match="corpus is empty"):
+    with _pytest.raises(ValueError, match="no non-empty vectors"):
         SIM.ann_lsh_topk(empty, empty, "vec_id", "embedding")
+
+    # a leading NULL vector no longer poisons the sniff: dim comes from
+    # the first NON-empty vector
+    mixed = spark.createDataFrame(
+        [(1, None), (2, [1.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    assert SIM.ann_lsh_topk(
+        mixed, mixed, "vec_id", "embedding", k=2, planes=2
+    ).count() == 0  # only one non-null vector, self-match excluded
 
 
 
