@@ -644,6 +644,65 @@ def ann_lsh_topk(
     )
 
 
+def projection_matrix(
+    in_dim: int, out_dim: int, seed: int = 42
+) -> list[list[int]]:
+    """Seeded Rademacher (+/-1) projection matrix from md5 bits - the
+    same portable-hash convention as hash_bucket, so any engine can
+    regenerate the identical matrix from (seed, j, i)."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{seed}\x1f{j}\x1f{i}".encode()).digest()[0] & 1
+            else -1
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def project_embeddings(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_dim: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (Achlioptas 2003, public
+    result: +/-1 entries preserve pairwise distances in expectation):
+    project each embedding to ``out_dim`` coordinates p0..p{out_dim-1}
+    - the cheap pre-filter before exact kNN, and an 8x shuffle-width
+    cut for candidate generation at 100 TB.
+
+    Exactness contract: the matrix is +/-1 integers (each product term
+    v_i * w_ji is an exact double), the per-coordinate sum is a
+    SEQUENTIAL fold in element order (F.aggregate; the oracle's
+    left-associated + chain is the identical association), and the
+    result is floor-quantized to 6dp - bit-reproducible across
+    engines, like every score in this module. Pure Column expressions;
+    one narrow projection, no shuffle, no Python.
+    """
+    from ghcrawler_datalake_etl_spark.functions.core import (
+        int_vector_literal,
+        quantize,
+    )
+
+    vec = _as_double(F.col(vec_col))
+    cols = []
+    for j, row in enumerate(projection_matrix(dim, out_dim, seed)):
+        prod = F.zip_with(vec, int_vector_literal(row), lambda a, b: a * b)
+        cols.append(
+            quantize(
+                F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x), 6
+            ).alias(f"p{j}")
+        )
+    return df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), *cols
+    )
+
+
 def quantize_embeddings_int8(
     df: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:

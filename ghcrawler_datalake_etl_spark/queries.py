@@ -1000,6 +1000,40 @@ def embedding_quantize_int8(spark, sf_dir):
     )
 
 
+def _proj_oracle(out_dim: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """Random-projection oracle: the SAME seeded Rademacher matrix
+    (similarity.projection_matrix), each coordinate an unrolled
+    left-associated +/- chain matching the Spark fold's association."""
+    rows = SIM.projection_matrix(dim, out_dim, seed)
+    cols = []
+    for j, row in enumerate(rows):
+        terms = " + ".join(
+            f"embedding[{i + 1}]::DOUBLE * ({w})" for i, w in enumerate(row)
+        )
+        cols.append(
+            f"floor(({terms}) * 1000000) / 1000000 AS p{j}"
+        )
+    sel = ",\n           ".join(cols)
+    return f"""
+    SELECT vec_id,
+           {sel}
+    FROM embeddings WHERE embedding IS NOT NULL
+    """
+
+
+@register("embedding_random_projection", _proj_oracle(8, 64, 42))
+def embedding_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss +/-1 projection
+    (operators/similarity.project_embeddings): 64 -> 8 dims with a
+    seeded md5-derived Rademacher matrix - the cheap distance-
+    preserving pre-filter for candidate generation. Exact cross-engine:
+    integer weights, sequential element-order fold, 6dp floor."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.project_embeddings(
+        emb, "vec_id", "embedding", out_dim=8, dim=64, seed=42
+    )
+
+
 @register(
     "stream_static_enrich",
     """
@@ -3728,6 +3762,50 @@ def text_bpe_encode(spark, sf_dir):
     return TX.bpe_encode_stats(d, "doc_id", "text", num_merges=8)
 
 
+@register(
+    "corpus_fertility_by_lang",
+    f"""{_bpe_vocab_cte(8)},
+    enc AS (
+      SELECT w, len(string_split(trim(repr), '  ')) AS n_sym
+      FROM v8),
+    doc_words AS (
+      SELECT b.doc_id, t.term AS w
+      FROM base b, unnest(b.toks) AS t(term)),
+    per_doc AS (
+      SELECT d.doc_id, count(*) AS n_tokens, sum(e.n_sym) AS n_symbols
+      FROM doc_words d JOIN enc e USING (w) GROUP BY d.doc_id)
+    SELECT doc.lang, count(*) AS n_docs,
+           cast(sum(p.n_tokens) AS BIGINT) AS n_tokens,
+           cast(sum(p.n_symbols) AS BIGINT) AS n_symbols,
+           floor(sum(p.n_symbols)::DOUBLE / sum(p.n_tokens) * 10000)
+             / 10000 AS fertility
+    FROM per_doc p JOIN documents doc USING (doc_id)
+    WHERE doc.lang IS NOT NULL
+    GROUP BY doc.lang
+    """,
+)
+def corpus_fertility_by_lang(spark, sf_dir):
+    """Tokenizer fertility report by language: symbols-per-token of the
+    corpus-trained BPE model aggregated per language - the standard
+    tokenizer-fairness diagnostic (a language with high fertility pays
+    more compute per word). Trains on the FULL corpus (including
+    NULL-lang docs), reports over labeled docs only; integer sums are
+    exact so the single quantized division replays on any engine."""
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    stats = TX.bpe_encode_stats(d, "doc_id", "text", num_merges=8)
+    labeled = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang"
+    ).filter(F.col("lang").isNotNull())
+    return stats.join(labeled, "doc_id").groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_symbols").alias("n_symbols"),
+        quantize(
+            F.sum("n_symbols").cast("double") / F.sum("n_tokens"), 4
+        ).alias("fertility"),
+    )
+
+
 @register("text_bpe_encode_ids", _bpe_ids_oracle(8))
 def text_bpe_encode_ids(spark, sf_dir):
     """The actual tokenization step (operators/text.bpe_encode_ids):
@@ -4284,9 +4362,15 @@ _DRIVER_ORDER = [
     #    sim_knn_bruteforce) --
     "text_bpe_pair_stats",
     "search_tfidf_cosine",
-    "dedup_semantic_prune",
     "sim_knn_graph",
-    "text_gopher_filter",
+    # -- round-5: JL random projection and tokenizer fertility report.
+    #    Slots ceded by the double-green (r03+r04) dedup_semantic_prune
+    #    (dedup family: jaccard/minhash/simhash/clusters/cosine/
+    #    decontaminate/keep-best in-window) and text_gopher_filter
+    #    (text family: stats/quality/lang_id/unigram/bigram/redact/
+    #    repetition/bpe/perplexity in-window) --
+    "embedding_random_projection",
+    "corpus_fertility_by_lang",
     "sample_target_mix",
     "pipeline_quality_mix_pack",
     "sample_top_share_quality",
@@ -4336,6 +4420,8 @@ _DRIVER_ORDER = [
     "sample_eval_carve",
     "search_bm25_topk",
     "dedup_minhash_clusters",
+    "dedup_semantic_prune",
+    "text_gopher_filter",
     # round-4 rotated-out (double-green r02+r03; see slot comments):
     "dedup_span_first_occurrence",
     "text_fingerprint",

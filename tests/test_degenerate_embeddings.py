@@ -39,6 +39,7 @@ EMB_ONLY = [
     "dedup_semantic_prune",
     "sim_knn_graph",
     "sim_pq_adc_topk",
+    "embedding_random_projection",
 ]
 
 DIM = 64  # the width the registered queries pin (ann dim=64)

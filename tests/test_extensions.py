@@ -1376,3 +1376,60 @@ def test_bpe_encode_ids_roundtrip_to_text(spark):
         assert out[doc_id]["n_ids"] == len(ids)
         decoded = "".join(syms[i] for i in ids)
         assert decoded == text.replace(" ", "")
+
+
+def test_random_projection_preserves_relative_distances(spark):
+    """JL sanity: with 16 projected dims, the projected nearest
+    neighbor of a vector with a planted near-duplicate must be that
+    near-duplicate; determinism across calls; NULL vectors drop."""
+    import numpy as np
+
+    import ghcrawler_datalake_etl_spark.operators.similarity as SIM
+
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(20, 64))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    near = base[5] + rng.normal(scale=0.01, size=64)
+    rows.append((100, [float(x) for x in near]))
+    rows.append((101, None))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = SIM.project_embeddings(df, "vec_id", "embedding", out_dim=16)
+    got = {r["vec_id"]: [r[f"p{j}"] for j in range(16)] for r in out.collect()}
+    assert 101 not in got and len(got) == 21
+    import math
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    nn = min((v for v in got if v != 100), key=lambda v: d2(got[v], got[100]))
+    assert nn == 5
+    again = SIM.project_embeddings(df, "vec_id", "embedding", out_dim=16)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+
+
+def test_fertility_by_lang_semantics(spark):
+    """A language whose words the shared BPE model merges poorly must
+    show higher fertility; totals are exact."""
+    import ghcrawler_datalake_etl_spark.queries as Q
+    import duckdb, os, tempfile
+
+    # en words dominate the corpus (merges favor them); zz words stay
+    # mostly character-level -> higher symbols/token
+    docs = [(i, "the the the the and and and", "en") for i in range(8)]
+    docs += [(100 + i, "qxkj zvwq qxkj", "zz") for i in range(2)]
+    folder = tempfile.mkdtemp(prefix="fert_")
+    con = duckdb.connect()
+    con.execute(
+        "COPY (SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}', '{g}')" for i, t, g in docs)
+        + ") v(doc_id, text, lang)) TO '" + folder
+        + "/documents.parquet' (FORMAT PARQUET)"
+    )
+    out = {
+        r["lang"]: r
+        for r in Q.corpus_fertility_by_lang(spark, folder).collect()
+    }
+    assert out["en"]["n_docs"] == 8 and out["zz"]["n_docs"] == 2
+    assert out["zz"]["fertility"] > out["en"]["fertility"]

@@ -52,6 +52,7 @@ DOC_ONLY = [
     "sample_temperature_mix",
     "text_bpe_encode_ids",
     "pipeline_tokenize_pack",
+    "corpus_fertility_by_lang",
 ]
 
 

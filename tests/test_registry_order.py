@@ -117,6 +117,11 @@ OUT_OF_WINDOW_OK = {
     # pipeline_tokenize_pack; both of its component queries
     # (dedup_minhash_lsh, dedup_clusters) remain in-window:
     "dedup_minhash_clusters": "evidence",
+    # round-5 rotations (green r3+r4), ceding slots to
+    # embedding_random_projection / corpus_fertility_by_lang; both
+    # families stay deeply represented in-window:
+    "dedup_semantic_prune": "evidence",
+    "text_gopher_filter": "evidence",
     # batch twins of the streaming surface, green r1, out-of-window
     # since round 2 (the "stream_" prefix joined EXTENSION_PREFIXES in
     # round 5 when the true streaming run entered the window):
