@@ -535,8 +535,15 @@ def clean_lines(col: ColumnOrName) -> Column:
     return F.filter(lines, _keep)
 
 
+#: memo for use_cache=True driver-strategy trainings: (plan
+#: semanticHash, text_col, num_merges) -> (merges, vocab rows). Plain
+#: Python state like clustering._FIT_CACHE - holds the bounded
+#: vocabulary only, no executor storage.
+_BPE_CACHE: dict[tuple, tuple[list, list]] = {}
+
+
 def _bpe_train_driver(
-    df: DataFrame, text_col: str, num_merges: int
+    df: DataFrame, text_col: str, num_merges: int, use_cache: bool = False
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Driver-side BPE trainer (VERDICT r4 #1): ONE distributed action
     (the corpus-sized, map-side-combinable word count, collected as the
@@ -559,6 +566,22 @@ def _bpe_train_driver(
     test_bpe_trainer_matches_python_reference over both strategies.
     """
     spark = df.sparkSession
+    key = None
+    if use_cache:
+        # same contract as clustering._FIT_CACHE: assumes the data
+        # behind the plan is immutable for the process lifetime
+        try:
+            key = (df.semanticHash(), text_col, num_merges)
+        except Exception:  # plan not hashable -> just train
+            key = None
+        if key is not None and key in _BPE_CACHE:
+            merges_c, vocab_rows = _BPE_CACHE[key]
+            return (
+                [tuple(m) for m in merges_c],
+                spark.createDataFrame(
+                    vocab_rows, "w string, f long, repr string"
+                ),
+            )
     words = df.select(F.explode(tokenize(F.col(text_col))).alias("w"))
     freq_rows = words.groupBy("w").agg(F.count("*").alias("f")).collect()
     freq = {r["w"]: int(r["f"]) for r in freq_rows}
@@ -605,13 +628,13 @@ def _bpe_train_driver(
                 p = (out[i], out[i + 1])
                 counts[p] = counts.get(p, 0) + f
                 holders.setdefault(p, set()).add(w)
-    vocab_df = spark.createDataFrame(
-        [
-            (w, freq[w], " " + "  ".join(syms) + " ")
-            for w, syms in vocab.items()
-        ],
-        "w string, f long, repr string",
-    )
+    rows = [
+        (w, freq[w], " " + "  ".join(syms) + " ")
+        for w, syms in vocab.items()
+    ]
+    if key is not None:
+        _BPE_CACHE[key] = ([tuple(m) for m in merges], rows)
+    vocab_df = spark.createDataFrame(rows, "w string, f long, repr string")
     return merges, vocab_df
 
 
@@ -620,6 +643,7 @@ def bpe_train_merges(
     text_col: str,
     num_merges: int = 8,
     strategy: str = "driver",
+    use_cache: bool = False,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Greedy BPE tokenizer training (Sennrich et al. 2016, public
     algorithm): ``num_merges`` rounds of merge-the-most-frequent
@@ -657,7 +681,7 @@ def bpe_train_merges(
     (the SQL oracle mirrors this with a NULL-guarded CASE per round).
     """
     if strategy == "driver":
-        return _bpe_train_driver(df, text_col, num_merges)
+        return _bpe_train_driver(df, text_col, num_merges, use_cache)
     if strategy != "distributed":
         raise ValueError(f"unknown BPE training strategy: {strategy!r}")
     from ghcrawler_datalake_etl_spark.operators.dedup import _materialize
@@ -729,6 +753,7 @@ def bpe_encode_ids(
     text_col: str,
     num_merges: int = 8,
     strategy: str = "driver",
+    use_cache: bool = False,
 ) -> DataFrame:
     """The actual tokenization step: train a ``num_merges``-round BPE
     model (:func:`bpe_train_merges`) and encode every document to its
@@ -752,7 +777,9 @@ def bpe_encode_ids(
     """
     from pyspark.sql import Window
 
-    _, vocab = bpe_train_merges(df, text_col, num_merges, strategy=strategy)
+    _, vocab = bpe_train_merges(
+        df, text_col, num_merges, strategy=strategy, use_cache=use_cache
+    )
     syms_arr = F.split(F.trim(F.col("repr")), "  ")
     word_syms = vocab.select("w", syms_arr.alias("syms"))
     sym_tab = (
@@ -790,6 +817,7 @@ def bpe_encode_stats(
     text_col: str,
     num_merges: int = 8,
     strategy: str = "driver",
+    use_cache: bool = False,
 ) -> DataFrame:
     """Train a ``num_merges``-round BPE model on the corpus
     (:func:`bpe_train_merges`) and report per-document encoding cost:
@@ -798,7 +826,9 @@ def bpe_encode_stats(
     token stream on the word key (plain equi-join; at warehouse scale
     the vocabulary exceeds broadcast range, the join stays
     key-partitioned)."""
-    _, vocab = bpe_train_merges(df, text_col, num_merges, strategy=strategy)
+    _, vocab = bpe_train_merges(
+        df, text_col, num_merges, strategy=strategy, use_cache=use_cache
+    )
     n_sym = vocab.select(
         "w", F.size(F.split(F.trim(F.col("repr")), "  ")).alias("n_sym")
     )

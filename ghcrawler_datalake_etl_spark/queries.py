@@ -3759,7 +3759,9 @@ def text_bpe_encode(spark, sf_dir):
     num_merges=8. The corpus is scanned once for the word count and
     once for the distributed encode join."""
     d = fan_out(_t(spark, sf_dir, "documents"))
-    return TX.bpe_encode_stats(d, "doc_id", "text", num_merges=8)
+    return TX.bpe_encode_stats(
+        d, "doc_id", "text", num_merges=8, use_cache=True
+    )
 
 
 @register(
@@ -3792,7 +3794,9 @@ def corpus_fertility_by_lang(spark, sf_dir):
     NULL-lang docs), reports over labeled docs only; integer sums are
     exact so the single quantized division replays on any engine."""
     d = fan_out(_t(spark, sf_dir, "documents"))
-    stats = TX.bpe_encode_stats(d, "doc_id", "text", num_merges=8)
+    stats = TX.bpe_encode_stats(
+        d, "doc_id", "text", num_merges=8, use_cache=True
+    )
     labeled = _t(spark, sf_dir, "documents").select(
         "doc_id", "lang"
     ).filter(F.col("lang").isNotNull())
@@ -3816,7 +3820,9 @@ def text_bpe_encode_ids(spark, sf_dir):
     O(1) actions in the merge count; the symbol-id table broadcasts;
     per-doc assembly is an array_sort over (pos, spos) structs."""
     d = fan_out(_t(spark, sf_dir, "documents"))
-    return TX.bpe_encode_ids(d, "doc_id", "text", num_merges=8)
+    return TX.bpe_encode_ids(
+        d, "doc_id", "text", num_merges=8, use_cache=True
+    )
 
 
 def _tokenize_pack_oracle(num_merges: int = 8, budget: int = 400) -> str:
@@ -3849,7 +3855,9 @@ def pipeline_tokenize_pack(spark, sf_dir):
     report per-shard stats. The composition the extension layer exists
     for: train -> encode -> pack as one declarative plan."""
     d = fan_out(_t(spark, sf_dir, "documents"))
-    ids = TX.bpe_encode_ids(d, "doc_id", "text", num_merges=8)
+    ids = TX.bpe_encode_ids(
+        d, "doc_id", "text", num_merges=8, use_cache=True
+    )
     w = ids.select("doc_id", F.col("n_ids").cast("double").alias("wt"))
     packed = SP.pack_shards(w, "doc_id", "wt", 400)
     return packed.groupBy("shard_id").agg(
