@@ -139,6 +139,7 @@ def bench_scaling(spark) -> dict:
     from ghcrawler_datalake_etl_spark.operators import dedup as DD
     from ghcrawler_datalake_etl_spark.operators import sampling as SP
     from ghcrawler_datalake_etl_spark.operators import similarity as SIM
+    from ghcrawler_datalake_etl_spark.operators import search as SR
     from ghcrawler_datalake_etl_spark.operators import text as TX
 
     root = tempfile.mkdtemp(prefix="bench_scaling_")
@@ -201,6 +202,13 @@ def bench_scaling(spark) -> dict:
         t0 = time.perf_counter()
         TX.bpe_encode_stats(d, "doc_id", "text", num_merges=8).count()
         out["bpe_encode_50k_sec"] = round(time.perf_counter() - t0, 3)
+
+        # round-5: the perplexity tiering's bounded-histogram claim at
+        # 10x - the single-partition running-sum window must stay
+        # driver-scale (distinct 4dp scores), independent of corpus rows
+        t0 = time.perf_counter()
+        SR.perplexity_buckets(d, "doc_id", "text").count()
+        out["perplexity_50k_sec"] = round(time.perf_counter() - t0, 3)
 
         out["n_vectors"] = n_vec
         out["n_docs"] = n_docs
