@@ -4235,6 +4235,83 @@ def stream_interval_join(spark, sf_dir):
 
 
 @register(
+    "stream_dedup_ingest",
+    """
+    SELECT DISTINCT event_id, user_id, epoch_us(ts) AS ts_us,
+           event_type, round(value, 2) AS value
+    FROM events WHERE ts IS NOT NULL
+    """,
+)
+def stream_dedup_ingest(spark, sf_dir):
+    """Streaming dedup-on-ingest RUN AS A REAL STREAM
+    (streaming/ingest.stream_distinct): the events table is staged
+    DOUBLED (every row twice - the re-crawl/replay shape), file-stream
+    read, full-row dropDuplicates under a 30-day watermark with an
+    availableNow trigger into a memory sink. The oracle is plain
+    SELECT DISTINCT over the original table: full-row dedup keys make
+    the survivor set deterministic regardless of arrival order (the
+    operator's documented contract). Same staging memo / scoped
+    state-partition conf as stream_interval_join."""
+    import itertools
+    import os
+    import re
+
+    from ghcrawler_datalake_etl_spark.streaming.ingest import stream_distinct
+
+    global _SDD_SEQ, _SDD_STAGED
+    try:
+        seq = next(_SDD_SEQ)
+    except NameError:
+        _SDD_SEQ = itertools.count(1)
+        _SDD_STAGED = set()
+        seq = 0
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    root = _run_tmp(f"sdd_{tag}")
+    src = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_type",
+            F.round(F.col("value"), 2).alias("value"),
+        )
+    )
+    sdir = os.path.join(root, "in")
+    if sf_dir not in _SDD_STAGED:
+        src.unionAll(src).coalesce(1).write.mode("overwrite").parquet(sdir)
+        _SDD_STAGED.add(sf_dir)
+    deduped = stream_distinct(
+        spark.readStream.schema(src.schema).parquet(sdir),
+        ts_col="ts",
+        watermark="30 days",
+    )
+    name = f"sdd_sink_{seq}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, f"ck_{seq}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name).select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_type",
+        "value",
+    )
+
+
+@register(
     "tsv_round_trip",
     """
     SELECT event_id, user_id,
@@ -4362,7 +4439,11 @@ _DRIVER_ORDER = [
     "text_redact_pii",
     "text_repetition_metrics",
     "corpus_vocabulary_topk",
-    "sample_stratified_by_lang",
+    # -- round-5: streaming dedup-on-ingest run as a real stream. Slot
+    #    ceded by the double-green (r03+r04) sample_stratified_by_lang
+    #    (sample family: temperature_mix/target_mix/top_share/dsir
+    #    in-window) --
+    "stream_dedup_ingest",
     "sim_knn_pandas_gemm",
     "sim_ivf_kmeans_topk",
     "pipeline_chunk_dedup_pack",
@@ -4439,6 +4520,7 @@ _DRIVER_ORDER = [
     "dedup_minhash_clusters",
     "dedup_semantic_prune",
     "text_gopher_filter",
+    "sample_stratified_by_lang",
     # round-4 rotated-out (double-green r02+r03; see slot comments):
     "dedup_span_first_occurrence",
     "text_fingerprint",

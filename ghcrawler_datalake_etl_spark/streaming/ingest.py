@@ -167,6 +167,36 @@ def enrich_with_dim(
     return stream.join(d, join_expr, how)
 
 
+def stream_distinct(
+    df: DataFrame,
+    subset: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming exact-duplicate drop on ingest - the dedup-on-arrival
+    step of a training-data feed (re-crawled pages, replayed events):
+    ``dropDuplicates`` over ``subset`` (default: every column) with a
+    watermark bounding the dedup state, so a key is remembered for
+    ``watermark`` of event time and then aged out. Works identically on
+    a static frame (the batch twin is plain DISTINCT).
+
+    Determinism contract: when ``subset`` is the FULL row (the
+    default), which physical row survives is irrelevant - survivors are
+    identical - so the result SET is deterministic and oracle-checkable
+    as SELECT DISTINCT even though streaming arrival order is not. A
+    proper subset keeps an arbitrary row per key (first-arrived): use
+    snapshot_upsert / latest-wins for order-dependent semantics.
+
+    Scale: state is one entry per distinct key within the watermark
+    horizon, hash-partitioned on the dedup columns - the streaming
+    analog of the exact-dedup groupBy.
+    """
+    src = df
+    if df.isStreaming:
+        src = df.withWatermark(ts_col, watermark)
+    return src.dropDuplicates(subset) if subset else src.dropDuplicates()
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,

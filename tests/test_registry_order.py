@@ -122,6 +122,10 @@ OUT_OF_WINDOW_OK = {
     # families stay deeply represented in-window:
     "dedup_semantic_prune": "evidence",
     "text_gopher_filter": "evidence",
+    # round-5 rotation (green r3+r4), ceding its slot to
+    # stream_dedup_ingest; the sample family keeps temperature_mix/
+    # target_mix/top_share/dsir in-window:
+    "sample_stratified_by_lang": "evidence",
     # batch twins of the streaming surface, green r1, out-of-window
     # since round 2 (the "stream_" prefix joined EXTENSION_PREFIXES in
     # round 5 when the true streaming run entered the window):

@@ -428,3 +428,46 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         ("u1", "2024-01-01 10:30:00", 5.0),
         ("u2", "2024-01-01 11:00:00", 2.0),
     ]
+
+
+@pytest.mark.slow
+def test_stream_distinct_drops_replayed_rows(spark, tmp_path):
+    """Full-row streaming dedup: a doubled feed collapses to the
+    distinct set, matching the static twin exactly."""
+    from ghcrawler_datalake_etl_spark.streaming.ingest import stream_distinct
+
+    rows = [
+        (1, "2024-01-01 10:00:00", "a"),
+        (2, "2024-01-01 11:00:00", "b"),
+        (1, "2024-01-01 10:00:00", "a"),  # replay
+        (3, None, "c"),                   # NULL ts: dropped by watermark col?
+    ]
+    sdir = tmp_path / "in"
+    sdir.mkdir()
+    schema = "id long, ts timestamp, v string"
+    static = spark.createDataFrame(
+        [(i, t, v) for i, t, v in rows], "id long, ts string, v string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    static.coalesce(1).write.mode("overwrite").parquet(str(sdir))
+    out = stream_distinct(
+        spark.readStream.schema(static.schema).parquet(str(sdir)),
+        ts_col="ts", watermark="1 day",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("sdd_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r["id"], str(r["ts"]), r["v"])
+            for r in spark.sql("SELECT * FROM sdd_test").collect()
+        )
+    finally:
+        q.stop()
+    want = sorted(
+        (r["id"], str(r["ts"]), r["v"])
+        for r in stream_distinct(static, ts_col="ts").collect()
+    )
+    assert got == want
+    assert len(got) == 3  # replay collapsed; NULL-ts row kept once
