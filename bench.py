@@ -248,6 +248,30 @@ def main() -> None:
         .mapInPandas(_np_touch, schema="id long")
     )
 
+    # The first streaming query of a session pays one-time engine costs
+    # (state-store providers, streaming planner, checkpoint machinery) -
+    # warm them with a 2-row availableNow micro-stream so the streaming
+    # queries measure their plans, not engine init.
+    import tempfile as _tf
+
+    _wroot = _tf.mkdtemp(prefix="bench_stream_warm_")
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "id long, ts string"
+    ).selectExpr("id", "cast(ts as timestamp) ts").write.mode(
+        "overwrite"
+    ).parquet(f"{_wroot}/in")
+    _wq = (
+        spark.readStream.schema("id long, ts timestamp")
+        .parquet(f"{_wroot}/in")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates()
+        .writeStream.format("noop")
+        .option("checkpointLocation", f"{_wroot}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _wq.awaitTermination()
+
     repeat = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1")), 1)
     timings: dict[str, float] = {}
     for name in names:
