@@ -515,3 +515,26 @@ def test_keep_best_measured_broadcast_policy(spark):
     assert DD._size_bytes("10m") == 10 << 20
     assert DD._size_bytes("10485760b") == 10485760
     assert DD._size_bytes("1G") == 1 << 30
+
+
+def test_random_projection_is_shuffle_free_projection(spark, queries):
+    # a JL projection is one narrow Project over the scan: any Exchange
+    # or Python evaluation node means the operator regressed
+    p = plan(queries["embedding_random_projection"](spark, SF_DIR), "simple")
+    assert "Exchange" not in p, p
+    assert "Python" not in p and "BatchEvalPython" not in p, p
+
+
+def test_temperature_mix_no_global_sort(spark, queries):
+    # selection ranks within each group: the window must partition by
+    # the group column; no global (empty-partition) sort anywhere
+    p = plan(queries["sample_temperature_mix"](spark, SF_DIR), "simple")
+    assert "windowspecdefinition(lang" in p, p
+    assert "Exchange SinglePartition" not in p, p
+
+
+def test_bpe_encode_ids_broadcasts_symbol_table(spark, queries):
+    # the (chars + merges)-sized symbol-id table must broadcast into
+    # the corpus-sized token stream join
+    p = plan(queries["text_bpe_encode_ids"](spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in p, p
