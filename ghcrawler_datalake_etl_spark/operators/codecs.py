@@ -554,15 +554,11 @@ def _extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def jpeg_dc_luma(data: bytes) -> float:
-    """Mean luminance in [0, 1] of a BASELINE JPEG from its DC
-    coefficients alone (ITU T.81): Huffman-decode the entropy stream,
-    keep each luma block's cumulative DC (the dequantized DC of an 8x8
-    block is 8x the block's mean-minus-128), walk-and-drop the ACs, do
-    no IDCT. Sampling factors (4:2:0 etc.) and restart intervals are
-    honored; padding blocks outside the frame are excluded from the
-    mean. Progressive/arithmetic/12-bit streams raise ValueError (the
-    callers' surrogate arms)."""
+def _jpeg_parse(data: bytes):
+    """Marker scan of a baseline JPEG up to SOS: returns (sof, scan,
+    qtables, htables, restart, entropy_pos). Raises ValueError on
+    non-baseline processes, 12-bit precision, 16-bit quant tables, or
+    malformed structure - callers route to their surrogate arms."""
     if not is_jpeg(data):
         raise ValueError("not a JPEG (bad signature)")
     i, n = 2, len(data)
@@ -621,11 +617,111 @@ def jpeg_dc_luma(data: bytes) -> float:
             for c in range(ns):
                 cs, tdta = body[1 + 2 * c], body[2 + 2 * c]
                 scan.append((cs, tdta >> 4, tdta & 0x0F))
-            return _jpeg_dc_scan(
-                data, i + seglen, sof, scan, qtables, htables, restart
-            )
+            return sof, scan, qtables, htables, restart, i + seglen
         i += seglen
     raise ValueError("JPEG has no scan")
+
+
+def jpeg_dc_luma(data: bytes) -> float:
+    """Mean luminance in [0, 1] of a BASELINE JPEG from its DC
+    coefficients alone (ITU T.81): Huffman-decode the entropy stream,
+    keep each luma block's cumulative DC (the dequantized DC of an 8x8
+    block is 8x the block's mean-minus-128), walk-and-drop the ACs, do
+    no IDCT. Sampling factors (4:2:0 etc.) and restart intervals are
+    honored; padding blocks outside the frame are excluded from the
+    mean. Progressive/arithmetic/12-bit streams raise ValueError (the
+    callers' surrogate arms)."""
+    sof, scan, qtables, htables, restart, pos = _jpeg_parse(data)
+    return _jpeg_dc_scan(data, pos, sof, scan, qtables, htables, restart)
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """FULL baseline-JPEG pixel decode (ITU T.81): Huffman entropy
+    decode of every coefficient, dequantization, de-zigzag, IDCT (the
+    inverse of jpeg_encode's orthonormal DCT matrix), nearest-neighbor
+    chroma upsampling per the sampling factors, YCbCr -> RGB. Returns
+    uint8 (h, w) grayscale or (h, w, 3) RGB. The pixel path behind the
+    real-resize arm; jpeg_dc_luma remains the cheap metadata-scale
+    path. Progressive/arithmetic streams raise ValueError."""
+    sof, scan, qtables, htables, restart, pos = _jpeg_parse(data)
+    w, h, comps = sof
+    by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * max_h))
+    mcus_y = -(-h // (8 * max_v))
+    members = []
+    blocks: dict[int, np.ndarray] = {}
+    for cs, td, ta in scan:
+        hi, vi, tq = by_id[cs]
+        dc = htables.get(0x00 | td)
+        ac = htables.get(0x10 | ta)
+        q = qtables.get(tq)
+        if dc is None or ac is None or q is None:
+            raise ValueError("missing JPEG table")
+        members.append((cs, hi, vi, dc, ac))
+        blocks[cs] = np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int32)
+    br = _BitReader(data, pos)
+    preds = {cs: 0 for cs, *_ in members}
+    mcu_i = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and mcu_i and mcu_i % restart == 0:
+                br.sync_restart()
+                preds = {cs: 0 for cs in preds}
+            mcu_i += 1
+            for cs, hi, vi, dc, ac in members:
+                for bv in range(vi):
+                    for bh in range(hi):
+                        blk = blocks[cs][my * vi + bv, mx * hi + bh]
+                        t = _read_huff(br, dc)
+                        diff = _extend(br.read_bits(t), t) if t else 0
+                        preds[cs] += diff
+                        blk[0] = preds[cs]
+                        k = 1
+                        while k < 64:
+                            sym = _read_huff(br, ac)
+                            if sym == 0x00:
+                                break
+                            run, size = sym >> 4, sym & 0x0F
+                            if size == 0 and run != 15:
+                                raise ValueError("bad JPEG AC symbol")
+                            k += run
+                            if size:
+                                if k > 63:
+                                    raise ValueError("JPEG AC overrun")
+                                blk[k] = _extend(br.read_bits(size), size)
+                            k += 1
+    zz_r = np.array([r for r, _ in _ZIGZAG])
+    zz_c = np.array([c for _, c in _ZIGZAG])
+    planes = []
+    for cs, hi, vi, _dc, _ac in members:
+        _, _, tq = by_id[cs]
+        q = np.array(qtables[tq], dtype=np.int32)  # zigzag order per DQT
+        zzb = blocks[cs] * q  # (by, bx, 64) dequantized, zigzag
+        sq = np.zeros(zzb.shape[:2] + (8, 8), dtype=np.float64)
+        sq[:, :, zz_r, zz_c] = zzb
+        pix = np.einsum("ux,byuw,wv->byxv", _DCT_C, sq, _DCT_C) + 128.0
+        by, bx = sq.shape[:2]
+        plane = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        cw = -(-(w * hi) // max_h)
+        ch = -(-(h * vi) // max_v)
+        plane = plane[:ch, :cw]
+        ys = (np.arange(h) * ch // h).clip(0, ch - 1)
+        xs = (np.arange(w) * cw // w).clip(0, cw - 1)
+        planes.append(plane[ys][:, xs])
+    if len(planes) == 1:
+        return np.clip(planes[0], 0, 255).round().astype(np.uint8)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return np.clip(rgb, 0, 255).round().astype(np.uint8)
 
 
 def _jpeg_dc_scan(
@@ -1028,6 +1124,37 @@ def bmp_info(data: bytes) -> tuple[int, int]:
     if w == 0 or h == 0:
         raise ValueError("degenerate BMP dimensions")
     return abs(w), abs(h)
+
+
+def bmp_encode(arr: np.ndarray) -> bytes:
+    """uint8 (H, W, 3) RGB -> 24-bit BI_RGB BMP bytes (BITMAPINFOHEADER,
+    bottom-up rows, 4-byte stride padding). The encoder complement of
+    bmp_decode: bmp_decode(bmp_encode(a)) == a."""
+    if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("bmp_encode expects uint8 (H, W, 3)")
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, [2, 1, 0]].reshape(h, w * 3)
+    pixels = rows.tobytes()
+    info = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(pixels).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    header = (
+        b"BM"
+        + (14 + 40 + len(pixels)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+    )
+    return header + info + pixels
 
 
 def bmp_decode(data: bytes) -> np.ndarray:

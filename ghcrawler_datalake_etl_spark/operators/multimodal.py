@@ -198,21 +198,41 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize every image row to (width, height) - MEDIA_SCHEMA in,
     MEDIA_SCHEMA out, so resize stages compose/chain freely.
 
-    PNG rows take the REAL path: decode -> nearest-neighbor resample ->
-    re-encode (operators/codecs.py; deterministic, no resampling-filter
-    ambiguity). Other payloads keep the surrogate: the "resized" bytes
+    PNG, baseline JPEG, GIF, and uncompressed 24/32-bit BMP rows take
+    the REAL path: decode -> nearest-neighbor resample -> re-encode in
+    the input's own format (operators/codecs.py; deterministic, no
+    resampling-filter ambiguity; GIF resizes its first frame, BMP
+    re-encodes 24-bit). Remaining payloads (progressive JPEG, exotic
+    formats, malformed bytes) keep the surrogate: the "resized" bytes
     are the sha256 digest of (content, size) - deterministic, content-
     and size-sensitive, so tests can pin exact bytes for any input.
     """
 
     def _resize_one(b: bytes, tag: bytes) -> bytes:
-        if codecs.is_png(b):
-            try:
+        try:
+            if codecs.is_png(b):
                 return codecs.png_encode(
                     codecs.resize_nearest(codecs.png_decode(b), width, height)
                 )
-            except ValueError:
-                pass
+            if codecs.is_jpeg(b):
+                rs = codecs.resize_nearest(codecs.jpeg_decode(b), width, height)
+                # resize promotes gray (H, W) to (H, W, 1); jpeg_encode
+                # wants 1 or 3 channels, drop the singleton axis only
+                return codecs.jpeg_encode(
+                    rs[:, :, 0] if rs.shape[2] == 1 else rs
+                )
+            if codecs.is_gif(b):
+                return codecs.gif_encode(
+                    codecs.resize_nearest(
+                        codecs.gif_decode_first_frame(b), width, height
+                    )
+                )
+            if codecs.is_bmp(b):
+                return codecs.bmp_encode(
+                    codecs.resize_nearest(codecs.bmp_decode(b), width, height)
+                )
+        except ValueError:
+            pass  # unsupported subset / malformed -> surrogate
         return hashlib.sha256(b + tag).digest()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

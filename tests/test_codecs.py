@@ -459,3 +459,63 @@ def test_extract_features_real_jpeg_gif_luma_through_spark(spark):
     assert (out[2]["width"], out[2]["height"], out[2]["n_frames"]) == (24, 16, 1)
     exp = codecs.mean_luma(codecs.gif_decode_first_frame(gif))
     assert abs(out[2]["mean_luma"] - exp) < 1e-12
+
+
+# -- full JPEG decode / BMP encode / real resize arms (round 5) --------
+
+
+def test_jpeg_full_decode_roundtrip():
+    flat = np.full((16, 24, 3), 90, np.uint8)
+    assert (codecs.jpeg_decode(codecs.jpeg_encode(flat)) == flat).all()
+    g = np.linspace(30, 220, 32 * 40).reshape(32, 40).astype(np.uint8)
+    arr = np.stack([g, g // 2 + 40, 255 - g], -1).astype(np.uint8)
+    dec = codecs.jpeg_decode(codecs.jpeg_encode(arr))
+    assert dec.shape == arr.shape
+    assert np.abs(dec.astype(int) - arr.astype(int)).mean() < 3.0
+    gray = codecs.jpeg_decode(codecs.jpeg_encode(g))
+    assert gray.shape == g.shape
+    assert np.abs(gray.astype(int) - g.astype(int)).mean() < 2.0
+    # DC-luma and full-pixel luma agree
+    assert abs(
+        codecs.jpeg_dc_luma(codecs.jpeg_encode(arr))
+        - codecs.mean_luma(dec)
+    ) < 0.005
+    with pytest.raises(ValueError):
+        codecs.jpeg_decode(b"\xff\xd8\xff\xc2\x00\x0b\x08\x01\xe0\x02\x80\x01\x01\x11\x00\xff\xd9")
+
+
+def test_bmp_encode_decode_roundtrip():
+    rng = np.random.RandomState(5)
+    for h, w in [(1, 1), (7, 5), (8, 8)]:
+        arr = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        data = codecs.bmp_encode(arr)
+        assert codecs.is_bmp(data) and codecs.bmp_info(data) == (w, h)
+        assert (codecs.bmp_decode(data) == arr).all()
+
+
+def test_resize_real_arms_jpeg_gif_bmp(spark):
+    """resize_images re-encodes JPEG/GIF/BMP in their own formats with
+    real pixels; non-baseline payloads still take the surrogate."""
+    from ghcrawler_datalake_etl_spark.operators import multimodal as MM
+
+    g = np.linspace(20, 230, 16 * 16).reshape(16, 16).astype(np.uint8)
+    rgb = np.stack([g, g, g], -1).astype(np.uint8)
+    gq = np.stack([g // 16 * 16] * 3, -1).astype(np.uint8)
+    rows = [
+        (1, "image/jpeg", codecs.jpeg_encode(rgb), None, None, None, None),
+        (2, "image/gif", codecs.gif_encode(gq), None, None, None, None),
+        (3, "image/bmp", codecs.bmp_encode(rgb), None, None, None, None),
+        (4, "text/plain", b"not an image", None, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    out = {r["doc_id"]: bytes(r["content"])
+           for r in MM.resize_images(df, 8, 8).collect()}
+    assert codecs.is_jpeg(out[1]) and codecs.jpeg_dims(out[1]) == (8, 8)
+    assert codecs.is_gif(out[2]) and codecs.gif_info(out[2])[:2] == (8, 8)
+    exp_gif = codecs.resize_nearest(codecs.gif_decode_first_frame(
+        codecs.gif_encode(gq)), 8, 8)
+    assert (codecs.gif_decode_first_frame(out[2]) == exp_gif).all()
+    assert codecs.is_bmp(out[3]) and codecs.bmp_info(out[3]) == (8, 8)
+    exp_bmp = codecs.resize_nearest(rgb, 8, 8)
+    assert (codecs.bmp_decode(out[3]) == exp_bmp).all()
+    assert len(out[4]) == 32  # sha256 surrogate
