@@ -1433,3 +1433,46 @@ def test_fertility_by_lang_semantics(spark):
     }
     assert out["en"]["n_docs"] == 8 and out["zz"]["n_docs"] == 2
     assert out["zz"]["fertility"] > out["en"]["fertility"]
+
+
+def test_tokshard_store_roundtrip_and_batched_partitions(spark, tmp_path):
+    """The tokshard binary store round-trips ids exactly; the
+    DataSource batches many files into few partitions (maxPartitions)
+    and still returns every record."""
+    from pyspark.sql import functions as F
+
+    from ghcrawler_datalake_etl_spark.sources import tokshard as TS
+
+    df = spark.createDataFrame(
+        [(i, ",".join(str((i * 7 + j) % 50) for j in range(3 + i % 4)))
+         for i in range(200)],
+        "doc_id long, ids_csv string",
+    )
+    root = str(tmp_path / "store")
+    manifest = TS.write_token_shards(df, root, budget=10)
+    m = manifest.collect()
+    assert sum(r["n_docs"] for r in m) == 200
+    back = TS.read_token_shards(spark, root)
+    assert back.rdd.getNumPartitions() <= 64 < len(m)
+    got = {r["doc_id"]: r["ids"] for r in back.collect()}
+    assert len(got) == 200
+    for i in (0, 7, 199):
+        want = [int(x) for x in
+                df.filter(F.col("doc_id") == i).head()["ids_csv"].split(",")]
+        assert got[i] == want
+    # shard totals match the manifest
+    agg = {r["shard_id"]: (r["n"], r["t"]) for r in
+           back.groupBy("shard_id").agg(
+               F.count("*").alias("n"), F.sum("n_ids").alias("t")
+           ).collect()}
+    for r in m:
+        assert agg[r["shard_id"]] == (r["n_docs"], r["n_tokens"])
+    # malformed file -> loud error
+    bad = str(tmp_path / "bad")
+    import os
+    os.makedirs(bad)
+    with open(os.path.join(bad, "shard-00000.tokshard"), "wb") as fh:
+        fh.write(b"NOPE")
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="tokshard"):
+        TS.read_token_shards(spark, bad).collect()

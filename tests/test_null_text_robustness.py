@@ -53,6 +53,7 @@ DOC_ONLY = [
     "text_bpe_encode_ids",
     "pipeline_tokenize_pack",
     "corpus_fertility_by_lang",
+    "pack_store_roundtrip",
 ]
 
 

@@ -126,6 +126,10 @@ OUT_OF_WINDOW_OK = {
     # stream_dedup_ingest; the sample family keeps temperature_mix/
     # target_mix/top_share/dsir in-window:
     "sample_stratified_by_lang": "evidence",
+    # round-5 rotation (green r3+r4), ceding its slot to
+    # pack_store_roundtrip; the text family remains the largest
+    # in-window group:
+    "text_redact_pii": "evidence",
     # batch twins of the streaming surface, green r1, out-of-window
     # since round 2 (the "stream_" prefix joined EXTENSION_PREFIXES in
     # round 5 when the true streaming run entered the window):
