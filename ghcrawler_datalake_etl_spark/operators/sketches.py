@@ -1,0 +1,371 @@
+"""Distributed cardinality / frequency sketches.
+
+The reference engine has no sketch surface (its aggregations are exact
+GROUP BYs - e.g. the distinct-count rollups in
+``Queries/StdObjectModel/`` U-SQL scripts); these are extension-layer
+operators a 100 TB training-data pipeline needs when exact DISTINCT or
+exact per-token counts would shuffle corpus-sized state:
+
+- ``hll_distinct``      - HyperLogLog (Flajolet et al. 2007) distinct
+  estimate per group. Shuffle state: <= m=256 registers per group.
+- ``cms_token_counts`` / ``cms_estimate`` - Count-Min sketch (Cormode &
+  Muthukrishnan 2005) frequency table + point estimates. Sketch size:
+  d x w counters total, map-side combined.
+- ``kmv_distinct``      - K-Minimum-Values / bottom-k (Bar-Yossef et
+  al. 2002) distinct estimate per group. Shuffle state: k hashes per
+  group.
+
+Portability contract (the repo-wide convention from queries.py): all
+hashing is md5-derived so a DuckDB oracle can replay the SAME sketch
+bit-for-bit. Estimates stay in integer arithmetic as long as possible
+(register sums are summed as ``2^(45-rho)`` BIGINTs, never floats;
+CMS is pure integers; KMV divides two exactly-representable values
+once) so the only cross-engine float risk is a final single division /
+log, which the callers quantize.
+
+Scale notes: every sketch here is a map-side-combinable aggregation
+whose combined state is bounded by the sketch size, not the data -
+the entire point vs exact DISTINCT at 100 TB. No Python UDFs, no
+collects, no windows over corpus-sized frames (KMV's row_number
+window runs per group over hashes that a pre-aggregation has already
+reduced to distinct values; for unbounded groups compose with
+``hll_distinct`` instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------
+
+#: 2^8 = 256 registers: first 2 md5 hex chars are the bucket.
+HLL_P = 8
+HLL_M = 1 << HLL_P
+#: 11 hex chars = 44 bits of rho material -> rho in [1, 45]; 44-bit
+#: values stay exact in BIGINT and (unlike 60-bit) the register sum
+#: scaled by 2^45 stays exact too: 256 * 2^45 = 2^53 fits a BIGINT
+#: with room and every term is an exact power of two.
+HLL_TAIL_HEX = 11
+_HLL_RHO_MAX = 4 * HLL_TAIL_HEX + 1
+#: alpha_m for m >= 128 (Flajolet et al. 2007, fig. 3)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def _hll_rho(tail: Column) -> Column:
+    """rho = 1 + leading zero BITS of an 11-hex-char string, computed
+    with string ops only (no float log2 - exact on any engine)."""
+    stripped = F.regexp_replace(tail, "^0+", "")
+    len_rem = F.length(stripped)
+    first = F.substring(stripped, 1, 1)
+    lz_in_digit = (
+        F.when(first == "1", F.lit(3))
+        .when(first.isin("2", "3"), F.lit(2))
+        .when(first.isin("4", "5", "6", "7"), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return F.when(len_rem == 0, F.lit(_HLL_RHO_MAX)).otherwise(
+        4 * (F.lit(HLL_TAIL_HEX) - len_rem) + lz_in_digit + 1
+    )
+
+
+def hll_distinct(
+    df: DataFrame, value_col: str, group_cols: list[str]
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate of ``value_col`` per group.
+
+    Returns one row per group: ``n_registers`` (non-empty registers),
+    ``register_sum`` (sum of 2^(45-rho_j) over ALL m registers, the
+    exact-integer harmonic denominator scaled by 2^45) and
+    ``hll_estimate`` (raw HLL estimate with the standard
+    linear-counting small-range correction; the caller quantizes).
+
+    Two bounded shuffles: (group, bucket) max-rho - combined state
+    <= m rows per group per task - then the per-group rollup over
+    <= m rows per group. NULL values are ignored (md5(NULL) is NULL),
+    matching the SQL oracle's ``WHERE value IS NOT NULL``.
+    """
+    h = F.md5(F.col(value_col).cast("string"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    rho = _hll_rho(F.substring(h, 3, HLL_TAIL_HEX))
+    regs = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("m_rho"))
+    )
+    per_group = regs.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_registers"),
+        # SQL-form shiftleft: the Python helper only takes a literal
+        # shift; each term is an exact power of two summed as BIGINT
+        F.sum(F.expr(f"shiftleft(1L, {_HLL_RHO_MAX} - m_rho)"))
+        .cast("long")
+        .alias("s_present"),
+    )
+    zeros = F.lit(HLL_M).cast("long") - F.col("n_registers")
+    s_total = (
+        F.col("s_present") + zeros * F.lit(1 << _HLL_RHO_MAX).cast("long")
+    )
+    raw = (
+        F.lit(HLL_ALPHA * HLL_M * HLL_M * float(1 << _HLL_RHO_MAX))
+        / s_total.cast("double")
+    )
+    corrected = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return per_group.select(
+        *group_cols,
+        "n_registers",
+        (F.col("s_present") + zeros * F.lit(1 << _HLL_RHO_MAX).cast("long"))
+        .alias("register_sum"),
+        corrected.alias("hll_estimate"),
+    )
+
+
+def hll_oracle_sql(
+    source_sql: str, value_expr: str, group_cols: list[str]
+) -> str:
+    """DuckDB SQL computing the IDENTICAL HLL sketch: same md5 bucket /
+    rho split, same integer register sum, same correction - so the
+    estimate hash-matches the Spark side after quantization.
+    ``source_sql`` must be a relation exposing ``value_expr`` and the
+    group columns."""
+    g = ", ".join(group_cols)
+    rho_max = _HLL_RHO_MAX
+    return f"""
+    hashed AS (
+      SELECT {g}, md5(cast({value_expr} AS VARCHAR)) AS h
+      FROM {source_sql} WHERE {value_expr} IS NOT NULL
+    ),
+    brho AS (
+      SELECT {g},
+             cast(('0x' || substr(h, 1, 2)) AS BIGINT) AS bucket,
+             CASE WHEN length(regexp_replace(substr(h, 3, {HLL_TAIL_HEX}), '^0+', '')) = 0
+                  THEN {rho_max}
+                  ELSE 4 * ({HLL_TAIL_HEX} - length(regexp_replace(substr(h, 3, {HLL_TAIL_HEX}), '^0+', '')))
+                       + (CASE substr(regexp_replace(substr(h, 3, {HLL_TAIL_HEX}), '^0+', ''), 1, 1)
+                          WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                          WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+                          ELSE 0 END) + 1
+             END AS rho
+      FROM hashed
+    ),
+    regs AS (
+      SELECT {g}, bucket, max(rho) AS m_rho FROM brho GROUP BY {g}, bucket
+    ),
+    hll AS (
+      SELECT {g},
+             cast(count(*) AS BIGINT) AS n_registers,
+             cast(sum(1::BIGINT << ({rho_max} - m_rho)) AS BIGINT) AS s_present
+      FROM regs GROUP BY {g}
+    ),
+    hll_est AS (
+      SELECT {g}, n_registers,
+             s_present + ({HLL_M} - n_registers) * (1::BIGINT << {rho_max})
+               AS register_sum,
+             CASE WHEN ({HLL_ALPHA * HLL_M * HLL_M * float(1 << _HLL_RHO_MAX)!r}
+                        / (s_present + ({HLL_M} - n_registers) * (1::BIGINT << {rho_max}))::DOUBLE)
+                       <= {2.5 * HLL_M!r}
+                   AND ({HLL_M} - n_registers) > 0
+             THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / ({HLL_M} - n_registers)::DOUBLE)
+             ELSE {HLL_ALPHA * HLL_M * HLL_M * float(1 << _HLL_RHO_MAX)!r}
+                  / (s_present + ({HLL_M} - n_registers) * (1::BIGINT << {rho_max}))::DOUBLE
+             END AS hll_estimate
+      FROM hll
+    )"""
+
+
+# ---------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------
+
+CMS_DEPTH = 3
+CMS_WIDTH = 1024
+
+
+def _cms_bucket(value: Column, seed: int, width: int) -> Column:
+    """60-bit md5 of '<seed>\\x1f<value>' mod width - the repo-standard
+    portable hash (queries.py conventions; sampling.py:54)."""
+    tagged = F.concat_ws("\x1f", F.lit(str(seed)), value.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(tagged), 1, 15), 16, 10).cast("long")
+        % width
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Build the d x w Count-Min counter table over ``value_col``
+    occurrences: one row per (seed, bucket) with its collision-summed
+    count. ONE pass over the data (the d hash rows ride a single
+    inline array explode); the groupBy combines map-side to <= d*w
+    partial rows per task regardless of corpus size."""
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("seed"),
+                    _cms_bucket(F.col(value_col), s, width).alias("bucket"),
+                )
+                for s in range(depth)
+            ]
+        )
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(rows.alias("sb"))
+        .groupBy(F.col("sb.seed").alias("seed"), F.col("sb.bucket").alias("bucket"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def cms_estimate(
+    candidates: DataFrame,
+    sketch: DataFrame,
+    value_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-estimate every candidate's count: min over the d rows it
+    hashes to. The sketch (d*w rows) broadcasts; estimates never
+    undercount (est >= true), the classic CMS guarantee the tests
+    pin. Adds column ``cms_estimate`` to ``candidates``."""
+    est = None
+    for s in range(depth):
+        sk = sketch.filter(F.col("seed") == s).select(
+            F.col("bucket").alias(f"b{s}"), F.col("c").alias(f"c{s}")
+        )
+        candidates = candidates.join(
+            F.broadcast(sk),
+            _cms_bucket(F.col(value_col), s, width) == F.col(f"b{s}"),
+            "left",
+        ).drop(f"b{s}")
+        this = F.coalesce(F.col(f"c{s}"), F.lit(0).cast("long"))
+        est = this if est is None else F.least(est, this)
+    return candidates.withColumn("cms_estimate", est).drop(
+        *[f"c{s}" for s in range(depth)]
+    )
+
+
+def cms_oracle_sql(
+    tok_sql: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> str:
+    """DuckDB CTEs replaying the identical sketch over a ``tok``
+    relation with a ``term`` column: ends with CTE ``cms_est``
+    (term, n, cms_estimate). Pure integers -> exact match."""
+    seeds = ", ".join(f"({s})" for s in range(depth))
+    bucket = (
+        "cast(('0x' || substr(md5(cast(s.seed AS VARCHAR) || chr(31) || "
+        "c.term), 1, 15)) AS BIGINT) % " + str(width)
+    )
+    return f"""
+    tok AS ({tok_sql}),
+    cms_sk AS (
+      SELECT s.seed,
+             cast(('0x' || substr(md5(cast(s.seed AS VARCHAR) || chr(31) || t.term), 1, 15)) AS BIGINT) % {width} AS bucket,
+             cast(count(*) AS BIGINT) AS c
+      FROM tok t CROSS JOIN (VALUES {seeds}) s(seed)
+      GROUP BY 1, 2
+    ),
+    cms_cand AS (SELECT term, cast(count(*) AS BIGINT) AS n FROM tok GROUP BY term),
+    cms_est AS (
+      SELECT c.term, c.n, min(k.c) AS cms_estimate
+      FROM cms_cand c
+      CROSS JOIN (VALUES {seeds}) s(seed)
+      JOIN cms_sk k ON k.seed = s.seed AND k.bucket = {bucket}
+      GROUP BY c.term, c.n
+    )"""
+
+
+# ---------------------------------------------------------------------
+# K-Minimum-Values (bottom-k)
+# ---------------------------------------------------------------------
+
+#: 13 hex chars = 52 bits: exact in BIGINT and in an IEEE double, so
+#: the single (k-1)*2^52 / h_k division is the only float op and both
+#: operands are exactly representable.
+KMV_HASH_HEX = 13
+_KMV_SPACE = float(1 << (4 * KMV_HASH_HEX))
+
+
+def kmv_distinct(
+    df: DataFrame, value_col: str, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Bottom-k distinct estimate per group: keep each group's k
+    smallest 52-bit value hashes; estimate = (k-1) * 2^52 / h_k, or
+    the EXACT distinct count when the group holds fewer than k
+    distinct values (the sketch saw them all). Returns ``kth_hash``
+    (-1 on the exact path), ``n_seen`` and ``kmv_estimate``.
+
+    The pre-aggregation to distinct (group, hash) combines map-side;
+    the row_number window then ranks the already-distinct hashes.
+    Ties are impossible (distinct hashes), so the ranking is
+    deterministic on any engine.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, KMV_HASH_HEX),
+        16,
+        10,
+    ).cast("long")
+    hashes = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, h.alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    bottom = hashes.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= k
+    )
+    per_group = bottom.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_seen"),
+        F.max("h").alias("max_h"),
+    )
+    exact = F.col("n_seen") < k
+    return per_group.select(
+        *group_cols,
+        "n_seen",
+        F.when(exact, F.lit(-1).cast("long")).otherwise(F.col("max_h")).alias(
+            "kth_hash"
+        ),
+        F.when(exact, F.col("n_seen").cast("double")).otherwise(
+            F.lit(float(k - 1) * _KMV_SPACE) / F.col("max_h").cast("double")
+        ).alias("kmv_estimate"),
+    )
+
+
+def kmv_oracle_sql(
+    source_sql: str, value_expr: str, group_cols: list[str], k: int = 64
+) -> str:
+    """DuckDB CTEs for the identical bottom-k sketch; ends with CTE
+    ``kmv`` exposing group cols + n_seen, kth_hash, kmv_estimate."""
+    g = ", ".join(group_cols)
+    return f"""
+    kmv_hashes AS (
+      SELECT DISTINCT {g},
+             cast(('0x' || substr(md5(cast({value_expr} AS VARCHAR)), 1, {KMV_HASH_HEX})) AS BIGINT) AS h
+      FROM {source_sql} WHERE {value_expr} IS NOT NULL
+    ),
+    kmv_bottom AS (
+      SELECT {g}, h,
+             row_number() OVER (PARTITION BY {g} ORDER BY h) AS r
+      FROM kmv_hashes
+    ),
+    kmv_g AS (
+      SELECT {g}, cast(count(*) AS BIGINT) AS n_seen, max(h) AS max_h
+      FROM kmv_bottom WHERE r <= {k} GROUP BY {g}
+    ),
+    kmv AS (
+      SELECT {g}, n_seen,
+             CASE WHEN n_seen < {k} THEN -1 ELSE max_h END AS kth_hash,
+             CASE WHEN n_seen < {k} THEN n_seen::DOUBLE
+                  ELSE {float(k - 1) * _KMV_SPACE!r} / max_h::DOUBLE
+             END AS kmv_estimate
+      FROM kmv_g
+    )"""

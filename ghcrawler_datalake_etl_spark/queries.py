@@ -38,6 +38,7 @@ from ghcrawler_datalake_etl_spark.operators import sampling as SP
 from ghcrawler_datalake_etl_spark.operators import classifier as CF
 from ghcrawler_datalake_etl_spark.operators import search as SR
 from ghcrawler_datalake_etl_spark.operators import similarity as SIM
+from ghcrawler_datalake_etl_spark.operators import sketches as SK
 from ghcrawler_datalake_etl_spark.operators import text as TX
 from ghcrawler_datalake_etl_spark.operators.patterns import (
     array_child,
@@ -4174,6 +4175,149 @@ def text_clean_lines(spark, sf_dir):
     )
 
 
+# =====================================================================
+# Sketches: HLL / Count-Min / KMV (operators/sketches.py)
+# =====================================================================
+# The sketch family the reference lacks and a 100 TB pipeline needs:
+# bounded-state approximations whose DuckDB oracles replay the SAME
+# md5-derived sketch bit-for-bit (integer register sums / counters /
+# bottom-k hashes are exact-match columns; the single final float op
+# is floor-quantized per the repo convention).
+
+@register(
+    "sketch_hll_distinct",
+    f"""
+    WITH src AS (
+      SELECT 'event' AS entity, event_type, event_id AS v FROM events
+      UNION ALL
+      SELECT 'user' AS entity, event_type, user_id AS v FROM events
+    ),
+    {SK.hll_oracle_sql("src", "v", ["entity", "event_type"])},
+    exact AS (
+      SELECT entity, event_type,
+             cast(count(DISTINCT v) AS BIGINT) AS exact_distinct
+      FROM src WHERE v IS NOT NULL GROUP BY entity, event_type
+    )
+    SELECT e.entity, e.event_type, e.exact_distinct, h.n_registers,
+           h.register_sum,
+           floor(h.hll_estimate * 100) / 100 AS hll_estimate
+    FROM hll_est h
+    JOIN exact e ON h.entity = e.entity AND h.event_type = e.event_type
+    """,
+)
+def sketch_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct estimate per (entity, event_type) next to
+    the exact count (operators/sketches.hll_distinct): distinct
+    event_ids (high cardinality -> the raw alpha*m^2/S estimator) and
+    distinct user_ids (low cardinality -> the linear-counting
+    correction) in ONE sketch pass, so both branches are
+    driver-verified. The integer ``register_sum`` column is the
+    ENTIRE sketch state scaled by 2^45 - an exact-match proof that
+    both engines built bit-identical registers - and the estimate is
+    the one floor-quantized float. At 100 TB the (group, bucket)
+    max-rho aggregation carries <= 256 rows per group through the
+    shuffle where exact COUNT(DISTINCT) carries every distinct id."""
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select(
+        F.lit("event").alias("entity"),
+        "event_type",
+        F.col("event_id").alias("v"),
+    ).unionByName(
+        ev.select(
+            F.lit("user").alias("entity"),
+            "event_type",
+            F.col("user_id").alias("v"),
+        )
+    )
+    est = SK.hll_distinct(src, "v", ["entity", "event_type"])
+    exact = (
+        src.filter(F.col("v").isNotNull())
+        .groupBy("entity", "event_type")
+        .agg(F.countDistinct("v").cast("long").alias("exact_distinct"))
+    )
+    return est.join(exact, ["entity", "event_type"]).select(
+        "entity",
+        "event_type",
+        "exact_distinct",
+        "n_registers",
+        "register_sum",
+        quantize(F.col("hll_estimate"), 2).alias("hll_estimate"),
+    )
+
+
+@register(
+    "sketch_cms_heavy_hitters",
+    f"""
+    WITH {SK.cms_oracle_sql("SELECT t.term FROM (SELECT " + _TOKS_SQL
+    + " AS toks FROM documents) d, unnest(d.toks) AS t(term)")}
+    SELECT term, cms_estimate, n AS exact_n,
+           cms_estimate - n AS overcount
+    FROM cms_est ORDER BY cms_estimate DESC, term LIMIT 20
+    """,
+)
+def sketch_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min heavy hitters (operators/sketches.cms_sketch /
+    cms_estimate): the 3x1024 counter table built in ONE
+    map-side-combined pass, then every distinct token point-estimated
+    by the min of its three counters and ranked. Estimates are pure
+    integers (exact oracle) and never undercount - ``overcount`` is
+    the per-token collision error, >= 0 by construction. At 100 TB
+    the sketch shuffle state is 3072 counters per task vs the full
+    vocabulary for the exact count it approximates."""
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    tok = d.select(F.explode(TX.tokenize(F.col("text"))).alias("term"))
+    sk = SK.cms_sketch(tok, "term")
+    cand = tok.groupBy("term").agg(F.count("*").cast("long").alias("n"))
+    est = SK.cms_estimate(cand, sk, "term")
+    return (
+        est.select(
+            "term",
+            "cms_estimate",
+            F.col("n").alias("exact_n"),
+            (F.col("cms_estimate") - F.col("n")).alias("overcount"),
+        )
+        .orderBy(F.desc("cms_estimate"), "term")
+        .limit(20)
+    )
+
+
+@register(
+    "sketch_kmv_distinct",
+    f"""
+    WITH {SK.kmv_oracle_sql("orders", "o_custkey", ["o_orderpriority"], 64)},
+    exact AS (
+      SELECT o_orderpriority,
+             cast(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT e.o_orderpriority, e.exact_distinct, s.n_seen, s.kth_hash,
+           floor(s.kmv_estimate * 100) / 100 AS kmv_estimate
+    FROM kmv s JOIN exact e ON s.o_orderpriority = e.o_orderpriority
+    """,
+)
+def sketch_kmv_distinct(spark, sf_dir):
+    """K-Minimum-Values distinct customers per order priority
+    (operators/sketches.kmv_distinct, k=64) next to the exact count.
+    ``kth_hash`` is the exact-integer sketch state (-1 when the group
+    held fewer than k distinct values and the count is exact); the
+    estimate divides two exactly-representable values once, so the
+    floor-quantized double matches any engine. The map-side distinct
+    pre-aggregation keeps the per-group window over distinct hashes,
+    not rows."""
+    o = _t(spark, sf_dir, "orders")
+    est = SK.kmv_distinct(o, "o_custkey", ["o_orderpriority"], k=64)
+    exact = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "o_orderpriority").select(
+        "o_orderpriority",
+        "exact_distinct",
+        "n_seen",
+        "kth_hash",
+        quantize(F.col("kmv_estimate"), 2).alias("kmv_estimate"),
+    )
+
+
 # Run-scoped scratch root for the queries with filesystem side effects
 # (TSV/ORC round trips, the streaming staged inputs). One mkdtemp per
 # process, deterministic subdirs inside, removed at interpreter exit -
@@ -4468,17 +4612,27 @@ _DRIVER_ORDER = [
     # -- LLM-pipeline extension layer: every component family --
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash_values",
+    # -- round-5 late additions: the sketch family (HLL distinct /
+    #    Count-Min heavy hitters / KMV bottom-k, operators/sketches.py)
+    #    - the bounded-state approximate layer the engine lacked.
+    #    Slots ceded by the triple-green (r02+r03+r04)
+    #    dedup_simhash_values (dedup family keeps jaccard/minhash/
+    #    clusters/cosine/decontaminate/keep-best in-window), sim_ann_lsh
+    #    (sim family keeps kmeans/int8/ivf/ivf_kmeans/pandas_gemm/
+    #    knn_graph/pq_adc in-window) and text_stats (text family keeps
+    #    lang_id/quality/unigram/bigram/repetition/perplexity/bpe x3
+    #    in-window) --
+    "sketch_hll_distinct",
+    "sketch_cms_heavy_hitters",
+    "sketch_kmv_distinct",
     "decontaminate_eval_overlap",
     "dedup_clusters",
     "dedup_embedding_cosine",
     "sim_kmeans_assign",
     "sim_knn_int8_dot",
-    "sim_ann_lsh",
     "sim_ivf_topk",
     "embedding_quantize_int8",
     "text_lang_id",
-    "text_stats",
     "text_quality_score",
     "corpus_source_report",
     "pack_token_shards",
@@ -4583,6 +4737,11 @@ _DRIVER_ORDER = [
     # ---------------- position 51+: past the driver window ----------
     # round-5 rotated-out (triple-green r02+r03+r04):
     "multimodal_audio_chunks",
+    # round-5 late rotations for the sketch family (triple-green
+    # r02+r03+r04; see the in-window slot comments):
+    "dedup_simhash_values",
+    "sim_ann_lsh",
+    "text_stats",
     # round-5 rotated-out (double-green r03+r04; see slot comments):
     "text_chunk_windows",
     "sample_eval_carve",

@@ -77,6 +77,7 @@ EXTENSION_PREFIXES = (
     "tsv_",
     "orc_",
     "stream_",
+    "sketch_",
 )
 
 #: extension queries deliberately OUTSIDE the window. Value: either the
@@ -130,6 +131,13 @@ OUT_OF_WINDOW_OK = {
     # pack_store_roundtrip; the text family remains the largest
     # in-window group:
     "text_redact_pii": "evidence",
+    # round-5 rotations (green r2+r3+r4), ceding slots to the sketch
+    # family (sketch_hll_distinct / sketch_cms_heavy_hitters /
+    # sketch_kmv_distinct); dedup, sim and text families all stay
+    # deeply represented in-window:
+    "dedup_simhash_values": "evidence",
+    "sim_ann_lsh": "evidence",
+    "text_stats": "evidence",
     # batch twins of the streaming surface, green r1, out-of-window
     # since round 2 (the "stream_" prefix joined EXTENSION_PREFIXES in
     # round 5 when the true streaming run entered the window):

@@ -1,0 +1,180 @@
+"""Sketch operators (operators/sketches.py): HLL / Count-Min / KMV.
+
+Three layers of evidence, mirroring the repo's differential strategy:
+- bit-exactness of the SKETCH STATE against a pure-Python reference
+  (register_sum / counters / kth_hash are integers - any hash or
+  arithmetic divergence fails exactly, not approximately);
+- the estimators' mathematical guarantees (CMS never undercounts; HLL
+  and KMV land within their published error bounds at these register
+  sizes);
+- plan shape: no Python UDFs anywhere, the CMS estimate join
+  broadcasts the sketch.
+The full driver-oracle differential (DuckDB replaying the same
+sketches) runs in test_oracle_differential.py via the registry.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from ghcrawler_datalake_etl_spark.operators import sketches as SK
+
+
+def _py_hll_registers(values):
+    """Pure-Python reference: bucket -> max rho, same md5 split."""
+    regs: dict[int, int] = {}
+    for v in values:
+        h = hashlib.md5(str(v).encode()).hexdigest()
+        bucket = int(h[:2], 16)
+        tail = int(h[2 : 2 + SK.HLL_TAIL_HEX], 16)
+        bits = 4 * SK.HLL_TAIL_HEX
+        rho = bits + 1 if tail == 0 else bits - tail.bit_length() + 1
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    return regs
+
+
+def test_hll_state_matches_python_reference(spark, sf_dir):
+    """register_sum and n_registers are EXACT integers: the Spark
+    string-ops rho and the Python bit-length rho must agree on every
+    value, or the sums differ."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = {
+        r["event_type"]: r
+        for r in SK.hll_distinct(ev, "event_id", ["event_type"]).collect()
+    }
+    rows = ev.select("event_type", "event_id").collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        if r["event_id"] is not None:
+            by_type.setdefault(r["event_type"], []).append(r["event_id"])
+    rho_max = 4 * SK.HLL_TAIL_HEX + 1
+    for et, vals in by_type.items():
+        regs = _py_hll_registers(vals)
+        s_present = sum(1 << (rho_max - m) for m in regs.values())
+        s_total = s_present + (SK.HLL_M - len(regs)) * (1 << rho_max)
+        assert got[et]["n_registers"] == len(regs), et
+        assert got[et]["register_sum"] == s_total, et
+
+
+def test_hll_estimate_within_error_bound(spark, sf_dir):
+    """Both estimator branches stay within ~4 sigma of 1.04/sqrt(256)
+    (= 26%) of the exact count - loose enough to be robust, tight
+    enough to catch a broken register or correction branch."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    est = SK.hll_distinct(ev, "event_id", ["event_type"]).collect()
+    exact = {
+        r["event_type"]: r["d"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("event_id").alias("d"))
+        .collect()
+    }
+    for r in est:
+        e, t = r["hll_estimate"], exact[r["event_type"]]
+        assert abs(e - t) / t < 0.26, (r["event_type"], e, t)
+
+
+def test_cms_never_undercounts_and_is_tight_on_heavy_hitters(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ghcrawler_datalake_etl_spark.operators import text as TX
+
+    tok = d.select(F.explode(TX.tokenize(F.col("text"))).alias("term"))
+    sk = SK.cms_sketch(tok, "term")
+    cand = tok.groupBy("term").agg(F.count("*").cast("long").alias("n"))
+    est = SK.cms_estimate(cand, sk, "term").collect()
+    n_total = sum(r["n"] for r in est)
+    for r in est:
+        # the CMS guarantee: min-of-d counters >= the true count ...
+        assert r["cms_estimate"] >= r["n"], r
+        # ... and within eps*N with eps = e/w (Markov bound holds per
+        # row with prob 1/2^d; assert the bound itself, which holds
+        # deterministically in expectation-scale for every candidate)
+        assert r["cms_estimate"] - r["n"] <= 3 * 2.71828 * n_total / SK.CMS_WIDTH, r
+
+
+def test_cms_sketch_counter_mass_is_exact(spark, sf_dir):
+    """Every seed row of the sketch sums to the total token count -
+    the counters partition the stream per seed."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ghcrawler_datalake_etl_spark.operators import text as TX
+
+    tok = d.select(F.explode(TX.tokenize(F.col("text"))).alias("term"))
+    n = tok.count()
+    sums = (
+        SK.cms_sketch(tok, "term")
+        .groupBy("seed")
+        .agg(F.sum("c").alias("s"))
+        .collect()
+    )
+    assert len(sums) == SK.CMS_DEPTH
+    assert all(r["s"] == n for r in sums)
+
+
+def test_kmv_exact_path_below_k(spark):
+    """Fewer distinct values than k: the sketch saw everything, the
+    estimate IS the exact count and kth_hash is the -1 sentinel."""
+    df = spark.createDataFrame(
+        [(g, v) for g in ("a", "b") for v in range(10)], ["g", "v"]
+    )
+    rows = {r["g"]: r for r in SK.kmv_distinct(df, "v", ["g"], k=64).collect()}
+    for g in ("a", "b"):
+        assert rows[g]["n_seen"] == 10
+        assert rows[g]["kth_hash"] == -1
+        assert rows[g]["kmv_estimate"] == 10.0
+
+
+def test_kmv_estimate_within_error_bound(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    est = SK.kmv_distinct(o, "o_custkey", ["o_orderpriority"], k=64).collect()
+    exact = {
+        r["o_orderpriority"]: r["d"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("d"))
+        .collect()
+    }
+    for r in est:
+        t = exact[r["o_orderpriority"]]
+        if r["kth_hash"] == -1:
+            assert r["kmv_estimate"] == float(r["n_seen"]) == float(t)
+        else:
+            # ~4/sqrt(64) = 50% bound: loose, catches broken hashing
+            assert abs(r["kmv_estimate"] - t) / t < 0.5, (r, t)
+    # the kth hash is the exact sketch state: cross-check one group
+    # against a pure-Python bottom-k
+    some = est[0]["o_orderpriority"]
+    vals = [
+        r["o_custkey"]
+        for r in o.filter(F.col("o_orderpriority") == some)
+        .select("o_custkey")
+        .distinct()
+        .collect()
+    ]
+    hs = sorted(
+        int(hashlib.md5(str(v).encode()).hexdigest()[: SK.KMV_HASH_HEX], 16)
+        for v in set(vals)
+    )
+    expect = -1 if len(hs) < 64 else hs[63]
+    got = {r["o_orderpriority"]: r["kth_hash"] for r in est}[some]
+    assert got == expect
+
+
+@pytest.mark.parametrize(
+    "op",
+    ["hll", "cms", "kmv"],
+)
+def test_sketch_plans_are_jvm_only_and_cms_broadcasts(spark, sf_dir, op):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if op == "hll":
+        plan = SK.hll_distinct(ev, "event_id", ["event_type"])
+    elif op == "cms":
+        sk = SK.cms_sketch(ev, "event_type")
+        cand = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+        plan = SK.cms_estimate(cand, sk, "event_type")
+    else:
+        plan = SK.kmv_distinct(ev, "user_id", ["event_type"], k=16)
+    phys = plan._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in phys and "ArrowEvalPython" not in phys
+    if op == "cms":
+        assert "BroadcastHashJoin" in phys
