@@ -285,6 +285,62 @@ def cms_oracle_sql(
 
 
 # ---------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------
+
+BLOOM_M = 1 << 15
+BLOOM_K = 3
+
+
+def bloom_bits(
+    df: DataFrame, value_col: str, m: int = BLOOM_M, k: int = BLOOM_K
+) -> DataFrame:
+    """The set-bit positions of a Bloom filter (Bloom 1970) over
+    ``value_col``: k md5-derived positions per value (the same
+    '<seed>\\x1f<value>' tagged-hash construction as the CMS buckets),
+    deduplicated - a one-column frame of <= m rows, broadcastable no
+    matter how large the input set. The Dolma-style bloom dedup /
+    decontamination primitive."""
+    rows = F.explode(
+        F.array(
+            *[_cms_bucket(F.col(value_col), s, m) for s in range(k)]
+        )
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(rows.alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    value_col: str,
+    bits: DataFrame,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Membership test: ``bloom_maybe`` is true iff ALL k of the
+    value's positions are set - no false negatives, false-positive
+    rate ~ (k*n/m)^k. The bits frame broadcasts into k equi-joins, so
+    probing a 100 TB corpus is k broadcast map-side lookups, no
+    shuffle of the probed side."""
+    maybe = None
+    for s in range(k):
+        b = bits.select(F.col("pos").alias(f"p{s}"))
+        df = df.join(
+            F.broadcast(b),
+            _cms_bucket(F.col(value_col), s, m) == F.col(f"p{s}"),
+            "left",
+        )
+        this = F.col(f"p{s}").isNotNull()
+        maybe = this if maybe is None else (maybe & this)
+    return df.withColumn("bloom_maybe", maybe).drop(
+        *[f"p{s}" for s in range(k)]
+    )
+
+
+# ---------------------------------------------------------------------
 # K-Minimum-Values (bottom-k)
 # ---------------------------------------------------------------------
 

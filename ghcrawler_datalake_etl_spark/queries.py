@@ -4281,6 +4281,86 @@ def sketch_cms_heavy_hitters(spark, sf_dir):
     )
 
 
+_BLOOM_POS_SQL = (
+    "cast(('0x' || substr(md5(cast(s.seed AS VARCHAR) || chr(31) || {v}), "
+    "1, 15)) AS BIGINT) % " + str(SK.BLOOM_M)
+)
+
+
+@register(
+    "sketch_bloom_decontaminate",
+    f"""
+    WITH {_SHINGLE_CTE_SQL},
+    ev AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 97 = 0),
+    bits AS (
+      SELECT DISTINCT {_BLOOM_POS_SQL.format(v='e.g')} AS pos
+      FROM ev e CROSS JOIN (VALUES (0), (1), (2)) s(seed)
+    ),
+    cand AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 97 <> 0),
+    probe AS (
+      SELECT c.doc_id, c.g, (count(b.pos) = {SK.BLOOM_K}) AS maybe
+      FROM cand c
+      CROSS JOIN (VALUES (0), (1), (2)) s(seed)
+      LEFT JOIN bits b ON b.pos = {_BLOOM_POS_SQL.format(v='c.g')}
+      GROUP BY c.doc_id, c.g
+    ),
+    hits AS (
+      SELECT doc_id, cast(count(*) AS BIGINT) AS n_shingles,
+             cast(count(*) FILTER (WHERE maybe) AS BIGINT) AS n_bloom_hits
+      FROM probe GROUP BY doc_id
+    ),
+    ex AS (
+      SELECT c.doc_id, cast(count(*) AS BIGINT) AS n_exact_hits
+      FROM cand c JOIN ev USING (g) GROUP BY c.doc_id
+    )
+    SELECT h.doc_id, h.n_shingles, h.n_bloom_hits,
+           coalesce(x.n_exact_hits, 0) AS n_exact_hits,
+           h.n_bloom_hits - coalesce(x.n_exact_hits, 0) AS n_false_pos
+    FROM hits h LEFT JOIN ex x USING (doc_id)
+    """,
+)
+def sketch_bloom_decontaminate(spark, sf_dir):
+    """Dolma-style Bloom-filter decontamination
+    (operators/sketches.bloom_bits / bloom_probe): the eval slice's
+    shingles set a 32768-bit / 3-hash Bloom filter, every candidate
+    shingle probes it, and the per-doc report carries the bloom hit
+    count NEXT TO the exact-join hit count - ``n_false_pos`` >= 0 by
+    the no-false-negatives guarantee, which the oracle (an identical
+    replayed filter, pure integers) verifies bit-exactly. At 100 TB
+    the bits frame stays <= m rows and broadcasts regardless of eval
+    size, so the probe side never shuffles - the reason bloom
+    decontamination beats the exact join the sibling
+    decontaminate_eval_overlap query runs."""
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", DD.shingles(F.col("text"), 3).alias("sh")
+    ).filter(F.size("sh") > 0)
+    pred = F.col("doc_id") % 97 == 0
+    ev = sh.filter(pred).select(F.explode("sh").alias("g")).distinct()
+    bits = SK.bloom_bits(ev, "g")
+    cand = sh.filter(~pred).select("doc_id", F.explode("sh").alias("g"))
+    probed = SK.bloom_probe(cand, "g", bits)
+    hits = probed.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.sum(F.col("bloom_maybe").cast("long"))
+        .cast("long")
+        .alias("n_bloom_hits"),
+    )
+    exact = (
+        cand.join(ev, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_exact_hits"))
+    )
+    n_exact = F.coalesce(F.col("n_exact_hits"), F.lit(0).cast("long"))
+    return hits.join(exact, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        "n_bloom_hits",
+        n_exact.alias("n_exact_hits"),
+        (F.col("n_bloom_hits") - n_exact).alias("n_false_pos"),
+    )
+
+
 @register(
     "sketch_kmv_distinct",
     f"""
@@ -4625,6 +4705,10 @@ _DRIVER_ORDER = [
     "sketch_hll_distinct",
     "sketch_cms_heavy_hitters",
     "sketch_kmv_distinct",
+    # -- and the Bloom-filter decontamination sketch; slot ceded by the
+    #    triple-green (r02+r03+r04) corpus_source_report (corpus family
+    #    keeps vocabulary_topk + fertility_by_lang in-window) --
+    "sketch_bloom_decontaminate",
     "decontaminate_eval_overlap",
     "dedup_clusters",
     "dedup_embedding_cosine",
@@ -4634,7 +4718,6 @@ _DRIVER_ORDER = [
     "embedding_quantize_int8",
     "text_lang_id",
     "text_quality_score",
-    "corpus_source_report",
     "pack_token_shards",
     "pipeline_dedup_shards",
     "pipeline_training_data",
@@ -4742,6 +4825,7 @@ _DRIVER_ORDER = [
     "dedup_simhash_values",
     "sim_ann_lsh",
     "text_stats",
+    "corpus_source_report",
     # round-5 rotated-out (double-green r03+r04; see slot comments):
     "text_chunk_windows",
     "sample_eval_carve",

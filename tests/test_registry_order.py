@@ -138,6 +138,10 @@ OUT_OF_WINDOW_OK = {
     "dedup_simhash_values": "evidence",
     "sim_ann_lsh": "evidence",
     "text_stats": "evidence",
+    # ... and corpus_source_report (green r2+r3+r4) ceded its slot to
+    # sketch_bloom_decontaminate; vocabulary_topk + fertility_by_lang
+    # keep the corpus family in-window:
+    "corpus_source_report": "evidence",
     # batch twins of the streaming surface, green r1, out-of-window
     # since round 2 (the "stream_" prefix joined EXTENSION_PREFIXES in
     # round 5 when the true streaming run entered the window):

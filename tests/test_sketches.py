@@ -160,6 +160,61 @@ def test_kmv_estimate_within_error_bound(spark, sf_dir):
     assert got == expect
 
 
+def test_bloom_no_false_negatives_and_bounded_bits(spark):
+    """Every inserted value probes positive (the Bloom guarantee) and
+    the bits frame never exceeds k*n (or m) rows."""
+    vals = spark.range(500).select(F.concat(F.lit("v"), "id").alias("v"))
+    bits = SK.bloom_bits(vals, "v")
+    nbits = bits.count()
+    assert nbits <= min(SK.BLOOM_K * 500, SK.BLOOM_M)
+    probed = SK.bloom_probe(vals, "v", bits)
+    assert probed.filter(~F.col("bloom_maybe")).count() == 0
+    # disjoint probes at this fill level (~4.6% of m) are mostly
+    # negative: false-positive rate (k*n/m)^k ~ 1e-4
+    other = spark.range(500).select(
+        F.concat(F.lit("w"), "id").alias("v")
+    )
+    fp = SK.bloom_probe(other, "v", bits).filter("bloom_maybe").count()
+    assert fp <= 5
+
+
+def test_bloom_probe_matches_python_reference(spark):
+    """The k positions replay exactly in pure Python - same tagged
+    md5, same modulus - for inserted AND non-inserted values."""
+    vals = [f"v{i}" for i in range(50)]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    bits = {
+        int(hashlib.md5(f"{s}\x1f{v}".encode()).hexdigest()[:15], 16)
+        % SK.BLOOM_M
+        for v in vals
+        for s in range(SK.BLOOM_K)
+    }
+    got = {r["pos"] for r in SK.bloom_bits(df, "v").collect()}
+    assert got == bits
+    probe_vals = vals[:5] + [f"w{i}" for i in range(5)]
+    pdf = spark.createDataFrame([(v,) for v in probe_vals], ["v"])
+    got_probe = {
+        r["v"]: r["bloom_maybe"]
+        for r in SK.bloom_probe(pdf, "v", SK.bloom_bits(df, "v")).collect()
+    }
+    for v in probe_vals:
+        expect = all(
+            int(hashlib.md5(f"{s}\x1f{v}".encode()).hexdigest()[:15], 16)
+            % SK.BLOOM_M
+            in bits
+            for s in range(SK.BLOOM_K)
+        )
+        assert got_probe[v] == expect, v
+
+
+def test_bloom_probe_plan_broadcasts_and_stays_jvm(spark):
+    vals = spark.range(100).select(F.col("id").cast("string").alias("v"))
+    plan = SK.bloom_probe(vals, "v", SK.bloom_bits(vals, "v"))
+    phys = plan._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in phys and "ArrowEvalPython" not in phys
+    assert "BroadcastHashJoin" in phys
+
+
 @pytest.mark.parametrize(
     "op",
     ["hll", "cms", "kmv"],
