@@ -211,6 +211,23 @@ def bench_scaling(spark) -> dict:
         SR.perplexity_buckets(d, "doc_id", "text").count()
         out["perplexity_50k_sec"] = round(time.perf_counter() - t0, 3)
 
+        # round-5: the sketch family at 10x (~2M token rows) - HLL
+        # global distinct plus the CMS build+estimate pass. Sketch
+        # shuffle state is bounded (256 registers / 3072 counters), so
+        # this arm should track the token-explode cost, not the
+        # distinct-value count.
+        from ghcrawler_datalake_etl_spark.operators import sketches as SK
+
+        t0 = time.perf_counter()
+        tok = d.select(F.explode(TX.tokenize(F.col("text"))).alias("term"))
+        SK.hll_distinct(tok, "term", []).count()
+        cms = SK.cms_sketch(tok, "term")
+        SK.cms_estimate(
+            tok.groupBy("term").agg(F.count("*").cast("long").alias("n")),
+            cms, "term",
+        ).count()
+        out["sketches_50k_sec"] = round(time.perf_counter() - t0, 3)
+
         out["n_vectors"] = n_vec
         out["n_docs"] = n_docs
     finally:
