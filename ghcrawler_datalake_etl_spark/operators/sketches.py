@@ -71,31 +71,49 @@ def _hll_rho(tail: Column) -> Column:
     )
 
 
-def hll_distinct(
+def hll_registers(
     df: DataFrame, value_col: str, group_cols: list[str]
 ) -> DataFrame:
-    """HyperLogLog distinct-count estimate of ``value_col`` per group.
-
-    Returns one row per group: ``n_registers`` (non-empty registers),
-    ``register_sum`` (sum of 2^(45-rho_j) over ALL m registers, the
-    exact-integer harmonic denominator scaled by 2^45) and
-    ``hll_estimate`` (raw HLL estimate with the standard
-    linear-counting small-range correction; the caller quantizes).
-
-    Two bounded shuffles: (group, bucket) max-rho - combined state
-    <= m rows per group per task - then the per-group rollup over
-    <= m rows per group. NULL values are ignored (md5(NULL) is NULL),
-    matching the SQL oracle's ``WHERE value IS NOT NULL``.
-    """
+    """The sketch STATE: one (group, bucket, m_rho) row per non-empty
+    register - the mergeable partial that ``hll_merge`` can re-group
+    and ``hll_estimate_from_registers`` turns into an estimate. The
+    (group, bucket) max-rho aggregation combines map-side to <= m
+    rows per group per task. NULL values are ignored (md5(NULL) is
+    NULL), matching the SQL oracles' ``WHERE value IS NOT NULL``."""
     h = F.md5(F.col(value_col).cast("string"))
     bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
     rho = _hll_rho(F.substring(h, 3, HLL_TAIL_HEX))
-    regs = (
+    return (
         df.filter(F.col(value_col).isNotNull())
         .select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("m_rho"))
     )
+
+
+def hll_merge(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge register frames down to coarser groups (or, with
+    ``group_cols=[]``, to one global sketch): max per bucket. Exactly
+    lossless - max is associative/commutative/idempotent, so merging
+    per-partition or per-group partials yields bit-identical registers
+    to sketching the unioned data directly (the property that lets
+    100 TB of per-shard sketches roll up without rescanning; pinned by
+    the sketch_hll_merge driver oracle, which replays the DIRECT
+    global sketch against this merged one)."""
+    return regs.groupBy(*group_cols, "bucket").agg(
+        F.max("m_rho").alias("m_rho")
+    )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Estimate from a register frame: ``n_registers`` (non-empty),
+    ``register_sum`` (sum of 2^(45-rho_j) over ALL m registers - the
+    exact-integer harmonic denominator scaled by 2^45) and
+    ``hll_estimate`` (raw estimate with the standard linear-counting
+    small-range correction; the caller quantizes). The rollup runs
+    over <= m rows per group."""
     per_group = regs.groupBy(*group_cols).agg(
         F.count("*").cast("long").alias("n_registers"),
         # SQL-form shiftleft: the Python helper only takes a literal
@@ -122,6 +140,17 @@ def hll_distinct(
         (F.col("s_present") + zeros * F.lit(1 << _HLL_RHO_MAX).cast("long"))
         .alias("register_sum"),
         corrected.alias("hll_estimate"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame, value_col: str, group_cols: list[str]
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate of ``value_col`` per group:
+    ``hll_registers`` composed with ``hll_estimate_from_registers``.
+    Two bounded shuffles; see the stage docstrings."""
+    return hll_estimate_from_registers(
+        hll_registers(df, value_col, group_cols), group_cols
     )
 
 

@@ -4281,6 +4281,67 @@ def sketch_cms_heavy_hitters(spark, sf_dir):
     )
 
 
+@register(
+    "sketch_hll_merge",
+    f"""
+    WITH src AS (SELECT 'all' AS scope, event_id FROM events),
+    {SK.hll_oracle_sql("src", "event_id", ["scope"])},
+    exact AS (
+      SELECT cast(count(DISTINCT event_id) AS BIGINT) AS exact_distinct
+      FROM events WHERE event_id IS NOT NULL
+    ),
+    partials AS (
+      SELECT cast(count(*) AS BIGINT) AS n_partial_registers FROM (
+        SELECT DISTINCT event_type,
+               cast(('0x' || substr(md5(cast(event_id AS VARCHAR)), 1, 2))
+                 AS BIGINT) AS bucket
+        FROM events WHERE event_id IS NOT NULL
+      )
+    )
+    SELECT h.scope, p.n_partial_registers, h.n_registers, h.register_sum,
+           floor(h.hll_estimate * 100) / 100 AS hll_estimate,
+           e.exact_distinct
+    FROM hll_est h CROSS JOIN exact e CROSS JOIN partials p
+    """,
+)
+def sketch_hll_merge(spark, sf_dir):
+    """Sketch ALGEBRA, the property that makes HLL distributed: build
+    per-event_type partial register frames, merge them to one global
+    sketch (operators/sketches.hll_merge - max per bucket, lossless
+    because max is associative/commutative/idempotent), and estimate.
+    The oracle computes the DIRECT global sketch from the raw data -
+    the integer register_sum matching bit-for-bit is the proof that
+    merged partials == sketch-of-union, i.e. 100 TB of per-shard
+    sketches roll up without rescanning. ``n_partial_registers`` (the
+    merged input rows) rides along to show the merge compressed
+    real partials, not a single frame."""
+    ev = _t(spark, sf_dir, "events")
+    regs = SK.hll_registers(ev, "event_id", ["event_type"])
+    merged = SK.hll_merge(
+        regs.withColumn("scope", F.lit("all")), ["scope"]
+    )
+    est = SK.hll_estimate_from_registers(merged, ["scope"])
+    exact = (
+        ev.filter(F.col("event_id").isNotNull())
+        .agg(F.countDistinct("event_id").cast("long").alias("exact_distinct"))
+    )
+    partials = regs.agg(
+        F.count("*").cast("long").alias("n_partial_registers")
+    )
+    return (
+        est.crossJoin(F.broadcast(partials))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "scope",
+            "n_partial_registers",
+            "n_registers",
+            "register_sum",
+            quantize(F.col("hll_estimate"), 2).alias("hll_estimate"),
+            "exact_distinct",
+        )
+    )
+
+
 _BLOOM_POS_SQL = (
     "cast(('0x' || substr(md5(cast(s.seed AS VARCHAR) || chr(31) || {v}), "
     "1, 15)) AS BIGINT) % " + str(SK.BLOOM_M)
@@ -4717,6 +4778,16 @@ _DRIVER_ORDER = [
     #    triple-green (r02+r03+r04) corpus_source_report (corpus family
     #    keeps vocabulary_topk + fertility_by_lang in-window) --
     "sketch_bloom_decontaminate",
+    # -- and HLL sketch-merge (the mergeability proof); slot ceded by
+    #    the triple-green (r02+r03+r04) pipeline_training_data
+    #    (pipeline family keeps dedup_shards / chunk_dedup_pack /
+    #    quality_mix_pack / tokenize_pack in-window) --
+    "sketch_hll_merge",
+    # -- and HLL sketch-merge (the mergeability proof); slot ceded by
+    #    the triple-green (r02+r03+r04) pipeline_training_data
+    #    (pipeline family keeps dedup_shards / chunk_dedup_pack /
+    #    quality_mix_pack / tokenize_pack in-window) --
+    "sketch_hll_merge",
     "decontaminate_eval_overlap",
     "dedup_clusters",
     "dedup_embedding_cosine",
@@ -4728,7 +4799,6 @@ _DRIVER_ORDER = [
     "text_quality_score",
     "pack_token_shards",
     "pipeline_dedup_shards",
-    "pipeline_training_data",
     "multimodal_features",
     # -- round-5 addition: the stream-stream interval join RUN AS A
     #    STREAM (the last component with pytest-only evidence, VERDICT
@@ -4834,6 +4904,7 @@ _DRIVER_ORDER = [
     "sim_ann_lsh",
     "text_stats",
     "corpus_source_report",
+    "pipeline_training_data",
     # round-5 rotated-out (double-green r03+r04; see slot comments):
     "text_chunk_windows",
     "sample_eval_carve",

@@ -142,6 +142,10 @@ OUT_OF_WINDOW_OK = {
     # sketch_bloom_decontaminate; vocabulary_topk + fertility_by_lang
     # keep the corpus family in-window:
     "corpus_source_report": "evidence",
+    # ... and pipeline_training_data (green r2+r3+r4) ceded its slot
+    # to sketch_hll_merge; the pipeline family keeps dedup_shards /
+    # chunk_dedup_pack / quality_mix_pack / tokenize_pack in-window:
+    "pipeline_training_data": "evidence",
     # batch twins of the streaming surface, green r1, out-of-window
     # since round 2 (the "stream_" prefix joined EXTENSION_PREFIXES in
     # round 5 when the true streaming run entered the window):

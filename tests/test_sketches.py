@@ -76,6 +76,32 @@ def test_hll_estimate_within_error_bound(spark, sf_dir):
         assert abs(e - t) / t < 0.26, (r["event_type"], e, t)
 
 
+def test_hll_merge_of_arbitrary_partials_equals_direct_sketch(spark, sf_dir):
+    """Mergeability: partial sketches over ANY disjoint split of the
+    data, merged, produce bit-identical registers to sketching the
+    union directly - max is associative/commutative/idempotent. Split
+    by a hash unrelated to the sketch's own, with overlapping values
+    across parts (idempotence), then compare register frames row by
+    row."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # three overlapping parts: % 3 slices plus a duplicated slice
+    parts = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    parts.append(ev.filter(F.col("event_id") % 7 == 0))  # overlap
+    partials = None
+    for p in parts:
+        r = SK.hll_registers(p, "event_id", [])
+        partials = r if partials is None else partials.unionByName(r)
+    merged = {
+        (r["bucket"], r["m_rho"])
+        for r in SK.hll_merge(partials, []).collect()
+    }
+    direct = {
+        (r["bucket"], r["m_rho"])
+        for r in SK.hll_registers(ev, "event_id", []).collect()
+    }
+    assert merged == direct
+
+
 def test_cms_never_undercounts_and_is_tight_on_heavy_hitters(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     from ghcrawler_datalake_etl_spark.operators import text as TX
