@@ -370,6 +370,80 @@ def bloom_probe(
 
 
 # ---------------------------------------------------------------------
+# Fixed-bin histogram quantile sketch
+# ---------------------------------------------------------------------
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lo: float,
+    hi: float,
+    bins: int,
+) -> DataFrame:
+    """Mergeable equi-width histogram: (group, bin, c) with
+    bin = clamp(floor((x-lo)/width), 0, bins-1). Out-of-range values
+    land deterministically in the edge bins; NULLs are dropped. The
+    groupBy combines map-side to <= bins rows per group per task -
+    the bounded-state twin of an exact percentile sort. The bin
+    arithmetic is two exact-rounded float ops on identical doubles,
+    so any engine bins identically."""
+    width = (hi - lo) / bins
+    b = F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width))
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1)).cast("long")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, b.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def histogram_merge(hist: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge histograms to coarser groups: counts add. Exactly
+    lossless (sum is associative/commutative), the same rollup
+    contract as ``hll_merge``."""
+    return hist.groupBy(*group_cols, "bin").agg(
+        F.sum("c").cast("long").alias("c")
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    group_cols: list[str],
+    qs: list[float],
+    lo: float,
+    hi: float,
+    bins: int,
+) -> DataFrame:
+    """Quantile estimates from a histogram frame: for each q, the
+    lower edge of the first bin whose cumulative count reaches
+    ceil(q*n) - error bounded by one bin width. The running-sum
+    window runs over <= bins rows per group, never the data. Output:
+    group cols, ``n``, and one ``p<q>_est`` double per q (the caller
+    quantizes per the repo convention)."""
+    width = (hi - lo) / bins
+    w = Window.partitionBy(*group_cols).orderBy("bin")
+    cum = hist.select(
+        *group_cols,
+        "bin",
+        "c",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy(*group_cols)).alias("n"),
+    )
+    aggs = [F.max("n").cast("long").alias("n")]
+    for q in qs:
+        tag = f"p{round(q * 100):02d}_est"
+        target = F.ceil(F.lit(q) * F.col("n"))
+        best_bin = F.min(F.when(F.col("cum") >= target, F.col("bin")))
+        aggs.append(
+            (F.lit(lo) + best_bin.cast("double") * F.lit(width)).alias(tag)
+        )
+    return cum.groupBy(*group_cols).agg(*aggs)
+
+
+# ---------------------------------------------------------------------
 # K-Minimum-Values (bottom-k)
 # ---------------------------------------------------------------------
 

@@ -4282,6 +4282,82 @@ def sketch_cms_heavy_hitters(spark, sf_dir):
 
 
 @register(
+    "sketch_histogram_quantiles",
+    """
+    WITH h AS (
+      SELECT event_type,
+             cast(least(greatest(floor((cast(value AS DOUBLE) - 0.0) / 1.0),
+                                 0), 1023) AS BIGINT) AS bin,
+             cast(count(*) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, bin, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS n
+      FROM h
+    ),
+    qx AS (
+      SELECT event_type, cast(max(n) AS BIGINT) AS n,
+             min(CASE WHEN cum >= ceil(0.5 * n) THEN bin END) AS b50,
+             min(CASE WHEN cum >= ceil(0.9 * n) THEN bin END) AS b90,
+             min(CASE WHEN cum >= ceil(0.99 * n) THEN bin END) AS b99
+      FROM cum GROUP BY event_type
+    ),
+    ex AS (
+      SELECT event_type,
+             quantile_disc(value, 0.5) AS p50_exact,
+             quantile_disc(value, 0.9) AS p90_exact,
+             quantile_disc(value, 0.99) AS p99_exact
+      FROM events GROUP BY event_type
+    )
+    SELECT q.event_type, q.n,
+           floor((0.0 + b50 * 1.0) * 10000) / 10000 AS p50_est,
+           floor((0.0 + b90 * 1.0) * 10000) / 10000 AS p90_est,
+           floor((0.0 + b99 * 1.0) * 10000) / 10000 AS p99_est,
+           ex.p50_exact, ex.p90_exact, ex.p99_exact
+    FROM qx q JOIN ex USING (event_type)
+    """,
+)
+def sketch_histogram_quantiles(spark, sf_dir):
+    """Mergeable equi-width histogram quantiles
+    (operators/sketches.histogram_sketch / histogram_quantiles,
+    1024 unit bins over [0, 1024)) next to the EXACT discrete
+    percentiles - the bounded-state twin of agg_value_percentiles:
+    the estimate's error is one bin width by construction, and the
+    per-group running-sum window runs over <= 1024 histogram rows,
+    never the data (the same bounded-frame discipline as
+    text_perplexity_buckets). At 100 TB the histogram shuffles
+    <= bins rows per group and merges by addition across shards,
+    where the exact sort-based percentile shuffles every value."""
+    ev = _t(spark, sf_dir, "events")
+    hist = SK.histogram_sketch(
+        ev, "value", ["event_type"], 0.0, 1024.0, 1024
+    )
+    est = SK.histogram_quantiles(
+        hist, ["event_type"], [0.5, 0.9, 0.99], 0.0, 1024.0, 1024
+    )
+    ev.createOrReplaceTempView("_ev_hist_q")
+    exact = spark.sql("""
+      SELECT event_type,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50_exact,
+             percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90_exact,
+             percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99_exact
+      FROM _ev_hist_q GROUP BY event_type
+    """)
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "n",
+        quantize(F.col("p50_est"), 4).alias("p50_est"),
+        quantize(F.col("p90_est"), 4).alias("p90_est"),
+        quantize(F.col("p99_est"), 4).alias("p99_est"),
+        "p50_exact",
+        "p90_exact",
+        "p99_exact",
+    )
+
+
+@register(
     "sketch_hll_merge",
     f"""
     WITH src AS (SELECT 'all' AS scope, event_id FROM events),
@@ -4783,18 +4859,27 @@ _DRIVER_ORDER = [
     #    (pipeline family keeps dedup_shards / chunk_dedup_pack /
     #    quality_mix_pack / tokenize_pack in-window) --
     "sketch_hll_merge",
+    # -- and the mergeable histogram quantile sketch; slot ceded by
+    #    the triple-green (r02+r03+r04) embedding_quantize_int8
+    #    (int8 quantization stays in-window via sim_knn_int8_dot;
+    #    the embedding family keeps random_projection + cosine) --
+    "sketch_histogram_quantiles",
     # -- and HLL sketch-merge (the mergeability proof); slot ceded by
     #    the triple-green (r02+r03+r04) pipeline_training_data
     #    (pipeline family keeps dedup_shards / chunk_dedup_pack /
     #    quality_mix_pack / tokenize_pack in-window) --
     "sketch_hll_merge",
+    # -- and the mergeable histogram quantile sketch; slot ceded by
+    #    the triple-green (r02+r03+r04) embedding_quantize_int8
+    #    (int8 quantization stays in-window via sim_knn_int8_dot;
+    #    the embedding family keeps random_projection + cosine) --
+    "sketch_histogram_quantiles",
     "decontaminate_eval_overlap",
     "dedup_clusters",
     "dedup_embedding_cosine",
     "sim_kmeans_assign",
     "sim_knn_int8_dot",
     "sim_ivf_topk",
-    "embedding_quantize_int8",
     "text_lang_id",
     "text_quality_score",
     "pack_token_shards",
@@ -4905,6 +4990,7 @@ _DRIVER_ORDER = [
     "text_stats",
     "corpus_source_report",
     "pipeline_training_data",
+    "embedding_quantize_int8",
     # round-5 rotated-out (double-green r03+r04; see slot comments):
     "text_chunk_windows",
     "sample_eval_carve",

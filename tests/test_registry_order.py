@@ -146,6 +146,10 @@ OUT_OF_WINDOW_OK = {
     # to sketch_hll_merge; the pipeline family keeps dedup_shards /
     # chunk_dedup_pack / quality_mix_pack / tokenize_pack in-window:
     "pipeline_training_data": "evidence",
+    # ... and embedding_quantize_int8 (green r2+r3+r4) ceded its slot
+    # to sketch_histogram_quantiles; int8 quantization stays in-window
+    # via sim_knn_int8_dot:
+    "embedding_quantize_int8": "evidence",
     # batch twins of the streaming surface, green r1, out-of-window
     # since round 2 (the "stream_" prefix joined EXTENSION_PREFIXES in
     # round 5 when the true streaming run entered the window):

@@ -186,6 +186,50 @@ def test_kmv_estimate_within_error_bound(spark, sf_dir):
     assert got == expect
 
 
+def test_histogram_quantiles_within_one_bin_of_exact(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hist = SK.histogram_sketch(ev, "value", ["event_type"], 0.0, 1024.0, 1024)
+    est = {
+        r["event_type"]: r
+        for r in SK.histogram_quantiles(
+            hist, ["event_type"], [0.5, 0.9], 0.0, 1024.0, 1024
+        ).collect()
+    }
+    ev.createOrReplaceTempView("_ev_hist_t")
+    exact = spark.sql(
+        """SELECT event_type,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+           percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90
+           FROM _ev_hist_t GROUP BY event_type"""
+    ).collect()
+    for r in exact:
+        e = est[r["event_type"]]
+        # lower-edge estimate: within one bin width BELOW the exact value
+        assert e["p50_est"] <= r["p50"] <= e["p50_est"] + 1.0, r
+        assert e["p90_est"] <= r["p90"] <= e["p90_est"] + 1.0, r
+
+
+def test_histogram_merge_is_lossless_and_edges_clamp(spark):
+    df = spark.createDataFrame(
+        [("a", -5.0), ("a", 0.0), ("a", 3.7), ("a", 9999.0), ("b", 1.2)],
+        "g string, v double",
+    )
+    hist = SK.histogram_sketch(df, "v", ["g"], 0.0, 10.0, 10)
+    rows = {(r["g"], r["bin"]): r["c"] for r in hist.collect()}
+    # -5 clamps to bin 0 (with 0.0), 3.7 -> bin 3, 9999 clamps to bin 9
+    assert rows[("a", 0)] == 2 and rows[("a", 3)] == 1 and rows[("a", 9)] == 1
+    # merging the per-group histograms to global == direct global
+    merged = {
+        (r["bin"], r["c"])
+        for r in SK.histogram_merge(hist, []).collect()
+    }
+    direct = {
+        (r["bin"], r["c"])
+        for r in SK.histogram_sketch(df, "v", [], 0.0, 10.0, 10).collect()
+    }
+    assert merged == direct
+
+
 def test_bloom_no_false_negatives_and_bounded_bits(spark):
     """Every inserted value probes positive (the Bloom guarantee) and
     the bits frame never exceeds k*n (or m) rows."""
