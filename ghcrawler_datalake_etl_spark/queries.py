@@ -4786,6 +4786,51 @@ def tsv_round_trip(spark, sf_dir):
 
 
 @register(
+    "jsonl_round_trip",
+    """
+    SELECT event_id, user_id,
+           CASE WHEN event_type = 'error' THEN ''
+                ELSE event_type END AS tag,
+           CASE WHEN event_type = 'signup' THEN NULL
+                ELSE event_type END AS maybe_type,
+           value, value > 5 AS big, epoch_us(ts) AS ts_us
+    FROM events
+    """,
+)
+def jsonl_round_trip(spark, sf_dir):
+    """Typed JSONL export/re-ingest round trip (sources/sinks.
+    write_jsonl + read_jsonl) - the training-data interchange format
+    beside the TSV edge format. The oracle states the LOSSLESS
+    contract: where tsv_round_trip's oracle documents the ''-to-NULL
+    collapse, this one keeps BOTH arms distinct - the injected empty
+    strings ('error' rows, ``tag``) survive as '' and the injected
+    NULLs ('signup' rows, ``maybe_type``) survive as NULL - plus exact
+    longs, shortest-repr doubles, booleans and epoch-micro
+    timestamps."""
+    from ghcrawler_datalake_etl_spark.sources.sinks import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_type") == "error", F.lit(""))
+        .otherwise(F.col("event_type"))
+        .alias("tag"),
+        F.when(F.col("event_type") == "signup", F.lit(None).cast("string"))
+        .otherwise(F.col("event_type"))
+        .alias("maybe_type"),
+        "value",
+        (F.col("value") > 5).alias("big"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    out = _run_tmp("jsonl_rt")
+    write_jsonl(ev, out)
+    return read_jsonl(spark, out, ev.schema)
+
+
+@register(
     "orc_catalog_roundtrip",
     """
     SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS acctbal
@@ -4879,7 +4924,6 @@ _DRIVER_ORDER = [
     "dedup_embedding_cosine",
     "sim_kmeans_assign",
     "sim_knn_int8_dot",
-    "sim_ivf_topk",
     "text_lang_id",
     "text_quality_score",
     "pack_token_shards",
@@ -4979,6 +5023,12 @@ _DRIVER_ORDER = [
     #    in-window, same mapInPandas fan-out shape as frames) --
     "text_clean_lines",
     "tsv_round_trip",
+    # -- round-5: the JSONL round trip (lossless ''-vs-NULL contract
+    #    beside TSV's documented collapse). Slot ceded by the
+    #    triple-green (r02+r03+r04) sim_ivf_topk, whose in-window
+    #    superset sim_ivf_kmeans_topk runs the same IVF shape with
+    #    learned centroids --
+    "jsonl_round_trip",
     "orc_catalog_roundtrip",
     # ---------------- position 51+: past the driver window ----------
     # round-5 rotated-out (triple-green r02+r03+r04):
@@ -4991,6 +5041,7 @@ _DRIVER_ORDER = [
     "corpus_source_report",
     "pipeline_training_data",
     "embedding_quantize_int8",
+    "sim_ivf_topk",
     # round-5 rotated-out (double-green r03+r04; see slot comments):
     "text_chunk_windows",
     "sample_eval_carve",

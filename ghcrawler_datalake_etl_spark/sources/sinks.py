@@ -402,6 +402,30 @@ def write_tsv(df: DataFrame, path: str, num_files: int = 1) -> None:
     )
 
 
+def write_jsonl(df: DataFrame, path: str, num_files: int = 1) -> None:
+    """JSON-lines export sink - the de-facto interchange format of
+    training-data pipelines (and the shape of the reference's OWN
+    crawler input: one JSON document per line, sources/staging.py S1).
+    ``ignoreNullFields=false`` keeps explicit nulls so the round trip
+    is lossless: unlike TSV, JSONL distinguishes NULL from ''."""
+    (
+        df.coalesce(num_files)
+        .write.mode("overwrite")
+        .option("ignoreNullFields", "false")
+        .json(path)
+    )
+
+
+def read_jsonl(spark, path: str, schema) -> DataFrame:
+    """Typed JSONL re-ingest - the round-trip complement of
+    write_jsonl: read an export back under an explicit schema
+    (malformed lines -> NULL row under the default PERMISSIVE mode,
+    the same contract as stage_json). Longs, doubles (shortest
+    round-trip repr), booleans, strings INCLUDING the ''-vs-NULL
+    distinction, and epoch-micro longs all round-trip exactly."""
+    return spark.read.schema(schema).json(path)
+
+
 def read_tsv(spark, path: str, schema) -> DataFrame:
     """Typed TSV re-ingest - the round-trip complement of write_tsv
     (S7): read an export back under an explicit schema (header row

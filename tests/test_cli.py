@@ -83,6 +83,49 @@ def test_tsv_round_trip_typed(spark, tmp_path):
     assert back.schema == df.schema
 
 
+def test_jsonl_round_trip_lossless(spark, tmp_path):
+    """write_jsonl -> read_jsonl reproduces the frame EXACTLY - unlike
+    TSV, JSONL keeps '' and NULL distinct - and a malformed line
+    yields a NULL row under PERMISSIVE instead of failing the read
+    (the stage_json contract)."""
+    import os
+
+    from pyspark.sql import functions as F
+    from ghcrawler_datalake_etl_spark.sources.sinks import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha", True, 9.5),
+            (2, None, False, None),
+            (3, "", None, -0.25),
+        ],
+        "id long, name string, flag boolean, score double",
+    )
+    out = str(tmp_path / "jsonl")
+    write_jsonl(df, out)
+    back = read_jsonl(spark, out, df.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+    assert back.schema == df.schema
+    # append a malformed line to the part file: PERMISSIVE -> NULL row
+    part = [f for f in os.listdir(out) if f.endswith(".json")][0]
+    with open(os.path.join(out, part), "a") as fh:
+        fh.write('{"id": broken\n')
+    # drop the Hadoop CRC sidecar invalidated by the append, and the
+    # session's cached pre-append file size
+    crc = os.path.join(out, f".{part}.crc")
+    if os.path.exists(crc):
+        os.unlink(crc)
+    spark.catalog.refreshByPath(out)
+    back2 = read_jsonl(spark, out, df.schema)
+    assert back2.count() == 4
+    assert back2.filter(F.col("id").isNull()).count() == 1
+
+
 def test_catalog_orc_format_round_trip(spark, tmp_path):
     """The versioned catalog is format-blind: an ORC-backed catalog
     supports overwrite, time travel, and the bucket-level merge path

@@ -75,6 +75,7 @@ EXTENSION_PREFIXES = (
     "pack_",
     "corpus_",
     "tsv_",
+    "jsonl_",
     "orc_",
     "stream_",
     "sketch_",
@@ -150,6 +151,10 @@ OUT_OF_WINDOW_OK = {
     # to sketch_histogram_quantiles; int8 quantization stays in-window
     # via sim_knn_int8_dot:
     "embedding_quantize_int8": "evidence",
+    # ... and sim_ivf_topk (green r2+r3+r4) ceded its slot to
+    # jsonl_round_trip; its in-window superset sim_ivf_kmeans_topk
+    # runs the same IVF shape with learned centroids:
+    "sim_ivf_topk": "evidence",
     # batch twins of the streaming surface, green r1, out-of-window
     # since round 2 (the "stream_" prefix joined EXTENSION_PREFIXES in
     # round 5 when the true streaming run entered the window):
