@@ -345,11 +345,10 @@ def _canonical_codes(symbols: list[int]) -> tuple[bytes, dict[int, tuple[int, in
     return bytes(bits) + bytes(symbols), table
 
 
-def jpeg_encode(arr: np.ndarray) -> bytes:
-    """uint8 (H, W) grayscale or (H, W, 3) RGB -> baseline JPEG bytes
-    (SOF0, 4:4:4, Annex-K quant tables, single-length canonical Huffman
-    tables). The fixture generator for the DC-luma decoder - the same
-    role png_encode/wav_encode_silence play for their parsers."""
+def _jpeg_coefficients(arr: np.ndarray):
+    """Shared encoder front half: uint8 image -> (h, w, nch, coeffs)
+    with coeffs one (blocks_y, blocks_x, 64) zigzag int array per
+    component (4:4:4, Annex-K quant tables, edge-replication pad)."""
     if arr.dtype != np.uint8:
         raise ValueError("jpeg_encode expects uint8")
     if arr.ndim == 2:
@@ -379,6 +378,37 @@ def jpeg_encode(arr: np.ndarray) -> bytes:
         qz = np.round(f / q).astype(np.int64)
         zz = np.stack([qz[:, :, r, c] for (r, c) in _ZIGZAG], axis=-1)
         coeffs.append(zz)
+    return h, w, nch, coeffs
+
+
+def _jpeg_headers(h: int, w: int, nch: int, sof_marker: int) -> bytearray:
+    """DQT + SOFn header segments shared by the baseline and
+    progressive fixture encoders."""
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    zz_lum = bytes(int(_JQ_LUM[r, c]) for (r, c) in _ZIGZAG)
+    out = bytearray(JPEG_MAGIC)
+    out += seg(0xDB, b"\x00" + zz_lum)
+    if nch == 3:
+        zz_chr = bytes(int(_JQ_CHROM[r, c]) for (r, c) in _ZIGZAG)
+        out += seg(0xDB, b"\x01" + zz_chr)
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof.append(nch)
+    for ci in range(nch):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += seg(sof_marker, bytes(sof))
+    return out
+
+
+def jpeg_encode(arr: np.ndarray) -> bytes:
+    """uint8 (H, W) grayscale or (H, W, 3) RGB -> baseline JPEG bytes
+    (SOF0, 4:4:4, Annex-K quant tables, single-length canonical Huffman
+    tables). The fixture generator for the DC-luma decoder - the same
+    role png_encode/wav_encode_silence play for their parsers."""
+    h, w, nch, coeffs = _jpeg_coefficients(arr)
+    ph, pw = coeffs[0].shape[0] * 8, coeffs[0].shape[1] * 8
 
     # entropy-code with per-table symbol collection first
     dc_syms: list[set[int]] = [set(), set()]
@@ -433,17 +463,7 @@ def jpeg_encode(arr: np.ndarray) -> bytes:
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
 
-    zz_lum = bytes(int(_JQ_LUM[r, c]) for (r, c) in _ZIGZAG)
-    out = bytearray(JPEG_MAGIC)
-    out += seg(0xDB, b"\x00" + zz_lum)
-    if nch == 3:
-        zz_chr = bytes(int(_JQ_CHROM[r, c]) for (r, c) in _ZIGZAG)
-        out += seg(0xDB, b"\x01" + zz_chr)
-    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
-    sof.append(nch)
-    for ci in range(nch):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
-    out += seg(0xC0, bytes(sof))
+    out = _jpeg_headers(h, w, nch, 0xC0)
     for i in range(n_tbl):
         out += seg(0xC4, bytes([0x00 | i]) + dc_tables[i][0])
         out += seg(0xC4, bytes([0x10 | i]) + ac_tables[i][0])
@@ -454,6 +474,120 @@ def jpeg_encode(arr: np.ndarray) -> bytes:
     sos += b"\x00\x3f\x00"
     out += seg(0xDA, bytes(sos))
     out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def jpeg_encode_progressive(arr: np.ndarray) -> bytes:
+    """uint8 image -> PROGRESSIVE JPEG bytes (SOF2, 4:4:4): a DC
+    first-approximation scan at Al=1, a DC refinement scan (Ah=1,
+    Al=0, raw bits), then one full-precision AC scan per component
+    (Ss=1..63; per-block EOB is the EOBRUN=1 code 0x00, so
+    baseline-style run/size coding is spec-valid here). The fixture
+    generator for jpeg_progressive_dc_luma - the AC scans exist
+    precisely so the decoder must prove it SKIPS their entropy."""
+    h, w, nch, coeffs = _jpeg_coefficients(arr)
+    bys, bxs = coeffs[0].shape[0], coeffs[0].shape[1]
+    n_tbl = 1 if nch == 1 else 2
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    # --- scan 1: DC first approximation (interleaved, Al=1) ---
+    dc_syms: list[set[int]] = [set() for _ in range(n_tbl)]
+    dc_tokens = []  # (tbl, t, extra)
+    preds = [0] * nch
+    for by in range(bys):
+        for bx in range(bxs):
+            for ci in range(nch):
+                tbl = 0 if ci == 0 else 1
+                v = int(coeffs[ci][by, bx, 0]) >> 1  # point transform
+                diff = v - preds[ci]
+                preds[ci] = v
+                t = _bit_category(diff)
+                dc_syms[tbl].add(t)
+                extra = diff if diff >= 0 else diff + (1 << t) - 1
+                dc_tokens.append((tbl, t, extra))
+    dc_tables = [_canonical_codes(sorted(dc_syms[i])) for i in range(n_tbl)]
+    bw = _BitWriter()
+    for tbl, t, extra in dc_tokens:
+        code, length = dc_tables[tbl][1][t]
+        bw.write(code, length)
+        if t:
+            bw.write(extra, t)
+    scan1 = bw.flush()
+
+    # --- scan 2: DC refinement (Ah=1, Al=0): one raw bit per block ---
+    bw = _BitWriter()
+    for by in range(bys):
+        for bx in range(bxs):
+            for ci in range(nch):
+                bw.write(int(coeffs[ci][by, bx, 0]) & 1, 1)
+    scan2 = bw.flush()
+
+    # --- AC scans: one per component, full precision ---
+    ac_tables = []
+    ac_streams = []
+    for ci in range(nch):
+        tbl_syms: set[int] = set()
+        tokens = []
+        for by in range(bys):
+            for bx in range(bxs):
+                blk = coeffs[ci][by, bx]
+                run = 0
+                last_nz = max((i for i in range(1, 64) if blk[i]), default=0)
+                for i in range(1, last_nz + 1):
+                    v = int(blk[i])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        tbl_syms.add(0xF0)
+                        tokens.append((0xF0, 0, 0))
+                        run -= 16
+                    t = _bit_category(v)
+                    sym = (run << 4) | t
+                    tbl_syms.add(sym)
+                    extra = v if v >= 0 else v + (1 << t) - 1
+                    tokens.append((sym, extra, t))
+                    run = 0
+                if last_nz < 63:
+                    tbl_syms.add(0x00)  # EOBRUN = 1
+                    tokens.append((0x00, 0, 0))
+        table = _canonical_codes(sorted(tbl_syms))
+        ac_tables.append(table)
+        bw = _BitWriter()
+        for sym, extra, elen in tokens:
+            code, length = table[1][sym]
+            bw.write(code, length)
+            if elen:
+                bw.write(extra, elen)
+        ac_streams.append(bw.flush())
+
+    out = _jpeg_headers(h, w, nch, 0xC2)
+    for i in range(n_tbl):
+        out += seg(0xC4, bytes([0x00 | i]) + dc_tables[i][0])
+    # DC first scan (interleaved all components)
+    sos = bytearray([nch])
+    for ci in range(nch):
+        sos += bytes([ci + 1, (0 if ci == 0 else 1) << 4])
+    sos += bytes([0, 0, 0x01])  # Ss=0 Se=0 Ah=0 Al=1
+    out += seg(0xDA, bytes(sos))
+    out += scan1
+    # DC refinement scan (no Huffman table needed)
+    sos = bytearray([nch])
+    for ci in range(nch):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 0, 0x10])  # Ss=0 Se=0 Ah=1 Al=0
+    out += seg(0xDA, bytes(sos))
+    out += scan2
+    # AC scans, one component each
+    for ci in range(nch):
+        out += seg(0xC4, bytes([0x10 | ci]) + ac_tables[ci][0])
+        sos = bytearray([1, ci + 1, ci])  # Ta = ci
+        sos += bytes([1, 63, 0x00])  # Ss=1 Se=63 Ah=0 Al=0
+        out += seg(0xDA, bytes(sos))
+        out += ac_streams[ci]
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -623,16 +757,211 @@ def _jpeg_parse(data: bytes):
 
 
 def jpeg_dc_luma(data: bytes) -> float:
-    """Mean luminance in [0, 1] of a BASELINE JPEG from its DC
-    coefficients alone (ITU T.81): Huffman-decode the entropy stream,
-    keep each luma block's cumulative DC (the dequantized DC of an 8x8
-    block is 8x the block's mean-minus-128), walk-and-drop the ACs, do
-    no IDCT. Sampling factors (4:2:0 etc.) and restart intervals are
-    honored; padding blocks outside the frame are excluded from the
-    mean. Progressive/arithmetic/12-bit streams raise ValueError (the
+    """Mean luminance in [0, 1] of a baseline OR progressive JPEG from
+    its DC coefficients alone (ITU T.81): Huffman-decode the entropy
+    stream, keep each luma block's cumulative DC (the dequantized DC
+    of an 8x8 block is 8x the block's mean-minus-128), walk-and-drop
+    the ACs, do no IDCT. Baseline streams take the single-scan path;
+    progressive (SOF2) streams decode only their DC scans - first
+    approximation plus successive-approximation refinement bits - and
+    SKIP the AC scans' entropy entirely (spectral selection puts DC in
+    its own scans, and the mean needs nothing else). Sampling factors
+    (4:2:0 etc.) and restart intervals are honored; padding blocks
+    outside the frame are excluded from the mean.
+    Arithmetic-coded/hierarchical/12-bit streams raise ValueError (the
     callers' surrogate arms)."""
-    sof, scan, qtables, htables, restart, pos = _jpeg_parse(data)
+    try:
+        sof, scan, qtables, htables, restart, pos = _jpeg_parse(data)
+    except ValueError as exc:
+        if "non-baseline" in str(exc):
+            return jpeg_progressive_dc_luma(data)
+        raise
     return _jpeg_dc_scan(data, pos, sof, scan, qtables, htables, restart)
+
+
+def _jpeg_parse_scans(data: bytes):
+    """Full multi-scan marker walk (ITU T.81 B.2, progressive or
+    baseline): returns (process_marker, sof, scans, qtables) where
+    each scan is (comps, ss, se, ah, al, entropy_pos, htables-snapshot,
+    restart-at-scan). Entropy data between scans is SKIPPED by byte
+    scan (0xFF followed by a non-stuffing, non-RST byte ends a scan) -
+    the reason a DC-only consumer never pays for AC scans. Raises on
+    arithmetic coding (SOF9+), hierarchical, 12-bit, or malformed
+    structure."""
+    if not is_jpeg(data):
+        raise ValueError("not a JPEG (bad signature)")
+    i, n = 2, len(data)
+    qtables: dict[int, list[int]] = {}
+    htables: dict[int, dict] = {}
+    sof = None
+    proc = None
+    restart = 0
+    scans = []
+    while i + 1 < n:
+        while i < n and data[i] == 0xFF:
+            i += 1
+        if i >= n:
+            break
+        marker = data[i]
+        i += 1
+        if marker == 0xD9:
+            break
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        seglen = int.from_bytes(data[i : i + 2], "big")
+        if seglen < 2 or i + seglen > n:
+            raise ValueError("truncated JPEG segment")
+        body = data[i + 2 : i + seglen]
+        if marker == 0xDB:
+            at = 0
+            while at < len(body):
+                pq, tq = body[at] >> 4, body[at] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant table unsupported")
+                qtables[tq] = list(body[at + 1 : at + 65])
+                at += 65
+        elif marker == 0xC4:
+            at = 0
+            while at < len(body):
+                tc_th, lookup, at = _huff_decode_table(body, at)
+                htables[tc_th] = lookup
+        elif marker == 0xDD:
+            restart = int.from_bytes(body[:2], "big")
+        elif marker in _JPEG_SOF:
+            if marker not in (0xC0, 0xC1, 0xC2):
+                raise ValueError(
+                    f"unsupported JPEG process (SOF{marker - 0xC0})"
+                )
+            if body[0] != 8:
+                raise ValueError("12-bit JPEG unsupported")
+            proc = marker
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            sof = (w, h, comps)
+        elif marker == 0xDA:
+            if sof is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            comps = []
+            for c in range(ns):
+                cs, tdta = body[1 + 2 * c], body[2 + 2 * c]
+                comps.append((cs, tdta >> 4, tdta & 0x0F))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            scans.append(
+                (comps, ss, se, ahal >> 4, ahal & 0x0F, i + seglen,
+                 dict(htables), restart)
+            )
+            # skip this scan's entropy bytes to the next marker
+            j = i + seglen
+            while j + 1 < n:
+                if (
+                    data[j] == 0xFF
+                    and data[j + 1] != 0x00
+                    and not (0xD0 <= data[j + 1] <= 0xD7)
+                ):
+                    break
+                j += 1
+            i = j
+            continue
+        i += seglen
+    if sof is None or not scans:
+        raise ValueError("JPEG has no frame/scan")
+    return proc, sof, scans, qtables
+
+
+def jpeg_progressive_dc_luma(data: bytes) -> float:
+    """DC-coefficient mean luma of a PROGRESSIVE JPEG (ITU T.81
+    Annex G): decode the DC first-approximation scan (interleaved or
+    single-component, restart-aware) and every DC successive-
+    approximation refinement bit, assemble each luma block's final DC,
+    and never touch an AC scan's entropy. The luma arithmetic is then
+    identical to the baseline path: dequantized DC / 8 + 128 is the
+    block mean."""
+    proc, sof, scans, qtables = _jpeg_parse_scans(data)
+    if proc != 0xC2:
+        raise ValueError("not a progressive JPEG")
+    w, h, comps = sof
+    by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * max_h))
+    mcus_y = -(-h // (8 * max_v))
+    dc = {
+        cid: np.zeros((mcus_y * vi, mcus_x * hi), dtype=np.int64)
+        for cid, hi, vi, _tq in comps
+    }
+    saw_dc_scan = False
+    for comps_s, ss, _se, ah, al, pos, ht, restart in scans:
+        if ss != 0:
+            continue  # AC scan: skipped entirely
+        saw_dc_scan = True
+        br = _BitReader(data, pos)
+        if len(comps_s) > 1:
+            # interleaved: MCU order, vi x hi blocks per component
+            order = []
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    unit = []
+                    for cs, td, _ta in comps_s:
+                        hi, vi, _tq = by_id[cs]
+                        for bv in range(vi):
+                            for bh in range(hi):
+                                unit.append(
+                                    (cs, td, my * vi + bv, mx * hi + bh)
+                                )
+                    order.append(unit)
+        else:
+            cs, td, _ta = comps_s[0]
+            hi, vi, _tq = by_id[cs]
+            cw = -(-(w * hi) // (8 * max_h))   # blocks across
+            chh = -(-(h * vi) // (8 * max_v))  # blocks down
+            order = [
+                [(cs, td, by, bx)]
+                for by in range(chh)
+                for bx in range(cw)
+            ]
+        preds = {cs: 0 for cs, _td, _ta in comps_s}
+        for ui, unit in enumerate(order):
+            if restart and ui and ui % restart == 0:
+                br.sync_restart()
+                preds = {cs: 0 for cs in preds}
+            for cs, td, by, bx in unit:
+                if ah == 0:
+                    lookup = ht.get(0x00 | td)
+                    if lookup is None:
+                        raise ValueError("missing DC Huffman table")
+                    t = _read_huff(br, lookup)
+                    diff = _extend(br.read_bits(t), t) if t else 0
+                    preds[cs] += diff
+                    dc[cs][by, bx] = preds[cs] << al
+                else:
+                    dc[cs][by, bx] |= br.read_bit() << al
+    if not saw_dc_scan:
+        raise ValueError("progressive JPEG has no DC scan")
+    luma_id, luma_hi, luma_vi, luma_tq = comps[0]
+    lq = qtables.get(luma_tq)
+    if lq is None:
+        raise ValueError("missing quant table")
+    cw = -(-(w * luma_hi) // max_h)
+    ch = -(-(h * luma_vi) // max_v)
+    total = 0.0
+    count = 0
+    arr = dc[luma_id]
+    for by in range(arr.shape[0]):
+        for bx in range(arr.shape[1]):
+            if bx * 8 < cw and by * 8 < ch:
+                mean = int(arr[by, bx]) * lq[0] / 8.0 + 128.0
+                total += min(max(mean, 0.0), 255.0)
+                count += 1
+    if count == 0:
+        raise ValueError("progressive JPEG decoded no luma blocks")
+    return total / count / 255.0
 
 
 def jpeg_decode(data: bytes) -> np.ndarray:

@@ -72,9 +72,11 @@ def _decode_image_bytes(content: bytes) -> dict:
         try:
             w, h = codecs.jpeg_dims(content)
             try:
-                # REAL luma for baseline streams: DC-coefficient mean
-                # from the entropy decode (codecs.jpeg_dc_luma) - no
-                # IDCT. Progressive/arithmetic streams keep the
+                # REAL luma for baseline AND progressive streams:
+                # DC-coefficient mean from the entropy decode
+                # (codecs.jpeg_dc_luma; SOF2 routes to the
+                # DC-scans-only progressive path) - no IDCT.
+                # Arithmetic-coded/hierarchical streams keep the
                 # surrogate.
                 luma = codecs.jpeg_dc_luma(content)
             except ValueError:

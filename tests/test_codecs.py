@@ -381,8 +381,9 @@ def test_jpeg_encode_decode_dc_luma_gray_and_color():
         assert abs(codecs.jpeg_dc_luma(data) - codecs.mean_luma(arr)) < 0.01
 
 
-def test_jpeg_dc_luma_rejects_non_baseline():
-    # progressive SOF2 header: dims parse fine, DC decode refuses
+def test_jpeg_dc_luma_rejects_non_decodable():
+    # scanless SOF2 header: dims parse fine, DC decode refuses
+    # (routed to the progressive path, which finds no scan)
     prog = (
         b"\xff\xd8"
         + b"\xff\xc2\x00\x0b\x08\x01\xe0\x02\x80\x01\x01\x11\x00"
@@ -397,6 +398,74 @@ def test_jpeg_dc_luma_rejects_non_baseline():
     data = codecs.jpeg_encode(np.full((16, 16), 77, np.uint8))
     with pytest.raises(ValueError):
         codecs.jpeg_dc_luma(data[: len(data) // 2])
+    # arithmetic-coded process (SOF9) refuses in both parsers
+    arith = (
+        b"\xff\xd8"
+        + b"\xff\xc9\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
+        + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError):
+        codecs.jpeg_dc_luma(arith)
+
+
+# -- progressive JPEG DC scans (round 5) ------------------------------
+
+
+def test_jpeg_progressive_dc_luma_equals_baseline():
+    """The progressive fixture (DC first scan at Al=1, DC refinement
+    bit, per-component AC scans) decodes to EXACTLY the baseline
+    DC-luma of the same image: the successive-approximation assembly
+    (v>>1)<<1 | (v&1) reconstructs every DC coefficient, and the AC
+    scans' entropy is skipped, not parsed. Grayscale fixtures take
+    the non-interleaved (ns=1) DC-scan path, color the interleaved
+    one."""
+    rng = np.random.RandomState(11)
+    g = np.linspace(40, 210, 24 * 40).reshape(24, 40).astype(np.uint8)
+    cases = [
+        np.full((8, 16), 100, np.uint8),
+        g,
+        np.stack([g, g // 2 + 30, 255 - g], axis=-1).astype(np.uint8),
+        rng.randint(0, 256, (17, 23)).astype(np.uint8),  # partial blocks
+        rng.randint(0, 256, (40, 56, 3)).astype(np.uint8),
+    ]
+    for arr in cases:
+        prog = codecs.jpeg_encode_progressive(arr)
+        base = codecs.jpeg_encode(arr)
+        h, w = arr.shape[:2]
+        assert codecs.jpeg_dims(prog) == (w, h)
+        assert codecs.jpeg_dc_luma(prog) == codecs.jpeg_dc_luma(base)
+        assert abs(codecs.jpeg_dc_luma(prog) - codecs.mean_luma(arr)) < 0.02
+
+
+def test_jpeg_progressive_truncated_after_dc_still_decodes():
+    """A progressive stream cut after its DC scans (the classic
+    partially-downloaded progressive JPEG) still yields the exact
+    DC luma - the AC scans were never needed."""
+    arr = np.linspace(30, 220, 32 * 32).reshape(32, 32).astype(np.uint8)
+    data = codecs.jpeg_encode_progressive(arr)
+    # locate the third SOS (first AC scan) and cut there
+    sos_positions = []
+    i = 2
+    while i + 1 < len(data):
+        if data[i] == 0xFF and data[i + 1] == 0xDA:
+            sos_positions.append(i)
+        i += 1
+    assert len(sos_positions) >= 3
+    cut = data[: sos_positions[2]] + b"\xff\xd9"
+    assert codecs.jpeg_dc_luma(cut) == codecs.jpeg_dc_luma(data)
+
+
+def test_jpeg_progressive_through_multimodal_features():
+    """extract_features reports REAL luma for a progressive payload
+    (no sha-surrogate): the value tracks the pixel mean."""
+    from ghcrawler_datalake_etl_spark.operators.multimodal import (
+        _decode_image_bytes,
+    )
+
+    arr = np.full((16, 24, 3), 64, np.uint8)
+    feats = _decode_image_bytes(codecs.jpeg_encode_progressive(arr))
+    assert feats["width"] == 24 and feats["height"] == 16
+    assert abs(feats["mean_luma"] - codecs.mean_luma(arr)) < 0.01
 
 
 # -- GIF LZW decode (round 5) -----------------------------------------
