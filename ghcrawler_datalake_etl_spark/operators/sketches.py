@@ -71,6 +71,16 @@ def _hll_rho(tail: Column) -> Column:
     )
 
 
+def hll_bucket_rho(value: Column) -> tuple[Column, Column]:
+    """The sketch's hash split as reusable Columns: (bucket, rho) of a
+    value - shared by the batch register builder and the streaming
+    register maintenance (streaming/ingest.stream_hll_registers)."""
+    h = F.md5(value.cast("string"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    rho = _hll_rho(F.substring(h, 3, HLL_TAIL_HEX))
+    return bucket, rho
+
+
 def hll_registers(
     df: DataFrame, value_col: str, group_cols: list[str]
 ) -> DataFrame:
@@ -80,9 +90,7 @@ def hll_registers(
     (group, bucket) max-rho aggregation combines map-side to <= m
     rows per group per task. NULL values are ignored (md5(NULL) is
     NULL), matching the SQL oracles' ``WHERE value IS NOT NULL``."""
-    h = F.md5(F.col(value_col).cast("string"))
-    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
-    rho = _hll_rho(F.substring(h, 3, HLL_TAIL_HEX))
+    bucket, rho = hll_bucket_rho(F.col(value_col))
     return (
         df.filter(F.col(value_col).isNotNull())
         .select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))

@@ -4748,6 +4748,104 @@ def stream_dedup_ingest(spark, sf_dir):
 
 
 @register(
+    "stream_hll_distinct",
+    f"""
+    WITH src AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, user_id AS v
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    {SK.hll_oracle_sql("src", "v", ["day"])},
+    exact AS (
+      SELECT day, cast(count(DISTINCT v) AS BIGINT) AS exact_distinct
+      FROM src GROUP BY day
+    )
+    SELECT h.day, e.exact_distinct, h.n_registers, h.register_sum,
+           floor(h.hll_estimate * 100) / 100 AS hll_estimate
+    FROM hll_est h JOIN exact e ON h.day = e.day
+    """,
+)
+def stream_hll_distinct(spark, sf_dir):
+    """Daily-active-users HLL RUN AS A REAL STREAM
+    (streaming/ingest.stream_hll_registers): events file-streamed
+    under an availableNow trigger, per-day (bucket, max-rho) register
+    state maintained by the streaming aggregation into a complete-mode
+    memory sink, then the estimate rolled up BATCH-side from the tiny
+    register table (sketches.hll_estimate_from_registers) - the
+    production shape where the stream keeps registers current and
+    dashboards query estimates on demand. The oracle replays the
+    identical per-day sketch from the raw table: register_sum matching
+    bit-for-bit proves the streaming-maintained state equals the batch
+    sketch of the same data. Same staging-memo / scoped
+    state-partition conf as the other streaming queries."""
+    import itertools
+    import os
+    import re
+
+    from ghcrawler_datalake_etl_spark.streaming.ingest import (
+        stream_hll_registers,
+    )
+
+    global _SHD_SEQ, _SHD_STAGED
+    try:
+        seq = next(_SHD_SEQ)
+    except NameError:
+        _SHD_SEQ = itertools.count(1)
+        _SHD_STAGED = set()
+        seq = 0
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    root = _run_tmp(f"shd_{tag}")
+    src = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    )
+    sdir = os.path.join(root, "in")
+    if sf_dir not in _SHD_STAGED:
+        src.coalesce(1).write.mode("overwrite").parquet(sdir)
+        _SHD_STAGED.add(sf_dir)
+    regs = stream_hll_registers(
+        spark.readStream.schema(src.schema).parquet(sdir),
+        "user_id",
+        ts_col="ts",
+        window_duration="1 day",
+        watermark="1 day",
+    )
+    name = f"shd_sink_{seq}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            regs.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(root, f"ck_{seq}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    day_regs = spark.table(name).select(
+        F.col("window_start").cast("date").cast("string").alias("day"),
+        "bucket",
+        "m_rho",
+    )
+    est = SK.hll_estimate_from_registers(day_regs, ["day"])
+    exact = (
+        src.filter(F.col("user_id").isNotNull())
+        .groupBy(F.col("ts").cast("date").cast("string").alias("day"))
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+    )
+    return est.join(exact, "day").select(
+        "day",
+        "exact_distinct",
+        "n_registers",
+        "register_sum",
+        quantize(F.col("hll_estimate"), 2).alias("hll_estimate"),
+    )
+
+
+@register(
     "tsv_round_trip",
     """
     SELECT event_id, user_id,
@@ -4880,7 +4978,6 @@ _DRIVER_ORDER = [
     # -- parity core kept in-window (representative per family group) --
     "pattern_a_snapshot_upsert",
     # -- LLM-pipeline extension layer: every component family --
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     # -- round-5 late additions: the sketch family (HLL distinct /
     #    Count-Min heavy hitters / KMV bottom-k, operators/sketches.py)
@@ -4909,6 +5006,18 @@ _DRIVER_ORDER = [
     #    (int8 quantization stays in-window via sim_knn_int8_dot;
     #    the embedding family keeps random_projection + cosine) --
     "sketch_histogram_quantiles",
+    # -- and the streaming-maintained HLL register table (daily-active
+    #    -users shape, RUN as a real stream). Slot ceded by the
+    #    triple-green (r02+r03+r04) dedup_ngram_jaccard (dedup family
+    #    keeps minhash/clusters/cosine/decontaminate/keep-best plus
+    #    the bloom decontamination in-window) --
+    "stream_hll_distinct",
+    # -- and the streaming-maintained HLL register table (daily-active
+    #    -users shape, RUN as a real stream). Slot ceded by the
+    #    triple-green (r02+r03+r04) dedup_ngram_jaccard (dedup family
+    #    keeps minhash/clusters/cosine/decontaminate/keep-best plus
+    #    the bloom decontamination in-window) --
+    "stream_hll_distinct",
     # -- and HLL sketch-merge (the mergeability proof); slot ceded by
     #    the triple-green (r02+r03+r04) pipeline_training_data
     #    (pipeline family keeps dedup_shards / chunk_dedup_pack /
@@ -4919,6 +5028,18 @@ _DRIVER_ORDER = [
     #    (int8 quantization stays in-window via sim_knn_int8_dot;
     #    the embedding family keeps random_projection + cosine) --
     "sketch_histogram_quantiles",
+    # -- and the streaming-maintained HLL register table (daily-active
+    #    -users shape, RUN as a real stream). Slot ceded by the
+    #    triple-green (r02+r03+r04) dedup_ngram_jaccard (dedup family
+    #    keeps minhash/clusters/cosine/decontaminate/keep-best plus
+    #    the bloom decontamination in-window) --
+    "stream_hll_distinct",
+    # -- and the streaming-maintained HLL register table (daily-active
+    #    -users shape, RUN as a real stream). Slot ceded by the
+    #    triple-green (r02+r03+r04) dedup_ngram_jaccard (dedup family
+    #    keeps minhash/clusters/cosine/decontaminate/keep-best plus
+    #    the bloom decontamination in-window) --
+    "stream_hll_distinct",
     "decontaminate_eval_overlap",
     "dedup_clusters",
     "dedup_embedding_cosine",
@@ -5042,6 +5163,7 @@ _DRIVER_ORDER = [
     "pipeline_training_data",
     "embedding_quantize_int8",
     "sim_ivf_topk",
+    "dedup_ngram_jaccard",
     # round-5 rotated-out (double-green r03+r04; see slot comments):
     "text_chunk_windows",
     "sample_eval_carve",

@@ -197,6 +197,49 @@ def stream_distinct(
     return src.dropDuplicates(subset) if subset else src.dropDuplicates()
 
 
+def stream_hll_registers(
+    events: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    window_duration: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming HyperLogLog register maintenance: per event-time
+    window, the (bucket, max-rho) sketch state of ``value_col``
+    (operators/sketches.hll_bucket_rho - identical hashing to the
+    batch sketch, so the maintained registers ARE the batch registers
+    of the same data). max() is monotone, so this is a single valid
+    streaming aggregation whose state is <= m register rows per
+    window - the production daily-active-users shape: the stream keeps
+    registers current, estimates roll up on demand from the tiny
+    register table (sketches.hll_estimate_from_registers).
+
+    Works identically on a static frame (the batch twin). NULL event
+    times and NULL values are excluded explicitly, the
+    windowed_event_counts parity convention."""
+    from ghcrawler_datalake_etl_spark.operators.sketches import (
+        hll_bucket_rho,
+    )
+
+    src = events.filter(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    bucket, rho = hll_bucket_rho(F.col(value_col))
+    return (
+        src.select(
+            F.col(ts_col), bucket.alias("bucket"), rho.alias("rho")
+        )
+        .groupBy(
+            F.window(F.col(ts_col), window_duration).alias("win"),
+            "bucket",
+        )
+        .agg(F.max("rho").alias("m_rho"))
+        .select(F.col("win.start").alias("window_start"), "bucket", "m_rho")
+    )
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -155,6 +155,10 @@ OUT_OF_WINDOW_OK = {
     # jsonl_round_trip; its in-window superset sim_ivf_kmeans_topk
     # runs the same IVF shape with learned centroids:
     "sim_ivf_topk": "evidence",
+    # ... and dedup_ngram_jaccard (green r2+r3+r4) ceded its slot to
+    # stream_hll_distinct; the dedup family keeps minhash/clusters/
+    # cosine/decontaminate/keep-best + bloom decontamination in-window:
+    "dedup_ngram_jaccard": "evidence",
     # batch twins of the streaming surface, green r1, out-of-window
     # since round 2 (the "stream_" prefix joined EXTENSION_PREFIXES in
     # round 5 when the true streaming run entered the window):

@@ -102,6 +102,32 @@ def test_hll_merge_of_arbitrary_partials_equals_direct_sketch(spark, sf_dir):
     assert merged == direct
 
 
+def test_stream_hll_registers_static_twin_equals_batch_sketch(spark, sf_dir):
+    """stream_hll_registers on a static frame produces exactly the
+    per-window register rows of the batch sketch grouped by day - the
+    same-hash contract that makes the streaming state bit-comparable
+    to a batch replay (the registry query runs the REAL stream)."""
+    from ghcrawler_datalake_etl_spark.streaming.ingest import (
+        stream_hll_registers,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = {
+        (str(r["window_start"]), r["bucket"], r["m_rho"])
+        for r in stream_hll_registers(ev, "user_id").collect()
+    }
+    day = F.date_trunc("day", F.col("ts").cast("timestamp"))
+    expect = {
+        (str(r["day"]), r["bucket"], r["m_rho"])
+        for r in SK.hll_registers(
+            ev.filter(F.col("ts").isNotNull()).withColumn("day", day),
+            "user_id",
+            ["day"],
+        ).collect()
+    }
+    assert got == expect
+
+
 def test_cms_never_undercounts_and_is_tight_on_heavy_hitters(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     from ghcrawler_datalake_etl_spark.operators import text as TX
