@@ -75,3 +75,36 @@ def two_stage_distinct_count(
         .groupBy(*keys)
         .agg(F.count(F.col(distinct_col)).alias(alias))
     )
+
+
+def bloom_prefiltered_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Runtime-filter join (the sketch-driven shuffle reducer): a Bloom
+    filter of the dim side's join keys (operators/sketches.bloom_bits,
+    <= m rows, broadcast) prefilters the fact side BEFORE the shuffle
+    join, so fact rows whose key cannot match never enter the exchange.
+    Semantically transparent for inner/semi joins: the filter has no
+    false negatives, and its false positives are eliminated by the
+    exact join that follows - the oracle is the plain join itself.
+
+    When the dim is broadcast-small Spark's own broadcast join already
+    avoids the fact shuffle and this wrapper adds nothing; the payoff
+    is a SELECTIVE dim too large to broadcast, where the fact side's
+    shuffle volume drops by the join selectivity while the bit frame
+    stays m rows no matter how many keys the dim holds (the classic
+    runtime-filter/sideways-information-passing move).
+    """
+    from ghcrawler_datalake_etl_spark.operators.sketches import (
+        bloom_bits,
+        bloom_probe,
+    )
+
+    bits = bloom_bits(dim.select(on), on)
+    pref = bloom_probe(fact, on, bits).filter(
+        F.col("bloom_maybe")
+    ).drop("bloom_maybe")
+    return pref.join(dim, on, how)

@@ -459,6 +459,44 @@ def j5_salted_skew_join(spark, sf_dir):
 
 
 @register(
+    "j6_bloom_prefilter_join",
+    """
+    SELECT c.c_mktsegment,
+           cast(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_price
+    FROM orders o
+    JOIN (SELECT c_custkey, c_mktsegment FROM customer
+          WHERE c_acctbal > 5000) c
+      ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def j6_bloom_prefilter_join(spark, sf_dir):
+    """Sketch-driven runtime-filter join (operators/joins.
+    bloom_prefiltered_join): a Bloom filter of the selective customer
+    dim's keys (broadcast, <= m rows no matter the dim size)
+    prefilters orders BEFORE the shuffle join, so non-matching fact
+    rows never enter the exchange. Semantically transparent - no false
+    negatives, and the exact join removes the false positives - which
+    is why the oracle is the PLAIN join. The shuffle-side benefit
+    appears when the dim is too large to broadcast; at any size the
+    results are identical (that IS the contract)."""
+    from ghcrawler_datalake_etl_spark.operators import joins as JN
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    )
+    joined = JN.bloom_prefiltered_join(o, dim, "o_custkey")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
     "a5_distinct_count_two_stage",
     """
     SELECT event_type, count(DISTINCT user_id) AS n_users
@@ -5012,12 +5050,24 @@ _DRIVER_ORDER = [
     #    keeps minhash/clusters/cosine/decontaminate/keep-best plus
     #    the bloom decontamination in-window) --
     "stream_hll_distinct",
+    # -- and the bloom-prefiltered runtime-filter join; slot ceded by
+    #    the triple-green (r02+r03+r04) sim_kmeans_assign (the k-means
+    #    algorithm stays in-window via sim_ivf_kmeans_topk's learned
+    #    centroids; sim family keeps int8/pandas_gemm/knn_graph/pq_adc
+    #    too) --
+    "j6_bloom_prefilter_join",
     # -- and the streaming-maintained HLL register table (daily-active
     #    -users shape, RUN as a real stream). Slot ceded by the
     #    triple-green (r02+r03+r04) dedup_ngram_jaccard (dedup family
     #    keeps minhash/clusters/cosine/decontaminate/keep-best plus
     #    the bloom decontamination in-window) --
     "stream_hll_distinct",
+    # -- and the bloom-prefiltered runtime-filter join; slot ceded by
+    #    the triple-green (r02+r03+r04) sim_kmeans_assign (the k-means
+    #    algorithm stays in-window via sim_ivf_kmeans_topk's learned
+    #    centroids; sim family keeps int8/pandas_gemm/knn_graph/pq_adc
+    #    too) --
+    "j6_bloom_prefilter_join",
     # -- and HLL sketch-merge (the mergeability proof); slot ceded by
     #    the triple-green (r02+r03+r04) pipeline_training_data
     #    (pipeline family keeps dedup_shards / chunk_dedup_pack /
@@ -5034,16 +5084,27 @@ _DRIVER_ORDER = [
     #    keeps minhash/clusters/cosine/decontaminate/keep-best plus
     #    the bloom decontamination in-window) --
     "stream_hll_distinct",
+    # -- and the bloom-prefiltered runtime-filter join; slot ceded by
+    #    the triple-green (r02+r03+r04) sim_kmeans_assign (the k-means
+    #    algorithm stays in-window via sim_ivf_kmeans_topk's learned
+    #    centroids; sim family keeps int8/pandas_gemm/knn_graph/pq_adc
+    #    too) --
+    "j6_bloom_prefilter_join",
     # -- and the streaming-maintained HLL register table (daily-active
     #    -users shape, RUN as a real stream). Slot ceded by the
     #    triple-green (r02+r03+r04) dedup_ngram_jaccard (dedup family
     #    keeps minhash/clusters/cosine/decontaminate/keep-best plus
     #    the bloom decontamination in-window) --
     "stream_hll_distinct",
+    # -- and the bloom-prefiltered runtime-filter join; slot ceded by
+    #    the triple-green (r02+r03+r04) sim_kmeans_assign (the k-means
+    #    algorithm stays in-window via sim_ivf_kmeans_topk's learned
+    #    centroids; sim family keeps int8/pandas_gemm/knn_graph/pq_adc
+    #    too) --
+    "j6_bloom_prefilter_join",
     "decontaminate_eval_overlap",
     "dedup_clusters",
     "dedup_embedding_cosine",
-    "sim_kmeans_assign",
     "sim_knn_int8_dot",
     "text_lang_id",
     "text_quality_score",
@@ -5164,6 +5225,7 @@ _DRIVER_ORDER = [
     "embedding_quantize_int8",
     "sim_ivf_topk",
     "dedup_ngram_jaccard",
+    "sim_kmeans_assign",
     # round-5 rotated-out (double-green r03+r04; see slot comments):
     "text_chunk_windows",
     "sample_eval_carve",

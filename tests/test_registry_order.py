@@ -159,6 +159,10 @@ OUT_OF_WINDOW_OK = {
     # stream_hll_distinct; the dedup family keeps minhash/clusters/
     # cosine/decontaminate/keep-best + bloom decontamination in-window:
     "dedup_ngram_jaccard": "evidence",
+    # ... and sim_kmeans_assign (green r2+r3+r4) ceded its slot to
+    # j6_bloom_prefilter_join; the k-means algorithm stays in-window
+    # via sim_ivf_kmeans_topk's learned centroids:
+    "sim_kmeans_assign": "evidence",
     # batch twins of the streaming surface, green r1, out-of-window
     # since round 2 (the "stream_" prefix joined EXTENSION_PREFIXES in
     # round 5 when the true streaming run entered the window):

@@ -311,6 +311,34 @@ def test_bloom_probe_plan_broadcasts_and_stays_jvm(spark):
     assert "BroadcastHashJoin" in phys
 
 
+def test_bloom_prefiltered_join_is_transparent_and_filters_early(
+    spark, sf_dir
+):
+    """The runtime-filter join returns EXACTLY the plain join (no
+    false negatives; false positives die in the exact join), and the
+    physical plan applies the bloom probe's filter to the fact side
+    BEFORE the final join."""
+    from ghcrawler_datalake_etl_spark.operators import joins as JN
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_totalprice"
+    )
+    dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    )
+    wrapped = JN.bloom_prefiltered_join(o, dim, "o_custkey")
+    plain = o.join(dim, "o_custkey")
+    assert sorted(map(tuple, wrapped.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    phys = wrapped._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in phys and "ArrowEvalPython" not in phys
+    # the probe joins (bloom bit lookups) broadcast
+    assert "BroadcastHashJoin" in phys
+
+
 @pytest.mark.parametrize(
     "op",
     ["hll", "cms", "kmv"],
