@@ -228,6 +228,29 @@ def bench_scaling(spark) -> dict:
         ).count()
         out["sketches_50k_sec"] = round(time.perf_counter() - t0, 3)
 
+        # bloom decontamination at 10x: bits stay <= m and broadcast,
+        # the probe side (50k docs' shingles) never shuffles
+        from ghcrawler_datalake_etl_spark.operators import dedup as DDm
+
+        t0 = time.perf_counter()
+        sh = d.select(
+            "doc_id", DDm.shingles(F.col("text"), 3).alias("sh")
+        )
+        sh.persist()
+        sh.count()
+        ev_pred = F.col("doc_id") % 10 == 0
+        evg = sh.filter(ev_pred).select(F.explode("sh").alias("g")).distinct()
+        bits = SK.bloom_bits(evg, "g")
+        bits.persist()
+        bits.count()
+        cand = sh.filter(~ev_pred).select("doc_id", F.explode("sh").alias("g"))
+        SK.bloom_probe(cand, "g", bits).groupBy("doc_id").agg(
+            F.sum(F.col("bloom_maybe").cast("long")).alias("n_hits")
+        ).count()
+        out["bloom_50k_sec"] = round(time.perf_counter() - t0, 3)
+        sh.unpersist()
+        bits.unpersist()
+
         out["n_vectors"] = n_vec
         out["n_docs"] = n_docs
     finally:

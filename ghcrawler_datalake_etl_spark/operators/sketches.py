@@ -507,6 +507,132 @@ def kmv_distinct(
     )
 
 
+def kmv_overlap(
+    df_a: DataFrame, df_b: DataFrame, value_col: str, k: int = 64
+) -> DataFrame:
+    """Set-overlap estimation from two bottom-k sketches (the
+    audience-overlap / cross-corpus-contamination ask): take S = the k
+    smallest hashes of A union B; any member of S that belongs to A at
+    all must already be in bottom-k(A) (it is smaller than A's k-th
+    smallest), so membership flags come from a full-outer join of the
+    two bottom-k frames - no rescan of either side.
+
+    One row out: ``n_union_seen`` (= min(k, |A u B|)), ``n_shared``
+    (|S n A n B|, exact integers), ``kth_hash`` (-1 when the union fit
+    inside k and everything is exact), ``jaccard_est`` = n_shared /
+    n_union_seen and ``union_est``/``intersection_est`` via the
+    (k-1)*2^52/h_k estimator. Two float ops total (one division, one
+    multiplication), both on exactly-representable operands - callers
+    quantize."""
+
+    def _bottom(df: DataFrame) -> DataFrame:
+        h = F.conv(
+            F.substring(
+                F.md5(F.col(value_col).cast("string")), 1, KMV_HASH_HEX
+            ),
+            16,
+            10,
+        ).cast("long")
+        hashes = (
+            df.filter(F.col(value_col).isNotNull())
+            .select(h.alias("h"))
+            .distinct()
+        )
+        # distributed top-k (TakeOrderedAndProject), NOT a global
+        # row_number window - a single-partition sort over the whole
+        # distinct-hash set would not survive 100 TB
+        return hashes.orderBy("h").limit(k)
+
+    a = _bottom(df_a).withColumn("in_a", F.lit(True))
+    b = _bottom(df_b).withColumn("in_b", F.lit(True))
+    merged = a.join(b, "h", "full_outer").select(
+        "h",
+        F.coalesce(F.col("in_a"), F.lit(False)).alias("in_a"),
+        F.coalesce(F.col("in_b"), F.lit(False)).alias("in_b"),
+    )
+    s = merged.orderBy("h").limit(k)  # <= 2k rows in, top-k out
+    agg = s.agg(
+        F.count("*").cast("long").alias("n_union_seen"),
+        F.sum((F.col("in_a") & F.col("in_b")).cast("long"))
+        .cast("long")
+        .alias("n_shared"),
+        F.max("h").alias("max_h"),
+    )
+    exact = F.col("n_union_seen") < k
+    union_est = F.when(
+        exact, F.col("n_union_seen").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1) * _KMV_SPACE) / F.col("max_h").cast("double")
+    )
+    jac = F.col("n_shared").cast("double") / F.col("n_union_seen")
+    return agg.select(
+        "n_union_seen",
+        "n_shared",
+        F.when(exact, F.lit(-1).cast("long")).otherwise(F.col("max_h")).alias(
+            "kth_hash"
+        ),
+        jac.alias("jaccard_est"),
+        union_est.alias("union_est"),
+        (jac * union_est).alias("intersection_est"),
+    )
+
+
+def kmv_overlap_oracle_sql(
+    a_sql: str, b_sql: str, value_expr: str, k: int = 64
+) -> str:
+    """DuckDB CTEs replaying the identical bottom-k overlap; ends with
+    CTE ``kmv_ov`` exposing the same six columns."""
+    space = float(1 << (4 * KMV_HASH_HEX))
+    hash_expr = (
+        f"cast(('0x' || substr(md5(cast({value_expr} AS VARCHAR)), 1, "
+        f"{KMV_HASH_HEX})) AS BIGINT)"
+    )
+    return f"""
+    kmv_a AS (
+      SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS r FROM (
+          SELECT DISTINCT {hash_expr} AS h FROM {a_sql}
+          WHERE {value_expr} IS NOT NULL)
+      ) WHERE r <= {k}
+    ),
+    kmv_b AS (
+      SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS r FROM (
+          SELECT DISTINCT {hash_expr} AS h FROM {b_sql}
+          WHERE {value_expr} IS NOT NULL)
+      ) WHERE r <= {k}
+    ),
+    kmv_m AS (
+      SELECT coalesce(a.h, b.h) AS h,
+             a.h IS NOT NULL AS in_a, b.h IS NOT NULL AS in_b
+      FROM kmv_a a FULL OUTER JOIN kmv_b b ON a.h = b.h
+    ),
+    kmv_s AS (
+      SELECT h, in_a, in_b, row_number() OVER (ORDER BY h) AS r
+      FROM kmv_m
+    ),
+    kmv_g AS (
+      SELECT cast(count(*) AS BIGINT) AS n_union_seen,
+             cast(count(*) FILTER (WHERE in_a AND in_b) AS BIGINT)
+               AS n_shared,
+             max(h) AS max_h
+      FROM kmv_s WHERE r <= {k}
+    ),
+    kmv_ov AS (
+      SELECT n_union_seen, n_shared,
+             CASE WHEN n_union_seen < {k} THEN -1 ELSE max_h END AS kth_hash,
+             n_shared::DOUBLE / n_union_seen AS jaccard_est,
+             CASE WHEN n_union_seen < {k} THEN n_union_seen::DOUBLE
+                  ELSE {float(k - 1) * space!r} / max_h::DOUBLE
+             END AS union_est,
+             (n_shared::DOUBLE / n_union_seen) *
+             (CASE WHEN n_union_seen < {k} THEN n_union_seen::DOUBLE
+                   ELSE {float(k - 1) * space!r} / max_h::DOUBLE END)
+               AS intersection_est
+      FROM kmv_g
+    )"""
+
+
 def kmv_oracle_sql(
     source_sql: str, value_expr: str, group_cols: list[str], k: int = 64
 ) -> str:

@@ -4396,6 +4396,76 @@ def sketch_histogram_quantiles(spark, sf_dir):
 
 
 @register(
+    "sketch_kmv_overlap",
+    f"""
+    WITH {SK.kmv_overlap_oracle_sql(
+        "(SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')",
+        "(SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')",
+        "o_custkey",
+        64,
+    )},
+    ex AS (
+      SELECT cast(count(*) AS BIGINT) AS exact_union,
+             cast(count(*) FILTER (WHERE in_a AND in_b) AS BIGINT)
+               AS exact_intersection
+      FROM (SELECT o_custkey,
+                   bool_or(o_orderpriority = '1-URGENT') AS in_a,
+                   bool_or(o_orderpriority = '5-LOW') AS in_b
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+            GROUP BY o_custkey)
+    )
+    SELECT s.n_union_seen, s.n_shared, s.kth_hash,
+           floor(s.jaccard_est * 10000) / 10000 AS jaccard_est,
+           floor(s.union_est * 100) / 100 AS union_est,
+           floor(s.intersection_est * 100) / 100 AS intersection_est,
+           ex.exact_union, ex.exact_intersection
+    FROM kmv_ov s CROSS JOIN ex
+    """,
+)
+def sketch_kmv_overlap(spark, sf_dir):
+    """Audience-overlap estimation from two bottom-k sketches
+    (operators/sketches.kmv_overlap, k=64): customers with URGENT
+    orders vs customers with LOW orders - |A n B|, |A u B| and Jaccard
+    estimated from 2k hashes total, next to the exact answers. The
+    union's bottom-k membership flags come from a full-outer join of
+    the two bottom-k frames (a hash in S that belongs to A at all must
+    be in bottom-k(A)); the bottom-k itself is a distributed
+    TakeOrdered, never a global sort. Integer sketch state
+    (n_shared/kth_hash) matches bit-for-bit; the two float estimator
+    ops are floor-quantized."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    ov = SK.kmv_overlap(a, b, "o_custkey", k=64)
+    both = o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    flags = both.groupBy("o_custkey").agg(
+        F.max((F.col("o_orderpriority") == "1-URGENT").cast("int")).alias(
+            "ia"
+        ),
+        F.max((F.col("o_orderpriority") == "5-LOW").cast("int")).alias("ib"),
+    )
+    exact = flags.agg(
+        F.count("*").cast("long").alias("exact_union"),
+        F.sum(F.col("ia") * F.col("ib")).cast("long").alias(
+            "exact_intersection"
+        ),
+    )
+    return ov.crossJoin(F.broadcast(exact)).select(
+        "n_union_seen",
+        "n_shared",
+        "kth_hash",
+        quantize(F.col("jaccard_est"), 4).alias("jaccard_est"),
+        quantize(F.col("union_est"), 2).alias("union_est"),
+        quantize(F.col("intersection_est"), 2).alias("intersection_est"),
+        "exact_union",
+        "exact_intersection",
+    )
+
+
+@register(
     "sketch_hll_merge",
     f"""
     WITH src AS (SELECT 'all' AS scope, event_id FROM events),
@@ -5056,6 +5126,11 @@ _DRIVER_ORDER = [
     #    centroids; sim family keeps int8/pandas_gemm/knn_graph/pq_adc
     #    too) --
     "j6_bloom_prefilter_join",
+    # -- and KMV set-overlap estimation; slot ceded by the triple-green
+    #    (r02+r03+r04) decontaminate_eval_overlap (decontamination
+    #    stays in-window via sketch_bloom_decontaminate; the dedup
+    #    family keeps minhash/clusters/cosine/keep-best too) --
+    "sketch_kmv_overlap",
     # -- and the streaming-maintained HLL register table (daily-active
     #    -users shape, RUN as a real stream). Slot ceded by the
     #    triple-green (r02+r03+r04) dedup_ngram_jaccard (dedup family
@@ -5068,6 +5143,11 @@ _DRIVER_ORDER = [
     #    centroids; sim family keeps int8/pandas_gemm/knn_graph/pq_adc
     #    too) --
     "j6_bloom_prefilter_join",
+    # -- and KMV set-overlap estimation; slot ceded by the triple-green
+    #    (r02+r03+r04) decontaminate_eval_overlap (decontamination
+    #    stays in-window via sketch_bloom_decontaminate; the dedup
+    #    family keeps minhash/clusters/cosine/keep-best too) --
+    "sketch_kmv_overlap",
     # -- and HLL sketch-merge (the mergeability proof); slot ceded by
     #    the triple-green (r02+r03+r04) pipeline_training_data
     #    (pipeline family keeps dedup_shards / chunk_dedup_pack /
@@ -5090,6 +5170,11 @@ _DRIVER_ORDER = [
     #    centroids; sim family keeps int8/pandas_gemm/knn_graph/pq_adc
     #    too) --
     "j6_bloom_prefilter_join",
+    # -- and KMV set-overlap estimation; slot ceded by the triple-green
+    #    (r02+r03+r04) decontaminate_eval_overlap (decontamination
+    #    stays in-window via sketch_bloom_decontaminate; the dedup
+    #    family keeps minhash/clusters/cosine/keep-best too) --
+    "sketch_kmv_overlap",
     # -- and the streaming-maintained HLL register table (daily-active
     #    -users shape, RUN as a real stream). Slot ceded by the
     #    triple-green (r02+r03+r04) dedup_ngram_jaccard (dedup family
@@ -5102,7 +5187,11 @@ _DRIVER_ORDER = [
     #    centroids; sim family keeps int8/pandas_gemm/knn_graph/pq_adc
     #    too) --
     "j6_bloom_prefilter_join",
-    "decontaminate_eval_overlap",
+    # -- and KMV set-overlap estimation; slot ceded by the triple-green
+    #    (r02+r03+r04) decontaminate_eval_overlap (decontamination
+    #    stays in-window via sketch_bloom_decontaminate; the dedup
+    #    family keeps minhash/clusters/cosine/keep-best too) --
+    "sketch_kmv_overlap",
     "dedup_clusters",
     "dedup_embedding_cosine",
     "sim_knn_int8_dot",
@@ -5226,6 +5315,7 @@ _DRIVER_ORDER = [
     "sim_ivf_topk",
     "dedup_ngram_jaccard",
     "sim_kmeans_assign",
+    "decontaminate_eval_overlap",
     # round-5 rotated-out (double-green r03+r04; see slot comments):
     "text_chunk_windows",
     "sample_eval_carve",

@@ -163,6 +163,10 @@ OUT_OF_WINDOW_OK = {
     # j6_bloom_prefilter_join; the k-means algorithm stays in-window
     # via sim_ivf_kmeans_topk's learned centroids:
     "sim_kmeans_assign": "evidence",
+    # ... and decontaminate_eval_overlap (green r2+r3+r4) ceded its
+    # slot to sketch_kmv_overlap; decontamination stays in-window via
+    # sketch_bloom_decontaminate:
+    "decontaminate_eval_overlap": "evidence",
     # batch twins of the streaming surface, green r1, out-of-window
     # since round 2 (the "stream_" prefix joined EXTENSION_PREFIXES in
     # round 5 when the true streaming run entered the window):

@@ -311,6 +311,33 @@ def test_bloom_probe_plan_broadcasts_and_stays_jvm(spark):
     assert "BroadcastHashJoin" in phys
 
 
+def test_kmv_overlap_exact_below_k_and_estimator_sane(spark, sf_dir):
+    # exact path: two small overlapping sets, union < k
+    a = spark.createDataFrame([(v,) for v in range(20)], ["v"])
+    b = spark.createDataFrame([(v,) for v in range(10, 30)], ["v"])
+    r = SK.kmv_overlap(a, b, "v", k=64).collect()[0]
+    assert r["kth_hash"] == -1
+    assert r["n_union_seen"] == 30 and r["n_shared"] == 10
+    assert r["jaccard_est"] == 10 / 30 and r["intersection_est"] == 10.0
+    # estimator path on real data: within a loose 4/sqrt(64) bound
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    r = SK.kmv_overlap(a, b, "o_custkey", k=64).collect()[0]
+    exact_union = (
+        a.unionByName(b).select("o_custkey").distinct().count()
+    )
+    if r["kth_hash"] != -1:
+        assert abs(r["union_est"] - exact_union) / exact_union < 0.5
+    # plan: distributed TakeOrdered, never a single-partition sort
+    phys = (
+        SK.kmv_overlap(a, b, "o_custkey", k=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in phys
+    assert "Window" not in phys
+
+
 def test_bloom_prefiltered_join_is_transparent_and_filters_early(
     spark, sf_dir
 ):
