@@ -263,6 +263,17 @@ def cms_sketch(
     )
 
 
+def cms_merge(sketch: DataFrame) -> DataFrame:
+    """Merge Count-Min counter tables built over disjoint slices of a
+    stream: counters ADD per (seed, bucket) - the same lossless rollup
+    contract as ``hll_merge``/``histogram_merge`` (sum is associative/
+    commutative), so per-shard sketches aggregate to the sketch of the
+    union without rescanning. Input: a union of sketch frames."""
+    return sketch.groupBy("seed", "bucket").agg(
+        F.sum("c").cast("long").alias("c")
+    )
+
+
 def cms_estimate(
     candidates: DataFrame,
     sketch: DataFrame,

@@ -146,6 +146,27 @@ def test_cms_never_undercounts_and_is_tight_on_heavy_hitters(spark, sf_dir):
         assert r["cms_estimate"] - r["n"] <= 3 * 2.71828 * n_total / SK.CMS_WIDTH, r
 
 
+def test_cms_merge_of_disjoint_slices_equals_direct_sketch(spark, sf_dir):
+    """Counters add: CMS frames over disjoint slices, merged, equal
+    the direct sketch of the whole stream - same rollup contract as
+    hll_merge/histogram_merge."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    parts = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    unioned = None
+    for p in parts:
+        sk = SK.cms_sketch(p, "event_type")
+        unioned = sk if unioned is None else unioned.unionByName(sk)
+    merged = {
+        (r["seed"], r["bucket"], r["c"])
+        for r in SK.cms_merge(unioned).collect()
+    }
+    direct = {
+        (r["seed"], r["bucket"], r["c"])
+        for r in SK.cms_sketch(ev, "event_type").collect()
+    }
+    assert merged == direct
+
+
 def test_cms_sketch_counter_mass_is_exact(spark, sf_dir):
     """Every seed row of the sketch sums to the total token count -
     the counters partition the stream per seed."""
