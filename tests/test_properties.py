@@ -681,3 +681,60 @@ def test_vector_literal_coerces_numpy_scalars(spark):
     import math
 
     assert math.copysign(1.0, got[1]) == -1.0
+
+
+# -- sketch hash portability (round 5) --------------------------------
+
+sketch_values = st.lists(
+    st.one_of(
+        st.text(min_size=0, max_size=12),        # arbitrary unicode
+        st.integers(-2**62, 2**62).map(str),     # numeric-looking
+        st.sampled_from(["", "0", "\x1f", "ÿ", "中文", "a b"]),
+    ),
+    min_size=1,
+    max_size=20,
+    unique=True,
+)
+
+
+@settings(**SETTINGS)
+@given(sketch_values)
+def test_sketch_hashes_match_pure_python(spark, values):
+    """The md5-derived sketch hashes - HLL bucket/rho, CMS/Bloom
+    positions, KMV 52-bit - computed by Spark's string ops equal the
+    pure-Python bit arithmetic for ARBITRARY unicode values. This is
+    the portability contract every DuckDB oracle replays; a divergence
+    on any code point would break every sketch query identically."""
+    import hashlib
+
+    from ghcrawler_datalake_etl_spark.operators import sketches as SK
+
+    df = spark.createDataFrame([(v,) for v in values], ["v"])
+    bucket, rho = SK.hll_bucket_rho(F.col("v"))
+    got = {
+        r["v"]: (r["b"], r["r"], r["kmv"], r["cms"])
+        for r in df.select(
+            "v",
+            bucket.alias("b"),
+            rho.alias("r"),
+            F.conv(
+                F.substring(F.md5(F.col("v")), 1, SK.KMV_HASH_HEX), 16, 10
+            ).cast("long").alias("kmv"),
+            SK._cms_bucket(F.col("v"), 1, SK.CMS_WIDTH).alias("cms"),
+        ).collect()
+    }
+    bits = 4 * SK.HLL_TAIL_HEX
+    for v in values:
+        h = hashlib.md5(v.encode("utf-8")).hexdigest()
+        b = int(h[:2], 16)
+        tail = int(h[2 : 2 + SK.HLL_TAIL_HEX], 16)
+        rho_py = bits + 1 if tail == 0 else bits - tail.bit_length() + 1
+        kmv_py = int(h[: SK.KMV_HASH_HEX], 16)
+        cms_py = (
+            int(
+                hashlib.md5(("1\x1f" + v).encode("utf-8")).hexdigest()[:15],
+                16,
+            )
+            % SK.CMS_WIDTH
+        )
+        assert got[v] == (b, rho_py, kmv_py, cms_py), v
