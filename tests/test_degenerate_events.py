@@ -46,6 +46,15 @@ EVENTS_ONLY = [
     "funnel_click_to_purchase",
     "locf_fill_forward",
     "w5_sliding_hour_frame",
+    # round-5 events-only additions: the sketch family's event-table
+    # members (NULL users/ts must be excluded identically on both
+    # sides; the empty corpus must yield 0 rows, not a crash), the
+    # streaming-run HLL, and the JSONL round trip ('' vs NULL arms)
+    "sketch_hll_distinct",
+    "sketch_hll_merge",
+    "sketch_histogram_quantiles",
+    "stream_hll_distinct",
+    "jsonl_round_trip",
 ]
 
 
