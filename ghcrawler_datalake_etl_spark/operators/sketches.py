@@ -564,7 +564,9 @@ def kmv_overlap(
     s = merged.orderBy("h").limit(k)  # <= 2k rows in, top-k out
     agg = s.agg(
         F.count("*").cast("long").alias("n_union_seen"),
-        F.sum((F.col("in_a") & F.col("in_b")).cast("long"))
+        # count-of-when, not sum: 0 (never NULL) over an empty union,
+        # so both-empty input yields a well-defined all-zeros row
+        F.count(F.when(F.col("in_a") & F.col("in_b"), F.lit(1)))
         .cast("long")
         .alias("n_shared"),
         F.max("h").alias("max_h"),
@@ -575,7 +577,9 @@ def kmv_overlap(
     ).otherwise(
         F.lit(float(k - 1) * _KMV_SPACE) / F.col("max_h").cast("double")
     )
-    jac = F.col("n_shared").cast("double") / F.col("n_union_seen")
+    jac = F.when(F.col("n_union_seen") == 0, F.lit(0.0)).otherwise(
+        F.col("n_shared").cast("double") / F.col("n_union_seen")
+    )
     return agg.select(
         "n_union_seen",
         "n_shared",
@@ -632,11 +636,13 @@ def kmv_overlap_oracle_sql(
     kmv_ov AS (
       SELECT n_union_seen, n_shared,
              CASE WHEN n_union_seen < {k} THEN -1 ELSE max_h END AS kth_hash,
-             n_shared::DOUBLE / n_union_seen AS jaccard_est,
+             CASE WHEN n_union_seen = 0 THEN 0.0
+                  ELSE n_shared::DOUBLE / n_union_seen END AS jaccard_est,
              CASE WHEN n_union_seen < {k} THEN n_union_seen::DOUBLE
                   ELSE {float(k - 1) * space!r} / max_h::DOUBLE
              END AS union_est,
-             (n_shared::DOUBLE / n_union_seen) *
+             (CASE WHEN n_union_seen = 0 THEN 0.0
+                   ELSE n_shared::DOUBLE / n_union_seen END) *
              (CASE WHEN n_union_seen < {k} THEN n_union_seen::DOUBLE
                    ELSE {float(k - 1) * space!r} / max_h::DOUBLE END)
                AS intersection_est

@@ -4449,9 +4449,10 @@ def sketch_kmv_overlap(spark, sf_dir):
     )
     exact = flags.agg(
         F.count("*").cast("long").alias("exact_union"),
-        F.sum(F.col("ia") * F.col("ib")).cast("long").alias(
-            "exact_intersection"
-        ),
+        # count-of-when, not sum: stays 0 (never NULL) on an empty table
+        F.count(F.when((F.col("ia") == 1) & (F.col("ib") == 1), F.lit(1)))
+        .cast("long")
+        .alias("exact_intersection"),
     )
     return ov.crossJoin(F.broadcast(exact)).select(
         "n_union_seen",

@@ -1,0 +1,182 @@
+"""Degenerate-orders differential suite: NULL custkeys, NULL
+priorities, NULL prices and an empty table must not diverge between
+the Spark queries and their DuckDB oracles - the orders twin of the
+events/embeddings/null-text suites, covering the round-5 queries that
+read orders (and customer, for the runtime-filter join).
+
+The dangerous class here: NULL join/sketch keys. The KMV sketches hash
+o_custkey (NULL must be excluded identically, never hashed as a
+string 'None'/'NULL'), bool_or-style flag aggregation must not count
+NULL-key customers, and the bloom-prefiltered join must drop NULL fact
+keys exactly like the plain join it claims to equal.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.test_oracle_differential import rows_canon
+
+#: queries over orders (+customer for j6) alone
+ORDERS_ONLY = [
+    "sketch_kmv_distinct",
+    "sketch_kmv_overlap",
+    "j6_bloom_prefilter_join",
+    "topk_orders_per_segment",
+    "q18_large_quantity_orders",
+]
+#: of those, the ones that touch ONLY orders (runnable without the
+#: other tables being degenerate-staged)
+ORDERS_PURE = ["sketch_kmv_distinct", "sketch_kmv_overlap"]
+
+
+def _write_orders(folder, rows) -> None:
+    df = pd.DataFrame(
+        rows,
+        columns=[
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ],
+    )
+    con = duckdb.connect()
+    con.register("o", df)
+    con.execute(
+        "COPY (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,"
+        " CAST(o_custkey AS BIGINT) AS o_custkey, o_orderstatus,"
+        " CAST(o_totalprice AS DOUBLE) AS o_totalprice,"
+        " CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority"
+        " FROM o) TO"
+        f" '{folder}/orders.parquet' (FORMAT PARQUET)"
+    )
+
+
+def _write_customer(folder, rows) -> None:
+    df = pd.DataFrame(
+        rows, columns=["c_custkey", "c_mktsegment", "c_acctbal"]
+    )
+    con = duckdb.connect()
+    con.register("c", df)
+    con.execute(
+        "COPY (SELECT CAST(c_custkey AS BIGINT) AS c_custkey,"
+        " c_mktsegment, CAST(c_acctbal AS DOUBLE) AS c_acctbal"
+        " FROM c) TO"
+        f" '{folder}/customer.parquet' (FORMAT PARQUET)"
+    )
+
+
+@pytest.fixture(scope="module")
+def degenerate_orders_dir(tmp_path_factory):
+    folder = tmp_path_factory.mktemp("degorders")
+    _write_orders(
+        folder,
+        [
+            (1, 10, "O", 100.0, "2024-01-01", "1-URGENT"),
+            (2, 10, "O", 200.0, "2024-01-02", "5-LOW"),   # overlap cust
+            (3, 11, "F", 50.0, "2024-01-03", "1-URGENT"),
+            (4, 12, "O", None, "2024-01-04", "5-LOW"),    # NULL price
+            (5, None, "O", 75.0, "2024-01-05", "1-URGENT"),  # NULL cust
+            (6, 13, "O", 60.0, None, None),               # NULL priority
+            (7, 10, "O", 10.0, "2024-01-06", "1-URGENT"),  # dup cust+prio
+        ],
+    )
+    _write_customer(
+        folder,
+        [
+            (10, "BUILDING", 9000.0),
+            (11, "MACHINERY", 100.0),   # fails acctbal filter
+            (12, "AUTOMOBILE", 8000.0),
+            (None, "HOUSEHOLD", 9999.0),  # NULL dim key
+        ],
+    )
+    return str(folder)
+
+
+@pytest.fixture(scope="module")
+def ddb_orders(degenerate_orders_dir):
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{degenerate_orders_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", ORDERS_ONLY)
+def test_degenerate_orders_match_oracle(
+    spark, ddb_orders, degenerate_orders_dir, name
+):
+    if name in ("topk_orders_per_segment", "q18_large_quantity_orders"):
+        pytest.skip("needs lineitem/other tables beyond this fixture")
+    sdf = entrymod.queries()[name](spark, degenerate_orders_dir)
+    scols = [c.lower() for c in sdf.columns]
+    srows = [tuple(r) for r in sdf.collect()]
+    res = ddb_orders.execute(entrymod.oracle_sql()[name])
+    dcols = [d[0].lower() for d in res.description]
+    drows = res.fetchall()
+    assert sorted(scols) == sorted(dcols), f"{name}: {scols} vs {dcols}"
+    assert len(srows) == len(drows), (
+        f"{name}: row count {len(srows)} vs oracle {len(drows)}"
+    )
+    assert rows_canon(scols, srows) == rows_canon(dcols, drows)
+
+
+@pytest.fixture(scope="module")
+def empty_orders_dir(tmp_path_factory):
+    folder = tmp_path_factory.mktemp("emptyorders")
+    con = duckdb.connect()
+    con.execute(
+        "COPY (SELECT CAST(NULL AS BIGINT) AS o_orderkey,"
+        " CAST(NULL AS BIGINT) AS o_custkey,"
+        " CAST(NULL AS VARCHAR) AS o_orderstatus,"
+        " CAST(NULL AS DOUBLE) AS o_totalprice,"
+        " CAST(NULL AS DATE) AS o_orderdate,"
+        " CAST(NULL AS VARCHAR) AS o_orderpriority WHERE false) TO"
+        f" '{folder}/orders.parquet' (FORMAT PARQUET)"
+    )
+    con.execute(
+        "COPY (SELECT CAST(NULL AS BIGINT) AS c_custkey,"
+        " CAST(NULL AS VARCHAR) AS c_mktsegment,"
+        " CAST(NULL AS DOUBLE) AS c_acctbal WHERE false) TO"
+        f" '{folder}/customer.parquet' (FORMAT PARQUET)"
+    )
+    return str(folder)
+
+
+@pytest.fixture(scope="module")
+def ddb_empty_orders(empty_orders_dir):
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{empty_orders_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["sketch_kmv_distinct", "sketch_kmv_overlap", "j6_bloom_prefilter_join"],
+)
+def test_empty_orders_match_oracle(
+    spark, ddb_empty_orders, empty_orders_dir, name
+):
+    """A zero-row orders table must neither crash nor diverge."""
+    sdf = entrymod.queries()[name](spark, empty_orders_dir)
+    scols = [c.lower() for c in sdf.columns]
+    srows = [tuple(r) for r in sdf.collect()]
+    res = ddb_empty_orders.execute(entrymod.oracle_sql()[name])
+    dcols = [d[0].lower() for d in res.description]
+    drows = res.fetchall()
+    assert sorted(scols) == sorted(dcols), f"{name}: {scols} vs {dcols}"
+    assert len(srows) == len(drows), (
+        f"{name}: row count {len(srows)} vs oracle {len(drows)}"
+    )
+    assert rows_canon(scols, srows) == rows_canon(dcols, drows)
