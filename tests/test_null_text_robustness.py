@@ -54,6 +54,11 @@ DOC_ONLY = [
     "pipeline_tokenize_pack",
     "corpus_fertility_by_lang",
     "pack_store_roundtrip",
+    # round-5 documents-table sketch queries: NULL/empty/whitespace
+    # text must tokenize to nothing identically on both engines, and
+    # the empty corpus must yield empty sketches, not crashes
+    "sketch_cms_heavy_hitters",
+    "sketch_bloom_decontaminate",
 ]
 
 
