@@ -82,6 +82,7 @@ def bloom_prefiltered_join(
     dim: DataFrame,
     on: str,
     how: str = "inner",
+    materialize_bits: bool = True,
 ) -> DataFrame:
     """Runtime-filter join (the sketch-driven shuffle reducer): a Bloom
     filter of the dim side's join keys (operators/sketches.bloom_bits,
@@ -104,6 +105,13 @@ def bloom_prefiltered_join(
     )
 
     bits = bloom_bits(dim.select(on), on)
+    if materialize_bits:
+        # each of the k probe lookups broadcasts its own copy of the
+        # bits subplan; without an eager persist that re-scans the dim
+        # k times (the _materialize discipline - and the dim being too
+        # large to broadcast is this operator's whole use case)
+        bits.persist()
+        bits.count()
     pref = bloom_probe(fact, on, bits).filter(
         F.col("bloom_maybe")
     ).drop("bloom_maybe")

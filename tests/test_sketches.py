@@ -387,6 +387,53 @@ def test_bloom_prefiltered_join_is_transparent_and_filters_early(
     assert "BroadcastHashJoin" in phys
 
 
+def test_bloom_prefilter_sits_below_the_shuffle_join(spark, sf_dir):
+    """With broadcast disabled (the large-dim case the operator
+    exists for), the fact side's bloom filter must run BEFORE the
+    exchange that feeds the shuffle join - the whole point is that
+    non-matching fact rows never enter that exchange."""
+    from ghcrawler_datalake_etl_spark.operators import joins as JN
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_custkey", "o_totalprice"
+        )
+        dim = (
+            spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .filter(F.col("c_acctbal") > 5000)
+            .select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+        )
+        plan = JN.bloom_prefiltered_join(o, dim, "o_custkey")
+        phys = plan._jdf.queryExecution().executedPlan().toString()
+        # the final join shuffles (no broadcast available for it) ...
+        assert "SortMergeJoin" in phys or "ShuffledHashJoin" in phys
+        lines = phys.splitlines()
+        big_join = min(
+            i for i, ln in enumerate(lines)
+            if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln
+        )
+        # ... while Catalyst rewrites the probe's left-join+filter
+        # chain into k INNER bit-lookup BroadcastHashJoins that sit
+        # INSIDE the fact branch - i.e. below the shuffle join, so
+        # non-matching fact rows never reach its exchange. With the
+        # main-join broadcast disabled, every BroadcastHashJoin in the
+        # plan IS a bit lookup.
+        lookups = [
+            i for i, ln in enumerate(lines) if "BroadcastHashJoin" in ln
+        ]
+        from ghcrawler_datalake_etl_spark.operators import sketches as SK
+
+        assert len(lookups) == SK.BLOOM_K, phys[:1500]
+        assert all(i > big_join for i in lookups), phys[:1500]
+        # the materialized bits frame feeds the lookups from cache,
+        # not k separate dim scans
+        assert "InMemoryTableScan" in phys
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 @pytest.mark.parametrize(
     "op",
     ["hll", "cms", "kmv"],
