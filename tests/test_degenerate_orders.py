@@ -20,17 +20,13 @@ import pytest
 import __spark_entry__ as entrymod
 from tests.test_oracle_differential import rows_canon
 
-#: queries over orders (+customer for j6) alone
+#: queries over orders (+customer for j6) alone; queries needing
+#: lineitem or other tables stay with the sf-corpus differential
 ORDERS_ONLY = [
     "sketch_kmv_distinct",
     "sketch_kmv_overlap",
     "j6_bloom_prefilter_join",
-    "topk_orders_per_segment",
-    "q18_large_quantity_orders",
 ]
-#: of those, the ones that touch ONLY orders (runnable without the
-#: other tables being degenerate-staged)
-ORDERS_PURE = ["sketch_kmv_distinct", "sketch_kmv_overlap"]
 
 
 def _write_orders(folder, rows) -> None:
@@ -113,8 +109,6 @@ def ddb_orders(degenerate_orders_dir):
 def test_degenerate_orders_match_oracle(
     spark, ddb_orders, degenerate_orders_dir, name
 ):
-    if name in ("topk_orders_per_segment", "q18_large_quantity_orders"):
-        pytest.skip("needs lineitem/other tables beyond this fixture")
     sdf = entrymod.queries()[name](spark, degenerate_orders_dir)
     scols = [c.lower() for c in sdf.columns]
     srows = [tuple(r) for r in sdf.collect()]
