@@ -5132,67 +5132,6 @@ _DRIVER_ORDER = [
     #    stays in-window via sketch_bloom_decontaminate; the dedup
     #    family keeps minhash/clusters/cosine/keep-best too) --
     "sketch_kmv_overlap",
-    # -- and the streaming-maintained HLL register table (daily-active
-    #    -users shape, RUN as a real stream). Slot ceded by the
-    #    triple-green (r02+r03+r04) dedup_ngram_jaccard (dedup family
-    #    keeps minhash/clusters/cosine/decontaminate/keep-best plus
-    #    the bloom decontamination in-window) --
-    "stream_hll_distinct",
-    # -- and the bloom-prefiltered runtime-filter join; slot ceded by
-    #    the triple-green (r02+r03+r04) sim_kmeans_assign (the k-means
-    #    algorithm stays in-window via sim_ivf_kmeans_topk's learned
-    #    centroids; sim family keeps int8/pandas_gemm/knn_graph/pq_adc
-    #    too) --
-    "j6_bloom_prefilter_join",
-    # -- and KMV set-overlap estimation; slot ceded by the triple-green
-    #    (r02+r03+r04) decontaminate_eval_overlap (decontamination
-    #    stays in-window via sketch_bloom_decontaminate; the dedup
-    #    family keeps minhash/clusters/cosine/keep-best too) --
-    "sketch_kmv_overlap",
-    # -- and HLL sketch-merge (the mergeability proof); slot ceded by
-    #    the triple-green (r02+r03+r04) pipeline_training_data
-    #    (pipeline family keeps dedup_shards / chunk_dedup_pack /
-    #    quality_mix_pack / tokenize_pack in-window) --
-    "sketch_hll_merge",
-    # -- and the mergeable histogram quantile sketch; slot ceded by
-    #    the triple-green (r02+r03+r04) embedding_quantize_int8
-    #    (int8 quantization stays in-window via sim_knn_int8_dot;
-    #    the embedding family keeps random_projection + cosine) --
-    "sketch_histogram_quantiles",
-    # -- and the streaming-maintained HLL register table (daily-active
-    #    -users shape, RUN as a real stream). Slot ceded by the
-    #    triple-green (r02+r03+r04) dedup_ngram_jaccard (dedup family
-    #    keeps minhash/clusters/cosine/decontaminate/keep-best plus
-    #    the bloom decontamination in-window) --
-    "stream_hll_distinct",
-    # -- and the bloom-prefiltered runtime-filter join; slot ceded by
-    #    the triple-green (r02+r03+r04) sim_kmeans_assign (the k-means
-    #    algorithm stays in-window via sim_ivf_kmeans_topk's learned
-    #    centroids; sim family keeps int8/pandas_gemm/knn_graph/pq_adc
-    #    too) --
-    "j6_bloom_prefilter_join",
-    # -- and KMV set-overlap estimation; slot ceded by the triple-green
-    #    (r02+r03+r04) decontaminate_eval_overlap (decontamination
-    #    stays in-window via sketch_bloom_decontaminate; the dedup
-    #    family keeps minhash/clusters/cosine/keep-best too) --
-    "sketch_kmv_overlap",
-    # -- and the streaming-maintained HLL register table (daily-active
-    #    -users shape, RUN as a real stream). Slot ceded by the
-    #    triple-green (r02+r03+r04) dedup_ngram_jaccard (dedup family
-    #    keeps minhash/clusters/cosine/decontaminate/keep-best plus
-    #    the bloom decontamination in-window) --
-    "stream_hll_distinct",
-    # -- and the bloom-prefiltered runtime-filter join; slot ceded by
-    #    the triple-green (r02+r03+r04) sim_kmeans_assign (the k-means
-    #    algorithm stays in-window via sim_ivf_kmeans_topk's learned
-    #    centroids; sim family keeps int8/pandas_gemm/knn_graph/pq_adc
-    #    too) --
-    "j6_bloom_prefilter_join",
-    # -- and KMV set-overlap estimation; slot ceded by the triple-green
-    #    (r02+r03+r04) decontaminate_eval_overlap (decontamination
-    #    stays in-window via sketch_bloom_decontaminate; the dedup
-    #    family keeps minhash/clusters/cosine/keep-best too) --
-    "sketch_kmv_overlap",
     "dedup_clusters",
     "dedup_embedding_cosine",
     "sim_knn_int8_dot",
@@ -5394,6 +5333,11 @@ def _apply_driver_order() -> None:
         raise AssertionError(
             f"_DRIVER_ORDER out of sync: missing={missing} extra={extra}"
         )
+    dupes = {n for n in _DRIVER_ORDER if _DRIVER_ORDER.count(n) > 1}
+    if dupes:
+        # a repeated name silently keeps its FIRST position in the dict
+        # rebuild below; that masks a mis-stated window composition
+        raise AssertionError(f"_DRIVER_ORDER has duplicate entries: {dupes}")
     _QUERIES = {n: _QUERIES[n] for n in _DRIVER_ORDER}
     _ORACLES = {n: _ORACLES[n] for n in _DRIVER_ORDER if n in _ORACLES}
 
