@@ -5068,6 +5068,124 @@ def orc_catalog_roundtrip(spark, sf_dir):
 
 
 # =====================================================================
+# Data-quality validation (operators/quality.py - Deequ-style suite)
+# =====================================================================
+
+@register(
+    "dq_validate_orders",
+    """
+    WITH m AS (
+      SELECT count(*)                                            AS n,
+             count(o_custkey)                                    AS n_ck,
+             count(o_orderkey)                                   AS n_ok,
+             count(DISTINCT o_orderkey)                          AS n_okd,
+             min(o_totalprice)                                   AS min_tp,
+             max(o_totalprice)                                   AS max_tp,
+             count(o_orderstatus)                                AS n_st,
+             count(CASE WHEN o_orderstatus IN ('F','O','P')
+                        THEN 1 END)                              AS n_stin,
+             count(o_orderpriority)                              AS n_pr,
+             count(CASE WHEN regexp_matches(o_orderpriority,
+                        '^[1-5]-[A-Z ]+$') THEN 1 END)           AS n_prm,
+             count(o_orderdate)                                  AS n_od
+      FROM orders
+    ), r AS (
+      SELECT count(*) AS nf, count(d.c) AS nin
+      FROM (SELECT o_custkey AS k FROM orders
+            WHERE o_custkey IS NOT NULL) f
+      LEFT JOIN (SELECT DISTINCT c_custkey AS c FROM customer
+                 WHERE c_custkey IS NOT NULL) d ON f.k = d.c
+    )
+    SELECT check_name, metric,
+           CASE WHEN metric IS NULL THEN true ELSE ok END AS passed
+    FROM (
+      SELECT 'completeness(o_custkey)' AS check_name,
+             CASE WHEN n > 0
+                  THEN floor(n_ck::DOUBLE / n * 1e6) / 1e6 END AS metric,
+             CASE WHEN n > 0
+                  THEN floor(n_ck::DOUBLE / n * 1e6) / 1e6 >= 0.99
+                  END AS ok
+      FROM m
+      UNION ALL
+      SELECT 'uniqueness(o_orderkey)',
+             CASE WHEN n_ok > 0
+                  THEN floor(n_okd::DOUBLE / n_ok * 1e6) / 1e6 END,
+             CASE WHEN n_ok > 0
+                  THEN floor(n_okd::DOUBLE / n_ok * 1e6) / 1e6 >= 1.0 END
+      FROM m
+      UNION ALL
+      SELECT 'minimum(o_totalprice)',
+             floor(min_tp * 1e6) / 1e6,
+             floor(min_tp * 1e6) / 1e6 >= 0.0
+      FROM m
+      UNION ALL
+      SELECT 'maximum(o_totalprice)',
+             floor(max_tp * 1e6) / 1e6,
+             floor(max_tp * 1e6) / 1e6 <= 600000.0
+      FROM m
+      UNION ALL
+      SELECT 'contained_in(o_orderstatus)',
+             CASE WHEN n_st > 0
+                  THEN floor(n_stin::DOUBLE / n_st * 1e6) / 1e6 END,
+             CASE WHEN n_st > 0
+                  THEN floor(n_stin::DOUBLE / n_st * 1e6) / 1e6 >= 1.0 END
+      FROM m
+      UNION ALL
+      SELECT 'matches_pattern(o_orderpriority)',
+             CASE WHEN n_pr > 0
+                  THEN floor(n_prm::DOUBLE / n_pr * 1e6) / 1e6 END,
+             CASE WHEN n_pr > 0
+                  THEN floor(n_prm::DOUBLE / n_pr * 1e6) / 1e6 >= 1.0 END
+      FROM m
+      UNION ALL
+      SELECT 'completeness(o_orderdate)',
+             CASE WHEN n > 0
+                  THEN floor(n_od::DOUBLE / n * 1e6) / 1e6 END,
+             CASE WHEN n > 0
+                  THEN floor(n_od::DOUBLE / n * 1e6) / 1e6 >= 1.0 END
+      FROM m
+      UNION ALL
+      SELECT 'referential(o_custkey in c_custkey)',
+             CASE WHEN nf > 0
+                  THEN floor(nin::DOUBLE / nf * 1e6) / 1e6 END,
+             CASE WHEN nf > 0
+                  THEN floor(nin::DOUBLE / nf * 1e6) / 1e6 >= 1.0 END
+      FROM r
+    )
+    """,
+)
+def dq_validate_orders(spark, sf_dir):
+    """Deequ-style one-pass data-quality suite over orders
+    (operators/quality.py). The reference enforces these invariants
+    implicitly - EntityName guards and latest-wins RowNumber==1 filters
+    in USQL/CreateAndInitializeRepo.usql:118,249 drop violators
+    silently; this surfaces them as per-batch metrics instead. Seven
+    single-pass checks (completeness / uniqueness / min / max /
+    containment / pattern / completeness) ride ONE aggregation job;
+    the referential check joins left_semi against the customer
+    dimension (broadcast at these sizes, AQE-planned at real ones) and
+    unions the same row shape."""
+    from ghcrawler_datalake_etl_spark.operators import quality as DQ
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    checks = [
+        DQ.completeness("o_custkey", minimum=0.99),
+        DQ.uniqueness("o_orderkey", minimum=1.0),
+        DQ.minimum_of("o_totalprice", minimum=0.0),
+        DQ.maximum_of("o_totalprice", maximum=600000.0),
+        DQ.contained_in("o_orderstatus", ["F", "O", "P"], minimum=1.0),
+        DQ.matches_pattern("o_orderpriority", "^[1-5]-[A-Z ]+$", minimum=1.0),
+        DQ.completeness("o_orderdate", minimum=1.0),
+    ]
+    base = DQ.validate(orders, checks)
+    ref = DQ.referential_containment(
+        orders, "o_custkey", customer, "c_custkey", minimum=1.0
+    )
+    return base.unionByName(ref)
+
+
+# =====================================================================
 # Driver-window ordering
 # =====================================================================
 # The build driver records CORRECTNESS rows for the FIRST 50 registry
@@ -5135,7 +5253,13 @@ _DRIVER_ORDER = [
     "dedup_clusters",
     "dedup_embedding_cosine",
     "sim_knn_int8_dot",
-    "text_lang_id",
+    # -- round-5: Deequ-style data-quality validation suite
+    #    (operators/quality.py) - the per-batch constraint-metrics
+    #    surface. Slot ceded by the triple-green (r02+r03+r04)
+    #    text_lang_id; the text family remains the largest in-window
+    #    group (quality_score/unigram/perplexity/repetition/bigram/
+    #    bpe x3 /clean_lines/quality_classifier) --
+    "dq_validate_orders",
     "text_quality_score",
     "pack_token_shards",
     "pipeline_dedup_shards",
@@ -5244,6 +5368,7 @@ _DRIVER_ORDER = [
     # ---------------- position 51+: past the driver window ----------
     # round-5 rotated-out (triple-green r02+r03+r04):
     "multimodal_audio_chunks",
+    "text_lang_id",
     # round-5 late rotations for the sketch family (triple-green
     # r02+r03+r04; see the in-window slot comments):
     "dedup_simhash_values",

@@ -26,6 +26,10 @@ ORDERS_ONLY = [
     "sketch_kmv_distinct",
     "sketch_kmv_overlap",
     "j6_bloom_prefilter_join",
+    # the referential check FAILS here (custkey 13 missing from the
+    # customer dim) - the one place the passed=False arm is driven
+    # through the full oracle comparison
+    "dq_validate_orders",
 ]
 
 
@@ -157,7 +161,12 @@ def ddb_empty_orders(empty_orders_dir):
 
 @pytest.mark.parametrize(
     "name",
-    ["sketch_kmv_distinct", "sketch_kmv_overlap", "j6_bloom_prefilter_join"],
+    [
+        "sketch_kmv_distinct",
+        "sketch_kmv_overlap",
+        "j6_bloom_prefilter_join",
+        "dq_validate_orders",
+    ],
 )
 def test_empty_orders_match_oracle(
     spark, ddb_empty_orders, empty_orders_dir, name

@@ -79,6 +79,7 @@ EXTENSION_PREFIXES = (
     "orc_",
     "stream_",
     "sketch_",
+    "dq_",
 )
 
 #: extension queries deliberately OUTSIDE the window. Value: either the
@@ -167,6 +168,11 @@ OUT_OF_WINDOW_OK = {
     # slot to sketch_kmv_overlap; decontamination stays in-window via
     # sketch_bloom_decontaminate:
     "decontaminate_eval_overlap": "evidence",
+    # round-5 late rotation (triple-green r02+r03+r04), ceding its slot
+    # to dq_validate_orders; the text family remains the largest
+    # in-window group (quality_score/unigram/perplexity/repetition/
+    # bigram/bpe x3/clean_lines/quality_classifier):
+    "text_lang_id": "evidence",
     # batch twins of the streaming surface, green r1, out-of-window
     # since round 2 (the "stream_" prefix joined EXTENSION_PREFIXES in
     # round 5 when the true streaming run entered the window):
