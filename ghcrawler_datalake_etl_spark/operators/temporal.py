@@ -160,3 +160,59 @@ def fill_forward(
             f"{c}_filled", F.last(F.col(c), ignorenulls=True).over(w)
         )
     return out
+
+
+def gap_fill(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    aggs: Sequence,
+    *,
+    unit: str = "hour",
+    fill: dict | None = None,
+) -> DataFrame:
+    """Densify a per-(key, time-bucket) aggregate onto a complete,
+    gap-free calendar spine - the complement of :func:`fill_forward`
+    (LOCF fills NULLs at EXISTING rows; this CREATES the missing rows).
+
+    Steps, all declarative:
+
+    1. bucket ``ts_col`` with ``date_trunc(unit)`` and aggregate
+       ``aggs`` per (keys, bucket); NULL timestamps are dropped (no
+       bucket to land in);
+    2. one bounded aggregate finds the global [min, max] bucket;
+    3. the spine is ``distinct keys x sequence(min, max, 1 unit)`` -
+       the 1-row bounds frame is broadcast, so the spine costs one
+       scan of the (already bounded) aggregate frame, never of the
+       raw data;
+    4. a left join puts the aggregates on the spine; ``fill`` maps
+       output column -> literal for the created rows (e.g. ``{"n": 0}``).
+
+    Scale: the joined frames are both bounded by |keys| x |buckets|,
+    not by the input rows - the only data-sized pass is the initial
+    map-side-combined aggregation. An empty input yields NULL bounds,
+    ``sequence(NULL, NULL)`` explodes to nothing, and the result is
+    empty (the oracle's ``generate_series(NULL, NULL)`` agrees).
+    """
+    keys = list(key_cols)
+    base = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(*keys, F.date_trunc(unit, F.col(ts_col)).alias("bucket"))
+        .agg(*aggs)
+    )
+    bounds = base.agg(F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi"))
+    spine = (
+        base.select(*keys)
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            *keys,
+            F.explode(
+                F.sequence("_lo", "_hi", F.expr(f"INTERVAL 1 {unit}"))
+            ).alias("bucket"),
+        )
+    )
+    out = spine.join(base, [*keys, "bucket"], "left")
+    for col, lit in (fill or {}).items():
+        out = out.withColumn(col, F.coalesce(F.col(col), F.lit(lit)))
+    return out

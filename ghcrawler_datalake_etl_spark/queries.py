@@ -5186,6 +5186,66 @@ def dq_validate_orders(spark, sf_dir):
 
 
 # =====================================================================
+# Time-series densification (operators/temporal.gap_fill)
+# =====================================================================
+
+@register(
+    "timeseries_gap_fill",
+    """
+    WITH base AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1, 2
+    ), bounds AS (
+      SELECT min(bucket) AS lo, max(bucket) AS hi FROM base
+    ), spine AS (
+      SELECT k.event_type, s.b AS bucket
+      FROM (SELECT DISTINCT event_type FROM base) k
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                  AS b FROM bounds) s
+    )
+    SELECT sp.event_type, epoch_us(sp.bucket) AS bucket_us,
+           coalesce(b.n_events, 0) AS n_events,
+           coalesce(b.sum_value, 0.0) AS sum_value
+    FROM spine sp
+    LEFT JOIN base b
+      ON sp.event_type = b.event_type AND sp.bucket = b.bucket
+    """,
+)
+def timeseries_gap_fill(spark, sf_dir):
+    """Hourly event rollup densified onto a gap-free calendar spine
+    (operators/temporal.gap_fill) - the zero-fill complement of
+    locf_fill_forward. The reference's traffic scripts aggregate only
+    the days that occur (USQL/CreateAndInitializeRepo.usql has no
+    calendar spine - missing days silently vanish from its outputs);
+    a training-data telemetry pipeline needs explicit zeros to tell
+    'no data' apart from 'no rows yet'. Missing (event_type, hour)
+    cells appear with n_events=0 / sum_value=0.0; NULL timestamps are
+    dropped by contract."""
+    from ghcrawler_datalake_etl_spark.operators.temporal import gap_fill
+
+    ev = _t(spark, sf_dir, "events")
+    out = gap_fill(
+        ev,
+        "ts",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ],
+        unit="hour",
+        fill={"n_events": 0, "sum_value": 0.0},
+    )
+    return out.select(
+        "event_type",
+        F.unix_micros(F.col("bucket")).alias("bucket_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
+# =====================================================================
 # Driver-window ordering
 # =====================================================================
 # The build driver records CORRECTNESS rows for the FIRST 50 registry
@@ -5260,7 +5320,12 @@ _DRIVER_ORDER = [
     #    group (quality_score/unigram/perplexity/repetition/bigram/
     #    bpe x3 /clean_lines/quality_classifier) --
     "dq_validate_orders",
-    "text_quality_score",
+    # -- round-5: calendar-spine gap fill (operators/temporal.gap_fill)
+    #    - the zero-fill complement of the r1-green locf_fill_forward.
+    #    Slot ceded by the triple-green (r02+r03+r04)
+    #    text_quality_score; quality scoring stays in-window via
+    #    text_quality_classifier and dedup_keep_best_quality --
+    "timeseries_gap_fill",
     "pack_token_shards",
     "pipeline_dedup_shards",
     "multimodal_features",
@@ -5369,6 +5434,7 @@ _DRIVER_ORDER = [
     # round-5 rotated-out (triple-green r02+r03+r04):
     "multimodal_audio_chunks",
     "text_lang_id",
+    "text_quality_score",
     # round-5 late rotations for the sketch family (triple-green
     # r02+r03+r04; see the in-window slot comments):
     "dedup_simhash_values",

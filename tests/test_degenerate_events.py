@@ -55,6 +55,9 @@ EVENTS_ONLY = [
     "sketch_histogram_quantiles",
     "stream_hll_distinct",
     "jsonl_round_trip",
+    # round-5: densification must drop NULL-ts rows identically and
+    # yield an empty frame (not a crash) on the empty corpus
+    "timeseries_gap_fill",
 ]
 
 

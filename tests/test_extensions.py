@@ -1476,3 +1476,73 @@ def test_tokshard_store_roundtrip_and_batched_partitions(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(Exception, match="tokshard"):
         TS.read_token_shards(spark, bad).collect()
+
+
+# ---------------------------------------------------------------------
+# temporal.gap_fill (round 5)
+# ---------------------------------------------------------------------
+
+
+def test_gap_fill_creates_missing_buckets(spark):
+    from pyspark.sql import functions as F
+
+    from ghcrawler_datalake_etl_spark.operators.temporal import gap_fill
+
+    df = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:10:00", 1.0),
+            ("a", "2024-01-01 03:20:00", 2.0),  # hours 1 and 2 missing
+            ("b", "2024-01-01 01:00:00", 5.0),
+            ("b", None, 9.0),                   # NULL ts dropped
+        ],
+        "k string, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = gap_fill(
+        df,
+        "ts",
+        ["k"],
+        [F.count(F.lit(1)).alias("n"), F.round(F.sum("v"), 2).alias("s")],
+        unit="hour",
+        fill={"n": 0, "s": 0.0},
+    ).collect()
+    # spine: 2 keys x 4 hours (00..03) = 8 rows
+    assert len(out) == 8
+    by = {(r["k"], r["bucket"].hour): (r["n"], r["s"]) for r in out}
+    assert by[("a", 0)] == (1, 1.0)
+    assert by[("a", 1)] == (0, 0.0)       # created, zero-filled
+    assert by[("a", 2)] == (0, 0.0)
+    assert by[("a", 3)] == (1, 2.0)
+    assert by[("b", 1)] == (1, 5.0)       # NULL-ts row did not count
+    assert by[("b", 0)] == (0, 0.0)       # key b densified over FULL span
+
+
+def test_gap_fill_empty_input_is_empty(spark):
+    from pyspark.sql import functions as F
+
+    from ghcrawler_datalake_etl_spark.operators.temporal import gap_fill
+
+    df = spark.createDataFrame([], "k string, ts timestamp, v double")
+    out = gap_fill(
+        df, "ts", ["k"], [F.count(F.lit(1)).alias("n")], fill={"n": 0}
+    )
+    assert out.count() == 0
+
+
+def test_gap_fill_bounds_are_broadcast(spark):
+    """The 1-row bounds frame must broadcast into the spine (no shuffle
+    of the keys frame against it) - the plan's only exchanges are the
+    aggregation's own."""
+    from pyspark.sql import functions as F
+
+    from ghcrawler_datalake_etl_spark.operators.temporal import gap_fill
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 1.0)], "k string, ts string, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    plan = (
+        gap_fill(df, "ts", ["k"], [F.count(F.lit(1)).alias("n")])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -80,6 +80,7 @@ EXTENSION_PREFIXES = (
     "stream_",
     "sketch_",
     "dq_",
+    "timeseries_",
 )
 
 #: extension queries deliberately OUTSIDE the window. Value: either the
@@ -173,6 +174,10 @@ OUT_OF_WINDOW_OK = {
     # in-window group (quality_score/unigram/perplexity/repetition/
     # bigram/bpe x3/clean_lines/quality_classifier):
     "text_lang_id": "evidence",
+    # round-5 late rotation (triple-green r02+r03+r04), ceding its slot
+    # to timeseries_gap_fill; quality scoring stays in-window via
+    # text_quality_classifier and dedup_keep_best_quality:
+    "text_quality_score": "evidence",
     # batch twins of the streaming surface, green r1, out-of-window
     # since round 2 (the "stream_" prefix joined EXTENSION_PREFIXES in
     # round 5 when the true streaming run entered the window):
