@@ -216,3 +216,72 @@ def gap_fill(
     for col, lit in (fill or {}).items():
         out = out.withColumn(col, F.coalesce(F.col(col), F.lit(lit)))
     return out
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    attr_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Build a slowly-changing-dimension (SCD type 2) table from an
+    event log: per key, collapse consecutive runs of the same
+    ``attr_col`` value (gaps-and-islands) into validity intervals.
+
+    The reference's RepoLog/version-log scripts keep every version row
+    and pick latest-wins at read time (ROW_NUMBER ... RowNumber == 1,
+    USQL/CreateAndInitializeRepo.usql:122-127); an SCD2 dimension is
+    the warehouse-shaped complement: ``[valid_from, valid_to)``
+    intervals with ``is_current`` on the open one.
+
+    Semantics:
+    - rows are ordered per key by ``(ts, tiebreak)`` - pass a unique
+      tiebreak (e.g. the event id) or runs at equal timestamps are
+      nondeterministic;
+    - change points use null-safe comparison, so NULL attribute values
+      form runs like any other value;
+    - NULL keys / NULL timestamps are dropped by contract (they have
+      no position in any per-key order).
+
+    Plan shape: ONE shuffle on the key - the change-flag lag, the
+    running island sum, the per-island aggregate and the island lead
+    all reuse the same (key, ts) partitioning/sort, so Catalyst plans
+    a single Exchange followed by windows + a partial-free aggregate.
+    """
+    keys = list(key_cols)
+    clean = df.where(F.col(ts_col).isNotNull())
+    for k in keys:
+        clean = clean.where(F.col(k).isNotNull())
+    w = Window.partitionBy(*keys).orderBy(ts_col, tiebreak_col)
+    flagged = clean.select(
+        *keys,
+        F.col(attr_col).alias("_attr"),
+        F.col(ts_col).alias("_ts"),
+        F.col(tiebreak_col).alias("_tb"),
+        F.when(
+            ~F.col(attr_col).eqNullSafe(F.lag(attr_col).over(w)), 1
+        )
+        .otherwise(0)
+        .alias("_chg"),
+    )
+    wrun = (
+        Window.partitionBy(*keys)
+        .orderBy("_ts", "_tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.withColumn("_island", F.sum("_chg").over(wrun))
+    runs = islands.groupBy(*keys, "_island").agg(
+        F.min("_ts").alias("valid_from"),
+        F.max("_attr").alias(attr_col),  # constant within an island
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    wnext = Window.partitionBy(*keys).orderBy("_island")
+    return runs.select(
+        *keys,
+        attr_col,
+        F.col("valid_from"),
+        F.lead("valid_from").over(wnext).alias("valid_to"),
+        "n_rows",
+        F.lead("valid_from").over(wnext).isNull().alias("is_current"),
+    )

@@ -5246,6 +5246,66 @@ def timeseries_gap_fill(spark, sf_dir):
 
 
 # =====================================================================
+# SCD2 dimension build (operators/temporal.scd2_intervals)
+# =====================================================================
+
+@register(
+    "dim_scd2_user_state",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN event_type IS DISTINCT FROM
+                  lag(event_type) OVER w THEN 1 ELSE 0 END AS chg
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), g AS (
+      SELECT user_id, event_type, ts, event_id,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM e
+    ), runs AS (
+      SELECT user_id, island,
+             min(ts) AS valid_from,
+             max(event_type) AS event_type,
+             count(*) AS n_rows
+      FROM g GROUP BY user_id, island
+    )
+    SELECT user_id, event_type,
+           epoch_us(valid_from) AS valid_from_us,
+           epoch_us(lead(valid_from) OVER wi) AS valid_to_us,
+           n_rows,
+           lead(valid_from) OVER wi IS NULL AS is_current
+    FROM runs
+    WINDOW wi AS (PARTITION BY user_id ORDER BY island)
+    """,
+)
+def dim_scd2_user_state(spark, sf_dir):
+    """SCD type-2 dimension built from the event log
+    (operators/temporal.scd2_intervals): per user, consecutive runs of
+    the same event_type collapse to [valid_from, valid_to) intervals
+    with is_current on the open one - the warehouse-shaped complement
+    of the reference's read-time latest-wins versioning
+    (USQL/CreateAndInitializeRepo.usql:122-127 keeps all version rows
+    and filters RowNumber == 1 per read). One shuffle on user_id; the
+    lag, running island sum, per-island aggregate and island lead all
+    reuse that partitioning."""
+    from ghcrawler_datalake_etl_spark.operators.temporal import (
+        scd2_intervals,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = scd2_intervals(ev, ["user_id"], "event_type", "ts", "event_id")
+    return out.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("valid_from")).alias("valid_from_us"),
+        F.unix_micros(F.col("valid_to")).alias("valid_to_us"),
+        "n_rows",
+        "is_current",
+    )
+
+
+# =====================================================================
 # Driver-window ordering
 # =====================================================================
 # The build driver records CORRECTNESS rows for the FIRST 50 registry
@@ -5311,7 +5371,6 @@ _DRIVER_ORDER = [
     #    family keeps minhash/clusters/cosine/keep-best too) --
     "sketch_kmv_overlap",
     "dedup_clusters",
-    "dedup_embedding_cosine",
     "sim_knn_int8_dot",
     # -- round-5: Deequ-style data-quality validation suite
     #    (operators/quality.py) - the per-batch constraint-metrics
@@ -5326,6 +5385,12 @@ _DRIVER_ORDER = [
     #    text_quality_score; quality scoring stays in-window via
     #    text_quality_classifier and dedup_keep_best_quality --
     "timeseries_gap_fill",
+    # -- round-5: SCD2 dimension build (gaps-and-islands run collapse,
+    #    operators/temporal.scd2_intervals). Slot ceded by the
+    #    triple-green (r02+r03+r04) dedup_embedding_cosine; the
+    #    embedding family keeps random_projection in-window and the
+    #    dedup family keeps minhash_lsh/clusters/keep_best/bloom --
+    "dim_scd2_user_state",
     "pack_token_shards",
     "pipeline_dedup_shards",
     "multimodal_features",
@@ -5435,6 +5500,7 @@ _DRIVER_ORDER = [
     "multimodal_audio_chunks",
     "text_lang_id",
     "text_quality_score",
+    "dedup_embedding_cosine",
     # round-5 late rotations for the sketch family (triple-green
     # r02+r03+r04; see the in-window slot comments):
     "dedup_simhash_values",

@@ -58,6 +58,9 @@ EVENTS_ONLY = [
     # round-5: densification must drop NULL-ts rows identically and
     # yield an empty frame (not a crash) on the empty corpus
     "timeseries_gap_fill",
+    # round-5: SCD2 build - NULL keys/ts dropped identically, NULL
+    # event_type forms runs via null-safe comparison on both engines
+    "dim_scd2_user_state",
 ]
 
 

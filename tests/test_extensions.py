@@ -1546,3 +1546,89 @@ def test_gap_fill_bounds_are_broadcast(spark):
         .toString()
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# ---------------------------------------------------------------------
+# temporal.scd2_intervals (round 5)
+# ---------------------------------------------------------------------
+
+
+def _scd2_frame(spark):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        [
+            (1, 10, "a", "2024-01-01 00:00:00"),
+            (1, 11, "a", "2024-01-01 01:00:00"),   # same run
+            (1, 12, "b", "2024-01-01 02:00:00"),   # change
+            (1, 13, "a", "2024-01-01 03:00:00"),   # back to a: NEW run
+            (1, 14, None, "2024-01-01 04:00:00"),  # NULL attr run
+            (1, 15, None, "2024-01-01 05:00:00"),  # continues NULL run
+            (2, 16, "x", "2024-01-01 00:30:00"),
+            (None, 17, "y", "2024-01-01 00:00:00"),  # NULL key dropped
+            (3, 18, "z", None),                       # NULL ts dropped
+        ],
+        "k long, eid long, attr string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_scd2_collapses_runs_and_orders_intervals(spark):
+    from ghcrawler_datalake_etl_spark.operators.temporal import (
+        scd2_intervals,
+    )
+
+    out = scd2_intervals(
+        _scd2_frame(spark), ["k"], "attr", "ts", "eid"
+    ).collect()
+    k1 = sorted(
+        [r for r in out if r["k"] == 1], key=lambda r: r["valid_from"]
+    )
+    assert [r["attr"] for r in k1] == ["a", "b", "a", None]
+    assert [r["n_rows"] for r in k1] == [2, 1, 1, 2]
+    # contiguous intervals: each valid_to equals the next valid_from
+    for cur, nxt in zip(k1, k1[1:]):
+        assert cur["valid_to"] == nxt["valid_from"]
+        assert not cur["is_current"]
+    assert k1[-1]["is_current"] and k1[-1]["valid_to"] is None
+    # NULL key and NULL ts rows are gone
+    assert {r["k"] for r in out} == {1, 2}
+
+
+def test_scd2_equal_ts_ties_break_on_tiebreak(spark):
+    from pyspark.sql import functions as F
+
+    from ghcrawler_datalake_etl_spark.operators.temporal import (
+        scd2_intervals,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 2, "b", "2024-01-01 00:00:00"),
+            (1, 1, "a", "2024-01-01 00:00:00"),  # same ts: eid orders a first
+        ],
+        "k long, eid long, attr string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = sorted(
+        scd2_intervals(df, ["k"], "attr", "ts", "eid").collect(),
+        key=lambda r: r["eid"] if "eid" in r.__fields__ else 0,
+    )
+    attrs = {r["attr"]: r["is_current"] for r in out}
+    assert attrs == {"a": False, "b": True}
+
+
+def test_scd2_single_exchange(spark):
+    """Every window/aggregate reuses the one hash partitioning on the
+    key: exactly one Exchange in the physical plan."""
+    import re
+
+    from ghcrawler_datalake_etl_spark.operators.temporal import (
+        scd2_intervals,
+    )
+
+    plan = (
+        scd2_intervals(_scd2_frame(spark), ["k"], "attr", "ts", "eid")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1

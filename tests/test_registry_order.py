@@ -81,6 +81,7 @@ EXTENSION_PREFIXES = (
     "sketch_",
     "dq_",
     "timeseries_",
+    "dim_",
 )
 
 #: extension queries deliberately OUTSIDE the window. Value: either the
@@ -178,6 +179,11 @@ OUT_OF_WINDOW_OK = {
     # to timeseries_gap_fill; quality scoring stays in-window via
     # text_quality_classifier and dedup_keep_best_quality:
     "text_quality_score": "evidence",
+    # round-5 late rotation (triple-green r02+r03+r04), ceding its slot
+    # to dim_scd2_user_state; the embedding family keeps
+    # random_projection in-window and dedup keeps minhash_lsh/clusters/
+    # keep_best/bloom:
+    "dedup_embedding_cosine": "evidence",
     # batch twins of the streaming surface, green r1, out-of-window
     # since round 2 (the "stream_" prefix joined EXTENSION_PREFIXES in
     # round 5 when the true streaming run entered the window):
