@@ -5306,6 +5306,96 @@ def dim_scd2_user_state(spark, sf_dir):
 
 
 # =====================================================================
+# Graph ranking (operators/graph.pagerank)
+# =====================================================================
+
+@register(
+    "graph_pagerank_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN json_valid(props)
+                  THEN TRY_CAST(json_extract_string(props, '$.k')
+                                AS BIGINT) END AS k
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), tr AS (
+      SELECT lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS src,
+             k AS dst
+      FROM seq
+    ), ew AS (
+      SELECT src, dst, count(*) AS w FROM tr
+      WHERE src IS NOT NULL AND dst IS NOT NULL GROUP BY 1, 2
+    ), ow AS (
+      SELECT src, sum(w) AS out_w FROM ew GROUP BY 1
+    ), nodes AS (
+      SELECT DISTINCT node FROM
+        (SELECT src AS node FROM ew UNION ALL SELECT dst FROM ew)
+    ), params AS (
+      SELECT count(*) AS n,
+             (15 * 1000000000000) // (100 * count(*)) AS base
+      FROM nodes
+    ), r0 AS (
+      SELECT node, 1000000000000 // n AS rank
+      FROM nodes CROSS JOIN params
+    ), c1 AS (
+      SELECT e.dst AS node, sum((r.rank * e.w) // o.out_w) AS m
+      FROM ew e JOIN r0 r ON e.src = r.node JOIN ow o ON e.src = o.src
+      GROUP BY 1
+    ), r1 AS (
+      SELECT nodes.node, base + (85 * coalesce(c1.m, 0)) // 100 AS rank
+      FROM nodes CROSS JOIN params LEFT JOIN c1 ON nodes.node = c1.node
+    ), c2 AS (
+      SELECT e.dst AS node, sum((r.rank * e.w) // o.out_w) AS m
+      FROM ew e JOIN r1 r ON e.src = r.node JOIN ow o ON e.src = o.src
+      GROUP BY 1
+    ), r2 AS (
+      SELECT nodes.node, base + (85 * coalesce(c2.m, 0)) // 100 AS rank
+      FROM nodes CROSS JOIN params LEFT JOIN c2 ON nodes.node = c2.node
+    ), c3 AS (
+      SELECT e.dst AS node, sum((r.rank * e.w) // o.out_w) AS m
+      FROM ew e JOIN r2 r ON e.src = r.node JOIN ow o ON e.src = o.src
+      GROUP BY 1
+    ), r3 AS (
+      SELECT nodes.node, base + (85 * coalesce(c3.m, 0)) // 100 AS rank
+      FROM nodes CROSS JOIN params LEFT JOIN c3 ON nodes.node = c3.node
+    )
+    SELECT node, rank AS rank_scaled FROM r3
+    """,
+)
+def graph_pagerank_transitions(spark, sf_dir):
+    """PageRank over the user-timeline transition graph
+    (operators/graph.pagerank): nodes are the props.k values, a
+    directed edge src->dst for every consecutive event pair in a
+    user's (ts, event_id) order, parallel transitions merged into
+    weights. Integer-scaled fixed point (scale 1e12, damping 85/100,
+    3 synchronous rounds) so the DuckDB oracle replays every division
+    exactly - see the module docstring for the truncation contract.
+    NULL-k events stay in the sequence and break chains (transitions
+    into and out of them are dropped, never bridged)."""
+    from ghcrawler_datalake_etl_spark.operators.graph import pagerank
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k")
+        .try_cast("bigint")
+        .alias("k"),
+    )
+    tr = seq.select(
+        F.lag("k").over(w).alias("src"), F.col("k").alias("dst")
+    )
+    return pagerank(tr, "src", "dst", iterations=3).select(
+        "node", "rank_scaled"
+    )
+
+
+# =====================================================================
 # Driver-window ordering
 # =====================================================================
 # The build driver records CORRECTNESS rows for the FIRST 50 registry
@@ -5371,7 +5461,12 @@ _DRIVER_ORDER = [
     #    family keeps minhash/clusters/cosine/keep-best too) --
     "sketch_kmv_overlap",
     "dedup_clusters",
-    "sim_knn_int8_dot",
+    # -- round-5: integer-scaled PageRank over the transition graph
+    #    (operators/graph.py) - the ranking side of the graph surface
+    #    beside dedup's connected components. Slot ceded by the
+    #    triple-green (r02+r03+r04) sim_knn_int8_dot; the sim family
+    #    keeps pandas_gemm/ivf_kmeans/knn_graph/pq_adc in-window --
+    "graph_pagerank_transitions",
     # -- round-5: Deequ-style data-quality validation suite
     #    (operators/quality.py) - the per-batch constraint-metrics
     #    surface. Slot ceded by the triple-green (r02+r03+r04)
@@ -5501,6 +5596,7 @@ _DRIVER_ORDER = [
     "text_lang_id",
     "text_quality_score",
     "dedup_embedding_cosine",
+    "sim_knn_int8_dot",
     # round-5 late rotations for the sketch family (triple-green
     # r02+r03+r04; see the in-window slot comments):
     "dedup_simhash_values",

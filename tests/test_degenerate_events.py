@@ -61,6 +61,10 @@ EVENTS_ONLY = [
     # round-5: SCD2 build - NULL keys/ts dropped identically, NULL
     # event_type forms runs via null-safe comparison on both engines
     "dim_scd2_user_state",
+    # round-5: PageRank edge derivation - malformed props must yield a
+    # NULL node (json_valid guard vs get_json_object), NULL-k events
+    # break chains identically
+    "graph_pagerank_transitions",
 ]
 
 

@@ -1632,3 +1632,86 @@ def test_scd2_single_exchange(spark):
         .toString()
     )
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+# ---------------------------------------------------------------------
+# graph.pagerank (round 5)
+# ---------------------------------------------------------------------
+
+
+def test_pagerank_two_node_cycle_is_symmetric(spark):
+    from ghcrawler_datalake_etl_spark.operators.graph import (
+        PAGERANK_SCALE,
+        pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    ranks = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(edges, iterations=5).collect()
+    }
+    assert ranks["a"] == ranks["b"]
+    # conservation: no dangling nodes, so total mass stays within the
+    # per-division truncation of the scale
+    assert abs(sum(ranks.values()) - PAGERANK_SCALE) < 100
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    from ghcrawler_datalake_etl_spark.operators.graph import pagerank
+
+    # star: all leaves point at the hub, hub points back at one leaf
+    edges = spark.createDataFrame(
+        [("l1", "hub"), ("l2", "hub"), ("l3", "hub"), ("hub", "l1")],
+        "src string, dst string",
+    )
+    ranks = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(edges, iterations=3).collect()
+    }
+    assert ranks["hub"] > ranks["l1"] > ranks["l2"] == ranks["l3"]
+
+
+def test_pagerank_weighted_edges_match_replicated_edges(spark):
+    from ghcrawler_datalake_etl_spark.operators.graph import pagerank
+
+    # weight column vs the same multigraph as repeated rows
+    weighted = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1), ("b", "a", 1), ("c", "a", 1)],
+        "src string, dst string, w long",
+    )
+    replicated = spark.createDataFrame(
+        [("a", "b")] * 3 + [("a", "c"), ("b", "a"), ("c", "a")],
+        "src string, dst string",
+    )
+    rw = sorted(
+        map(tuple, pagerank(weighted, weight="w", iterations=4).collect())
+    )
+    rr = sorted(map(tuple, pagerank(replicated, iterations=4).collect()))
+    assert rw == rr
+
+
+def test_pagerank_null_endpoints_dropped_and_empty_graph(spark):
+    from pyspark.sql import functions as F
+
+    from ghcrawler_datalake_etl_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", None), (None, "b"), ("a", "b")], "src string, dst string"
+    )
+    out = pagerank(edges, iterations=2).collect()
+    assert {r["node"] for r in out} == {"a", "b"}
+
+    empty = edges.where(F.lit(False))
+    assert pagerank(empty, iterations=2).count() == 0
+
+
+def test_pagerank_rejects_zero_iterations(spark):
+    import pytest
+
+    from ghcrawler_datalake_etl_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        pagerank(edges, iterations=0)

@@ -82,6 +82,7 @@ EXTENSION_PREFIXES = (
     "dq_",
     "timeseries_",
     "dim_",
+    "graph_",
 )
 
 #: extension queries deliberately OUTSIDE the window. Value: either the
@@ -184,6 +185,11 @@ OUT_OF_WINDOW_OK = {
     # random_projection in-window and dedup keeps minhash_lsh/clusters/
     # keep_best/bloom:
     "dedup_embedding_cosine": "evidence",
+    # round-5 late rotation (triple-green r02+r03+r04), ceding its slot
+    # to graph_pagerank_transitions; the sim family keeps
+    # pandas_gemm/ivf_kmeans/knn_graph/pq_adc in-window and int8
+    # quantization stays pinned by its pytest equivalence suite:
+    "sim_knn_int8_dot": "evidence",
     # batch twins of the streaming surface, green r1, out-of-window
     # since round 2 (the "stream_" prefix joined EXTENSION_PREFIXES in
     # round 5 when the true streaming run entered the window):
