@@ -5396,6 +5396,108 @@ def graph_pagerank_transitions(spark, sf_dir):
 
 
 # =====================================================================
+# Z-order layout (operators/layout.py)
+# =====================================================================
+
+@register(
+    "layout_zorder_buckets",
+    """
+    WITH base AS (
+      SELECT o_custkey AS ck,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) AS dy
+      FROM orders
+      WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+    ), b AS (
+      SELECT min(ck) AS lo0, max(ck) AS hi0,
+             min(dy) AS lo1, max(dy) AS hi1
+      FROM base
+    ), norm AS (
+      SELECT CASE WHEN hi0 > lo0
+                  THEN ((ck - lo0) * 65535) // (hi0 - lo0)
+                  ELSE 0 END AS x,
+             CASE WHEN hi1 > lo1
+                  THEN ((dy - lo1) * 65535) // (hi1 - lo1)
+                  ELSE 0 END AS y,
+             ck, dy
+      FROM base CROSS JOIN b
+    ), s1 AS (
+      SELECT (x | (x << 8)) & 16711935 AS x,
+             (y | (y << 8)) & 16711935 AS y, ck, dy FROM norm
+    ), s2 AS (
+      SELECT (x | (x << 4)) & 252645135 AS x,
+             (y | (y << 4)) & 252645135 AS y, ck, dy FROM s1
+    ), s3 AS (
+      SELECT (x | (x << 2)) & 858993459 AS x,
+             (y | (y << 2)) & 858993459 AS y, ck, dy FROM s2
+    ), s4 AS (
+      SELECT (x | (x << 1)) & 1431655765 AS x,
+             (y | (y << 1)) & 1431655765 AS y, ck, dy FROM s3
+    ), z AS (
+      SELECT (x | (y << 1)) AS zkey, ck, dy FROM s4
+    )
+    SELECT zkey >> 22 AS bucket, count(*) AS n_orders,
+           min(ck) AS min_cust, max(ck) AS max_cust,
+           min(dy) AS min_day, max(dy) AS max_day
+    FROM z GROUP BY 1
+    """,
+)
+def layout_zorder_buckets(spark, sf_dir):
+    """Z-order (Morton) clustering stats over orders
+    (operators/layout.zorder_key + minmax_scale16): both dimensions
+    (o_custkey, order-day) are min/max-scaled onto the full 16-bit
+    budget (raw keys leave the high interleaved bits constant and the
+    ranges degenerate to one dimension - measured before the scaling
+    step landed), interleaved, and cut into 1024 contiguous z-ranges
+    (the file boundaries write_zordered would produce); each range
+    reports its bounding box in BOTH dimensions - the min/max footer
+    stats a scan would prune on. The reference clusters
+    one-dimensionally (DISTRIBUTED BY HASH ... CLUSTERED BY in
+    USQL/CreateAndInitializeRepo.usql); the z-key makes the second
+    dimension prunable too. Integer arithmetic replayed exactly by the
+    oracle; NULL keys dropped by contract."""
+    from ghcrawler_datalake_etl_spark.operators.layout import (
+        minmax_scale16,
+        zorder_key,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    base = o.where(
+        F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
+    ).select(
+        F.col("o_custkey").alias("ck"),
+        day.cast("long").alias("dy"),
+    )
+    bounds = base.agg(
+        F.min("ck").alias("_lo0"),
+        F.max("ck").alias("_hi0"),
+        F.min("dy").alias("_lo1"),
+        F.max("dy").alias("_hi1"),
+    )
+    keyed = base.crossJoin(F.broadcast(bounds)).withColumn(
+        "zkey",
+        zorder_key(
+            [
+                minmax_scale16("ck", "_lo0", "_hi0"),
+                minmax_scale16("dy", "_lo1", "_hi1"),
+            ]
+        ),
+    )
+    return keyed.groupBy(
+        F.shiftright(F.col("zkey"), 22).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("ck").alias("min_cust"),
+        F.max("ck").alias("max_cust"),
+        F.min("dy").alias("min_day"),
+        F.max("dy").alias("max_day"),
+    )
+
+
+# =====================================================================
 # Driver-window ordering
 # =====================================================================
 # The build driver records CORRECTNESS rows for the FIRST 50 registry
@@ -5487,7 +5589,12 @@ _DRIVER_ORDER = [
     #    dedup family keeps minhash_lsh/clusters/keep_best/bloom --
     "dim_scd2_user_state",
     "pack_token_shards",
-    "pipeline_dedup_shards",
+    # -- round-5: Z-order layout clustering (operators/layout.py) -
+    #    multi-dimension file pruning stats over the Morton key. Slot
+    #    ceded by the triple-green (r02+r03+r04) pipeline_dedup_shards;
+    #    the pipeline family keeps chunk_dedup_pack / tokenize_pack /
+    #    quality_mix_pack in-window --
+    "layout_zorder_buckets",
     "multimodal_features",
     # -- round-5 addition: the stream-stream interval join RUN AS A
     #    STREAM (the last component with pytest-only evidence, VERDICT
@@ -5597,6 +5704,7 @@ _DRIVER_ORDER = [
     "text_quality_score",
     "dedup_embedding_cosine",
     "sim_knn_int8_dot",
+    "pipeline_dedup_shards",
     # round-5 late rotations for the sketch family (triple-green
     # r02+r03+r04; see the in-window slot comments):
     "dedup_simhash_values",

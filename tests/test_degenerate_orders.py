@@ -30,6 +30,9 @@ ORDERS_ONLY = [
     # customer dim) - the one place the passed=False arm is driven
     # through the full oracle comparison
     "dq_validate_orders",
+    # z-order stats: NULL custkey/orderdate dropped identically; the
+    # tiny corpus drives the near-degenerate min/max scaling arms
+    "layout_zorder_buckets",
 ]
 
 
@@ -166,6 +169,7 @@ def ddb_empty_orders(empty_orders_dir):
         "sketch_kmv_overlap",
         "j6_bloom_prefilter_join",
         "dq_validate_orders",
+        "layout_zorder_buckets",
     ],
 )
 def test_empty_orders_match_oracle(

@@ -83,6 +83,7 @@ EXTENSION_PREFIXES = (
     "timeseries_",
     "dim_",
     "graph_",
+    "layout_",
 )
 
 #: extension queries deliberately OUTSIDE the window. Value: either the
@@ -190,6 +191,12 @@ OUT_OF_WINDOW_OK = {
     # pandas_gemm/ivf_kmeans/knn_graph/pq_adc in-window and int8
     # quantization stays pinned by its pytest equivalence suite:
     "sim_knn_int8_dot": "evidence",
+    # round-5 late rotation (triple-green r02+r03+r04), ceding its slot
+    # to layout_zorder_buckets; the pipeline family keeps
+    # chunk_dedup_pack / tokenize_pack / quality_mix_pack in-window and
+    # both of its component stages (dedup_minhash_lsh, pack_token_
+    # shards) are separately in-window:
+    "pipeline_dedup_shards": "evidence",
     # batch twins of the streaming surface, green r1, out-of-window
     # since round 2 (the "stream_" prefix joined EXTENSION_PREFIXES in
     # round 5 when the true streaming run entered the window):
