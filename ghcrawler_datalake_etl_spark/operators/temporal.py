@@ -285,3 +285,101 @@ def scd2_intervals(
         "n_rows",
         F.lead("valid_from").over(wnext).isNull().alias("is_current"),
     )
+
+
+def max_concurrency(
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    *,
+    num_bins: int | None = None,
+) -> DataFrame:
+    """Sweep-line maximum concurrency over CLOSED integer intervals
+    (e.g. sessions as [start_us, end_us]): the classic +1/-1 endpoint
+    walk, built scale-safe.
+
+    Returns ONE row: ``(n_intervals, max_concurrent, first_peak_us)``
+    - how many intervals, the highest number simultaneously open, and
+    the earliest time that peak is reached.
+
+    Closed-interval contract: intervals touching at a point COUNT as
+    concurrent (both endpoints inclusive), pinned by ordering +1
+    endpoints before -1 at equal times: the sort key is
+    ``2*t`` for starts and ``2*t + 1`` for ends. A zero-length
+    interval therefore counts as momentarily open, never drives the
+    running sum negative.
+
+    Scale shape: the global running sum is the pack_shards two-level
+    construction (operators/sampling.py:410) - endpoints bin by key
+    range via one GK-sketch quantile pass, each bin runs its own
+    RANGE-frame window in parallel, and bin offsets come from a
+    single-partition window over the BINS-sized aggregate, broadcast
+    back. No stage funnels the endpoint set through one task. The
+    RANGE frame (not ROWS) makes every row of an equal-key tie group
+    carry the group-total sum, so the result is deterministic without
+    a unique tiebreak - and matches DuckDB's default window frame.
+    """
+    spark = intervals.sparkSession
+    if num_bins is None:
+        num_bins = max(int(spark.sparkContext.defaultParallelism), 1)
+
+    starts = intervals.select(
+        (F.col(start_col).cast("long") * 2).alias("_k"),
+        F.lit(1).alias("_d"),
+    )
+    ends = intervals.select(
+        (F.col(end_col).cast("long") * 2 + 1).alias("_k"),
+        F.lit(-1).alias("_d"),
+    )
+    ep = starts.unionByName(ends)
+
+    if num_bins > 1:
+        quantiles = [i / num_bins for i in range(1, num_bins)]
+        raw = ep.stat.approxQuantile("_k", quantiles, 0.02)
+        bounds: list[int] = []
+        for b in raw:
+            v = int(b)
+            if not bounds or v > bounds[-1]:
+                bounds.append(v)
+        bin_expr = F.lit(0)
+        for b in bounds:
+            bin_expr = bin_expr + F.when(F.col("_k") > F.lit(b), 1).otherwise(0)
+        ep = ep.withColumn("_bin", bin_expr)
+    else:
+        ep = ep.withColumn("_bin", F.lit(0))
+
+    in_bin = (
+        Window.partitionBy("_bin")
+        .orderBy("_k")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_cum = ep.withColumn("_c_in", F.sum("_d").over(in_bin))
+    offsets = (
+        ep.groupBy("_bin")
+        .agg(F.sum("_d").alias("_w"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_w").over(
+                    Window.orderBy("_bin").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_bin", "_off")
+    )
+    run = with_cum.join(F.broadcast(offsets), "_bin", "left").select(
+        "_k", (F.col("_off") + F.col("_c_in")).cast("long").alias("_c")
+    )
+
+    peak = run.agg(F.max("_c").alias("max_concurrent"))
+    n = intervals.agg(F.count(F.lit(1)).alias("n_intervals"))
+    first = (
+        run.join(F.broadcast(peak), run["_c"] == peak["max_concurrent"])
+        .agg((F.min("_k") / 2).cast("long").alias("first_peak_us"))
+    )
+    return n.crossJoin(peak).crossJoin(first).select(
+        "n_intervals", "max_concurrent", "first_peak_us"
+    )

@@ -5498,6 +5498,66 @@ def layout_zorder_buckets(spark, sf_dir):
 
 
 # =====================================================================
+# Sweep-line concurrency (operators/temporal.max_concurrency)
+# =====================================================================
+
+@register(
+    "timeseries_max_concurrency",
+    """
+    WITH marked AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                          > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), ids AS (
+      SELECT user_id, ts_us,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    ), sess AS (
+      SELECT min(ts_us) AS s, max(ts_us) AS e
+      FROM ids GROUP BY user_id, session_id
+    ), ep AS (
+      SELECT s * 2 AS k, 1 AS d FROM sess
+      UNION ALL
+      SELECT e * 2 + 1 AS k, -1 AS d FROM sess
+    ), run AS (
+      SELECT k, CAST(sum(d) OVER (ORDER BY k) AS BIGINT) AS c FROM ep
+    ), peak AS (
+      SELECT CAST(max(c) AS BIGINT) AS max_concurrent FROM run
+    )
+    SELECT (SELECT count(*) FROM sess) AS n_intervals,
+           peak.max_concurrent,
+           (SELECT min(k) // 2 FROM run, peak WHERE c = max_concurrent)
+             AS first_peak_us
+    FROM peak
+    """,
+)
+def timeseries_max_concurrency(spark, sf_dir):
+    """Sweep-line maximum session concurrency
+    (operators/temporal.max_concurrency over sessionize_batch output):
+    how many 30-min-gap sessions are ever open at once, and when the
+    peak first occurs. Closed-interval contract (+1 sorts before -1 at
+    equal times via the 2t / 2t+1 key). The global running sum is the
+    pack_shards two-level construction - binned RANGE windows plus a
+    broadcast offsets frame - so no stage funnels the endpoint set
+    through one task; DuckDB's default RANGE frame replays the tie
+    semantics exactly."""
+    from ghcrawler_datalake_etl_spark.operators.temporal import (
+        max_concurrency,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sessions = sessionize_batch(ev, gap_minutes=30)
+    return max_concurrency(
+        sessions, "session_start_us", "session_end_us"
+    )
+
+
+# =====================================================================
 # Driver-window ordering
 # =====================================================================
 # The build driver records CORRECTNESS rows for the FIRST 50 registry
@@ -5602,9 +5662,12 @@ _DRIVER_ORDER = [
     #    multimodal_audio_chunks; the multimodal family stays in-window
     #    via multimodal_features (same mapInPandas decode shape) --
     "stream_interval_join",
-    # -- round-2 additions rotated INTO the window for round 3 (no
-    #    driver row yet; each is a distinct algorithm) --
-    "text_unigram_logprob",
+    # -- round-5: sweep-line max session concurrency (the two-level
+    #    global running sum reused from pack_shards). Slot ceded by the
+    #    double-green (r03+r04) text_unigram_logprob; the LM family
+    #    stays in-window via text_bigram_logprob and
+    #    text_perplexity_buckets (which trains the same unigram LM) --
+    "timeseries_max_concurrency",
     # -- round-5 additions: CCNet perplexity tiering and XLM-R
     #    temperature mixing (new operators). Slots ceded by the
     #    double-green (r03+r04) text_chunk_windows (text family keeps
@@ -5705,6 +5768,7 @@ _DRIVER_ORDER = [
     "dedup_embedding_cosine",
     "sim_knn_int8_dot",
     "pipeline_dedup_shards",
+    "text_unigram_logprob",
     # round-5 late rotations for the sketch family (triple-green
     # r02+r03+r04; see the in-window slot comments):
     "dedup_simhash_values",

@@ -65,6 +65,10 @@ EVENTS_ONLY = [
     # NULL node (json_valid guard vs get_json_object), NULL-k events
     # break chains identically
     "graph_pagerank_transitions",
+    # round-5: sweep-line concurrency - NULL ts excluded before
+    # sessionization on both engines; the tiny corpus drives the
+    # single-session and tie-heavy arms
+    "timeseries_max_concurrency",
 ]
 
 

@@ -1715,3 +1715,55 @@ def test_pagerank_rejects_zero_iterations(spark):
     edges = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError):
         pagerank(edges, iterations=0)
+
+
+# ---------------------------------------------------------------------
+# temporal.max_concurrency (round 5)
+# ---------------------------------------------------------------------
+
+
+def _mc(spark, rows, **kw):
+    from ghcrawler_datalake_etl_spark.operators.temporal import (
+        max_concurrency,
+    )
+
+    df = spark.createDataFrame(rows, "s long, e long")
+    return max_concurrency(df, "s", "e", **kw).collect()[0]
+
+
+def test_max_concurrency_closed_interval_semantics(spark):
+    # [0,10], [5,15], [10,20]: at t=10 the first ends, the third starts,
+    # the second spans - closed intervals -> all three count
+    row = _mc(spark, [(0, 10), (5, 15), (10, 20)])
+    assert (row["n_intervals"], row["max_concurrent"]) == (3, 3)
+    assert row["first_peak_us"] == 10
+    # touching endpoints count as concurrent
+    row = _mc(spark, [(0, 5), (5, 9)])
+    assert row["max_concurrent"] == 2 and row["first_peak_us"] == 5
+
+
+def test_max_concurrency_zero_length_and_empty(spark):
+    from pyspark.sql import functions as F
+
+    from ghcrawler_datalake_etl_spark.operators.temporal import (
+        max_concurrency,
+    )
+
+    row = _mc(spark, [(3, 3)])
+    assert (row["n_intervals"], row["max_concurrent"]) == (1, 1)
+    assert row["first_peak_us"] == 3
+
+    df = spark.createDataFrame([(1, 2)], "s long, e long").where(F.lit(False))
+    row = max_concurrency(df, "s", "e").collect()[0]
+    assert row["n_intervals"] == 0
+    assert row["max_concurrent"] is None and row["first_peak_us"] is None
+
+
+def test_max_concurrency_binned_equals_single_window(spark):
+    # a pile of identical + overlapping intervals (heavy key ties):
+    # the two-level sum must equal the num_bins=1 single-window form
+    rows = [(i % 7, (i % 7) + 10) for i in range(200)]
+    multi = _mc(spark, rows, num_bins=8)
+    single = _mc(spark, rows, num_bins=1)
+    assert tuple(multi) == tuple(single)
+    assert multi["max_concurrent"] == 200

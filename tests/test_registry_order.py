@@ -197,6 +197,11 @@ OUT_OF_WINDOW_OK = {
     # both of its component stages (dedup_minhash_lsh, pack_token_
     # shards) are separately in-window:
     "pipeline_dedup_shards": "evidence",
+    # round-5 late rotation (double-green r03+r04), ceding its slot to
+    # timeseries_max_concurrency; the LM family stays in-window via
+    # text_bigram_logprob and text_perplexity_buckets (same unigram
+    # training path):
+    "text_unigram_logprob": "evidence",
     # batch twins of the streaming surface, green r1, out-of-window
     # since round 2 (the "stream_" prefix joined EXTENSION_PREFIXES in
     # round 5 when the true streaming run entered the window):
