@@ -372,3 +372,135 @@ def chunk_audio(media: DataFrame, chunk_ms: int = 1000) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=AUDIO_CHUNK_SCHEMA)
+
+
+# ---------------------------------------------------------------------
+# Perceptual hashing (aHash) + Hamming near-dup pairs
+# ---------------------------------------------------------------------
+
+#: aHash grid: 10x6 = 60 bits, so the hash (and every band arithmetic
+#: on it) stays inside a SIGNED 64-bit BIGINT on any engine
+PHASH_W, PHASH_H = 10, 6
+PHASH_BITS = PHASH_W * PHASH_H
+PHASH_BANDS = 4
+_PHASH_BAND_BITS = PHASH_BITS // PHASH_BANDS  # 15
+_PHASH_BAND_MASK = (1 << _PHASH_BAND_BITS) - 1
+
+
+def _decode_pixels(content: bytes):
+    """Full pixel decode via the stdlib codecs: PNG / BMP(24/32) /
+    baseline JPEG / GIF first frame. None when not decodable."""
+    for sniff, decode in (
+        (codecs.is_png, codecs.png_decode),
+        (codecs.is_bmp, codecs.bmp_decode),
+        (codecs.is_jpeg, codecs.jpeg_decode),
+        (codecs.is_gif, codecs.gif_decode_first_frame),
+    ):
+        if sniff(content):
+            try:
+                return decode(content)
+            except ValueError:
+                return None
+    return None
+
+
+def _phash_bits(content: bytes) -> int:
+    """60-bit average hash (aHash). Real arm: decode -> nearest-neighbor
+    resize to 10x6 -> integer Rec.601 gray -> bit b set iff pixel b
+    (row-major) is strictly above the grid mean. Surrogate arm
+    (non-image / malformed payloads): the first 15 hex chars of
+    sha256(content) - replayable by a DuckDB oracle, like the
+    extract_features surrogates."""
+    arr = _decode_pixels(content)
+    if arr is None:
+        return int(hashlib.sha256(content).hexdigest()[:15], 16)
+    small = codecs.resize_nearest(arr, PHASH_W, PHASH_H)
+    r = small[:, :, 0].astype("int64")
+    g = small[:, :, 1].astype("int64")
+    b = small[:, :, 2].astype("int64")
+    gray = (299 * r + 587 * g + 114 * b) // 1000
+    mean = int(gray.sum()) // (PHASH_W * PHASH_H)
+    bits = 0
+    flat = gray.reshape(-1)
+    for i in range(PHASH_BITS):
+        if int(flat[i]) > mean:
+            bits |= 1 << i
+    return bits
+
+
+def perceptual_hash(media: DataFrame) -> DataFrame:
+    """(doc_id, phash) per media row - mapInPandas, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            content = [b if b is not None else b"" for b in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": [_phash_bits(b) for b in content],
+                }
+            )
+
+    return media.mapInPandas(run, schema="doc_id long, phash long")
+
+
+def phash_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate pairs by Hamming distance over the 60-bit hash,
+    via pigeonhole banding (the SimHash chunk-join construction,
+    operators/dedup.py simhash family): the hash splits into 4 bands
+    of 15 bits; any pair within Hamming <= 3 differs in at most 3
+    bands, so it MATCHES exactly on at least one - candidates come
+    from 4 equi-joins on (band_index, band_value), never all pairs.
+    The exact ``bit_count(xor) <= max_hamming`` predicate then prunes
+    band collisions; DISTINCT folds pairs that share several bands.
+
+    ``max_hamming`` must stay < PHASH_BANDS for the pigeonhole
+    guarantee (d < bands -> some band untouched).
+    """
+    if not 0 <= max_hamming < PHASH_BANDS:
+        raise ValueError(
+            f"max_hamming must be in [0, {PHASH_BANDS}) for the "
+            f"band guarantee, got {max_hamming}"
+        )
+    bands = hashes.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(PHASH_BANDS)])
+        ).alias("band_i"),
+    ).withColumn(
+        # the pyspark shiftright wrapper takes only literal shifts; the
+        # SQL form accepts a column expression
+        "band",
+        F.expr(
+            f"shiftright(phash, band_i * {_PHASH_BAND_BITS})"
+        ).bitwiseAND(F.lit(_PHASH_BAND_MASK)),
+    )
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("phash").alias("ph_a"),
+        "band_i",
+        "band",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash").alias("ph_b"),
+        "band_i",
+        "band",
+    )
+    pairs = (
+        left.join(right, ["band_i", "band"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(
+                F.col("ph_a").bitwiseXOR(F.col("ph_b"))
+            ).cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs

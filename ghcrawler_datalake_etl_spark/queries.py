@@ -5558,6 +5558,60 @@ def timeseries_max_concurrency(spark, sf_dir):
 
 
 # =====================================================================
+# Perceptual-hash near-dup pairs (operators/multimodal.py)
+# =====================================================================
+
+@register(
+    "multimodal_phash_pairs",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id, text FROM documents
+      WHERE doc_id % 101 = 0
+    ), h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(sha256(coalesce(text, '')), 1, 15))
+                  AS BIGINT) AS ph
+      FROM corpus
+    ), b AS (
+      SELECT doc_id, ph, i AS band_i,
+             (ph >> (15 * i)) & 32767 AS band
+      FROM h CROSS JOIN (SELECT unnest(range(0, 4)) AS i) bands
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           CAST(bit_count(xor(a.ph, c.ph)) AS BIGINT) AS hamming
+    FROM b a JOIN b c ON a.band_i = c.band_i AND a.band = c.band
+                     AND a.doc_id < c.doc_id
+    WHERE bit_count(xor(a.ph, c.ph)) <= 3
+    """,
+)
+def multimodal_phash_pairs(spark, sf_dir):
+    """Perceptual-hash (aHash) near-duplicate pairs
+    (operators/multimodal.perceptual_hash + phash_pairs): the image
+    twin of SimHash dedup. Text payloads are not images, so every row
+    takes the sha256-surrogate hash arm - which the oracle replays
+    exactly (the REAL decode->resize->threshold arm is pytest-pinned
+    on planted near-identical PNG/JPEG fixtures in
+    tests/test_extensions.py). The corpus has no byte-identical
+    documents, so a deterministic duplicate slice (every 101st doc,
+    re-keyed +1e7) is planted on BOTH sides - the surviving pairs are
+    those plants at Hamming 0, driving the full band-join +
+    xor-verify path non-vacuously. Candidates come from 4 pigeonhole
+    band equi-joins, never all pairs."""
+    from ghcrawler_datalake_etl_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.where(F.col("doc_id") % 101 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    d = fan_out(docs.select("doc_id", "text").unionByName(planted))
+    media = MM.attach_binary(d, "doc_id", "text")
+    hashes = MM.perceptual_hash(media)
+    return MM.phash_pairs(hashes, max_hamming=3)
+
+
+# =====================================================================
 # Driver-window ordering
 # =====================================================================
 # The build driver records CORRECTNESS rows for the FIRST 50 registry
@@ -5649,13 +5703,19 @@ _DRIVER_ORDER = [
     #    dedup family keeps minhash_lsh/clusters/keep_best/bloom --
     "dim_scd2_user_state",
     "pack_token_shards",
+    # -- round-5: perceptual-hash (aHash) near-dup pairs - the image
+    #    twin of SimHash over the round-5 full pixel decoders. Slot
+    #    ceded by the triple-green (r02+r03+r04) multimodal_features;
+    #    the multimodal family stays in-window via this query (same
+    #    mapInPandas decode shape, same surrogate-arm oracle
+    #    convention) --
+    "multimodal_phash_pairs",
     # -- round-5: Z-order layout clustering (operators/layout.py) -
     #    multi-dimension file pruning stats over the Morton key. Slot
     #    ceded by the triple-green (r02+r03+r04) pipeline_dedup_shards;
     #    the pipeline family keeps chunk_dedup_pack / tokenize_pack /
     #    quality_mix_pack in-window --
     "layout_zorder_buckets",
-    "multimodal_features",
     # -- round-5 addition: the stream-stream interval join RUN AS A
     #    STREAM (the last component with pytest-only evidence, VERDICT
     #    r4 #3). Slot ceded by the triple-green (r02+r03+r04)
@@ -5769,6 +5829,7 @@ _DRIVER_ORDER = [
     "sim_knn_int8_dot",
     "pipeline_dedup_shards",
     "text_unigram_logprob",
+    "multimodal_features",
     # round-5 late rotations for the sketch family (triple-green
     # r02+r03+r04; see the in-window slot comments):
     "dedup_simhash_values",

@@ -1767,3 +1767,123 @@ def test_max_concurrency_binned_equals_single_window(spark):
     single = _mc(spark, rows, num_bins=1)
     assert tuple(multi) == tuple(single)
     assert multi["max_concurrent"] == 200
+
+
+# ---------------------------------------------------------------------
+# multimodal perceptual hash (round 5)
+# ---------------------------------------------------------------------
+
+
+def _gradient_img(w=32, h=32, bright=0):
+    import numpy as np
+
+    x = np.linspace(0, 255, w, dtype=np.int64)
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[:, :, 0] = np.clip(x[None, :] + bright, 0, 255)
+    img[:, :, 1] = np.clip(x[None, :] // 2 + bright, 0, 255)
+    img[:, :, 2] = 32
+    return img
+
+
+def test_phash_real_arm_near_identical_images(spark):
+    """The real decode arm: a PNG and its lightly-perturbed copy hash
+    within a small Hamming distance; a structurally different image
+    does not."""
+    import hashlib
+
+    from ghcrawler_datalake_etl_spark.operators import codecs
+    from ghcrawler_datalake_etl_spark.operators.multimodal import (
+        PHASH_BITS,
+        _phash_bits,
+    )
+
+    base = _gradient_img()
+    near = base.copy()
+    near[0:2, 0:2, :] = 255  # flip a corner block
+    far = 255 - base         # inverted gradient
+
+    h_base = _phash_bits(codecs.png_encode(base))
+    h_near = _phash_bits(codecs.png_encode(near))
+    h_far = _phash_bits(codecs.png_encode(far))
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(h_base, h_near) <= 3
+    assert ham(h_base, h_far) > PHASH_BITS // 3
+    # the real arm is NOT the surrogate
+    data = codecs.png_encode(base)
+    assert h_base != int(hashlib.sha256(data).hexdigest()[:15], 16)
+    # baseline JPEG also takes the real arm and lands near the PNG hash
+    h_jpeg = _phash_bits(codecs.jpeg_encode(base))
+    assert ham(h_base, h_jpeg) <= 6
+
+
+def test_phash_surrogate_arm_is_sha_prefix(spark):
+    import hashlib
+
+    from ghcrawler_datalake_etl_spark.operators.multimodal import (
+        _phash_bits,
+    )
+
+    payload = b"definitely not an image"
+    assert _phash_bits(payload) == int(
+        hashlib.sha256(payload).hexdigest()[:15], 16
+    )
+
+
+def test_phash_pairs_pigeonhole_guarantee(spark):
+    """Hamming 3 (< bands) must be found; Hamming 4 must be filtered
+    even when a band matches."""
+    import pytest
+
+    from ghcrawler_datalake_etl_spark.operators.multimodal import (
+        phash_pairs,
+    )
+
+    base = 0b101010101010101_000000000000000_111111111111111_000000000000001
+    h3 = base ^ 0b111  # 3 flips inside band 0
+    h4 = base ^ 0b1111  # 4 flips inside band 0 (other bands match)
+    hashes = spark.createDataFrame(
+        [(1, base), (2, h3), (3, h4)], "doc_id long, phash long"
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in phash_pairs(hashes, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 3
+    assert (1, 3) not in pairs
+    # (2,3): differ in bits 0b1000 -> hamming 1, found
+    assert pairs[(2, 3)] == 1
+
+    with pytest.raises(ValueError):
+        phash_pairs(hashes, max_hamming=4)
+
+
+def test_phash_pairs_through_spark_real_images(spark):
+    """End-to-end through mapInPandas: planted near-identical PNGs are
+    paired, the unrelated image is not."""
+    from ghcrawler_datalake_etl_spark.operators import codecs
+    from ghcrawler_datalake_etl_spark.operators.multimodal import (
+        perceptual_hash,
+        phash_pairs,
+    )
+
+    base = _gradient_img()
+    near = base.copy()
+    near[0, 0, :] = 255
+    rows = [
+        (1, bytearray(codecs.png_encode(base))),
+        (2, bytearray(codecs.png_encode(near))),
+        (3, bytearray(codecs.png_encode(255 - base))),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, content binary"
+    ).selectExpr(
+        "doc_id", "'image/png' AS media_type", "content",
+        "CAST(NULL AS INT) AS width", "CAST(NULL AS INT) AS height",
+        "CAST(NULL AS INT) AS sample_rate",
+        "CAST(NULL AS LONG) AS duration_ms",
+    )
+    pairs = phash_pairs(perceptual_hash(media), max_hamming=3).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 2)}

@@ -59,6 +59,10 @@ DOC_ONLY = [
     # the empty corpus must yield empty sketches, not crashes
     "sketch_cms_heavy_hitters",
     "sketch_bloom_decontaminate",
+    # round-5: perceptual-hash pairs - NULL text must hash as b''
+    # (coalesce) identically on both engines; the planted duplicate
+    # slice must pair up even when the duplicated text is NULL/empty
+    "multimodal_phash_pairs",
 ]
 
 

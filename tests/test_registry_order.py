@@ -202,6 +202,10 @@ OUT_OF_WINDOW_OK = {
     # text_bigram_logprob and text_perplexity_buckets (same unigram
     # training path):
     "text_unigram_logprob": "evidence",
+    # round-5 late rotation (triple-green r02+r03+r04), ceding its slot
+    # to multimodal_phash_pairs, which keeps the multimodal family
+    # in-window (same mapInPandas decode shape + surrogate-arm oracle):
+    "multimodal_features": "evidence",
     # batch twins of the streaming surface, green r1, out-of-window
     # since round 2 (the "stream_" prefix joined EXTENSION_PREFIXES in
     # round 5 when the true streaming run entered the window):
