@@ -1521,3 +1521,67 @@ def bmp_decode(data: bytes) -> np.ndarray:
     if raw_h > 0:  # bottom-up storage
         rows = rows[::-1]
     return rows[:, :, [2, 1, 0]].copy()  # BGR(A) -> RGB, alpha dropped
+
+
+def wav_samples(data: bytes):
+    """Decode a 16-bit PCM WAV to float64 samples in [-1, 1],
+    channel-mixed to mono (mean across channels). None when the bytes
+    are not a parseable 16-bit PCM WAV (other formats/bit depths keep
+    the surrogate arm upstream)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    body = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if tag == b"fmt " and size >= 16:
+            fmt = data[pos + 8 : pos + 8 + size]
+        elif tag == b"data":
+            body = data[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if fmt is None or body is None or len(fmt) < 16:
+        return None
+    audio_format, channels = struct.unpack("<HH", fmt[0:4])
+    (bits,) = struct.unpack("<H", fmt[14:16])
+    if audio_format != 1 or bits != 16 or channels < 1:
+        return None
+    usable = len(body) - (len(body) % (2 * channels))
+    if usable == 0:
+        return np.zeros(0)
+    x = np.frombuffer(body[:usable], dtype="<i2").astype(np.float64)
+    x = x.reshape(-1, channels).mean(axis=1)
+    return x / 32768.0
+
+
+def wav_encode_tone(
+    sample_rate: int,
+    duration_ms: int,
+    freq_hz: float,
+    amplitude: float = 0.5,
+    channels: int = 1,
+) -> bytes:
+    """16-bit PCM WAV of a sine tone - the fixture generator for the
+    sample-decode path (wav_encode_silence's non-trivial sibling)."""
+    n = sample_rate * duration_ms // 1000
+    t = np.arange(n, dtype=np.float64) / sample_rate
+    wave = np.clip(amplitude * np.sin(2 * np.pi * freq_hz * t), -1, 1)
+    pcm = (wave * 32767.0).astype("<i2")
+    if channels > 1:
+        pcm = np.repeat(pcm[:, None], channels, axis=1).reshape(-1)
+    data = pcm.tobytes()
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body

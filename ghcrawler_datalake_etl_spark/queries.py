@@ -5612,6 +5612,51 @@ def multimodal_phash_pairs(spark, sf_dir):
 
 
 # =====================================================================
+# Audio analysis (operators/multimodal.audio_stats)
+# =====================================================================
+
+@register(
+    "multimodal_audio_stats",
+    """
+    SELECT doc_id,
+           strlen(coalesce(text, '')) * 5 AS duration_ms,
+           floor(CAST(('0x' || substr(sha256(coalesce(text, '')), 1, 8))
+                      AS BIGINT)::DOUBLE / 4294967296.0 * 1000000000)
+             / 1000000000 AS rms,
+           floor(CAST(('0x' || substr(sha256(coalesce(text, '')), 9, 8))
+                      AS BIGINT)::DOUBLE / 4294967296.0 * 1000000000)
+             / 1000000000 AS peak,
+           floor(CAST(('0x' || substr(sha256(coalesce(text, '')), 17, 8))
+                      AS BIGINT)::DOUBLE / 4294967296.0 * 1000000000)
+             / 1000000000 AS silence_ratio
+    FROM documents
+    """,
+)
+def multimodal_audio_stats(spark, sf_dir):
+    """Per-payload audio statistics (operators/multimodal.audio_stats):
+    RMS energy, peak amplitude, and silence ratio from a REAL 16-bit
+    PCM decode (codecs.wav_samples) - the analysis layer above
+    multimodal_audio_chunks' duration-based segmentation. Text
+    payloads are not WAVs, so every row rides the sha256-surrogate
+    arm (disjoint digest bytes per statistic, the strlen*5 duration
+    convention chunk_audio already uses), which the oracle replays
+    exactly; the real arm is pytest-pinned on tone/silence fixtures
+    (rms == amplitude/sqrt(2), peak == amplitude, silence flags)."""
+    from ghcrawler_datalake_etl_spark.operators import multimodal as MM
+
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    media = MM.attach_binary(d, "doc_id", "text", media_type="audio/fake")
+    stats = MM.audio_stats(media)
+    return stats.select(
+        "doc_id",
+        "duration_ms",
+        quantize(F.col("rms"), 9).alias("rms"),
+        quantize(F.col("peak"), 9).alias("peak"),
+        quantize(F.col("silence_ratio"), 9).alias("silence_ratio"),
+    )
+
+
+# =====================================================================
 # Driver-window ordering
 # =====================================================================
 # The build driver records CORRECTNESS rows for the FIRST 50 registry
@@ -5742,7 +5787,11 @@ _DRIVER_ORDER = [
     #    text_redact_pii (text family remains the largest in-window) --
     "pack_store_roundtrip",
     "text_repetition_metrics",
-    "corpus_vocabulary_topk",
+    # -- round-5: audio RMS/peak/silence analysis over the real PCM
+    #    decode. Slot ceded by the double-green (r03+r04)
+    #    corpus_vocabulary_topk; the corpus family stays in-window via
+    #    corpus_fertility_by_lang --
+    "multimodal_audio_stats",
     # -- round-5: streaming dedup-on-ingest run as a real stream. Slot
     #    ceded by the double-green (r03+r04) sample_stratified_by_lang
     #    (sample family: temperature_mix/target_mix/top_share/dsir
@@ -5830,6 +5879,7 @@ _DRIVER_ORDER = [
     "pipeline_dedup_shards",
     "text_unigram_logprob",
     "multimodal_features",
+    "corpus_vocabulary_topk",
     # round-5 late rotations for the sketch family (triple-green
     # r02+r03+r04; see the in-window slot comments):
     "dedup_simhash_values",

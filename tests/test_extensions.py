@@ -1887,3 +1887,66 @@ def test_phash_pairs_through_spark_real_images(spark):
     )
     pairs = phash_pairs(perceptual_hash(media), max_hamming=3).collect()
     assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 2)}
+
+
+# ---------------------------------------------------------------------
+# multimodal audio stats (round 5)
+# ---------------------------------------------------------------------
+
+
+def test_audio_stats_real_pcm_arm(spark):
+    """Tone -> rms == amplitude/sqrt(2), peak == amplitude, no
+    silence; silence WAV -> rms 0, silence_ratio 1; stereo mixes."""
+    import math
+
+    from ghcrawler_datalake_etl_spark.operators import codecs
+    from ghcrawler_datalake_etl_spark.operators.multimodal import (
+        _audio_stats_one,
+    )
+
+    tone = _audio_stats_one(codecs.wav_encode_tone(8000, 250, 440.0, 0.5))
+    assert tone["duration_ms"] == 250
+    assert abs(tone["rms"] - 0.5 / math.sqrt(2)) < 0.01
+    assert abs(tone["peak"] - 0.5) < 0.001
+    assert tone["silence_ratio"] < 0.05
+
+    sil = _audio_stats_one(codecs.wav_encode_silence(8000, 100))
+    assert sil["rms"] == 0.0 and sil["silence_ratio"] == 1.0
+
+    stereo = _audio_stats_one(
+        codecs.wav_encode_tone(8000, 100, 440.0, 0.5, channels=2)
+    )
+    assert abs(stereo["rms"] - 0.5 / math.sqrt(2)) < 0.01
+
+
+def test_audio_stats_surrogate_arm_and_through_spark(spark):
+    import hashlib
+
+    from ghcrawler_datalake_etl_spark.operators import codecs
+    from ghcrawler_datalake_etl_spark.operators.multimodal import (
+        _audio_stats_one,
+        audio_stats,
+    )
+
+    payload = b"not audio at all"
+    s = _audio_stats_one(payload)
+    digest = hashlib.sha256(payload).digest()
+    assert s["duration_ms"] == len(payload) * 5
+    assert s["rms"] == int.from_bytes(digest[0:4], "big") / 2**32
+    assert s["peak"] == int.from_bytes(digest[4:8], "big") / 2**32
+
+    rows = [
+        (1, bytearray(codecs.wav_encode_tone(8000, 100, 440.0, 0.25))),
+        (2, bytearray(b"text payload")),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, content binary"
+    ).selectExpr(
+        "doc_id", "'audio/wav' AS media_type", "content",
+        "CAST(NULL AS INT) AS width", "CAST(NULL AS INT) AS height",
+        "CAST(NULL AS INT) AS sample_rate",
+        "CAST(NULL AS LONG) AS duration_ms",
+    )
+    got = {r["doc_id"]: r for r in audio_stats(media).collect()}
+    assert got[1]["duration_ms"] == 100 and got[1]["peak"] < 0.26
+    assert got[2]["duration_ms"] == len(b"text payload") * 5

@@ -63,6 +63,9 @@ DOC_ONLY = [
     # (coalesce) identically on both engines; the planted duplicate
     # slice must pair up even when the duplicated text is NULL/empty
     "multimodal_phash_pairs",
+    # round-5: audio stats - NULL text must ride the surrogate arm as
+    # b'' (duration 0, sha256('') digests) identically on both engines
+    "multimodal_audio_stats",
 ]
 
 

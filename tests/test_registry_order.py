@@ -206,6 +206,10 @@ OUT_OF_WINDOW_OK = {
     # to multimodal_phash_pairs, which keeps the multimodal family
     # in-window (same mapInPandas decode shape + surrogate-arm oracle):
     "multimodal_features": "evidence",
+    # round-5 late rotation (double-green r03+r04), ceding its slot to
+    # multimodal_audio_stats; the corpus family stays in-window via
+    # corpus_fertility_by_lang:
+    "corpus_vocabulary_topk": "evidence",
     # batch twins of the streaming surface, green r1, out-of-window
     # since round 2 (the "stream_" prefix joined EXTENSION_PREFIXES in
     # round 5 when the true streaming run entered the window):
