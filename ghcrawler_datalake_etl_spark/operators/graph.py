@@ -60,6 +60,8 @@ def pagerank(
     in the update rule) - a single long, the same bounded-pull contract
     as the k-means centroid collect.
     """
+    from ghcrawler_datalake_etl_spark.operators.dedup import _materialize
+
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     e = edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull())
@@ -68,8 +70,12 @@ def pagerank(
         F.col(src).alias("_src"), F.col(dst).alias("_dst")
     ).agg(F.sum(w).alias("_w"))
     ow = ew.groupBy("_src").agg(F.sum("_w").alias("_ow"))
-    ew = ew.join(ow, "_src")
-    nodes = (
+    # every iteration joins against ew and nodes: persist both eagerly
+    # or each round re-derives the caller's edge construction
+    # (iterative-algorithm discipline, same as connected components'
+    # localCheckpoint - see dedup._materialize)
+    ew = _materialize(ew.join(ow, "_src"))
+    nodes = _materialize(
         ew.select(F.col("_src").alias("node"))
         .unionByName(ew.select(F.col("_dst").alias("node")))
         .distinct()

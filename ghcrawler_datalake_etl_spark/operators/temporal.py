@@ -319,6 +319,8 @@ def max_concurrency(
     carry the group-total sum, so the result is deterministic without
     a unique tiebreak - and matches DuckDB's default window frame.
     """
+    from ghcrawler_datalake_etl_spark.operators.dedup import _materialize
+
     spark = intervals.sparkSession
     if num_bins is None:
         num_bins = max(int(spark.sparkContext.defaultParallelism), 1)
@@ -331,7 +333,12 @@ def max_concurrency(
         (F.col(end_col).cast("long") * 2 + 1).alias("_k"),
         F.lit(-1).alias("_d"),
     )
-    ep = starts.unionByName(ends)
+    # the endpoint frame feeds ~5 plan branches (the quantile action,
+    # the in-bin cumsum, the offsets aggregate, and the run frame's two
+    # consumers) - without an eager persist each one recomputes the
+    # caller's interval derivation (measured: sessionize re-ran ~5x,
+    # 4.9s -> see _materialize's docstring for the race)
+    ep = _materialize(starts.unionByName(ends))
 
     if num_bins > 1:
         quantiles = [i / num_bins for i in range(1, num_bins)]
@@ -374,12 +381,27 @@ def max_concurrency(
         "_k", (F.col("_off") + F.col("_c_in")).cast("long").alias("_c")
     )
 
-    peak = run.agg(F.max("_c").alias("max_concurrent"))
-    n = intervals.agg(F.count(F.lit(1)).alias("n_intervals"))
-    first = (
-        run.join(F.broadcast(peak), run["_c"] == peak["max_concurrent"])
-        .agg((F.min("_k") / 2).cast("long").alias("first_peak_us"))
+    # ONE aggregate over the run frame: the peak and its earliest key
+    # together (min_by over the (-count, key) struct = "smallest key
+    # among the rows with the largest count"), so the windowed subtree
+    # executes exactly once instead of once per output column
+    peak = run.agg(
+        F.max("_c").alias("max_concurrent"),
+        (
+            F.min_by(
+                "_k", F.struct((-F.col("_c")).alias("c"), F.col("_k").alias("k"))
+            )
+            / 2
+        )
+        .cast("long")
+        .alias("first_peak_us"),
     )
-    return n.crossJoin(peak).crossJoin(first).select(
+    # count intervals from the persisted endpoints (one +1 each), not
+    # from `intervals` - that branch would recompute the caller's
+    # derivation again
+    n = ep.where(F.col("_d") == 1).agg(
+        F.count(F.lit(1)).alias("n_intervals")
+    )
+    return n.crossJoin(peak).select(
         "n_intervals", "max_concurrent", "first_peak_us"
     )

@@ -5360,7 +5360,7 @@ def dim_scd2_user_state(spark, sf_dir):
       SELECT nodes.node, base + (85 * coalesce(c3.m, 0)) // 100 AS rank
       FROM nodes CROSS JOIN params LEFT JOIN c3 ON nodes.node = c3.node
     )
-    SELECT node, rank AS rank_scaled FROM r3
+    SELECT node, CAST(rank AS BIGINT) AS rank_scaled FROM r3
     """,
 )
 def graph_pagerank_transitions(spark, sf_dir):

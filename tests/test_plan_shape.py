@@ -70,7 +70,11 @@ def test_parity_paths_have_no_python(spark, queries):
                  "dedup_simhash_values", "dedup_embedding_cosine",
                  # round-3 pandas-backed extensions (cogroup/group GEMMs)
                  "sim_knn_graph", "dedup_semantic_prune",
-                 "dedup_minhash_clusters"}
+                 "dedup_minhash_clusters",
+                 # round-5 mapInPandas decoders: perceptual hash and
+                 # PCM audio stats ride the same Arrow-batched shape
+                 # as multimodal_features
+                 "multimodal_phash_pairs", "multimodal_audio_stats"}
     for name, fn in entrymod.queries().items():
         p = plan(fn(spark, SF_DIR), "simple")
         assert "BatchEvalPython" not in p, f"{name}: row-at-a-time Python UDF"
