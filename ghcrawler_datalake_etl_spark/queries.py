@@ -5657,6 +5657,44 @@ def multimodal_audio_stats(spark, sf_dir):
 
 
 # =====================================================================
+# Small-file compaction (sources/sinks.ParquetCatalog.compact)
+# =====================================================================
+
+@register(
+    "layout_compact_roundtrip",
+    """
+    SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+    FROM events
+    """,
+)
+def layout_compact_roundtrip(spark, sf_dir):
+    """Small-file compaction round trip (ParquetCatalog.compact - the
+    OPTIMIZE shape): a typed events projection lands as 16 deliberate
+    small files, compaction rewrites it to the byte-target file count
+    as a NEW version behind the same atomic pointer flip the S5
+    TRUNCATE+INSERT path uses, and the query returns the post-compact
+    read. The oracle is the projection itself: compaction must be
+    content-transparent. File-count/version/vacuum mechanics are
+    pytest-pinned (tests/test_extensions.py)."""
+    from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    wh = _run_tmp("compact_wh")
+    cat = ParquetCatalog(spark, wh)
+    # repartition plants the fragmentation (overwrite's coalesce can
+    # only shrink a narrow scan's 1-2 partitions, never widen)
+    cat.overwrite(ev.repartition(16), "EventsSnapshot")
+    cat.compact("EventsSnapshot", target_bytes=1 << 30)
+    return cat.read("EventsSnapshot")
+
+
+# =====================================================================
 # Driver-window ordering
 # =====================================================================
 # The build driver records CORRECTNESS rows for the FIRST 50 registry
@@ -5786,7 +5824,11 @@ _DRIVER_ORDER = [
     #    round trip. Slot ceded by the double-green (r03+r04)
     #    text_redact_pii (text family remains the largest in-window) --
     "pack_store_roundtrip",
-    "text_repetition_metrics",
+    # -- round-5: small-file compaction round trip (the OPTIMIZE
+    #    shape on the versioned catalog). Slot ceded by the
+    #    double-green (r03+r04) text_repetition_metrics; the text
+    #    family remains the largest in-window group --
+    "layout_compact_roundtrip",
     # -- round-5: audio RMS/peak/silence analysis over the real PCM
     #    decode. Slot ceded by the double-green (r03+r04)
     #    corpus_vocabulary_topk; the corpus family stays in-window via
@@ -5880,6 +5922,7 @@ _DRIVER_ORDER = [
     "text_unigram_logprob",
     "multimodal_features",
     "corpus_vocabulary_topk",
+    "text_repetition_metrics",
     # round-5 late rotations for the sketch family (triple-green
     # r02+r03+r04; see the in-window slot comments):
     "dedup_simhash_values",

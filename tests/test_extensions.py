@@ -1950,3 +1950,70 @@ def test_audio_stats_surrogate_arm_and_through_spark(spark):
     got = {r["doc_id"]: r for r in audio_stats(media).collect()}
     assert got[1]["duration_ms"] == 100 and got[1]["peak"] < 0.26
     assert got[2]["duration_ms"] == len(b"text payload") * 5
+
+
+# ---------------------------------------------------------------------
+# ParquetCatalog.compact (round 5)
+# ---------------------------------------------------------------------
+
+
+def test_compact_reduces_files_preserves_content_and_versions(
+    spark, tmp_path
+):
+    from pyspark.sql import functions as F
+
+    from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"), retain=2)
+    # repartition (not overwrite's coalesce, which can only shrink)
+    # plants the deliberate 16-file fragmentation
+    df = spark.range(10_000).withColumn("v", F.col("id") % 97).repartition(16)
+    cat.overwrite(df, "T")
+    before = sorted(r["id"] for r in cat.read("T").collect())
+    v_before = cat.versions("T")
+
+    stats = cat.compact("T", target_bytes=1 << 30)
+    assert stats["compacted"] and stats["files_before"] == 16
+    assert stats["files_after"] == 1
+    # a new version behind the pointer; content identical
+    assert max(cat.versions("T")) == max(v_before) + 1
+    after = sorted(r["id"] for r in cat.read("T").collect())
+    assert after == before
+
+    # already-compact: untouched, no version bump
+    v_now = max(cat.versions("T"))
+    stats2 = cat.compact("T", target_bytes=1 << 30)
+    assert not stats2["compacted"]
+    assert stats2["files_after"] == stats2["files_before"] == 1
+    assert max(cat.versions("T")) == v_now
+
+
+def test_compact_respects_byte_target(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    df = spark.range(50_000).withColumn(
+        "payload", F.sha2(F.col("id").cast("string"), 256)
+    )
+    cat.overwrite(df, "T", num_files=32)
+    import os
+
+    path = cat.current_path("T")
+    parts = [f for f in os.listdir(path) if f.startswith("part-")]
+    total = sum(os.path.getsize(os.path.join(path, f)) for f in parts)
+    # target half the bytes -> exactly 2 files
+    stats = cat.compact("T", target_bytes=(total + 1) // 2)
+    assert stats["compacted"] and stats["files_after"] == 2
+    assert cat.read("T").count() == 50_000
+
+
+def test_compact_unknown_table_raises(spark, tmp_path):
+    import pytest
+
+    from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    with pytest.raises(ValueError):
+        cat.compact("Nope")

@@ -210,6 +210,10 @@ OUT_OF_WINDOW_OK = {
     # multimodal_audio_stats; the corpus family stays in-window via
     # corpus_fertility_by_lang:
     "corpus_vocabulary_topk": "evidence",
+    # round-5 late rotation (double-green r03+r04), ceding its slot to
+    # layout_compact_roundtrip; repetition metrics stay pytest-pinned
+    # and the text family remains the largest in-window group:
+    "text_repetition_metrics": "evidence",
     # batch twins of the streaming surface, green r1, out-of-window
     # since round 2 (the "stream_" prefix joined EXTENSION_PREFIXES in
     # round 5 when the true streaming run entered the window):
