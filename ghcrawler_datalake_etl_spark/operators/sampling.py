@@ -676,3 +676,110 @@ def _tokenize_buckets(text_col: str, num_buckets: int, seed: int) -> Column:
         tokenize(F.col(text_col)),
         lambda t: stable_long_hash(t, seed=seed) % num_buckets,
     )
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    num_bins: int | None = None,
+) -> DataFrame:
+    """Systematic probability-proportional-to-size (PPS) sampling: lay
+    rows out in ``key_col`` order, take the exclusive cumulative weight
+    W_i, and keep row i iff the interval [W_i, W_i + w_i) crosses one
+    of ``n`` evenly spaced integer thresholds::
+
+        keep_i  <=>  floor((W_i + w_i) * n / T) > floor(W_i * n / T)
+
+    with T the total weight - the textbook systematic PPS rule (offset
+    0), inclusion probability ~ n * w_i / T, WITHOUT replacement, and
+    - unlike Efraimidis-Spirakis exponential keys, whose float
+    log/pow can never bit-match across engines - entirely INTEGER
+    arithmetic for integer weights, so a DuckDB oracle replays the
+    selection exactly. Rows with w_i * n > T are certainty rows
+    (selected once; the sample then returns slightly fewer than n by
+    the standard systematic-PPS behavior).
+
+    Contracts: ``key_col`` must be unique (ROWS-frame cumsums under
+    ties are nondeterministic - same caveat as pack_shards); NULL or
+    non-positive weights never select (their interval is empty);
+    ``sum(w) * n`` must fit a BIGINT. Empty/all-zero input returns
+    empty.
+
+    Scale shape: the exclusive cumsum is pack_shards' two-level
+    construction (quantile-binned in-bin windows + a broadcast
+    offsets frame over the BINS-sized aggregate - see
+    pack_shards:410); the total is one map-side-combined aggregate
+    broadcast back. No single-task funnel.
+    """
+    spark = df.sparkSession
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if num_bins is None:
+        num_bins = max(int(spark.sparkContext.defaultParallelism), 1)
+
+    wt = F.when(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0),
+        F.col(weight_col).cast("long"),
+    ).otherwise(F.lit(0))
+    rows = df.withColumn("_w", wt)
+
+    if num_bins > 1:
+        proxy, integral = _monotone_proxy(
+            F.col(key_col), df.schema[key_col].dataType
+        )
+        quantiles = [i / num_bins for i in range(1, num_bins)]
+        raw = rows.select(proxy.alias("_pk")).stat.approxQuantile(
+            "_pk", quantiles, 0.02
+        )
+        bounds: list = []
+        for b in raw:
+            v = int(b) if integral else b
+            if not bounds or v > bounds[-1]:
+                bounds.append(v)
+        bin_expr = F.lit(0)
+        for b in bounds:
+            bin_expr = bin_expr + F.when(proxy > F.lit(b), 1).otherwise(0)
+        rows = rows.withColumn("_bin", bin_expr)
+    else:
+        rows = rows.withColumn("_bin", F.lit(0))
+
+    in_bin = (
+        Window.partitionBy("_bin")
+        .orderBy(F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_cum = rows.withColumn(
+        "_cum_in_bin", F.coalesce(F.sum("_w").over(in_bin), F.lit(0))
+    )
+    offsets = (
+        rows.groupBy("_bin")
+        .agg(F.sum("_w").alias("_bw"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_bw").over(
+                    Window.orderBy("_bin").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_bin", "_off")
+    )
+    total = rows.agg(F.sum("_w").alias("_tot"))
+    keyed = (
+        with_cum.join(F.broadcast(offsets), "_bin", "left")
+        .crossJoin(F.broadcast(total))
+        .withColumn("_cw", (F.col("_off") + F.col("_cum_in_bin")).cast("long"))
+    )
+    selected = keyed.where(
+        (F.col("_tot") > 0)
+        & (
+            F.expr(f"(_cw + _w) * {n} DIV _tot")
+            > F.expr(f"_cw * {n} DIV _tot")
+        )
+    )
+    return selected.drop("_w", "_bin", "_cum_in_bin", "_off", "_cw", "_tot")

@@ -5695,6 +5695,47 @@ def layout_compact_roundtrip(spark, sf_dir):
 
 
 # =====================================================================
+# Systematic PPS sampling (operators/sampling.pps_systematic_sample)
+# =====================================================================
+
+@register(
+    "sample_pps_systematic",
+    """
+    WITH w AS (
+      SELECT doc_id, lang, source, n_chars,
+             CASE WHEN n_chars IS NOT NULL AND n_chars > 0
+                  THEN n_chars ELSE 0 END AS wt
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, source, n_chars, wt,
+             coalesce(sum(wt) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS cw
+      FROM w
+    ), t AS (
+      SELECT sum(wt) AS tot FROM w
+    )
+    SELECT doc_id, lang, source, n_chars
+    FROM c CROSS JOIN t
+    WHERE tot > 0 AND ((cw + wt) * 64) // tot > (cw * 64) // tot
+    """,
+)
+def sample_pps_systematic(spark, sf_dir):
+    """Systematic probability-proportional-to-size sample of 64 docs
+    weighted by n_chars (operators/sampling.pps_systematic_sample):
+    the weighted-sampling-without-replacement member of the sample
+    family. Entirely integer arithmetic - unlike
+    Efraimidis-Spirakis exponential keys, whose float log/pow can
+    never bit-match across engines - so the oracle replays the exact
+    selection. The exclusive cumulative weight is pack_shards'
+    two-level construction; NULL/non-positive weights never select."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return SP.pps_systematic_sample(d, "doc_id", "n_chars", 64)
+
+
+# =====================================================================
 # Driver-window ordering
 # =====================================================================
 # The build driver records CORRECTNESS rows for the FIRST 50 registry
@@ -5864,7 +5905,11 @@ _DRIVER_ORDER = [
     #    repetition/bpe/perplexity in-window) --
     "embedding_random_projection",
     "corpus_fertility_by_lang",
-    "sample_target_mix",
+    # -- round-5: systematic PPS weighted sampling (integer-exact
+    #    selection). Slot ceded by the double-green (r03+r04)
+    #    sample_target_mix; the sample family keeps temperature_mix /
+    #    top_share / dsir + this new member in-window --
+    "sample_pps_systematic",
     "pipeline_quality_mix_pack",
     "sample_top_share_quality",
     # -- later round-3 additions (distinct algorithms: bigram LM,
@@ -5923,6 +5968,7 @@ _DRIVER_ORDER = [
     "multimodal_features",
     "corpus_vocabulary_topk",
     "text_repetition_metrics",
+    "sample_target_mix",
     # round-5 late rotations for the sketch family (triple-green
     # r02+r03+r04; see the in-window slot comments):
     "dedup_simhash_values",

@@ -2017,3 +2017,62 @@ def test_compact_unknown_table_raises(spark, tmp_path):
     cat = ParquetCatalog(spark, str(tmp_path / "wh"))
     with pytest.raises(ValueError):
         cat.compact("Nope")
+
+
+# ---------------------------------------------------------------------
+# sampling.pps_systematic_sample (round 5)
+# ---------------------------------------------------------------------
+
+
+def test_pps_uniform_weights_pick_exactly_n_evenly(spark):
+    from ghcrawler_datalake_etl_spark.operators.sampling import (
+        pps_systematic_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 10) for i in range(100)], "k long, w long"
+    )
+    got = sorted(
+        r["k"] for r in pps_systematic_sample(df, "k", "w", 10).collect()
+    )
+    assert len(got) == 10
+    # uniform weights -> evenly spaced keys (one per decile)
+    assert got == [9, 19, 29, 39, 49, 59, 69, 79, 89, 99]
+
+
+def test_pps_heavy_row_is_certain_and_bad_weights_never_select(spark):
+    from ghcrawler_datalake_etl_spark.operators.sampling import (
+        pps_systematic_sample,
+    )
+
+    rows = [(1, 1), (2, None), (3, 0), (4, -5), (5, 1000), (6, 1)]
+    df = spark.createDataFrame(rows, "k long, w long")
+    got = {r["k"] for r in pps_systematic_sample(df, "k", "w", 4).collect()}
+    assert 5 in got                      # w*n >> T: certainty row
+    assert not {2, 3, 4} & got           # NULL/zero/negative never
+    assert len(got) <= 4
+
+
+def test_pps_binned_equals_single_window_and_validation(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ghcrawler_datalake_etl_spark.operators.sampling import (
+        pps_systematic_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 13 + 1) for i in range(500)], "k long, w long"
+    )
+    multi = sorted(
+        r["k"] for r in pps_systematic_sample(df, "k", "w", 32, num_bins=8).collect()
+    )
+    single = sorted(
+        r["k"] for r in pps_systematic_sample(df, "k", "w", 32, num_bins=1).collect()
+    )
+    assert multi == single and len(multi) == 32
+
+    with pytest.raises(ValueError):
+        pps_systematic_sample(df, "k", "w", 0)
+    empty = df.where(F.lit(False))
+    assert pps_systematic_sample(empty, "k", "w", 5).count() == 0

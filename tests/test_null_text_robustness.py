@@ -66,6 +66,9 @@ DOC_ONLY = [
     # round-5: audio stats - NULL text must ride the surrogate arm as
     # b'' (duration 0, sha256('') digests) identically on both engines
     "multimodal_audio_stats",
+    # round-5: PPS sampling - NULL n_chars weights must never select,
+    # identically on both engines; all-zero weights -> empty sample
+    "sample_pps_systematic",
 ]
 
 

@@ -214,6 +214,10 @@ OUT_OF_WINDOW_OK = {
     # layout_compact_roundtrip; repetition metrics stay pytest-pinned
     # and the text family remains the largest in-window group:
     "text_repetition_metrics": "evidence",
+    # round-5 late rotation (double-green r03+r04), ceding its slot to
+    # sample_pps_systematic; the sample family keeps temperature_mix /
+    # top_share / dsir + the new PPS member in-window:
+    "sample_target_mix": "evidence",
     # batch twins of the streaming surface, green r1, out-of-window
     # since round 2 (the "stream_" prefix joined EXTENSION_PREFIXES in
     # round 5 when the true streaming run entered the window):
