@@ -251,6 +251,34 @@ def bench_scaling(spark) -> dict:
         sh.unpersist()
         bits.unpersist()
 
+        # round-5 late arms: the two new iterative/global-sum families.
+        # Sweep-line concurrency over 1M synthetic intervals (2M
+        # endpoints through the two-level cumsum - ~20x the sf0.1
+        # session count); PageRank over 1M weighted edges on 10k nodes
+        # (the persisted-frame iteration discipline at 50x the
+        # transition graph).
+        from ghcrawler_datalake_etl_spark.operators import graph as GR
+        from ghcrawler_datalake_etl_spark.operators import temporal as TP
+
+        t0 = time.perf_counter()
+        iv = (
+            spark.range(1_000_000)
+            .selectExpr(
+                "(id * 37) % 1000000000 AS s",
+                "(id * 37) % 1000000000 + (id % 1000) AS e",
+            )
+        )
+        TP.max_concurrency(iv, "s", "e").collect()
+        out["concurrency_1m_sec"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        edges = spark.range(1_000_000).selectExpr(
+            "id % 10000 AS src",
+            "(id * 7919) % 10000 AS dst",
+        )
+        GR.pagerank(edges, iterations=3).count()
+        out["pagerank_1m_sec"] = round(time.perf_counter() - t0, 3)
+
         out["n_vectors"] = n_vec
         out["n_docs"] = n_docs
     finally:
