@@ -5736,6 +5736,56 @@ def sample_pps_systematic(spark, sf_dir):
 
 
 # =====================================================================
+# Edit-distance similarity join (operators/joins.edit_distance_join)
+# =====================================================================
+
+@register(
+    "j7_edit_distance_join",
+    """
+    WITH c AS (
+      SELECT c_custkey AS id, c_name AS s FROM customer
+      WHERE c_name IS NOT NULL
+    ), longs AS (
+      SELECT * FROM c WHERE length(s) >= 16
+    ), sigs AS (
+      SELECT id, s, 'p:' || left(s, 8) AS sig FROM longs
+      UNION ALL
+      SELECT id, s, 's:' || right(s, 8) AS sig FROM longs
+    ), lp AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+      FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.id < b.id
+    ), shorts AS (
+      SELECT * FROM c WHERE length(s) < 17
+    ), sp AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+      FROM shorts a JOIN shorts b
+        ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 1
+    )
+    SELECT DISTINCT id_a, id_b,
+           CAST(levenshtein(sa, sb) AS BIGINT) AS dist
+    FROM (SELECT * FROM lp UNION ALL SELECT * FROM sp)
+    WHERE levenshtein(sa, sb) <= 1
+    """,
+)
+def j7_edit_distance_join(spark, sf_dir):
+    """Edit-distance self-join over customer names
+    (operators/joins.edit_distance_join, the PassJoin-style fixed-
+    window segment filter): every pair within Levenshtein distance 1,
+    found from two 8-char prefix/suffix equi-joins plus a short-string
+    length band - never a cross join - then verified exactly. The
+    synthetic Customer#NNNNNNNNN names make single-digit neighbors
+    genuine distance-1 pairs, so the filter, the verify and the
+    channel dedup all do real work. Both engines implement classic
+    Levenshtein, so the oracle replays the pair set exactly."""
+    from ghcrawler_datalake_etl_spark.operators.joins import (
+        edit_distance_join,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    return edit_distance_join(cust, "c_custkey", "c_name", max_dist=1)
+
+
+# =====================================================================
 # Driver-window ordering
 # =====================================================================
 # The build driver records CORRECTNESS rows for the FIRST 50 registry
@@ -5880,7 +5930,12 @@ _DRIVER_ORDER = [
     #    (sample family: temperature_mix/target_mix/top_share/dsir
     #    in-window) --
     "stream_dedup_ingest",
-    "sim_knn_pandas_gemm",
+    # -- round-5: edit-distance similarity join (PassJoin segment
+    #    filter + exact levenshtein verify). Slot ceded by the
+    #    double-green (r03+r04) sim_knn_pandas_gemm; the sim family
+    #    keeps ivf_kmeans / knn_graph / pq_adc in-window and the
+    #    pandas-GEMM twin stays pinned by its pytest equivalence --
+    "j7_edit_distance_join",
     "sim_ivf_kmeans_topk",
     "pipeline_chunk_dedup_pack",
     # -- round-5: the composed tokenizer path (train -> encode ids ->
@@ -5969,6 +6024,7 @@ _DRIVER_ORDER = [
     "corpus_vocabulary_topk",
     "text_repetition_metrics",
     "sample_target_mix",
+    "sim_knn_pandas_gemm",
     # round-5 late rotations for the sketch family (triple-green
     # r02+r03+r04; see the in-window slot comments):
     "dedup_simhash_values",

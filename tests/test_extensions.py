@@ -2076,3 +2076,76 @@ def test_pps_binned_equals_single_window_and_validation(spark):
         pps_systematic_sample(df, "k", "w", 0)
     empty = df.where(F.lit(False))
     assert pps_systematic_sample(empty, "k", "w", 5).count() == 0
+
+
+# ---------------------------------------------------------------------
+# joins.edit_distance_join (round 5)
+# ---------------------------------------------------------------------
+
+
+def test_edit_distance_join_exact_pair_set(spark):
+    from ghcrawler_datalake_etl_spark.operators.joins import (
+        edit_distance_join,
+    )
+
+    rows = [
+        (1, "abcdefgh12345678"),    # len 16 (long channel)
+        (2, "abcdefgh12345679"),    # sub at the end -> dist 1 to #1
+        (3, "Xbcdefgh12345678"),    # sub at the start -> dist 1 to #1
+        (4, "abcdefgh1234567"),     # len 15: DELETE from #1 -> dist 1
+        (5, "completely other"),    # len 16, far from all
+        (6, "zz"),                  # short bucket
+        (7, "zx"),                  # dist 1 to #6
+        (8, None),                  # never pairs
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_join(df, "id", "s").collect()
+    }
+    # the boundary pairs (len 15 vs len 16) are the channel-overlap
+    # case; (2,4) too: deleting the final '9' of #2 gives #4
+    assert got == {(1, 2): 1, (1, 3): 1, (1, 4): 1, (2, 4): 1, (6, 7): 1}
+
+
+def test_edit_distance_join_no_false_negatives_bruteforce(spark):
+    """Differential against a brute-force cross join on a corpus built
+    to exercise every edit position and both channels."""
+    from pyspark.sql import functions as F
+
+    from ghcrawler_datalake_etl_spark.operators.joins import (
+        edit_distance_join,
+    )
+
+    base = "abcdefghijklmnop"  # len 16
+    rows = [(0, base)]
+    rid = 1
+    for p in range(len(base)):                      # substitutions
+        rows.append((rid, base[:p] + "Z" + base[p + 1:])); rid += 1
+        rows.append((rid, base[:p] + base[p + 1:])); rid += 1  # deletions
+    df = spark.createDataFrame(rows, "id long, s string")
+    fast = {
+        (r["id_a"], r["id_b"])
+        for r in edit_distance_join(df, "id", "s").collect()
+    }
+    a = df.selectExpr("id AS id_a", "s AS sa")
+    b = df.selectExpr("id AS id_b", "s AS sb")
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(F.levenshtein("sa", "sb") <= 1)
+        .collect()
+    }
+    assert fast == brute and len(brute) > 30
+
+
+def test_edit_distance_join_rejects_unimplemented_distance(spark):
+    import pytest
+
+    from ghcrawler_datalake_etl_spark.operators.joins import (
+        edit_distance_join,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "id long, s string")
+    with pytest.raises(ValueError):
+        edit_distance_join(df, "id", "s", max_dist=2)

@@ -98,9 +98,11 @@ OUT_OF_WINDOW_OK = {
     # semantics remain window-covered via the chunk-dedup stage of
     # pipeline_chunk_dedup_pack
     "dedup_exact_groups": "evidence",
-    # ceded its slot to sample_top_share_quality (r3); the in-window
-    # sim_knn_pandas_gemm runs the SAME oracle SQL (exact twin)
-    "sim_knn_bruteforce": "sim_knn_pandas_gemm",
+    # ceded its slot to sample_top_share_quality (r3); holds its own
+    # r2 green driver row (its exact twin sim_knn_pandas_gemm - same
+    # oracle SQL - rotated out in late round 5 with r3+r4 rows, so the
+    # twin justification became an evidence one)
+    "sim_knn_bruteforce": "evidence",
     # round-4 rotations (green r2+r3), ceding slots to the three new
     # surface oracles (text_clean_lines, tsv_round_trip,
     # orc_catalog_roundtrip); families stay represented in-window:
@@ -218,6 +220,11 @@ OUT_OF_WINDOW_OK = {
     # sample_pps_systematic; the sample family keeps temperature_mix /
     # top_share / dsir + the new PPS member in-window:
     "sample_target_mix": "evidence",
+    # round-5 late rotation (double-green r03+r04), ceding its slot to
+    # j7_edit_distance_join; the sim family keeps ivf_kmeans /
+    # knn_graph / pq_adc in-window and the pandas-GEMM twin stays
+    # pinned by its pytest equivalence suite:
+    "sim_knn_pandas_gemm": "evidence",
     # batch twins of the streaming surface, green r1, out-of-window
     # since round 2 (the "stream_" prefix joined EXTENSION_PREFIXES in
     # round 5 when the true streaming run entered the window):
