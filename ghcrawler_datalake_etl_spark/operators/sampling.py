@@ -407,6 +407,40 @@ def _monotone_proxy(key: Column, ktype) -> tuple[Column, bool]:
     )
 
 
+def quantile_bins(df: DataFrame, key: Column, dtype, num_bins: int) -> Column:
+    """Deterministic monotone bin id for a two-level global cumsum: one
+    GK-sketch quantile pass over the key's monotone numeric proxy
+    (``_monotone_proxy``; numerics are their own proxy), then the bin
+    counts how many strictly-increasing boundaries the proxy exceeds.
+
+    NULL proxies make every ``> boundary`` NULL -> ``otherwise(0)`` ->
+    bin 0, matching an ascending window's NULLS FIRST placement. The
+    boundary sketch (relativeError 0.02) affects only bin BALANCE,
+    never results - bin_offset + in-bin cumsum equals the global
+    key-order cumsum for ANY contiguous binning.
+
+    The ONE shared implementation behind pack_shards,
+    pps_systematic_sample and temporal.max_concurrency, so boundary
+    and NULL semantics cannot drift between them.
+    """
+    if num_bins <= 1:
+        return F.lit(0)
+    proxy, integral = _monotone_proxy(key, dtype)
+    quantiles = [i / num_bins for i in range(1, num_bins)]
+    raw = df.select(proxy.alias("_pk")).stat.approxQuantile(
+        "_pk", quantiles, 0.02
+    )
+    bounds: list = []
+    for b in raw:
+        v = int(b) if integral else b
+        if not bounds or v > bounds[-1]:
+            bounds.append(v)
+    bin_expr = F.lit(0)
+    for b in bounds:
+        bin_expr = bin_expr + F.when(proxy > F.lit(b), 1).otherwise(0)
+    return bin_expr
+
+
 def pack_shards(
     df: DataFrame,
     key_col: str,
@@ -486,30 +520,12 @@ def pack_shards(
     if materialize:
         df = _materialize(df)
 
-    if num_bins > 1:
-        proxy, integral = _monotone_proxy(F.col(key_col), df.schema[key_col].dataType)
-        quantiles = [i / num_bins for i in range(1, num_bins)]
-        # sketch over the pruned proxy column only - a parquet source
-        # then scans one column for this pass, not the weight exprs.
-        # loose relativeError: boundary placement affects only bin
-        # BALANCE (within ~2% of corpus size per bin), never the
-        # output - the GK sketch cost scales with 1/eps
-        raw = df.select(proxy.alias("_pk")).stat.approxQuantile(
-            "_pk", quantiles, 0.02
-        )
-        bounds: list = []
-        for b in raw:  # strictly-increasing unique boundaries
-            v = int(b) if integral else b
-            if not bounds or v > bounds[-1]:
-                bounds.append(v)
-        # NULL key: every `> boundary` is NULL -> otherwise(0) -> bin 0,
-        # matching the window's ascending NULLS FIRST placement.
-        bin_expr = F.lit(0)
-        for b in bounds:
-            bin_expr = bin_expr + F.when(proxy > F.lit(b), 1).otherwise(0)
-        binned = df.withColumn("_bin", bin_expr)
-    else:
-        binned = df.withColumn("_bin", F.lit(0))
+    binned = df.withColumn(
+        "_bin",
+        quantile_bins(
+            df, F.col(key_col), df.schema[key_col].dataType, num_bins
+        ),
+    )
 
     in_bin = (
         Window.partitionBy("_bin")
@@ -725,25 +741,12 @@ def pps_systematic_sample(
     ).otherwise(F.lit(0))
     rows = df.withColumn("_w", wt)
 
-    if num_bins > 1:
-        proxy, integral = _monotone_proxy(
-            F.col(key_col), df.schema[key_col].dataType
-        )
-        quantiles = [i / num_bins for i in range(1, num_bins)]
-        raw = rows.select(proxy.alias("_pk")).stat.approxQuantile(
-            "_pk", quantiles, 0.02
-        )
-        bounds: list = []
-        for b in raw:
-            v = int(b) if integral else b
-            if not bounds or v > bounds[-1]:
-                bounds.append(v)
-        bin_expr = F.lit(0)
-        for b in bounds:
-            bin_expr = bin_expr + F.when(proxy > F.lit(b), 1).otherwise(0)
-        rows = rows.withColumn("_bin", bin_expr)
-    else:
-        rows = rows.withColumn("_bin", F.lit(0))
+    rows = rows.withColumn(
+        "_bin",
+        quantile_bins(
+            rows, F.col(key_col), df.schema[key_col].dataType, num_bins
+        ),
+    )
 
     in_bin = (
         Window.partitionBy("_bin")

@@ -179,7 +179,9 @@ def gap_fill(
 
     1. bucket ``ts_col`` with ``date_trunc(unit)`` and aggregate
        ``aggs`` per (keys, bucket); NULL timestamps are dropped (no
-       bucket to land in);
+       bucket to land in), while a NULL KEY is a legitimate group (SQL
+       GROUP BY semantics) and densifies like any other - the spine
+       join is null-safe;
     2. one bounded aggregate finds the global [min, max] bucket;
     3. the spine is ``distinct keys x sequence(min, max, 1 unit)`` -
        the 1-row bounds frame is broadcast, so the spine costs one
@@ -212,7 +214,24 @@ def gap_fill(
             ).alias("bucket"),
         )
     )
-    out = spine.join(base, [*keys, "bucket"], "left")
+    # NULL-SAFE key equality: NULL is a legitimate GROUP BY key value
+    # (SQL semantics) and the spine's distinct carries it, but a plain
+    # multi-column join would never match NULL=NULL - the NULL group's
+    # real aggregates would silently zero-fill (caught in review, not
+    # by the differential: the oracle had the identical bug)
+    cond = F.col("_sp.bucket").eqNullSafe(F.col("_b.bucket"))
+    for k in keys:
+        cond = cond & F.col(f"_sp.{k}").eqNullSafe(F.col(f"_b.{k}"))
+    agg_cols = [c for c in base.columns if c not in keys and c != "bucket"]
+    out = (
+        spine.alias("_sp")
+        .join(base.alias("_b"), cond, "left")
+        .select(
+            *[F.col(f"_sp.{k}").alias(k) for k in keys],
+            F.col("_sp.bucket").alias("bucket"),
+            *[F.col(f"_b.{c}").alias(c) for c in agg_cols],
+        )
+    )
     for col, lit in (fill or {}).items():
         out = out.withColumn(col, F.coalesce(F.col(col), F.lit(lit)))
     return out
@@ -307,7 +326,8 @@ def max_concurrency(
     endpoints before -1 at equal times: the sort key is
     ``2*t`` for starts and ``2*t + 1`` for ends. A zero-length
     interval therefore counts as momentarily open, never drives the
-    running sum negative.
+    running sum negative. Intervals with a NULL endpoint are dropped
+    whole by contract (they have no place on the line).
 
     Scale shape: the global running sum is the pack_shards two-level
     construction (operators/sampling.py:410) - endpoints bin by key
@@ -325,11 +345,17 @@ def max_concurrency(
     if num_bins is None:
         num_bins = max(int(spark.sparkContext.defaultParallelism), 1)
 
-    starts = intervals.select(
+    # an interval with a NULL endpoint has no place on the line; drop
+    # it whole (a half-kept interval would push the running sum
+    # negative, and NULL keys sort NULLS FIRST into the walk)
+    clean = intervals.where(
+        F.col(start_col).isNotNull() & F.col(end_col).isNotNull()
+    )
+    starts = clean.select(
         (F.col(start_col).cast("long") * 2).alias("_k"),
         F.lit(1).alias("_d"),
     )
-    ends = intervals.select(
+    ends = clean.select(
         (F.col(end_col).cast("long") * 2 + 1).alias("_k"),
         F.lit(-1).alias("_d"),
     )
@@ -339,21 +365,14 @@ def max_concurrency(
     # caller's interval derivation (measured: sessionize re-ran ~5x,
     # 4.9s -> see _materialize's docstring for the race)
     ep = _materialize(starts.unionByName(ends))
+    from ghcrawler_datalake_etl_spark.operators.sampling import (
+        quantile_bins,
+    )
 
-    if num_bins > 1:
-        quantiles = [i / num_bins for i in range(1, num_bins)]
-        raw = ep.stat.approxQuantile("_k", quantiles, 0.02)
-        bounds: list[int] = []
-        for b in raw:
-            v = int(b)
-            if not bounds or v > bounds[-1]:
-                bounds.append(v)
-        bin_expr = F.lit(0)
-        for b in bounds:
-            bin_expr = bin_expr + F.when(F.col("_k") > F.lit(b), 1).otherwise(0)
-        ep = ep.withColumn("_bin", bin_expr)
-    else:
-        ep = ep.withColumn("_bin", F.lit(0))
+    ep = ep.withColumn(
+        "_bin",
+        quantile_bins(ep, F.col("_k"), ep.schema["_k"].dataType, num_bins),
+    )
 
     in_bin = (
         Window.partitionBy("_bin")
@@ -385,16 +404,17 @@ def max_concurrency(
     # together (min_by over the (-count, key) struct = "smallest key
     # among the rows with the largest count"), so the windowed subtree
     # executes exactly once instead of once per output column
-    peak = run.agg(
+    peak = run.select(
+        "_c",
+        F.struct((-F.col("_c")).alias("c"), F.col("_k").alias("k")).alias(
+            "_ord"
+        ),
+        F.col("_k").alias("_pk"),
+    ).agg(
         F.max("_c").alias("max_concurrent"),
-        (
-            F.min_by(
-                "_k", F.struct((-F.col("_c")).alias("c"), F.col("_k").alias("k"))
-            )
-            / 2
-        )
-        .cast("long")
-        .alias("first_peak_us"),
+        # integer halving (the key is 2t for the +1 rows where peaks
+        # occur) - float /2 would round keys past 2^53
+        F.expr("min_by(_pk, _ord) DIV 2").alias("first_peak_us"),
     )
     # count intervals from the persisted endpoints (one +1 each), not
     # from `intervals` - that branch would recompute the caller's

@@ -957,15 +957,20 @@ def pattern_e_version_log(spark, sf_dir):
     "sessionize_events",
     """
     WITH marked AS (
-      SELECT user_id, epoch_us(ts) AS ts_us, value,
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
              CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                   THEN 1 ELSE 0 END AS new_session
       FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), ids AS (
+      -- replay the marked window's total (ts, event_id) order: under
+      -- a leading-timestamp tie, ORDER BY ts_us alone could sum the
+      -- flags in a different row order and split the tie rows into
+      -- different sessions than the flag assignment assumed
       SELECT user_id, ts_us, value,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM marked
     )
@@ -5210,7 +5215,8 @@ def dq_validate_orders(spark, sf_dir):
            coalesce(b.sum_value, 0.0) AS sum_value
     FROM spine sp
     LEFT JOIN base b
-      ON sp.event_type = b.event_type AND sp.bucket = b.bucket
+      ON sp.event_type IS NOT DISTINCT FROM b.event_type
+     AND sp.bucket = b.bucket
     """,
 )
 def timeseries_gap_fill(spark, sf_dir):
@@ -5505,7 +5511,7 @@ def layout_zorder_buckets(spark, sf_dir):
     "timeseries_max_concurrency",
     """
     WITH marked AS (
-      SELECT user_id, epoch_us(ts) AS ts_us,
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id,
              CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
                           > 1800000000
@@ -5513,8 +5519,14 @@ def layout_zorder_buckets(spark, sf_dir):
       FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), ids AS (
+      -- the running flag sum MUST replay the marked window's total
+      -- (ts, event_id) order: under a leading-timestamp tie an
+      -- ORDER BY ts_us alone could visit the 0-flag row first and
+      -- split the tie rows into different sessions than Spark's
+      -- sessionize_batch
       SELECT user_id, ts_us,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM marked
     ), sess AS (

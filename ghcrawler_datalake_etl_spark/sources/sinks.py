@@ -360,8 +360,12 @@ class ParquetCatalog:
                 "bytes": total,
                 "compacted": False,
             }
+        # repartition, not overwrite's num_files coalesce: the rewrite
+        # scan of many small files packs into FEWER partitions than
+        # the byte target implies (maxPartitionBytes), and coalesce
+        # can only shrink - the target would silently not be honored
         self.overwrite(
-            self.read(name), name, num_files=target, sort_by=sort_by
+            self.read(name).repartition(target), name, sort_by=sort_by
         )
         new_path = self.current_path(name)
         after = sum(

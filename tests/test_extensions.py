@@ -2149,3 +2149,49 @@ def test_edit_distance_join_rejects_unimplemented_distance(spark):
     df = spark.createDataFrame([(1, "x")], "id long, s string")
     with pytest.raises(ValueError):
         edit_distance_join(df, "id", "s", max_dist=2)
+
+
+def test_gap_fill_null_key_group_keeps_its_aggregates(spark):
+    """Review catch: the spine join must be NULL-SAFE on keys - a NULL
+    key is a real GROUP BY group and its aggregates must not silently
+    zero-fill."""
+    from pyspark.sql import functions as F
+
+    from ghcrawler_datalake_etl_spark.operators.temporal import gap_fill
+
+    df = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:00:00", 1.0),
+            (None, "2024-01-01 01:00:00", 5.0),
+        ],
+        "k string, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = gap_fill(
+        df,
+        "ts",
+        ["k"],
+        [F.count(F.lit(1)).alias("n"), F.round(F.sum("v"), 2).alias("s")],
+        fill={"n": 0, "s": 0.0},
+    ).collect()
+    by = {(r["k"], r["bucket"].hour): (r["n"], r["s"]) for r in out}
+    assert by[(None, 1)] == (1, 5.0)     # the NULL group's REAL row
+    assert by[(None, 0)] == (0, 0.0)     # ... densified like any key
+    assert by[("a", 0)] == (1, 1.0)
+    assert len(out) == 4
+
+
+def test_max_concurrency_null_endpoints_dropped(spark):
+    """Review catch: a NULL endpoint must drop the WHOLE interval (a
+    half-kept one would corrupt the running sum)."""
+    from ghcrawler_datalake_etl_spark.operators.temporal import (
+        max_concurrency,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 10), (5, None), (None, 7), (6, 8)],
+        "s long, e long",
+    )
+    row = max_concurrency(df, "s", "e").collect()[0]
+    assert row["n_intervals"] == 2           # only the two full ones
+    assert row["max_concurrent"] == 2        # [0,10] and [6,8] overlap
+    assert row["first_peak_us"] == 6
