@@ -118,100 +118,83 @@ def bloom_prefiltered_join(
     return pref.join(dim, on, how)
 
 
+
 def edit_distance_join(
     df: DataFrame,
     id_col: str,
     str_col: str,
     max_dist: int = 1,
-    seg_len: int = 8,
 ) -> DataFrame:
     """Self-join on edit distance: pairs with
-    ``levenshtein(a, b) <= max_dist`` (currently max_dist=1), found via
-    the fixed-window segment filter (the PassJoin family of
-    partition-signature schemes, Li et al. 2011): a single edit at
-    position p leaves the first ``seg_len`` characters untouched when
-    p > seg_len, and the LAST ``seg_len`` characters untouched when
-    p <= len - seg_len. For strings of length >= 2*seg_len one of the
-    two always holds, so every qualifying pair matches EXACTLY on the
-    length-``seg_len`` prefix or the end-aligned suffix - candidates
-    come from two equi-joins, never a cross join - and the exact
-    ``levenshtein`` predicate prunes filter collisions.
+    ``levenshtein(a, b) <= max_dist`` (currently max_dist=1), via the
+    DELETION-NEIGHBORHOOD signature scheme (the FastSS / SymSpell
+    family): each string emits ``len + 1`` variants - itself plus
+    every single-character deletion - and any two strings within one
+    edit share at least one variant (substitution: delete the edited
+    position from both; insert/delete: the shorter string IS a variant
+    of the longer). Candidates come from ONE equi-join on the md5 of
+    the variant, and the exact ``levenshtein`` predicate prunes the
+    collisions (sharing a variant only bounds the distance by 2).
 
-    Strings shorter than ``2 * seg_len`` (where the prefix and suffix
-    windows overlap and the guarantee lapses) pair within a dedicated
-    short-bucket by length band - exact, and bounded as long as the
-    short tail is small (tune ``seg_len`` down for short-string
-    corpora). NULL strings never pair. Output:
-    ``(id_a, id_b, dist)`` with ``id_a < id_b``, deduplicated across
-    the signature channels.
+    Why not prefix/suffix segment filtering (PassJoin-style): a
+    segment key carries the UNCHANGED region, so it degenerates to an
+    all-pairs join whenever the corpus shares that region - measured:
+    TPC-H customer names all share their first 10 characters, and an
+    8-char-prefix channel put 15k rows in one signature group (~112M
+    candidate pairs, 272s at sf0.1). A deletion variant keys on
+    everything EXCEPT the edited position, so two strings collide only
+    when they agree on all of it - group sizes track true neighbor
+    counts, not shared affixes.
 
-    Scale: two equi-shuffles on 8-char keys plus the short-bucket
-    length-band join; the verify is a per-row levenshtein on
-    candidates only. Both engines implement classic Levenshtein, so a
-    DuckDB oracle replays the exact same pair set.
+    Costs and contracts: the signature frame is ``O(total chars)``
+    rows (each hashed to a 32-char md5) - sized for identifier-like
+    short strings (names, titles, URLs, SKUs), not documents; NULL
+    strings never pair; duplicate variants within one string (e.g.
+    deleting either 'a' of ``"aa"``) are deduplicated before the
+    join; empty strings work (their identity variant pairs them with
+    single-char strings). Output ``(id_a, id_b, dist)`` with
+    ``id_a < id_b``, distinct.
     """
     if max_dist != 1:
-        raise ValueError("segment scheme implemented for max_dist=1")
+        raise ValueError(
+            "deletion-neighborhood scheme implemented for max_dist=1"
+        )
     base = df.select(
         F.col(id_col).alias("_id"), F.col(str_col).alias("_s")
     ).where(F.col("_s").isNotNull())
-    long_s = base.where(F.length("_s") >= 2 * seg_len)
-    # the band bucket takes everything below 2*seg_len + max_dist: a
-    # short string (< 2*seg_len) can pair across the boundary with one
-    # of length up to 2*seg_len + max_dist - 1, and a pair is only
-    # guaranteed by the band join when BOTH members are in the bucket.
-    # Pairs whose members are both >= 2*seg_len ride the segment
-    # channel; overlap between channels folds in the final distinct.
-    short_s = base.where(F.length("_s") < 2 * seg_len + max_dist)
-
-    sigs = long_s.select(
-        "_id",
-        "_s",
-        F.explode(
-            F.array(
-                F.concat(F.lit("p:"), F.expr(f"left(_s, {seg_len})")),
-                F.concat(F.lit("s:"), F.expr(f"right(_s, {seg_len})")),
-            )
-        ).alias("_sig"),
+    sigs = (
+        base.select(
+            "_id",
+            "_s",
+            F.explode(F.sequence(F.lit(0), F.length("_s"))).alias("_i"),
+        )
+        # _i = length: substring past the end is '' on both engines,
+        # so the variant is the identity string itself
+        .select(
+            "_id",
+            "_s",
+            F.md5(
+                F.expr("concat(substring(_s, 1, _i), substring(_s, _i + 2))")
+            ).alias("_vh"),
+        )
+        .distinct()
     )
     a = sigs.select(
-        F.col("_id").alias("id_a"), F.col("_s").alias("sa"), "_sig"
+        F.col("_id").alias("id_a"), F.col("_s").alias("sa"), "_vh"
     )
     b = sigs.select(
-        F.col("_id").alias("id_b"), F.col("_s").alias("sb"), "_sig"
+        F.col("_id").alias("id_b"), F.col("_s").alias("sb"), "_vh"
     )
-    long_pairs = (
-        a.join(b, "_sig")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sa", "sb")
-    )
-
-    # short strings: length-band self-join (|len diff| <= max_dist);
-    # exact because the candidate set is a superset of every pair the
-    # segment filter could miss in the overlap regime
-    sa = short_s.select(
-        F.col("_id").alias("id_a"),
-        F.col("_s").alias("sa"),
-        F.length("_s").alias("_la"),
-    )
-    sb = short_s.select(
-        F.col("_id").alias("id_b"),
-        F.col("_s").alias("sb"),
-        F.length("_s").alias("_lb"),
-    )
-    short_pairs = (
-        sa.join(
-            sb,
-            (F.col("id_a") < F.col("id_b"))
-            & (F.abs(F.col("_la") - F.col("_lb")) <= max_dist),
-        )
-        .select("id_a", "id_b", "sa", "sb")
-    )
-
     return (
-        long_pairs.unionByName(short_pairs)
-        .withColumn("dist", F.levenshtein(F.col("sa"), F.col("sb")))
+        a.join(b, "_vh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("sa"), F.col("sb")).cast("long").alias(
+                "dist"
+            ),
+        )
         .where(F.col("dist") <= max_dist)
-        .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
         .distinct()
     )

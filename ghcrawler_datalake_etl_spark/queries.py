@@ -5757,38 +5757,33 @@ def sample_pps_systematic(spark, sf_dir):
     WITH c AS (
       SELECT c_custkey AS id, c_name AS s FROM customer
       WHERE c_name IS NOT NULL
-    ), longs AS (
-      SELECT * FROM c WHERE length(s) >= 16
+    ), v AS (
+      SELECT id, s, unnest(range(0, length(s) + 1)) AS i FROM c
     ), sigs AS (
-      SELECT id, s, 'p:' || left(s, 8) AS sig FROM longs
-      UNION ALL
-      SELECT id, s, 's:' || right(s, 8) AS sig FROM longs
-    ), lp AS (
-      SELECT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
-      FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.id < b.id
-    ), shorts AS (
-      SELECT * FROM c WHERE length(s) < 17
-    ), sp AS (
-      SELECT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
-      FROM shorts a JOIN shorts b
-        ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 1
+      SELECT DISTINCT id, s,
+             md5(substr(s, 1, CAST(i AS INT))
+                 || substr(s, CAST(i + 2 AS INT))) AS vh
+      FROM v
     )
-    SELECT DISTINCT id_a, id_b,
-           CAST(levenshtein(sa, sb) AS BIGINT) AS dist
-    FROM (SELECT * FROM lp UNION ALL SELECT * FROM sp)
-    WHERE levenshtein(sa, sb) <= 1
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+    FROM sigs a JOIN sigs b ON a.vh = b.vh AND a.id < b.id
+    WHERE levenshtein(a.s, b.s) <= 1
     """,
 )
 def j7_edit_distance_join(spark, sf_dir):
     """Edit-distance self-join over customer names
-    (operators/joins.edit_distance_join, the PassJoin-style fixed-
-    window segment filter): every pair within Levenshtein distance 1,
-    found from two 8-char prefix/suffix equi-joins plus a short-string
-    length band - never a cross join - then verified exactly. The
-    synthetic Customer#NNNNNNNNN names make single-digit neighbors
-    genuine distance-1 pairs, so the filter, the verify and the
-    channel dedup all do real work. Both engines implement classic
-    Levenshtein, so the oracle replays the pair set exactly."""
+    (operators/joins.edit_distance_join, deletion-neighborhood
+    signatures a la FastSS/SymSpell): every pair within Levenshtein
+    distance 1, candidates from ONE equi-join on single-deletion
+    variant hashes, verified exactly. The synthetic Customer#NNNNNNNNN
+    names make single-digit neighbors genuine distance-1 pairs AND
+    share a constant 10-char prefix - the input that collapsed the
+    initial prefix-segment scheme into an all-pairs join (272s at
+    sf0.1; deletion variants key on everything EXCEPT the edited
+    position, so they cannot degenerate on shared affixes). Both
+    engines implement classic Levenshtein and md5, so the oracle
+    replays the pair set exactly."""
     from ghcrawler_datalake_etl_spark.operators.joins import (
         edit_distance_join,
     )
