@@ -738,3 +738,47 @@ def test_sketch_hashes_match_pure_python(spark, values):
             % SK.CMS_WIDTH
         )
         assert got[v] == (b, rho_py, kmv_py, cms_py), v
+
+
+# ---------------------------------------------------------------------
+# deletion-neighborhood signature completeness (round 5)
+# ---------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    """Textbook Levenshtein DP (what both engines implement)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _variants(s: str) -> set[str]:
+    """Identity + every single-character deletion - the signature set
+    edit_distance_join emits per string (pre-md5)."""
+    return {s} | {s[:i] + s[i + 1:] for i in range(len(s))}
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    st.text(alphabet="ab", max_size=6),
+    st.text(alphabet="ab", max_size=6),
+)
+def test_deletion_neighborhood_is_complete_and_2_bounded(a, b):
+    """The invariant the join rests on: lev(a,b) <= 1 IMPLIES a shared
+    variant (no false negatives - completeness), and a shared variant
+    IMPLIES lev(a,b) <= 2 (so the exact verify only ever prunes, never
+    rescues). The tiny 'ab' alphabet maximizes collisions and repeated
+    characters (the palindromic-deletion dedup case)."""
+    shared = bool(_variants(a) & _variants(b))
+    if _lev(a, b) <= 1:
+        assert shared, (a, b)
+    if shared:
+        assert _lev(a, b) <= 2, (a, b)
