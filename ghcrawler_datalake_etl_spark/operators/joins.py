@@ -132,8 +132,8 @@ def edit_distance_join(
     every single-character deletion - and any two strings within one
     edit share at least one variant (substitution: delete the edited
     position from both; insert/delete: the shorter string IS a variant
-    of the longer). Candidates come from ONE equi-join on the md5 of
-    the variant, and the exact ``levenshtein`` predicate prunes the
+    of the longer). Candidates come from ONE equi-join on the variant
+    itself, and the exact ``levenshtein`` predicate prunes the
     collisions (sharing a variant only bounds the distance by 2).
 
     Why not prefix/suffix segment filtering (PassJoin-style): a
@@ -147,8 +147,10 @@ def edit_distance_join(
     counts, not shared affixes.
 
     Costs and contracts: the signature frame is ``O(total chars)``
-    rows (each hashed to a 32-char md5) - sized for identifier-like
-    short strings (names, titles, URLs, SKUs), not documents; NULL
+    rows keyed on the raw variant string (collision-free; swap in
+    ``F.xxhash64`` for a fixed 8-byte key if variants ever get long) -
+    sized for identifier-like short strings (names, titles, URLs,
+    SKUs), not documents; NULL
     strings never pair; duplicate variants within one string (e.g.
     deleting either 'a' of ``"aa"``) are deduplicated before the
     join; empty strings work (their identity variant pairs them with
@@ -173,8 +175,8 @@ def edit_distance_join(
         .select(
             "_id",
             "_s",
-            F.md5(
-                F.expr("concat(substring(_s, 1, _i), substring(_s, _i + 2))")
+            F.expr(
+                "concat(substring(_s, 1, _i), substring(_s, _i + 2))"
             ).alias("_vh"),
         )
         .distinct()

@@ -5761,8 +5761,8 @@ def sample_pps_systematic(spark, sf_dir):
       SELECT id, s, unnest(range(0, length(s) + 1)) AS i FROM c
     ), sigs AS (
       SELECT DISTINCT id, s,
-             md5(substr(s, 1, CAST(i AS INT))
-                 || substr(s, CAST(i + 2 AS INT))) AS vh
+             substr(s, 1, CAST(i AS INT))
+               || substr(s, CAST(i + 2 AS INT)) AS vh
       FROM v
     )
     SELECT DISTINCT a.id AS id_a, b.id AS id_b,
@@ -5782,8 +5782,8 @@ def j7_edit_distance_join(spark, sf_dir):
     initial prefix-segment scheme into an all-pairs join (272s at
     sf0.1; deletion variants key on everything EXCEPT the edited
     position, so they cannot degenerate on shared affixes). Both
-    engines implement classic Levenshtein and md5, so the oracle
-    replays the pair set exactly."""
+    engines implement classic Levenshtein and the variant key is the
+    raw string, so the oracle replays the pair set exactly."""
     from ghcrawler_datalake_etl_spark.operators.joins import (
         edit_distance_join,
     )

@@ -2089,13 +2089,13 @@ def test_edit_distance_join_exact_pair_set(spark):
     )
 
     rows = [
-        (1, "abcdefgh12345678"),    # len 16 (long channel)
+        (1, "abcdefgh12345678"),
         (2, "abcdefgh12345679"),    # sub at the end -> dist 1 to #1
         (3, "Xbcdefgh12345678"),    # sub at the start -> dist 1 to #1
-        (4, "abcdefgh1234567"),     # len 15: DELETE from #1 -> dist 1
-        (5, "completely other"),    # len 16, far from all
-        (6, "zz"),                  # short bucket
-        (7, "zx"),                  # dist 1 to #6
+        (4, "abcdefgh1234567"),     # #1 minus its last char -> dist 1
+        (5, "completely other"),    # same length, far from all
+        (6, "zz"),                  # two-char strings: variants {zz,z}
+        (7, "zx"),                  # shares variant "z" -> dist 1
         (8, None),                  # never pairs
     ]
     df = spark.createDataFrame(rows, "id long, s string")
@@ -2103,14 +2103,16 @@ def test_edit_distance_join_exact_pair_set(spark):
         (r["id_a"], r["id_b"]): r["dist"]
         for r in edit_distance_join(df, "id", "s").collect()
     }
-    # the boundary pairs (len 15 vs len 16) are the channel-overlap
-    # case; (2,4) too: deleting the final '9' of #2 gives #4
+    # #4 is a single-deletion variant of BOTH #1 and #2 (drop the
+    # final char), so the cross-length pairs ride the identity-variant
+    # arm of the scheme
     assert got == {(1, 2): 1, (1, 3): 1, (1, 4): 1, (2, 4): 1, (6, 7): 1}
 
 
 def test_edit_distance_join_no_false_negatives_bruteforce(spark):
     """Differential against a brute-force cross join on a corpus built
-    to exercise every edit position and both channels."""
+    to exercise every edit position (substitutions and deletions at
+    each index) through the deletion-variant signatures."""
     from pyspark.sql import functions as F
 
     from ghcrawler_datalake_etl_spark.operators.joins import (
