@@ -33,6 +33,9 @@ ORDERS_ONLY = [
     # z-order stats: NULL custkey/orderdate dropped identically; the
     # tiny corpus drives the near-degenerate min/max scaling arms
     "layout_zorder_buckets",
+    # edit-distance join: NULL names never pair, ""/"b" pair through
+    # the identity variant, and a genuine distance-1 name pair
+    "j7_edit_distance_join",
 ]
 
 
@@ -62,12 +65,12 @@ def _write_orders(folder, rows) -> None:
 
 def _write_customer(folder, rows) -> None:
     df = pd.DataFrame(
-        rows, columns=["c_custkey", "c_mktsegment", "c_acctbal"]
+        rows, columns=["c_custkey", "c_name", "c_mktsegment", "c_acctbal"]
     )
     con = duckdb.connect()
     con.register("c", df)
     con.execute(
-        "COPY (SELECT CAST(c_custkey AS BIGINT) AS c_custkey,"
+        "COPY (SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,"
         " c_mktsegment, CAST(c_acctbal AS DOUBLE) AS c_acctbal"
         " FROM c) TO"
         f" '{folder}/customer.parquet' (FORMAT PARQUET)"
@@ -92,10 +95,17 @@ def degenerate_orders_dir(tmp_path_factory):
     _write_customer(
         folder,
         [
-            (10, "BUILDING", 9000.0),
-            (11, "MACHINERY", 100.0),   # fails acctbal filter
-            (12, "AUTOMOBILE", 8000.0),
-            (None, "HOUSEHOLD", 9999.0),  # NULL dim key
+            # c_name values drive j7: "Cust#10"/"Cust#11" are a real
+            # distance-1 pair, "ab"/"b" pair through the identity
+            # variant, NULL names never pair, "" pairs with "b"
+            (10, "Cust#10", "BUILDING", 9000.0),
+            (11, "Cust#11", "MACHINERY", 100.0),  # fails acctbal filter
+            (12, None, "AUTOMOBILE", 8000.0),      # NULL name
+            (None, "ab", "HOUSEHOLD", 9999.0),     # NULL dim key
+            # keys 20/21 on purpose: custkey 13 must STAY missing from
+            # the dim so dq's referential check keeps its failing arm
+            (20, "b", "FURNITURE", 1.0),
+            (21, "", "FURNITURE", 2.0),            # empty-string name
         ],
     )
     return str(folder)
@@ -144,6 +154,7 @@ def empty_orders_dir(tmp_path_factory):
     )
     con.execute(
         "COPY (SELECT CAST(NULL AS BIGINT) AS c_custkey,"
+        " CAST(NULL AS VARCHAR) AS c_name,"
         " CAST(NULL AS VARCHAR) AS c_mktsegment,"
         " CAST(NULL AS DOUBLE) AS c_acctbal WHERE false) TO"
         f" '{folder}/customer.parquet' (FORMAT PARQUET)"
@@ -170,6 +181,7 @@ def ddb_empty_orders(empty_orders_dir):
         "j6_bloom_prefilter_join",
         "dq_validate_orders",
         "layout_zorder_buckets",
+        "j7_edit_distance_join",
     ],
 )
 def test_empty_orders_match_oracle(
