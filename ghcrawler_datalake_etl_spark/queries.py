@@ -5793,6 +5793,71 @@ def j7_edit_distance_join(spark, sf_dir):
 
 
 # =====================================================================
+# CDC changefeed apply (sources/sinks.ParquetCatalog.apply_changes)
+# =====================================================================
+
+@register(
+    "dim_apply_changes",
+    """
+    WITH base AS (
+      SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+      FROM customer
+    )
+    SELECT c_custkey, c_name, acctbal FROM base
+    WHERE c_custkey % 10 NOT IN (0, 1)
+    UNION ALL
+    SELECT c_custkey, c_name, round(acctbal + 100, 2) AS acctbal
+    FROM base WHERE c_custkey % 10 = 1
+    UNION ALL
+    SELECT c_custkey + 1000000 AS c_custkey, c_name, acctbal
+    FROM base WHERE c_custkey % 10 = 2
+    """,
+)
+def dim_apply_changes(spark, sf_dir):
+    """CDC changefeed apply (ParquetCatalog.apply_changes - the MERGE
+    INTO ... WHEN MATCHED UPDATE/DELETE / WHEN NOT MATCHED INSERT
+    shape): bootstrap a bucketed customer dimension, then apply ONE
+    feed carrying all three op kinds - every custkey%10==0 row
+    deleted, %10==1 updated (+100 balance), %10==2 re-inserted under a
+    new key - and return the post-apply snapshot. Deletes ride the
+    merge's anti-join set without touching the union side, so the
+    bucket-pruned rewrite and the atomic pointer flip are exactly
+    merge_upsert's; the oracle states the final table directly."""
+    from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+    )
+    wh = _run_tmp("cdc_wh")
+    cat = ParquetCatalog(spark, wh)
+    cat.merge_upsert(cust, "CustDim", ["c_custkey"], num_buckets=8)
+    changes = (
+        cust.where(F.col("c_custkey") % 10 == 0)
+        .select("c_custkey", "c_name", "acctbal", F.lit("D").alias("op"))
+        .unionByName(
+            cust.where(F.col("c_custkey") % 10 == 1).select(
+                "c_custkey",
+                "c_name",
+                F.round(F.col("acctbal") + 100, 2).alias("acctbal"),
+                F.lit("U").alias("op"),
+            )
+        )
+        .unionByName(
+            cust.where(F.col("c_custkey") % 10 == 2).select(
+                (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+                "c_name",
+                "acctbal",
+                F.lit("I").alias("op"),
+            )
+        )
+    )
+    cat.apply_changes(changes, "CustDim", ["c_custkey"], num_buckets=8)
+    return cat.read("CustDim")
+
+
+# =====================================================================
 # Driver-window ordering
 # =====================================================================
 # The build driver records CORRECTNESS rows for the FIRST 50 registry
@@ -5944,7 +6009,12 @@ _DRIVER_ORDER = [
     #    pandas-GEMM twin stays pinned by its pytest equivalence --
     "j7_edit_distance_join",
     "sim_ivf_kmeans_topk",
-    "pipeline_chunk_dedup_pack",
+    # -- round-5: CDC changefeed apply with deletes (the MERGE INTO
+    #    shape on the bucketed catalog). Slot ceded by the double-green
+    #    (r03+r04) pipeline_chunk_dedup_pack; the pipeline family keeps
+    #    tokenize_pack + quality_mix_pack in-window and chunking stays
+    #    oracle-checked via those compositions --
+    "dim_apply_changes",
     # -- round-5: the composed tokenizer path (train -> encode ids ->
     #    pack). Slot ceded by the double-green (r03+r04)
     #    dedup_minhash_clusters, a composition whose two parts
@@ -6032,6 +6102,7 @@ _DRIVER_ORDER = [
     "text_repetition_metrics",
     "sample_target_mix",
     "sim_knn_pandas_gemm",
+    "pipeline_chunk_dedup_pack",
     # round-5 late rotations for the sketch family (triple-green
     # r02+r03+r04; see the in-window slot comments):
     "dedup_simhash_values",

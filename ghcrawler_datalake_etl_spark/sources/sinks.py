@@ -165,6 +165,7 @@ class ParquetCatalog:
         key_cols: Sequence[str],
         num_buckets: int = 32,
         dense_rewrite_fraction: float = 0.5,
+        delete_keys: DataFrame | None = None,
     ) -> dict[str, int]:
         """Key-level upsert that rewrites ONLY the hash buckets the delta
         touches - the incremental alternative to ``overwrite`` for the
@@ -202,6 +203,12 @@ class ParquetCatalog:
         linked. The affected-bucket pull needed for the decision is the
         one the pruned path does anyway.
 
+        ``delete_keys`` (a frame of just ``key_cols``) removes those
+        keys in the SAME merge: deleted keys join the anti-join set and
+        the affected-bucket set but never the union side, so a delete
+        is a bucket rewrite without the row - the CDC building block
+        :meth:`apply_changes` uses. Deleting an absent key is a no-op.
+
         Returns {"rewritten": n, "linked": m} bucket counts (a full
         rewrite reports every non-empty bucket as rewritten).
         """
@@ -235,13 +242,23 @@ class ParquetCatalog:
         delta = delta.persist()
         delta.count()  # eager, so concurrent consumers never race
         delta_b = delta.withColumn(_BUCKET_COL, bucket)
+        # the anti-join key set: upserted keys, plus deleted keys when
+        # a CDC feed rides along (deletes never reach the union side)
+        anti_keys = delta.select(*key_cols).distinct()
+        if delete_keys is not None:
+            anti_keys = (
+                anti_keys.unionByName(
+                    delete_keys.select(*key_cols)
+                ).distinct().persist()
+            )
+            anti_keys.count()
 
         if old_version is None or not compatible:
             # bootstrap (or re-bucket): full write, partitioned layout
             current = self.read_or_none(name)
             if current is not None:
                 merged = current.join(
-                    delta.select(*key_cols).distinct(), key_cols, "left_anti"
+                    anti_keys, key_cols, "left_anti"
                 ).unionByName(delta)
             else:
                 merged = delta
@@ -260,7 +277,10 @@ class ParquetCatalog:
         else:
             affected = sorted(
                 r[0]
-                for r in delta_b.select(_BUCKET_COL).distinct().collect()
+                for r in anti_keys.withColumn(_BUCKET_COL, bucket)
+                .select(_BUCKET_COL)
+                .distinct()
+                .collect()
             )
             cur_path = self.current_path(name)
             old_df = self._read_files(cur_path)
@@ -268,7 +288,7 @@ class ParquetCatalog:
                 # dense delta: merge machinery costs more than it saves
                 # (docstring) - bucketed full rewrite, nothing linked
                 merged = old_df.join(
-                    delta.select(*key_cols).distinct(), key_cols, "left_anti"
+                    anti_keys, key_cols, "left_anti"
                 ).unionByName(delta_b.select(*old_df.columns))
                 merged.repartition(
                     num_buckets, F.col(_BUCKET_COL)
@@ -283,11 +303,7 @@ class ParquetCatalog:
             else:
                 survivors = (
                     old_df.filter(F.col(_BUCKET_COL).isin(affected))
-                    .join(
-                        delta.select(*key_cols).distinct(),
-                        key_cols,
-                        "left_anti",
-                    )
+                    .join(anti_keys, key_cols, "left_anti")
                 )
                 merged = survivors.unionByName(
                     delta_b.select(*survivors.columns)
@@ -322,7 +338,48 @@ class ParquetCatalog:
         os.replace(tmp_ptr, os.path.join(tdir, _POINTER))  # atomic flip
         self.vacuum(name, keep_last=self.retain)
         delta.unpersist(blocking=False)
+        if delete_keys is not None:
+            anti_keys.unpersist(blocking=False)
         return stats
+
+    def apply_changes(
+        self,
+        changes: DataFrame,
+        name: str,
+        key_cols: Sequence[str],
+        op_col: str = "op",
+        num_buckets: int = 32,
+        dense_rewrite_fraction: float = 0.5,
+    ) -> dict[str, int]:
+        """Apply a CDC change feed in one merge: rows whose ``op_col``
+        is ``'D'`` delete their key, everything else ('I'/'U' - the
+        merge treats them identically, latest-wins per key) upserts the
+        row (without the op column). One new snapshot version, one
+        atomic pointer flip, the same bucket-pruned rewrite as
+        :meth:`merge_upsert` - the MERGE INTO ... WHEN MATCHED
+        [UPDATE|DELETE] / WHEN NOT MATCHED INSERT shape of a
+        Delta/Iceberg changefeed apply.
+
+        The feed must carry every ``key_cols`` column; when one key
+        carries BOTH a delete and an upsert in the same feed, the
+        upsert wins: the delete removes the key's OLD row (anti-join)
+        and the upsert row still lands on the union side - i.e. a
+        delete+insert replay collapses to the insert. Feeds where
+        op ORDER must decide (e.g. insert-then-delete) must be reduced
+        to their final op per key before applying. Deleting an absent
+        key is a no-op.
+        """
+        op = F.upper(F.col(op_col))
+        ups = changes.where(op != "D").drop(op_col)
+        dels = changes.where(op == "D").select(*list(key_cols)).distinct()
+        return self.merge_upsert(
+            ups,
+            name,
+            key_cols,
+            num_buckets=num_buckets,
+            dense_rewrite_fraction=dense_rewrite_fraction,
+            delete_keys=dels,
+        )
 
     def compact(
         self,

@@ -552,3 +552,65 @@ def test_merge_upsert_one_file_per_bucket(spark, tmp_path):
             "partitioned write is fragmenting buckets"
         )
 
+
+
+def test_apply_changes_cdc_ops(spark, tmp_path):
+    """CDC apply: deletes remove keys via the anti-join set, upserts
+    update/insert, untouched buckets re-link (same pruned path as
+    merge_upsert), and the result lands as one new atomic version."""
+    from pyspark.sql import functions as F
+
+    from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k long, val string"
+    )
+    cat.merge_upsert(base, "T", ["k"], num_buckets=16)
+    v0 = max(cat.versions("T"))
+
+    changes = spark.createDataFrame(
+        [
+            (1, None, "D"),          # delete existing
+            (2, "updated", "U"),     # update existing
+            (200, "new", "I"),       # insert new key
+            (999, None, "D"),        # delete absent key: no-op
+        ],
+        "k long, val string, op string",
+    )
+    stats = cat.apply_changes(changes, "T", ["k"], num_buckets=16)
+    got = {r["k"]: r["val"] for r in cat.read("T").collect()}
+    assert 1 not in got
+    assert got[2] == "updated"
+    assert got[200] == "new"
+    assert len(got) == 100  # -1 delete +1 insert
+    assert max(cat.versions("T")) == v0 + 1
+    # pruned path: only the touched buckets rewrote, the rest linked
+    assert 1 <= stats["rewritten"] <= 4
+    assert stats["rewritten"] + stats["linked"] == 16
+
+
+def test_apply_changes_delete_only_and_conflict(spark, tmp_path):
+    from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(20)], "k long, v long"
+    )
+    cat.merge_upsert(base, "T", ["k"], num_buckets=4)
+
+    # delete-only feed
+    feed = spark.createDataFrame(
+        [(3, None, "D"), (7, None, "D")], "k long, v long, op string"
+    )
+    cat.apply_changes(feed, "T", ["k"], num_buckets=4)
+    keys = {r["k"] for r in cat.read("T").collect()}
+    assert keys == set(range(20)) - {3, 7}
+
+    # same key carries D and U in one feed: the upsert wins (documented)
+    feed = spark.createDataFrame(
+        [(5, 999, "D"), (5, 555, "U")], "k long, v long, op string"
+    )
+    cat.apply_changes(feed, "T", ["k"], num_buckets=4)
+    got = {r["k"]: r["v"] for r in cat.read("T").collect()}
+    assert got[5] == 555

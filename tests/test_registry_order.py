@@ -225,6 +225,10 @@ OUT_OF_WINDOW_OK = {
     # knn_graph / pq_adc in-window and the pandas-GEMM twin stays
     # pinned by its pytest equivalence suite:
     "sim_knn_pandas_gemm": "evidence",
+    # round-5 late rotation (double-green r03+r04), ceding its slot to
+    # dim_apply_changes; the pipeline family keeps tokenize_pack +
+    # quality_mix_pack in-window:
+    "pipeline_chunk_dedup_pack": "evidence",
     # batch twins of the streaming surface, green r1, out-of-window
     # since round 2 (the "stream_" prefix joined EXTENSION_PREFIXES in
     # round 5 when the true streaming run entered the window):
