@@ -541,6 +541,12 @@ def clean_lines(col: ColumnOrName) -> Column:
 #: vocabulary only, no executor storage.
 _BPE_CACHE: dict[tuple, tuple[list, list]] = {}
 
+#: memo for use_cache=True id-encodings: (plan semanticHash, id_col,
+#: text_col, num_merges, strategy) -> the PERSISTED encoded frame.
+#: Unlike _BPE_CACHE this holds executor storage (one corpus-sized
+#: (doc_id, n_ids, ids_csv) projection); same immutable-input contract.
+_BPE_IDS_CACHE: dict[tuple, "DataFrame"] = {}
+
 
 def _bpe_train_driver(
     df: DataFrame, text_col: str, num_merges: int, use_cache: bool = False
@@ -777,6 +783,22 @@ def bpe_encode_ids(
     """
     from pyspark.sql import Window
 
+    # use_cache=True additionally memoizes the ENCODED frame (persisted;
+    # same immutable-input contract as _BPE_CACHE): the tokenizer path's
+    # consumers (shard packing, fertility, the store round trip) all
+    # encode the same corpus with the same model, and re-running the
+    # vocabulary join + per-doc assembly for each of them is the
+    # dominant repeated cost once the model itself is memoized.
+    key = None
+    if use_cache:
+        try:
+            key = (df.semanticHash(), id_col, text_col, num_merges,
+                   strategy)
+        except Exception:
+            key = None
+        if key is not None and key in _BPE_IDS_CACHE:
+            return _BPE_IDS_CACHE[key]
+
     _, vocab = bpe_train_merges(
         df, text_col, num_merges, strategy=strategy, use_cache=use_cache
     )
@@ -797,7 +819,7 @@ def bpe_encode_ids(
         "doc_id", "pos", F.posexplode("syms").alias("spos", "sym")
     )
     with_ids = doc_syms.join(F.broadcast(sym_tab), "sym")
-    return with_ids.groupBy("doc_id").agg(
+    encoded = with_ids.groupBy("doc_id").agg(
         F.count("*").alias("n_ids"),
         F.array_join(
             F.transform(
@@ -809,6 +831,11 @@ def bpe_encode_ids(
             ",",
         ).alias("ids_csv"),
     )
+    if key is not None:
+        encoded = encoded.persist()
+        encoded.count()  # materialize once; later callers reuse
+        _BPE_IDS_CACHE[key] = encoded
+    return encoded
 
 
 def bpe_encode_stats(

@@ -53,16 +53,25 @@ def write_token_shards(
     file) - one row per written file. Executor-side IO: each shard
     group serializes and writes its own file; the driver never holds
     shard bytes."""
+    import numpy as np
     import pandas as pd
 
     from ghcrawler_datalake_etl_spark.operators.sampling import pack_shards
 
     os.makedirs(path, exist_ok=True)
+    # CSV -> array<int> happens HERE, inside whole-stage codegen: the
+    # Python writer below receives numpy id arrays over Arrow and never
+    # parses an element (the per-element int(csv.split(...)) loop was
+    # the write path's Python boundary, the twin of the reader's old
+    # per-row yield). NULL/empty csv -> empty sequence by contract.
+    ids_arr = F.when(
+        F.col(ids_col).isNull() | (F.col(ids_col) == ""),
+        F.array().cast("array<int>"),
+    ).otherwise(F.split(F.col(ids_col), ",").cast("array<int>"))
     weighted = ids_df.select(
         F.col(id_col).alias("doc_id"),
-        F.col(ids_col).alias("_csv"),
-        F.size(F.split(F.col(ids_col), ",")).cast("double").alias("_w"),
-    )
+        ids_arr.alias("_ids"),
+    ).withColumn("_w", F.size("_ids").cast("double"))
     # the id-encoding upstream is expensive and pack's plan branches
     # (quantile sketch, per-bin window, offsets) plus the write each
     # re-evaluate their input - persist the narrow weighted projection
@@ -76,11 +85,11 @@ def write_token_shards(
         n_tokens = 0
         with open(fname, "wb") as fh:
             fh.write(MAGIC + bytes([VERSION]))
-            for doc_id, csv in zip(pdf["doc_id"], pdf["_csv"]):
-                ids = [int(x) for x in csv.split(",")] if csv else []
-                n_tokens += len(ids)
-                fh.write(struct.pack("<QI", int(doc_id), len(ids)))
-                fh.write(struct.pack(f"<{len(ids)}I", *ids))
+            for doc_id, ids in zip(pdf["doc_id"], pdf["_ids"]):
+                arr = np.asarray(ids, dtype="<u4")
+                n_tokens += arr.size
+                fh.write(struct.pack("<QI", int(doc_id), arr.size))
+                fh.write(arr.tobytes())
         return pd.DataFrame(
             {
                 "shard_id": [sid],
@@ -110,6 +119,18 @@ class _TokenShardReader(DataSourceReader):
         if not self.path:
             raise ValueError("tokshard: 'path' option is required")
         self.max_partitions = int(options.get("maxPartitions", 64))
+        # "arrow" (default): yield ONE pyarrow.RecordBatch per shard
+        # file - doc ids / lengths / the flat token buffer cross the
+        # Python->JVM boundary as columnar buffers (ids zero-copy from
+        # the <u4 mmap view). "rows": the legacy per-row tuple yield,
+        # kept so the batch-vs-row equality contract stays testable
+        # end-to-end through Spark.
+        self.batch_mode = options.get("batchMode", "arrow")
+        if self.batch_mode not in ("arrow", "rows"):
+            raise ValueError(
+                f"tokshard: batchMode must be 'arrow' or 'rows', "
+                f"got {self.batch_mode!r}"
+            )
 
     def partitions(self):
         files = sorted(
@@ -127,24 +148,78 @@ class _TokenShardReader(DataSourceReader):
             groups[i % n_parts].append(e)
         return [_ShardPartition(g) for g in groups if g]
 
+    @staticmethod
+    def _parse(file_path: str):
+        """Walk one shard file's records; returns (doc_ids u64 array,
+        n_ids u32 array, id_slices list-of-<u4-views). One Python step
+        per RECORD (header decode); token payloads stay numpy views
+        over the file buffer, never element-iterated."""
+        import numpy as np
+
+        with open(file_path, "rb") as fh:
+            data = fh.read()
+        if data[:4] != MAGIC or data[4] != VERSION:
+            raise ValueError(f"bad tokshard header in {file_path}")
+        pos, n = 5, len(data)
+        doc_ids: list[int] = []
+        lens: list[int] = []
+        slices: list = []
+        while pos < n:
+            doc_id, n_ids = struct.unpack_from("<QI", data, pos)
+            pos += 12
+            slices.append(
+                np.frombuffer(data, dtype="<u4", count=n_ids, offset=pos)
+            )
+            pos += 4 * n_ids
+            doc_ids.append(doc_id)
+            lens.append(n_ids)
+        return (
+            np.asarray(doc_ids, dtype=np.int64),
+            np.asarray(lens, dtype=np.int32),
+            slices,
+        )
+
     def read(self, partition: _ShardPartition):
         import numpy as np
 
+        if self.batch_mode == "rows":
+            for file_path, shard_id in partition.files:
+                doc_ids, lens, slices = self._parse(file_path)
+                for doc_id, n_ids, ids in zip(doc_ids, lens, slices):
+                    yield (shard_id, int(doc_id), int(n_ids),
+                           [int(x) for x in ids])
+            return
+
+        import pyarrow as pa
+
         for file_path, shard_id in partition.files:
-            with open(file_path, "rb") as fh:
-                data = fh.read()
-            if data[:4] != MAGIC or data[4] != VERSION:
-                raise ValueError(f"bad tokshard header in {file_path}")
-            pos = 5
-            n = len(data)
-            while pos < n:
-                doc_id, n_ids = struct.unpack_from("<QI", data, pos)
-                pos += 12
-                ids = np.frombuffer(
-                    data, dtype="<u4", count=n_ids, offset=pos
-                )
-                pos += 4 * n_ids
-                yield (shard_id, doc_id, n_ids, [int(x) for x in ids])
+            doc_ids, lens, slices = self._parse(file_path)
+            n_rows = len(doc_ids)
+            # flat token buffer + int32 offsets -> ListArray; the <u4
+            # payload reinterprets as int32 bit-for-bit (view, no copy)
+            # to match the declared array<int> schema, identical to the
+            # old per-element int() path for any id < 2^31.
+            values = (
+                np.concatenate(slices) if slices
+                else np.empty(0, dtype="<u4")
+            ).view("<i4")
+            offsets = np.zeros(n_rows + 1, dtype=np.int32)
+            np.cumsum(lens, out=offsets[1:])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(
+                        np.full(n_rows, shard_id, dtype=np.int64),
+                        type=pa.int64(),
+                    ),
+                    pa.array(doc_ids, type=pa.int64()),
+                    pa.array(lens, type=pa.int32()),
+                    pa.ListArray.from_arrays(
+                        pa.array(offsets, type=pa.int32()),
+                        pa.array(values, type=pa.int32()),
+                    ),
+                ],
+                names=["shard_id", "doc_id", "n_ids", "ids"],
+            )
 
 
 class TokenShardDataSource(DataSource):
@@ -163,7 +238,14 @@ class TokenShardDataSource(DataSource):
         return _TokenShardReader(self.options)
 
 
-def read_token_shards(spark, path: str) -> DataFrame:
+def read_token_shards(
+    spark, path: str, batch_mode: str = "arrow"
+) -> DataFrame:
     """Register (idempotent) and read a shard store."""
     spark.dataSource.register(TokenShardDataSource)
-    return spark.read.format("tokshard").option("path", path).load()
+    return (
+        spark.read.format("tokshard")
+        .option("path", path)
+        .option("batchMode", batch_mode)
+        .load()
+    )

@@ -1478,6 +1478,33 @@ def test_tokshard_store_roundtrip_and_batched_partitions(spark, tmp_path):
         TS.read_token_shards(spark, bad).collect()
 
 
+def test_tokshard_arrow_batch_equals_row_read(spark, tmp_path):
+    """The Arrow-batched reader (one RecordBatch per shard file, ids
+    zero-copy from the <u4 buffer) returns EXACTLY the rows of the
+    legacy per-row tuple path, end-to-end through Spark — including
+    empty id lists and a record landing at the end of a file."""
+    from ghcrawler_datalake_etl_spark.sources import tokshard as TS
+
+    rows = [(i, ",".join(str((i * 13 + j) % 97) for j in range(i % 5)))
+            for i in range(60)]
+    # i % 5 == 0 -> empty csv -> empty ids list
+    df = spark.createDataFrame(
+        [(i, "" if i % 5 == 0 else csv) for i, csv in rows],
+        "doc_id long, ids_csv string",
+    )
+    root = str(tmp_path / "store")
+    TS.write_token_shards(df, root, budget=7).collect()
+    arrow = TS.read_token_shards(spark, root, batch_mode="arrow")
+    legacy = TS.read_token_shards(spark, root, batch_mode="rows")
+    assert arrow.schema == legacy.schema
+    key = lambda r: r["doc_id"]  # noqa: E731
+    a, b = sorted(arrow.collect(), key=key), sorted(legacy.collect(), key=key)
+    assert a == b and len(a) == 60
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="batchMode"):
+        TS.read_token_shards(spark, root, batch_mode="nope").collect()
+
+
 # ---------------------------------------------------------------------
 # temporal.gap_fill (round 5)
 # ---------------------------------------------------------------------
