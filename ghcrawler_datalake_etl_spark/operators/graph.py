@@ -88,11 +88,22 @@ def pagerank(
         "rank_scaled", F.lit(scale // n).cast("long")
     )
     for _ in range(iterations):
+        # contrib = rank*w DIV ow, decomposed so no intermediate
+        # product can overflow BIGINT for any realistic weights:
+        #   rank = q*ow + r  =>  rank*w DIV ow = q*w + (r*w DIV ow)
+        # q*w <= rank (because w <= ow), and r*w < ow*w <= ow^2 - the
+        # naive rank*w wrapped silently (non-ANSI) once an aggregated
+        # edge weight passed ~9.2e6 at scale=1e12; the decomposed form
+        # is exact until a node's TOTAL out-weight exceeds ~3e9
+        # (sqrt(2^63)), which a caller can always rescale away.
         contribs = (
             ew.join(ranks, ew["_src"] == ranks["node"])
             .select(
                 F.col("_dst").alias("node"),
-                F.expr("rank_scaled * _w DIV _ow").alias("_c"),
+                F.expr(
+                    "(rank_scaled DIV _ow) * _w"
+                    " + ((rank_scaled % _ow) * _w) DIV _ow"
+                ).alias("_c"),
             )
             .groupBy("node")
             .agg(F.sum("_c").alias("_in"))

@@ -104,6 +104,14 @@ def bloom_prefiltered_join(
         bloom_probe,
     )
 
+    # the prefilter DROPS fact rows before the join, which only
+    # preserves semantics when unmatched fact rows are dropped anyway;
+    # an outer join would silently lose the rows it must keep
+    if how not in ("inner", "semi", "left_semi", "leftsemi"):
+        raise ValueError(
+            f"bloom_prefiltered_join is semantics-preserving only for "
+            f"inner/left_semi joins, got how={how!r}"
+        )
     bits = bloom_bits(dim.select(on), on)
     if materialize_bits:
         # each of the k probe lookups broadcasts its own copy of the

@@ -415,10 +415,17 @@ def _phash_bits(content: bytes) -> int:
     if arr is None:
         return int(hashlib.sha256(content).hexdigest()[:15], 16)
     small = codecs.resize_nearest(arr, PHASH_W, PHASH_H)
-    r = small[:, :, 0].astype("int64")
-    g = small[:, :, 1].astype("int64")
-    b = small[:, :, 2].astype("int64")
-    gray = (299 * r + 587 * g + 114 * b) // 1000
+    if small.shape[2] < 3:
+        # grayscale / gray+alpha decode (PNG color types 0/4,
+        # 1-component JPEG): channel 0 IS the luma, same convention as
+        # codecs.mean_luma. Indexing channels 1/2 here crashed the
+        # whole job on any grayscale image (round-5 advice item).
+        gray = small[:, :, 0].astype("int64")
+    else:
+        r = small[:, :, 0].astype("int64")
+        g = small[:, :, 1].astype("int64")
+        b = small[:, :, 2].astype("int64")
+        gray = (299 * r + 587 * g + 114 * b) // 1000
     mean = int(gray.sum()) // (PHASH_W * PHASH_H)
     bits = 0
     flat = gray.reshape(-1)

@@ -1734,6 +1734,64 @@ def test_pagerank_null_endpoints_dropped_and_empty_graph(spark):
     assert pagerank(empty, iterations=2).count() == 0
 
 
+def test_pagerank_huge_weights_no_bigint_overflow(spark):
+    """Edge weights past ~9.2e6 overflowed the old rank*w product in
+    non-ANSI Spark (silent wrap -> wrong ranks). The decomposed
+    q*w + (r*w DIV ow) update stays exact; pin against a pure-Python
+    big-int replay of the same fixed point."""
+    from ghcrawler_datalake_etl_spark.operators.graph import (
+        PAGERANK_SCALE,
+        pagerank,
+    )
+
+    W = 10**8  # naive rank*w = 1e12 * 1e8 = 1e20 >> 2^63
+    edges = [("a", "b", W), ("b", "c", W), ("c", "a", W),
+             ("a", "c", 3 * W)]
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(
+            spark.createDataFrame(edges, "src string, dst string, w long"),
+            weight="w", iterations=3,
+        ).collect()
+    }
+
+    # python reference with unbounded ints
+    scale, n = PAGERANK_SCALE, 3
+    ow = {"a": 4 * W, "b": W, "c": W}
+    ranks = {v: scale // n for v in "abc"}
+    base = (15 * scale) // (100 * n)
+    for _ in range(3):
+        inc: dict = {}
+        for s, d, w in edges:
+            inc[d] = inc.get(d, 0) + (ranks[s] * w) // ow[s]
+        ranks = {v: base + (85 * inc.get(v, 0)) // 100 for v in "abc"}
+    assert got == ranks
+    # sanity: ranks positive and bounded by total mass
+    assert all(0 < v <= scale for v in got.values())
+
+
+def test_bloom_prefiltered_join_rejects_outer_how(spark):
+    """The Bloom prefilter drops unmatched fact rows BEFORE the join -
+    only inner/semi semantics survive that; outer joins must raise
+    instead of silently losing rows (round-5 advice)."""
+    import pytest
+
+    from ghcrawler_datalake_etl_spark.operators.joins import (
+        bloom_prefiltered_join,
+    )
+
+    fact = spark.createDataFrame([(1,), (2,)], "k long")
+    dim = spark.createDataFrame([(1,)], "k long")
+    for bad in ("left", "left_outer", "full", "right"):
+        with pytest.raises(ValueError, match="inner/left_semi"):
+            bloom_prefiltered_join(fact, dim, "k", how=bad)
+    # the allowed forms still run
+    assert bloom_prefiltered_join(fact, dim, "k", how="inner").count() == 1
+    assert (
+        bloom_prefiltered_join(fact, dim, "k", how="left_semi").count() == 1
+    )
+
+
 def test_pagerank_rejects_zero_iterations(spark):
     import pytest
 
@@ -1844,6 +1902,53 @@ def test_phash_real_arm_near_identical_images(spark):
     # baseline JPEG also takes the real arm and lands near the PNG hash
     h_jpeg = _phash_bits(codecs.jpeg_encode(base))
     assert ham(h_base, h_jpeg) <= 6
+
+
+def test_phash_grayscale_images_take_real_arm(spark):
+    """Grayscale decodes (PNG color type 0 / gray+alpha type 4 /
+    1-component JPEG) come back (H, W, 1) or (H, W, 2) - _phash_bits
+    must treat channel 0 as luma like codecs.mean_luma, not crash
+    indexing channels 1/2 (round-5 advice: the IndexError killed the
+    whole Spark job on any grayscale image)."""
+    import hashlib
+
+    import numpy as np
+
+    from ghcrawler_datalake_etl_spark.operators import codecs
+    from ghcrawler_datalake_etl_spark.operators.multimodal import (
+        _phash_bits,
+    )
+
+    gray = _gradient_img()[:, :, 0]  # (H, W) uint8 ramp
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    h_png = _phash_bits(codecs.png_encode(gray))          # color type 0
+    h_jpeg = _phash_bits(codecs.jpeg_encode(gray))        # 1-component
+    ga = np.dstack([gray, np.full_like(gray, 255)])
+    h_png_ga = _phash_bits(codecs.png_encode(ga))         # color type 4
+    # the gray ramp as an equal-channel RGB image hashes identically
+    # (Rec.601 weights of equal channels = the channel itself)
+    rgb = np.dstack([gray, gray, gray])
+    h_rgb = _phash_bits(codecs.png_encode(rgb))
+    assert h_png == h_rgb
+    assert h_png_ga == h_png
+    assert ham(h_png, h_jpeg) <= 6  # lossy but near
+    # real arm, not the sha surrogate
+    for payload, h in ((codecs.png_encode(gray), h_png),
+                       (codecs.jpeg_encode(gray), h_jpeg)):
+        assert h != int(hashlib.sha256(payload).hexdigest()[:15], 16)
+    # end-to-end: a grayscale image inside perceptual_hash's mapInPandas
+    from ghcrawler_datalake_etl_spark.operators.multimodal import (
+        perceptual_hash,
+    )
+    media = spark.createDataFrame(
+        [(1, bytearray(codecs.png_encode(gray)))],
+        "doc_id long, content binary",
+    )
+    [row] = perceptual_hash(media).collect()
+    assert row["phash"] == h_png
 
 
 def test_phash_surrogate_arm_is_sha_prefix(spark):
