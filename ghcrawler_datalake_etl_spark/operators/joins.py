@@ -134,15 +134,16 @@ def edit_distance_join(
     max_dist: int = 1,
 ) -> DataFrame:
     """Self-join on edit distance: pairs with
-    ``levenshtein(a, b) <= max_dist`` (currently max_dist=1), via the
+    ``levenshtein(a, b) <= max_dist`` (max_dist 1 or 2), via the
     DELETION-NEIGHBORHOOD signature scheme (the FastSS / SymSpell
-    family): each string emits ``len + 1`` variants - itself plus
-    every single-character deletion - and any two strings within one
-    edit share at least one variant (substitution: delete the edited
-    position from both; insert/delete: the shorter string IS a variant
-    of the longer). Candidates come from ONE equi-join on the variant
-    itself, and the exact ``levenshtein`` predicate prunes the
-    collisions (sharing a variant only bounds the distance by 2).
+    family): each string emits its <= max_dist-deletion neighborhood -
+    itself plus every variant reachable by deleting up to ``max_dist``
+    characters - and any two strings within ``max_dist`` edits share
+    at least one variant (FastSS: align the edit script's touched
+    positions and delete them from both sides). Candidates come from
+    ONE equi-join on the variant itself, and the exact ``levenshtein``
+    predicate prunes the collisions (sharing a <= d-deletion variant
+    only bounds the distance by 2d).
 
     Why not prefix/suffix segment filtering (PassJoin-style): a
     segment key carries the UNCHANGED region, so it degenerates to an
@@ -150,60 +151,96 @@ def edit_distance_join(
     TPC-H customer names all share their first 10 characters, and an
     8-char-prefix channel put 15k rows in one signature group (~112M
     candidate pairs, 272s at sf0.1). A deletion variant keys on
-    everything EXCEPT the edited position, so two strings collide only
-    when they agree on all of it - group sizes track true neighbor
-    counts, not shared affixes.
+    everything EXCEPT the edited positions, so two strings collide
+    only when they agree on all of it - group sizes track true
+    neighbor counts, not shared affixes.
 
-    Costs and contracts: the signature frame is ``O(total chars)``
-    rows keyed on the raw variant string (collision-free; swap in
+    Costs and contracts: the signature frame is ``O(L^max_dist)``
+    variants per length-L string (L+1 at d=1, ~(L+1)^2/2 at d=2 - the
+    reason the cap is 2; SymSpell's production sweet spot is the
+    same), keyed on the raw variant string (collision-free; swap in
     ``F.xxhash64`` for a fixed 8-byte key if variants ever get long) -
     sized for identifier-like short strings (names, titles, URLs,
-    SKUs), not documents; NULL
-    strings never pair; duplicate variants within one string (e.g.
-    deleting either 'a' of ``"aa"``) are deduplicated before the
-    join; empty strings work (their identity variant pairs them with
-    single-char strings). Output ``(id_a, id_b, dist)`` with
-    ``id_a < id_b``, distinct.
+    SKUs), not documents. Candidate GROUP sizes stay bounded by true
+    neighborhood density: a variant group holds exactly the strings
+    whose <= d-deletion neighborhoods contain that variant, so a group
+    can only be large where many strings genuinely agree on all
+    non-deleted positions (at d=2 each group member pairs within
+    Levenshtein 4 of every other member - never a corpus-wide
+    degenerate group). NULL strings never pair; duplicate variants
+    within one string (e.g. deleting either 'a' of ``"aa"``) are
+    deduplicated before the join; empty strings work (their identity
+    variant pairs them with short strings). Output
+    ``(id_a, id_b, dist)`` with ``id_a < id_b``, distinct.
     """
-    if max_dist != 1:
+    if max_dist not in (1, 2):
         raise ValueError(
-            "deletion-neighborhood scheme implemented for max_dist=1"
+            "deletion-neighborhood scheme implemented for max_dist in "
+            "(1, 2): variants per string grow as L^max_dist, so wider "
+            "radii need a different blocking scheme"
         )
     base = df.select(
         F.col(id_col).alias("_id"), F.col(str_col).alias("_s")
     ).where(F.col("_s").isNotNull())
-    sigs = (
-        base.select(
-            "_id",
-            "_s",
-            F.explode(F.sequence(F.lit(0), F.length("_s"))).alias("_i"),
+    # each round applies "delete one char OR keep" to the previous
+    # round's variants: after r rounds _vh spans the full
+    # <= r-deletion neighborhood (the _i = length sentinel keeps the
+    # unchanged variant - substring past the end is '' on both
+    # engines)
+    sigs = base.withColumn("_vh", F.col("_s"))
+    for _ in range(max_dist):
+        sigs = (
+            sigs.select(
+                "_id",
+                "_s",
+                "_vh",
+                F.explode(
+                    F.sequence(F.lit(0), F.length("_vh"))
+                ).alias("_i"),
+            )
+            .select(
+                "_id",
+                "_s",
+                F.expr(
+                    "concat(substring(_vh, 1, _i), substring(_vh, _i + 2))"
+                ).alias("_vh"),
+            )
+            .distinct()
         )
-        # _i = length: substring past the end is '' on both engines,
-        # so the variant is the identity string itself
-        .select(
-            "_id",
-            "_s",
-            F.expr(
-                "concat(substring(_s, 1, _i), substring(_s, _i + 2))"
-            ).alias("_vh"),
-        )
-        .distinct()
-    )
+    # join on the 8-byte hash of the variant, not the string itself -
+    # smaller shuffle keys; a hash collision only ever ADDS a candidate
+    # pair, which the exact levenshtein verify prunes (no false
+    # negatives: equal variants hash equal)
+    sigs = sigs.select("_id", "_s", F.xxhash64("_vh").alias("_vk"))
     a = sigs.select(
-        F.col("_id").alias("id_a"), F.col("_s").alias("sa"), "_vh"
+        F.col("_id").alias("id_a"), F.col("_s").alias("sa"), "_vk"
     )
     b = sigs.select(
-        F.col("_id").alias("id_b"), F.col("_s").alias("sb"), "_vh"
+        F.col("_id").alias("id_b"), F.col("_s").alias("sb"), "_vk"
     )
-    return (
-        a.join(b, "_vh")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
+    collisions = a.join(b, "_vk").where(F.col("id_a") < F.col("id_b"))
+    if max_dist >= 2:
+        # dedup candidate PAIRS before the verify: at d=2 a collision
+        # only bounds the distance by 4, so most collisions are d=3..4
+        # rejects and true pairs share several variants - levenshtein,
+        # the expensive step, should run once per distinct pair
+        cand = collisions.select("id_a", "id_b", "sa", "sb").distinct()
+        return cand.select(
             "id_a",
             "id_b",
-            F.levenshtein(F.col("sa"), F.col("sb")).cast("long").alias(
-                "dist"
-            ),
+            F.levenshtein(F.col("sa"), F.col("sb"))
+            .cast("long")
+            .alias("dist"),
+        ).where(F.col("dist") <= max_dist)
+    # at d=1 collision multiplicity is ~1-2 per true pair: verify
+    # directly and dedup the (already filtered, smaller) result
+    return (
+        collisions.select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("sa"), F.col("sb"))
+            .cast("long")
+            .alias("dist"),
         )
         .where(F.col("dist") <= max_dist)
         .distinct()

@@ -5792,6 +5792,54 @@ def j7_edit_distance_join(spark, sf_dir):
     return edit_distance_join(cust, "c_custkey", "c_name", max_dist=1)
 
 
+@register(
+    "j8_edit_distance2_join",
+    """
+    WITH s0 AS (
+      SELECT s_suppkey AS id, s_name AS s FROM supplier
+      WHERE s_name IS NOT NULL
+    ), v1 AS (
+      SELECT id, s, unnest(range(0, length(s) + 1)) AS i FROM s0
+    ), d1 AS (
+      SELECT DISTINCT id, s,
+             substr(s, 1, CAST(i AS INT))
+               || substr(s, CAST(i + 2 AS INT)) AS v
+      FROM v1
+    ), v2 AS (
+      SELECT id, s, v, unnest(range(0, length(v) + 1)) AS j FROM d1
+    ), sigs AS (
+      SELECT DISTINCT id, s,
+             substr(v, 1, CAST(j AS INT))
+               || substr(v, CAST(j + 2 AS INT)) AS vh
+      FROM v2
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+    FROM sigs a JOIN sigs b ON a.vh = b.vh AND a.id < b.id
+    WHERE levenshtein(a.s, b.s) <= 2
+    """,
+)
+def j8_edit_distance2_join(spark, sf_dir):
+    """Radius-2 edit-distance self-join (round-6: the max_dist=2 arm
+    of operators/joins.edit_distance_join) over supplier names: the
+    <=2-deletion FastSS neighborhood, candidates from one equi-join on
+    the variant hash, pair-deduped BEFORE the exact levenshtein verify
+    (a d=2 collision only bounds the distance by 4, so most collisions
+    are rejects). Supplier#NNNNNNNNN names share a constant 9-15 char
+    prefix with 2-4 varying digit positions - the shared-prefix
+    adversarial shape at radius 2, where a PassJoin-style segment
+    scheme would degenerate to all pairs. The oracle replays the same
+    two deletion rounds on the raw variant strings (the Spark side's
+    xxhash64 key only ever ADDS candidates that the exact verify
+    prunes), so the pair set matches exactly."""
+    from ghcrawler_datalake_etl_spark.operators.joins import (
+        edit_distance_join,
+    )
+
+    supp = _t(spark, sf_dir, "supplier")
+    return edit_distance_join(supp, "s_suppkey", "s_name", max_dist=2)
+
+
 # =====================================================================
 # CDC changefeed apply (sources/sinks.ParquetCatalog.apply_changes)
 # =====================================================================

@@ -2282,7 +2282,57 @@ def test_edit_distance_join_rejects_unimplemented_distance(spark):
 
     df = spark.createDataFrame([(1, "x")], "id long, s string")
     with pytest.raises(ValueError):
-        edit_distance_join(df, "id", "s", max_dist=2)
+        edit_distance_join(df, "id", "s", max_dist=3)
+    with pytest.raises(ValueError):
+        edit_distance_join(df, "id", "s", max_dist=0)
+
+
+def test_edit_distance_join_d2_bruteforce_parity(spark):
+    """max_dist=2 (round-6): the <=2-deletion neighborhood join equals
+    brute force on a corpus exercising double substitutions, double
+    deletions, one-sub-one-del mixes and cross-length pairs."""
+    from pyspark.sql import functions as F
+
+    from ghcrawler_datalake_etl_spark.operators.joins import (
+        edit_distance_join,
+    )
+
+    base = "abcdefghijkl"  # len 12
+    rows, rid = [(0, base)], 1
+    import itertools
+    for p in range(len(base)):
+        rows.append((rid, base[:p] + "Z" + base[p + 1:])); rid += 1
+        rows.append((rid, base[:p] + base[p + 1:])); rid += 1
+    for p, q in itertools.combinations(range(0, len(base), 3), 2):
+        s = list(base); s[p] = "X"; s[q] = "Y"          # double subs
+        rows.append((rid, "".join(s))); rid += 1
+        s2 = [c for i, c in enumerate(base) if i not in (p, q)]
+        rows.append((rid, "".join(s2))); rid += 1       # double dels
+    rows.append((rid, "zz")); rid += 1                  # short strings
+    rows.append((rid, "")); rid += 1                    # empty
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_join(df, "id", "s", max_dist=2).collect()
+    }
+    a = df.selectExpr("id AS id_a", "s AS sa")
+    b = df.selectExpr("id AS id_b", "s AS sb")
+    brute = {
+        (r["id_a"], r["id_b"]): r["d"]
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.levenshtein("sa", "sb").cast("long").alias("d"))
+        .where(F.col("d") <= 2)
+        .collect()
+    }
+    assert got == brute
+    assert any(v == 2 for v in brute.values())  # non-vacuous
+    # and d=1 on the same corpus is exactly the dist<=1 subset
+    got1 = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_join(df, "id", "s", max_dist=1).collect()
+    }
+    assert got1 == {k: v for k, v in brute.items() if v <= 1}
 
 
 def test_gap_fill_null_key_group_keeps_its_aggregates(spark):

@@ -782,3 +782,28 @@ def test_deletion_neighborhood_is_complete_and_2_bounded(a, b):
         assert shared, (a, b)
     if shared:
         assert _lev(a, b) <= 2, (a, b)
+
+
+def _variants2(s: str) -> set[str]:
+    """The <= 2-deletion neighborhood (round-6 max_dist=2 arm): one
+    more delete-or-keep round over the <= 1-deletion set."""
+    out = set()
+    for v in _variants(s):
+        out |= _variants(v)
+    return out
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    st.text(alphabet="ab", max_size=6),
+    st.text(alphabet="ab", max_size=6),
+)
+def test_deletion_neighborhood_d2_is_complete_and_4_bounded(a, b):
+    """FastSS at radius 2: lev(a,b) <= 2 IMPLIES a shared <=2-deletion
+    variant (completeness), and a shared variant IMPLIES lev(a,b) <= 4
+    (the exact verify only prunes)."""
+    shared = bool(_variants2(a) & _variants2(b))
+    if _lev(a, b) <= 2:
+        assert shared, (a, b)
+    if shared:
+        assert _lev(a, b) <= 4, (a, b)
