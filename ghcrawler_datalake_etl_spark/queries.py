@@ -6229,6 +6229,7 @@ _DRIVER_ORDER = [
     "subquery_lineitem_count",
     "w5_sliding_hour_frame",
     "cube_status_priority",
+    "j8_edit_distance2_join",
 ]
 
 
