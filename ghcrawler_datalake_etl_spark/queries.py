@@ -5922,222 +5922,92 @@ def dim_apply_changes(spark, sf_dir):
 # via SPARK_GRAFT_ORACLE_SF_DIR).
 
 _DRIVER_ORDER = [
-    # -- parity core kept in-window (representative per family group) --
+    # ============ driver window (first 50): what round 8 verifies =====
+    # Round-8 rotation (VERDICT r7 #4): 12 triple-green (>=3 green
+    # rounds in EVIDENCE.json) extension queries ceded their slots to
+    # the never-driver-run j8_edit_distance2_join plus 11 of the
+    # stalest r1/r2-green queries, so four rounds of refactors get
+    # re-verified driver rows. Ceded: dedup_minhash_lsh,
+    # dedup_keep_best_quality, pack_token_shards, sim_ivf_kmeans_topk,
+    # sim_knn_graph, text_bpe_pair_stats, text_bigram_logprob,
+    # text_bpe_encode, text_quality_classifier,
+    # sample_top_share_quality, sample_dsir_select,
+    # pipeline_quality_mix_pack. Families stay represented in-window:
+    # dedup via dedup_clusters, sim via sim_pq_adc_topk, search via
+    # search_tfidf_cosine, text via perplexity_buckets/bpe_encode_ids/
+    # clean_lines, sample via temperature_mix/pps_systematic, pipeline
+    # via tokenize_pack, pack via pack_store_roundtrip.
     "pattern_a_snapshot_upsert",
-    # -- LLM-pipeline extension layer: every component family --
-    "dedup_minhash_lsh",
-    # -- round-5 late additions: the sketch family (HLL distinct /
-    #    Count-Min heavy hitters / KMV bottom-k, operators/sketches.py)
-    #    - the bounded-state approximate layer the engine lacked.
-    #    Slots ceded by the triple-green (r02+r03+r04)
-    #    dedup_simhash_values (dedup family keeps jaccard/minhash/
-    #    clusters/cosine/decontaminate/keep-best in-window), sim_ann_lsh
-    #    (sim family keeps kmeans/int8/ivf/ivf_kmeans/pandas_gemm/
-    #    knn_graph/pq_adc in-window) and text_stats (text family keeps
-    #    lang_id/quality/unigram/bigram/repetition/perplexity/bpe x3
-    #    in-window) --
     "sketch_hll_distinct",
     "sketch_cms_heavy_hitters",
     "sketch_kmv_distinct",
-    # -- and the Bloom-filter decontamination sketch; slot ceded by the
-    #    triple-green (r02+r03+r04) corpus_source_report (corpus family
-    #    keeps vocabulary_topk + fertility_by_lang in-window) --
     "sketch_bloom_decontaminate",
-    # -- and HLL sketch-merge (the mergeability proof); slot ceded by
-    #    the triple-green (r02+r03+r04) pipeline_training_data
-    #    (pipeline family keeps dedup_shards / chunk_dedup_pack /
-    #    quality_mix_pack / tokenize_pack in-window) --
     "sketch_hll_merge",
-    # -- and the mergeable histogram quantile sketch; slot ceded by
-    #    the triple-green (r02+r03+r04) embedding_quantize_int8
-    #    (int8 quantization stays in-window via sim_knn_int8_dot;
-    #    the embedding family keeps random_projection + cosine) --
     "sketch_histogram_quantiles",
-    # -- and the streaming-maintained HLL register table (daily-active
-    #    -users shape, RUN as a real stream). Slot ceded by the
-    #    triple-green (r02+r03+r04) dedup_ngram_jaccard (dedup family
-    #    keeps minhash/clusters/cosine/decontaminate/keep-best plus
-    #    the bloom decontamination in-window) --
     "stream_hll_distinct",
-    # -- and the bloom-prefiltered runtime-filter join; slot ceded by
-    #    the triple-green (r02+r03+r04) sim_kmeans_assign (the k-means
-    #    algorithm stays in-window via sim_ivf_kmeans_topk's learned
-    #    centroids; sim family keeps int8/pandas_gemm/knn_graph/pq_adc
-    #    too) --
     "j6_bloom_prefilter_join",
-    # -- and KMV set-overlap estimation; slot ceded by the triple-green
-    #    (r02+r03+r04) decontaminate_eval_overlap (decontamination
-    #    stays in-window via sketch_bloom_decontaminate; the dedup
-    #    family keeps minhash/clusters/cosine/keep-best too) --
     "sketch_kmv_overlap",
     "dedup_clusters",
-    # -- round-5: integer-scaled PageRank over the transition graph
-    #    (operators/graph.py) - the ranking side of the graph surface
-    #    beside dedup's connected components. Slot ceded by the
-    #    triple-green (r02+r03+r04) sim_knn_int8_dot; the sim family
-    #    keeps pandas_gemm/ivf_kmeans/knn_graph/pq_adc in-window --
     "graph_pagerank_transitions",
-    # -- round-5: Deequ-style data-quality validation suite
-    #    (operators/quality.py) - the per-batch constraint-metrics
-    #    surface. Slot ceded by the triple-green (r02+r03+r04)
-    #    text_lang_id; the text family remains the largest in-window
-    #    group (quality_score/unigram/perplexity/repetition/bigram/
-    #    bpe x3 /clean_lines/quality_classifier) --
     "dq_validate_orders",
-    # -- round-5: calendar-spine gap fill (operators/temporal.gap_fill)
-    #    - the zero-fill complement of the r1-green locf_fill_forward.
-    #    Slot ceded by the triple-green (r02+r03+r04)
-    #    text_quality_score; quality scoring stays in-window via
-    #    text_quality_classifier and dedup_keep_best_quality --
     "timeseries_gap_fill",
-    # -- round-5: SCD2 dimension build (gaps-and-islands run collapse,
-    #    operators/temporal.scd2_intervals). Slot ceded by the
-    #    triple-green (r02+r03+r04) dedup_embedding_cosine; the
-    #    embedding family keeps random_projection in-window and the
-    #    dedup family keeps minhash_lsh/clusters/keep_best/bloom --
     "dim_scd2_user_state",
-    "pack_token_shards",
-    # -- round-5: perceptual-hash (aHash) near-dup pairs - the image
-    #    twin of SimHash over the round-5 full pixel decoders. Slot
-    #    ceded by the triple-green (r02+r03+r04) multimodal_features;
-    #    the multimodal family stays in-window via this query (same
-    #    mapInPandas decode shape, same surrogate-arm oracle
-    #    convention) --
     "multimodal_phash_pairs",
-    # -- round-5: Z-order layout clustering (operators/layout.py) -
-    #    multi-dimension file pruning stats over the Morton key. Slot
-    #    ceded by the triple-green (r02+r03+r04) pipeline_dedup_shards;
-    #    the pipeline family keeps chunk_dedup_pack / tokenize_pack /
-    #    quality_mix_pack in-window --
     "layout_zorder_buckets",
-    # -- round-5 addition: the stream-stream interval join RUN AS A
-    #    STREAM (the last component with pytest-only evidence, VERDICT
-    #    r4 #3). Slot ceded by the triple-green (r02+r03+r04)
-    #    multimodal_audio_chunks; the multimodal family stays in-window
-    #    via multimodal_features (same mapInPandas decode shape) --
     "stream_interval_join",
-    # -- round-5: sweep-line max session concurrency (the two-level
-    #    global running sum reused from pack_shards). Slot ceded by the
-    #    double-green (r03+r04) text_unigram_logprob; the LM family
-    #    stays in-window via text_bigram_logprob and
-    #    text_perplexity_buckets (which trains the same unigram LM) --
     "timeseries_max_concurrency",
-    # -- round-5 additions: CCNet perplexity tiering and XLM-R
-    #    temperature mixing (new operators). Slots ceded by the
-    #    double-green (r03+r04) text_chunk_windows (text family keeps
-    #    stats/quality/lang_id/unigram/bigram/redact/repetition/bpe
-    #    in-window; the chunk shape stays via pipeline_chunk_dedup_pack)
-    #    and sample_eval_carve (sample family keeps stratified/
-    #    target_mix/top_share/dsir in-window) --
     "text_perplexity_buckets",
     "sample_temperature_mix",
-    # -- round-5: the tokshard binary store + Spark 4 Python DataSource
-    #    round trip. Slot ceded by the double-green (r03+r04)
-    #    text_redact_pii (text family remains the largest in-window) --
     "pack_store_roundtrip",
-    # -- round-5: small-file compaction round trip (the OPTIMIZE
-    #    shape on the versioned catalog). Slot ceded by the
-    #    double-green (r03+r04) text_repetition_metrics; the text
-    #    family remains the largest in-window group --
     "layout_compact_roundtrip",
-    # -- round-5: audio RMS/peak/silence analysis over the real PCM
-    #    decode. Slot ceded by the double-green (r03+r04)
-    #    corpus_vocabulary_topk; the corpus family stays in-window via
-    #    corpus_fertility_by_lang --
     "multimodal_audio_stats",
-    # -- round-5: streaming dedup-on-ingest run as a real stream. Slot
-    #    ceded by the double-green (r03+r04) sample_stratified_by_lang
-    #    (sample family: temperature_mix/target_mix/top_share/dsir
-    #    in-window) --
     "stream_dedup_ingest",
-    # -- round-5: edit-distance similarity join (PassJoin segment
-    #    filter + exact levenshtein verify). Slot ceded by the
-    #    double-green (r03+r04) sim_knn_pandas_gemm; the sim family
-    #    keeps ivf_kmeans / knn_graph / pq_adc in-window and the
-    #    pandas-GEMM twin stays pinned by its pytest equivalence --
     "j7_edit_distance_join",
-    "sim_ivf_kmeans_topk",
-    # -- round-5: CDC changefeed apply with deletes (the MERGE INTO
-    #    shape on the bucketed catalog). Slot ceded by the double-green
-    #    (r03+r04) pipeline_chunk_dedup_pack; the pipeline family keeps
-    #    tokenize_pack + quality_mix_pack in-window and chunking stays
-    #    oracle-checked via those compositions --
     "dim_apply_changes",
-    # -- round-5: the composed tokenizer path (train -> encode ids ->
-    #    pack). Slot ceded by the double-green (r03+r04)
-    #    dedup_minhash_clusters, a composition whose two parts
-    #    (dedup_minhash_lsh, dedup_clusters) are BOTH in-window --
     "pipeline_tokenize_pack",
-    # -- round-3 additions (distinct algorithms -> each needs a driver
-    #    row; slots ceded by double-green queries per the registry
-    #    guard: w2_distinct_keys, j3_join_chain_q5, sessionize_events,
-    #    pattern_e_version_log, sample_hash_deterministic,
-    #    split_train_valid_test, dedup_exact_groups,
-    #    sim_knn_bruteforce) --
-    "text_bpe_pair_stats",
     "search_tfidf_cosine",
-    "sim_knn_graph",
-    # -- round-5: JL random projection and tokenizer fertility report.
-    #    Slots ceded by the double-green (r03+r04) dedup_semantic_prune
-    #    (dedup family: jaccard/minhash/simhash/clusters/cosine/
-    #    decontaminate/keep-best in-window) and text_gopher_filter
-    #    (text family: stats/quality/lang_id/unigram/bigram/redact/
-    #    repetition/bpe/perplexity in-window) --
     "embedding_random_projection",
     "corpus_fertility_by_lang",
-    # -- round-5: systematic PPS weighted sampling (integer-exact
-    #    selection). Slot ceded by the double-green (r03+r04)
-    #    sample_target_mix; the sample family keeps temperature_mix /
-    #    top_share / dsir + this new member in-window --
     "sample_pps_systematic",
-    "pipeline_quality_mix_pack",
-    "sample_top_share_quality",
-    # -- later round-3 additions (distinct algorithms: bigram LM,
-    #    DSIR selection); slots ceded by the double-green
-    #    pattern_b_array_child / pattern_c_collection_refresh --
-    "text_bigram_logprob",
-    "sample_dsir_select",
-    # -- BPE trainer+encoder (slot ceded by the double-green
-    #    w1_latest_event_per_user; its w1_maxby twin pins the same
-    #    latest-wins semantics and both stay oracle-checked locally) --
-    "text_bpe_encode",
-    # -- round-5: the BPE id-sequence encoder (the tokenizer's actual
-    #    output path). Slot ceded by the double-green (r03+r04)
-    #    search_bm25_topk; the search family stays in-window via
-    #    search_tfidf_cosine (same inverted-tf + ordered-top-k shape) --
     "text_bpe_encode_ids",
-    # -- quality-aware near-dup resolution (slot ceded by the
-    #    double-green j2_anti_join; anti-join semantics stay pinned by
-    #    pattern C in-window and the plan-shape tests) --
-    "dedup_keep_best_quality",
-    # -- product quantization + ADC (slot ceded by the double-green
-    #    pattern_d_traffic_series; pattern D semantics stay pinned by
-    #    the local oracle mirror and the pattern/plan pytest suites) --
     "sim_pq_adc_topk",
-    # -- supervised quality classifier (slot ceded by the double-green
-    #    q1_pricing_summary - which additionally stays smoke-checked
-    #    EVERY round as the entry() flagship the driver runs directly) --
-    "text_quality_classifier",
-    # -- round-4 additions: driver oracles for the three surfaces the
-    #    round-3 verdict listed as pytest-only (What's missing #1).
-    #    Slots ceded by double-green (r02+r03) queries whose families
-    #    stay represented in-window: dedup_span_first_occurrence (dedup:
-    #    jaccard/minhash/simhash/clusters/cosine/decontaminate/semantic/
-    #    keep-best all in-window), text_fingerprint (text: stats/
-    #    quality/lang_id/unigram/bigram/redact/repetition in-window),
-    #    multimodal_frames (multimodal: features + audio_chunks
-    #    in-window, same mapInPandas fan-out shape as frames) --
     "text_clean_lines",
     "tsv_round_trip",
-    # -- round-5: the JSONL round trip (lossless ''-vs-NULL contract
-    #    beside TSV's documented collapse). Slot ceded by the
-    #    triple-green (r02+r03+r04) sim_ivf_topk, whose in-window
-    #    superset sim_ivf_kmeans_topk runs the same IVF shape with
-    #    learned centroids --
     "jsonl_round_trip",
     "orc_catalog_roundtrip",
+    # -- round-8 newcomers: first driver row for the radius-2
+    #    edit-distance join, then the stale-evidence re-verification
+    #    set (newest green row r1 or r2) --
+    "j8_edit_distance2_join",
+    "q1_pricing_summary",
+    "sessionize_events",
+    "pattern_b_array_child",
+    "j2_anti_join",
+    "asof_last_purchase",
+    "range_interval_join",
+    "j5_salted_skew_join",
+    "topk_orders_per_segment",
+    "agg_rollup_daily",
+    "funnel_click_to_purchase",
+    "locf_fill_forward",
     # ---------------- position 51+: past the driver window ----------
-    # round-5 rotated-out (triple-green r02+r03+r04):
+    # round-8 rotated-out (each holds >=3 green driver rounds in
+    # EVIDENCE.json; OUT_OF_WINDOW_OK entries added in
+    # tests/test_registry_order.py):
+    "dedup_minhash_lsh",
+    "dedup_keep_best_quality",
+    "pack_token_shards",
+    "sim_ivf_kmeans_topk",
+    "sim_knn_graph",
+    "text_bpe_pair_stats",
+    "text_bigram_logprob",
+    "text_bpe_encode",
+    "text_quality_classifier",
+    "sample_top_share_quality",
+    "sample_dsir_select",
+    "pipeline_quality_mix_pack",
+    # previously rotated-out queries (see EVIDENCE.json +
+    # OUT_OF_WINDOW_OK for the per-query justification):
     "multimodal_audio_chunks",
     "text_lang_id",
     "text_quality_score",
@@ -6151,8 +6021,6 @@ _DRIVER_ORDER = [
     "sample_target_mix",
     "sim_knn_pandas_gemm",
     "pipeline_chunk_dedup_pack",
-    # round-5 late rotations for the sketch family (triple-green
-    # r02+r03+r04; see the in-window slot comments):
     "dedup_simhash_values",
     "sim_ann_lsh",
     "text_stats",
@@ -6163,7 +6031,6 @@ _DRIVER_ORDER = [
     "dedup_ngram_jaccard",
     "sim_kmeans_assign",
     "decontaminate_eval_overlap",
-    # round-5 rotated-out (double-green r03+r04; see slot comments):
     "text_chunk_windows",
     "sample_eval_carve",
     "search_bm25_topk",
@@ -6172,64 +6039,46 @@ _DRIVER_ORDER = [
     "text_gopher_filter",
     "sample_stratified_by_lang",
     "text_redact_pii",
-    # round-4 rotated-out (double-green r02+r03; see slot comments):
     "dedup_span_first_occurrence",
     "text_fingerprint",
     "multimodal_frames",
-    # first the parity-core queries rotated out this round - each has
-    # green driver rows in BOTH CORRECTNESS_r01.json and
-    # CORRECTNESS_r02.json (tests/test_registry_order.py pins this):
-    "sessionize_events",
     "pattern_e_version_log",
     "sample_hash_deterministic",
     "split_train_valid_test",
     "dedup_exact_groups",
     "sim_knn_bruteforce",
-    "p1_eq_filter",              # P1
-    "p2_like_filter",            # P2
-    "p3_isin_filter",            # P3
-    "p5_string_predicates",      # P5/F9
-    "j1_inner_join_agg",         # J1
-    "j4_semi_join",              # J4
-    "a1_collect_reassembly",     # A1 MAP_AGG
-    "a4_union_all_agg",          # A4
-    "f1_json_extract",           # F1/F2
-    "f3_pii_pseudonymize",       # F3
-    "f10_greatest_last_touched", # F10
-    "x3_posexplode_tokens",      # X1/X3
-    "w2_distinct_keys",          # W2/A3 (ceded its slot in round 3)
-    "j3_join_chain_q5",          # J3 (ceded its slot in round 3)
-    "pattern_b_array_child",     # B (ceded its slot in round 3)
-    "pattern_c_collection_refresh",  # C (ceded its slot in round 3)
-    "w1_latest_event_per_user",  # W1/P6 (ceded its slot in round 3)
-    "j2_anti_join",              # J2/P4 (ceded its slot in round 3)
-    "pattern_d_traffic_series",  # D (ceded its slot in round 3)
-    "q1_pricing_summary",        # A2 (ceded its slot in round 3; still
-                                 # driver-run every round via entry())
-    # then analytics variants with prior green rows:
+    "p1_eq_filter",
+    "p2_like_filter",
+    "p3_isin_filter",
+    "p5_string_predicates",
+    "j1_inner_join_agg",
+    "j4_semi_join",
+    "a1_collect_reassembly",
+    "a4_union_all_agg",
+    "f1_json_extract",
+    "f3_pii_pseudonymize",
+    "f10_greatest_last_touched",
+    "x3_posexplode_tokens",
+    "w2_distinct_keys",
+    "j3_join_chain_q5",
+    "pattern_c_collection_refresh",
+    "w1_latest_event_per_user",
+    "pattern_d_traffic_series",
     "w1_maxby_latest_event_per_user",
-    "topk_orders_per_segment",
-    "j5_salted_skew_join",
     "a5_distinct_count_two_stage",
-    "asof_last_purchase",
     "asof_next_purchase",
-    "range_interval_join",
     "stream_windowed_counts",
     "stream_static_enrich",
     "agg_value_percentiles",
-    "agg_rollup_daily",
     "pivot_user_event_matrix",
     "w3_lag_event_gaps",
     "w4_rank_quartiles",
     "setop_user_cohorts",
     "q3_unshipped_topk",
-    "funnel_click_to_purchase",
-    "locf_fill_forward",
     "q18_large_quantity_orders",
     "subquery_lineitem_count",
     "w5_sliding_hour_frame",
     "cube_status_priority",
-    "j8_edit_distance2_join",
 ]
 
 

@@ -234,6 +234,27 @@ OUT_OF_WINDOW_OK = {
     # round 5 when the true streaming run entered the window):
     "stream_windowed_counts": "evidence",
     "stream_static_enrich": "evidence",
+    # round-8 rotations (VERDICT r7 #4): twelve triple-green (>=3 green
+    # driver rounds, see EVIDENCE.json) queries ceded their slots to
+    # j8_edit_distance2_join (never driver-run) plus eleven of the
+    # stalest r1/r2-green queries so the sf0.01 driver re-touches four
+    # rounds of refactors. Families stay represented in-window: dedup
+    # via dedup_clusters, sim via sim_pq_adc_topk, search via
+    # search_tfidf_cosine, text via perplexity_buckets / bpe_encode_ids
+    # / clean_lines, sample via temperature_mix / pps_systematic,
+    # pipeline via tokenize_pack, pack via pack_store_roundtrip:
+    "dedup_minhash_lsh": "evidence",
+    "dedup_keep_best_quality": "evidence",
+    "pack_token_shards": "evidence",
+    "sim_ivf_kmeans_topk": "evidence",
+    "sim_knn_graph": "evidence",
+    "text_bpe_pair_stats": "evidence",
+    "text_bigram_logprob": "evidence",
+    "text_bpe_encode": "evidence",
+    "text_quality_classifier": "evidence",
+    "sample_top_share_quality": "evidence",
+    "sample_dsir_select": "evidence",
+    "pipeline_quality_mix_pack": "evidence",
 }
 
 #: one query per SURVEY section-2 operator family. The in-window
