@@ -5865,12 +5865,20 @@ def dim_apply_changes(spark, sf_dir):
     """CDC changefeed apply (ParquetCatalog.apply_changes - the MERGE
     INTO ... WHEN MATCHED UPDATE/DELETE / WHEN NOT MATCHED INSERT
     shape): bootstrap a bucketed customer dimension, then apply ONE
-    feed carrying all three op kinds - every custkey%10==0 row
-    deleted, %10==1 updated (+100 balance), %10==2 re-inserted under a
-    new key - and return the post-apply snapshot. Deletes ride the
-    merge's anti-join set without touching the union side, so the
-    bucket-pruned rewrite and the atomic pointer flip are exactly
-    merge_upsert's; the oracle states the final table directly."""
+    MIXED-ORDER feed, sequenced by ``seq_col`` (round-8, VERDICT r7
+    #5 - the APPLY CHANGES ... SEQUENCE BY contract): every
+    custkey%10==0 key carries a decoy update at seq 1 AND its delete
+    at seq 2 (insert-then-delete resolves to the delete), %10==1
+    carries a stale +50 update at seq 1 superseded by the +100 update
+    at seq 2, %10==2's re-insert under a new key rides a
+    delete-then-insert pair (seq 1 delete, seq 2 insert). The feed
+    reduces to the final op per key by one window on the merge's own
+    keys before the bucket-pruned rewrite and atomic pointer flip;
+    the table lacks a seq column, so the merge's schema alignment
+    projects the sequence away and the oracle states the final table
+    directly - identical to the unsequenced round-5 variant, which is
+    the point: sequencing resolved the conflicts the same way a
+    pre-reduced feed would."""
     from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
 
     cust = _t(spark, sf_dir, "customer").select(
@@ -5881,27 +5889,46 @@ def dim_apply_changes(spark, sf_dir):
     wh = _run_tmp("cdc_wh")
     cat = ParquetCatalog(spark, wh)
     cat.merge_upsert(cust, "CustDim", ["c_custkey"], num_buckets=8)
+    dele = cust.where(F.col("c_custkey") % 10 == 0)
+    upd = cust.where(F.col("c_custkey") % 10 == 1)
+    ins = cust.where(F.col("c_custkey") % 10 == 2)
     changes = (
-        cust.where(F.col("c_custkey") % 10 == 0)
-        .select("c_custkey", "c_name", "acctbal", F.lit("D").alias("op"))
-        .unionByName(
-            cust.where(F.col("c_custkey") % 10 == 1).select(
-                "c_custkey",
-                "c_name",
-                F.round(F.col("acctbal") + 100, 2).alias("acctbal"),
-                F.lit("U").alias("op"),
-            )
+        # decoy update at seq 1, then the delete at seq 2
+        dele.select(
+            "c_custkey", "c_name",
+            F.round(F.col("acctbal") + 999, 2).alias("acctbal"),
+            F.lit(1).alias("seq"), F.lit("U").alias("op"),
         )
-        .unionByName(
-            cust.where(F.col("c_custkey") % 10 == 2).select(
-                (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
-                "c_name",
-                "acctbal",
-                F.lit("I").alias("op"),
-            )
-        )
+        .unionByName(dele.select(
+            "c_custkey", "c_name", "acctbal",
+            F.lit(2).alias("seq"), F.lit("D").alias("op"),
+        ))
+        # stale +50 at seq 1 superseded by +100 at seq 2
+        .unionByName(upd.select(
+            "c_custkey", "c_name",
+            F.round(F.col("acctbal") + 50, 2).alias("acctbal"),
+            F.lit(1).alias("seq"), F.lit("U").alias("op"),
+        ))
+        .unionByName(upd.select(
+            "c_custkey", "c_name",
+            F.round(F.col("acctbal") + 100, 2).alias("acctbal"),
+            F.lit(2).alias("seq"), F.lit("U").alias("op"),
+        ))
+        # delete-then-insert for the new key
+        .unionByName(ins.select(
+            (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+            "c_name", "acctbal",
+            F.lit(1).alias("seq"), F.lit("D").alias("op"),
+        ))
+        .unionByName(ins.select(
+            (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+            "c_name", "acctbal",
+            F.lit(2).alias("seq"), F.lit("I").alias("op"),
+        ))
     )
-    cat.apply_changes(changes, "CustDim", ["c_custkey"], num_buckets=8)
+    cat.apply_changes(
+        changes, "CustDim", ["c_custkey"], seq_col="seq", num_buckets=8
+    )
     return cat.read("CustDim")
 
 

@@ -21,7 +21,7 @@ import os
 import shutil
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 _POINTER = "_CURRENT"
@@ -348,6 +348,7 @@ class ParquetCatalog:
         name: str,
         key_cols: Sequence[str],
         op_col: str = "op",
+        seq_col: str | None = None,
         num_buckets: int = 32,
         dense_rewrite_fraction: float = 0.5,
     ) -> dict[str, int]:
@@ -360,16 +361,42 @@ class ParquetCatalog:
         [UPDATE|DELETE] / WHEN NOT MATCHED INSERT shape of a
         Delta/Iceberg changefeed apply.
 
-        The feed must carry every ``key_cols`` column; when one key
-        carries BOTH a delete and an upsert in the same feed, the
-        upsert wins: the delete removes the key's OLD row (anti-join)
-        and the upsert row still lands on the union side - i.e. a
-        delete+insert replay collapses to the insert. Feeds where
-        op ORDER must decide (e.g. insert-then-delete) must be reduced
-        to their final op per key before applying. Deleting an absent
-        key is a no-op.
+        The feed must carry every ``key_cols`` column. Ordering within
+        one feed:
+
+        - ``seq_col`` given: the feed is first reduced to the row with
+          the HIGHEST ``seq_col`` per key (one window shuffle on the
+          same keys the merge shuffles on anyway), so a mixed
+          insert-then-delete replay resolves by sequence order - the
+          Debezium/Delta ``APPLY CHANGES ... SEQUENCE BY`` contract.
+          Equal-sequence ties resolve upsert-over-delete, then by the
+          op string, deterministically. The sequence column is an
+          ordinary data column: it lands in the table when the table
+          schema carries it, and is projected away by the merge's
+          schema alignment when it does not.
+        - ``seq_col`` omitted (legacy behavior): when one key carries
+          BOTH a delete and an upsert, the upsert wins - the delete
+          removes the key's OLD row (anti-join) and the upsert row
+          still lands on the union side, i.e. a delete+insert replay
+          collapses to the insert. Feeds where op ORDER must decide
+          must be pre-reduced (or pass ``seq_col``).
+
+        Deleting an absent key is a no-op.
         """
         op = F.upper(F.col(op_col))
+        if seq_col is not None:
+            # final-op-per-key by sequence; ties prefer the upsert so a
+            # same-sequence delete+insert still collapses to the insert
+            w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(
+                F.col(seq_col).desc(),
+                (op == "D").cast("int").asc(),
+                op.asc(),
+            )
+            changes = (
+                changes.withColumn("__cdc_rn", F.row_number().over(w))
+                .where(F.col("__cdc_rn") == 1)
+                .drop("__cdc_rn")
+            )
         ups = changes.where(op != "D").drop(op_col)
         dels = changes.where(op == "D").select(*list(key_cols)).distinct()
         return self.merge_upsert(

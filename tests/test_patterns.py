@@ -614,3 +614,56 @@ def test_apply_changes_delete_only_and_conflict(spark, tmp_path):
     cat.apply_changes(feed, "T", ["k"], num_buckets=4)
     got = {r["k"]: r["v"] for r in cat.read("T").collect()}
     assert got[5] == 555
+
+
+def test_apply_changes_seq_col_orders_mixed_feed(spark, tmp_path):
+    """VERDICT r7 #5: with ``seq_col`` the feed reduces to the final op
+    per key by sequence order, so insert-then-delete deletes and
+    delete-then-insert inserts - no caller pre-reduction needed."""
+    from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [(i, i * 10, 0) for i in range(10)], "k long, v long, seq long"
+    )
+    cat.merge_upsert(base, "T", ["k"], num_buckets=4)
+
+    feed = spark.createDataFrame(
+        [
+            # k=1: insert then delete -> final op is DELETE
+            (1, 111, 1, "U"),
+            (1, None, 2, "D"),
+            # k=2: delete then re-insert -> final op is INSERT
+            (2, None, 1, "D"),
+            (2, 222, 2, "U"),
+            # k=3: three updates out of order -> highest seq wins
+            (3, 31, 2, "U"),
+            (3, 33, 3, "U"),
+            (3, 30, 1, "U"),
+            # k=50: brand-new key, delete then insert
+            (50, 500, 2, "I"),
+            (50, None, 1, "D"),
+            # k=4: equal-seq tie delete+upsert -> upsert wins (pinned)
+            (4, 444, 7, "D"),
+            (4, 440, 7, "U"),
+        ],
+        "k long, v long, seq long, op string",
+    )
+    cat.apply_changes(feed, "T", ["k"], seq_col="seq", num_buckets=4)
+    got = {r["k"]: (r["v"], r["seq"]) for r in cat.read("T").collect()}
+    assert 1 not in got, "insert-then-delete must end deleted"
+    assert got[2] == (222, 2), "delete-then-insert must end inserted"
+    assert got[3] == (33, 3), "highest sequence wins"
+    assert got[50] == (500, 2)
+    assert got[4] == (440, 7), "equal-seq tie resolves upsert-over-delete"
+    # untouched keys unchanged (seq column joined the schema as data)
+    assert got[0] == (0, 0) and got[9] == (90, 0)
+
+    # without seq_col the legacy upsert-wins contract is unchanged
+    feed2 = spark.createDataFrame(
+        [(6, 666, 9, "U"), (6, None, 10, "D")],
+        "k long, v long, seq long, op string",
+    )
+    cat.apply_changes(feed2, "T", ["k"], num_buckets=4)
+    got = {r["k"]: r["v"] for r in cat.read("T").collect()}
+    assert got[6] == 666
