@@ -1198,6 +1198,41 @@ def test_bpe_train_greedy_merges_and_boundary_safety(spark):
     assert len(merges2) <= 5
 
 
+def test_bpe_driver_vocab_gate_falls_back_to_distributed(spark):
+    """VERDICT r7 #6: when the distinct-word count exceeds
+    ``max_driver_vocab``, strategy="driver" must fall back to the
+    distributed trainer instead of collecting an unbounded vocabulary
+    - and the merge table must be identical in every arm."""
+    from ghcrawler_datalake_etl_spark.operators import text as TX
+
+    rows = [
+        (0, "aaab aaab aaab ab ab"),
+        (1, "banana bandana cabana"),
+        (2, "the cat bat the bat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    driver_m, driver_v = TX.bpe_train_merges(df, "text", num_merges=4)
+    dist_m, _ = TX.bpe_train_merges(
+        df, "text", num_merges=4, strategy="distributed"
+    )
+    # vocabulary here is 8 distinct words; a gate of 3 MUST trip
+    gated_m, gated_v = TX.bpe_train_merges(
+        df, "text", num_merges=4, max_driver_vocab=3
+    )
+    assert driver_m == dist_m == gated_m
+    # the gated run's vocab frame is the distributed arm's (executor-
+    # side), but contents must agree with the driver arm's
+    dv = {r["w"]: r["repr"] for r in driver_v.collect()}
+    gv = {r["w"]: r["repr"] for r in gated_v.collect()}
+    assert dv == gv
+    # a gate the vocabulary fits under never trips
+    big_m, _ = TX.bpe_train_merges(
+        df, "text", num_merges=4, max_driver_vocab=1_000
+    )
+    assert big_m == driver_m
+
+
 def test_keep_best_per_cluster_prefers_quality_over_min_id(spark):
     """The winner must be the highest-scoring member, not the min-id
     canonical; singletons keep themselves with cluster_id = own id."""
