@@ -1358,6 +1358,164 @@ def gif_decode_first_frame(data: bytes) -> np.ndarray:
     raise ValueError("GIF contains no image descriptor")
 
 
+def gif_decode_frames(
+    data: bytes, max_frames: int | None = None
+) -> tuple[list[np.ndarray], list[int]]:
+    """Decode up to ``max_frames`` frames of an animated GIF with FULL
+    inter-frame composition (round-8, VERDICT r7 #7 - the first-frame
+    restriction is gone): each yielded frame is the logical-screen
+    canvas AFTER drawing that image, honoring the GIF89a Graphic
+    Control Extension per frame:
+
+    - **transparency**: pixels equal to the GCE's transparent index
+      leave the canvas unchanged (the previous frame shows through);
+    - **disposal 0/1** (unspecified / do not dispose): the drawn frame
+      stays as the base for the next one;
+    - **disposal 2** (restore to background): the frame's REGION is
+      cleared to the background color before the next frame draws;
+    - **disposal 3** (restore to previous): the canvas reverts to its
+      pre-draw state before the next frame draws.
+
+    Returns ``(frames, timestamps_ms)``: (h, w, 3) RGB uint8 canvases
+    and each frame's cumulative presentation time (sum of prior GCE
+    delays; a frame with no/zero delay advances 0 ms, frame 0 is
+    always at 0 ms). ``max_frames`` stops the block walk early, so
+    sampling the head of a long animation never decodes the tail.
+    Raises ValueError on anything malformed so callers fall back to
+    their surrogate arm (same contract as gif_decode_first_frame)."""
+    if not is_gif(data):
+        raise ValueError("not a GIF (bad signature)")
+    n = len(data)
+    if n < 13:
+        raise ValueError("truncated GIF header")
+    sw = int.from_bytes(data[6:8], "little")
+    sh = int.from_bytes(data[8:10], "little")
+    if sw == 0 or sh == 0:
+        raise ValueError("zero-sized GIF logical screen")
+    flags = data[10]
+    bg_index = data[11]
+    i = 13
+    global_pal = None
+    if flags & 0x80:
+        size = 3 * (2 << (flags & 0x07))
+        global_pal = np.frombuffer(
+            data[i : i + size], dtype=np.uint8
+        ).reshape(-1, 3)
+        i += size
+    if global_pal is not None and bg_index < len(global_pal):
+        bg_color = global_pal[bg_index]
+    else:
+        bg_color = np.zeros(3, dtype=np.uint8)
+    canvas = np.empty((sh, sw, 3), dtype=np.uint8)
+    canvas[:] = bg_color
+
+    def _subblocks(j: int) -> tuple[bytes, int]:
+        chunks = bytearray()
+        while True:
+            if j >= n:
+                raise ValueError("truncated GIF sub-blocks")
+            size = data[j]
+            j += 1
+            if size == 0:
+                return bytes(chunks), j
+            chunks.extend(data[j : j + size])
+            j += size
+
+    frames: list[np.ndarray] = []
+    stamps: list[int] = []
+    t_ms = 0
+    # pending Graphic Control Extension state (applies to next image)
+    disposal = 0
+    delay_ms = 0
+    transparent: int | None = None
+    while i < n:
+        block = data[i]
+        i += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            if i >= n:
+                raise ValueError("truncated GIF extension")
+            label = data[i]
+            body, i = _subblocks(i + 1)
+            if label == 0xF9 and len(body) >= 4:  # Graphic Control
+                packed = body[0]
+                disposal = (packed >> 2) & 0x07
+                delay_ms = int.from_bytes(body[1:3], "little") * 10
+                transparent = body[3] if packed & 0x01 else None
+        elif block == 0x2C:
+            if i + 9 > n:
+                raise ValueError("truncated GIF image descriptor")
+            left = int.from_bytes(data[i : i + 2], "little")
+            top = int.from_bytes(data[i + 2 : i + 4], "little")
+            w = int.from_bytes(data[i + 4 : i + 6], "little")
+            h = int.from_bytes(data[i + 6 : i + 8], "little")
+            lflags = data[i + 8]
+            i += 9
+            if left + w > sw or top + h > sh:
+                raise ValueError("GIF frame region outside logical screen")
+            pal = global_pal
+            if lflags & 0x80:
+                size = 3 * (2 << (lflags & 0x07))
+                pal = np.frombuffer(
+                    data[i : i + size], dtype=np.uint8
+                ).reshape(-1, 3)
+                i += size
+            if pal is None:
+                raise ValueError("GIF image has no color table")
+            if i >= n:
+                raise ValueError("truncated GIF image data")
+            min_code = data[i]
+            if not 2 <= min_code <= 11:
+                raise ValueError(f"bad GIF LZW minimum code size {min_code}")
+            lzw, i = _subblocks(i + 1)
+            idx = np.frombuffer(
+                _gif_lzw_decode(min_code, lzw, w * h), dtype=np.uint8
+            )
+            if transparent is not None:
+                opaque = idx[idx != transparent]
+                if opaque.size and opaque.max() >= len(pal):
+                    raise ValueError("GIF pixel index outside color table")
+            elif idx.max(initial=0) >= len(pal):
+                raise ValueError("GIF pixel index outside color table")
+            rows = idx.reshape(h, w)
+            if lflags & 0x40:  # interlaced: reorder rows into passes
+                out = np.empty_like(rows)
+                src = 0
+                for first, step in _GIF_INTERLACE:
+                    for y in range(first, h, step):
+                        out[y] = rows[src]
+                        src += 1
+                rows = out
+            before = canvas.copy() if disposal == 3 else None
+            region = canvas[top : top + h, left : left + w]
+            if transparent is not None:
+                mask = rows != transparent
+                # clip transparent index out so the palette lookup is
+                # in-range even when it exceeds the table
+                safe = np.where(mask, rows, 0)
+                region[mask] = pal[safe][mask]
+            else:
+                region[:] = pal[rows]
+            frames.append(canvas.copy())
+            stamps.append(t_ms)
+            t_ms += delay_ms
+            if max_frames is not None and len(frames) >= max_frames:
+                return frames, stamps
+            if disposal == 2:
+                canvas[top : top + h, left : left + w] = bg_color
+            elif disposal == 3:
+                canvas = before
+            disposal = 0
+            delay_ms = 0
+            transparent = None
+        else:
+            raise ValueError(f"bad GIF block id 0x{block:02x}")
+    if not frames:
+        raise ValueError("GIF contains no image descriptor")
+    return frames, stamps
+
+
 def gif_encode(arr: np.ndarray, interlace: bool = False) -> bytes:
     """uint8 (H, W, 3) RGB array -> single-frame GIF89a bytes. Fixture
     generator for the LZW decoder: the palette is the image's unique
@@ -1416,6 +1574,93 @@ def gif_encode(arr: np.ndarray, interlace: bool = False) -> bytes:
         chunk = bits[at : at + 255]
         out += bytes([len(chunk)]) + chunk
     out += b"\x00\x3b"
+    return bytes(out)
+
+
+def gif_encode_animation(
+    screen: tuple[int, int],
+    items: list[tuple[np.ndarray, int, int, int, int, np.ndarray | None]],
+    bg_index: int = 0,
+) -> bytes:
+    """Multi-frame GIF89a fixture generator (round-8) for the
+    composition decoder: ``screen`` is (width, height); each item is
+    ``(arr, left, top, delay_ms, disposal, transparent_mask)`` - an
+    (h, w, 3) uint8 RGB region drawn at (left, top), shown for
+    ``delay_ms`` (rounded down to centiseconds, per the format), then
+    disposed per the GIF89a code (0/1 keep, 2 restore-background,
+    3 restore-previous). ``transparent_mask`` (h, w) bool marks pixels
+    encoded as the transparent index (True = see-through). One GLOBAL
+    color table holds the union of all frames' colors plus one
+    transparent slot (<= 255 distinct colors or ValueError);
+    compression is gif_encode's spec-valid CLEAR-before-every-code
+    scheme."""
+    sw, sh = screen
+    for arr, left, top, *_ in items:
+        if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
+            raise ValueError("animation frames must be uint8 (H, W, 3)")
+        if left + arr.shape[1] > sw or top + arr.shape[0] > sh:
+            raise ValueError("frame region outside logical screen")
+    colors = np.unique(
+        np.concatenate([arr.reshape(-1, 3) for arr, *_ in items]), axis=0
+    )
+    if len(colors) > 255:
+        raise ValueError("animation fixture supports <= 255 colors")
+    transparent_idx = len(colors)
+    pal_bits = max((transparent_idx + 1 - 1).bit_length(), 1)
+    pal_n = 1 << pal_bits
+    pal = np.zeros((pal_n, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    min_code = max(pal_bits, 2)
+    clear = 1 << min_code
+    code_size = min_code + 1
+    lut = {tuple(c): k for k, c in enumerate(colors)}
+
+    out = bytearray(b"GIF89a")
+    out += sw.to_bytes(2, "little") + sh.to_bytes(2, "little")
+    out += bytes([0x80 | (pal_bits - 1), bg_index, 0])
+    out += pal.tobytes()
+    for arr, left, top, delay_ms, disposal, mask in items:
+        h, w = arr.shape[:2]
+        idx = np.array(
+            [lut[tuple(px)] for px in arr.reshape(-1, 3)], dtype=np.uint8
+        )
+        if mask is not None:
+            idx = np.where(mask.ravel(), transparent_idx, idx).astype(
+                np.uint8
+            )
+        # Graphic Control Extension
+        packed = (disposal & 0x07) << 2 | (1 if mask is not None else 0)
+        out += bytes([0x21, 0xF9, 4, packed])
+        out += (delay_ms // 10).to_bytes(2, "little")
+        out += bytes([transparent_idx if mask is not None else 0, 0])
+        # image descriptor, no local table, no interlace
+        out += b"\x2c"
+        out += left.to_bytes(2, "little") + top.to_bytes(2, "little")
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out += b"\x00"
+        out += bytes([min_code])
+        bits = bytearray()
+        acc = 0
+        nbits = 0
+        for v in idx:
+            for code in (clear, int(v)):
+                acc |= code << nbits
+                nbits += code_size
+                while nbits >= 8:
+                    bits.append(acc & 0xFF)
+                    acc >>= 8
+                    nbits -= 8
+        acc |= (clear + 1) << nbits
+        nbits += code_size
+        while nbits > 0:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        for at in range(0, len(bits), 255):
+            chunk = bits[at : at + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
     return bytes(out)
 
 

@@ -268,11 +268,32 @@ def sample_frames(media: DataFrame, max_frames: int = 8) -> DataFrame:
     (mapInPandas yielding more rows than it consumes), which is the part
     worth pinning with tests regardless of codec.
 
-    Frame count and bytes are the codec stub: n = digest[4] % max_frames
-    + 1 deterministic fake frames, frame i = sha256(content + b":" + i).
-    Every value is reproducible in SQL (sha256 is portable), so the
-    query layer carries a full DuckDB oracle despite the Python hop.
+    GIF payloads take the REAL path (round-8, VERDICT r7 #7): the
+    first ``max_frames`` animation frames are decoded with full
+    inter-frame composition - GCE transparency and disposal modes 0-3
+    over the LZW decoder (codecs.gif_decode_frames; the block walk
+    stops at max_frames, so a long animation's tail is never decoded).
+    Each output row carries the COMPOSED canvas re-encoded as a
+    single-frame GIF and the frame's true cumulative presentation time
+    from the per-frame GCE delays. A frame whose composed canvas
+    exceeds the single-frame encoder's palette, or any malformed
+    stream, drops the whole row to the surrogate arm (rows never mix
+    arms, so both sides stay deterministic).
+
+    Other payloads keep the codec stub: n = digest[4] % max_frames + 1
+    deterministic fake frames, frame i = sha256(content + b":" + i).
+    Every stub value is reproducible in SQL (sha256 is portable), so
+    the query layer carries a full DuckDB oracle despite the Python
+    hop; the real GIF arm is pytest-pinned on animated fixtures
+    through Spark (same convention as audio's WAV arm).
     """
+
+    def _gif_rows(b: bytes):
+        frames, stamps = codecs.gif_decode_frames(b, max_frames=max_frames)
+        return [
+            (i, ts, codecs.gif_encode(arr))
+            for i, (arr, ts) in enumerate(zip(frames, stamps))
+        ]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -283,6 +304,17 @@ def sample_frames(media: DataFrame, max_frames: int = 8) -> DataFrame:
                 pdf["doc_id"], pdf["media_type"], pdf["content"]
             ):
                 b = b if b is not None else b""
+                if codecs.is_gif(b):
+                    try:
+                        for i, ts, payload in _gif_rows(b):
+                            ids.append(doc_id)
+                            mtypes.append(mtype)
+                            idxs.append(i)
+                            tss.append(ts)
+                            frames.append(payload)
+                        continue
+                    except ValueError:
+                        pass  # malformed/unencodable -> surrogate row
                 n = hashlib.sha256(b).digest()[4] % max_frames + 1
                 for i in range(n):
                     ids.append(doc_id)
