@@ -279,6 +279,29 @@ def bench_scaling(spark) -> dict:
         GR.pagerank(edges, iterations=3).count()
         out["pagerank_1m_sec"] = round(time.perf_counter() - t0, 3)
 
+        # round-8 (VERDICT r7 #8): the edit-distance join's permanent
+        # scaling probe - 20k sequential Supplier#%09d names, the
+        # shared-prefix adversarial corpus where PassJoin-style segment
+        # filtering degenerates to all-pairs (the early-r5 collapse).
+        # Healthy numbers (this host): ~7s at d=1 (370k true pairs),
+        # ~20s at d=2 (6.09M pairs through the pair-dedup-then-verify
+        # path); an all-pairs regression would be 20k^2/2 = 200M
+        # levenshtein calls and blow straight past both.
+        from ghcrawler_datalake_etl_spark.operators import joins as JN
+
+        spark.range(20_000).selectExpr(
+            "id AS sid",
+            "concat('Supplier#', lpad(cast(id AS string), 9, '0'))"
+            " AS name",
+        ).repartition(32).write.mode("overwrite").parquet(f"{root}/names")
+        nm = spark.read.parquet(f"{root}/names")
+        for d in (1, 2):
+            t0 = time.perf_counter()
+            JN.edit_distance_join(nm, "sid", "name", max_dist=d).count()
+            out[f"edit_distance_20k_d{d}_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
+
         out["n_vectors"] = n_vec
         out["n_docs"] = n_docs
     finally:

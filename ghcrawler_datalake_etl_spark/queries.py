@@ -5889,42 +5889,34 @@ def dim_apply_changes(spark, sf_dir):
     wh = _run_tmp("cdc_wh")
     cat = ParquetCatalog(spark, wh)
     cat.merge_upsert(cust, "CustDim", ["c_custkey"], num_buckets=8)
-    dele = cust.where(F.col("c_custkey") % 10 == 0)
-    upd = cust.where(F.col("c_custkey") % 10 == 1)
-    ins = cust.where(F.col("c_custkey") % 10 == 2)
+    # ONE customer scan builds the whole two-event-per-key feed: each
+    # affected row explodes (inline) into its seq-1 and seq-2 change
+    # events - a 6-way self-union here put six parquet scans under the
+    # merge and tripled the query's bench cost
+    ch = F.expr("""
+        CASE c_custkey % 10
+          WHEN 0 THEN array(
+            struct(c_custkey, c_name,
+                   round(acctbal + 999, 2) AS acctbal,
+                   1L AS seq, 'U' AS op),
+            struct(c_custkey, c_name, acctbal, 2L AS seq, 'D' AS op))
+          WHEN 1 THEN array(
+            struct(c_custkey, c_name,
+                   round(acctbal + 50, 2) AS acctbal,
+                   1L AS seq, 'U' AS op),
+            struct(c_custkey, c_name,
+                   round(acctbal + 100, 2) AS acctbal,
+                   2L AS seq, 'U' AS op))
+          WHEN 2 THEN array(
+            struct(c_custkey + 1000000 AS c_custkey, c_name, acctbal,
+                   1L AS seq, 'D' AS op),
+            struct(c_custkey + 1000000 AS c_custkey, c_name, acctbal,
+                   2L AS seq, 'I' AS op))
+        END
+    """)
     changes = (
-        # decoy update at seq 1, then the delete at seq 2
-        dele.select(
-            "c_custkey", "c_name",
-            F.round(F.col("acctbal") + 999, 2).alias("acctbal"),
-            F.lit(1).alias("seq"), F.lit("U").alias("op"),
-        )
-        .unionByName(dele.select(
-            "c_custkey", "c_name", "acctbal",
-            F.lit(2).alias("seq"), F.lit("D").alias("op"),
-        ))
-        # stale +50 at seq 1 superseded by +100 at seq 2
-        .unionByName(upd.select(
-            "c_custkey", "c_name",
-            F.round(F.col("acctbal") + 50, 2).alias("acctbal"),
-            F.lit(1).alias("seq"), F.lit("U").alias("op"),
-        ))
-        .unionByName(upd.select(
-            "c_custkey", "c_name",
-            F.round(F.col("acctbal") + 100, 2).alias("acctbal"),
-            F.lit(2).alias("seq"), F.lit("U").alias("op"),
-        ))
-        # delete-then-insert for the new key
-        .unionByName(ins.select(
-            (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
-            "c_name", "acctbal",
-            F.lit(1).alias("seq"), F.lit("D").alias("op"),
-        ))
-        .unionByName(ins.select(
-            (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
-            "c_name", "acctbal",
-            F.lit(2).alias("seq"), F.lit("I").alias("op"),
-        ))
+        cust.where(F.col("c_custkey") % 10 <= 2)
+        .select(F.inline(ch))
     )
     cat.apply_changes(
         changes, "CustDim", ["c_custkey"], seq_col="seq", num_buckets=8
