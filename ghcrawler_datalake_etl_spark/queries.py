@@ -6101,21 +6101,70 @@ _DRIVER_ORDER = [
 ]
 
 
-def _apply_driver_order() -> None:
-    global _QUERIES, _ORACLES
-    missing = [n for n in _DRIVER_ORDER if n not in _QUERIES]
-    extra = [n for n in _QUERIES if n not in _DRIVER_ORDER]
-    if missing or extra:
-        raise AssertionError(
-            f"_DRIVER_ORDER out of sync: missing={missing} extra={extra}"
-        )
-    dupes = {n for n in _DRIVER_ORDER if _DRIVER_ORDER.count(n) > 1}
+def _resolve_driver_order(
+    declared: list[str], registered: list[str]
+) -> tuple[list[str], list[str]]:
+    """Resolve the effective registry order from the declared
+    ``_DRIVER_ORDER`` and the actually-registered query names. Returns
+    ``(order, problems)``: known names keep their declared positions
+    (first occurrence wins for duplicates), names registered but absent
+    from the declaration append at the TAIL - past the driver window,
+    so a forgotten declaration costs exactly that query's driver row
+    and NOTHING else - and declared-but-unregistered names drop out.
+    ``problems`` is human-readable and empty iff the two lists agree
+    exactly; tests/test_registry_order.py pins it empty, so a mismatch
+    still fails CI loudly while the module stays importable.
+
+    Round-8 hardening: the previous import-time ``AssertionError`` here
+    zeroed EVERY driver artifact for two consecutive rounds
+    (CORRECTNESS r6/r7 = {}, BENCH rc=1, 7 test modules uncollectable)
+    over ONE name missing from the tail of the declaration. A registry
+    sync bug must degrade to one lost row, not a dead round.
+    """
+    reg = set(registered)
+    problems: list[str] = []
+    seen: set[str] = set()
+    order: list[str] = []
+    dupes: list[str] = []
+    for n in declared:
+        if n in seen:
+            dupes.append(n)
+            continue
+        seen.add(n)
+        if n in reg:
+            order.append(n)
     if dupes:
-        # a repeated name silently keeps its FIRST position in the dict
-        # rebuild below; that masks a mis-stated window composition
-        raise AssertionError(f"_DRIVER_ORDER has duplicate entries: {dupes}")
-    _QUERIES = {n: _QUERIES[n] for n in _DRIVER_ORDER}
-    _ORACLES = {n: _ORACLES[n] for n in _DRIVER_ORDER if n in _ORACLES}
+        # a repeated name silently keeps its FIRST position; that masks
+        # a mis-stated window composition
+        problems.append(f"duplicate entries: {sorted(set(dupes))}")
+    missing = [n for n in declared if n not in reg]
+    if missing:
+        problems.append(f"declared but not registered: {missing}")
+    stragglers = [n for n in registered if n not in seen]
+    if stragglers:
+        problems.append(
+            f"registered but not declared (appended past the driver "
+            f"window): {stragglers}"
+        )
+        order.extend(stragglers)
+    return order, problems
 
 
+def _apply_driver_order() -> None:
+    global _QUERIES, _ORACLES, _DRIVER_ORDER_PROBLEMS
+    order, problems = _resolve_driver_order(_DRIVER_ORDER, list(_QUERIES))
+    _DRIVER_ORDER_PROBLEMS = problems
+    if problems:
+        import warnings
+
+        warnings.warn(
+            "_DRIVER_ORDER out of sync (degraded, not fatal): "
+            + "; ".join(problems),
+            stacklevel=2,
+        )
+    _QUERIES = {n: _QUERIES[n] for n in order}
+    _ORACLES = {n: _ORACLES[n] for n in order if n in _ORACLES}
+
+
+_DRIVER_ORDER_PROBLEMS: list[str] = []
 _apply_driver_order()

@@ -361,3 +361,38 @@ def test_queries_and_oracles_align():
     # oracle iteration order must follow the query order (the driver
     # zips by position in some paths; keep them identical)
     assert [n for n in qs if n in os_] == list(os_)
+
+
+def test_driver_order_declaration_is_exactly_in_sync():
+    """The strict sync check the import-time assertion used to be
+    (round-8 hardening): a mismatch now degrades at import - the module
+    stays alive, stragglers append past the window - and THIS test is
+    where it fails loudly instead."""
+    from ghcrawler_datalake_etl_spark import queries as qmod
+
+    assert qmod._DRIVER_ORDER_PROBLEMS == []
+
+
+def test_driver_order_resolution_degrades_not_dies():
+    """Pin the degraded-mode contract that would have saved rounds 6-7:
+    a name registered but missing from _DRIVER_ORDER appends at the
+    TAIL (it loses its driver row, nothing else moves), duplicates keep
+    their first position, unregistered declarations drop out - and
+    every such mismatch is reported."""
+    from ghcrawler_datalake_etl_spark.queries import _resolve_driver_order
+
+    # exact agreement: order preserved, no problems
+    order, problems = _resolve_driver_order(["a", "b"], ["b", "a"])
+    assert order == ["a", "b"] and problems == []
+    # the r6/r7 shape: one registered name not declared -> tail append
+    order, problems = _resolve_driver_order(["a", "b"], ["a", "j8", "b"])
+    assert order == ["a", "b", "j8"]
+    assert len(problems) == 1 and "j8" in problems[0]
+    # declared but never registered -> dropped, reported
+    order, problems = _resolve_driver_order(["a", "ghost", "b"], ["a", "b"])
+    assert order == ["a", "b"]
+    assert any("ghost" in p for p in problems)
+    # duplicate declaration -> first position wins, reported
+    order, problems = _resolve_driver_order(["a", "b", "a"], ["a", "b"])
+    assert order == ["a", "b"]
+    assert any("duplicate" in p for p in problems)
