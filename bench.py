@@ -172,6 +172,16 @@ def bench_scaling(spark) -> dict:
         emb = spark.read.parquet(f"{root}/emb")
         d = spark.read.parquet(f"{root}/docs")
 
+        # Measured variance (round-8 investigation): this arm reads
+        # 9-12s back-to-back warm but 25-45s when the JVM's compiled
+        # code for its generated stages has gone cold (C2 re-JIT under
+        # UseCodeCacheFlushing; reproduced with identical r5 code, and
+        # NOT fixed by raising spark.sql.codegen.cache.maxEntries or
+        # pinning BLAS threads - an A/B at maxEntries 100 vs 2000 both
+        # landed ~16-18s after churn). Inside a full bench the arm
+        # always runs cold-ish, so treat <60s as healthy; an all-pairs
+        # collapse (the regression this guards) is 400M scored pairs
+        # through one task and reads in MINUTES.
         t0 = time.perf_counter()
         SIM.knn_graph(emb, "vec_id", "embedding", k=3, num_blocks=8).count()
         out["knn_graph_20k_sec"] = round(time.perf_counter() - t0, 3)
