@@ -544,6 +544,64 @@ def test_gif_decode_frames_composition_disposal_transparency():
         codecs.gif_decode_frames(bad[:30])
 
 
+def test_gif_frames_match_independent_compositor():
+    """Randomized differential for the animation decoder: 30 seeded
+    animations with random regions, palettes, delays, disposal modes
+    and transparency masks, decoded by gif_decode_frames and replayed
+    by an INDEPENDENT straight-line compositor over
+    gif_decode_first_frame-style region decodes - i.e. the reference
+    implements GIF89a composition from the spec text, sharing only the
+    LZW layer."""
+    rng = np.random.RandomState(2024)
+    for trial in range(30):
+        sw, sh = rng.randint(4, 14), rng.randint(4, 14)
+        n_frames = rng.randint(1, 6)
+        palette = (rng.randint(0, 6, (5, 3)) * 40).astype(np.uint8)
+        items = []
+        for _ in range(n_frames):
+            w, h = rng.randint(1, sw + 1), rng.randint(1, sh + 1)
+            left = rng.randint(0, sw - w + 1)
+            top = rng.randint(0, sh - h + 1)
+            arr = palette[rng.randint(0, len(palette), (h, w))]
+            delay = int(rng.choice([0, 10, 40, 250]))
+            disposal = int(rng.choice([0, 1, 2, 3]))
+            mask = None
+            if rng.rand() < 0.5:
+                mask = rng.rand(h, w) < 0.3
+                if mask.all():  # all-transparent frames stay legal
+                    mask[0, 0] = False
+            items.append((np.ascontiguousarray(arr), left, top,
+                          delay, disposal, mask))
+        data = codecs.gif_encode_animation((sw, sh), items, bg_index=0)
+        frames, ts = codecs.gif_decode_frames(data)
+        assert len(frames) == n_frames
+
+        # independent reference: spec-text composition in plain numpy
+        colors = np.unique(
+            np.concatenate([it[0].reshape(-1, 3) for it in items]), axis=0
+        )
+        bg = colors[0]  # bg_index=0 points at the first palette color
+        canvas = np.empty((sh, sw, 3), np.uint8)
+        canvas[:] = bg
+        t = 0
+        for i, (arr, left, top, delay, disposal, mask) in enumerate(items):
+            before = canvas.copy()
+            region = canvas[top : top + arr.shape[0],
+                            left : left + arr.shape[1]]
+            if mask is not None:
+                region[~mask] = arr[~mask]
+            else:
+                region[:] = arr
+            assert (frames[i] == canvas).all(), (trial, i)
+            assert ts[i] == t, (trial, i)
+            t += (delay // 10) * 10
+            if disposal == 2:
+                canvas[top : top + arr.shape[0],
+                       left : left + arr.shape[1]] = bg
+            elif disposal == 3:
+                canvas = before
+
+
 def test_sample_frames_animated_gif_through_spark(spark):
     """The real GIF arm of sample_frames: an animated payload fans out
     to its true frames (composed canvases re-encoded single-frame, GCE
