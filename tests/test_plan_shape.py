@@ -418,6 +418,26 @@ def test_knn_graph_blocked_group_no_cartesian(spark, queries):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
 
 
+def test_edit_distance_join_is_hash_join_on_variant_key(spark, queries):
+    """Round-8: the edit-distance joins (now both in the driver window
+    and #2 in the bench) must get candidates from ONE equi-join on the
+    xxhash64 deletion-variant key - a shuffled hash join, never a
+    cartesian/broadcast-nested-loop product (the all-pairs collapse the
+    deletion-neighborhood scheme exists to avoid), and never a
+    levenshtein predicate INSIDE a join condition (which Spark would
+    only be able to run as a nested-loop)."""
+    for name in ("j7_edit_distance_join", "j8_edit_distance2_join"):
+        p = plan(queries[name](spark, SF_DIR), "simple")
+        assert "CartesianProduct" not in p, (name, p)
+        assert "BroadcastNestedLoopJoin" not in p, (name, p)
+        # candidates come from a HASH join on the variant key (at d=1
+        # Catalyst folds the levenshtein verify into the hash join's
+        # residual condition - evaluated only on key matches, which is
+        # exactly right); d=2 verifies after the pair-dedup aggregate
+        assert "HashJoin" in p or "SortMergeJoin" in p, (name, p)
+        assert "levenshtein" in p, (name, p)
+
+
 def test_semantic_prune_scores_per_cluster_group(spark, queries):
     """SemDeDup's pair scoring must ride ONE shuffle keyed on the
     cluster id (FlatMapGroupsInPandas over groupby(cluster)); the only
