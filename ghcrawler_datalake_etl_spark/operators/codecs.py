@@ -1358,6 +1358,65 @@ def gif_decode_first_frame(data: bytes) -> np.ndarray:
     raise ValueError("GIF contains no image descriptor")
 
 
+def gif_frame_delays(data: bytes) -> list[int]:
+    """Per-frame GCE delays in ms (0 where a frame has no Graphic
+    Control Extension), by the same skip-don't-decode block walk as
+    gif_info - color tables and LZW data are never decoded, so this is
+    metadata-cheap even for large animations."""
+    if not is_gif(data):
+        raise ValueError("not a GIF (bad signature)")
+    n = len(data)
+    if n < 13:
+        raise ValueError("truncated GIF header")
+    flags = data[10]
+    i = 13
+    if flags & 0x80:
+        i += 3 * (2 << (flags & 0x07))
+
+    def _skip_subblocks(j: int) -> int:
+        while True:
+            if j >= n:
+                raise ValueError("truncated GIF sub-blocks")
+            size = data[j]
+            j += 1
+            if size == 0:
+                return j
+            j += size
+
+    delays: list[int] = []
+    pending = 0
+    while i < n:
+        block = data[i]
+        i += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            if i >= n:
+                raise ValueError("truncated GIF extension")
+            label = data[i]
+            j = i + 1
+            if label == 0xF9 and j < n and data[j] >= 4 and j + 3 <= n:
+                pending = int.from_bytes(data[j + 2 : j + 4], "little") * 10
+            i = _skip_subblocks(i + 1)
+        elif block == 0x2C:
+            if i + 9 > n:
+                raise ValueError("truncated GIF image descriptor")
+            lflags = data[i + 8]
+            i += 9
+            if lflags & 0x80:
+                i += 3 * (2 << (lflags & 0x07))
+            if i >= n:
+                raise ValueError("truncated GIF image data")
+            i = _skip_subblocks(i + 1)
+            delays.append(pending)
+            pending = 0
+        else:
+            raise ValueError(f"bad GIF block id 0x{block:02x}")
+    if not delays:
+        raise ValueError("GIF contains no image descriptor")
+    return delays
+
+
 def gif_decode_frames(
     data: bytes, max_frames: int | None = None
 ) -> tuple[list[np.ndarray], list[int]]:

@@ -203,8 +203,12 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     PNG, baseline JPEG, GIF, and uncompressed 24/32-bit BMP rows take
     the REAL path: decode -> nearest-neighbor resample -> re-encode in
     the input's own format (operators/codecs.py; deterministic, no
-    resampling-filter ambiguity; GIF resizes its first frame, BMP
-    re-encodes 24-bit). Remaining payloads (progressive JPEG, exotic
+    resampling-filter ambiguity; BMP re-encodes 24-bit). Animated GIFs
+    resize EVERY frame (round-8): the composed canvases re-encode as a
+    full-frame animation with the original per-frame delays, so the
+    rendered sequence is the nearest-neighbor resize of the rendered
+    input; an animation whose color union exceeds the encoder's
+    palette falls to the surrogate like any other unencodable payload. Remaining payloads (progressive JPEG, exotic
     formats, malformed bytes) keep the surrogate: the "resized" bytes
     are the sha256 digest of (content, size) - deterministic, content-
     and size-sensitive, so tests can pin exact bytes for any input.
@@ -224,10 +228,24 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                     rs[:, :, 0] if rs.shape[2] == 1 else rs
                 )
             if codecs.is_gif(b):
-                return codecs.gif_encode(
-                    codecs.resize_nearest(
-                        codecs.gif_decode_first_frame(b), width, height
-                    )
+                # round-8: resize the WHOLE animation, not frame 1 -
+                # composed canvases (transparency/disposal already
+                # folded in) re-encoded full-frame with the original
+                # GCE delays; a single-frame GIF stays a plain GIF
+                frames, _ = codecs.gif_decode_frames(b)
+                resized = [
+                    codecs.resize_nearest(fr, width, height)
+                    for fr in frames
+                ]
+                if len(resized) == 1:
+                    return codecs.gif_encode(resized[0])
+                delays = codecs.gif_frame_delays(b)
+                return codecs.gif_encode_animation(
+                    (width, height),
+                    [
+                        (arr, 0, 0, delays[idx], 1, None)
+                        for idx, arr in enumerate(resized)
+                    ],
                 )
             if codecs.is_bmp(b):
                 return codecs.bmp_encode(

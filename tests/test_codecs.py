@@ -650,6 +650,41 @@ def test_sample_frames_animated_gif_through_spark(spark):
     assert [r.frame_ts_ms for r in capped] == ts[:2]
 
 
+def test_resize_preserves_animation(spark):
+    """Round-8: resize_images on an animated GIF resizes EVERY composed
+    frame and keeps the per-frame delays; a single-frame GIF still
+    round-trips as a plain GIF."""
+    from ghcrawler_datalake_etl_spark.operators import multimodal as MM
+
+    data, f0 = _animation_fixture()
+    single = codecs.gif_encode(f0)
+    df = spark.createDataFrame(
+        [
+            (1, "image/gif", data, None, None, None, None),
+            (2, "image/gif", single, None, None, None, None),
+        ],
+        "doc_id long, media_type string, content binary, width int,"
+        " height int, sample_rate int, duration_ms long",
+    )
+    out = {r.doc_id: bytes(r.content)
+           for r in MM.resize_images(df, 16, 12).collect()}
+    # animated: every frame is the nearest-neighbor resize of the
+    # original composed canvas, delays carried over
+    src_frames, src_ts = codecs.gif_decode_frames(data)
+    got_frames, got_ts = codecs.gif_decode_frames(out[1])
+    assert len(got_frames) == len(src_frames) == 4
+    assert got_ts == src_ts
+    assert codecs.gif_frame_delays(out[1]) == codecs.gif_frame_delays(data)
+    for src, got in zip(src_frames, got_frames):
+        assert (got == codecs.resize_nearest(src, 16, 12)).all()
+    # single-frame stays single-frame
+    assert codecs.gif_info(out[2])[2] == 1
+    assert (
+        codecs.gif_decode_first_frame(out[2])
+        == codecs.resize_nearest(f0, 16, 12)
+    ).all()
+
+
 def test_gif_decode_rejects_malformed():
     arr = np.zeros((4, 4, 3), np.uint8)
     data = codecs.gif_encode(arr)
