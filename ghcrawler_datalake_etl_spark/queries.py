@@ -4159,6 +4159,137 @@ def multimodal_frames(spark, sf_dir):
 
 
 @register(
+    "multimodal_gif_frames",
+    """
+    WITH d AS (
+      SELECT doc_id FROM documents WHERE doc_id % 7 = 0
+    ), f AS (
+      SELECT doc_id, unnest(range(0, 1 + doc_id % 4)) AS i FROM d
+    ), p AS (
+      SELECT doc_id, i,
+             1 + ((doc_id + 3 * i) % 8) AS w,
+             20 + 40 * ((doc_id + i) % 6) AS g,
+             10 * ((doc_id + i) % 5) AS delay
+      FROM f
+    ), mn AS (
+      SELECT doc_id, min(g) AS bg FROM p GROUP BY doc_id
+    ), ts AS (
+      SELECT doc_id, i, coalesce(sum(delay) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS ts_ms
+      FROM p
+    ), cov AS (
+      -- column x of the composed canvas at frame i shows the gray of
+      -- the LAST frame j <= i whose region width exceeds x
+      SELECT a.doc_id, a.i AS fi, x.x, max(b.i) AS lastj
+      FROM p a
+      JOIN p b ON b.doc_id = a.doc_id AND b.i <= a.i
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS x) x
+      WHERE b.w > x.x
+      GROUP BY a.doc_id, a.i, x.x
+    ), px AS (
+      SELECT t.doc_id, t.i AS frame_idx, t.ts_ms,
+             coalesce(sum(g2.g), 0)
+               + (8 - count(g2.g)) * any_value(mn.bg) AS col_sum
+      FROM ts t
+      JOIN mn ON mn.doc_id = t.doc_id
+      LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.fi = t.i
+      LEFT JOIN p g2 ON g2.doc_id = c.doc_id AND g2.i = c.lastj
+      GROUP BY t.doc_id, t.i, t.ts_ms
+    )
+    SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+           ts_ms::BIGINT AS ts_ms, col_sum::BIGINT AS col_sum
+    FROM px
+    """,
+)
+def multimodal_gif_frames(spark, sf_dir):
+    """The REAL animated-GIF arm of sample_frames under a full driver
+    oracle (round-8): every doc_id%7==0 document becomes a genuine
+    GIF89a animation with doc_id-derived geometry - 8x4 logical
+    screen, 1 + doc_id%4 full-height frames of width 1+((doc_id+3i)%8)
+    drawn at the origin in solid gray 20+40*((doc_id+i)%6) with GCE
+    delay 10*((doc_id+i)%5) ms and disposal 1 - so the decoder's
+    composition is ARITHMETIC: canvas column x at frame i shows the
+    gray of the last frame j<=i with w_j > x (background = the
+    palette's lexicographic-min gray elsewhere, bg_index 0), and the
+    frame timestamp is the running sum of prior delays. sample_frames
+    decodes the animation (codecs.gif_decode_frames: LZW + GCE
+    composition) and re-encodes each composed canvas; the query then
+    decodes row 0 of each emitted frame and projects its integer
+    column sum, which DuckDB recomputes from the derivation rules
+    alone - no codec on the oracle side, yet every byte of the encode
+    -> compose -> re-encode -> decode path is verified."""
+    import numpy as np
+    import pandas as pd
+
+    from ghcrawler_datalake_etl_spark.operators import codecs as C
+    from ghcrawler_datalake_etl_spark.operators import multimodal as MM
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 7 == 0)
+        .select("doc_id")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 1 + doc_id % 4
+                items = []
+                for i in range(n):
+                    w = 1 + ((doc_id + 3 * i) % 8)
+                    g = 20 + 40 * ((doc_id + i) % 6)
+                    delay = 10 * ((doc_id + i) % 5)
+                    arr = np.full((4, w, 3), g, np.uint8)
+                    items.append((arr, 0, 0, delay, 1, None))
+                ids.append(doc_id)
+                payloads.append(C.gif_encode_animation((8, 4), items))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "media_type": "image/gif",
+                    "content": payloads,
+                }
+            )
+
+    media = d.mapInPandas(
+        build, schema="doc_id long, media_type string, content binary"
+    )
+    frames = MM.sample_frames(media, max_frames=8)
+
+    def rowsum(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sums = [
+                int(
+                    C.gif_decode_first_frame(bytes(b))[0, :, 0]
+                    .astype(np.int64)
+                    .sum()
+                )
+                for b in pdf["frame"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "frame_idx": pdf["frame_idx"].astype("int64"),
+                    "ts_ms": pdf["frame_ts_ms"].astype("int64"),
+                    "col_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return frames.mapInPandas(
+        rowsum,
+        schema="doc_id long, frame_idx long, ts_ms long, col_sum long",
+    )
+
+
+@register(
     "text_clean_lines",
     """
     WITH d AS (
@@ -6098,6 +6229,11 @@ _DRIVER_ORDER = [
     "subquery_lineitem_count",
     "w5_sliding_hour_frame",
     "cube_status_priority",
+    # round-8 late addition (driver-oracled real-GIF composition path;
+    # out-of-window this round via the multimodal_phash_pairs in-window
+    # proxy - same real-decode mapInPandas family - and first in line
+    # for the round-9 rotation):
+    "multimodal_gif_frames",
 ]
 
 

@@ -255,6 +255,12 @@ OUT_OF_WINDOW_OK = {
     "sample_top_share_quality": "evidence",
     "sample_dsir_select": "evidence",
     "pipeline_quality_mix_pack": "evidence",
+    # round-8 late addition: the driver-oracled real-GIF-composition
+    # query enters past the window (no evidence yet - it is brand new)
+    # on the strength of its in-window family proxy (the same
+    # real-decode mapInPandas shape); it heads the round-9 rotation
+    # list in NOTES_r8.md:
+    "multimodal_gif_frames": "multimodal_phash_pairs",
 }
 
 #: one query per SURVEY section-2 operator family. The in-window
