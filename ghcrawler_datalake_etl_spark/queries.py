@@ -4290,6 +4290,141 @@ def multimodal_gif_frames(spark, sf_dir):
 
 
 @register(
+    "multimodal_gif_resize",
+    """
+    WITH d AS (
+      SELECT doc_id FROM documents WHERE doc_id % 7 = 3
+    ), f AS (
+      SELECT doc_id, unnest(range(0, 1 + doc_id % 4)) AS i FROM d
+    ), p AS (
+      SELECT doc_id, i,
+             1 + ((doc_id + 3 * i) % 8) AS w,
+             20 + 40 * ((doc_id + i) % 6) AS g,
+             10 * ((doc_id + i) % 5) AS delay
+      FROM f
+    ), mn AS (
+      SELECT doc_id, min(g) AS bg FROM p GROUP BY doc_id
+    ), ts AS (
+      SELECT doc_id, i, coalesce(sum(delay) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS ts_ms
+      FROM p
+    ), cov AS (
+      -- resized column x' samples source column (x'*8)//5
+      -- (resize_nearest's floor mapping); the sampled source column
+      -- shows the gray of the LAST frame j <= i whose width exceeds it
+      SELECT a.doc_id, a.i AS fi, x.x, max(b.i) AS lastj
+      FROM p a
+      JOIN p b ON b.doc_id = a.doc_id AND b.i <= a.i
+      CROSS JOIN (SELECT unnest(range(0, 5)) AS x) x
+      WHERE b.w > (x.x * 8) // 5
+      GROUP BY a.doc_id, a.i, x.x
+    ), px AS (
+      SELECT t.doc_id, t.i AS frame_idx, t.ts_ms,
+             coalesce(sum(g2.g), 0)
+               + (5 - count(g2.g)) * any_value(mn.bg) AS col_sum
+      FROM ts t
+      JOIN mn ON mn.doc_id = t.doc_id
+      LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.fi = t.i
+      LEFT JOIN p g2 ON g2.doc_id = c.doc_id AND g2.i = c.lastj
+      GROUP BY t.doc_id, t.i, t.ts_ms
+    )
+    SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+           ts_ms::BIGINT AS ts_ms, col_sum::BIGINT AS col_sum
+    FROM px
+    """,
+)
+def multimodal_gif_resize(spark, sf_dir):
+    """The animated-resize path under a full driver oracle (round-8):
+    the same doc_id-derived GIF89a animations as multimodal_gif_frames
+    (residue 3 of the doc space), pushed through resize_images to
+    5x3 - a non-divisor size, so resize_nearest's floor mapping
+    (src_x = (x*8)//5) is actually exercised - then the RESIZED
+    animation is decoded back frame by frame. Frame count and GCE
+    delays must survive the resize re-encode (gif_frame_delays +
+    gif_encode_animation), and each resized frame's row-0 column sum
+    is pure arithmetic over the derivation rules: resized column x'
+    shows the gray of the last frame j<=i covering source column
+    (x'*8)//5. Verifies decode -> compose -> per-frame resize ->
+    animation re-encode -> decode, byte-real end to end, with no codec
+    on the oracle side."""
+    import numpy as np
+    import pandas as pd
+
+    from ghcrawler_datalake_etl_spark.operators import codecs as C
+    from ghcrawler_datalake_etl_spark.operators import multimodal as MM
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 7 == 3)
+        .select("doc_id")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 1 + doc_id % 4
+                items = []
+                for i in range(n):
+                    w = 1 + ((doc_id + 3 * i) % 8)
+                    g = 20 + 40 * ((doc_id + i) % 6)
+                    delay = 10 * ((doc_id + i) % 5)
+                    arr = np.full((4, w, 3), g, np.uint8)
+                    items.append((arr, 0, 0, delay, 1, None))
+                ids.append(doc_id)
+                payloads.append(C.gif_encode_animation((8, 4), items))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "media_type": "image/gif",
+                    "content": payloads,
+                    "width": pd.Series([8] * len(ids), dtype="int32"),
+                    "height": pd.Series([4] * len(ids), dtype="int32"),
+                    "sample_rate": pd.Series(
+                        [None] * len(ids), dtype="Int32"
+                    ),
+                    "duration_ms": pd.Series(
+                        [None] * len(ids), dtype="Int64"
+                    ),
+                }
+            )
+
+    media = d.mapInPandas(build, schema=MM.MEDIA_SCHEMA)
+    resized = MM.resize_images(media, 5, 3)
+
+    def decode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, idxs, tss, sums = [], [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["content"]):
+                frames, ts = C.gif_decode_frames(bytes(b))
+                for i, (fr, t) in enumerate(zip(frames, ts)):
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    tss.append(t)
+                    sums.append(int(fr[0, :, 0].astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "ts_ms": pd.Series(tss, dtype="int64"),
+                    "col_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return resized.mapInPandas(
+        decode,
+        schema="doc_id long, frame_idx long, ts_ms long, col_sum long",
+    )
+
+
+@register(
     "text_clean_lines",
     """
     WITH d AS (
@@ -6229,11 +6364,12 @@ _DRIVER_ORDER = [
     "subquery_lineitem_count",
     "w5_sliding_hour_frame",
     "cube_status_priority",
-    # round-8 late addition (driver-oracled real-GIF composition path;
-    # out-of-window this round via the multimodal_phash_pairs in-window
-    # proxy - same real-decode mapInPandas family - and first in line
-    # for the round-9 rotation):
+    # round-8 late additions (driver-oracled real-GIF composition and
+    # animated-resize paths; out-of-window this round via the
+    # multimodal_phash_pairs in-window proxy - same real-decode
+    # mapInPandas family - and first in line for the round-9 rotation):
     "multimodal_gif_frames",
+    "multimodal_gif_resize",
 ]
 
 

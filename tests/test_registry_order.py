@@ -261,6 +261,7 @@ OUT_OF_WINDOW_OK = {
     # real-decode mapInPandas shape); it heads the round-9 rotation
     # list in NOTES_r8.md:
     "multimodal_gif_frames": "multimodal_phash_pairs",
+    "multimodal_gif_resize": "multimodal_phash_pairs",
 }
 
 #: one query per SURVEY section-2 operator family. The in-window
