@@ -1859,6 +1859,32 @@ def wav_samples(data: bytes):
     return x / 32768.0
 
 
+def wav_encode_pcm(
+    sample_rate: int, pcm: "np.ndarray", channels: int = 1
+) -> bytes:
+    """Wrap raw int16 samples in a RIFF/WAVE header (round-8 fixture
+    generator): the arbitrary-waveform sibling of wav_encode_silence /
+    wav_encode_tone, for oracle queries that need exactly-known sample
+    values (step/constant waveforms whose RMS and silence ratio are
+    closed-form rationals)."""
+    pcm = np.asarray(pcm, dtype="<i2")
+    data = pcm.tobytes()
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def wav_encode_tone(
     sample_rate: int,
     duration_ms: int,

@@ -4425,6 +4425,85 @@ def multimodal_gif_resize(spark, sf_dir):
 
 
 @register(
+    "multimodal_wav_stats",
+    """
+    WITH d AS (
+      SELECT doc_id FROM documents WHERE doc_id % 7 = 5
+    ), p AS (
+      SELECT doc_id,
+             400 + 40 * (doc_id % 5) AS n,
+             4096 * (1 + doc_id % 7) AS a,
+             ((400 + 40 * (doc_id % 5)) * (doc_id % 4)) // 4 AS m
+      FROM d
+    )
+    SELECT doc_id,
+           (n // 8)::BIGINT AS duration_ms,
+           sqrt(((a::DOUBLE * a * m) / 1073741824.0) / n) AS rms,
+           CASE WHEN m > 0 THEN a / 32768.0 ELSE 0.0 END AS peak,
+           (n - m)::DOUBLE / n AS silence_ratio
+    FROM p
+    """,
+)
+def multimodal_wav_stats(spark, sf_dir):
+    """The REAL 16-bit-PCM arm of audio_stats under a full driver
+    oracle (round-8; the sine-tone arm stays pytest-pinned because
+    transcendental sample values aren't cross-engine-exact): every
+    doc_id%7==5 document becomes a genuine RIFF/WAVE payload - 8 kHz
+    mono step waveform, n = 400+40*(doc_id%5) samples (always a
+    multiple of 8, so the header-derived duration is the exact integer
+    n/8 ms), the first m = n*(doc_id%4)//4 samples at amplitude
+    4096*(1+doc_id%7) and the rest zero. Every statistic the decode
+    produces is then closed-form: peak = a/32768 (a dyadic rational),
+    rms = sqrt((a^2*m/2^30)/n) (one correctly-rounded division + one
+    correctly-rounded sqrt on both engines - bit-identical), and
+    silence_ratio = (n-m)/n (the step exceeds the 0.01 threshold by
+    construction, zeros sit under it). DuckDB recomputes all four from
+    the derivation rules; the WAV header walk, PCM decode,
+    normalization, and mono mix are byte-real through
+    codecs.wav_samples/wav_info inside multimodal.audio_stats."""
+    import numpy as np
+    import pandas as pd
+
+    from ghcrawler_datalake_etl_spark.operators import codecs as C
+    from ghcrawler_datalake_etl_spark.operators import multimodal as MM
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 7 == 5)
+        .select("doc_id")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 400 + 40 * (doc_id % 5)
+                a = 4096 * (1 + doc_id % 7)
+                m = (n * (doc_id % 4)) // 4
+                pcm = np.zeros(n, dtype=np.int16)
+                pcm[:m] = a
+                ids.append(doc_id)
+                payloads.append(C.wav_encode_pcm(8000, pcm))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "media_type": "audio/wav",
+                    "content": payloads,
+                }
+            )
+
+    media = d.mapInPandas(
+        build, schema="doc_id long, media_type string, content binary"
+    )
+    return MM.audio_stats(media).select(
+        "doc_id", "duration_ms", "rms", "peak", "silence_ratio"
+    )
+
+
+@register(
     "text_clean_lines",
     """
     WITH d AS (
@@ -6370,6 +6449,10 @@ _DRIVER_ORDER = [
     # mapInPandas family - and first in line for the round-9 rotation):
     "multimodal_gif_frames",
     "multimodal_gif_resize",
+    # ... and the real-WAV audio_stats oracle (same proxy scheme via
+    # the in-window multimodal_audio_stats, which runs the SAME
+    # operator on surrogate payloads):
+    "multimodal_wav_stats",
 ]
 
 

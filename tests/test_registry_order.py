@@ -262,6 +262,10 @@ OUT_OF_WINDOW_OK = {
     # list in NOTES_r8.md:
     "multimodal_gif_frames": "multimodal_phash_pairs",
     "multimodal_gif_resize": "multimodal_phash_pairs",
+    # same scheme for the real-WAV oracle: the in-window
+    # multimodal_audio_stats runs the SAME audio_stats operator (its
+    # surrogate arm); this query adds the real-PCM arm's driver oracle:
+    "multimodal_wav_stats": "multimodal_audio_stats",
 }
 
 #: one query per SURVEY section-2 operator family. The in-window
