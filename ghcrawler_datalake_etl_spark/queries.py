@@ -4504,6 +4504,118 @@ def multimodal_wav_stats(spark, sf_dir):
 
 
 @register(
+    "multimodal_image_features",
+    """
+    WITH d AS (
+      SELECT doc_id FROM documents WHERE doc_id % 7 = 6
+    ), p AS (
+      SELECT doc_id,
+             doc_id % 3 AS kind,
+             3 + doc_id % 6 AS w,
+             2 + doc_id % 5 AS h,
+             30.0 * (doc_id % 8) AS r,
+             30.0 * ((doc_id + 1) % 8) AS g,
+             30.0 * ((doc_id + 2) % 8) AS b,
+             20.0 + 40.0 * (doc_id % 6) AS gray
+      FROM d
+    )
+    SELECT doc_id,
+           CASE kind WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                     ELSE 'gif' END AS fmt,
+           w::INT AS width, h::INT AS height,
+           (CASE WHEN kind = 2 THEN 1 + doc_id % 4
+                 ELSE 1 END)::INT AS n_frames,
+           CASE WHEN kind = 2
+                THEN (0.299 * gray + 0.587 * gray + 0.114 * gray) / 255.0
+                ELSE (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+           END AS mean_luma
+    FROM p
+    """,
+)
+def multimodal_image_features(spark, sf_dir):
+    """The REAL image-decode arms of extract_features under a full
+    driver oracle (round-8): every doc_id%7==6 document becomes a
+    genuine payload of its doc-derived format - PNG (full zlib/filter
+    decode), 24-bit BMP (bottom-up row decode), or animated GIF89a
+    (header block walk for the frame count + LZW first-frame decode) -
+    in a doc-derived solid color, so every extracted feature is
+    closed-form: dims from the real headers, n_frames from the real
+    block walk (1 + doc_id%4 for the GIFs), and mean_luma the Rec.601
+    fold of the known color - the same literal expression
+    (0.299r + 0.587g + 0.114b)/255 on both engines, correctly rounded
+    per operation and therefore bit-identical. The sha256/n_bytes
+    columns (encoder-byte-dependent) are projected away; the
+    surrogate arm stays oracled by multimodal_features."""
+    import numpy as np
+    import pandas as pd
+
+    from ghcrawler_datalake_etl_spark.operators import codecs as C
+    from ghcrawler_datalake_etl_spark.operators import multimodal as MM
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 7 == 6)
+        .select("doc_id")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, kinds, payloads = [], [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                kind = doc_id % 3
+                w = 3 + doc_id % 6
+                h = 2 + doc_id % 5
+                if kind == 0:
+                    rgb = [30 * (doc_id % 8), 30 * ((doc_id + 1) % 8),
+                           30 * ((doc_id + 2) % 8)]
+                    arr = np.full((h, w, 3), rgb, np.uint8)
+                    data = C.png_encode(arr)
+                    fmt = "png"
+                elif kind == 1:
+                    rgb = [30 * (doc_id % 8), 30 * ((doc_id + 1) % 8),
+                           30 * ((doc_id + 2) % 8)]
+                    arr = np.full((h, w, 3), rgb, np.uint8)
+                    data = C.bmp_encode(arr)
+                    fmt = "bmp"
+                else:
+                    n = 1 + doc_id % 4
+                    gray = 20 + 40 * (doc_id % 6)
+                    items = [
+                        (np.full((h, w, 3), gray, np.uint8), 0, 0, 40, 1,
+                         None)
+                        for _ in range(n)
+                    ]
+                    data = C.gif_encode_animation((w, h), items)
+                    fmt = "gif"
+                ids.append(doc_id)
+                kinds.append(fmt)
+                payloads.append(data)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "media_type": ["image/" + k for k in kinds],
+                    "content": payloads,
+                }
+            )
+
+    media = d.mapInPandas(
+        build, schema="doc_id long, media_type string, content binary"
+    )
+    feats = MM.extract_features(media)
+    return feats.select(
+        "doc_id",
+        F.expr("substring(media_type, 7)").alias("fmt"),
+        "width",
+        "height",
+        "n_frames",
+        "mean_luma",
+    )
+
+
+@register(
     "text_clean_lines",
     """
     WITH d AS (
@@ -6453,6 +6565,9 @@ _DRIVER_ORDER = [
     # the in-window multimodal_audio_stats, which runs the SAME
     # operator on surrogate payloads):
     "multimodal_wav_stats",
+    # ... and the real-PNG/BMP/GIF extract_features oracle (proxy:
+    # multimodal_phash_pairs, same real-decode mapInPandas family):
+    "multimodal_image_features",
 ]
 
 

@@ -266,6 +266,7 @@ OUT_OF_WINDOW_OK = {
     # multimodal_audio_stats runs the SAME audio_stats operator (its
     # surrogate arm); this query adds the real-PCM arm's driver oracle:
     "multimodal_wav_stats": "multimodal_audio_stats",
+    "multimodal_image_features": "multimodal_phash_pairs",
 }
 
 #: one query per SURVEY section-2 operator family. The in-window
