@@ -74,7 +74,12 @@ def test_parity_paths_have_no_python(spark, queries):
                  # round-5 mapInPandas decoders: perceptual hash and
                  # PCM audio stats ride the same Arrow-batched shape
                  # as multimodal_features
-                 "multimodal_phash_pairs", "multimodal_audio_stats"}
+                 "multimodal_phash_pairs", "multimodal_audio_stats",
+                 # round-8 driver-oracled real-codec arms: payloads are
+                 # BUILT (encode) and decoded in Arrow-batched
+                 # mapInPandas stages by design
+                 "multimodal_gif_frames", "multimodal_gif_resize",
+                 "multimodal_wav_stats", "multimodal_image_features"}
     for name, fn in entrymod.queries().items():
         p = plan(fn(spark, SF_DIR), "simple")
         assert "BatchEvalPython" not in p, f"{name}: row-at-a-time Python UDF"
