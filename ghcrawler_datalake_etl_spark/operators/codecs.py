@@ -1358,10 +1358,30 @@ def gif_decode_first_frame(data: bytes) -> np.ndarray:
     raise ValueError("GIF contains no image descriptor")
 
 
+def _gif_assemble_subblocks(data: bytes, j: int) -> tuple[bytes, int]:
+    """Assemble a GIF sub-block chain starting at ``j`` into one body;
+    returns (body, index-after-terminator). The ONE walk both
+    gif_decode_frames and gif_frame_delays use to read a Graphic
+    Control Extension, so a GCE split across sub-blocks can never give
+    the two functions different delays (ADVICE r8)."""
+    n = len(data)
+    chunks = bytearray()
+    while True:
+        if j >= n:
+            raise ValueError("truncated GIF sub-blocks")
+        size = data[j]
+        j += 1
+        if size == 0:
+            return bytes(chunks), j
+        chunks.extend(data[j : j + size])
+        j += size
+
+
 def gif_frame_delays(data: bytes) -> list[int]:
     """Per-frame GCE delays in ms (0 where a frame has no Graphic
-    Control Extension), by the same skip-don't-decode block walk as
-    gif_info - color tables and LZW data are never decoded, so this is
+    Control Extension). Extension bodies are assembled by the same
+    sub-block walk gif_decode_frames uses (shared helper); color
+    tables and LZW image data are still skipped un-decoded, so this is
     metadata-cheap even for large animations."""
     if not is_gif(data):
         raise ValueError("not a GIF (bad signature)")
@@ -1394,10 +1414,9 @@ def gif_frame_delays(data: bytes) -> list[int]:
             if i >= n:
                 raise ValueError("truncated GIF extension")
             label = data[i]
-            j = i + 1
-            if label == 0xF9 and j < n and data[j] >= 4 and j + 3 <= n:
-                pending = int.from_bytes(data[j + 2 : j + 4], "little") * 10
-            i = _skip_subblocks(i + 1)
+            body, i = _gif_assemble_subblocks(data, i + 1)
+            if label == 0xF9 and len(body) >= 4:
+                pending = int.from_bytes(body[1:3], "little") * 10
         elif block == 0x2C:
             if i + 9 > n:
                 raise ValueError("truncated GIF image descriptor")
@@ -1469,16 +1488,7 @@ def gif_decode_frames(
     canvas[:] = bg_color
 
     def _subblocks(j: int) -> tuple[bytes, int]:
-        chunks = bytearray()
-        while True:
-            if j >= n:
-                raise ValueError("truncated GIF sub-blocks")
-            size = data[j]
-            j += 1
-            if size == 0:
-                return bytes(chunks), j
-            chunks.extend(data[j : j + size])
-            j += size
+        return _gif_assemble_subblocks(data, j)
 
     frames: list[np.ndarray] = []
     stamps: list[int] = []
@@ -1672,7 +1682,15 @@ def gif_encode_animation(
     min_code = max(pal_bits, 2)
     clear = 1 << min_code
     code_size = min_code + 1
-    lut = {tuple(c): k for k, c in enumerate(colors)}
+    # vectorized palette lookup (ADVICE r8): np.unique(axis=0) returns
+    # rows lexicographically sorted, so packing RGB to int24 gives a
+    # strictly-increasing key array and searchsorted maps every pixel
+    # to its palette index without a per-pixel Python dict probe
+    keys = (
+        (colors[:, 0].astype(np.int32) << 16)
+        | (colors[:, 1].astype(np.int32) << 8)
+        | colors[:, 2].astype(np.int32)
+    )
 
     out = bytearray(b"GIF89a")
     out += sw.to_bytes(2, "little") + sh.to_bytes(2, "little")
@@ -1680,9 +1698,9 @@ def gif_encode_animation(
     out += pal.tobytes()
     for arr, left, top, delay_ms, disposal, mask in items:
         h, w = arr.shape[:2]
-        idx = np.array(
-            [lut[tuple(px)] for px in arr.reshape(-1, 3)], dtype=np.uint8
-        )
+        flat = arr.reshape(-1, 3).astype(np.int32)
+        packed_px = (flat[:, 0] << 16) | (flat[:, 1] << 8) | flat[:, 2]
+        idx = np.searchsorted(keys, packed_px).astype(np.uint8)
         if mask is not None:
             idx = np.where(mask.ravel(), transparent_idx, idx).astype(
                 np.uint8

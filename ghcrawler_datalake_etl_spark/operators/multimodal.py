@@ -196,6 +196,13 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+#: resize_images decodes + re-encodes EVERY frame of an animated GIF in
+#: pure Python; past this many frames it falls to the surrogate instead
+#: of letting one large real-world GIF (hundreds of frames) stall an
+#: executor task on O(frames*W*H) work (ADVICE r8).
+RESIZE_MAX_GIF_FRAMES = 64
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize every image row to (width, height) - MEDIA_SCHEMA in,
     MEDIA_SCHEMA out, so resize stages compose/chain freely.
@@ -208,7 +215,8 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     full-frame animation with the original per-frame delays, so the
     rendered sequence is the nearest-neighbor resize of the rendered
     input; an animation whose color union exceeds the encoder's
-    palette falls to the surrogate like any other unencodable payload. Remaining payloads (progressive JPEG, exotic
+    palette, or with more than RESIZE_MAX_GIF_FRAMES frames, falls to
+    the surrogate like any other unencodable payload. Remaining payloads (progressive JPEG, exotic
     formats, malformed bytes) keep the surrogate: the "resized" bytes
     are the sha256 digest of (content, size) - deterministic, content-
     and size-sensitive, so tests can pin exact bytes for any input.
@@ -231,7 +239,15 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 # round-8: resize the WHOLE animation, not frame 1 -
                 # composed canvases (transparency/disposal already
                 # folded in) re-encoded full-frame with the original
-                # GCE delays; a single-frame GIF stays a plain GIF
+                # GCE delays; a single-frame GIF stays a plain GIF.
+                # ADVICE r8: animations past RESIZE_MAX_GIF_FRAMES
+                # fall to the surrogate (a truncated resize would
+                # silently drop frames; an unbounded decode is
+                # O(frames*W*H) pure-Python work per task) - the
+                # frame count comes from gif_info's metadata-only
+                # block walk, no pixel is decoded first
+                if codecs.gif_info(b)[2] > RESIZE_MAX_GIF_FRAMES:
+                    raise ValueError("animation exceeds resize frame cap")
                 frames, _ = codecs.gif_decode_frames(b)
                 resized = [
                     codecs.resize_nearest(fr, width, height)

@@ -4525,10 +4525,10 @@ def multimodal_wav_stats(spark, sf_dir):
            w::INT AS width, h::INT AS height,
            (CASE WHEN kind = 2 THEN 1 + doc_id % 4
                  ELSE 1 END)::INT AS n_frames,
-           CASE WHEN kind = 2
+           floor(CASE WHEN kind = 2
                 THEN (0.299 * gray + 0.587 * gray + 0.114 * gray) / 255.0
                 ELSE (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
-           END AS mean_luma
+           END * 1e12) / 1e12 AS mean_luma
     FROM p
     """,
 )
@@ -4541,9 +4541,13 @@ def multimodal_image_features(spark, sf_dir):
     in a doc-derived solid color, so every extracted feature is
     closed-form: dims from the real headers, n_frames from the real
     block walk (1 + doc_id%4 for the GIFs), and mean_luma the Rec.601
-    fold of the known color - the same literal expression
-    (0.299r + 0.587g + 0.114b)/255 on both engines, correctly rounded
-    per operation and therefore bit-identical. The sha256/n_bytes
+    fold of the known color. mean_luma is floor-quantized at 12 digits
+    on BOTH sides (ADVICE r8): numpy's pairwise y.mean() over n
+    identical pixels differs from the closed-form
+    (0.299r + 0.587g + 0.114b)/255 by 1 ulp on ~38% of residues when n
+    is not a power of 2, so the raw doubles are NOT bit-identical;
+    quantize(12) maps both to the same value for every residue class
+    (probed over the full doc_id%840 period). The sha256/n_bytes
     columns (encoder-byte-dependent) are projected away; the
     surrogate arm stays oracled by multimodal_features."""
     import numpy as np
@@ -4611,7 +4615,7 @@ def multimodal_image_features(spark, sf_dir):
         "width",
         "height",
         "n_frames",
-        "mean_luma",
+        quantize(F.col("mean_luma"), 12).alias("mean_luma"),
     )
 
 
@@ -6398,34 +6402,51 @@ def dim_apply_changes(spark, sf_dir):
 # via SPARK_GRAFT_ORACLE_SF_DIR).
 
 _DRIVER_ORDER = [
-    # ============ driver window (first 50): what round 8 verifies =====
-    # Round-8 rotation (VERDICT r7 #4): 12 triple-green (>=3 green
-    # rounds in EVIDENCE.json) extension queries ceded their slots to
-    # the never-driver-run j8_edit_distance2_join plus 11 of the
-    # stalest r1/r2-green queries, so four rounds of refactors get
-    # re-verified driver rows. Ceded: dedup_minhash_lsh,
-    # dedup_keep_best_quality, pack_token_shards, sim_ivf_kmeans_topk,
-    # sim_knn_graph, text_bpe_pair_stats, text_bigram_logprob,
-    # text_bpe_encode, text_quality_classifier,
-    # sample_top_share_quality, sample_dsir_select,
-    # pipeline_quality_mix_pack. Families stay represented in-window:
-    # dedup via dedup_clusters, sim via sim_pq_adc_topk, search via
-    # search_tfidf_cosine, text via perplexity_buckets/bpe_encode_ids/
-    # clean_lines, sample via temperature_mix/pps_systematic, pipeline
-    # via tokenize_pack, pack via pack_store_roundtrip.
-    "pattern_a_snapshot_upsert",
-    "sketch_hll_distinct",
-    "sketch_cms_heavy_hitters",
-    "sketch_kmv_distinct",
-    "sketch_bloom_decontaminate",
-    "sketch_hll_merge",
+    # ============ driver window (first 50): what round 9 verifies =====
+    # Round-9 rotation (VERDICT r8 #1/#2/#5): 19 queries with >=2 green
+    # driver rounds each (EVIDENCE.json) ceded their slots to (a) the
+    # four round-8 real-codec oracles - the only 4 of 137 queries with
+    # no driver row ever - (b) 13 of the stalest r1/r2-green queries in
+    # NOTES_r8.md priority order incl. pattern_c_collection_refresh
+    # (the reference's replace-by-owner + carryover semantics), and
+    # (c) the two streaming batch twins (stream_windowed_counts /
+    # stream_static_enrich, newest row r1). Ceded:
+    # pattern_a_snapshot_upsert, dedup_clusters, sim_pq_adc_topk,
+    # search_tfidf_cosine, orc/tsv/jsonl round-trips, text_clean_lines,
+    # j2_anti_join, pattern_b_array_child, q1_pricing_summary,
+    # sessionize_events, dq_validate_orders, and six of the seven
+    # sketch queries. Families stay represented in-window: sketch via
+    # sketch_histogram_quantiles, multimodal via phash_pairs /
+    # audio_stats + the four incoming codec oracles, stream via
+    # hll_distinct / interval_join / dedup_ingest + the two twins,
+    # patterns via pattern_c. All 19 incoming verified green by
+    # probe_strict.py (full-precision repr compare) at sf0.01 before
+    # this commit.
+    "multimodal_gif_frames",
+    "multimodal_gif_resize",
+    "multimodal_wav_stats",
+    "multimodal_image_features",
+    "a5_distinct_count_two_stage",
+    "asof_next_purchase",
+    "agg_value_percentiles",
+    "pivot_user_event_matrix",
+    "w3_lag_event_gaps",
+    "w4_rank_quartiles",
+    "setop_user_cohorts",
+    "q3_unshipped_topk",
+    "pattern_c_collection_refresh",
+    "q18_large_quantity_orders",
+    "subquery_lineitem_count",
+    "w5_sliding_hour_frame",
+    "cube_status_priority",
+    "stream_windowed_counts",
+    "stream_static_enrich",
+    # -- keepers (31): r8-green; a further r9 row strengthens their
+    #    cession evidence for future rotations --
     "sketch_histogram_quantiles",
     "stream_hll_distinct",
     "j6_bloom_prefilter_join",
-    "sketch_kmv_overlap",
-    "dedup_clusters",
     "graph_pagerank_transitions",
-    "dq_validate_orders",
     "timeseries_gap_fill",
     "dim_scd2_user_state",
     "multimodal_phash_pairs",
@@ -6441,24 +6462,11 @@ _DRIVER_ORDER = [
     "j7_edit_distance_join",
     "dim_apply_changes",
     "pipeline_tokenize_pack",
-    "search_tfidf_cosine",
     "embedding_random_projection",
     "corpus_fertility_by_lang",
     "sample_pps_systematic",
     "text_bpe_encode_ids",
-    "sim_pq_adc_topk",
-    "text_clean_lines",
-    "tsv_round_trip",
-    "jsonl_round_trip",
-    "orc_catalog_roundtrip",
-    # -- round-8 newcomers: first driver row for the radius-2
-    #    edit-distance join, then the stale-evidence re-verification
-    #    set (newest green row r1 or r2) --
     "j8_edit_distance2_join",
-    "q1_pricing_summary",
-    "sessionize_events",
-    "pattern_b_array_child",
-    "j2_anti_join",
     "asof_last_purchase",
     "range_interval_join",
     "j5_salted_skew_join",
@@ -6467,6 +6475,28 @@ _DRIVER_ORDER = [
     "funnel_click_to_purchase",
     "locf_fill_forward",
     # ---------------- position 51+: past the driver window ----------
+    # round-9 rotated-out (each holds >=2 green driver rounds in
+    # EVIDENCE.json; OUT_OF_WINDOW_OK entries in
+    # tests/test_registry_order.py):
+    "pattern_a_snapshot_upsert",
+    "dedup_clusters",
+    "sim_pq_adc_topk",
+    "search_tfidf_cosine",
+    "orc_catalog_roundtrip",
+    "tsv_round_trip",
+    "jsonl_round_trip",
+    "text_clean_lines",
+    "j2_anti_join",
+    "pattern_b_array_child",
+    "q1_pricing_summary",
+    "sessionize_events",
+    "dq_validate_orders",
+    "sketch_hll_distinct",
+    "sketch_cms_heavy_hitters",
+    "sketch_kmv_distinct",
+    "sketch_hll_merge",
+    "sketch_kmv_overlap",
+    "sketch_bloom_decontaminate",
     # round-8 rotated-out (each holds >=3 green driver rounds in
     # EVIDENCE.json; OUT_OF_WINDOW_OK entries added in
     # tests/test_registry_order.py):
@@ -6537,37 +6567,9 @@ _DRIVER_ORDER = [
     "x3_posexplode_tokens",
     "w2_distinct_keys",
     "j3_join_chain_q5",
-    "pattern_c_collection_refresh",
     "w1_latest_event_per_user",
     "pattern_d_traffic_series",
     "w1_maxby_latest_event_per_user",
-    "a5_distinct_count_two_stage",
-    "asof_next_purchase",
-    "stream_windowed_counts",
-    "stream_static_enrich",
-    "agg_value_percentiles",
-    "pivot_user_event_matrix",
-    "w3_lag_event_gaps",
-    "w4_rank_quartiles",
-    "setop_user_cohorts",
-    "q3_unshipped_topk",
-    "q18_large_quantity_orders",
-    "subquery_lineitem_count",
-    "w5_sliding_hour_frame",
-    "cube_status_priority",
-    # round-8 late additions (driver-oracled real-GIF composition and
-    # animated-resize paths; out-of-window this round via the
-    # multimodal_phash_pairs in-window proxy - same real-decode
-    # mapInPandas family - and first in line for the round-9 rotation):
-    "multimodal_gif_frames",
-    "multimodal_gif_resize",
-    # ... and the real-WAV audio_stats oracle (same proxy scheme via
-    # the in-window multimodal_audio_stats, which runs the SAME
-    # operator on surrogate payloads):
-    "multimodal_wav_stats",
-    # ... and the real-PNG/BMP/GIF extract_features oracle (proxy:
-    # multimodal_phash_pairs, same real-decode mapInPandas family):
-    "multimodal_image_features",
 ]
 
 

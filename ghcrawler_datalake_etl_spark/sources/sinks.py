@@ -369,8 +369,13 @@ class ParquetCatalog:
           same keys the merge shuffles on anyway), so a mixed
           insert-then-delete replay resolves by sequence order - the
           Debezium/Delta ``APPLY CHANGES ... SEQUENCE BY`` contract.
-          Equal-sequence ties resolve upsert-over-delete, then by the
-          op string, deterministically. The sequence column is an
+          Equal-sequence ties are deterministic across OP KINDS only:
+          upsert beats delete, then the op string orders 'I' vs 'U'.
+          Two upserts with the SAME key, sequence, and op are not
+          ordered - which row lands is partition-order dependent -
+          matching the reference contract that duplicate sequence
+          numbers for one key are a caller error (ADVICE r8 scoped
+          this claim). The sequence column is an
           ordinary data column: it lands in the table when the table
           schema carries it, and is projected away by the merge's
           schema alignment when it does not.

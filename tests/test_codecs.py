@@ -685,6 +685,56 @@ def test_resize_preserves_animation(spark):
     ).all()
 
 
+def test_resize_animation_frame_cap_falls_to_surrogate(spark):
+    """ADVICE r8: an animation past RESIZE_MAX_GIF_FRAMES must NOT be
+    decoded frame-by-frame (O(frames*W*H) pure-Python per task) - it
+    takes the deterministic surrogate instead, detected from gif_info's
+    metadata-only walk."""
+    import hashlib
+
+    from ghcrawler_datalake_etl_spark.operators import multimodal as MM
+
+    f = np.zeros((2, 2, 3), np.uint8)
+    f[..., 0] = 10
+    n = MM.RESIZE_MAX_GIF_FRAMES + 1
+    big = codecs.gif_encode_animation(
+        (2, 2), [(f, 0, 0, 10, 1, None)] * n
+    )
+    assert codecs.gif_info(big)[2] == n
+    df = spark.createDataFrame(
+        [(1, "image/gif", big, None, None, None, None)],
+        "doc_id long, media_type string, content binary, width int,"
+        " height int, sample_rate int, duration_ms long",
+    )
+    (row,) = MM.resize_images(df, 4, 4).collect()
+    assert bytes(row.content) == hashlib.sha256(big + b":4x4").digest()
+
+
+def test_gif_split_gce_same_delays_both_walks():
+    """ADVICE r8: a Graphic Control Extension split across sub-blocks
+    (legal per GIF89a 15.0 block layout) must give gif_frame_delays and
+    gif_decode_frames the SAME delay - both now read the assembled
+    sub-block body via the shared _gif_assemble_subblocks walk."""
+    data, _ = _animation_fixture()
+    # rewrite the first GCE `21 F9 04 b0 b1 b2 b3 00` into two
+    # sub-blocks `21 F9 02 b0 b1 02 b2 b3 00`
+    k = data.find(b"\x21\xf9\x04")
+    assert k > 0
+    body = data[k + 3 : k + 7]
+    split = (
+        data[: k + 2]
+        + b"\x02" + body[:2] + b"\x02" + body[2:] + b"\x00"
+        + data[k + 8 :]
+    )
+    assert codecs.gif_frame_delays(split) == codecs.gif_frame_delays(data)
+    _, ts0 = codecs.gif_decode_frames(data)
+    _, ts1 = codecs.gif_decode_frames(split)
+    assert ts0 == ts1
+    frames0, _ = codecs.gif_decode_frames(data)
+    frames1, _ = codecs.gif_decode_frames(split)
+    assert all((a == b).all() for a, b in zip(frames0, frames1))
+
+
 def test_gif_decode_rejects_malformed():
     arr = np.zeros((4, 4, 3), np.uint8)
     data = codecs.gif_encode(arr)

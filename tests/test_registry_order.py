@@ -229,11 +229,6 @@ OUT_OF_WINDOW_OK = {
     # dim_apply_changes; the pipeline family keeps tokenize_pack +
     # quality_mix_pack in-window:
     "pipeline_chunk_dedup_pack": "evidence",
-    # batch twins of the streaming surface, green r1, out-of-window
-    # since round 2 (the "stream_" prefix joined EXTENSION_PREFIXES in
-    # round 5 when the true streaming run entered the window):
-    "stream_windowed_counts": "evidence",
-    "stream_static_enrich": "evidence",
     # round-8 rotations (VERDICT r7 #4): twelve triple-green (>=3 green
     # driver rounds, see EVIDENCE.json) queries ceded their slots to
     # j8_edit_distance2_join (never driver-run) plus eleven of the
@@ -255,32 +250,42 @@ OUT_OF_WINDOW_OK = {
     "sample_top_share_quality": "evidence",
     "sample_dsir_select": "evidence",
     "pipeline_quality_mix_pack": "evidence",
-    # round-8 late addition: the driver-oracled real-GIF-composition
-    # query enters past the window (no evidence yet - it is brand new)
-    # on the strength of its in-window family proxy (the same
-    # real-decode mapInPandas shape); it heads the round-9 rotation
-    # list in NOTES_r8.md:
-    "multimodal_gif_frames": "multimodal_phash_pairs",
-    "multimodal_gif_resize": "multimodal_phash_pairs",
-    # same scheme for the real-WAV oracle: the in-window
-    # multimodal_audio_stats runs the SAME audio_stats operator (its
-    # surrogate arm); this query adds the real-PCM arm's driver oracle:
-    "multimodal_wav_stats": "multimodal_audio_stats",
-    "multimodal_image_features": "multimodal_phash_pairs",
+    # round-9 rotations (VERDICT r8 #1/#2/#5): nineteen queries with
+    # >=2 green driver rounds each ceded their slots to the four
+    # round-8 real-codec oracles (which now sit IN-window, replacing
+    # their former proxy entries here), thirteen of the stalest
+    # r1/r2-green queries, and the two streaming batch twins. Families
+    # stay represented in-window: sketch via sketch_histogram_quantiles,
+    # multimodal via phash_pairs/audio_stats + the codec oracles,
+    # stream via hll_distinct/interval_join/dedup_ingest + the twins:
+    "dedup_clusters": "evidence",
+    "sim_pq_adc_topk": "evidence",
+    "search_tfidf_cosine": "evidence",
+    "orc_catalog_roundtrip": "evidence",
+    "tsv_round_trip": "evidence",
+    "jsonl_round_trip": "evidence",
+    "text_clean_lines": "evidence",
+    "dq_validate_orders": "evidence",
+    "sketch_hll_distinct": "evidence",
+    "sketch_cms_heavy_hitters": "evidence",
+    "sketch_kmv_distinct": "evidence",
+    "sketch_hll_merge": "evidence",
+    "sketch_kmv_overlap": "evidence",
+    "sketch_bloom_decontaminate": "evidence",
 }
 
 #: one query per SURVEY section-2 operator family. The in-window
 #: representative set; everything else in the parity core must carry
 #: green rows in >= 2 rounds (EVIDENCE.json) to sit outside.
 PARITY_CORE_IN_WINDOW = {
-    "pattern_a_snapshot_upsert",
+    "pattern_c_collection_refresh",
 }
 
 PARITY_CORE_ROTATED_OUT = {
     "w2_distinct_keys",
     "j3_join_chain_q5",
+    "pattern_a_snapshot_upsert",
     "pattern_b_array_child",
-    "pattern_c_collection_refresh",
     "w1_latest_event_per_user",
     "j2_anti_join",
     "pattern_d_traffic_series",
