@@ -256,8 +256,11 @@ def is_jpeg(data: bytes) -> bool:
 # block's DC coefficient - which is exactly the 8x8-block mean, so the
 # image-wide mean luma needs NO IDCT and no AC dequantization: AC
 # coefficients are Huffman-walked to keep bitstream position and then
-# dropped. Progressive (SOF2) and arithmetic-coded processes raise, so
-# those payloads route to the callers' surrogate arms.
+# dropped. Progressive (SOF2) streams get BOTH treatments: the cheap
+# DC-only luma walk (jpeg_progressive_dc_luma) and, since round 9, a
+# full pixel decode (jpeg_decode_progressive - every scan's entropy:
+# DC/AC first and refinement, spectral selection, EOB runs).
+# Arithmetic-coded processes raise, routing to callers' surrogates.
 
 #: Annex K.1/K.2 example quantization tables (luminance, chrominance).
 _JQ_LUM = np.array([
@@ -478,14 +481,94 @@ def jpeg_encode(arr: np.ndarray) -> bytes:
     return bytes(out)
 
 
-def jpeg_encode_progressive(arr: np.ndarray) -> bytes:
+def _ac_first_scan_tokens(blk, ss: int, se: int, al: int):
+    """Per-block tokens for a progressive AC FIRST scan (Ah=0): the
+    coefficient band at magnitude scale Al (point transform truncates
+    toward zero, T.81 G.1.2.2), run/size coded; per-block EOB is the
+    EOBRUN=1 code 0x00. Token = (symbol, extra, extra_len, corr_bits)."""
+    toks = []
+    tv = []
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        tv.append(v >> al if v >= 0 else -((-v) >> al))
+    last = -1
+    for i, t in enumerate(tv):
+        if t:
+            last = i
+    run = 0
+    for i in range(last + 1):
+        t = tv[i]
+        if t == 0:
+            run += 1
+            continue
+        while run > 15:
+            toks.append((0xF0, 0, 0, []))
+            run -= 16
+        s = _bit_category(t)
+        extra = t if t >= 0 else t + (1 << s) - 1
+        toks.append(((run << 4) | s, extra, s, []))
+        run = 0
+    if last < se - ss:
+        toks.append((0x00, 0, 0, []))
+    return toks
+
+
+def _ac_refine_scan_tokens(blk, ss: int, se: int, al: int):
+    """Per-block tokens for a progressive AC REFINEMENT scan
+    (Ah=Al+1; T.81 G.1.2.3, the jcphuff encode_mcu_AC_refine shape):
+    already-nonzero coefficients contribute one buffered correction
+    bit each (appended after the next emitted symbol's bits, in k
+    order - exactly where the decoder's remainder walk reads them);
+    newly-nonzero ones emit (zero-history-run, size=1) + a sign bit;
+    a trailing EOB carries the band-end correction bits."""
+    toks = []
+    run = 0
+    corr: list[int] = []
+    # EOB position: the last NEWLY-nonzero coefficient - ZRLs after it
+    # fold into the trailing EOB (the jcphuff `k <= EOB` guard)
+    eob_idx = -1
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        if (abs(v) >> al) == 1:
+            eob_idx = k
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        a = abs(v) >> al
+        if a == 0:
+            run += 1
+            continue
+        # flush pending ZRLs at EVERY nonzero coefficient (correction
+        # ones included) so buffered bits stay within the decoder's
+        # 16-zero ZRL walk - but never past the EOB position
+        while run > 15 and k <= eob_idx:
+            toks.append((0xF0, 0, 0, corr))
+            corr = []
+            run -= 16
+        if a > 1:  # history nonzero at scale Al+1: correction bit
+            corr.append(a & 1)
+            continue
+        # a == 1: newly nonzero in this scan
+        toks.append(((run << 4) | 1, 1 if v > 0 else 0, 1, corr))
+        corr = []
+        run = 0
+    if run > 0 or corr:
+        toks.append((0x00, 0, 0, corr))
+    return toks
+
+
+def jpeg_encode_progressive(arr: np.ndarray, spectral: bool = False) -> bytes:
     """uint8 image -> PROGRESSIVE JPEG bytes (SOF2, 4:4:4): a DC
     first-approximation scan at Al=1, a DC refinement scan (Ah=1,
-    Al=0, raw bits), then one full-precision AC scan per component
-    (Ss=1..63; per-block EOB is the EOBRUN=1 code 0x00, so
-    baseline-style run/size coding is spec-valid here). The fixture
-    generator for jpeg_progressive_dc_luma - the AC scans exist
-    precisely so the decoder must prove it SKIPS their entropy."""
+    Al=0, raw bits), then per-component AC scans. Default: one
+    full-precision AC scan per component (Ss=1..63; per-block EOB is
+    the EOBRUN=1 code 0x00, so baseline-style run/size coding is
+    spec-valid here). ``spectral=True`` (round-9) instead splits each
+    component's AC into FOUR scans - bands 1-5 and 6-63 first at Al=1,
+    then their Ah=1/Al=0 refinements - exercising spectral selection,
+    AC successive approximation, and refinement correction bits in
+    jpeg_decode_progressive. Also the fixture generator for
+    jpeg_progressive_dc_luma - the AC scans exist precisely so the
+    DC-only consumer must prove it SKIPS their entropy."""
     h, w, nch, coeffs = _jpeg_coefficients(arr)
     bys, bxs = coeffs[0].shape[0], coeffs[0].shape[1]
     n_tbl = 1 if nch == 1 else 2
@@ -525,44 +608,34 @@ def jpeg_encode_progressive(arr: np.ndarray) -> bytes:
                 bw.write(int(coeffs[ci][by, bx, 0]) & 1, 1)
     scan2 = bw.flush()
 
-    # --- AC scans: one per component, full precision ---
-    ac_tables = []
-    ac_streams = []
+    # --- AC scans: per-component band/approximation plan ---
+    if spectral:
+        band_plan = [(1, 5, 0, 1), (6, 63, 0, 1), (1, 5, 1, 0), (6, 63, 1, 0)]
+    else:
+        band_plan = [(1, 63, 0, 0)]
+    ac_scans = []  # (ci, ss, se, ah, al, dht_payload, stream)
     for ci in range(nch):
-        tbl_syms: set[int] = set()
-        tokens = []
-        for by in range(bys):
-            for bx in range(bxs):
-                blk = coeffs[ci][by, bx]
-                run = 0
-                last_nz = max((i for i in range(1, 64) if blk[i]), default=0)
-                for i in range(1, last_nz + 1):
-                    v = int(blk[i])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        tbl_syms.add(0xF0)
-                        tokens.append((0xF0, 0, 0))
-                        run -= 16
-                    t = _bit_category(v)
-                    sym = (run << 4) | t
-                    tbl_syms.add(sym)
-                    extra = v if v >= 0 else v + (1 << t) - 1
-                    tokens.append((sym, extra, t))
-                    run = 0
-                if last_nz < 63:
-                    tbl_syms.add(0x00)  # EOBRUN = 1
-                    tokens.append((0x00, 0, 0))
-        table = _canonical_codes(sorted(tbl_syms))
-        ac_tables.append(table)
-        bw = _BitWriter()
-        for sym, extra, elen in tokens:
-            code, length = table[1][sym]
-            bw.write(code, length)
-            if elen:
-                bw.write(extra, elen)
-        ac_streams.append(bw.flush())
+        for ss, se, ah, al in band_plan:
+            builder = (
+                _ac_first_scan_tokens if ah == 0 else _ac_refine_scan_tokens
+            )
+            tokens = []
+            for by in range(bys):
+                for bx in range(bxs):
+                    tokens.extend(builder(coeffs[ci][by, bx], ss, se, al))
+            syms = sorted({t[0] for t in tokens})
+            if not syms:
+                syms = [0x00]  # empty scan still needs a legal table
+            payload, codes = _canonical_codes(syms)
+            bw = _BitWriter()
+            for sym, extra, elen, corr in tokens:
+                code, length = codes[sym]
+                bw.write(code, length)
+                if elen:
+                    bw.write(extra, elen)
+                for bit in corr:
+                    bw.write(bit, 1)
+            ac_scans.append((ci, ss, se, ah, al, payload, bw.flush()))
 
     out = _jpeg_headers(h, w, nch, 0xC2)
     for i in range(n_tbl):
@@ -581,13 +654,14 @@ def jpeg_encode_progressive(arr: np.ndarray) -> bytes:
     sos += bytes([0, 0, 0x10])  # Ss=0 Se=0 Ah=1 Al=0
     out += seg(0xDA, bytes(sos))
     out += scan2
-    # AC scans, one component each
-    for ci in range(nch):
-        out += seg(0xC4, bytes([0x10 | ci]) + ac_tables[ci][0])
+    # AC scans, one component each (tables redefined per scan - legal
+    # per B.2.4.2 and how real progressive encoders emit them)
+    for ci, ss, se, ah, al, payload, stream in ac_scans:
+        out += seg(0xC4, bytes([0x10 | ci]) + payload)
         sos = bytearray([1, ci + 1, ci])  # Ta = ci
-        sos += bytes([1, 63, 0x00])  # Ss=1 Se=63 Ah=0 Al=0
+        sos += bytes([ss, se, (ah << 4) | al])
         out += seg(0xDA, bytes(sos))
-        out += ac_streams[ci]
+        out += stream
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -964,14 +1038,241 @@ def jpeg_progressive_dc_luma(data: bytes) -> float:
     return total / count / 255.0
 
 
+def _ac_first_block(br, blk, ss, se, al, lookup, eobrun):
+    """One block of a progressive AC FIRST scan (Ah=0; T.81 G.1.2.2 /
+    libjpeg decode_mcu_AC_first): run/size symbols place values at
+    magnitude scale Al; EOBn codes start an end-of-band run covering
+    this and the next 2^r-1(+bits) blocks. Returns the eobrun balance
+    AFTER this block."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _read_huff(br, lookup)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zero coefficients
+                k += 16
+                continue
+            eobrun = 1 << r
+            if r:
+                eobrun += br.read_bits(r)
+            return eobrun - 1  # this block is one of them
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC overrun")
+        blk[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(br, blk, ss, se, al, lookup, eobrun):
+    """One block of a progressive AC REFINEMENT scan (Ah=Al+1; T.81
+    G.1.2.3 / libjpeg decode_mcu_AC_refine): coefficients already
+    nonzero receive one correction bit each; newly-nonzero
+    coefficients arrive as (run-of-zero-history, size=1) symbols with
+    a sign bit; EOBn runs carry correction bits for the remainder of
+    each covered band. Returns the eobrun balance AFTER this block."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _read_huff(br, lookup)
+            r, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break  # remainder of the band corrected below
+                val = 0  # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad JPEG refinement AC symbol")
+                val = p1 if br.read_bit() else m1
+            # advance over r zero-history coefficients, handing one
+            # correction bit to every nonzero-history one passed
+            while k <= se:
+                if blk[k] != 0:
+                    if br.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # correction bits through the band's end
+            if blk[k] != 0:
+                if br.read_bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_progressive_coefficients(data: bytes):
+    """Decode EVERY scan of a progressive JPEG (DC first + refinement,
+    AC first + refinement, spectral selection, EOB runs, restarts) into
+    final coefficient blocks: returns (sof, qtables, blocks) with
+    blocks[cid] a (blocks_y, blocks_x, 64) zigzag int64 array - the
+    same shape the baseline entropy decoder produces, so pixel
+    reconstruction is shared."""
+    proc, sof, scans, qtables = _jpeg_parse_scans(data)
+    if proc != 0xC2:
+        raise ValueError("not a progressive JPEG")
+    w, h, comps = sof
+    by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * max_h))
+    mcus_y = -(-h // (8 * max_v))
+    blocks = {
+        cid: np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int64)
+        for cid, hi, vi, _tq in comps
+    }
+    for comps_s, ss, se, ah, al, pos, ht, restart in scans:
+        br = _BitReader(data, pos)
+        if ss == 0:
+            if se != 0:
+                raise ValueError("progressive DC scan with Se != 0")
+            # DC scan: interleaved MCU order or single-component raster
+            if len(comps_s) > 1:
+                order = []
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        unit = []
+                        for cs, td, _ta in comps_s:
+                            hi, vi, _tq = by_id[cs]
+                            for bv in range(vi):
+                                for bh in range(hi):
+                                    unit.append(
+                                        (cs, td, my * vi + bv, mx * hi + bh)
+                                    )
+                        order.append(unit)
+            else:
+                cs, td, _ta = comps_s[0]
+                hi, vi, _tq = by_id[cs]
+                cw = -(-(w * hi) // (8 * max_h))
+                chh = -(-(h * vi) // (8 * max_v))
+                order = [
+                    [(cs, td, by, bx)]
+                    for by in range(chh)
+                    for bx in range(cw)
+                ]
+            preds = {cs: 0 for cs, _td, _ta in comps_s}
+            for ui, unit in enumerate(order):
+                if restart and ui and ui % restart == 0:
+                    br.sync_restart()
+                    preds = {cs: 0 for cs in preds}
+                for cs, td, by, bx in unit:
+                    if ah == 0:
+                        lookup = ht.get(0x00 | td)
+                        if lookup is None:
+                            raise ValueError("missing DC Huffman table")
+                        t = _read_huff(br, lookup)
+                        diff = _extend(br.read_bits(t), t) if t else 0
+                        preds[cs] += diff
+                        blocks[cs][by, bx, 0] = preds[cs] << al
+                    else:
+                        blocks[cs][by, bx, 0] |= br.read_bit() << al
+        else:
+            # AC scan: T.81 G.1.1 - never interleaved
+            if len(comps_s) != 1:
+                raise ValueError("interleaved progressive AC scan")
+            cs, _td, ta = comps_s[0]
+            lookup = ht.get(0x10 | ta)
+            if lookup is None:
+                raise ValueError("missing AC Huffman table")
+            hi, vi, _tq = by_id[cs]
+            cw = -(-(w * hi) // (8 * max_h))
+            chh = -(-(h * vi) // (8 * max_v))
+            eobrun = 0
+            bi = 0
+            step = _ac_first_block if ah == 0 else _ac_refine_block
+            for by in range(chh):
+                for bx in range(cw):
+                    if restart and bi and bi % restart == 0:
+                        br.sync_restart()
+                        eobrun = 0
+                    bi += 1
+                    eobrun = step(
+                        br, blocks[cs][by, bx], ss, se, al, lookup, eobrun
+                    )
+    return sof, qtables, blocks
+
+
+def _jpeg_reconstruct(sof, members, blocks, qtables) -> np.ndarray:
+    """Shared back half of baseline and progressive decode: dequantize,
+    de-zigzag, IDCT, crop, nearest-neighbor chroma upsample, YCbCr ->
+    RGB. ``members`` is [(cid, hi, vi, tq)] with the luma component
+    first; ``blocks[cid]`` is (blocks_y, blocks_x, 64) zigzag ints."""
+    w, h, _comps = sof
+    max_h = max(m[1] for m in members)
+    max_v = max(m[2] for m in members)
+    zz_r = np.array([r for r, _ in _ZIGZAG])
+    zz_c = np.array([c for _, c in _ZIGZAG])
+    planes = []
+    for cs, hi, vi, tq in members:
+        q_list = qtables.get(tq)
+        if q_list is None:
+            raise ValueError("missing quant table")
+        q = np.array(q_list, dtype=np.int64)  # zigzag order per DQT
+        zzb = blocks[cs] * q  # (by, bx, 64) dequantized, zigzag
+        sq = np.zeros(zzb.shape[:2] + (8, 8), dtype=np.float64)
+        sq[:, :, zz_r, zz_c] = zzb
+        pix = np.einsum("ux,byuw,wv->byxv", _DCT_C, sq, _DCT_C) + 128.0
+        by, bx = sq.shape[:2]
+        plane = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        cw = -(-(w * hi) // max_h)
+        ch = -(-(h * vi) // max_v)
+        plane = plane[:ch, :cw]
+        ys = (np.arange(h) * ch // h).clip(0, ch - 1)
+        xs = (np.arange(w) * cw // w).clip(0, cw - 1)
+        planes.append(plane[ys][:, xs])
+    if len(planes) == 1:
+        return np.clip(planes[0], 0, 255).round().astype(np.uint8)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return np.clip(rgb, 0, 255).round().astype(np.uint8)
+
+
+def jpeg_decode_progressive(data: bytes) -> np.ndarray:
+    """FULL progressive-JPEG pixel decode (ITU T.81 Annex G, round-9 -
+    the DC-only restriction is gone): every scan's entropy is decoded -
+    DC first/refinement, AC first/refinement with spectral selection
+    and EOB runs - into final coefficients, then the SAME dequantize/
+    IDCT/upsample/color path as the baseline decoder. Returns uint8
+    (h, w) grayscale or (h, w, 3) RGB."""
+    sof, qtables, blocks = _jpeg_progressive_coefficients(data)
+    _w, _h, comps = sof
+    members = [(cid, hi, vi, tq) for cid, hi, vi, tq in comps]
+    return _jpeg_reconstruct(sof, members, blocks, qtables)
+
+
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """FULL baseline-JPEG pixel decode (ITU T.81): Huffman entropy
-    decode of every coefficient, dequantization, de-zigzag, IDCT (the
-    inverse of jpeg_encode's orthonormal DCT matrix), nearest-neighbor
-    chroma upsampling per the sampling factors, YCbCr -> RGB. Returns
-    uint8 (h, w) grayscale or (h, w, 3) RGB. The pixel path behind the
-    real-resize arm; jpeg_dc_luma remains the cheap metadata-scale
-    path. Progressive/arithmetic streams raise ValueError."""
+    """FULL JPEG pixel decode (ITU T.81), baseline AND progressive
+    (round-9): Huffman entropy decode of every coefficient,
+    dequantization, de-zigzag, IDCT (the inverse of jpeg_encode's
+    orthonormal DCT matrix), nearest-neighbor chroma upsampling per
+    the sampling factors, YCbCr -> RGB. Returns uint8 (h, w) grayscale
+    or (h, w, 3) RGB. The pixel path behind the real-resize arm;
+    jpeg_dc_luma remains the cheap metadata-scale path. SOF2 streams
+    route through jpeg_decode_progressive; arithmetic-coded streams
+    still raise ValueError."""
+    if _jpeg_sof_process(data) == 0xC2:
+        return jpeg_decode_progressive(data)
     sof, scan, qtables, htables, restart, pos = _jpeg_parse(data)
     w, h, comps = sof
     by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
@@ -1021,36 +1322,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                                     raise ValueError("JPEG AC overrun")
                                 blk[k] = _extend(br.read_bits(size), size)
                             k += 1
-    zz_r = np.array([r for r, _ in _ZIGZAG])
-    zz_c = np.array([c for _, c in _ZIGZAG])
-    planes = []
-    for cs, hi, vi, _dc, _ac in members:
-        _, _, tq = by_id[cs]
-        q = np.array(qtables[tq], dtype=np.int32)  # zigzag order per DQT
-        zzb = blocks[cs] * q  # (by, bx, 64) dequantized, zigzag
-        sq = np.zeros(zzb.shape[:2] + (8, 8), dtype=np.float64)
-        sq[:, :, zz_r, zz_c] = zzb
-        pix = np.einsum("ux,byuw,wv->byxv", _DCT_C, sq, _DCT_C) + 128.0
-        by, bx = sq.shape[:2]
-        plane = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
-        cw = -(-(w * hi) // max_h)
-        ch = -(-(h * vi) // max_v)
-        plane = plane[:ch, :cw]
-        ys = (np.arange(h) * ch // h).clip(0, ch - 1)
-        xs = (np.arange(w) * cw // w).clip(0, cw - 1)
-        planes.append(plane[ys][:, xs])
-    if len(planes) == 1:
-        return np.clip(planes[0], 0, 255).round().astype(np.uint8)
-    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
-    rgb = np.stack(
-        [
-            y + 1.402 * cr,
-            y - 0.344136 * cb - 0.714136 * cr,
-            y + 1.772 * cb,
-        ],
-        axis=-1,
-    )
-    return np.clip(rgb, 0, 255).round().astype(np.uint8)
+    recon_members = [(cs, hi, vi, by_id[cs][2]) for cs, hi, vi, _d, _a in members]
+    return _jpeg_reconstruct(sof, recon_members, blocks, qtables)
 
 
 def _jpeg_dc_scan(
@@ -1114,6 +1387,36 @@ def _jpeg_dc_scan(
     if count == 0:
         raise ValueError("JPEG scan decoded no luma blocks")
     return total / count / 255.0
+
+
+def _jpeg_sof_process(data: bytes) -> int:
+    """The first SOF marker id of a JPEG stream (0xC0 baseline, 0xC2
+    progressive, ...) by the same pure header walk as jpeg_dims - how
+    jpeg_decode picks its entropy path without parsing twice."""
+    if not is_jpeg(data):
+        raise ValueError("not a JPEG (bad signature)")
+    i = 2
+    n = len(data)
+    while i + 3 < n:
+        if data[i] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        while i < n and data[i] == 0xFF:
+            i += 1
+        if i >= n:
+            break
+        marker = data[i]
+        i += 1
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if i + 1 >= n:
+            break
+        seglen = int.from_bytes(data[i : i + 2], "big")
+        if seglen < 2 or i + seglen > n:
+            raise ValueError("truncated JPEG segment")
+        if marker in _JPEG_SOF:
+            return marker
+        i += seglen
+    raise ValueError("JPEG has no SOF marker")
 
 
 def jpeg_dims(data: bytes) -> tuple[int, int]:

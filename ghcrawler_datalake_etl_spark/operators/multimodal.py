@@ -216,7 +216,10 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     rendered sequence is the nearest-neighbor resize of the rendered
     input; an animation whose color union exceeds the encoder's
     palette, or with more than RESIZE_MAX_GIF_FRAMES frames, falls to
-    the surrogate like any other unencodable payload. Remaining payloads (progressive JPEG, exotic
+    the surrogate like any other unencodable payload. Progressive
+    JPEGs take the real path since round 9 (jpeg_decode dispatches
+    SOF2 to the full multi-scan decoder; the resize re-encodes
+    baseline). Remaining payloads (arithmetic-coded JPEG, exotic
     formats, malformed bytes) keep the surrogate: the "resized" bytes
     are the sha256 digest of (content, size) - deterministic, content-
     and size-sensitive, so tests can pin exact bytes for any input.

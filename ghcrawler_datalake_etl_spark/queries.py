@@ -4510,7 +4510,7 @@ def multimodal_wav_stats(spark, sf_dir):
       SELECT doc_id FROM documents WHERE doc_id % 7 = 6
     ), p AS (
       SELECT doc_id,
-             doc_id % 3 AS kind,
+             doc_id % 4 AS kind,
              3 + doc_id % 6 AS w,
              2 + doc_id % 5 AS h,
              30.0 * (doc_id % 8) AS r,
@@ -4521,12 +4521,14 @@ def multimodal_wav_stats(spark, sf_dir):
     )
     SELECT doc_id,
            CASE kind WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
-                     ELSE 'gif' END AS fmt,
-           w::INT AS width, h::INT AS height,
+                     WHEN 2 THEN 'gif' ELSE 'jpeg' END AS fmt,
+           (CASE WHEN kind = 3 THEN 16 ELSE w END)::INT AS width,
+           (CASE WHEN kind = 3 THEN 12 ELSE h END)::INT AS height,
            (CASE WHEN kind = 2 THEN 1 + doc_id % 4
                  ELSE 1 END)::INT AS n_frames,
            floor(CASE WHEN kind = 2
                 THEN (0.299 * gray + 0.587 * gray + 0.114 * gray) / 255.0
+                WHEN kind = 3 THEN gray / 255.0
                 ELSE (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
            END * 1e12) / 1e12 AS mean_luma
     FROM p
@@ -4534,22 +4536,31 @@ def multimodal_wav_stats(spark, sf_dir):
 )
 def multimodal_image_features(spark, sf_dir):
     """The REAL image-decode arms of extract_features under a full
-    driver oracle (round-8): every doc_id%7==6 document becomes a
-    genuine payload of its doc-derived format - PNG (full zlib/filter
-    decode), 24-bit BMP (bottom-up row decode), or animated GIF89a
-    (header block walk for the frame count + LZW first-frame decode) -
-    in a doc-derived solid color, so every extracted feature is
-    closed-form: dims from the real headers, n_frames from the real
-    block walk (1 + doc_id%4 for the GIFs), and mean_luma the Rec.601
-    fold of the known color. mean_luma is floor-quantized at 12 digits
-    on BOTH sides (ADVICE r8): numpy's pairwise y.mean() over n
-    identical pixels differs from the closed-form
-    (0.299r + 0.587g + 0.114b)/255 by 1 ulp on ~38% of residues when n
-    is not a power of 2, so the raw doubles are NOT bit-identical;
-    quantize(12) maps both to the same value for every residue class
-    (probed over the full doc_id%840 period). The sha256/n_bytes
-    columns (encoder-byte-dependent) are projected away; the
-    surrogate arm stays oracled by multimodal_features."""
+    driver oracle (round-8, progressive-JPEG arm round-9): every
+    doc_id%7==6 document becomes a genuine payload of its doc-derived
+    format - PNG (full zlib/filter decode), 24-bit BMP (bottom-up row
+    decode), animated GIF89a (header block walk for the frame count +
+    LZW first-frame decode), or PROGRESSIVE JPEG (SOF2, spectral
+    selection + successive approximation) - in a doc-derived solid
+    color, so every extracted feature is closed-form: dims from the
+    real headers, n_frames from the real block walk (1 + doc_id%4 for
+    the GIFs), and mean_luma the Rec.601 fold of the known color. The
+    JPEG rows additionally run the FULL progressive pixel decode: the
+    payload is resized through resize_images (jpeg_decode dispatches
+    SOF2 to the multi-scan decoder, re-encodes baseline at 16x12), so
+    its features are closed-form post-resize - width/height the resize
+    target and mean_luma = gray/255 exactly (gray-128 is even by
+    construction, so the DC quantization by Annex-K q0=16 is lossless
+    and the flat canvas survives decode->resample->re-encode->DC-luma
+    bit-exactly). mean_luma is floor-quantized at 12 digits on BOTH
+    sides (ADVICE r8): numpy's pairwise y.mean() over n identical
+    pixels differs from the closed-form (0.299r + 0.587g + 0.114b)/255
+    by 1 ulp on ~38% of residues when n is not a power of 2, so the
+    raw doubles are NOT bit-identical; quantize(12) maps both to the
+    same value for every residue class (probed over the full
+    doc_id%840 period). The sha256/n_bytes columns (encoder-byte-
+    dependent) are projected away; the surrogate arm stays oracled by
+    multimodal_features."""
     import numpy as np
     import pandas as pd
 
@@ -4569,7 +4580,9 @@ def multimodal_image_features(spark, sf_dir):
             ids, kinds, payloads = [], [], []
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
-                kind = doc_id % 3
+                kind = doc_id % 4
+                if kind == 3:
+                    continue  # progressive-JPEG arm: separate subtree
                 w = 3 + doc_id % 6
                 h = 2 + doc_id % 5
                 if kind == 0:
@@ -4605,10 +4618,44 @@ def multimodal_image_features(spark, sf_dir):
                 }
             )
 
-    media = d.mapInPandas(
+    def build_jpeg(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 3 + doc_id % 6
+                h = 2 + doc_id % 5
+                gray = 20 + 40 * (doc_id % 6)
+                arr = np.full((h, w), gray, np.uint8)
+                ids.append(doc_id)
+                payloads.append(
+                    C.jpeg_encode_progressive(arr, spectral=True)
+                )
+            k = len(ids)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "media_type": "image/jpeg",
+                    "content": payloads,
+                    "width": pd.Series([None] * k, dtype="Int32"),
+                    "height": pd.Series([None] * k, dtype="Int32"),
+                    "sample_rate": pd.Series([None] * k, dtype="Int32"),
+                    "duration_ms": pd.Series([None] * k, dtype="Int64"),
+                }
+            )
+
+    media = d.where(F.col("doc_id") % 4 != 3).mapInPandas(
         build, schema="doc_id long, media_type string, content binary"
     )
-    feats = MM.extract_features(media)
+    media_jpeg = d.where(F.col("doc_id") % 4 == 3).mapInPandas(
+        build_jpeg, schema=MM.MEDIA_SCHEMA
+    )
+    resized = MM.resize_images(media_jpeg, 16, 12).select(
+        "doc_id", "media_type", "content"
+    )
+    feats = MM.extract_features(media.unionByName(resized))
     return feats.select(
         "doc_id",
         F.expr("substring(media_type, 7)").alias("fmt"),
