@@ -3957,6 +3957,96 @@ def pack_store_roundtrip(spark, sf_dir):
     )
 
 
+def _pack_store_delta_oracle(num_merges: int = 8, budget: int = 4000) -> str:
+    """Delta-append oracle: base corpus (doc_id%3 != 0) packs from
+    shard 0; the delta (doc_id%3 == 0) packs independently and lands
+    AFTER the base store's numbering (shard_base = max base shard + 1)
+    - the append contract, recomputed entirely from the documents
+    table."""
+    return f"""{_bpe_ids_cte(num_merges)},
+    doc_n AS (SELECT doc_id, count(*) AS n_ids,
+                     sum(sym_id) AS sum_ids
+              FROM ids GROUP BY doc_id),
+    base_p AS (
+      SELECT doc_id, n_ids, sum_ids,
+             coalesce(sum(n_ids::DOUBLE) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum
+      FROM doc_n WHERE doc_id % 3 <> 0),
+    base_s AS (SELECT CAST(floor(cum / {budget}) AS BIGINT) AS shard_id,
+                      n_ids, sum_ids
+               FROM base_p),
+    delta_p AS (
+      SELECT doc_id, n_ids, sum_ids,
+             coalesce(sum(n_ids::DOUBLE) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum
+      FROM doc_n WHERE doc_id % 3 = 0),
+    delta_s AS (SELECT CAST(floor(cum / {budget}) AS BIGINT)
+                         + (SELECT max(shard_id) + 1 FROM base_s)
+                         AS shard_id,
+                       n_ids, sum_ids
+                FROM delta_p),
+    allshards AS (SELECT * FROM base_s UNION ALL SELECT * FROM delta_s)
+    SELECT shard_id, count(*) AS n_docs,
+           CAST(sum(n_ids) AS BIGINT) AS n_tokens,
+           CAST(sum(sum_ids) AS BIGINT) AS sum_ids
+    FROM allshards GROUP BY 1
+    """
+
+
+@register("pack_store_delta_append", _pack_store_delta_oracle(8, 4000))
+def pack_store_delta_append(spark, sf_dir):
+    """The incremental "daily tokenization" path (VERDICT r8 #8): land
+    the base corpus (doc_id%3 != 0) as a token-shard store, then
+    DELTA-APPEND the remaining documents through
+    sources/tokshard.append_token_shards - new shard files only,
+    numbered after the store's maximum; not one existing shard is
+    read or rewritten (apply_changes closed the parquet CDC loop in
+    round 8, this closes the binary-store one). Both waves encode with
+    the SAME BPE model (trained once on the full corpus - the
+    production contract: the tokenizer does not drift between days).
+    The store is then re-read through the tokshard DataSource and
+    summarized per shard; the oracle recomputes both packings and the
+    append numbering from the documents table alone."""
+    import os
+
+    from ghcrawler_datalake_etl_spark.sources.tokshard import (
+        append_token_shards,
+        read_token_shards,
+        write_token_shards,
+    )
+
+    import re
+
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    root = _run_tmp(f"tokstore_delta_{tag}")
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    ids = TX.bpe_encode_ids(
+        d, "doc_id", "text", num_merges=8, use_cache=True
+    )
+    for f in os.listdir(root):
+        os.unlink(os.path.join(root, f))
+    write_token_shards(
+        ids.where(F.col("doc_id") % 3 != 0), root, budget=4000
+    ).collect()
+    append_token_shards(
+        ids.where(F.col("doc_id") % 3 == 0), root, budget=4000
+    ).collect()
+    back = read_token_shards(spark, root)
+    return back.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_ids").cast("long").alias("n_tokens"),
+        F.sum(
+            F.aggregate(
+                F.col("ids"),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        ).cast("long").alias("sum_ids"),
+    )
+
+
 @register("pipeline_tokenize_pack", _tokenize_pack_oracle(8, 400))
 def pipeline_tokenize_pack(spark, sf_dir):
     """The full tokenizer path composed end to end: train the BPE
@@ -6504,7 +6594,11 @@ _DRIVER_ORDER = [
     "sample_temperature_mix",
     "pack_store_roundtrip",
     "layout_compact_roundtrip",
-    "multimodal_audio_stats",
+    # round-9 mid-round swap: multimodal_audio_stats (green r5+r8)
+    # ceded to the new pack_store_delta_append; audio_stats' operator
+    # stays driver-covered by its real-PCM twin multimodal_wav_stats
+    # (in-window above, same audio_stats code path):
+    "pack_store_delta_append",
     "stream_dedup_ingest",
     "j7_edit_distance_join",
     "dim_apply_changes",
@@ -6526,6 +6620,7 @@ _DRIVER_ORDER = [
     # EVIDENCE.json; OUT_OF_WINDOW_OK entries in
     # tests/test_registry_order.py):
     "pattern_a_snapshot_upsert",
+    "multimodal_audio_stats",
     "dedup_clusters",
     "sim_pq_adc_topk",
     "search_tfidf_cosine",

@@ -47,12 +47,15 @@ def write_token_shards(
     budget: int,
     id_col: str = "doc_id",
     ids_col: str = "ids_csv",
+    shard_base: int = 0,
 ) -> DataFrame:
     """Pack (doc_id, ids_csv) rows into ~``budget``-token shard files
     under ``path``; returns the manifest (shard_id, n_docs, n_tokens,
     file) - one row per written file. Executor-side IO: each shard
     group serializes and writes its own file; the driver never holds
-    shard bytes."""
+    shard bytes. ``shard_base`` offsets every shard index - the
+    append_token_shards delta path lands new files AFTER an existing
+    store's numbering without touching its bytes."""
     import numpy as np
     import pandas as pd
 
@@ -77,6 +80,10 @@ def write_token_shards(
     # re-evaluate their input - persist the narrow weighted projection
     # once (the pack_shards materialize contract)
     packed = pack_shards(weighted, "doc_id", "_w", budget, materialize=True)
+    if shard_base:
+        packed = packed.withColumn(
+            "shard_id", F.col("shard_id") + F.lit(int(shard_base))
+        )
 
     def _write(pdf: pd.DataFrame) -> pd.DataFrame:
         sid = int(pdf["shard_id"].iloc[0])
@@ -101,6 +108,36 @@ def write_token_shards(
 
     return packed.groupBy("shard_id").applyInPandas(
         _write, schema="shard_id long, n_docs long, n_tokens long, file string"
+    )
+
+
+def append_token_shards(
+    ids_df: DataFrame,
+    path: str,
+    budget: int,
+    id_col: str = "doc_id",
+    ids_col: str = "ids_csv",
+) -> DataFrame:
+    """Delta-append to an existing token-shard store: pack ONLY the new
+    documents into NEW shard files numbered after the store's current
+    maximum - no existing shard is read, rewritten, or renamed (the
+    incremental "daily tokenization" path; a full write_token_shards
+    rerun re-serializes the whole corpus). The next-index probe is a
+    driver-side directory listing - store METADATA, one entry per
+    shard file, never shard bytes; at warehouse scale the listing is
+    the same O(files) the read path's partition planner already pays.
+    Returns the manifest of the NEW files only."""
+    base = 0
+    if os.path.isdir(path):
+        for f in os.listdir(path):
+            if f.startswith("shard-") and f.endswith(".tokshard"):
+                try:
+                    base = max(base, int(f[6:11]) + 1)
+                except ValueError:
+                    continue
+    return write_token_shards(
+        ids_df, path, budget, id_col=id_col, ids_col=ids_col,
+        shard_base=base,
     )
 
 

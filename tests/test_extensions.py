@@ -1513,6 +1513,52 @@ def test_tokshard_store_roundtrip_and_batched_partitions(spark, tmp_path):
         TS.read_token_shards(spark, bad).collect()
 
 
+def test_tokshard_delta_append_new_files_only(spark, tmp_path):
+    """Round-9 (VERDICT r8 #8): append_token_shards lands the delta as
+    NEW shard files numbered after the store's maximum - every
+    pre-existing shard stays byte-identical, the manifest covers only
+    the new files, and the re-read store holds the union."""
+    import hashlib
+    import os
+
+    from ghcrawler_datalake_etl_spark.sources import tokshard as TS
+
+    base = spark.createDataFrame(
+        [(i, ",".join(str((i * 7 + j) % 50) for j in range(4)))
+         for i in range(0, 60)],
+        "doc_id long, ids_csv string",
+    )
+    delta = spark.createDataFrame(
+        [(i, ",".join(str((i * 11 + j) % 50) for j in range(4)))
+         for i in range(100, 130)],
+        "doc_id long, ids_csv string",
+    )
+    root = str(tmp_path / "store")
+    m0 = TS.write_token_shards(base, root, budget=20).collect()
+    before = {
+        f: hashlib.sha256(open(os.path.join(root, f), "rb").read()).digest()
+        for f in os.listdir(root)
+    }
+    m1 = TS.append_token_shards(delta, root, budget=20).collect()
+    # pre-existing shards untouched byte-for-byte
+    for f, digest in before.items():
+        assert hashlib.sha256(
+            open(os.path.join(root, f), "rb").read()
+        ).digest() == digest
+    # new files only, numbered after the base maximum
+    base_max = max(r["shard_id"] for r in m0)
+    assert all(r["shard_id"] > base_max for r in m1)
+    assert {r["file"] for r in m1} == set(os.listdir(root)) - set(before)
+    # union re-read
+    back = TS.read_token_shards(spark, root)
+    assert back.count() == 90
+    assert sum(r["n_docs"] for r in m0) + sum(r["n_docs"] for r in m1) == 90
+    # appending to a fresh path degrades to a plain write from shard 0
+    fresh = str(tmp_path / "fresh")
+    m2 = TS.append_token_shards(delta, fresh, budget=20).collect()
+    assert min(r["shard_id"] for r in m2) == 0
+
+
 def test_tokshard_arrow_batch_equals_row_read(spark, tmp_path):
     """The Arrow-batched reader (one RecordBatch per shard file, ids
     zero-copy from the <u4 buffer) returns EXACTLY the rows of the

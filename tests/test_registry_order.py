@@ -259,6 +259,10 @@ OUT_OF_WINDOW_OK = {
     # multimodal via phash_pairs/audio_stats + the codec oracles,
     # stream via hll_distinct/interval_join/dedup_ingest + the twins:
     "dedup_clusters": "evidence",
+    # ... and multimodal_audio_stats (green r5+r8) ceded mid-round-9 to
+    # the new pack_store_delta_append; its operator stays driver-
+    # covered by the in-window real-PCM twin multimodal_wav_stats:
+    "multimodal_audio_stats": "evidence",
     "sim_pq_adc_topk": "evidence",
     "search_tfidf_cosine": "evidence",
     "orc_catalog_roundtrip": "evidence",
