@@ -6578,28 +6578,41 @@ _DRIVER_ORDER = [
     "cube_status_priority",
     "stream_windowed_counts",
     "stream_static_enrich",
-    # -- keepers (31): r8-green; a further r9 row strengthens their
-    #    cession evidence for future rotations --
+    # -- round-9 wave 2: the ENTIRE remaining r2-stale SURVEY-2 parity
+    #    core rotates in (18 queries, each verified by probe_strict.py
+    #    at sf0.01 pre-commit), ceding 18 r8-green keeper slots; after
+    #    this round no parity-core row's newest driver evidence
+    #    predates round 9 --
+    "p1_eq_filter",
+    "p2_like_filter",
+    "p3_isin_filter",
+    "p5_string_predicates",
+    "j1_inner_join_agg",
+    "j3_join_chain_q5",
+    "j4_semi_join",
+    "a1_collect_reassembly",
+    "a4_union_all_agg",
+    "f1_json_extract",
+    "f3_pii_pseudonymize",
+    "f10_greatest_last_touched",
+    "x3_posexplode_tokens",
+    "w2_distinct_keys",
+    "w1_latest_event_per_user",
+    "w1_maxby_latest_event_per_user",
+    "pattern_d_traffic_series",
+    "pattern_e_version_log",
+    # -- keepers (12): one in-window representative per extension
+    #    family (sketch/graph/timeseries/dim/layout/text/sample/
+    #    pipeline/embedding/corpus) plus the edit-distance join pair --
     "sketch_histogram_quantiles",
-    "stream_hll_distinct",
-    "j6_bloom_prefilter_join",
     "graph_pagerank_transitions",
     "timeseries_gap_fill",
-    "dim_scd2_user_state",
-    "multimodal_phash_pairs",
     "layout_zorder_buckets",
-    "stream_interval_join",
-    "timeseries_max_concurrency",
-    "text_perplexity_buckets",
-    "sample_temperature_mix",
-    "pack_store_roundtrip",
-    "layout_compact_roundtrip",
     # round-9 mid-round swap: multimodal_audio_stats (green r5+r8)
     # ceded to the new pack_store_delta_append; audio_stats' operator
     # stays driver-covered by its real-PCM twin multimodal_wav_stats
     # (in-window above, same audio_stats code path):
     "pack_store_delta_append",
-    "stream_dedup_ingest",
     "j7_edit_distance_join",
     "dim_apply_changes",
     "pipeline_tokenize_pack",
@@ -6608,14 +6621,27 @@ _DRIVER_ORDER = [
     "sample_pps_systematic",
     "text_bpe_encode_ids",
     "j8_edit_distance2_join",
+    # ---------------- position 51+: past the driver window ----------
+    # round-9 wave-2 rotated-out (each r8-green with >=2 green rounds;
+    # extension-prefixed ones have OUT_OF_WINDOW_OK entries):
+    "stream_hll_distinct",
+    "stream_interval_join",
+    "stream_dedup_ingest",
+    "multimodal_phash_pairs",
+    "pack_store_roundtrip",
+    "layout_compact_roundtrip",
+    "timeseries_max_concurrency",
+    "dim_scd2_user_state",
+    "text_perplexity_buckets",
+    "sample_temperature_mix",
+    "j5_salted_skew_join",
+    "j6_bloom_prefilter_join",
     "asof_last_purchase",
     "range_interval_join",
-    "j5_salted_skew_join",
     "topk_orders_per_segment",
     "agg_rollup_daily",
     "funnel_click_to_purchase",
     "locf_fill_forward",
-    # ---------------- position 51+: past the driver window ----------
     # round-9 rotated-out (each holds >=2 green driver rounds in
     # EVIDENCE.json; OUT_OF_WINDOW_OK entries in
     # tests/test_registry_order.py):
@@ -6690,28 +6716,10 @@ _DRIVER_ORDER = [
     "dedup_span_first_occurrence",
     "text_fingerprint",
     "multimodal_frames",
-    "pattern_e_version_log",
     "sample_hash_deterministic",
     "split_train_valid_test",
     "dedup_exact_groups",
     "sim_knn_bruteforce",
-    "p1_eq_filter",
-    "p2_like_filter",
-    "p3_isin_filter",
-    "p5_string_predicates",
-    "j1_inner_join_agg",
-    "j4_semi_join",
-    "a1_collect_reassembly",
-    "a4_union_all_agg",
-    "f1_json_extract",
-    "f3_pii_pseudonymize",
-    "f10_greatest_last_touched",
-    "x3_posexplode_tokens",
-    "w2_distinct_keys",
-    "j3_join_chain_q5",
-    "w1_latest_event_per_user",
-    "pattern_d_traffic_series",
-    "w1_maxby_latest_event_per_user",
 ]
 
 

@@ -276,33 +276,43 @@ OUT_OF_WINDOW_OK = {
     "sketch_hll_merge": "evidence",
     "sketch_kmv_overlap": "evidence",
     "sketch_bloom_decontaminate": "evidence",
+    # round-9 wave 2: eighteen r8-green keepers ceded so the ENTIRE
+    # remaining r2-stale SURVEY-2 parity core gets round-9 driver rows.
+    # Families keep one in-window representative each (sketch via
+    # histogram_quantiles, timeseries via gap_fill, dim via
+    # apply_changes, layout via zorder_buckets, text via
+    # bpe_encode_ids, sample via pps_systematic, pack via
+    # delta_append, stream via the windowed_counts/static_enrich
+    # twins, multimodal via the four codec oracles):
+    "stream_hll_distinct": "evidence",
+    "stream_interval_join": "evidence",
+    "stream_dedup_ingest": "evidence",
+    "multimodal_phash_pairs": "evidence",
+    "pack_store_roundtrip": "evidence",
+    "layout_compact_roundtrip": "evidence",
+    "timeseries_max_concurrency": "evidence",
+    "dim_scd2_user_state": "evidence",
+    "text_perplexity_buckets": "evidence",
+    "sample_temperature_mix": "evidence",
 }
 
 #: one query per SURVEY section-2 operator family. The in-window
 #: representative set; everything else in the parity core must carry
 #: green rows in >= 2 rounds (EVIDENCE.json) to sit outside.
 PARITY_CORE_IN_WINDOW = {
+    # round-9 wave 2: the whole formerly-r2-stale parity core sits
+    # in-window for fresh driver rows
     "pattern_c_collection_refresh",
-}
-
-PARITY_CORE_ROTATED_OUT = {
-    "w2_distinct_keys",
-    "j3_join_chain_q5",
-    "pattern_a_snapshot_upsert",
-    "pattern_b_array_child",
-    "w1_latest_event_per_user",
-    "j2_anti_join",
     "pattern_d_traffic_series",
-    # beyond its green rows, q1 remains driver-RUN every round as the
-    # entry() flagship smoke check
-    "q1_pricing_summary",
-    "sessionize_events",
     "pattern_e_version_log",
+    "w1_latest_event_per_user",
+    "w2_distinct_keys",
     "p1_eq_filter",
     "p2_like_filter",
     "p3_isin_filter",
     "p5_string_predicates",
     "j1_inner_join_agg",
+    "j3_join_chain_q5",
     "j4_semi_join",
     "a1_collect_reassembly",
     "a4_union_all_agg",
@@ -310,6 +320,16 @@ PARITY_CORE_ROTATED_OUT = {
     "f3_pii_pseudonymize",
     "f10_greatest_last_touched",
     "x3_posexplode_tokens",
+}
+
+PARITY_CORE_ROTATED_OUT = {
+    "pattern_a_snapshot_upsert",
+    "pattern_b_array_child",
+    "j2_anti_join",
+    # beyond its green rows, q1 remains driver-RUN every round as the
+    # entry() flagship smoke check
+    "q1_pricing_summary",
+    "sessionize_events",
 }
 
 
