@@ -484,8 +484,11 @@ def jpeg_encode(arr: np.ndarray) -> bytes:
 def _ac_first_scan_tokens(blk, ss: int, se: int, al: int):
     """Per-block tokens for a progressive AC FIRST scan (Ah=0): the
     coefficient band at magnitude scale Al (point transform truncates
-    toward zero, T.81 G.1.2.2), run/size coded; per-block EOB is the
-    EOBRUN=1 code 0x00. Token = (symbol, extra, extra_len, corr_bits)."""
+    toward zero, T.81 G.1.2.2), run/size coded. Returns
+    ``(tokens, ends_early)``: the CALLER owns EOB emission, so empty
+    and early-ending bands can fold into cross-block EOBn runs (the
+    path real progressive streams exercise heavily). Token =
+    (symbol, extra, extra_len, corr_bits)."""
     toks = []
     tv = []
     for k in range(ss, se + 1):
@@ -508,8 +511,21 @@ def _ac_first_scan_tokens(blk, ss: int, se: int, al: int):
         extra = t if t >= 0 else t + (1 << s) - 1
         toks.append(((run << 4) | s, extra, s, []))
         run = 0
-    if last < se - ss:
-        toks.append((0x00, 0, 0, []))
+    return toks, last < se - ss
+
+
+def _eobrun_tokens(n: int):
+    """EOBn tokens covering ``n`` end-of-band blocks: symbol (r<<4)|0
+    terminates 2^r blocks plus an r-bit extra (T.81 G.1.2.2), so one
+    code covers up to 32767 consecutive all-done bands - the
+    cross-block folding real progressive encoders (jcphuff) emit and
+    the decoder's eobrun balance walks."""
+    toks = []
+    while n > 0:
+        chunk = min(n, 32767)
+        r = chunk.bit_length() - 1
+        toks.append((r << 4, chunk - (1 << r), r, []))
+        n -= chunk
     return toks
 
 
@@ -616,13 +632,30 @@ def jpeg_encode_progressive(arr: np.ndarray, spectral: bool = False) -> bytes:
     ac_scans = []  # (ci, ss, se, ah, al, dht_payload, stream)
     for ci in range(nch):
         for ss, se, ah, al in band_plan:
-            builder = (
-                _ac_first_scan_tokens if ah == 0 else _ac_refine_scan_tokens
-            )
             tokens = []
-            for by in range(bys):
-                for bx in range(bxs):
-                    tokens.extend(builder(coeffs[ci][by, bx], ss, se, al))
+            if ah == 0:
+                eobrun = 0
+                for by in range(bys):
+                    for bx in range(bxs):
+                        toks, ends_early = _ac_first_scan_tokens(
+                            coeffs[ci][by, bx], ss, se, al
+                        )
+                        if toks:
+                            # pending EOBn must land before the next
+                            # block's symbols (same stream position as
+                            # the end of the last covered band)
+                            tokens.extend(_eobrun_tokens(eobrun))
+                            eobrun = 0
+                            tokens.extend(toks)
+                        if ends_early:
+                            eobrun += 1
+                tokens.extend(_eobrun_tokens(eobrun))
+            else:
+                for by in range(bys):
+                    for bx in range(bxs):
+                        tokens.extend(
+                            _ac_refine_scan_tokens(coeffs[ci][by, bx], ss, se, al)
+                        )
             syms = sorted({t[0] for t in tokens})
             if not syms:
                 syms = [0x00]  # empty scan still needs a legal table

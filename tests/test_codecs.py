@@ -493,6 +493,67 @@ def test_jpeg_progressive_full_decode_pixel_exact():
     )
 
 
+def test_jpeg_progressive_cross_block_eobrun():
+    """Round-9: the first-scan encoder folds consecutive all-done
+    bands into cross-block EOBn codes (r>0, extra bits) instead of one
+    EOB per block, and the decoder's eobrun balance walks them back to
+    the exact baseline pixels. A sparse image - one bright pixel in a
+    sea of flat gray - makes nearly every block's AC band empty, so a
+    per-block-EOB encoder and a run-folding one differ hugely in
+    stream size."""
+    arr = np.full((64, 64), 128, np.uint8)
+    arr[5, 9] = 255  # one block with AC energy; the rest all-EOB
+    for spectral in (False, True):
+        toks = []
+        eobrun = 0
+        runs = []
+        # mirror the encoder's fold to count what it emits
+        h, w, nch, coeffs = codecs._jpeg_coefficients(arr)
+        for by in range(coeffs[0].shape[0]):
+            for bx in range(coeffs[0].shape[1]):
+                t, ends_early = codecs._ac_first_scan_tokens(
+                    coeffs[0][by, bx], 1, 63, 1 if spectral else 0
+                )
+                if t:
+                    if eobrun:
+                        runs.append(eobrun)
+                    eobrun = 0
+                    toks.extend(t)
+                if ends_early:
+                    eobrun += 1
+        if eobrun:
+            runs.append(eobrun)
+        assert any(r > 1 for r in runs), runs  # genuine multi-block runs
+        # and one EOBn token covers each run (not run many 0x00s)
+        for r in runs:
+            et = codecs._eobrun_tokens(r)
+            assert len(et) == 1 and sum(1 << (s >> 4) for s, *_ in et) <= r + 0
+        prog = codecs.jpeg_encode_progressive(arr, spectral=spectral)
+        base = codecs.jpeg_decode(codecs.jpeg_encode(arr))
+        assert (codecs.jpeg_decode(prog) == base).all()
+    # 64x64 flat-ish image: run folding must shrink the stream
+    per_block_cost = 64  # 8x8 blocks
+    assert len(codecs.jpeg_encode_progressive(arr)) < len(
+        codecs.jpeg_encode(arr)
+    ) + per_block_cost * 2
+
+
+def test_eobrun_tokens_split_and_cover():
+    """_eobrun_tokens covers n exactly: sum of (2^r + extra) == n,
+    every r <= 14 (so no token collides with ZRL=0xF0), and counts
+    past 32767 split into multiple legal codes."""
+    for n in [1, 2, 3, 7, 32767, 32768, 70000]:
+        toks = codecs._eobrun_tokens(n)
+        total = 0
+        for sym, extra, elen, corr in toks:
+            r = sym >> 4
+            assert sym & 0x0F == 0 and r <= 14 and corr == []
+            assert elen == r and 0 <= extra < (1 << r) if r else extra == 0
+            total += (1 << r) + extra
+        assert total == n, n
+    assert codecs._eobrun_tokens(0) == []
+
+
 def test_resize_progressive_jpeg_real_path(spark):
     """Round-9: resize_images on a progressive JPEG takes the REAL
     decode path (SOF2 dispatch in jpeg_decode) - output is a genuine
