@@ -308,6 +308,56 @@ def ngram_jaccard_pairs(
     return out
 
 
+def _lsh_sig_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+    sig_impl: str,
+) -> DataFrame:
+    """Shared MinHash front end: (doc_id, sh, sig), materialized.
+
+    Same shingle frame (and therefore the same cache slot) as
+    ngram_jaccard_pairs; the size filter runs AFTER the materialization
+    so the predicate cannot duplicate the shingle expression below the
+    repartition (see ngram_jaccard_pairs). The md5 shingle hashes get
+    their own projection so the num_hashes permutation scans reference
+    them instead of recomputing md5 per permutation; sig feeds several
+    scans (banding plus both verify sides), so it is materialized too.
+    """
+    base = _materialize(
+        fan_out(df).select(
+            F.col(id_col).alias("doc_id"),
+            shingles(F.col(text_col), n).alias("sh"),
+        )
+    ).filter(F.size("sh") > 0)
+    hashed = base.select(
+        "doc_id", "sh", shingle_hashes(F.col("sh")).alias("hs")
+    )
+    if sig_impl == "pandas":
+        sig_col = minhash_signature_pandas_udf(num_hashes)(F.col("hs"))
+    else:
+        sig_col = minhash_signature_from_hashes(F.col("hs"), num_hashes)
+    return _materialize(hashed.select("doc_id", "sh", sig_col.alias("sig")))
+
+
+def _lsh_band_frame(sig: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(doc_id, band_idx, band_hash) rows from a signature frame: one
+    md5 bucket key per band of ``rows`` consecutive signature values."""
+    return sig.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.array_join(F.slice(F.col("sig"), b * rows + 1, rows), ",")
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -338,39 +388,8 @@ def minhash_lsh_pairs(
     Python anywhere). Outputs are bit-identical.
     """
     rows = num_hashes // bands
-    # Same shingle frame (and therefore the same cache slot) as
-    # ngram_jaccard_pairs; filter AFTER the materialization so the size
-    # predicate cannot duplicate the shingle expression below the
-    # repartition (see ngram_jaccard_pairs).
-    base = _materialize(
-        fan_out(df).select(
-            F.col(id_col).alias("doc_id"),
-            shingles(F.col(text_col), n).alias("sh"),
-        )
-    ).filter(F.size("sh") > 0)
-    # Materialize the md5 shingle hashes in their own projection so the
-    # 64 permutation scans reference them instead of recomputing md5
-    # per permutation (64x the hash work otherwise).
-    hashed = base.select(
-        "doc_id", "sh", shingle_hashes(F.col("sh")).alias("hs")
-    )
-    if sig_impl == "pandas":
-        sig_col = minhash_signature_pandas_udf(num_hashes)(F.col("hs"))
-    else:
-        sig_col = minhash_signature_from_hashes(F.col("hs"), num_hashes)
-    # sig feeds 4 scans (banded a/b, verify a/b) - materialize first
-    sig = _materialize(hashed.select("doc_id", "sh", sig_col.alias("sig")))
-    banded = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.md5(
-                    F.array_join(F.slice(F.col("sig"), b * rows + 1, rows), ",")
-                ),
-            )
-        ).alias("band_idx", "band_hash"),
-    )
+    sig = _lsh_sig_frame(df, id_col, text_col, n, num_hashes, sig_impl)
+    banded = _lsh_band_frame(sig, bands, rows)
     cand = _pairs_from_candidates(
         banded.alias("a")
         .join(banded.alias("b"), ["band_idx", "band_hash"])
@@ -405,6 +424,111 @@ def minhash_lsh_pairs(
         # other query calling with identical args substitute the cache
         out = _materialize(out)
     return out
+
+
+def lsh_band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    sig_impl: str = "pandas",
+) -> DataFrame:
+    """Persistable MinHash-LSH band index over a corpus: one narrow row
+    per (band_idx, band_hash, doc_id), ready to write as parquet
+    (partition or bucket by band_hash at warehouse scale).
+
+    The incremental-dedup primitive for a daily ingest pipeline: build
+    (or delta-append) the index once over the standing corpus, then
+    dedup each arriving batch against it WITHOUT recomputing a single
+    corpus signature - see incremental_lsh_dedup. Index size is
+    bands x corpus_rows x ~(16 + 32 + 8) bytes, ~0.1% of a text corpus.
+    """
+    rows = num_hashes // bands
+    sig = _lsh_sig_frame(df, id_col, text_col, n, num_hashes, sig_impl)
+    return _lsh_band_frame(sig, bands, rows)
+
+
+def incremental_lsh_dedup(
+    batch: DataFrame,
+    index: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    sig_impl: str = "pandas",
+) -> DataFrame:
+    """Dedup a NEW batch against a STANDING corpus via its persisted
+    LSH band index: (batch_id, dup_of, jaccard) per batch document
+    verified as a near-dup, where dup_of is the smallest matching
+    corpus id and jaccard the exact n-gram Jaccard of that pair
+    (floor-quantized to 4 digits, matching minhash_lsh_pairs).
+
+    100-TB shape - the three costs scale with the BATCH, not the corpus:
+    (1) signatures are computed only over the arriving batch; the
+    corpus side comes from ``index`` (read back from parquet - no
+    recompute, no corpus scan); (2) the candidate join shuffles only
+    bucket collisions; (3) the exact verify re-reads corpus TEXT for
+    just the candidate doc_ids via a broadcast semi-join, so the
+    corpus scan prunes to matched row groups. Compose with
+    minhash_lsh_pairs(batch) for within-batch duplicates, then
+    lsh_band_index(survivors) appended to the index - the same
+    delta-append loop the token-shard store runs for packing.
+    """
+    rows = num_hashes // bands
+    bsig = _lsh_sig_frame(batch, id_col, text_col, n, num_hashes, sig_impl)
+    bband = _lsh_band_frame(bsig, bands, rows).withColumnRenamed(
+        "doc_id", "batch_id"
+    )
+    cand = _materialize(
+        bband.join(
+            index.select(
+                "band_idx", "band_hash", F.col("doc_id").alias("corpus_id")
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    # exact verify: corpus text only for candidate ids (broadcast semi)
+    hit_ids = cand.select("corpus_id").distinct()
+    corpus_sh = (
+        fan_out(
+            corpus.join(
+                F.broadcast(hit_ids),
+                corpus[id_col] == hit_ids["corpus_id"],
+                "left_semi",
+            )
+        )
+        .select(
+            F.col(id_col).alias("corpus_id"),
+            shingles(F.col(text_col), n).alias("sh_c"),
+        )
+        .withColumn("n_c", F.size("sh_c"))
+    )
+    bsh = bsig.select(
+        F.col("doc_id").alias("batch_id"),
+        F.col("sh").alias("sh_b"),
+        F.size("sh").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("sh_b", "sh_c")).cast("double")
+    jac = inter / (F.col("n_b") + F.col("n_c") - inter)
+    pairs = (
+        cand.join(bsh, "batch_id")
+        .join(corpus_sh, "corpus_id")
+        .select("batch_id", "corpus_id", quantize(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("batch_id").orderBy("corpus_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("batch_id", F.col("corpus_id").alias("dup_of"), "jaccard")
+    )
 
 
 SIMHASH_BITS = 60  # md5-derived hashes carry 60 portable bits (15 hex chars)

@@ -2082,6 +2082,76 @@ def dedup_minhash_clusters(spark, sf_dir):
     )
 
 
+def _incremental_lsh_oracle(num_hashes: int = 32, bands: int = 8) -> str:
+    """Batch-vs-corpus twin of _minhash_oracle: documents split by
+    doc_id % 10 into a standing corpus (<8) and an arriving batch
+    (>=8); candidates are band matches ACROSS the split only, verified
+    at exact Jaccard >= 0.5; one row per matched batch doc keeps its
+    smallest corpus match (row_number over corpus_id - both engines
+    order a unique integer key identically)."""
+    rows = num_hashes // bands
+    params = DD.minhash_params(num_hashes)
+    params_sql = "[" + ", ".join(f"[{a}::BIGINT, {b}::BIGINT]" for a, b in params) + "]"
+    p = DD.MINHASH_P
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {_SH_SQL} AS sh
+      FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) t
+    ), sig AS (
+      SELECT doc_id, sh,
+             list_transform({params_sql}, pp ->
+               coalesce(list_min(list_transform(sh, s ->
+                 ((cast(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {p})
+                   * pp[1] + pp[2]) % {p})), {p})) AS sig
+      FROM sh WHERE len(sh) > 0
+    ), cand AS (
+      SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+             floor(len(list_intersect(b.sh, c.sh))::DOUBLE /
+                   (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh)))
+                   * 10000) / 10000 AS jaccard
+      FROM sig b, sig c
+      WHERE b.doc_id % 10 >= 8 AND c.doc_id % 10 < 8
+        AND len(list_filter(range(0, {bands}),
+                bb -> b.sig[bb*{rows}+1 : bb*{rows}+{rows}]
+                    = c.sig[bb*{rows}+1 : bb*{rows}+{rows}])) > 0
+        AND len(list_intersect(b.sh, c.sh))::DOUBLE /
+            (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))) >= 0.5
+    )
+    SELECT batch_id, corpus_id AS dup_of, jaccard
+    FROM (SELECT *, row_number() OVER (PARTITION BY batch_id
+                                       ORDER BY corpus_id) AS rn
+          FROM cand)
+    WHERE rn = 1
+    """
+
+
+@register("dedup_incremental_index", _incremental_lsh_oracle())
+def dedup_incremental_index(spark, sf_dir):
+    """Round-9: incremental dedup of an arriving batch against a
+    STANDING corpus through a persisted LSH band index - the daily-
+    ingest shape where recomputing corpus signatures is off the table.
+    documents splits by doc_id % 10 (corpus <8, batch >=8); the corpus
+    index is built (lsh_band_index), written to parquet, READ BACK, and
+    the batch deduped against the parquet index (incremental_lsh_dedup)
+    so the driver row verifies the whole persist->reload->join path.
+    Corpus-side cost at 100 TB: zero signature recompute; the exact
+    verify re-reads corpus text only for candidate ids via a broadcast
+    semi-join. The reference has no standing-index concept (its daily
+    MERGE recomputes per partition, ProcessDaily.usql:20-91); this is
+    the Spark-first scale path the tokshard delta-append loop feeds."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 < 8)
+    batch = d.filter(F.col("doc_id") % 10 >= 8)
+    idx = DD.lsh_band_index(corpus, "doc_id", "text", n=3, num_hashes=32, bands=8)
+    path = _run_tmp("lsh_index")
+    idx.write.mode("overwrite").parquet(path)
+    index = spark.read.parquet(path)
+    return DD.incremental_lsh_dedup(
+        batch, index, corpus, "doc_id", "text",
+        n=3, num_hashes=32, bands=8, threshold=0.5,
+    )
+
+
 @register(
     "dedup_simhash_values",
     f"""
@@ -6613,7 +6683,12 @@ _DRIVER_ORDER = [
     # stays driver-covered by its real-PCM twin multimodal_wav_stats
     # (in-window above, same audio_stats code path):
     "pack_store_delta_append",
-    "j7_edit_distance_join",
+    # round-9 mid-round swap: j7_edit_distance_join (green r5+r8)
+    # ceded to the new dedup_incremental_index (batch-vs-corpus dedup
+    # through a persisted LSH band index); the edit-distance operator
+    # stays driver-covered by j8_edit_distance2_join (in-window below,
+    # same deletion-neighborhood code path at d=2):
+    "dedup_incremental_index",
     "dim_apply_changes",
     "pipeline_tokenize_pack",
     "embedding_random_projection",
@@ -6622,6 +6697,9 @@ _DRIVER_ORDER = [
     "text_bpe_encode_ids",
     "j8_edit_distance2_join",
     # ---------------- position 51+: past the driver window ----------
+    # round-9 mid-round rotated-out (green r5+r8; parity-core, so the
+    # two-green-rounds rule covers it - no OUT_OF_WINDOW_OK needed):
+    "j7_edit_distance_join",
     # round-9 wave-2 rotated-out (each r8-green with >=2 green rounds;
     # extension-prefixed ones have OUT_OF_WINDOW_OK entries):
     "stream_hll_distinct",

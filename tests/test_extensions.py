@@ -92,6 +92,48 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert got == exact
 
 
+def test_incremental_lsh_dedup_via_persisted_index(spark, tmp_path):
+    """Round-9: batch-vs-corpus dedup through a parquet-persisted LSH
+    band index. The corpus holds DOC_A and DOC_B shapes; the arriving
+    batch carries an exact dup, a near dup, and a fresh document - the
+    first two must match their corpus originals (smallest corpus id,
+    exact jaccard) and the fresh one must survive, all WITHOUT the
+    corpus side ever recomputing a signature (the index comes back
+    from disk)."""
+    corpus = spark.createDataFrame(
+        [(1, DOC_A), (2, DOC_A), (4, DOC_B), (5, DOC_C)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, DOC_A), (101, DOC_A_NEAR), (102, "totally novel text "
+          "about parquet row group statistics and predicate pushdown")],
+        "doc_id long, text string",
+    )
+    idx = D.lsh_band_index(corpus, "doc_id", "text", n=3,
+                           num_hashes=64, bands=16)
+    path = str(tmp_path / "lsh_idx")
+    idx.write.parquet(path)
+    index = spark.read.parquet(path)
+    got = {r.batch_id: (r.dup_of, r.jaccard)
+           for r in D.incremental_lsh_dedup(
+               batch, index, corpus, "doc_id", "text", n=3,
+               num_hashes=64, bands=16, threshold=0.5).collect()}
+    assert got[100] == (1, 1.0)          # exact dup -> SMALLEST corpus id
+    assert got[101][0] == 1 and 0.5 < got[101][1] < 1.0
+    assert 102 not in got                # fresh doc survives
+    # jaccard agrees with the within-corpus operator's verify step
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in D.minhash_lsh_pairs(
+                 corpus.union(batch), "doc_id", "text", n=3,
+                 num_hashes=64, bands=16, threshold=0.5).collect()}
+    assert pairs[(1, 101)] == got[101][1]
+    # an empty batch is a clean no-op (daily pipeline quiet day)
+    empty = batch.filter(F.lit(False))
+    assert D.incremental_lsh_dedup(
+        empty, index, corpus, "doc_id", "text", n=3,
+        num_hashes=64, bands=16).collect() == []
+
+
 def test_simhash_pairs(docs):
     got = {(r.id_a, r.id_b): r.hamming
            for r in D.simhash_pairs(docs, "doc_id", "text",
