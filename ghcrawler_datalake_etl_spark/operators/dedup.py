@@ -315,6 +315,7 @@ def _lsh_sig_frame(
     n: int,
     num_hashes: int,
     sig_impl: str,
+    handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Shared MinHash front end: (doc_id, sh, sig), materialized.
 
@@ -325,13 +326,19 @@ def _lsh_sig_frame(
     their own projection so the num_hashes permutation scans reference
     them instead of recomputing md5 per permutation; sig feeds several
     scans (banding plus both verify sides), so it is materialized too.
+
+    ``handles``: optional list the two persisted frames are appended
+    to, so a caller that runs this repeatedly (the per-micro-batch
+    streaming wrapper) can .unpersist() them after consuming the
+    result instead of accumulating executor storage forever.
     """
-    base = _materialize(
+    base_m = _materialize(
         fan_out(df).select(
             F.col(id_col).alias("doc_id"),
             shingles(F.col(text_col), n).alias("sh"),
         )
-    ).filter(F.size("sh") > 0)
+    )
+    base = base_m.filter(F.size("sh") > 0)
     hashed = base.select(
         "doc_id", "sh", shingle_hashes(F.col("sh")).alias("hs")
     )
@@ -339,7 +346,10 @@ def _lsh_sig_frame(
         sig_col = minhash_signature_pandas_udf(num_hashes)(F.col("hs"))
     else:
         sig_col = minhash_signature_from_hashes(F.col("hs"), num_hashes)
-    return _materialize(hashed.select("doc_id", "sh", sig_col.alias("sig")))
+    sig = _materialize(hashed.select("doc_id", "sh", sig_col.alias("sig")))
+    if handles is not None:
+        handles.extend([base_m, sig])
+    return sig
 
 
 def _lsh_band_frame(sig: DataFrame, bands: int, rows: int) -> DataFrame:
@@ -461,6 +471,7 @@ def incremental_lsh_dedup(
     bands: int = 8,
     threshold: float = 0.5,
     sig_impl: str = "pandas",
+    handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch against a STANDING corpus via its persisted
     LSH band index: (batch_id, dup_of, jaccard) per batch document
@@ -480,7 +491,9 @@ def incremental_lsh_dedup(
     delta-append loop the token-shard store runs for packing.
     """
     rows = num_hashes // bands
-    bsig = _lsh_sig_frame(batch, id_col, text_col, n, num_hashes, sig_impl)
+    bsig = _lsh_sig_frame(
+        batch, id_col, text_col, n, num_hashes, sig_impl, handles=handles
+    )
     bband = _lsh_band_frame(bsig, bands, rows).withColumnRenamed(
         "doc_id", "batch_id"
     )
@@ -494,6 +507,8 @@ def incremental_lsh_dedup(
         .select("batch_id", "corpus_id")
         .distinct()
     )
+    if handles is not None:
+        handles.append(cand)
     # exact verify: corpus text only for candidate ids (broadcast semi)
     hit_ids = cand.select("corpus_id").distinct()
     corpus_sh = (

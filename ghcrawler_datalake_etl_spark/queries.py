@@ -5529,6 +5529,73 @@ def stream_dedup_ingest(spark, sf_dir):
     )
 
 
+@register("stream_lsh_dedup", _incremental_lsh_oracle())
+def stream_lsh_dedup(spark, sf_dir):
+    """Round-9: dedup_incremental_index RUN AS A REAL STREAM - the
+    arriving batch (doc_id % 10 >= 8) is staged as TWO parquet files,
+    file-stream read one file per trigger (so the screen provably
+    works across micro-batch boundaries), and each micro-batch dedups
+    against the SAME persisted corpus LSH index through foreachBatch
+    (streaming/ingest.stream_incremental_dedup) with idempotent
+    per-micro-batch parquet output. The oracle is identical to the
+    batch query's: every batch doc meets the full index regardless of
+    which micro-batch carries it, so the union of per-batch matches is
+    the batch answer exactly. Same staging memo pattern as
+    stream_dedup_ingest."""
+    import itertools
+    import os
+    import re
+
+    from ghcrawler_datalake_etl_spark.streaming.ingest import (
+        stream_incremental_dedup,
+    )
+
+    global _SLD_SEQ, _SLD_STAGED
+    try:
+        seq = next(_SLD_SEQ)
+    except NameError:
+        _SLD_SEQ = itertools.count(1)
+        _SLD_STAGED = set()
+        seq = 0
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    root = _run_tmp(f"sld_{tag}")
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 < 8)
+    batch = d.filter(F.col("doc_id") % 10 >= 8).select("doc_id", "text")
+    sdir = os.path.join(root, "in")
+    idir = os.path.join(root, "idx")
+    if sf_dir not in _SLD_STAGED:
+        batch.repartition(2).write.mode("overwrite").parquet(sdir)
+        DD.lsh_band_index(
+            corpus, "doc_id", "text", n=3, num_hashes=32, bands=8
+        ).write.mode("overwrite").parquet(idir)
+        _SLD_STAGED.add(sf_dir)
+    index = spark.read.parquet(idir)
+    out = os.path.join(root, f"out_{seq}")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = stream_incremental_dedup(
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sdir),
+            index,
+            corpus,
+            "doc_id",
+            "text",
+            out,
+            os.path.join(root, f"ck_{seq}"),
+            n=3,
+            num_hashes=32,
+            bands=8,
+            threshold=0.5,
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(out).select("batch_id", "dup_of", "jaccard")
+
+
 @register(
     "stream_hll_distinct",
     f"""
@@ -6676,7 +6743,12 @@ _DRIVER_ORDER = [
     #    pipeline/embedding/corpus) plus the edit-distance join pair --
     "sketch_histogram_quantiles",
     "graph_pagerank_transitions",
-    "timeseries_gap_fill",
+    # round-9 mid-round swap: timeseries_gap_fill (green r5+r8) ceded
+    # to the new stream_lsh_dedup (the incremental-index screen run as
+    # a real multi-micro-batch stream); the timeseries family keeps
+    # its evidence via gap_fill's own r5+r8 rows and
+    # timeseries_max_concurrency's r8 row:
+    "stream_lsh_dedup",
     "layout_zorder_buckets",
     # round-9 mid-round swap: multimodal_audio_stats (green r5+r8)
     # ceded to the new pack_store_delta_append; audio_stats' operator
@@ -6700,6 +6772,9 @@ _DRIVER_ORDER = [
     # round-9 mid-round rotated-out (green r5+r8; parity-core, so the
     # two-green-rounds rule covers it - no OUT_OF_WINDOW_OK needed):
     "j7_edit_distance_join",
+    # round-9 mid-round rotated-out (green r5+r8; OUT_OF_WINDOW_OK
+    # entry in tests/test_registry_order.py):
+    "timeseries_gap_fill",
     # round-9 wave-2 rotated-out (each r8-green with >=2 green rounds;
     # extension-prefixed ones have OUT_OF_WINDOW_OK entries):
     "stream_hll_distinct",

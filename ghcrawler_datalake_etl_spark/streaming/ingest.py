@@ -197,6 +197,66 @@ def stream_distinct(
     return src.dropDuplicates(subset) if subset else src.dropDuplicates()
 
 
+def stream_incremental_dedup(
+    stream_df: DataFrame,
+    index: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_path: str,
+    checkpoint: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> StreamingQuery:
+    """Streaming near-dup screen of arriving documents against a
+    STANDING corpus LSH index (operators/dedup.incremental_lsh_dedup
+    run per micro-batch via foreachBatch - the production shape: a
+    stream IS a sequence of incremental batches, and the banded
+    dedup's joins/windows are batch-relational, not record-at-a-time).
+
+    Each micro-batch writes its verified matches to
+    ``out_path/micro_batch=<id>/`` with mode("overwrite") - a replayed
+    batch after failure overwrites its OWN directory, the standard
+    foreachBatch idempotence recipe, so the sink never holds duplicate
+    rows. Read the matches back with spark.read.parquet(out_path).
+
+    Scale/state: foreachBatch holds NO streaming state - corpus cost
+    stays zero-recompute (the index comes from parquet) and batch cost
+    is proportional to the micro-batch. The frames the batch operator
+    materializes are unpersisted after each write (``handles``), so a
+    long-running stream's executor storage does not grow per trigger.
+    """
+    import os
+
+    from ghcrawler_datalake_etl_spark.operators.dedup import (
+        incremental_lsh_dedup,
+    )
+
+    def _apply(bdf: DataFrame, micro_batch: int) -> None:
+        handles: list[DataFrame] = []
+        try:
+            matches = incremental_lsh_dedup(
+                bdf, index, corpus, id_col, text_col,
+                n=n, num_hashes=num_hashes, bands=bands,
+                threshold=threshold, handles=handles,
+            )
+            matches.write.mode("overwrite").parquet(
+                os.path.join(out_path, f"micro_batch={micro_batch}")
+            )
+        finally:
+            for h in handles:
+                h.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_hll_registers(
     events: DataFrame,
     value_col: str,

@@ -134,6 +134,64 @@ def test_incremental_lsh_dedup_via_persisted_index(spark, tmp_path):
         num_hashes=64, bands=16).collect() == []
 
 
+def test_stream_incremental_dedup_multi_microbatch(spark, tmp_path):
+    """The streaming wrapper screens each micro-batch against the SAME
+    persisted index: two single-file triggers, matches land under
+    idempotent micro_batch=N dirs, union equals the batch operator on
+    the full arriving set, and no persisted frame survives the stream
+    (the handles cleanup - a long-running stream must not grow
+    executor storage per trigger)."""
+    from ghcrawler_datalake_etl_spark.streaming.ingest import (
+        stream_incremental_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, DOC_A), (4, DOC_B), (5, DOC_C)], "doc_id long, text string"
+    )
+    idx_path = str(tmp_path / "idx")
+    D.lsh_band_index(corpus, "doc_id", "text", n=3, num_hashes=64,
+                     bands=16).write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+    # two files -> two micro-batches under maxFilesPerTrigger=1
+    src = str(tmp_path / "in")
+    spark.createDataFrame([(100, DOC_A)], "doc_id long, text string"
+                          ).coalesce(1).write.parquet(src)
+    spark.createDataFrame([(101, DOC_A_NEAR), (102, "unrelated fresh "
+                            "content about broadcast joins and skew")],
+                          "doc_id long, text string"
+                          ).coalesce(1).write.mode("append").parquet(src)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    schema = "doc_id long, text string"
+    persisted_before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    q = stream_incremental_dedup(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        index, corpus, "doc_id", "text", out, ck,
+        n=3, num_hashes=64, bands=16, threshold=0.5,
+    )
+    q.awaitTermination()
+    # handles cleanup check FIRST (the batch-twin call below persists
+    # its own frames with handles=None): every frame the per-trigger
+    # operator persisted was released - a long-running stream must not
+    # grow executor storage per trigger
+    persisted_after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert persisted_after <= persisted_before, (
+        persisted_before, persisted_after)
+    got = {r.batch_id: (r.dup_of, r.jaccard)
+           for r in spark.read.parquet(out).collect()}
+    batch_all = spark.createDataFrame(
+        [(100, DOC_A), (101, DOC_A_NEAR)], "doc_id long, text string"
+    )
+    expected = {r.batch_id: (r.dup_of, r.jaccard)
+                for r in D.incremental_lsh_dedup(
+                    batch_all, index, corpus, "doc_id", "text", n=3,
+                    num_hashes=64, bands=16, threshold=0.5).collect()}
+    assert got == expected and set(got) == {100, 101}
+    import os
+    assert len([d for d in os.listdir(out)
+                if d.startswith("micro_batch=")]) == 2
+
+
 def test_simhash_pairs(docs):
     got = {(r.id_a, r.id_b): r.hamming
            for r in D.simhash_pairs(docs, "doc_id", "text",

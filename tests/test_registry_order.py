@@ -91,6 +91,10 @@ EXTENSION_PREFIXES = (
 #: or "evidence" - the query must then hold a green driver row in
 #: EVIDENCE.json. Adding here requires one of the two kinds.
 OUT_OF_WINDOW_OK = {
+    # round-9 mid-round rotation (green r5+r8), ceding its slot to the
+    # new stream_lsh_dedup (incremental-index dedup as a real stream);
+    # timeseries stays evidenced via max_concurrency's r8 row:
+    "timeseries_gap_fill": "evidence",
     # rotated out mid-round-3 (green r1+r2):
     "sample_hash_deterministic": "evidence",
     "split_train_valid_test": "evidence",
