@@ -443,6 +443,23 @@ def test_edit_distance_join_is_hash_join_on_variant_key(spark, queries):
         assert "levenshtein" in p, (name, p)
 
 
+def test_incremental_index_dedup_plan_shape(spark, queries):
+    """Round-9: the batch-vs-corpus screen must (a) get candidates
+    from an EQUI-join on the (band_idx, band_hash) keys - never a
+    cartesian/nested-loop product of batch x corpus - (b) cut the
+    row_number-per-batch_id pick to a WindowGroupLimit (rank-limit
+    pushdown: top-1 survives partial sort, the full per-key sort never
+    materializes), and (c) never evaluate Python row-at-a-time (the
+    signature UDF is Arrow-batched)."""
+    p = plan(queries["dedup_incremental_index"](spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "HashJoin" in p or "SortMergeJoin" in p, p
+    assert "WindowGroupLimit" in p, p
+    assert "BatchEvalPython" not in p, p
+    assert "ArrowEvalPython" in p, p
+
+
 def test_semantic_prune_scores_per_cluster_group(spark, queries):
     """SemDeDup's pair scoring must ride ONE shuffle keyed on the
     cluster id (FlatMapGroupsInPandas over groupby(cluster)); the only
