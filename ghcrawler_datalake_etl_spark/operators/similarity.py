@@ -507,53 +507,105 @@ def _nearest_cells(vec, nrm, cents, n: int) -> "F.Column":
     return F.transform(F.slice(F.array_sort(scored), 1, n), lambda s: s["cid"])
 
 
-def ivf_topk(
+def _resolve_centroids(
+    centroids: list[list[float]] | None,
+    source: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+) -> list[tuple[int, list[float], float]]:
+    """(cid, vec, norm) triples from either a LEARNED matrix (e.g.
+    clustering.kmeans_fit; cell ids are list positions) or the
+    deterministic first-n-by-id quantizer over ``source``."""
+    import math
+
+    if centroids is None:
+        return _centroid_rows(source, id_col, vec_col, n_centroids)
+    cents = []
+    for i, cvec in enumerate(centroids):
+        vec = [float(x) for x in cvec]
+        norm = math.sqrt(sum(x * x for x in vec))
+        if norm == 0.0:
+            # quantized k-means can emit an all-zero centroid for a
+            # degenerate cluster; cosine cell assignment would then
+            # divide by zero and silently yield NULL cells
+            # (round-2 ADVICE) - fail loudly instead, mirroring the
+            # non-empty guarantee _centroid_rows gives the other arm
+            raise ValueError(
+                f"centroid {i} has zero norm; drop degenerate "
+                "centroids before passing them to ivf_topk"
+            )
+        cents.append((i, vec, norm))
+    return cents
+
+
+def ivf_postings(
     corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    centroids: list[list[float]] | None = None,
+    centroid_source: DataFrame | None = None,
+    centroids_resolved: list[tuple[int, list[float], float]] | None = None,
+) -> DataFrame:
+    """Persistable IVF postings: (cell, neighbor_id, neighbor_vec,
+    neighbor_norm), one row per corpus vector, assigned to its nearest
+    centroid cell. Write as parquet partitioned/bucketed by cell at
+    warehouse scale; query with ivf_topk_postings.
+
+    The incremental primitive for a daily embedding ingest: build the
+    standing postings once, then assign ONLY the arriving vectors with
+    the same quantizer (pass the original corpus or the learned matrix
+    via ``centroid_source``/``centroids``) and APPEND their rows - no
+    standing posting is read or rewritten, the same delta-append loop
+    as the token-shard store and the LSH band index.
+    """
+    if centroids_resolved is not None:
+        cents = centroids_resolved
+    else:
+        src = centroid_source if centroid_source is not None else corpus
+        cents = _resolve_centroids(centroids, src, id_col, vec_col, n_centroids)
+    return _normalized(fan_out(corpus), id_col, vec_col, "neighbor").withColumn(
+        "cell",
+        _nearest_cells(F.col("neighbor_vec"), F.col("neighbor_norm"), cents, 1)[0],
+    )
+
+
+def ivf_topk_postings(
+    postings: DataFrame,
     queries: DataFrame,
     id_col: str,
     vec_col: str,
     k: int = 10,
-    n_centroids: int = 16,
     n_probe: int = 4,
+    n_centroids: int = 16,
     centroids: list[list[float]] | None = None,
+    centroid_source: DataFrame | None = None,
+    centroids_resolved: list[tuple[int, list[float], float]] | None = None,
 ) -> DataFrame:
-    """IVF approximate top-k: coarse-quantize the corpus into centroid
-    cells, probe the n_probe nearest cells per query, exact cosine within
-    the probed cells only.
+    """IVF top-k over a PERSISTED postings table (ivf_postings read
+    back from parquet): probe the n_probe nearest cells per query,
+    exact cosine within the probed cells only. The quantizer must be
+    the one the postings were built with - pass the learned matrix or
+    the same ``centroid_source``.
 
-    Scale: assignment is a narrow projection (n_centroids dot products
-    per row, centroids broadcast as literals); the join is an equi-join
-    on cell id, so each query scans ~n_probe/n_centroids of the corpus.
-    Recall < 1 by construction; raise with n_probe.
-
-    ``centroids``: pass a LEARNED centroid matrix (e.g.
-    clustering.kmeans_fit) instead of the deterministic
-    first-n-by-id quantizer; cell ids are the list positions.
+    Scale: zero corpus-side recompute (vectors and norms come from the
+    postings scan); the probe join is an equi-join on cell id, so each
+    query scans ~n_probe/n_centroids of the postings - with the
+    postings parquet partitioned by cell, probed cells prune at the
+    scan.
     """
-    import math
-
-    if centroids is not None:
-        cents = []
-        for i, cvec in enumerate(centroids):
-            vec = [float(x) for x in cvec]
-            norm = math.sqrt(sum(x * x for x in vec))
-            if norm == 0.0:
-                # quantized k-means can emit an all-zero centroid for a
-                # degenerate cluster; cosine cell assignment would then
-                # divide by zero and silently yield NULL cells
-                # (round-2 ADVICE) - fail loudly instead, mirroring the
-                # non-empty guarantee _centroid_rows gives the other arm
-                raise ValueError(
-                    f"centroid {i} has zero norm; drop degenerate "
-                    "centroids before passing them to ivf_topk"
-                )
-            cents.append((i, vec, norm))
+    if centroids_resolved is not None:
+        cents = centroids_resolved
     else:
-        cents = _centroid_rows(corpus, id_col, vec_col, n_centroids)
-    c = _normalized(fan_out(corpus), id_col, vec_col, "neighbor").withColumn(
-        "cell",
-        _nearest_cells(F.col("neighbor_vec"), F.col("neighbor_norm"), cents, 1)[0],
-    )
+        if centroids is None and centroid_source is None:
+            raise ValueError(
+                "ivf_topk_postings needs the quantizer the postings were "
+                "built with: pass centroids=... or centroid_source=..."
+            )
+        cents = _resolve_centroids(
+            centroids, centroid_source, id_col, vec_col, n_centroids
+        )
     q = _normalized(queries, id_col, vec_col, "query").withColumn(
         "cell",
         F.explode(
@@ -561,7 +613,7 @@ def ivf_topk(
         ),
     )
     scored = (
-        q.join(c, "cell")
+        q.join(postings, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -580,6 +632,38 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into centroid
+    cells, probe the n_probe nearest cells per query, exact cosine within
+    the probed cells only. Composition of ivf_postings +
+    ivf_topk_postings with the postings kept in-plan (not persisted).
+
+    Scale: assignment is a narrow projection (n_centroids dot products
+    per row, centroids broadcast as literals); the join is an equi-join
+    on cell id, so each query scans ~n_probe/n_centroids of the corpus.
+    Recall < 1 by construction; raise with n_probe.
+
+    ``centroids``: pass a LEARNED centroid matrix (e.g.
+    clustering.kmeans_fit) instead of the deterministic
+    first-n-by-id quantizer; cell ids are the list positions.
+    """
+    cents = _resolve_centroids(centroids, corpus, id_col, vec_col, n_centroids)
+    post = ivf_postings(corpus, id_col, vec_col, centroids_resolved=cents)
+    return ivf_topk_postings(
+        post, queries, id_col, vec_col, k=k, n_probe=n_probe,
+        centroids_resolved=cents,
     )
 
 

@@ -2372,6 +2372,74 @@ def sim_ivf_topk(spark, sf_dir):
     )
 
 
+@register(
+    "sim_ivf_delta_append",
+    # sim_ivf_topk's oracle with the quantizer restricted to the BASE
+    # split: centroids are the 16 lowest-id base vectors, assignment
+    # covers ALL vectors (base + delta - per-row with the same fixed
+    # quantizer, so postings(base) UNION postings(delta) IS the full
+    # assignment), probes for vec_id < 10 regardless of split.
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec,
+                      sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
+               FROM embeddings WHERE embedding IS NOT NULL),
+    cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                    vec AS cvec, nrm AS cnrm
+             FROM v WHERE vec_id % 10 < 8 ORDER BY vec_id LIMIT 16),
+    scored_cells AS (
+      SELECT v.vec_id, v.vec, v.nrm, c.cid,
+             row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY list_dot_product(v.vec, c.cvec) / (v.nrm * c.cnrm) DESC,
+                                         c.cid ASC) AS rn
+      FROM v, cent c WHERE v.nrm > 0),
+    assign AS (SELECT vec_id, vec, nrm, cid FROM scored_cells WHERE rn = 1),
+    probes AS (SELECT vec_id AS qid, vec AS qvec, nrm AS qnrm, cid
+               FROM scored_cells WHERE rn <= 4 AND vec_id < 10)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT p.qid AS query_id, a.vec_id AS neighbor_id,
+             floor(list_dot_product(p.qvec, a.vec) / (p.qnrm * a.nrm) * 1000000) / 1000000 AS cosine,
+             row_number() OVER (
+               PARTITION BY p.qid
+               ORDER BY floor(list_dot_product(p.qvec, a.vec) / (p.qnrm * a.nrm) * 1000000) / 1000000 DESC,
+                        a.vec_id ASC) AS rank
+      FROM probes p JOIN assign a ON p.cid = a.cid
+      WHERE p.qid <> a.vec_id) t
+    WHERE rank <= 5
+    """,
+)
+def sim_ivf_delta_append(spark, sf_dir):
+    """Round-9: the daily-embedding-ingest loop over a PERSISTED IVF
+    postings table. embeddings split by vec_id % 10: the base (<8)
+    builds the standing postings parquet; the delta (>=8) is assigned
+    with the SAME base-derived quantizer and APPENDED - no standing
+    posting read or rewritten (the third delta-append store after the
+    token shards and the LSH band index). Queries (vec_id < 10, both
+    splits) then run ivf_topk_postings over the read-back parquet:
+    zero corpus-side recompute, probe join prunes to n_probe cells.
+    The driver row verifies build + append + reload + probe end to end
+    against the closed-form assignment over all vectors."""
+    import os
+    import re
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 10 < 8)
+    delta = e.filter(F.col("vec_id") % 10 >= 8)
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    path = os.path.join(_run_tmp(f"ivfpost_{tag}"), "postings")
+    SIM.ivf_postings(
+        base, "vec_id", "embedding", n_centroids=16, centroid_source=base
+    ).write.mode("overwrite").parquet(path)
+    SIM.ivf_postings(
+        delta, "vec_id", "embedding", n_centroids=16, centroid_source=base
+    ).write.mode("append").parquet(path)
+    postings = spark.read.parquet(path)
+    queries_df = e.filter(F.col("vec_id") < 10)
+    return SIM.ivf_topk_postings(
+        postings, queries_df, "vec_id", "embedding",
+        k=5, n_probe=4, n_centroids=16, centroid_source=base,
+    )
+
+
 def _kmeans_ctes(
     k: int,
     iters: int,
@@ -6763,7 +6831,10 @@ _DRIVER_ORDER = [
     "dedup_incremental_index",
     "dim_apply_changes",
     "pipeline_tokenize_pack",
-    "embedding_random_projection",
+    # round-9 mid-round swap: embedding_random_projection (green r5+r8)
+    # ceded to the new sim_ivf_delta_append (persisted-IVF-postings
+    # build + delta-append + probe - the third delta-append store):
+    "sim_ivf_delta_append",
     "corpus_fertility_by_lang",
     "sample_pps_systematic",
     "text_bpe_encode_ids",
@@ -6773,8 +6844,9 @@ _DRIVER_ORDER = [
     # two-green-rounds rule covers it - no OUT_OF_WINDOW_OK needed):
     "j7_edit_distance_join",
     # round-9 mid-round rotated-out (green r5+r8; OUT_OF_WINDOW_OK
-    # entry in tests/test_registry_order.py):
+    # entries in tests/test_registry_order.py):
     "timeseries_gap_fill",
+    "embedding_random_projection",
     # round-9 wave-2 rotated-out (each r8-green with >=2 green rounds;
     # extension-prefixed ones have OUT_OF_WINDOW_OK entries):
     "stream_hll_distinct",

@@ -134,6 +134,46 @@ def test_incremental_lsh_dedup_via_persisted_index(spark, tmp_path):
         num_hashes=64, bands=16).collect() == []
 
 
+def test_ivf_postings_delta_append(spark, tmp_path):
+    """Round-9: IVF postings persist + delta-append. Appending the
+    delta's postings (assigned with the BASE-derived quantizer) must
+    reproduce exactly the single-shot assignment of all vectors under
+    that quantizer, and probing the read-back parquet must equal
+    probing the in-plan postings - so a standing embedding index can
+    grow daily without one standing posting being read or rewritten."""
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = e.filter(F.col("vec_id") < 30)
+    delta = e.filter(F.col("vec_id") >= 30)
+    path = str(tmp_path / "postings")
+    S.ivf_postings(base, "vec_id", "embedding", n_centroids=4,
+                   centroid_source=base).write.parquet(path)
+    S.ivf_postings(delta, "vec_id", "embedding", n_centroids=4,
+                   centroid_source=base).write.mode("append").parquet(path)
+    persisted = spark.read.parquet(path)
+    full = S.ivf_postings(e, "vec_id", "embedding", n_centroids=4,
+                          centroid_source=base)
+    key = lambda r: (r.neighbor_id, r.cell)  # noqa: E731
+    assert sorted(map(key, persisted.collect())) == sorted(
+        map(key, full.collect()))
+    queries = e.filter(F.col("vec_id") < 5)
+    got = S.ivf_topk_postings(persisted, queries, "vec_id", "embedding",
+                              k=3, n_probe=2, n_centroids=4,
+                              centroid_source=base).collect()
+    want = S.ivf_topk_postings(full, queries, "vec_id", "embedding",
+                               k=3, n_probe=2, n_centroids=4,
+                               centroid_source=base).collect()
+    srt = lambda rs: sorted((r.query_id, r.rank, r.neighbor_id, r.cosine)
+                            for r in rs)  # noqa: E731
+    assert srt(got) == srt(want) and len(got) > 0
+    # the quantizer is load-bearing: refusing to guess is the contract
+    with pytest.raises(ValueError, match="quantizer"):
+        S.ivf_topk_postings(persisted, queries, "vec_id", "embedding")
+
+
 def test_stream_incremental_dedup_multi_microbatch(spark, tmp_path):
     """The streaming wrapper screens each micro-batch against the SAME
     persisted index: two single-file triggers, matches land under

@@ -95,6 +95,10 @@ OUT_OF_WINDOW_OK = {
     # new stream_lsh_dedup (incremental-index dedup as a real stream);
     # timeseries stays evidenced via max_concurrency's r8 row:
     "timeseries_gap_fill": "evidence",
+    # round-9 mid-round rotation (green r5+r8), ceding its slot to the
+    # new sim_ivf_delta_append (persisted IVF postings + delta-append);
+    # int8 quantization + projection stay evidenced via their own rows:
+    "embedding_random_projection": "evidence",
     # rotated out mid-round-3 (green r1+r2):
     "sample_hash_deterministic": "evidence",
     "split_train_valid_test": "evidence",
