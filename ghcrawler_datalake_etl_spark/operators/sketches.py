@@ -162,6 +162,100 @@ def hll_distinct(
     )
 
 
+def stats_state(
+    df: DataFrame, keys: list[str], value_col: str, distinct_col: str
+) -> DataFrame:
+    """Mergeable per-key aggregate STATE - the materialized-view-
+    maintenance primitive: (keys..., n, sum_v, min_v, max_v,
+    regs map<bucket, m_rho>). Every component merges losslessly
+    (count/sum add, min/max fold, HLL registers take elementwise max),
+    so a standing stats table grows by folding in each day's state
+    with stats_merge - never rescanning history - and finalizes on
+    demand with stats_finalize. Persist as parquet keyed by ``keys``.
+
+    Two bounded shuffles (scalar agg + the (keys, bucket) register
+    agg, both map-side combined) and one co-partitioned join; the
+    register map is <= m entries per key."""
+    scalars = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(value_col).cast("double")).alias("sum_v"),
+        F.min(F.col(value_col).cast("double")).alias("min_v"),
+        F.max(F.col(value_col).cast("double")).alias("max_v"),
+    )
+    regs = (
+        hll_registers(df, distinct_col, list(keys))
+        .groupBy(*keys)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "m_rho"))
+            ).alias("regs")
+        )
+    )
+    # left: a key whose distinct_col is all-NULL has no registers -
+    # its state row carries an empty map, not a dropped key
+    out = scalars.join(regs, list(keys), "left")
+    return out.withColumn("regs", F.coalesce("regs", _empty_regs()))
+
+
+def _empty_regs() -> Column:
+    """Empty register map with the exact entry types hll_registers
+    emits (built per call: F.expr needs an active session)."""
+    return F.expr("cast(map() AS map<bigint, int>)")
+
+
+def stats_merge(states: DataFrame, keys: list[str]) -> DataFrame:
+    """Fold state rows (e.g. a union of per-day stats_state frames, or
+    a standing table plus today's delta) down to ONE state row per
+    key: n/sum add, min/max fold, registers take per-bucket max -
+    bit-identical to building the state from the unioned raw data
+    (max/sum/min are associative+commutative; pinned by test and by
+    the sketch_incremental_stats driver oracle)."""
+    scalars = states.groupBy(*keys).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sum_v").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )
+    regs = (
+        states.select(*keys, F.explode("regs").alias("bucket", "m_rho"))
+        .groupBy(*keys, "bucket")
+        .agg(F.max("m_rho").alias("m_rho"))
+        .groupBy(*keys)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "m_rho"))
+            ).alias("regs")
+        )
+    )
+    out = scalars.join(regs, list(keys), "left")
+    return out.withColumn("regs", F.coalesce("regs", _empty_regs()))
+
+
+def stats_finalize(state: DataFrame, keys: list[str]) -> DataFrame:
+    """Finalize a state frame into reportable stats: n, sum_v, min_v,
+    max_v pass through; the register map becomes the standard HLL
+    estimate (identical arithmetic to hll_estimate_from_registers -
+    the register rows are just packed in a map here; the caller
+    quantizes). Keys with an empty map estimate 0 distinct."""
+    rows = state.select(
+        *keys, F.explode("regs").alias("bucket", "m_rho")
+    )
+    est = hll_estimate_from_registers(rows, list(keys)).select(
+        *keys, "hll_estimate"
+    )
+    return (
+        state.join(est, list(keys), "left")
+        .select(
+            *keys,
+            "n",
+            "sum_v",
+            "min_v",
+            "max_v",
+            F.coalesce("hll_estimate", F.lit(0.0)).alias("distinct_est"),
+        )
+    )
+
+
 def hll_oracle_sql(
     source_sql: str, value_expr: str, group_cols: list[str]
 ) -> str:

@@ -4964,6 +4964,64 @@ def text_clean_lines(spark, sf_dir):
 # is floor-quantized per the repo convention).
 
 @register(
+    "sketch_incremental_stats",
+    f"""
+    WITH src AS (
+      SELECT event_type, value, user_id FROM events
+    ),
+    {SK.hll_oracle_sql("src", "user_id", ["event_type"])},
+    scal AS (
+      SELECT event_type, cast(count(*) AS BIGINT) AS n,
+             round(sum(value), 2) AS total_value,
+             min(value) AS min_v, max(value) AS max_v
+      FROM src GROUP BY event_type
+    )
+    SELECT s.event_type, s.n, s.total_value, s.min_v, s.max_v,
+           coalesce(floor(h.hll_estimate * 100) / 100, 0.0) AS distinct_users_est
+    FROM scal s LEFT JOIN hll_est h ON s.event_type = h.event_type
+    """,
+)
+def sketch_incremental_stats(spark, sf_dir):
+    """Round-9: materialized-view maintenance over MERGEABLE aggregate
+    state (sketches.stats_state/stats_merge/stats_finalize). events
+    split into three 'days' by event_id % 3; each day's per-event_type
+    state row (count, sum, min, max, HLL user registers) is written to
+    its own parquet dir - the standing stats table - then all three are
+    read back, folded by stats_merge (add/fold/register-max: exactly
+    lossless), and finalized. The oracle recomputes every stat plus the
+    register-replay HLL estimate from the RAW events: the driver row
+    proves a standing stats table maintained by per-day state folds -
+    never rescanning history - reports numbers identical to a full
+    recompute. At 100 TB this is the daily-corpus-report shape: state
+    per key is O(1) (4 scalars + <= 256 registers), merge cost is
+    O(standing keys), not O(history rows)."""
+    import os
+    import re
+
+    ev = _t(spark, sf_dir, "events")
+    keys = ["event_type"]
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    root = _run_tmp(f"statstate_{tag}")
+    parts = []
+    for day in range(3):
+        p = os.path.join(root, f"d{day}")
+        SK.stats_state(
+            ev.filter(F.col("event_id") % 3 == day), keys, "value", "user_id"
+        ).write.mode("overwrite").parquet(p)
+        parts.append(spark.read.parquet(p))
+    states = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    fin = SK.stats_finalize(SK.stats_merge(states, keys), keys)
+    return fin.select(
+        "event_type",
+        "n",
+        F.round(F.col("sum_v"), 2).alias("total_value"),
+        "min_v",
+        "max_v",
+        quantize(F.col("distinct_est"), 2).alias("distinct_users_est"),
+    )
+
+
+@register(
     "sketch_hll_distinct",
     f"""
     WITH src AS (
@@ -6809,7 +6867,10 @@ _DRIVER_ORDER = [
     # -- keepers (12): one in-window representative per extension
     #    family (sketch/graph/timeseries/dim/layout/text/sample/
     #    pipeline/embedding/corpus) plus the edit-distance join pair --
-    "sketch_histogram_quantiles",
+    # round-9 mid-round swap: sketch_histogram_quantiles (green r5+r8)
+    # ceded to the new sketch_incremental_stats (mergeable stats-state
+    # maintenance), which keeps the sketch family in-window:
+    "sketch_incremental_stats",
     "graph_pagerank_transitions",
     # round-9 mid-round swap: timeseries_gap_fill (green r5+r8) ceded
     # to the new stream_lsh_dedup (the incremental-index screen run as
@@ -6847,6 +6908,7 @@ _DRIVER_ORDER = [
     # entries in tests/test_registry_order.py):
     "timeseries_gap_fill",
     "embedding_random_projection",
+    "sketch_histogram_quantiles",
     # round-9 wave-2 rotated-out (each r8-green with >=2 green rounds;
     # extension-prefixed ones have OUT_OF_WINDOW_OK entries):
     "stream_hll_distinct",

@@ -79,7 +79,13 @@ def test_parity_paths_have_no_python(spark, queries):
                  # BUILT (encode) and decoded in Arrow-batched
                  # mapInPandas stages by design
                  "multimodal_gif_frames", "multimodal_gif_resize",
-                 "multimodal_wav_stats", "multimodal_image_features"}
+                 "multimodal_wav_stats", "multimodal_image_features",
+                 # round-9 incremental-index screens: batch-side minhash
+                 # signatures ride the same Arrow-batched pandas_udf as
+                 # dedup_minhash_lsh (the JVM-expression twin exists and
+                 # is equivalence-pinned; pandas is the measured-faster
+                 # default, see minhash_signature_pandas_udf)
+                 "dedup_incremental_index", "stream_lsh_dedup"}
     for name, fn in entrymod.queries().items():
         p = plan(fn(spark, SF_DIR), "simple")
         assert "BatchEvalPython" not in p, f"{name}: row-at-a-time Python UDF"

@@ -99,6 +99,10 @@ OUT_OF_WINDOW_OK = {
     # new sim_ivf_delta_append (persisted IVF postings + delta-append);
     # int8 quantization + projection stay evidenced via their own rows:
     "embedding_random_projection": "evidence",
+    # round-9 mid-round rotation (green r5+r8), ceding its slot to the
+    # new sketch_incremental_stats, which keeps the sketch family
+    # in-window:
+    "sketch_histogram_quantiles": "evidence",
     # rotated out mid-round-3 (green r1+r2):
     "sample_hash_deterministic": "evidence",
     "split_train_valid_test": "evidence",

@@ -452,3 +452,49 @@ def test_sketch_plans_are_jvm_only_and_cms_broadcasts(spark, sf_dir, op):
     assert "BatchEvalPython" not in phys and "ArrowEvalPython" not in phys
     if op == "cms":
         assert "BroadcastHashJoin" in phys
+
+
+def test_stats_state_merge_equals_direct(spark, tmp_path):
+    """Mergeable aggregate state (round-9): fold per-'day' states and
+    the result must be BIT-identical to the state built from the
+    unioned raw rows - counts/sums add, min/max fold, registers take
+    per-bucket max - including a key whose distinct column is all NULL
+    (empty register map, estimate 0). Persistence goes through parquet
+    like the standing stats table would."""
+    rows = [
+        # (key, value, user) - key 'c' has only NULL users
+        ("a", 1.0, 10), ("a", 2.5, 11), ("a", 2.5, 10),
+        ("b", -3.0, 12), ("b", 7.0, None),
+        ("c", 0.5, None), ("c", 1.5, None),
+    ]
+    df = spark.createDataFrame(rows, "k string, value double, user_id long")
+    days = [
+        df.filter(F.col("value") < 1.0),
+        df.filter((F.col("value") >= 1.0) & (F.col("value") < 2.5)),
+        df.filter(F.col("value") >= 2.5),
+    ]
+    parts = []
+    for i, d in enumerate(days):
+        p = str(tmp_path / f"d{i}")
+        SK.stats_state(d, ["k"], "value", "user_id").write.parquet(p)
+        parts.append(spark.read.parquet(p))
+    states = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    merged = SK.stats_merge(states, ["k"])
+    direct = SK.stats_state(df, ["k"], "value", "user_id")
+
+    def snap(frame):
+        return {
+            r.k: (r.n, r.sum_v, r.min_v, r.max_v, sorted(r.regs.items()))
+            for r in frame.collect()
+        }
+
+    assert snap(merged) == snap(direct)
+    fin = {r.k: r for r in SK.stats_finalize(merged, ["k"]).collect()}
+    assert fin["a"].n == 3 and fin["a"].sum_v == 6.0
+    assert fin["a"].min_v == 1.0 and fin["a"].max_v == 2.5
+    assert fin["b"].n == 2 and fin["b"].min_v == -3.0
+    # all-NULL distinct column: empty registers, estimate exactly 0
+    assert snap(direct)["c"][4] == []
+    assert fin["c"].distinct_est == 0.0
+    # low-cardinality linear counting: 2 distinct users for 'a'
+    assert abs(fin["a"].distinct_est - 2.0) < 0.1
