@@ -206,6 +206,44 @@ def bench_scaling(spark) -> dict:
         DD.connected_components(pairs).count()
         out["minhash_clusters_50k_sec"] = round(time.perf_counter() - t0, 3)
 
+        # round-9: the incremental-index claim at 10x - a 2k arriving
+        # batch (half exact dups of corpus docs, half fresh) screened
+        # against the 50k corpus through the persisted band index. The
+        # recurring cost (incr_batch_2k, ~4s) must track the BATCH:
+        # signatures are computed for 2k docs only and the verify join
+        # re-reads corpus text for ~1k candidate ids only. Honest
+        # baseline is the arm above - re-pairing the whole corpus
+        # (minhash_clusters_50k, ~10s and O(corpus) forever) vs a
+        # batch-proportional screen. (incr_index_50k looks unfairly
+        # cheap here: its shingle/signature subtree is still in the
+        # clusters arm's persisted cache - the number records the
+        # banding+write cost, which is the true marginal cost of
+        # indexing a corpus you just deduped.)
+        batch_docs = []
+        for i in range(2_000):
+            if i % 2 == 0:  # exact dup of a spread-out corpus doc
+                batch_docs.append((1_000_000 + i, docs[i * 25][1]))
+            else:  # fresh text, same vocab
+                toks = [vocab[j] for j in rng.randint(0, len(vocab), 40)]
+                batch_docs.append((1_000_000 + i, " ".join(toks)))
+        spark.createDataFrame(
+            batch_docs, "doc_id long, text string"
+        ).repartition(8).write.mode("overwrite").parquet(f"{root}/batch")
+        t0 = time.perf_counter()
+        DD.lsh_band_index(
+            d, "doc_id", "text", n=3, num_hashes=32, bands=8
+        ).write.mode("overwrite").parquet(f"{root}/lsh_idx")
+        out["incr_index_50k_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        n_hits = DD.incremental_lsh_dedup(
+            spark.read.parquet(f"{root}/batch"),
+            spark.read.parquet(f"{root}/lsh_idx"),
+            d, "doc_id", "text", n=3, num_hashes=32, bands=8,
+            threshold=0.5,
+        ).count()
+        out["incr_batch_2k_sec"] = round(time.perf_counter() - t0, 3)
+        assert n_hits >= 900, n_hits  # the planted dups must be found
+
         t0 = time.perf_counter()
         SP.pack_shards(
             d.select("doc_id", F.length("text").alias("wt")),
