@@ -464,6 +464,15 @@ def main() -> None:
         # arm pays one-time costs the committed record must not carry.
         side_rep = max(repeat, 2)
         sidecar["sidecar_repeat"] = side_rep
+        # The 142-query loop leaves every _materialize'd frame pinned
+        # in storage (the queries legitimately never unpersist - cache
+        # reuse across the loop is part of what the bench measures).
+        # The sidecars are independent workloads: without this, the
+        # knn GEMM's execution memory fights eviction against ~GBs of
+        # dead cached frames and the arm read 75s vs 9-25s in a fresh
+        # session (round-9 investigation; min-of-2 did not mask it
+        # because BOTH runs inherit the pressure).
+        spark.catalog.clearCache()
         merge_runs = [bench_incremental_merge(spark) for _ in range(side_rep)]
         sidecar["incremental_merge"] = {
             k: (min(r[k] for r in merge_runs)
