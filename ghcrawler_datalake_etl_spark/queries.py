@@ -5719,6 +5719,15 @@ def stream_lsh_dedup(spark, sf_dir):
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    # an EMPTY arriving split produces zero micro-batches, so the sink
+    # dir is never created - a quiet day is an empty result, not a
+    # read error (pinned by the null-text degenerate suite)
+    if not os.path.isdir(out) or not any(
+        f.startswith("micro_batch=") for f in os.listdir(out)
+    ):
+        return spark.createDataFrame(
+            [], "batch_id long, dup_of long, jaccard double"
+        )
     return spark.read.parquet(out).select("batch_id", "dup_of", "jaccard")
 
 

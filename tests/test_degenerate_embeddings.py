@@ -40,6 +40,10 @@ EMB_ONLY = [
     "sim_knn_graph",
     "sim_pq_adc_topk",
     "embedding_random_projection",
+    # round-9: persisted-postings IVF - the zero-norm (id 18) and NULL
+    # (id 19) vectors land in the DELTA split and must be excluded
+    # from its appended postings identically on both engines
+    "sim_ivf_delta_append",
 ]
 
 DIM = 64  # the width the registered queries pin (ann dim=64)

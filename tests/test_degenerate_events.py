@@ -69,6 +69,10 @@ EVENTS_ONLY = [
     # sessionization on both engines; the tiny corpus drives the
     # single-session and tie-heavy arms
     "timeseries_max_concurrency",
+    # round-9: mergeable stats state - NULL value/user rows must fold
+    # identically (sum/min/max ignore NULLs, HLL ignores NULL users;
+    # an all-NULL-value day leaves total_value NULL on both engines)
+    "sketch_incremental_stats",
 ]
 
 

@@ -69,6 +69,12 @@ DOC_ONLY = [
     # round-5: PPS sampling - NULL n_chars weights must never select,
     # identically on both engines; all-zero weights -> empty sample
     "sample_pps_systematic",
+    # round-9: the incremental-index screens - the batch split
+    # (doc_id % 10 >= 8) carries a NULL-text doc (8: never signs, never
+    # matches) and an exact dup of doc 0 (9: must match through the
+    # persisted index), in both the batch and streaming arms
+    "dedup_incremental_index",
+    "stream_lsh_dedup",
 ]
 
 
@@ -82,6 +88,10 @@ def degenerate_sf_dir(tmp_path_factory):
         (3, "   \n  \t ", "fr", "web", 8),
         (4, "foo foo foo foo foo foo foo foo foo foo", "en", "books", 39),
         (5, None, None, None, None),
+        # batch-split rows for the round-9 incremental-index screens
+        (8, None, "en", "web", 0),
+        (9, "The quick brown fox jumps over the lazy dog", "en", "web", 43),
+        (18, "", "de", "news", 0),
     ]
     df = pd.DataFrame(
         rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
