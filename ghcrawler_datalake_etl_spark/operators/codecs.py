@@ -1422,41 +1422,12 @@ def _jpeg_dc_scan(
     return total / count / 255.0
 
 
-def _jpeg_sof_process(data: bytes) -> int:
-    """The first SOF marker id of a JPEG stream (0xC0 baseline, 0xC2
-    progressive, ...) by the same pure header walk as jpeg_dims - how
-    jpeg_decode picks its entropy path without parsing twice."""
-    if not is_jpeg(data):
-        raise ValueError("not a JPEG (bad signature)")
-    i = 2
-    n = len(data)
-    while i + 3 < n:
-        if data[i] != 0xFF:
-            raise ValueError("bad JPEG marker alignment")
-        while i < n and data[i] == 0xFF:
-            i += 1
-        if i >= n:
-            break
-        marker = data[i]
-        i += 1
-        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-            continue
-        if i + 1 >= n:
-            break
-        seglen = int.from_bytes(data[i : i + 2], "big")
-        if seglen < 2 or i + seglen > n:
-            raise ValueError("truncated JPEG segment")
-        if marker in _JPEG_SOF:
-            return marker
-        i += seglen
-    raise ValueError("JPEG has no SOF marker")
-
-
-def jpeg_dims(data: bytes) -> tuple[int, int]:
-    """(width, height) from the first SOF marker of a JPEG stream -
-    a pure header scan (ITU T.81 B.2), no entropy decode. The 100 TB
-    use case is exactly this: dimension/metadata extraction over binary
-    columns without paying for pixel decode."""
+def _jpeg_first_sof(data: bytes) -> tuple[int, int]:
+    """(SOF marker id, offset of its segment body) from ONE pure
+    header walk (ITU T.81 B.2) - the single marker-walk shared by
+    jpeg_dims (reads dims out of the body) and the decode dispatch
+    (reads only the marker id), so the fill-byte / standalone-marker /
+    truncation edge handling lives in exactly one place."""
     if not is_jpeg(data):
         raise ValueError("not a JPEG (bad signature)")
     i = 2
@@ -1479,15 +1450,32 @@ def jpeg_dims(data: bytes) -> tuple[int, int]:
         if seglen < 2 or i + seglen > n:
             raise ValueError("truncated JPEG segment")
         if marker in _JPEG_SOF:
-            if seglen < 7:
-                raise ValueError("truncated JPEG SOF")
-            height = int.from_bytes(data[i + 3:i + 5], "big")
-            width = int.from_bytes(data[i + 5:i + 7], "big")
-            return width, height
+            return marker, i
         if marker == 0xDA:  # SOS: entropy data follows, no SOF seen
             break
         i += seglen
     raise ValueError("JPEG has no SOF frame header")
+
+
+def _jpeg_sof_process(data: bytes) -> int:
+    """The first SOF marker id of a JPEG stream (0xC0 baseline, 0xC2
+    progressive, ...) - how jpeg_decode picks its entropy path without
+    a full parse."""
+    return _jpeg_first_sof(data)[0]
+
+
+def jpeg_dims(data: bytes) -> tuple[int, int]:
+    """(width, height) from the first SOF marker of a JPEG stream -
+    a pure header scan (ITU T.81 B.2), no entropy decode. The 100 TB
+    use case is exactly this: dimension/metadata extraction over binary
+    columns without paying for pixel decode."""
+    _marker, i = _jpeg_first_sof(data)
+    seglen = int.from_bytes(data[i:i + 2], "big")
+    if seglen < 7:
+        raise ValueError("truncated JPEG SOF")
+    height = int.from_bytes(data[i + 3:i + 5], "big")
+    width = int.from_bytes(data[i + 5:i + 7], "big")
+    return width, height
 
 
 # -- GIF (GIF87a/89a, public spec) ------------------------------------

@@ -2139,11 +2139,17 @@ def dedup_incremental_index(spark, sf_dir):
     semi-join. The reference has no standing-index concept (its daily
     MERGE recomputes per partition, ProcessDaily.usql:20-91); this is
     the Spark-first scale path the tokshard delta-append loop feeds."""
+    import re
+
     d = _t(spark, sf_dir, "documents")
     corpus = d.filter(F.col("doc_id") % 10 < 8)
     batch = d.filter(F.col("doc_id") % 10 >= 8)
     idx = DD.lsh_band_index(corpus, "doc_id", "text", n=3, num_hashes=32, bands=8)
-    path = _run_tmp("lsh_index")
+    # sf-tagged like every stateful sibling: an untagged shared path
+    # would let a second sf_dir's overwrite yank the parquet out from
+    # under a still-lazy first result
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    path = _run_tmp(f"lsh_index_{tag}")
     idx.write.mode("overwrite").parquet(path)
     index = spark.read.parquet(path)
     return DD.incremental_lsh_dedup(
@@ -2426,17 +2432,21 @@ def sim_ivf_delta_append(spark, sf_dir):
     delta = e.filter(F.col("vec_id") % 10 >= 8)
     tag = re.sub(r"\W+", "_", sf_dir).strip("_")
     path = os.path.join(_run_tmp(f"ivfpost_{tag}"), "postings")
+    # resolve the base quantizer ONCE (one orderBy/limit/collect job)
+    # and share it across build, append and probe - the same pattern
+    # ivf_topk uses internally (round-9 review)
+    cents = SIM._resolve_centroids(None, base, "vec_id", "embedding", 16)
     SIM.ivf_postings(
-        base, "vec_id", "embedding", n_centroids=16, centroid_source=base
+        base, "vec_id", "embedding", centroids_resolved=cents
     ).write.mode("overwrite").parquet(path)
     SIM.ivf_postings(
-        delta, "vec_id", "embedding", n_centroids=16, centroid_source=base
+        delta, "vec_id", "embedding", centroids_resolved=cents
     ).write.mode("append").parquet(path)
     postings = spark.read.parquet(path)
     queries_df = e.filter(F.col("vec_id") < 10)
     return SIM.ivf_topk_postings(
         postings, queries_df, "vec_id", "embedding",
-        k=5, n_probe=4, n_centroids=16, centroid_source=base,
+        k=5, n_probe=4, centroids_resolved=cents,
     )
 
 
@@ -4752,7 +4762,11 @@ def multimodal_wav_stats(spark, sf_dir):
                      WHEN 2 THEN 'gif' ELSE 'jpeg' END AS fmt,
            (CASE WHEN kind = 3 THEN 16 ELSE w END)::INT AS width,
            (CASE WHEN kind = 3 THEN 12 ELSE h END)::INT AS height,
-           (CASE WHEN kind = 2 THEN 1 + doc_id % 4
+           -- frame count varies on a modulus INDEPENDENT of the kind
+           -- selector (doc_id % 4 = 2 for every GIF would pin
+           -- 1 + doc_id % 4 to a constant 3 and silently drop the
+           -- 1/2/4-frame arms; round-9 review)
+           (CASE WHEN kind = 2 THEN 1 + (doc_id // 4) % 4
                  ELSE 1 END)::INT AS n_frames,
            floor(CASE WHEN kind = 2
                 THEN (0.299 * gray + 0.587 * gray + 0.114 * gray) / 255.0
@@ -4771,7 +4785,7 @@ def multimodal_image_features(spark, sf_dir):
     LZW first-frame decode), or PROGRESSIVE JPEG (SOF2, spectral
     selection + successive approximation) - in a doc-derived solid
     color, so every extracted feature is closed-form: dims from the
-    real headers, n_frames from the real block walk (1 + doc_id%4 for
+    real headers, n_frames from the real block walk (1 + (doc_id//4)%4 for
     the GIFs), and mean_luma the Rec.601 fold of the known color. The
     JPEG rows additionally run the FULL progressive pixel decode: the
     payload is resized through resize_images (jpeg_decode dispatches
@@ -4826,7 +4840,7 @@ def multimodal_image_features(spark, sf_dir):
                     data = C.bmp_encode(arr)
                     fmt = "bmp"
                 else:
-                    n = 1 + doc_id % 4
+                    n = 1 + (doc_id // 4) % 4
                     gray = 20 + 40 * (doc_id % 6)
                     items = [
                         (np.full((h, w, 3), gray, np.uint8), 0, 0, 40, 1,

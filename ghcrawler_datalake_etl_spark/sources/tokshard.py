@@ -132,7 +132,11 @@ def append_token_shards(
         for f in os.listdir(path):
             if f.startswith("shard-") and f.endswith(".tokshard"):
                 try:
-                    base = max(base, int(f[6:11]) + 1)
+                    # full digit run, not a fixed 5-char slice: the
+                    # writer's %05d format WIDENS past 99999, and a
+                    # truncated parse would re-issue a live index and
+                    # silently overwrite a standing shard
+                    base = max(base, int(f[6:-len(".tokshard")]) + 1)
                 except ValueError:
                     continue
     return write_token_shards(

@@ -1699,6 +1699,44 @@ def test_tokshard_delta_append_new_files_only(spark, tmp_path):
     assert min(r["shard_id"] for r in m2) == 0
 
 
+def test_tokshard_append_index_parse_widens_past_5_digits(spark, tmp_path):
+    """Regression (round-9 review): the writer's %05d shard name
+    WIDENS past 99999, but the append probe parsed a fixed 5-char
+    slice - on a store grown to shard-123456 it computed next=12346
+    and open(..., 'wb') silently overwrote a standing shard. The probe
+    must parse the full digit run."""
+    import hashlib
+    import os
+
+    from ghcrawler_datalake_etl_spark.sources import tokshard as TS
+
+    docs = spark.createDataFrame(
+        [(i, ",".join(str((i + j) % 9) for j in range(3)))
+         for i in range(20)],
+        "doc_id long, ids_csv string",
+    )
+    root = str(tmp_path / "store")
+    wide = TS.write_token_shards(
+        docs, root, budget=20, shard_base=123_456
+    ).collect()
+    assert any(r["shard_id"] > 99_999 for r in wide)
+    before = {
+        f: hashlib.sha256(open(os.path.join(root, f), "rb").read()).digest()
+        for f in os.listdir(root)
+    }
+    delta = spark.createDataFrame(
+        [(i, "1,2,3") for i in range(100, 110)],
+        "doc_id long, ids_csv string",
+    )
+    m = TS.append_token_shards(delta, root, budget=20).collect()
+    assert min(r["shard_id"] for r in m) > max(r["shard_id"] for r in wide)
+    for f, digest in before.items():
+        assert hashlib.sha256(
+            open(os.path.join(root, f), "rb").read()
+        ).digest() == digest, f"standing shard {f} was overwritten"
+    assert TS.read_token_shards(spark, root).count() == 30
+
+
 def test_tokshard_arrow_batch_equals_row_read(spark, tmp_path):
     """The Arrow-batched reader (one RecordBatch per shard file, ids
     zero-copy from the <u4 buffer) returns EXACTLY the rows of the
