@@ -206,10 +206,13 @@ def _empty_regs() -> Column:
 def stats_merge(states: DataFrame, keys: list[str]) -> DataFrame:
     """Fold state rows (e.g. a union of per-day stats_state frames, or
     a standing table plus today's delta) down to ONE state row per
-    key: n/sum add, min/max fold, registers take per-bucket max -
-    bit-identical to building the state from the unioned raw data
-    (max/sum/min are associative+commutative; pinned by test and by
-    the sketch_incremental_stats driver oracle)."""
+    key: n/sum add, min/max fold, registers take per-bucket max.
+    n, min_v, max_v and the registers are BIT-identical to building
+    the state from the unioned raw data (integer add / fold / max are
+    associative+commutative); sum_v agrees up to float reassociation -
+    the same tolerance any Spark partial-aggregate sum already carries,
+    so report it rounded (the sketch_incremental_stats driver oracle
+    rounds to 2 digits). Pinned by test and driver oracle."""
     scalars = states.groupBy(*keys).agg(
         F.sum("n").cast("long").alias("n"),
         F.sum("sum_v").alias("sum_v"),

@@ -132,6 +132,30 @@ def test_incremental_lsh_dedup_via_persisted_index(spark, tmp_path):
     assert D.incremental_lsh_dedup(
         empty, index, corpus, "doc_id", "text", n=3,
         num_hashes=64, bands=16).collect() == []
+    # day 2: close the loop - survivors of day 1 APPEND their bands to
+    # the standing index (no standing row rewritten), and a day-2 dup
+    # of a day-1 survivor is caught by the GROWN index while the
+    # original index still misses it
+    survivors = batch.join(
+        spark.createDataFrame([(k,) for k in got], "batch_id long"),
+        batch.doc_id == F.col("batch_id"), "left_anti",
+    )
+    D.lsh_band_index(survivors, "doc_id", "text", n=3, num_hashes=64,
+                     bands=16).write.mode("append").parquet(path)
+    grown = spark.read.parquet(path)
+    day2 = spark.createDataFrame(
+        [(200, "totally novel text about parquet row group statistics "
+          "and predicate pushdown")],  # dup of day-1 survivor 102
+        "doc_id long, text string",
+    )
+    corpus2 = corpus.unionByName(survivors)
+    hit2 = {r.batch_id: r.dup_of for r in D.incremental_lsh_dedup(
+        day2, grown, corpus2, "doc_id", "text", n=3,
+        num_hashes=64, bands=16, threshold=0.5).collect()}
+    assert hit2 == {200: 102}
+    assert D.incremental_lsh_dedup(
+        day2, index, corpus, "doc_id", "text", n=3,
+        num_hashes=64, bands=16, threshold=0.5).collect() == []
 
 
 def test_ivf_postings_delta_append(spark, tmp_path):

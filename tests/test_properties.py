@@ -807,3 +807,100 @@ def test_deletion_neighborhood_d2_is_complete_and_4_bounded(a, b):
         assert shared, (a, b)
     if shared:
         assert _lev(a, b) <= 4, (a, b)
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),                       # key (ties likely)
+            st.one_of(st.none(),
+                      st.integers(-8, 8).map(lambda i: i / 4.0)),
+            st.one_of(st.none(), st.integers(0, 5)),  # distinct member
+        ),
+        min_size=0,
+        max_size=20,
+    ),
+    st.integers(2, 4),
+)
+def test_stats_state_split_invariant(spark, rows, n_parts):
+    """Round-9 mergeable state: splitting the rows into ANY number of
+    per-day parts and folding the per-part states equals building the
+    state from all rows at once - exactly, including NULL values/
+    members (quarter-integer values keep float sums exact under every
+    association, so even sum_v compares bit-for-bit here)."""
+    from ghcrawler_datalake_etl_spark.operators import sketches as SK
+
+    df = spark.createDataFrame(
+        [(k, v, m) for k, v, m in rows],
+        "k long, value double, member long",
+    )
+    day = F.pmod(F.xxhash64("k", "value", "member"), F.lit(n_parts))
+    parts = [
+        SK.stats_state(df.filter(day == i), ["k"], "value", "member")
+        for i in range(n_parts)
+    ]
+    states = parts[0]
+    for p in parts[1:]:
+        states = states.unionByName(p)
+    merged = SK.stats_merge(states, ["k"])
+    direct = SK.stats_state(df, ["k"], "value", "member")
+
+    def snap(frame):
+        return {
+            r.k: (r.n, r.sum_v, r.min_v, r.max_v, sorted(r.regs.items()))
+            for r in frame.collect()
+        }
+
+    assert snap(merged) == snap(direct)
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("alpha beta gamma delta".split()),
+                 min_size=3, max_size=6),
+        min_size=1, max_size=8,
+    ),
+    st.lists(
+        st.lists(st.sampled_from("alpha beta gamma delta".split()),
+                 min_size=3, max_size=6),
+        min_size=1, max_size=4,
+    ),
+)
+def test_incremental_dedup_equals_cross_pairs_of_union(
+    spark, corpus_texts, batch_texts
+):
+    """The persisted-index screen is EXACTLY the cross-split slice of
+    the within-union LSH operator: same signatures, same band keys, so
+    the candidate sets coincide and the verified matches must too
+    (smallest corpus id per matched batch doc). Tiny 4-word-vocab docs
+    make accidental near-dups common - the adversarial case for any
+    asymmetry between the two code paths."""
+    from ghcrawler_datalake_etl_spark.operators import dedup as D
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(corpus_texts)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, " ".join(t)) for i, t in enumerate(batch_texts)],
+        "doc_id long, text string",
+    )
+    index = D.lsh_band_index(corpus, "doc_id", "text",
+                             n=3, num_hashes=16, bands=4)
+    got = {r.batch_id: (r.dup_of, r.jaccard)
+           for r in D.incremental_lsh_dedup(
+               batch, index, corpus, "doc_id", "text",
+               n=3, num_hashes=16, bands=4, threshold=0.5).collect()}
+    pairs = D.minhash_lsh_pairs(
+        corpus.unionByName(batch), "doc_id", "text",
+        n=3, num_hashes=16, bands=4, threshold=0.5,
+    ).collect()
+    expected: dict[int, tuple[int, float]] = {}
+    for r in pairs:  # id_a < id_b, so cross pairs are (corpus, batch)
+        if r.id_a < 100 <= r.id_b:
+            cur = expected.get(r.id_b)
+            if cur is None or r.id_a < cur[0]:
+                expected[r.id_b] = (r.id_a, r.jaccard)
+    assert got == expected
