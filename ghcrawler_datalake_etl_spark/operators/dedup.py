@@ -308,6 +308,92 @@ def ngram_jaccard_pairs(
     return out
 
 
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    arr_col: Column | str,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """EXACT Jaccard-threshold self-join over a set-valued column via
+    prefix filtering (the AllPairs/PPJoin candidate principle, Bayardo
+    et al. WWW'07): order every document's tokens by global rarity
+    (document frequency asc, token asc - any shared total order works)
+    and index only the first |x| - ceil(t*|x|) + 1 of them. Pigeonhole:
+    J(x,y) >= t implies |x & y| >= ceil(t*max(|x|,|y|)), so two
+    qualifying sets MUST collide inside these prefixes - candidates
+    are complete, and the exact verify makes the result identical to
+    the all-pairs join.
+
+    The scale story vs the full inverted index (ngram_jaccard_pairs):
+    candidate volume there is sum(df^2) over ALL tokens - boilerplate
+    tokens (df in the millions) dominate it quadratically, and the
+    stop-token escape hatch buys survival by giving up exactness.
+    Here the join touches only each document's RAREST tokens, so the
+    df^2 blowup is capped by construction at high thresholds while
+    the answer stays exact. Shuffles: token df count, the sorted
+    re-assembly, the prefix self-join, and the verify joins - all
+    equi-keyed, all map-side combinable where they aggregate.
+
+    ``arr_col``: an array column (or name); duplicate elements are
+    removed (set semantics). Docs with empty sets never pair.
+    """
+    t = float(threshold)
+    base = fan_out(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(
+            F.col(arr_col) if isinstance(arr_col, str) else arr_col
+        ).alias("toks"),
+    ).filter(F.size("toks") > 0)
+    ex = base.select("doc_id", F.explode("toks").alias("tok"))
+    freq = ex.groupBy("tok").agg(F.count("*").alias("df_count"))
+    # per-doc tokens sorted by the global (df, tok) order; struct sort
+    # gives the total order without materializing a contiguous global
+    # rank (no single-partition vocabulary window)
+    sorted_docs = _materialize(
+        ex.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("df_count", "tok"))
+            ).alias("ordered")
+        )
+        .select(
+            "doc_id",
+            F.transform(F.col("ordered"), lambda s: s["tok"]).alias("toks"),
+        )
+    )
+    n = F.size("toks")
+    prefix_len = n - F.ceil(n * F.lit(t)).cast("int") + 1
+    pref = sorted_docs.select(
+        "doc_id", F.explode(F.slice("toks", 1, prefix_len)).alias("tok")
+    )
+    cand = _pairs_from_candidates(
+        pref.alias("a")
+        .join(pref.alias("b"), "tok")
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")),
+        "id_a",
+        "id_b",
+    )
+    a = sorted_docs.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("toks").alias("t_a"),
+        F.size("toks").alias("n_a"),
+    )
+    b = sorted_docs.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("toks").alias("t_b"),
+        F.size("toks").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("t_a", "t_b")).cast("double")
+    jac = inter / (F.col("n_a") + F.col("n_b") - inter)
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", quantize(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= t)
+    )
+
+
 def _lsh_sig_frame(
     df: DataFrame,
     id_col: str,

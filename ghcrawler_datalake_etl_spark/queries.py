@@ -1845,6 +1845,26 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+@register("dedup_prefix_jaccard", _NGRAM_PAIRS_SQL)
+def dedup_prefix_jaccard(spark, sf_dir):
+    """Round-9: the SAME exact answer as dedup_ngram_jaccard through a
+    different candidate strategy - prefix filtering (AllPairs/PPJoin,
+    Bayardo et al. WWW'07): each document indexes only its
+    |x| - ceil(t|x|) + 1 globally-RAREST shingles, and the pigeonhole
+    on the smallest common element guarantees every qualifying pair
+    still collides. Shares the brute-force oracle with
+    dedup_ngram_jaccard because the result is provably identical; the
+    plans differ where it matters at 100 TB - the inverted-index
+    join's candidate volume is sum(df^2) over ALL shingles (quadratic
+    in boilerplate document frequency; its stop-shingle escape hatch
+    costs exactness), while the prefix join touches only rare-shingle
+    collisions and stays exact."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.prefix_jaccard_pairs(
+        d, "doc_id", DD.shingles(F.col("text"), 3), threshold=0.5
+    )
+
+
 _SHINGLE_CTE_SQL = f"""
     sh AS (
       SELECT doc_id, {_SH_SQL} AS sh
@@ -6894,6 +6914,11 @@ _DRIVER_ORDER = [
     # ceded to the new sketch_incremental_stats (mergeable stats-state
     # maintenance), which keeps the sketch family in-window:
     "sketch_incremental_stats",
+    # round-9 mid-round swap: layout_zorder_buckets (green r5+r8) ceded
+    # to the new dedup_prefix_jaccard (exact prefix-filtered
+    # set-similarity join; layout stays evidenced via its own rows and
+    # layout_compact_roundtrip's r8 row):
+    "dedup_prefix_jaccard",
     "graph_pagerank_transitions",
     # round-9 mid-round swap: timeseries_gap_fill (green r5+r8) ceded
     # to the new stream_lsh_dedup (the incremental-index screen run as
@@ -6901,7 +6926,6 @@ _DRIVER_ORDER = [
     # its evidence via gap_fill's own r5+r8 rows and
     # timeseries_max_concurrency's r8 row:
     "stream_lsh_dedup",
-    "layout_zorder_buckets",
     # round-9 mid-round swap: multimodal_audio_stats (green r5+r8)
     # ceded to the new pack_store_delta_append; audio_stats' operator
     # stays driver-covered by its real-PCM twin multimodal_wav_stats
@@ -6932,6 +6956,7 @@ _DRIVER_ORDER = [
     "timeseries_gap_fill",
     "embedding_random_projection",
     "sketch_histogram_quantiles",
+    "layout_zorder_buckets",
     # round-9 wave-2 rotated-out (each r8-green with >=2 green rounds;
     # extension-prefixed ones have OUT_OF_WINDOW_OK entries):
     "stream_hll_distinct",

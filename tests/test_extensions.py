@@ -92,6 +92,36 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert got == exact
 
 
+def test_prefix_jaccard_exact_and_boilerplate_robust(spark):
+    """Round-9: prefix filtering returns EXACTLY the all-pairs answer
+    (same spec as ngram_jaccard_pairs) on a corpus built to punish the
+    full inverted index: every doc shares a large boilerplate template
+    (df = n_docs on most shingles -> the index join's candidates are
+    quadratic there) plus a small distinctive tail. The prefix join
+    indexes only each doc's rarest shingles, so the template never
+    enters candidate generation - and the verified pairs still match
+    the inverted-index operator pair-for-pair."""
+    from ghcrawler_datalake_etl_spark.operators.text import tokenize
+
+    boiler = " ".join(f"common{i}" for i in range(30))
+    rows = []
+    for i in range(40):
+        # docs 2k and 2k+1 share their tail -> true near-dup pairs
+        tail = " ".join(f"rare{i // 2}_{j}" for j in range(6))
+        rows.append((i, boiler + " " + tail))
+    rows.append((100, "tiny doc"))          # < n tokens: empty shingles
+    rows.append((101, None))                # NULL text
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.jaccard for r in
+           D.prefix_jaccard_pairs(
+               df, "doc_id", D.shingles(F.col("text"), 3), 0.8).collect()}
+    want = {(r.id_a, r.id_b): r.jaccard for r in
+            D.ngram_jaccard_pairs(df, "doc_id", "text", n=3,
+                                  threshold=0.8).collect()}
+    assert got == want and len(got) == 20
+    assert all(a // 2 == b // 2 for (a, b) in got)  # only tail-sharing pairs
+
+
 def test_incremental_lsh_dedup_via_persisted_index(spark, tmp_path):
     """Round-9: batch-vs-corpus dedup through a parquet-persisted LSH
     band index. The corpus holds DOC_A and DOC_B shapes; the arriving

@@ -904,3 +904,33 @@ def test_incremental_dedup_equals_cross_pairs_of_union(
             if cur is None or r.id_a < cur[0]:
                 expected[r.id_b] = (r.id_a, r.jaccard)
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("alpha beta gamma delta".split()),
+                 min_size=0, max_size=8),
+        min_size=0, max_size=10,
+    ),
+    st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_prefix_jaccard_equals_inverted_index(spark, token_lists, t):
+    """Round-9: the prefix-filtered join and the full inverted-index
+    join implement the SAME spec - exact Jaccard >= t pairs - so on any
+    corpus (dups, subsets, empties included) they must return the same
+    pairs with the same quantized jaccard. Candidate strategies differ;
+    the answer must not."""
+    from ghcrawler_datalake_etl_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(token_lists)],
+        "doc_id long, text string",
+    )
+    a = {(r.id_a, r.id_b): r.jaccard for r in
+         D.prefix_jaccard_pairs(
+             df, "doc_id", D.shingles(F.col("text"), 2), t).collect()}
+    b = {(r.id_a, r.id_b): r.jaccard for r in
+         D.ngram_jaccard_pairs(df, "doc_id", "text", n=2,
+                               threshold=t).collect()}
+    assert a == b

@@ -103,6 +103,10 @@ OUT_OF_WINDOW_OK = {
     # new sketch_incremental_stats, which keeps the sketch family
     # in-window:
     "sketch_histogram_quantiles": "evidence",
+    # round-9 mid-round rotation (green r5+r8), ceding its slot to the
+    # new dedup_prefix_jaccard (exact prefix-filtered set-similarity
+    # join); layout stays evidenced via layout_compact_roundtrip (r8):
+    "layout_zorder_buckets": "evidence",
     # rotated out mid-round-3 (green r1+r2):
     "sample_hash_deterministic": "evidence",
     "split_train_valid_test": "evidence",
