@@ -449,6 +449,20 @@ def test_edit_distance_join_is_hash_join_on_variant_key(spark, queries):
         assert "levenshtein" in p, (name, p)
 
 
+def test_prefix_jaccard_plan_shape(spark, queries):
+    """Round-9: the prefix-filtered join must be pure JVM (no Python
+    anywhere - it is Column-expression end to end), get candidates
+    from an EQUI-join on the prefix tokens (no cartesian / nested
+    loop), and keep its token-frequency count map-side combinable."""
+    p = plan(queries["dedup_prefix_jaccard"](spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "InPandas" not in p, p
+    assert "HashJoin" in p or "SortMergeJoin" in p, p
+    assert "partial_count" in p, p  # token df count combines map-side
+
+
 def test_incremental_index_dedup_plan_shape(spark, queries):
     """Round-9: the batch-vs-corpus screen must (a) get candidates
     from an EQUI-join on the (band_idx, band_hash) keys - never a
