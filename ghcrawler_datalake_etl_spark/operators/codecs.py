@@ -1135,7 +1135,14 @@ def _ac_refine_block(br, blk, ss, se, al, lookup, eobrun):
                         break
                     r -= 1
                 k += 1
-            if s and k <= se:
+            if s:
+                if k > se:
+                    # the coded zero-run overran the band end with a
+                    # newly-nonzero coefficient still pending: the
+                    # stream is desynced - raise like _ac_first_block
+                    # so corrupt streams route to callers' surrogate
+                    # arms instead of decoding garbage pixels
+                    raise ValueError("JPEG AC overrun")
                 blk[k] = val
             k += 1
     if eobrun > 0:
@@ -2024,7 +2031,15 @@ def gif_encode_animation(
         h, w = arr.shape[:2]
         flat = arr.reshape(-1, 3).astype(np.int32)
         packed_px = (flat[:, 0] << 16) | (flat[:, 1] << 8) | flat[:, 2]
-        idx = np.searchsorted(keys, packed_px).astype(np.uint8)
+        pos = np.clip(np.searchsorted(keys, packed_px), 0, len(keys) - 1)
+        # searchsorted returns an arbitrary insertion point for a color
+        # absent from the palette - assert exact membership so a future
+        # palette-construction change fails loudly instead of silently
+        # corrupting encoded indices (the dict lookup this replaced
+        # raised KeyError)
+        if not (keys[pos] == packed_px).all():
+            raise ValueError("frame pixel color missing from palette")
+        idx = pos.astype(np.uint8)
         if mask is not None:
             idx = np.where(mask.ravel(), transparent_idx, idx).astype(
                 np.uint8

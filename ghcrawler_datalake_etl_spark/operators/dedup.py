@@ -167,6 +167,12 @@ def _pairs_from_candidates(cands: DataFrame, left: str, right: str) -> DataFrame
     return cands.filter(F.col(left) < F.col(right)).distinct()
 
 
+# candidate-id sets above this are shuffle-joined instead of broadcast:
+# ~4M longs is tens of MB serialized, comfortably under executor/driver
+# broadcast budgets while still covering any sane dedup batch
+_BROADCAST_ID_CAP = 4_000_000
+
+
 def _materialize(df: DataFrame) -> DataFrame:
     """Persist AND eagerly compute a frame that feeds a self-join.
 
@@ -595,12 +601,19 @@ def incremental_lsh_dedup(
     )
     if handles is not None:
         handles.append(cand)
-    # exact verify: corpus text only for candidate ids (broadcast semi)
+    # exact verify: corpus text only for candidate ids. Broadcast the
+    # id set only when it is genuinely dim-sized - a boilerplate-heavy
+    # batch can band-collide with an arbitrarily large slice of the
+    # corpus, and an unconditional broadcast would then OOM the driver
+    # instead of degrading to a shuffle semi-join (cand is persisted,
+    # so the gate count is one cached scan)
     hit_ids = cand.select("corpus_id").distinct()
+    if hit_ids.count() <= _BROADCAST_ID_CAP:
+        hit_ids = F.broadcast(hit_ids)
     corpus_sh = (
         fan_out(
             corpus.join(
-                F.broadcast(hit_ids),
+                hit_ids,
                 corpus[id_col] == hit_ids["corpus_id"],
                 "left_semi",
             )

@@ -4182,6 +4182,7 @@ def pack_store_delta_append(spark, sf_dir):
     from ghcrawler_datalake_etl_spark.sources.tokshard import (
         append_token_shards,
         read_token_shards,
+        write_store_manifest,
         write_token_shards,
     )
 
@@ -4198,9 +4199,13 @@ def pack_store_delta_append(spark, sf_dir):
     write_token_shards(
         ids.where(F.col("doc_id") % 3 != 0), root, budget=4000
     ).collect()
+    # refresh the sidecar so the append numbers its files from the
+    # manifest (the O(1) object-store path), not a directory listing
+    write_store_manifest(root)
     append_token_shards(
         ids.where(F.col("doc_id") % 3 == 0), root, budget=4000
     ).collect()
+    write_store_manifest(root)
     back = read_token_shards(spark, root)
     return back.groupBy("shard_id").agg(
         F.count("*").alias("n_docs"),

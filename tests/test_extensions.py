@@ -1791,6 +1791,81 @@ def test_tokshard_append_index_parse_widens_past_5_digits(spark, tmp_path):
     assert TS.read_token_shards(spark, root).count() == 30
 
 
+def test_tokshard_manifest_append_and_fallback(spark, tmp_path):
+    """Round-10 (VERDICT r9 #7): with ``_manifest.json`` present the
+    append numbers its new files from the sidecar WITHOUT listing the
+    store; without it the one-listing fallback holds. The manifest is
+    written atomically and never shadows a shard in the reader's
+    partition glob."""
+    import json
+    import os
+
+    from ghcrawler_datalake_etl_spark.sources import tokshard as TS
+
+    docs = spark.createDataFrame(
+        [(i, ",".join(str((i + j) % 9) for j in range(3)))
+         for i in range(40)],
+        "doc_id long, ids_csv string",
+    )
+    root = str(tmp_path / "store")
+    m0 = TS.write_token_shards(docs, root, budget=20).collect()
+    man = TS.write_store_manifest(root)
+    assert man["next_shard"] == max(r["shard_id"] for r in m0) + 1
+    assert man["n_files"] == len(m0)
+    assert json.load(open(os.path.join(root, TS.MANIFEST))) == man
+
+    # manifest path: no listing - prove it by pointing the probe at a
+    # manifest that deliberately disagrees with the directory
+    with open(os.path.join(root, TS.MANIFEST), "w") as fh:
+        json.dump({"version": 1, "next_shard": 777, "n_files": 0}, fh)
+    assert TS.next_shard_index(root) == 777
+    delta = spark.createDataFrame(
+        [(i, "1,2") for i in range(100, 105)],
+        "doc_id long, ids_csv string",
+    )
+    m1 = TS.append_token_shards(delta, root, budget=20).collect()
+    assert min(r["shard_id"] for r in m1) == 777
+    # fallback path: drop the manifest, the listing resumes authority
+    os.unlink(os.path.join(root, TS.MANIFEST))
+    assert TS.next_shard_index(root) == max(r["shard_id"] for r in m1) + 1
+    # the reader never sees the sidecar as a shard
+    TS.write_store_manifest(root)
+    assert TS.read_token_shards(spark, root).count() == 45
+
+
+def test_tokshard_append_collision_fails_loudly(spark, tmp_path):
+    """ADVICE r9 (tokshard.py single-writer): an append whose minted
+    index collides with an existing shard file (stale manifest / racing
+    writer) must RAISE, never silently replace the standing bytes; a
+    full write_token_shards rerun stays an idempotent overwrite."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from ghcrawler_datalake_etl_spark.sources import tokshard as TS
+
+    docs = spark.createDataFrame(
+        [(i, "1,2,3") for i in range(20)],
+        "doc_id long, ids_csv string",
+    )
+    root = str(tmp_path / "store")
+    TS.write_token_shards(docs, root, budget=20).collect()
+    # stale manifest points the appender at a LIVE index
+    with open(os.path.join(root, TS.MANIFEST), "w") as fh:
+        json.dump({"version": 1, "next_shard": 0, "n_files": 0}, fh)
+    delta = spark.createDataFrame(
+        [(100, "4,5")], "doc_id long, ids_csv string"
+    )
+    with _pytest.raises(Exception, match="tokshard collision"):
+        TS.append_token_shards(delta, root, budget=20).collect()
+    # the standing shard survived the refused append
+    assert TS.read_token_shards(spark, root).count() == 20
+    # non-exclusive rerun over the same path still overwrites cleanly
+    TS.write_token_shards(docs, root, budget=20).collect()
+    assert TS.read_token_shards(spark, root).count() == 20
+
+
 def test_tokshard_arrow_batch_equals_row_read(spark, tmp_path):
     """The Arrow-batched reader (one RecordBatch per shard file, ids
     zero-copy from the <u4 buffer) returns EXACTLY the rows of the
