@@ -1091,6 +1091,110 @@ def connected_components(
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 
+def incremental_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    node_col: str = "node",
+    cluster_col: str = "cluster_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Maintain a STANDING cluster table against a batch of NEW edges
+    without re-clustering the corpus - the graph-state form of the
+    reference's latest-wins daily refresh (ProcessDaily.usql:137-140)
+    and the missing piece of the round-9 incremental family:
+    dedup_incremental_index finds batch->corpus duplicate PAIRS, this
+    folds them (plus within-batch pairs) into the persisted CLUSTERS.
+
+    ``labels`` is (node, cluster_id) with cluster_id = the smallest
+    node id of each component (exactly what connected_components
+    emits); ``new_edges`` is the batch's pair list, touching standing
+    and/or brand-new nodes. Returns the updated (node, cluster_id)
+    for the union - identical to re-running connected_components over
+    (standing edges UNION new edges), because contracting each
+    standing component to its min-id representative preserves
+    connectivity and the min label: a merged component's new id is the
+    min over its member reps' ids union the new nodes' ids, which IS
+    its global min node id.
+
+    Cost scales with the BATCH, never the corpus: (1) each new edge
+    endpoint resolves to its representative via one join against the
+    standing table (the only pass over ``labels``' bulk); (2) label
+    propagation runs on the CONTRACTED graph - O(|new_edges|) edges,
+    iterations bounded by the diameter of the contracted (not
+    original) components; (3) standing rows relabel through one join
+    against the touched-representative map, broadcast when it is
+    dim-sized (the cap guard from incremental_lsh_dedup), and
+    untouched components pass through the coalesce unchanged.
+    """
+    edges = new_edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    # nodes come from the UNFILTERED edge list: connected_components
+    # emits a singleton row for a node whose only pair is a self-edge,
+    # and the incremental result must match the full re-run row-for-row
+    nodes = (
+        edges.select(F.col("src").alias("n"))
+        .union(edges.select(F.col("dst").alias("n")))
+        .filter(F.col("n").isNotNull())
+        .distinct()
+    )
+    edges = edges.filter(F.col("src") != F.col("dst"))
+    # rep(x): the standing cluster id when x is a known node, else x
+    # itself (a brand-new node is its own representative)
+    rep = _materialize(
+        nodes.join(labels, nodes["n"] == labels[node_col], "left").select(
+            F.col("n").alias("node"),
+            F.coalesce(F.col(cluster_col), F.col("n")).alias("rep"),
+            F.col(node_col).isNotNull().alias("standing"),
+        )
+    )
+    ra = rep.select(F.col("node").alias("src"), F.col("rep").alias("rep_a"))
+    rb = rep.select(F.col("node").alias("dst"), F.col("rep").alias("rep_b"))
+    contracted = (
+        edges.join(ra, "src")
+        .join(rb, "dst")
+        .select(F.col("rep_a").alias("id_a"), F.col("rep_b").alias("id_b"))
+        # an edge inside one standing cluster contracts to a self-loop:
+        # nothing to merge, and dropping it keeps that rep out of the
+        # propagation entirely (its rows pass through the coalesce)
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    relabel = _materialize(
+        connected_components(
+            contracted, "id_a", "id_b", max_iterations=max_iterations
+        ).filter(F.col("node") != F.col("cluster_id"))
+    )
+    if relabel.count() <= _BROADCAST_ID_CAP:
+        relabel = F.broadcast(relabel)
+    # standing rows: one pass, join on the OLD cluster id (= the rep)
+    updated = labels.join(
+        relabel.select(
+            F.col("node").alias(cluster_col),
+            F.col("cluster_id").alias("_new"),
+        ),
+        cluster_col,
+        "left",
+    ).select(
+        F.col(node_col).alias("node"),
+        F.coalesce("_new", F.col(cluster_col)).alias("cluster_id"),
+    )
+    # brand-new nodes: rep -> relabeled rep when its component merged
+    fresh = (
+        rep.filter(~F.col("standing"))
+        .join(
+            relabel.select(
+                F.col("node").alias("rep"), F.col("cluster_id").alias("_new")
+            ),
+            "rep",
+            "left",
+        )
+        .select("node", F.coalesce("_new", "rep").alias("cluster_id"))
+    )
+    return updated.unionByName(fresh)
+
+
 def _shingle_index(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> tuple[DataFrame, DataFrame]:

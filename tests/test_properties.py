@@ -934,3 +934,39 @@ def test_prefix_jaccard_equals_inverted_index(spark, token_lists, t):
          D.ngram_jaccard_pairs(df, "doc_id", "text", n=2,
                                threshold=t).collect()}
     assert a == b
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    st.lists(st.tuples(st.integers(0, 14), st.integers(0, 14)),
+             min_size=1, max_size=12),
+    st.lists(st.tuples(st.integers(0, 19), st.integers(0, 19)),
+             min_size=0, max_size=10),
+)
+def test_incremental_components_equals_full_rerun(spark, base, batch):
+    """Round-10: folding a batch of edges into a standing cluster table
+    (incremental_components) must be row-identical to re-running
+    connected_components over the edge union - on arbitrary graphs:
+    multi-way merges, chains, self-edges, duplicate edges, batch edges
+    inside one standing cluster, and brand-new nodes (ids 15-19 never
+    appear in the base split)."""
+    from ghcrawler_datalake_etl_spark.operators import dedup as D
+
+    base_df = spark.createDataFrame(base, "id_a long, id_b long")
+    batch_df = (
+        spark.createDataFrame(batch, "id_a long, id_b long")
+        if batch
+        else spark.createDataFrame([], "id_a long, id_b long")
+    )
+    standing = D.connected_components(base_df)
+    got = {
+        r.node: r.cluster_id
+        for r in D.incremental_components(standing, batch_df).collect()
+    }
+    full = {
+        r.node: r.cluster_id
+        for r in D.connected_components(
+            base_df.unionByName(batch_df)
+        ).collect()
+    }
+    assert got == full
