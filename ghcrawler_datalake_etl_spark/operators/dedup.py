@@ -24,7 +24,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ghcrawler_datalake_etl_spark.functions.core import fan_out, quantize, stable_long_hash
-from ghcrawler_datalake_etl_spark.operators.text import tokenize
+from ghcrawler_datalake_etl_spark.operators.text import (
+    ROLL_B,
+    ROLL_P,
+    token_hashes,
+    tokenize,
+)
 
 # Mersenne prime 2^31-1: keeps a*h+b within int64 after reducing h mod P.
 MINHASH_P = 2_147_483_647
@@ -1249,6 +1254,174 @@ def duplicate_span_fraction(
                 F.col("n_dup").cast("double") / F.col("n_shingles"), 4
             ).alias("dup_frac"),
         )
+    )
+
+
+def remove_duplicate_substrings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 50,
+) -> DataFrame:
+    """Exact cross-document substring REMOVAL at token granularity -
+    the Lee et al. 2021 "Deduplicating Training Data Makes Language
+    Models Better" operator (their ExactSubstr, re-expressed over
+    rolling window hashes instead of a suffix array): every
+    ``min_tokens``-token window is Rabin-Karp hashed; a window whose
+    hash already occurred EARLIER in the corpus (corpus order =
+    (doc_id, position); the first occurrence survives) marks a
+    duplicate span, and every token covered by at least one duplicate
+    span is cut. Survivors reassemble in order, single-space joined
+    (tokenization normalizes whitespace/case - the standard trade for
+    an exact token-level spec). Complements duplicate_span_fraction
+    (which only REPORTS the overlap) and drop_duplicate_paragraphs
+    (delimiter-aligned spans).
+
+    Returns one row per input document: (doc_id, n_tokens, n_removed,
+    text_clean) - docs shorter than ``min_tokens`` (and empty/null
+    docs) pass through untouched with n_removed = 0.
+
+    Scale: gram hashing is array-side per row (O(tokens x min_tokens)
+    work, no shuffle); the global first-occurrence pass is one
+    map-side-combinable min() per distinct window hash plus one
+    equi-join back on the hash; coverage is one per-doc window over
+    token rows (rows = corpus token count, partitioned by doc). No
+    pairwise blow-up anywhere - the corpus-wide work is linear in
+    total tokens, the same budget as the winnowing fingerprint pass.
+    """
+    k = min_tokens
+    base = _materialize(
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            tokenize(F.col(text_col)).alias("toks"),
+        )
+        .withColumn("th", token_hashes(F.col("toks")))
+    )
+    nwin = F.greatest(F.size("th") - (k - 1), F.lit(0))
+    gh_arr = F.when(
+        nwin == 0, F.array().cast("array<long>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), nwin),
+            lambda i: F.aggregate(
+                F.slice(F.col("th"), i, k),
+                F.lit(0).cast("long"),
+                lambda acc, h: (acc * ROLL_B + h) % ROLL_P,
+            ),
+        )
+    )
+    grams = base.select(
+        "doc_id", F.posexplode(gh_arr).alias("pos0", "gh")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gh")
+    first = grams.groupBy("gh").agg(
+        F.min(F.struct("doc_id", "pos")).alias("fst")
+    )
+    dup_starts = (
+        grams.join(first, "gh")
+        .filter(
+            (F.col("doc_id") != F.col("fst.doc_id"))
+            | (F.col("pos") != F.col("fst.pos"))
+        )
+        .select("doc_id", F.col("pos").alias("j"), F.lit(1).alias("ds"))
+    )
+    tok_rows = base.select(
+        "doc_id", F.posexplode("toks").alias("j0", "tok")
+    ).select("doc_id", (F.col("j0") + 1).alias("j"), "tok")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("j")
+        .rowsBetween(-(k - 1), Window.currentRow)
+    )
+    flagged = (
+        tok_rows.join(dup_starts, ["doc_id", "j"], "left")
+        .withColumn("rm", F.max(F.coalesce("ds", F.lit(0))).over(w))
+    )
+    cleaned = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("rm").cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("rm") == 0, F.struct("j", "tok"))
+                    )
+                ),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    # empty/null docs produce no token rows; restore them untouched
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(cleaned, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
+def drop_duplicate_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide exact paragraph dedup (the Dolma/Gopher preprocessing
+    shape): split each document on ``sep``, drop every paragraph whose
+    exact text already occurred EARLIER in the corpus (order =
+    (doc_id, paragraph index); the first occurrence survives), and
+    reassemble the survivors in order, ``sep``-joined. Blank paragraphs
+    (empty after trim) are document structure, not content - they are
+    never deduped and always pass through. Complements clean_lines
+    (which filters boilerplate WITHIN one document, not across the
+    corpus).
+
+    Returns (doc_id, n_paras, n_dropped, text_clean) for every input
+    document (null text behaves as '').
+
+    Scale: one shuffle keyed on the paragraph md5 for the
+    first-occurrence row_number (paragraph TEXT never shuffles - only
+    the 32-char digest and the (doc_id, idx) coordinates), then one
+    groupBy back on doc_id for reassembly. Linear in paragraph count.
+    """
+    import re as _re
+
+    paras = fan_out(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep))
+        ).alias("pno0", "para"),
+    ).select("doc_id", (F.col("pno0") + 1).alias("pno"), "para")
+    blank = F.trim(F.col("para")) == ""
+    w = Window.partitionBy(F.md5("para")).orderBy("doc_id", "pno")
+    ranked = paras.withColumn(
+        "keep", blank | (F.row_number().over(w) == 1)
+    )
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("pno", "para"))
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                sep,
+            ).alias("text_clean"),
+        )
+        .select("doc_id", "n_paras", "n_dropped", "text_clean")
     )
 
 

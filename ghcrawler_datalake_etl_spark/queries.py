@@ -2179,6 +2179,201 @@ def dedup_incremental_index(spark, sf_dir):
 
 
 @register(
+    "dedup_incremental_clusters",
+    f"""
+    WITH RECURSIVE mh_pairs AS ({_minhash_oracle()}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM mh_pairs
+      UNION
+      SELECT id_b, id_a FROM mh_pairs
+    ),
+    walk(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.node
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id
+    FROM walk GROUP BY node
+    """,
+)
+def dedup_incremental_clusters(spark, sf_dir):
+    """Round-10 (VERDICT r9 #3): maintain a STANDING cluster table
+    against an arriving batch - the graph-state form of the reference's
+    latest-wins daily refresh (ProcessDaily.usql:137-140), completing
+    the incremental family (index -> pairs -> now clusters). documents
+    splits by doc_id % 10 (corpus <8, batch >=8); the standing clusters
+    come from connected_components over the corpus-internal minhash-LSH
+    pairs, are written to parquet, READ BACK, and the batch's new edges
+    (every LSH pair touching a batch doc) fold in through
+    incremental_components - label propagation runs only on the
+    contracted O(batch) graph, never the corpus. The oracle is the full
+    recursive-CTE re-clustering of ALL pairs: the incremental result
+    must be row-identical to it (same contract dedup_minhash_clusters
+    pins for the batch path). Pair generation reuses the
+    dedup_minhash_lsh cache slot (identical args)."""
+    import re
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.5,
+        materialize_result=True,
+    )
+    corpus_pairs = pairs.filter(
+        (F.col("id_a") % 10 < 8) & (F.col("id_b") % 10 < 8)
+    )
+    new_edges = pairs.filter(
+        (F.col("id_a") % 10 >= 8) | (F.col("id_b") % 10 >= 8)
+    )
+    standing = DD.connected_components(corpus_pairs)
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    path = _run_tmp(f"cc_standing_{tag}")
+    standing.write.mode("overwrite").parquet(path)
+    standing_back = spark.read.parquet(path)
+    return DD.incremental_components(standing_back, new_edges).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+
+_SUBSTR_K = 10  # window length for the driver query (operator default
+# is 50, the Lee et al. setting; the synthetic corpus averages ~54
+# tokens/doc, so 10 exercises real cross-doc spans at every sf)
+
+
+def _remove_substrings_oracle(k: int = _SUBSTR_K) -> str:
+    """Window algebra over hash first-occurrence: every k-token window
+    Rabin-Karp hashed (same B/P fold as the Spark side, exact in
+    BIGINT), rn>1 per hash in (doc_id, pos) order marks duplicate
+    starts, a k-wide running max marks covered tokens, survivors
+    string_agg back in order."""
+    k1 = k - 1
+    return f"""
+    WITH th AS (
+      SELECT doc_id, toks,
+             list_transform(toks,
+               tk -> cast(('0x' || substr(md5(tk), 1, 15)) AS BIGINT)
+                     % {TX.ROLL_P}) AS th
+      FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) t
+    ), g AS (
+      SELECT doc_id, i AS pos,
+             list_reduce(list_prepend(0::BIGINT, th[i:i+{k1}]),
+                         (acc, h) -> (acc * {TX.ROLL_B} + h) % {TX.ROLL_P})
+               AS gh
+      FROM th, unnest(range(1, greatest(len(th) - {k1}, 0) + 1)) AS u(i)
+    ), ds AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY gh
+                                  ORDER BY doc_id, pos) AS rn
+        FROM g) WHERE rn > 1
+    ), tok AS (
+      SELECT th.doc_id, j, toks[j] AS tok
+      FROM th, unnest(range(1, len(toks) + 1)) AS u(j)
+    ), rm AS (
+      SELECT doc_id, j, tok,
+             max(dsf) OVER (PARTITION BY doc_id ORDER BY j
+                            ROWS BETWEEN {k1} PRECEDING AND CURRENT ROW)
+               AS rm
+      FROM (SELECT tok.doc_id, tok.j, tok.tok,
+                   CASE WHEN ds.pos IS NULL THEN 0 ELSE 1 END AS dsf
+            FROM tok LEFT JOIN ds
+              ON tok.doc_id = ds.doc_id AND tok.j = ds.pos)
+    ), agg AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             CAST(sum(rm) AS BIGINT) AS n_removed,
+             coalesce(string_agg(CASE WHEN rm = 0 THEN tok END, ' '
+                                 ORDER BY j), '') AS text_clean
+      FROM rm GROUP BY doc_id
+    )
+    SELECT d0.doc_id,
+           coalesce(agg.n_tokens, 0) AS n_tokens,
+           coalesce(agg.n_removed, 0) AS n_removed,
+           coalesce(agg.text_clean, '') AS text_clean
+    FROM documents d0 LEFT JOIN agg USING (doc_id)
+    """
+
+
+@register("dedup_remove_substrings", _remove_substrings_oracle())
+def dedup_remove_substrings(spark, sf_dir):
+    """Round-10 (VERDICT r9 #4): exact cross-document substring
+    REMOVAL at token granularity - the Lee et al. 2021 ExactSubstr
+    operator ("Deduplicating Training Data Makes Language Models
+    Better") over rolling window hashes: any {_SUBSTR_K}-token span
+    seen earlier in the corpus is cut from later documents, first
+    occurrence kept, covered tokens removed, survivors reassembled in
+    order. duplicate_span_fraction only REPORTS overlap; this REWRITES
+    the corpus - the operator LM training pipelines actually apply. A
+    hypothesis property pins it against a brute-force dict
+    reimplementation on arbitrary corpora."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.remove_duplicate_substrings(
+        d, "doc_id", "text", min_tokens=_SUBSTR_K
+    )
+
+
+_PARA_CHUNK = 12  # tokens per synthesized paragraph (the corpus has no
+# native newlines, so the query derives delimiter structure first)
+
+
+def _drop_paragraphs_oracle(chunk: int = _PARA_CHUNK) -> str:
+    c1 = chunk - 1
+    return f"""
+    WITH pt AS (
+      SELECT doc_id,
+             array_to_string(list_transform(
+               range(1, greatest(len(toks), 1) + 1, {chunk}),
+               i -> array_to_string(toks[i:i+{c1}], ' ')), chr(10)) AS text
+      FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) t
+    ), p AS (
+      SELECT doc_id, i AS pno, ps[i] AS para
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ps FROM pt),
+           unnest(range(1, len(ps) + 1)) AS u(i)
+    ), r AS (
+      SELECT doc_id, pno, para,
+             (trim(para) = '') AS blank,
+             row_number() OVER (PARTITION BY md5(para)
+                                ORDER BY doc_id, pno) AS rn
+      FROM p
+    )
+    SELECT doc_id, count(*) AS n_paras,
+           CAST(sum(CASE WHEN blank OR rn = 1 THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_dropped,
+           coalesce(string_agg(CASE WHEN blank OR rn = 1 THEN para END,
+                               chr(10) ORDER BY pno), '') AS text_clean
+    FROM r GROUP BY doc_id
+    """
+
+
+@register("dedup_drop_paragraphs", _drop_paragraphs_oracle())
+def dedup_drop_paragraphs(spark, sf_dir):
+    """Round-10 (VERDICT r9 #5): corpus-wide exact paragraph dedup (the
+    Dolma/Gopher preprocessing shape) - drop every paragraph whose
+    exact text occurred earlier in the corpus, keep first occurrences
+    and blank structure, reassemble documents in order. The synthetic
+    corpus has no newlines, so the query first derives paragraphs as
+    {_PARA_CHUNK}-token chunks joined by chr(10) (pure array algebra,
+    identical in both engines), then applies the REAL operator
+    (operators/dedup.drop_duplicate_paragraphs) on the derived column.
+    Complements clean_lines (within-doc) and dedup_remove_substrings
+    (unaligned spans)."""
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    toks = TX.tokenize(F.col("text"))
+    n_chunks = F.greatest(
+        F.ceil(F.size(toks) / F.lit(_PARA_CHUNK)).cast("int"), F.lit(1)
+    )
+    para_text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda c: F.array_join(
+                F.slice(toks, (c - 1) * _PARA_CHUNK + 1, _PARA_CHUNK), " "
+            ),
+        ),
+        "\n",
+    )
+    pdf = d.select("doc_id", para_text.alias("text"))
+    return DD.drop_duplicate_paragraphs(pdf, "doc_id", "text", sep="\n")
+
+
+@register(
     "dedup_simhash_values",
     f"""
     SELECT doc_id,
@@ -6850,30 +7045,69 @@ def dim_apply_changes(spark, sf_dir):
 # via SPARK_GRAFT_ORACLE_SF_DIR).
 
 _DRIVER_ORDER = [
-    # ============ driver window (first 50): what round 9 verifies =====
-    # Round-9 rotation (VERDICT r8 #1/#2/#5): 19 queries with >=2 green
+    # ============ driver window (first 50): what round 10 verifies ====
+    # Round-10 rotation (VERDICT r9 #1-#6): 25 queries with >=2 green
     # driver rounds each (EVIDENCE.json) ceded their slots to (a) the
-    # four round-8 real-codec oracles - the only 4 of 137 queries with
-    # no driver row ever - (b) 13 of the stalest r1/r2-green queries in
-    # NOTES_r8.md priority order incl. pattern_c_collection_refresh
-    # (the reference's replace-by-owner + carryover semantics), and
-    # (c) the two streaming batch twins (stream_windowed_counts /
-    # stream_static_enrich, newest row r1). Ceded:
-    # pattern_a_snapshot_upsert, dedup_clusters, sim_pq_adc_topk,
-    # search_tfidf_cosine, orc/tsv/jsonl round-trips, text_clean_lines,
-    # j2_anti_join, pattern_b_array_child, q1_pricing_summary,
-    # sessionize_events, dq_validate_orders, and six of the seven
-    # sketch queries. Families stay represented in-window: sketch via
-    # sketch_histogram_quantiles, multimodal via phash_pairs /
-    # audio_stats + the four incoming codec oracles, stream via
-    # hll_distinct / interval_join / dedup_ingest + the two twins,
-    # patterns via pattern_c. All 19 incoming verified green by
-    # probe_strict.py (full-precision repr compare) at sf0.01 before
-    # this commit.
+    # three new round-10 operators, (b) the two single-green r2 queries
+    # plus the five oldest-evidence queries the verdict named, (c) the
+    # nine newest-r4 extension queries, and (d) the six oldest
+    # multi-green extension queries from the NOTES_r9 re-green plan.
+    # Every incoming query probe_strict-verified green at sf0.01 before
+    # this commit. Ceded: the 17 r9-fresh parity-core rotations (each
+    # holds 3 green rounds; moved to PARITY_CORE_ROTATED_OUT), the six
+    # triple-green [5,8,9] extension keepers (OUT_OF_WINDOW_OK
+    # evidence entries added), and subquery_lineitem_count /
+    # cube_status_priority (non-extension, green r1+r9).
+    # -- round-9 single-green newcomers + codec oracles (must stay) --
     "multimodal_gif_frames",
     "multimodal_gif_resize",
     "multimodal_wav_stats",
     "multimodal_image_features",
+    "sketch_incremental_stats",
+    "dedup_prefix_jaccard",
+    "stream_lsh_dedup",
+    "pack_store_delta_append",
+    "dedup_incremental_index",
+    "sim_ivf_delta_append",
+    # -- round-10 NEW operators: the standing-state family completed
+    #    (incremental connected-components), Lee-et-al exact substring
+    #    removal, Dolma-style corpus-wide paragraph dedup --
+    "dedup_incremental_clusters",
+    "dedup_remove_substrings",
+    "dedup_drop_paragraphs",
+    # -- VERDICT r9 #2: the two single-green r2 queries + the five
+    #    oldest-evidence queries (newest r2/r3) --
+    "dedup_exact_groups",
+    "sim_knn_bruteforce",
+    "sample_hash_deterministic",
+    "split_train_valid_test",
+    "dedup_span_first_occurrence",
+    "text_fingerprint",
+    "multimodal_frames",
+    # -- newest-r4 extension cohort (green r2/r3+r4, 6 rounds old) --
+    "corpus_source_report",
+    "decontaminate_eval_overlap",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_values",
+    "embedding_quantize_int8",
+    "multimodal_audio_chunks",
+    "multimodal_features",
+    "pipeline_dedup_shards",
+    # -- NOTES_r9/VERDICT #6 oldest multi-green extension set --
+    "dedup_minhash_lsh",
+    "dedup_keep_best_quality",
+    "pack_token_shards",
+    "sim_ivf_kmeans_topk",
+    "sim_knn_graph",
+    "text_bigram_logprob",
+    # -- keepers (15): the [1,9] two-green r9 window members get a
+    #    third green round; j8 keeps the edit-distance family,
+    #    stream twins keep streaming, pattern_c keeps patterns --
+    "j8_edit_distance2_join",
+    "stream_windowed_counts",
+    "stream_static_enrich",
+    "w1_maxby_latest_event_per_user",
     "a5_distinct_count_two_stage",
     "asof_next_purchase",
     "agg_value_percentiles",
@@ -6882,184 +7116,110 @@ _DRIVER_ORDER = [
     "w4_rank_quartiles",
     "setop_user_cohorts",
     "q3_unshipped_topk",
+    "w5_sliding_hour_frame",
     "pattern_c_collection_refresh",
     "q18_large_quantity_orders",
-    "subquery_lineitem_count",
-    "w5_sliding_hour_frame",
+    # ---------------- position 51+: past the driver window ----------
+    # Everything below holds >=2 green driver rounds (most 3) in
+    # EVIDENCE.json; extension-prefixed names have OUT_OF_WINDOW_OK
+    # entries in tests/test_registry_order.py, parity-core names sit in
+    # PARITY_CORE_ROTATED_OUT there. Sorted for diff stability.
+    "a1_collect_reassembly",
+    "a4_union_all_agg",
+    "agg_rollup_daily",
+    "asof_last_purchase",
+    "corpus_fertility_by_lang",
+    "corpus_vocabulary_topk",
     "cube_status_priority",
-    "stream_windowed_counts",
-    "stream_static_enrich",
-    # -- round-9 wave 2: the ENTIRE remaining r2-stale SURVEY-2 parity
-    #    core rotates in (18 queries, each verified by probe_strict.py
-    #    at sf0.01 pre-commit), ceding 18 r8-green keeper slots; after
-    #    this round no parity-core row's newest driver evidence
-    #    predates round 9 --
+    "dedup_clusters",
+    "dedup_minhash_clusters",
+    "dedup_semantic_prune",
+    "dim_apply_changes",
+    "dim_scd2_user_state",
+    "dq_validate_orders",
+    "embedding_random_projection",
+    "f10_greatest_last_touched",
+    "f1_json_extract",
+    "f3_pii_pseudonymize",
+    "funnel_click_to_purchase",
+    "graph_pagerank_transitions",
+    "j1_inner_join_agg",
+    "j2_anti_join",
+    "j3_join_chain_q5",
+    "j4_semi_join",
+    "j5_salted_skew_join",
+    "j6_bloom_prefilter_join",
+    "j7_edit_distance_join",
+    "jsonl_round_trip",
+    "layout_compact_roundtrip",
+    "layout_zorder_buckets",
+    "locf_fill_forward",
+    "multimodal_audio_stats",
+    "multimodal_phash_pairs",
+    "orc_catalog_roundtrip",
     "p1_eq_filter",
     "p2_like_filter",
     "p3_isin_filter",
     "p5_string_predicates",
-    "j1_inner_join_agg",
-    "j3_join_chain_q5",
-    "j4_semi_join",
-    "a1_collect_reassembly",
-    "a4_union_all_agg",
-    "f1_json_extract",
-    "f3_pii_pseudonymize",
-    "f10_greatest_last_touched",
-    "x3_posexplode_tokens",
-    "w2_distinct_keys",
-    "w1_latest_event_per_user",
-    "w1_maxby_latest_event_per_user",
+    "pack_store_roundtrip",
+    "pattern_a_snapshot_upsert",
+    "pattern_b_array_child",
     "pattern_d_traffic_series",
     "pattern_e_version_log",
-    # -- keepers (12): one in-window representative per extension
-    #    family (sketch/graph/timeseries/dim/layout/text/sample/
-    #    pipeline/embedding/corpus) plus the edit-distance join pair --
-    # round-9 mid-round swap: sketch_histogram_quantiles (green r5+r8)
-    # ceded to the new sketch_incremental_stats (mergeable stats-state
-    # maintenance), which keeps the sketch family in-window:
-    "sketch_incremental_stats",
-    # round-9 mid-round swap: layout_zorder_buckets (green r5+r8) ceded
-    # to the new dedup_prefix_jaccard (exact prefix-filtered
-    # set-similarity join; layout stays evidenced via its own rows and
-    # layout_compact_roundtrip's r8 row):
-    "dedup_prefix_jaccard",
-    "graph_pagerank_transitions",
-    # round-9 mid-round swap: timeseries_gap_fill (green r5+r8) ceded
-    # to the new stream_lsh_dedup (the incremental-index screen run as
-    # a real multi-micro-batch stream); the timeseries family keeps
-    # its evidence via gap_fill's own r5+r8 rows and
-    # timeseries_max_concurrency's r8 row:
-    "stream_lsh_dedup",
-    # round-9 mid-round swap: multimodal_audio_stats (green r5+r8)
-    # ceded to the new pack_store_delta_append; audio_stats' operator
-    # stays driver-covered by its real-PCM twin multimodal_wav_stats
-    # (in-window above, same audio_stats code path):
-    "pack_store_delta_append",
-    # round-9 mid-round swap: j7_edit_distance_join (green r5+r8)
-    # ceded to the new dedup_incremental_index (batch-vs-corpus dedup
-    # through a persisted LSH band index); the edit-distance operator
-    # stays driver-covered by j8_edit_distance2_join (in-window below,
-    # same deletion-neighborhood code path at d=2):
-    "dedup_incremental_index",
-    "dim_apply_changes",
+    "pipeline_chunk_dedup_pack",
+    "pipeline_quality_mix_pack",
     "pipeline_tokenize_pack",
-    # round-9 mid-round swap: embedding_random_projection (green r5+r8)
-    # ceded to the new sim_ivf_delta_append (persisted-IVF-postings
-    # build + delta-append + probe - the third delta-append store):
-    "sim_ivf_delta_append",
-    "corpus_fertility_by_lang",
+    "pipeline_training_data",
+    "q1_pricing_summary",
+    "range_interval_join",
+    "sample_dsir_select",
+    "sample_eval_carve",
     "sample_pps_systematic",
-    "text_bpe_encode_ids",
-    "j8_edit_distance2_join",
-    # ---------------- position 51+: past the driver window ----------
-    # round-9 mid-round rotated-out (green r5+r8; parity-core, so the
-    # two-green-rounds rule covers it - no OUT_OF_WINDOW_OK needed):
-    "j7_edit_distance_join",
-    # round-9 mid-round rotated-out (green r5+r8; OUT_OF_WINDOW_OK
-    # entries in tests/test_registry_order.py):
-    "timeseries_gap_fill",
-    "embedding_random_projection",
+    "sample_stratified_by_lang",
+    "sample_target_mix",
+    "sample_temperature_mix",
+    "sample_top_share_quality",
+    "search_bm25_topk",
+    "search_tfidf_cosine",
+    "sessionize_events",
+    "sim_ann_lsh",
+    "sim_ivf_topk",
+    "sim_kmeans_assign",
+    "sim_knn_int8_dot",
+    "sim_knn_pandas_gemm",
+    "sim_pq_adc_topk",
+    "sketch_bloom_decontaminate",
+    "sketch_cms_heavy_hitters",
     "sketch_histogram_quantiles",
-    "layout_zorder_buckets",
-    # round-9 wave-2 rotated-out (each r8-green with >=2 green rounds;
-    # extension-prefixed ones have OUT_OF_WINDOW_OK entries):
+    "sketch_hll_distinct",
+    "sketch_hll_merge",
+    "sketch_kmv_distinct",
+    "sketch_kmv_overlap",
+    "stream_dedup_ingest",
     "stream_hll_distinct",
     "stream_interval_join",
-    "stream_dedup_ingest",
-    "multimodal_phash_pairs",
-    "pack_store_roundtrip",
-    "layout_compact_roundtrip",
-    "timeseries_max_concurrency",
-    "dim_scd2_user_state",
-    "text_perplexity_buckets",
-    "sample_temperature_mix",
-    "j5_salted_skew_join",
-    "j6_bloom_prefilter_join",
-    "asof_last_purchase",
-    "range_interval_join",
-    "topk_orders_per_segment",
-    "agg_rollup_daily",
-    "funnel_click_to_purchase",
-    "locf_fill_forward",
-    # round-9 rotated-out (each holds >=2 green driver rounds in
-    # EVIDENCE.json; OUT_OF_WINDOW_OK entries in
-    # tests/test_registry_order.py):
-    "pattern_a_snapshot_upsert",
-    "multimodal_audio_stats",
-    "dedup_clusters",
-    "sim_pq_adc_topk",
-    "search_tfidf_cosine",
-    "orc_catalog_roundtrip",
-    "tsv_round_trip",
-    "jsonl_round_trip",
-    "text_clean_lines",
-    "j2_anti_join",
-    "pattern_b_array_child",
-    "q1_pricing_summary",
-    "sessionize_events",
-    "dq_validate_orders",
-    "sketch_hll_distinct",
-    "sketch_cms_heavy_hitters",
-    "sketch_kmv_distinct",
-    "sketch_hll_merge",
-    "sketch_kmv_overlap",
-    "sketch_bloom_decontaminate",
-    # round-8 rotated-out (each holds >=3 green driver rounds in
-    # EVIDENCE.json; OUT_OF_WINDOW_OK entries added in
-    # tests/test_registry_order.py):
-    "dedup_minhash_lsh",
-    "dedup_keep_best_quality",
-    "pack_token_shards",
-    "sim_ivf_kmeans_topk",
-    "sim_knn_graph",
-    "text_bpe_pair_stats",
-    "text_bigram_logprob",
+    "subquery_lineitem_count",
     "text_bpe_encode",
-    "text_quality_classifier",
-    "sample_top_share_quality",
-    "sample_dsir_select",
-    "pipeline_quality_mix_pack",
-    # previously rotated-out queries (see EVIDENCE.json +
-    # OUT_OF_WINDOW_OK for the per-query justification):
-    "multimodal_audio_chunks",
-    "text_lang_id",
-    "text_quality_score",
-    "dedup_embedding_cosine",
-    "sim_knn_int8_dot",
-    "pipeline_dedup_shards",
-    "text_unigram_logprob",
-    "multimodal_features",
-    "corpus_vocabulary_topk",
-    "text_repetition_metrics",
-    "sample_target_mix",
-    "sim_knn_pandas_gemm",
-    "pipeline_chunk_dedup_pack",
-    "dedup_simhash_values",
-    "sim_ann_lsh",
-    "text_stats",
-    "corpus_source_report",
-    "pipeline_training_data",
-    "embedding_quantize_int8",
-    "sim_ivf_topk",
-    "dedup_ngram_jaccard",
-    "sim_kmeans_assign",
-    "decontaminate_eval_overlap",
+    "text_bpe_encode_ids",
+    "text_bpe_pair_stats",
     "text_chunk_windows",
-    "sample_eval_carve",
-    "search_bm25_topk",
-    "dedup_minhash_clusters",
-    "dedup_semantic_prune",
+    "text_clean_lines",
     "text_gopher_filter",
-    "sample_stratified_by_lang",
+    "text_lang_id",
+    "text_perplexity_buckets",
+    "text_quality_classifier",
+    "text_quality_score",
     "text_redact_pii",
-    "dedup_span_first_occurrence",
-    "text_fingerprint",
-    "multimodal_frames",
-    "sample_hash_deterministic",
-    "split_train_valid_test",
-    "dedup_exact_groups",
-    "sim_knn_bruteforce",
+    "text_repetition_metrics",
+    "text_stats",
+    "text_unigram_logprob",
+    "timeseries_gap_fill",
+    "timeseries_max_concurrency",
+    "topk_orders_per_segment",
+    "tsv_round_trip",
+    "w1_latest_event_per_user",
+    "w2_distinct_keys",
+    "x3_posexplode_tokens",
 ]
 
 

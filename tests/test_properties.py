@@ -970,3 +970,101 @@ def test_incremental_components_equals_full_rerun(spark, base, batch):
         ).collect()
     }
     assert got == full
+
+
+def _brute_remove_substrings(docs, k):
+    """Pure-Python reference for remove_duplicate_substrings: dict-based
+    first occurrence of every k-token window in (doc_id, pos) order,
+    then per-token coverage."""
+    out = {}
+    seen: set = set()
+    dup_starts: dict = {}
+    for i, toks in sorted(docs.items()):
+        dup_starts[i] = set()
+        for p in range(len(toks) - k + 1):
+            g = tuple(toks[p : p + k])
+            if g in seen:
+                dup_starts[i].add(p)
+            else:
+                seen.add(g)
+    for i, toks in sorted(docs.items()):
+        rm = [
+            any(s in dup_starts[i] for s in range(max(0, j - k + 1), j + 1))
+            for j in range(len(toks))
+        ]
+        out[i] = (
+            len(toks),
+            sum(rm),
+            " ".join(t for t, r in zip(toks, rm) if not r),
+        )
+    return out
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("aa bb cc dd".split()),
+                 min_size=0, max_size=12),
+        min_size=1, max_size=8,
+    ),
+    st.integers(2, 4),
+)
+def test_remove_duplicate_substrings_matches_bruteforce(
+    spark, token_lists, k
+):
+    """Round-10 (VERDICT r9 #4): the window-hash substring remover is
+    EXACT - on arbitrary corpora (4-word vocab makes shared and
+    self-repeated spans common) it must equal the dict-based
+    first-occurrence reimplementation token for token."""
+    from ghcrawler_datalake_etl_spark.operators import dedup as D
+
+    docs = {i: t for i, t in enumerate(token_lists)}
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs.items()],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+        for r in D.remove_duplicate_substrings(df, min_tokens=k).collect()
+    }
+    assert got == _brute_remove_substrings(docs, k)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["px", "qy", "rz", ""]),
+                 min_size=1, max_size=6),
+        min_size=1, max_size=8,
+    ),
+)
+def test_drop_duplicate_paragraphs_matches_bruteforce(spark, para_lists):
+    """Round-10 (VERDICT r9 #5): corpus-wide paragraph dedup keeps
+    exactly the first occurrence of every non-blank paragraph in
+    (doc_id, index) order; blanks always pass through; reassembly
+    preserves order and the separator."""
+    from ghcrawler_datalake_etl_spark.operators import dedup as D
+
+    docs = {i: "\n".join(ps) for i, ps in enumerate(para_lists)}
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    seen: set = set()
+    exp = {}
+    for i in sorted(docs):
+        ps = docs[i].split("\n")
+        keep, dropped = [], 0
+        for p in ps:
+            if p.strip() == "":
+                keep.append(p)
+            elif p in seen:
+                dropped += 1
+            else:
+                seen.add(p)
+                keep.append(p)
+        exp[i] = (len(ps), dropped, "\n".join(keep))
+    got = {
+        r.doc_id: (r.n_paras, r.n_dropped, r.text_clean)
+        for r in D.drop_duplicate_paragraphs(df).collect()
+    }
+    assert got == exp
