@@ -244,6 +244,33 @@ def bench_scaling(spark) -> dict:
         out["incr_batch_2k_sec"] = round(time.perf_counter() - t0, 3)
         assert n_hits >= 900, n_hits  # the planted dups must be found
 
+        # round-10: standing-CLUSTER maintenance at 10x - fold the 2k
+        # batch's duplicate edges into the 50k corpus's persisted
+        # cluster table (incremental_components). The standing-label
+        # build cost is the minhash_clusters arm above plus one write
+        # (untimed here); the RECURRING daily cost timed below is
+        # screen + contract + propagate-on-the-contracted-graph, all
+        # batch-proportional - a regression that re-propagates the
+        # whole corpus would read like the full-cluster arm instead.
+        DD.connected_components(pairs).write.mode("overwrite").parquet(
+            f"{root}/cc_labels"
+        )
+        t0 = time.perf_counter()
+        standing_back = spark.read.parquet(f"{root}/cc_labels")
+        batch_edges = DD.incremental_lsh_dedup(
+            spark.read.parquet(f"{root}/batch"),
+            spark.read.parquet(f"{root}/lsh_idx"),
+            d, "doc_id", "text", n=3, num_hashes=32, bands=8,
+            threshold=0.5,
+        ).select(
+            F.col("batch_id").alias("id_a"), F.col("dup_of").alias("id_b")
+        )
+        n_labels = DD.incremental_components(
+            standing_back, batch_edges
+        ).count()
+        out["incr_cc_fold_2k_sec"] = round(time.perf_counter() - t0, 3)
+        assert n_labels >= n_hits, (n_labels, n_hits)
+
         t0 = time.perf_counter()
         SP.pack_shards(
             d.select("doc_id", F.length("text").alias("wt")),

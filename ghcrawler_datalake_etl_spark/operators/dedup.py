@@ -1133,8 +1133,18 @@ def incremental_components(
     dim-sized (the cap guard from incremental_lsh_dedup), and
     untouched components pass through the coalesce unchanged.
     """
-    edges = new_edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    # the edge list fans out to FOUR consumers (both union sides of the
+    # node set, the contraction join, and - transitively - every CC
+    # round over the contracted graph); when new_edges carries an
+    # expensive subtree (e.g. an LSH screen), computing it once keeps
+    # the fold batch-proportional instead of batch-x-consumers (the
+    # _materialize contract). The residual fold cost is fixed
+    # small-action overhead - ~4s warm on a 1k-edge batch regardless
+    # of corpus size (profiled against the 50k-corpus scaling arm)
+    edges = _materialize(
+        new_edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
     )
     # nodes come from the UNFILTERED edge list: connected_components
     # emits a singleton row for a node whose only pair is a self-edge,

@@ -604,3 +604,29 @@ def test_bpe_encode_ids_broadcasts_symbol_table(spark, queries):
     # the corpus-sized token stream join
     p = plan(queries["text_bpe_encode_ids"](spark, SF_DIR), "simple")
     assert "BroadcastHashJoin" in p, p
+
+
+def test_remove_substrings_plan_shape(spark, queries):
+    """Round-10: the Lee-et-al substring remover must be pure JVM
+    (gram hashing is Column-side array algebra - no Python anywhere),
+    take its first-occurrence from a map-side-combinable min() on the
+    window hash (never a cartesian pair-up), and join coverage flags
+    back by equi-join."""
+    p = plan(queries["dedup_remove_substrings"](spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "InPandas" not in p, p
+    assert "HashJoin" in p or "SortMergeJoin" in p, p
+    assert "partial_min" in p, p  # first-occurrence combines map-side
+
+
+def test_drop_paragraphs_plan_shape(spark, queries):
+    """Round-10: paragraph dedup is one md5-keyed window (paragraph
+    text never shuffles as a key - only its digest) plus one groupBy
+    reassembly: pure JVM, no join of any kind, no cartesian."""
+    p = plan(queries["dedup_drop_paragraphs"](spark, SF_DIR), "simple")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "InPandas" not in p, p
+    assert "Join" not in p, p
+    assert "md5" in p, p  # the window partitions on the digest
