@@ -2319,9 +2319,13 @@ def _drop_paragraphs_oracle(chunk: int = _PARA_CHUNK) -> str:
     return f"""
     WITH pt AS (
       SELECT doc_id,
-             array_to_string(list_transform(
+             -- coalesce x2: DuckDB array_to_string([]) is NULL where
+             -- Spark array_join([]) is '' - without it every
+             -- zero-token doc NULLs out of string_split and vanishes
+             coalesce(array_to_string(list_transform(
                range(1, greatest(len(toks), 1) + 1, {chunk}),
-               i -> array_to_string(toks[i:i+{c1}], ' ')), chr(10)) AS text
+               i -> coalesce(array_to_string(toks[i:i+{c1}], ' '), '')),
+               chr(10)), '') AS text
       FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) t
     ), p AS (
       SELECT doc_id, i AS pno, ps[i] AS para

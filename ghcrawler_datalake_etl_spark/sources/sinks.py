@@ -107,7 +107,7 @@ class ParquetCatalog:
                     f"table {name} version {version} not retained "
                     f"(have {self.versions(name)})"
                 )
-        df = self._read_files(path)
+        df = self._read_snapshot(name, path)
         # merged tables carry the internal hash-bucket partition column
         return df.drop(_BUCKET_COL) if _BUCKET_COL in df.columns else df
 
@@ -115,8 +115,25 @@ class ParquetCatalog:
         path = self.current_path(name)
         if path is None:
             return None
-        df = self._read_files(path)
+        df = self._read_snapshot(name, path)
         return df.drop(_BUCKET_COL) if _BUCKET_COL in df.columns else df
+
+    def _read_snapshot(self, name: str, path: str) -> DataFrame:
+        """Read one snapshot dir; an all-empty snapshot (no data files
+        to infer a schema from) degrades to an empty frame with the
+        schema persisted in the merge metadata instead of throwing."""
+        from pyspark.errors import AnalysisException
+        from pyspark.sql.types import StructType
+
+        try:
+            return self._read_files(path)
+        except AnalysisException:
+            meta = self._merge_meta(name)
+            if meta and meta.get("schema"):
+                return self.spark.createDataFrame(
+                    [], StructType.fromJson(json.loads(meta["schema"]))
+                )
+            raise
 
     def overwrite(
         self,
@@ -283,7 +300,13 @@ class ParquetCatalog:
                 .collect()
             )
             cur_path = self.current_path(name)
-            old_df = self._read_files(cur_path)
+            old_df = self._read_snapshot(name, cur_path)
+            if _BUCKET_COL not in old_df.columns:
+                # the empty-snapshot fallback restores the logical
+                # schema only; recompute the bucket col (deterministic
+                # over the key cols) so the merge paths below see the
+                # bucketed shape
+                old_df = old_df.withColumn(_BUCKET_COL, bucket)
             if len(affected) > dense_rewrite_fraction * num_buckets:
                 # dense delta: merge machinery costs more than it saves
                 # (docstring) - bucketed full rewrite, nothing linked
@@ -329,7 +352,19 @@ class ParquetCatalog:
 
         tmp_meta = os.path.join(tdir, _MERGE_META + ".tmp")
         with open(tmp_meta, "w") as f:
-            json.dump({"key_cols": key_cols, "num_buckets": num_buckets}, f)
+            # the logical (bucket-less) schema rides in the metadata so
+            # an all-empty snapshot stays readable: parquet carries no
+            # footer when zero part files land (an empty bootstrap /
+            # fully-deleted table), and schema inference would throw
+            # where an empty typed frame is the correct answer
+            json.dump(
+                {
+                    "key_cols": key_cols,
+                    "num_buckets": num_buckets,
+                    "schema": delta.schema.json(),
+                },
+                f,
+            )
         os.replace(tmp_meta, os.path.join(tdir, _MERGE_META))
 
         tmp_ptr = os.path.join(tdir, _POINTER + ".tmp")

@@ -73,6 +73,10 @@ EVENTS_ONLY = [
     # identically (sum/min/max ignore NULLs, HLL ignores NULL users;
     # an all-NULL-value day leaves total_value NULL on both engines)
     "sketch_incremental_stats",
+    # round-10: the same state folded through the CDC merge sink -
+    # NULL-key/value/user handling must survive the bucket-pruned
+    # merge_upsert round trip and the touched-keys semi-join
+    "sketch_stats_cdc_table",
 ]
 
 

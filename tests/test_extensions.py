@@ -2818,3 +2818,35 @@ def test_max_concurrency_null_endpoints_dropped(spark):
     assert row["n_intervals"] == 2           # only the two full ones
     assert row["max_concurrent"] == 2        # [0,10] and [6,8] overlap
     assert row["first_peak_us"] == 6
+
+
+def test_merge_catalog_empty_bootstrap_roundtrip(spark, tmp_path):
+    """Round-10: an EMPTY bootstrap delta (quiet first day) must leave
+    a readable table - parquet writes no footer when zero part files
+    land, so the read path falls back to the schema persisted in the
+    merge metadata - and a later non-empty merge into that empty
+    snapshot must work normally."""
+    from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    empty = spark.createDataFrame([], "k long, v string")
+    cat.merge_upsert(empty, "T", ["k"], num_buckets=4)
+    back = cat.read("T")
+    assert back.count() == 0
+    assert [f.name for f in back.schema.fields] == ["k", "v"]
+    # day 2: real rows merge into the empty snapshot
+    cat.merge_upsert(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        "T", ["k"], num_buckets=4,
+    )
+    assert sorted(
+        (r.k, r.v) for r in cat.read("T").collect()
+    ) == [(1, "a"), (2, "b")]
+    # ... and a delete-everything day leaves it empty but readable
+    cat.apply_changes(
+        spark.createDataFrame(
+            [(1, "a", "D"), (2, "b", "D")], "k long, v string, op string"
+        ),
+        "T", ["k"],
+    )
+    assert cat.read("T").count() == 0

@@ -75,6 +75,14 @@ DOC_ONLY = [
     # persisted index), in both the batch and streaming arms
     "dedup_incremental_index",
     "stream_lsh_dedup",
+    # round-10: substring/paragraph removal and standing-cluster
+    # maintenance - NULL/empty/whitespace docs must pass through
+    # untouched (n_removed/n_dropped 0, text_clean ''), and the
+    # 15-token duplicate pair (docs 6/7) exercises real window
+    # removal, paragraph drops, and a corpus-side cluster
+    "dedup_remove_substrings",
+    "dedup_drop_paragraphs",
+    "dedup_incremental_clusters",
 ]
 
 
@@ -88,6 +96,14 @@ def degenerate_sf_dir(tmp_path_factory):
         (3, "   \n  \t ", "fr", "web", 8),
         (4, "foo foo foo foo foo foo foo foo foo foo", "en", "books", 39),
         (5, None, None, None, None),
+        # round-10: a 15-token exact-duplicate pair (> the substring
+        # query's k=10 window and > one 12-token synthesized
+        # paragraph), so window removal, cross-doc paragraph drops and
+        # cluster formation all fire on this corpus
+        (6, "alpha beta gamma delta epsilon zeta eta theta iota"
+            " kappa lambda mu nu xi omicron", "en", "web", 88),
+        (7, "alpha beta gamma delta epsilon zeta eta theta iota"
+            " kappa lambda mu nu xi omicron", "en", "web", 88),
         # batch-split rows for the round-9 incremental-index screens
         (8, None, "en", "web", 0),
         (9, "The quick brown fox jumps over the lazy dog", "en", "web", 43),

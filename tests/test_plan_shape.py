@@ -85,7 +85,12 @@ def test_parity_paths_have_no_python(spark, queries):
                  # dedup_minhash_lsh (the JVM-expression twin exists and
                  # is equivalence-pinned; pandas is the measured-faster
                  # default, see minhash_signature_pandas_udf)
-                 "dedup_incremental_index", "stream_lsh_dedup"}
+                 "dedup_incremental_index", "stream_lsh_dedup",
+                 # round-10 standing-cluster maintenance: its LSH pair
+                 # generation is the same Arrow-batched signature
+                 # pandas_udf as dedup_minhash_clusters; the fold
+                 # itself (contract + propagate + relabel) is pure JVM
+                 "dedup_incremental_clusters"}
     for name, fn in entrymod.queries().items():
         p = plan(fn(spark, SF_DIR), "simple")
         assert "BatchEvalPython" not in p, f"{name}: row-at-a-time Python UDF"
