@@ -475,9 +475,13 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     sig_impl: str = "pandas",
     materialize_result: bool = False,
+    handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: shingle -> signature -> band buckets
-    -> bucket-join candidates -> exact-Jaccard verify.
+    -> bucket-join candidates -> exact-Jaccard verify. ``handles``:
+    the _lsh_sig_frame release contract - callers that run this per
+    micro-batch unpersist the collected frames after consuming the
+    result.
 
     The scale path for fuzzy dedup: signature computation is shuffle-free;
     only (band_hash, id) shuffles for candidates; exact verification
@@ -495,7 +499,9 @@ def minhash_lsh_pairs(
     Python anywhere). Outputs are bit-identical.
     """
     rows = num_hashes // bands
-    sig = _lsh_sig_frame(df, id_col, text_col, n, num_hashes, sig_impl)
+    sig = _lsh_sig_frame(
+        df, id_col, text_col, n, num_hashes, sig_impl, handles=handles
+    )
     banded = _lsh_band_frame(sig, bands, rows)
     cand = _pairs_from_candidates(
         banded.alias("a")
@@ -530,6 +536,8 @@ def minhash_lsh_pairs(
         # the band self-join + verify on both union sides, and (b) any
         # other query calling with identical args substitute the cache
         out = _materialize(out)
+        if handles is not None:
+            handles.append(out)
     return out
 
 
@@ -569,12 +577,18 @@ def incremental_lsh_dedup(
     threshold: float = 0.5,
     sig_impl: str = "pandas",
     handles: list[DataFrame] | None = None,
+    keep: str = "best",
 ) -> DataFrame:
     """Dedup a NEW batch against a STANDING corpus via its persisted
     LSH band index: (batch_id, dup_of, jaccard) per batch document
     verified as a near-dup, where dup_of is the smallest matching
     corpus id and jaccard the exact n-gram Jaccard of that pair
     (floor-quantized to 4 digits, matching minhash_lsh_pairs).
+    ``keep="all"`` returns EVERY verified (batch, corpus) pair instead
+    of the per-batch-doc best match - the edge list cluster
+    maintenance needs (dropping parallel matches would lose the
+    connectivity that merges two standing clusters through one
+    arriving document).
 
     100-TB shape - the three costs scale with the BATCH, not the corpus:
     (1) signatures are computed only over the arriving batch; the
@@ -642,6 +656,10 @@ def incremental_lsh_dedup(
         .select("batch_id", "corpus_id", quantize(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+    if keep == "all":
+        return pairs.select(
+            "batch_id", F.col("corpus_id").alias("dup_of"), "jaccard"
+        )
     w = Window.partitionBy("batch_id").orderBy("corpus_id")
     return (
         pairs.withColumn("rn", F.row_number().over(w))
@@ -1022,6 +1040,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iterations: int = 50,
+    handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into CLUSTERS: connected components by
     min-label propagation. Returns (node, cluster_id) for every node
@@ -1093,6 +1112,12 @@ def connected_components(
             break
         prev_sum = new_sum
     release_sym()
+    if handles is not None:
+        # the final round's checkpointed state has no internal release;
+        # per-micro-batch callers unpersist it after consuming the
+        # result (localCheckpoint blocks cannot recompute - the caller
+        # must be DONE with the frame)
+        handles.append(labels)
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 
@@ -1104,6 +1129,8 @@ def incremental_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iterations: int = 50,
+    changed_only: bool = False,
+    handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Maintain a STANDING cluster table against a batch of NEW edges
     without re-clustering the corpus - the graph-state form of the
@@ -1132,6 +1159,14 @@ def incremental_components(
     against the touched-representative map, broadcast when it is
     dim-sized (the cap guard from incremental_lsh_dedup), and
     untouched components pass through the coalesce unchanged.
+
+    ``changed_only=True`` returns just the DELTA - relabeled standing
+    rows plus brand-new nodes - the upsert feed for a cluster table
+    maintained through a MERGE sink (untouched rows never leave the
+    table, so the write stays bucket-pruned O(changes)). Folding the
+    same edges twice is a no-op delta: every contracted edge collapses
+    to a self-loop on the second pass, so a replayed micro-batch
+    re-merges identical rows (idempotent by the union-find algebra).
     """
     # the edge list fans out to FOUR consumers (both union sides of the
     # node set, the contraction join, and - transitively - every CC
@@ -1141,7 +1176,7 @@ def incremental_components(
     # _materialize contract). The residual fold cost is fixed
     # small-action overhead - ~4s warm on a 1k-edge batch regardless
     # of corpus size (profiled against the 50k-corpus scaling arm)
-    edges = _materialize(
+    edges_m = _materialize(
         new_edges.select(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
         )
@@ -1150,12 +1185,12 @@ def incremental_components(
     # emits a singleton row for a node whose only pair is a self-edge,
     # and the incremental result must match the full re-run row-for-row
     nodes = (
-        edges.select(F.col("src").alias("n"))
-        .union(edges.select(F.col("dst").alias("n")))
+        edges_m.select(F.col("src").alias("n"))
+        .union(edges_m.select(F.col("dst").alias("n")))
         .filter(F.col("n").isNotNull())
         .distinct()
     )
-    edges = edges.filter(F.col("src") != F.col("dst"))
+    edges = edges_m.filter(F.col("src") != F.col("dst"))
     # rep(x): the standing cluster id when x is a known node, else x
     # itself (a brand-new node is its own representative)
     rep = _materialize(
@@ -1178,23 +1213,33 @@ def incremental_components(
     )
     relabel = _materialize(
         connected_components(
-            contracted, "id_a", "id_b", max_iterations=max_iterations
+            contracted, "id_a", "id_b", max_iterations=max_iterations,
+            handles=handles,
         ).filter(F.col("node") != F.col("cluster_id"))
     )
+    if handles is not None:
+        # same release contract as incremental_lsh_dedup: the
+        # per-micro-batch caller unpersists the fold's internal
+        # materializations after consuming the delta
+        handles.extend([edges_m, rep, relabel])
     if relabel.count() <= _BROADCAST_ID_CAP:
         relabel = F.broadcast(relabel)
-    # standing rows: one pass, join on the OLD cluster id (= the rep)
-    updated = labels.join(
-        relabel.select(
-            F.col("node").alias(cluster_col),
-            F.col("cluster_id").alias("_new"),
-        ),
-        cluster_col,
-        "left",
-    ).select(
-        F.col(node_col).alias("node"),
-        F.coalesce("_new", F.col(cluster_col)).alias("cluster_id"),
+    # standing rows: one pass, join on the OLD cluster id (= the rep);
+    # changed_only turns the pass into an inner join - only touched
+    # components' rows survive, the MERGE feed
+    relabel_keyed = relabel.select(
+        F.col("node").alias(cluster_col),
+        F.col("cluster_id").alias("_new"),
     )
+    if changed_only:
+        updated = labels.join(relabel_keyed, cluster_col).select(
+            F.col(node_col).alias("node"), F.col("_new").alias("cluster_id")
+        )
+    else:
+        updated = labels.join(relabel_keyed, cluster_col, "left").select(
+            F.col(node_col).alias("node"),
+            F.coalesce("_new", F.col(cluster_col)).alias("cluster_id"),
+        )
     # brand-new nodes: rep -> relabeled rep when its component merged
     fresh = (
         rep.filter(~F.col("standing"))

@@ -6042,6 +6042,111 @@ def stream_lsh_dedup(spark, sf_dir):
 
 
 @register(
+    "stream_cluster_maintenance",
+    f"""
+    WITH RECURSIVE mh_pairs AS ({_minhash_oracle()}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM mh_pairs
+      UNION
+      SELECT id_b, id_a FROM mh_pairs
+    ),
+    walk(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.node
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id
+    FROM walk GROUP BY node
+    """,
+)
+def stream_cluster_maintenance(spark, sf_dir):
+    """Round-10: dedup_incremental_clusters RUN AS A REAL STREAM - the
+    full standing-state loop per micro-batch: the arriving split
+    (doc_id % 10 >= 8) staged as TWO files, one per trigger; each
+    trigger screens against the persisted corpus LSH index keeping ALL
+    verified matches, pairs within itself, folds both edge sets into
+    the labels table through incremental_components(changed_only) +
+    the catalog's bucket-pruned merge_upsert, and DELTA-APPENDS its
+    signatures/text to the store so the second trigger deduplicates
+    against the first (cross-trigger duplicates cluster - pinned by
+    the operator test). The oracle is the full recursive-CTE
+    re-clustering of ALL pairs: whatever micro-batch boundaries the
+    stream cut, the standing table must equal the batch answer."""
+    import itertools
+    import os
+    import re
+
+    from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
+    from ghcrawler_datalake_etl_spark.streaming.ingest import (
+        stream_cluster_maintenance as _scm,
+    )
+
+    global _SCM_SEQ, _SCM_STAGED
+    try:
+        seq = next(_SCM_SEQ)
+    except NameError:
+        _SCM_SEQ = itertools.count(1)
+        _SCM_STAGED = set()
+        seq = 0
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    root = _run_tmp(f"scm_{tag}")
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 < 8)
+    batch = d.filter(F.col("doc_id") % 10 >= 8).select("doc_id", "text")
+    sdir = os.path.join(root, "in")
+    idir = os.path.join(root, "idx_base")
+    if sf_dir not in _SCM_STAGED:
+        batch.repartition(2).write.mode("overwrite").parquet(sdir)
+        DD.lsh_band_index(
+            corpus, "doc_id", "text", n=3, num_hashes=32, bands=8
+        ).write.mode("overwrite").parquet(idir)
+        _SCM_STAGED.add(sf_dir)
+    index = spark.read.parquet(idir)
+    # bootstrap the standing table from the corpus-internal pairs -
+    # sliced out of the SAME materialized full-pair frame the other
+    # minhash queries share (identical args -> identical cache slot)
+    pairs = DD.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.5,
+        materialize_result=True,
+    )
+    corpus_pairs = pairs.filter(
+        (F.col("id_a") % 10 < 8) & (F.col("id_b") % 10 < 8)
+    )
+    cat = ParquetCatalog(spark, os.path.join(root, f"wh_{seq}"))
+    cat.merge_upsert(
+        DD.connected_components(corpus_pairs), "labels", ["node"],
+        num_buckets=8,
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = _scm(
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sdir),
+            index,
+            corpus,
+            cat,
+            "labels",
+            os.path.join(root, f"store_{seq}"),
+            os.path.join(root, f"ck_{seq}"),
+            "doc_id",
+            "text",
+            n=3,
+            num_hashes=32,
+            bands=8,
+            threshold=0.5,
+            num_buckets=8,
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return cat.read("labels").select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+
+@register(
     "stream_hll_distinct",
     f"""
     WITH src AS (
@@ -7155,6 +7260,9 @@ _DRIVER_ORDER = [
     #    through the CDC merge sink (cedes q18_large_quantity_orders,
     #    green r1+r9) --
     "sketch_stats_cdc_table",
+    # -- round-10 late addition: the streaming arm of the standing-
+    #    cluster loop (cedes w5_sliding_hour_frame, green r1+r9) --
+    "stream_cluster_maintenance",
     # -- VERDICT r9 #2: the two single-green r2 queries + the five
     #    oldest-evidence queries (newest r2/r3) --
     "dedup_exact_groups",
@@ -7196,7 +7304,6 @@ _DRIVER_ORDER = [
     "w4_rank_quartiles",
     "setop_user_cohorts",
     "q3_unshipped_topk",
-    "w5_sliding_hour_frame",
     "pattern_c_collection_refresh",
     # ---------------- position 51+: past the driver window ----------
     # Everything below holds >=2 green driver rounds (most 3) in
@@ -7295,6 +7402,7 @@ _DRIVER_ORDER = [
     "text_unigram_logprob",
     "timeseries_gap_fill",
     "timeseries_max_concurrency",
+    "w5_sliding_hour_frame",
     "topk_orders_per_segment",
     "tsv_round_trip",
     "w1_latest_event_per_user",

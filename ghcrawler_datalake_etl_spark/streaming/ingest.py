@@ -257,6 +257,142 @@ def stream_incremental_dedup(
     )
 
 
+def stream_cluster_maintenance(
+    stream_df: DataFrame,
+    base_index: DataFrame,
+    base_corpus: DataFrame,
+    catalog,
+    labels_table: str,
+    store_root: str,
+    checkpoint: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    num_buckets: int = 32,
+) -> StreamingQuery:
+    """Streaming STANDING-CLUSTER maintenance - the full production
+    loop of the incremental dedup family run per micro-batch: arriving
+    documents (1) screen against the standing LSH index keeping EVERY
+    verified match (``keep="all"``: one arriving doc matching two
+    standing clusters is exactly the edge that merges them), (2) pair
+    WITHIN the micro-batch (minhash_lsh_pairs), (3) fold both edge
+    sets into the standing cluster table through
+    incremental_components(changed_only=True) + the catalog's
+    bucket-pruned merge_upsert (untouched clusters are never
+    rewritten), and (4) delta-append the micro-batch's band signatures
+    and text to the store so LATER triggers dedup against everything
+    seen so far - cross-trigger duplicates cluster correctly.
+
+    State layout under ``store_root``: ``idx/micro_batch=N/`` band-
+    index deltas and ``docs/micro_batch=N/`` text deltas, each written
+    mode("overwrite") so a replayed trigger overwrites its OWN dirs;
+    the label merge is idempotent by the union-find algebra (re-folding
+    the same edges contracts every edge to a self-loop - an empty
+    delta). The labels table lives in ``catalog`` under
+    ``labels_table`` and must be bootstrapped (merge_upsert of the
+    corpus's connected_components) before the stream starts.
+
+    Scale/state: foreachBatch holds no streaming state; per-trigger
+    cost is screen (batch-proportional) + within-batch pairing +
+    contracted-graph propagation (O(batch edges)) + a merge that
+    rewrites only touched buckets. The reference's latest-wins daily
+    refresh (ProcessDaily.usql:137-140), lifted to streaming graph
+    state."""
+    import os
+
+    from ghcrawler_datalake_etl_spark.operators.dedup import (
+        incremental_components,
+        incremental_lsh_dedup,
+        lsh_band_index,
+        minhash_lsh_pairs,
+    )
+
+    idx_root = os.path.join(store_root, "idx")
+    docs_root = os.path.join(store_root, "docs")
+
+    def _apply(bdf: DataFrame, micro_batch: int) -> None:
+        spark = bdf.sparkSession
+        handles: list[DataFrame] = []
+        bdf = bdf.persist()
+        try:
+            if bdf.count() == 0:
+                return
+            index = base_index
+            # the screen touches only (id, text); projecting here also
+            # makes the base frame union-compatible with the two-column
+            # text deltas the store holds
+            corpus = base_corpus.select(F.col(id_col), F.col(text_col))
+            # earlier triggers' deltas (replay-safe: this trigger's own
+            # dirs are excluded - a replay must not dedup against its
+            # previous, about-to-be-overwritten self)
+            prior = [
+                d for d in (
+                    os.listdir(idx_root) if os.path.isdir(idx_root) else []
+                )
+                if d.startswith("micro_batch=")
+                and int(d.split("=", 1)[1]) < micro_batch
+            ]
+            if prior:
+                index = index.unionByName(
+                    spark.read.option("basePath", idx_root).parquet(
+                        *[os.path.join(idx_root, d) for d in prior]
+                    ).select(*index.columns)
+                )
+                corpus = corpus.unionByName(
+                    spark.read.option("basePath", docs_root).parquet(
+                        *[os.path.join(docs_root, d) for d in prior]
+                    ).select(*corpus.columns)
+                )
+            cross = incremental_lsh_dedup(
+                bdf, index, corpus, id_col, text_col,
+                n=n, num_hashes=num_hashes, bands=bands,
+                threshold=threshold, handles=handles, keep="all",
+            ).select(
+                F.col("batch_id").alias("id_a"),
+                F.col("dup_of").alias("id_b"),
+            )
+            within = minhash_lsh_pairs(
+                bdf, id_col, text_col, n=n, num_hashes=num_hashes,
+                bands=bands, threshold=threshold, handles=handles,
+            ).select("id_a", "id_b")
+            delta = incremental_components(
+                catalog.read(labels_table),
+                cross.unionByName(within),
+                changed_only=True,
+                handles=handles,
+            )
+            catalog.merge_upsert(
+                delta, labels_table, ["node"], num_buckets=num_buckets
+            )
+            # land this trigger's deltas LAST: a crash before this
+            # point replays the trigger against the same prior state
+            lsh_band_index(
+                bdf, id_col, text_col, n=n, num_hashes=num_hashes,
+                bands=bands,
+            ).write.mode("overwrite").parquet(
+                os.path.join(idx_root, f"micro_batch={micro_batch}")
+            )
+            bdf.select(
+                F.col(id_col), F.col(text_col)
+            ).write.mode("overwrite").parquet(
+                os.path.join(docs_root, f"micro_batch={micro_batch}")
+            )
+        finally:
+            bdf.unpersist()
+            for h in handles:
+                h.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_hll_registers(
     events: DataFrame,
     value_col: str,

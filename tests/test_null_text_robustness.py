@@ -83,6 +83,10 @@ DOC_ONLY = [
     "dedup_remove_substrings",
     "dedup_drop_paragraphs",
     "dedup_incremental_clusters",
+    # round-10: the streaming arm of the same - an empty arriving
+    # split produces zero triggers (the bootstrap labels ARE the
+    # answer), and the NULL-text batch doc must never sign or match
+    "stream_cluster_maintenance",
 ]
 
 

@@ -471,3 +471,74 @@ def test_stream_distinct_drops_replayed_rows(spark, tmp_path):
     )
     assert got == want
     assert len(got) == 3  # replay collapsed; NULL-ts row kept once
+
+
+def test_stream_cluster_maintenance_matches_full_recluster(spark, tmp_path):
+    """Round-10: the streaming standing-cluster loop (screen-all +
+    within-batch pairs + changed-only fold into a merge-sink table +
+    index/text delta-append) must land the SAME label table a full
+    re-cluster over every document produces - including a
+    CROSS-TRIGGER duplicate that only clusters because trigger N's
+    signatures were appended to the index before trigger N+1."""
+    import os
+
+    from ghcrawler_datalake_etl_spark.operators import dedup as D
+    from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
+    from ghcrawler_datalake_etl_spark.streaming.ingest import (
+        stream_cluster_maintenance,
+    )
+
+    def txt(seed, k=12):
+        return " ".join(f"tok{(seed * 7 + j) % 97}" for j in range(k))
+
+    corpus_rows = [(i, txt(i)) for i in range(12)]
+    corpus_rows[5] = (5, txt(2))        # corpus-internal dup pair (2,5)
+    batch1 = [(101, txt(3)),            # dups corpus doc 3
+              (102, txt(500)), (103, txt(501))]
+    batch2 = [(201, txt(500)),          # CROSS-TRIGGER dup of 102
+              (202, txt(7)),            # dups corpus doc 7
+              (203, txt(502))]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    sdir = str(tmp_path / "in")
+    spark.createDataFrame(batch1, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(sdir, "f0"))
+    spark.createDataFrame(batch2, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(os.path.join(sdir, "f0"))
+
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    base_pairs = D.minhash_lsh_pairs(corpus, "doc_id", "text",
+                                     n=3, num_hashes=16, bands=4)
+    cat.merge_upsert(D.connected_components(base_pairs), "labels",
+                     ["node"], num_buckets=4)
+    index = D.lsh_band_index(corpus, "doc_id", "text",
+                             n=3, num_hashes=16, bands=4)
+    q = stream_cluster_maintenance(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(sdir, "f0")),
+        index, corpus, cat, "labels",
+        str(tmp_path / "store"), str(tmp_path / "ck"),
+        "doc_id", "text", n=3, num_hashes=16, bands=4, num_buckets=4,
+    )
+    q.awaitTermination()
+    got = {r.node: r.cluster_id for r in cat.read("labels").collect()}
+
+    everything = corpus.unionByName(
+        spark.createDataFrame(batch1 + batch2, "doc_id long, text string")
+    )
+    full = {
+        r.node: r.cluster_id
+        for r in D.connected_components(
+            D.minhash_lsh_pairs(everything, "doc_id", "text",
+                                n=3, num_hashes=16, bands=4)
+        ).collect()
+    }
+    assert got == full
+    # the cross-trigger pair actually merged
+    assert got[201] == got[102]
+    assert got[101] == got[3] and got[202] == got[7]
+    # two triggers really ran: both delta dirs exist
+    idx_dirs = sorted(os.listdir(str(tmp_path / "store" / "idx")))
+    assert [d for d in idx_dirs if d.startswith("micro_batch=")], idx_dirs
