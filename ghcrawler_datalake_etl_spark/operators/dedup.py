@@ -1131,6 +1131,7 @@ def incremental_components(
     max_iterations: int = 50,
     changed_only: bool = False,
     handles: list[DataFrame] | None = None,
+    small_graph_cap: int = 100_000,
 ) -> DataFrame:
     """Maintain a STANDING cluster table against a batch of NEW edges
     without re-clustering the corpus - the graph-state form of the
@@ -1151,14 +1152,12 @@ def incremental_components(
     its global min node id.
 
     Cost scales with the BATCH, never the corpus: (1) each new edge
-    endpoint resolves to its representative via one join against the
-    standing table (the only pass over ``labels``' bulk); (2) label
-    propagation runs on the CONTRACTED graph - O(|new_edges|) edges,
-    iterations bounded by the diameter of the contracted (not
-    original) components; (3) standing rows relabel through one join
-    against the touched-representative map, broadcast when it is
-    dim-sized (the cap guard from incremental_lsh_dedup), and
-    untouched components pass through the coalesce unchanged.
+    endpoint resolves to its representative via one pass against the
+    standing table (the only touch of ``labels``' bulk); (2) label
+    resolution runs on the CONTRACTED graph - O(|new_edges|) edges;
+    (3) standing rows relabel through one join against the
+    touched-representative map, broadcast when it is dim-sized, and
+    untouched components pass through unchanged.
 
     ``changed_only=True`` returns just the DELTA - relabeled standing
     rows plus brand-new nodes - the upsert feed for a cluster table
@@ -1167,63 +1166,174 @@ def incremental_components(
     same edges twice is a no-op delta: every contracted edge collapses
     to a self-loop on the second pass, so a replayed micro-batch
     re-merges identical rows (idempotent by the union-find algebra).
+
+    Batches of at most ``small_graph_cap`` edges take a FAST PATH
+    built for the per-micro-batch streaming loop: the edge list and
+    the touched nodes' standing reps are pulled to the driver (two
+    count-gated, provably bounded collects - a few longs per edge,
+    the same class as the BPE vocab / k-means centroid pulls), the
+    union-find runs locally, and the relabel map / fresh rows ship
+    back as broadcast local relations - so the whole fold costs two
+    Spark actions instead of the iterative loop's per-round
+    checkpoint+aggregate cycle (measured ~4s of fixed overhead per
+    fold on a 1k-edge batch). Larger batches take the distributed
+    contract-then-propagate path; the directed test and hypothesis
+    property pin both arms row-identical.
     """
-    # the edge list fans out to FOUR consumers (both union sides of the
-    # node set, the contraction join, and - transitively - every CC
-    # round over the contracted graph); when new_edges carries an
-    # expensive subtree (e.g. an LSH screen), computing it once keeps
-    # the fold batch-proportional instead of batch-x-consumers (the
-    # _materialize contract). The residual fold cost is fixed
-    # small-action overhead - ~4s warm on a 1k-edge batch regardless
-    # of corpus size (profiled against the 50k-corpus scaling arm)
-    edges_m = _materialize(
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = new_edges.schema[src_col].dataType
+    spark = labels.sparkSession
+
+    def _pair_schema(a: str, b: str) -> StructType:
+        return StructType(
+            [StructField(a, id_type), StructField(b, id_type)]
+        )
+
+    edge_head = (
         new_edges.select(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
         )
+        .limit(small_graph_cap + 1)
+        .collect()
+        if small_graph_cap > 0
+        else None
     )
-    # nodes come from the UNFILTERED edge list: connected_components
-    # emits a singleton row for a node whose only pair is a self-edge,
-    # and the incremental result must match the full re-run row-for-row
-    nodes = (
-        edges_m.select(F.col("src").alias("n"))
-        .union(edges_m.select(F.col("dst").alias("n")))
-        .filter(F.col("n").isNotNull())
-        .distinct()
-    )
-    edges = edges_m.filter(F.col("src") != F.col("dst"))
-    # rep(x): the standing cluster id when x is a known node, else x
-    # itself (a brand-new node is its own representative)
-    rep = _materialize(
-        nodes.join(labels, nodes["n"] == labels[node_col], "left").select(
-            F.col("n").alias("node"),
-            F.coalesce(F.col(cluster_col), F.col("n")).alias("rep"),
-            F.col(node_col).isNotNull().alias("standing"),
+    if edge_head is not None and len(edge_head) <= small_graph_cap:
+        # ---- fast path: local union-find over the collected batch ----
+        node_list = []
+        seen = set()
+        for a, b in edge_head:
+            for x in (a, b):
+                if x is not None and x not in seen:
+                    seen.add(x)
+                    node_list.append(x)
+        nodes_local = spark.createDataFrame(
+            [(x,) for x in node_list],
+            StructType([StructField("_n", id_type)]),
         )
-    )
-    ra = rep.select(F.col("node").alias("src"), F.col("rep").alias("rep_a"))
-    rb = rep.select(F.col("node").alias("dst"), F.col("rep").alias("rep_b"))
-    contracted = (
-        edges.join(ra, "src")
-        .join(rb, "dst")
-        .select(F.col("rep_a").alias("id_a"), F.col("rep_b").alias("id_b"))
-        # an edge inside one standing cluster contracts to a self-loop:
-        # nothing to merge, and dropping it keeps that rep out of the
-        # propagation entirely (its rows pass through the coalesce)
-        .filter(F.col("id_a") != F.col("id_b"))
-    )
-    relabel = _materialize(
-        connected_components(
-            contracted, "id_a", "id_b", max_iterations=max_iterations,
-            handles=handles,
-        ).filter(F.col("node") != F.col("cluster_id"))
-    )
-    if handles is not None:
-        # same release contract as incremental_lsh_dedup: the
-        # per-micro-batch caller unpersists the fold's internal
-        # materializations after consuming the delta
-        handles.extend([edges_m, rep, relabel])
-    if relabel.count() <= _BROADCAST_ID_CAP:
-        relabel = F.broadcast(relabel)
+        # standing reps for the touched nodes only: bounded collect #2
+        standing_rep = {
+            r["_n"]: r[cluster_col]
+            for r in labels.join(
+                F.broadcast(nodes_local),
+                labels[node_col] == nodes_local["_n"],
+            )
+            .select("_n", cluster_col)
+            .collect()
+        }
+        rep = {x: standing_rep.get(x, x) for x in node_list}
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in edge_head:
+            if a is None or b is None or a == b:
+                continue
+            ra, rb = find(rep[a]), find(rep[b])
+            if ra != rb:
+                # attach the larger root under the smaller: every
+                # set's root stays its min element, matching the
+                # distributed min-label propagation exactly
+                parent[max(ra, rb)] = min(ra, rb)
+        relabel = F.broadcast(
+            spark.createDataFrame(
+                [(x, find(x)) for x in list(parent) if find(x) != x],
+                _pair_schema("node", "cluster_id"),
+            )
+        )
+        fresh = spark.createDataFrame(
+            [
+                (x, find(rep[x]))
+                for x in node_list
+                if x not in standing_rep
+            ],
+            _pair_schema("node", "cluster_id"),
+        )
+    else:
+        # ---- distributed path: contract, propagate, relabel ----
+        # the edge list fans out to four consumers (both union sides
+        # of the node set, the contraction join, and every propagation
+        # round); when new_edges carries an expensive subtree (e.g. an
+        # LSH screen), computing it once keeps the fold
+        # batch-proportional instead of batch-x-consumers
+        edges_m = _materialize(
+            new_edges.select(
+                F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+            )
+        )
+        # nodes come from the UNFILTERED edge list: connected_components
+        # emits a singleton row for a node whose only pair is a
+        # self-edge, and the incremental result must match the full
+        # re-run row-for-row
+        nodes = (
+            edges_m.select(F.col("src").alias("n"))
+            .union(edges_m.select(F.col("dst").alias("n")))
+            .filter(F.col("n").isNotNull())
+            .distinct()
+        )
+        edges = edges_m.filter(F.col("src") != F.col("dst"))
+        # rep(x): the standing cluster id when x is a known node, else
+        # x itself (a brand-new node is its own representative)
+        rep_df = _materialize(
+            nodes.join(
+                labels, nodes["n"] == labels[node_col], "left"
+            ).select(
+                F.col("n").alias("node"),
+                F.coalesce(F.col(cluster_col), F.col("n")).alias("rep"),
+                F.col(node_col).isNotNull().alias("standing"),
+            )
+        )
+        ra = rep_df.select(
+            F.col("node").alias("src"), F.col("rep").alias("rep_a")
+        )
+        rb = rep_df.select(
+            F.col("node").alias("dst"), F.col("rep").alias("rep_b")
+        )
+        contracted = (
+            edges.join(ra, "src")
+            .join(rb, "dst")
+            .select(
+                F.col("rep_a").alias("id_a"), F.col("rep_b").alias("id_b")
+            )
+            # an edge inside one standing cluster contracts to a
+            # self-loop: nothing to merge, and dropping it keeps that
+            # rep out of the propagation entirely
+            .filter(F.col("id_a") != F.col("id_b"))
+        )
+        relabel = _materialize(
+            connected_components(
+                contracted, "id_a", "id_b",
+                max_iterations=max_iterations, handles=handles,
+            ).filter(F.col("node") != F.col("cluster_id"))
+        )
+        if handles is not None:
+            # same release contract as incremental_lsh_dedup: the
+            # per-micro-batch caller unpersists the fold's internal
+            # materializations after consuming the delta
+            handles.extend([edges_m, rep_df, relabel])
+        if relabel.count() <= _BROADCAST_ID_CAP:
+            relabel = F.broadcast(relabel)
+        # brand-new nodes: rep -> relabeled rep when its component
+        # merged
+        fresh = (
+            rep_df.filter(~F.col("standing"))
+            .join(
+                relabel.select(
+                    F.col("node").alias("rep"),
+                    F.col("cluster_id").alias("_new"),
+                ),
+                "rep",
+                "left",
+            )
+            .select("node", F.coalesce("_new", "rep").alias("cluster_id"))
+        )
     # standing rows: one pass, join on the OLD cluster id (= the rep);
     # changed_only turns the pass into an inner join - only touched
     # components' rows survive, the MERGE feed
@@ -1240,18 +1350,6 @@ def incremental_components(
             F.col(node_col).alias("node"),
             F.coalesce("_new", F.col(cluster_col)).alias("cluster_id"),
         )
-    # brand-new nodes: rep -> relabeled rep when its component merged
-    fresh = (
-        rep.filter(~F.col("standing"))
-        .join(
-            relabel.select(
-                F.col("node").alias("rep"), F.col("cluster_id").alias("_new")
-            ),
-            "rep",
-            "left",
-        )
-        .select("node", F.coalesce("_new", "rep").alias("cluster_id"))
-    )
     return updated.unionByName(fresh)
 
 

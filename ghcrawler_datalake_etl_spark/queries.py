@@ -6095,27 +6095,32 @@ def stream_cluster_maintenance(spark, sf_dir):
     batch = d.filter(F.col("doc_id") % 10 >= 8).select("doc_id", "text")
     sdir = os.path.join(root, "in")
     idir = os.path.join(root, "idx_base")
+    ldir = os.path.join(root, "labels_base")
     if sf_dir not in _SCM_STAGED:
         batch.repartition(2).write.mode("overwrite").parquet(sdir)
         DD.lsh_band_index(
             corpus, "doc_id", "text", n=3, num_hashes=32, bands=8
         ).write.mode("overwrite").parquet(idir)
+        # bootstrap labels: connected components over the
+        # corpus-internal pairs, sliced from the SAME materialized
+        # full-pair frame the other minhash queries share (identical
+        # args -> identical cache slot); staged once per sf - the
+        # standing state is deterministic, only the stream re-runs
+        pairs = DD.minhash_lsh_pairs(
+            d, "doc_id", "text", n=3, num_hashes=32, bands=8,
+            threshold=0.5, materialize_result=True,
+        )
+        corpus_pairs = pairs.filter(
+            (F.col("id_a") % 10 < 8) & (F.col("id_b") % 10 < 8)
+        )
+        DD.connected_components(corpus_pairs).write.mode(
+            "overwrite"
+        ).parquet(ldir)
         _SCM_STAGED.add(sf_dir)
     index = spark.read.parquet(idir)
-    # bootstrap the standing table from the corpus-internal pairs -
-    # sliced out of the SAME materialized full-pair frame the other
-    # minhash queries share (identical args -> identical cache slot)
-    pairs = DD.minhash_lsh_pairs(
-        d, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.5,
-        materialize_result=True,
-    )
-    corpus_pairs = pairs.filter(
-        (F.col("id_a") % 10 < 8) & (F.col("id_b") % 10 < 8)
-    )
     cat = ParquetCatalog(spark, os.path.join(root, f"wh_{seq}"))
     cat.merge_upsert(
-        DD.connected_components(corpus_pairs), "labels", ["node"],
-        num_buckets=8,
+        spark.read.parquet(ldir), "labels", ["node"], num_buckets=8
     )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")

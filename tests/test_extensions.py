@@ -828,6 +828,27 @@ def test_incremental_components_merges_only_touched(spark):
         for r in D.incremental_components(standing, empty).collect()
     }
     assert same == {r.node: r.cluster_id for r in standing.collect()}
+    # the DISTRIBUTED propagation arm (small_graph_cap=0 forces it past
+    # the count gate) is row-identical to the driver union-find arm
+    dist = {
+        r.node: r.cluster_id
+        for r in D.incremental_components(
+            standing, new_edges, small_graph_cap=0
+        ).collect()
+    }
+    assert dist == got
+    # ... and changed_only returns exactly the rows that differ from /
+    # are absent in the standing table
+    delta = {
+        r.node: r.cluster_id
+        for r in D.incremental_components(
+            standing, new_edges, changed_only=True
+        ).collect()
+    }
+    before = {r.node: r.cluster_id for r in standing.collect()}
+    assert delta == {
+        n: c for n, c in got.items() if before.get(n) != c
+    }
 
 
 def test_embedding_cosine_gemm_is_lazy_and_distributed(spark, sf_dir):
