@@ -1151,13 +1151,20 @@ def incremental_components(
     min over its member reps' ids union the new nodes' ids, which IS
     its global min node id.
 
-    Cost scales with the BATCH, never the corpus: (1) each new edge
-    endpoint resolves to its representative via one pass against the
-    standing table (the only touch of ``labels``' bulk); (2) label
-    resolution runs on the CONTRACTED graph - O(|new_edges|) edges;
-    (3) standing rows relabel through one join against the
-    touched-representative map, broadcast when it is dim-sized, and
-    untouched components pass through unchanged.
+    Cost scales with the BATCH, never the corpus - with one honest
+    caveat: (1) each new edge endpoint resolves to its representative
+    via one pass against the standing table; (2) label resolution runs
+    on the CONTRACTED graph - O(|new_edges|) edges; (3) standing rows
+    relabel through one join against the touched-representative map,
+    broadcast when it is dim-sized, and untouched components pass
+    through unchanged. Steps (1) and (3) each SCAN the standing table
+    once (no shuffle of it - the small side broadcasts - but a scan:
+    the relabel key is the OLD cluster id, which no node-keyed layout
+    can prune). So the per-fold floor is O(one corpus pass), against
+    the full re-cluster's O(pair generation over the corpus + a scan
+    per propagation round) - the same pass a daily reporting query
+    already pays, not the quadratic candidate regen this operator
+    exists to avoid.
 
     ``changed_only=True`` returns just the DELTA - relabeled standing
     rows plus brand-new nodes - the upsert feed for a cluster table

@@ -230,6 +230,12 @@ def test_every_extension_query_in_driver_window():
         f"extension queries outside the driver's first-{WINDOW} window "
         f"(no CORRECTNESS row will be recorded): {stragglers}"
     )
+    # the dict is derived state (round-10): an entry whose query
+    # rotated back IN-window is stale and must be pruned
+    stale_entries = sorted(n for n in OUT_OF_WINDOW_OK if n in window)
+    assert not stale_entries, (
+        f"OUT_OF_WINDOW_OK entries for in-window queries: {stale_entries}"
+    )
     ev = _evidence()
     for n, kind in OUT_OF_WINDOW_OK.items():
         if kind == "evidence":
