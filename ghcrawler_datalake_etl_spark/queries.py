@@ -6116,12 +6116,22 @@ def stream_cluster_maintenance(spark, sf_dir):
         DD.connected_components(corpus_pairs).write.mode(
             "overwrite"
         ).parquet(ldir)
+        # bootstrap the standing labels CATALOG once per sf too: the
+        # per-run copy below is a metadata-sized file copy instead of
+        # re-running the bucketed merge every invocation
+        ParquetCatalog(
+            spark, os.path.join(root, "wh_base")
+        ).merge_upsert(
+            spark.read.parquet(ldir), "labels", ["node"], num_buckets=8
+        )
         _SCM_STAGED.add(sf_dir)
     index = spark.read.parquet(idir)
-    cat = ParquetCatalog(spark, os.path.join(root, f"wh_{seq}"))
-    cat.merge_upsert(
-        spark.read.parquet(ldir), "labels", ["node"], num_buckets=8
-    )
+    import shutil
+
+    wh = os.path.join(root, f"wh_{seq}")
+    if not os.path.isdir(wh):
+        shutil.copytree(os.path.join(root, "wh_base"), wh)
+    cat = ParquetCatalog(spark, wh)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
@@ -7232,18 +7242,21 @@ def dim_apply_changes(spark, sf_dir):
 
 _DRIVER_ORDER = [
     # ============ driver window (first 50): what round 10 verifies ====
-    # Round-10 rotation (VERDICT r9 #1-#6): 25 queries with >=2 green
+    # Round-10 rotation (VERDICT r9 #1-#8): 27 queries with >=2 green
     # driver rounds each (EVIDENCE.json) ceded their slots to (a) the
-    # three new round-10 operators, (b) the two single-green r2 queries
-    # plus the five oldest-evidence queries the verdict named, (c) the
-    # nine newest-r4 extension queries, and (d) the six oldest
-    # multi-green extension queries from the NOTES_r9 re-green plan.
+    # FIVE new round-10 operators (incremental clusters, substring
+    # removal, paragraph dedup, CDC-backed stats table, streaming
+    # cluster maintenance), (b) the two single-green r2 queries plus
+    # the five oldest-evidence queries the verdict named, (c) the nine
+    # newest-r4 extension queries, and (d) the six oldest multi-green
+    # extension queries from the NOTES_r9 re-green plan.
     # Every incoming query probe_strict-verified green at sf0.01 before
-    # this commit. Ceded: the 17 r9-fresh parity-core rotations (each
+    # its commit. Ceded: the 17 r9-fresh parity-core rotations (each
     # holds 3 green rounds; moved to PARITY_CORE_ROTATED_OUT), the six
     # triple-green [5,8,9] extension keepers (OUT_OF_WINDOW_OK
     # evidence entries added), and subquery_lineitem_count /
-    # cube_status_priority (non-extension, green r1+r9).
+    # cube_status_priority / q18_large_quantity_orders /
+    # w5_sliding_hour_frame (non-extension, green r1+r9).
     # -- round-9 single-green newcomers + codec oracles (must stay) --
     "multimodal_gif_frames",
     "multimodal_gif_resize",
