@@ -1585,6 +1585,103 @@ def drop_duplicate_paragraphs(
     )
 
 
+def paragraph_hash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """The STANDING state of corpus-wide paragraph dedup: the distinct
+    md5 of every non-blank paragraph in ``df`` - one 32-char string
+    per distinct paragraph, parquet-persistable, mergeable by plain
+    DISTINCT union (the paragraph-granularity sibling of
+    lsh_band_index). Blank paragraphs are structure, not content, and
+    never enter the index."""
+    import re as _re
+
+    return (
+        fan_out(df)
+        .select(
+            F.explode(
+                F.split(
+                    F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep)
+                )
+            ).alias("para")
+        )
+        .filter(F.trim(F.col("para")) != "")
+        .select(F.md5("para").alias("para_hash"))
+        .distinct()
+    )
+
+
+def drop_duplicate_paragraphs_incremental(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Paragraph dedup of an ARRIVING batch against a STANDING corpus
+    via its persisted paragraph-hash index: a batch paragraph drops if
+    its hash is in the index (the corpus saw it first - whenever it
+    arrived, it arrived earlier) OR an earlier batch position already
+    carried it; blanks always pass through. Returns the same
+    (doc_id, n_paras, n_dropped, text_clean) shape as the batch
+    operator - and when every corpus id precedes every batch id, the
+    union of the corpus's own dedup with this screen IS
+    drop_duplicate_paragraphs over the whole collection (the driver
+    oracle pins exactly that identity).
+
+    100-TB shape: the arriving batch never touches corpus TEXT - only
+    the hash store (one equi-join on the digest); the daily append is
+    ``paragraph_hash_index(batch)`` unioned DISTINCT into the store,
+    the same delta-append loop the LSH band index runs.
+    """
+    import re as _re
+
+    paras = fan_out(batch).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep))
+        ).alias("pno0", "para"),
+    ).select("doc_id", (F.col("pno0") + 1).alias("pno"), "para")
+    blank = F.trim(F.col("para")) == ""
+    hashed = paras.withColumn("_h", F.md5("para"))
+    flagged = hashed.join(
+        index.select(
+            F.col("para_hash").alias("_h"), F.lit(1).alias("_in_idx")
+        ),
+        "_h",
+        "left",
+    )
+    w = Window.partitionBy("_h").orderBy("doc_id", "pno")
+    keep = blank | (
+        F.col("_in_idx").isNull() & (F.row_number().over(w) == 1)
+    )
+    return (
+        flagged.withColumn("keep", keep)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("pno", "para"))
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                sep,
+            ).alias("text_clean"),
+        )
+        .select("doc_id", "n_paras", "n_dropped", "text_clean")
+    )
+
+
 def contamination_report(
     df: DataFrame,
     eval_df: DataFrame | None,

@@ -2377,6 +2377,57 @@ def dedup_drop_paragraphs(spark, sf_dir):
     return DD.drop_duplicate_paragraphs(pdf, "doc_id", "text", sep="\n")
 
 
+@register("dedup_incremental_paragraphs", _drop_paragraphs_oracle())
+def dedup_incremental_paragraphs(spark, sf_dir):
+    """Round-10: paragraph dedup of an arriving batch against a
+    STANDING paragraph-hash store (operators/dedup.paragraph_hash_index
+    + drop_duplicate_paragraphs_incremental) - the paragraph-
+    granularity sibling of dedup_incremental_index. documents split by
+    an 80% doc_id threshold (corpus below, batch above - arrival order
+    IS id order, so "the corpus saw it first" and "the smaller id saw
+    it first" coincide); the corpus's distinct paragraph hashes are
+    written to parquet, READ BACK, and the batch screened against the
+    store - its text never re-read. The oracle is the GLOBAL
+    corpus-wide operator over all documents: the corpus's own dedup
+    unioned with the incremental screen must be row-identical to it.
+    Same 12-token synthesized paragraphs as dedup_drop_paragraphs."""
+    import re
+
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    toks = TX.tokenize(F.col("text"))
+    n_chunks = F.greatest(
+        F.ceil(F.size(toks) / F.lit(_PARA_CHUNK)).cast("int"), F.lit(1)
+    )
+    para_text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda c: F.array_join(
+                F.slice(toks, (c - 1) * _PARA_CHUNK + 1, _PARA_CHUNK), " "
+            ),
+        ),
+        "\n",
+    )
+    pdf = d.select("doc_id", para_text.alias("text"))
+    # 80% threshold split: every corpus id precedes every batch id
+    # (one bounded scalar pull - the split constant)
+    cut = (pdf.agg(F.max("doc_id")).collect()[0][0] or 0) + 1
+    corpus = pdf.filter(F.col("doc_id") * 5 < 4 * cut)
+    batch = pdf.filter(F.col("doc_id") * 5 >= 4 * cut)
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    path = _run_tmp(f"para_idx_{tag}")
+    DD.paragraph_hash_index(corpus, "doc_id", "text").write.mode(
+        "overwrite"
+    ).parquet(path)
+    store = spark.read.parquet(path)
+    return DD.drop_duplicate_paragraphs(
+        corpus, "doc_id", "text", sep="\n"
+    ).unionByName(
+        DD.drop_duplicate_paragraphs_incremental(
+            batch, store, "doc_id", "text", sep="\n"
+        )
+    )
+
+
 @register(
     "dedup_simhash_values",
     f"""
@@ -7281,6 +7332,9 @@ _DRIVER_ORDER = [
     # -- round-10 late addition: the streaming arm of the standing-
     #    cluster loop (cedes w5_sliding_hour_frame, green r1+r9) --
     "stream_cluster_maintenance",
+    # -- round-10 late addition: the paragraph-granularity standing
+    #    store screen (cedes q3_unshipped_topk, green r1+r9) --
+    "dedup_incremental_paragraphs",
     # -- VERDICT r9 #2: the two single-green r2 queries + the five
     #    oldest-evidence queries (newest r2/r3) --
     "dedup_exact_groups",
@@ -7321,7 +7375,6 @@ _DRIVER_ORDER = [
     "w3_lag_event_gaps",
     "w4_rank_quartiles",
     "setop_user_cohorts",
-    "q3_unshipped_topk",
     "pattern_c_collection_refresh",
     # ---------------- position 51+: past the driver window ----------
     # Everything below holds >=2 green driver rounds (most 3) in
@@ -7376,6 +7429,7 @@ _DRIVER_ORDER = [
     "pipeline_training_data",
     "q18_large_quantity_orders",
     "q1_pricing_summary",
+    "q3_unshipped_topk",
     "range_interval_join",
     "sample_dsir_select",
     "sample_eval_carve",

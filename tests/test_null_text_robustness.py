@@ -87,6 +87,10 @@ DOC_ONLY = [
     # split produces zero triggers (the bootstrap labels ARE the
     # answer), and the NULL-text batch doc must never sign or match
     "stream_cluster_maintenance",
+    # round-10: the paragraph-granularity standing-store screen - the
+    # 80% id-threshold split puts the NULL/empty/dup rows on both
+    # sides across the fixture's id range
+    "dedup_incremental_paragraphs",
 ]
 
 

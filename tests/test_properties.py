@@ -1068,3 +1068,44 @@ def test_drop_duplicate_paragraphs_matches_bruteforce(spark, para_lists):
         for r in D.drop_duplicate_paragraphs(df).collect()
     }
     assert got == exp
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["px", "qy", "rz", ""]),
+                 min_size=1, max_size=6),
+        min_size=1, max_size=8,
+    ),
+    st.integers(0, 8),
+)
+def test_incremental_paragraphs_union_equals_global(
+    spark, para_lists, cut
+):
+    """Round-10: for ANY id-threshold split (corpus ids strictly below
+    the cut), the corpus's own paragraph dedup unioned with the
+    batch's screen against the corpus paragraph-hash index must equal
+    the GLOBAL drop_duplicate_paragraphs over all documents - incl.
+    all-corpus and all-batch splits, blanks, and within-batch
+    repeats."""
+    from ghcrawler_datalake_etl_spark.operators import dedup as D
+
+    docs = {i: "\n".join(ps) for i, ps in enumerate(para_lists)}
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    corpus = df.filter(F.col("doc_id") < cut)
+    batch = df.filter(F.col("doc_id") >= cut)
+    index = D.paragraph_hash_index(corpus)
+    got_df = D.drop_duplicate_paragraphs(corpus).unionByName(
+        D.drop_duplicate_paragraphs_incremental(batch, index)
+    )
+    got = {
+        r.doc_id: (r.n_paras, r.n_dropped, r.text_clean)
+        for r in got_df.collect()
+    }
+    want = {
+        r.doc_id: (r.n_paras, r.n_dropped, r.text_clean)
+        for r in D.drop_duplicate_paragraphs(df).collect()
+    }
+    assert got == want
