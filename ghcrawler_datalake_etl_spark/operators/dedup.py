@@ -1585,6 +1585,110 @@ def drop_duplicate_paragraphs(
     )
 
 
+def winnow_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 4,
+) -> DataFrame:
+    """The STANDING state of span-overlap screening: the distinct
+    winnowing fingerprints (text.winnow_fingerprints - the MOSS
+    sketch) of every document in ``df``, one long per row. Narrow,
+    parquet-persistable, mergeable by DISTINCT union, and SUBLINEAR in
+    corpus tokens (winnowing keeps ~2/(window+1) of positions) - the
+    span-granularity sibling of lsh_band_index / paragraph_hash_index.
+    The winnowing guarantee carries over: any shared token run of
+    length >= window between an arriving doc and ANY corpus doc shares
+    at least one fingerprint with the store."""
+    from ghcrawler_datalake_etl_spark.operators.text import (
+        token_hashes as _th,
+        winnow_fingerprints as _wf,
+    )
+
+    # th gets its OWN projection: the window mins below scan it once
+    # per position, and CollapseProject keeps a multiply-referenced
+    # non-cheap alias in its own stage - inlining the md5 fold into
+    # every slice would recompute it positions x window times (the
+    # token_hashes hot-path discipline)
+    th = fan_out(df).select(
+        _th(tokenize(F.col(text_col))).alias("th")
+    )
+    # explode_OUTER + post-generate null filter, NOT plain explode:
+    # Catalyst infers a size(...)>0 filter from a plain explode and
+    # predicate pushdown substitutes every alias on the way down, so
+    # the whole fingerprint expression - md5 fold included, inside
+    # every window slice - lands in a second pre-shuffle Filter
+    # evaluation (measured 15s/5s pathologies on both sides of the
+    # sf0.1 query). The outer generate infers nothing; the null filter
+    # sits ABOVE the generator on a plain attribute and cannot sink.
+    fps = th.select(_wf(F.col("th"), window).alias("fps"))
+    return (
+        fps.select(F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+        .distinct()
+    )
+
+
+def span_overlap_against_index(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 4,
+) -> DataFrame:
+    """Span-overlap screen of an ARRIVING batch against a standing
+    winnowing-fingerprint store: per batch document, how many of its
+    fingerprints the corpus has seen ((doc_id, n_fps, n_hit,
+    overlap_frac) - frac floor-quantized to 4 digits; docs too short
+    to fingerprint report 0). The incremental form of
+    duplicate_span_fraction: downstream drops/flags high-overlap
+    arrivals WITHOUT scanning corpus text - one equi-join of the
+    batch's exploded fingerprints against the store.
+
+    Scale: batch-side cost only (fingerprints are array-side per row);
+    the join shuffles (fp, doc_id) pairs - winnowing keeps that
+    sublinear in batch tokens; the store never recomputes. Daily
+    append = winnow_index(batch) unioned DISTINCT into the store."""
+    from ghcrawler_datalake_etl_spark.operators.text import (
+        token_hashes as _th,
+        winnow_fingerprints as _wf,
+    )
+
+    th = fan_out(batch).select(
+        F.col(id_col).alias("doc_id"),
+        _th(tokenize(F.col(text_col))).alias("th"),
+    )
+    fps = th.select("doc_id", _wf(F.col("th"), window).alias("fps"))
+    # explode_OUTER, deliberately: (a) a print-less doc keeps one
+    # null-fp row, so every batch doc survives to the aggregate with
+    # no join back; (b) the plain explode's inferred size(...)>0
+    # filter would inline the whole fingerprint expression (md5 fold
+    # included) into a second, pre-shuffle evaluation - measured 5s of
+    # pure recompute on the sf0.1 screen
+    rows = fps.select("doc_id", F.explode_outer("fps").alias("fp"))
+    return (
+        rows.join(
+            index.select("fp", F.lit(1).alias("_hit")), "fp", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("fp").cast("long").alias("n_fps"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_fps",
+            "n_hit",
+            quantize(
+                F.when(F.col("n_fps") == 0, F.lit(0.0)).otherwise(
+                    F.col("n_hit").cast("double") / F.col("n_fps")
+                ),
+                4,
+            ).alias("overlap_frac"),
+        )
+    )
+
+
 def paragraph_hash_index(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -2428,6 +2428,77 @@ def dedup_incremental_paragraphs(spark, sf_dir):
     )
 
 
+def _incremental_spans_oracle(window: int = 4) -> str:
+    """Cross-split winnowing overlap: both splits' fingerprints from
+    the same CTE as _fingerprint_oracle; the batch's exploded prints
+    left-join the corpus's distinct set."""
+    w1 = window - 1
+    return f"""
+    WITH th AS (
+      SELECT doc_id,
+             coalesce(list_transform({_TOKS_SQL},
+               t -> cast(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
+                    % {TX.ROLL_P}), []::BIGINT[]) AS th
+      FROM documents
+    ), fp AS (
+      SELECT doc_id,
+             list_sort(list_distinct(list_transform(
+               range(1, greatest(len(th) - {w1}, least(len(th), 1)) + 1),
+               i -> list_min(th[i:i+{w1}])))) AS fps
+      FROM th
+    ), corpus_fp AS (
+      SELECT DISTINCT u.f FROM fp, unnest(fps) AS u(f)
+      WHERE doc_id % 10 < 8
+    ), batch_rows AS (
+      SELECT doc_id, u.f FROM fp, unnest(fps) AS u(f)
+      WHERE doc_id % 10 >= 8
+    ), agg AS (
+      SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+             CAST(sum(CASE WHEN c.f IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hit
+      FROM batch_rows b LEFT JOIN corpus_fp c ON b.f = c.f
+      GROUP BY b.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(agg.n_fps, 0) AS n_fps,
+           coalesce(agg.n_hit, 0) AS n_hit,
+           floor(CASE WHEN coalesce(agg.n_fps, 0) = 0 THEN 0.0
+                      ELSE agg.n_hit::DOUBLE / agg.n_fps END
+                 * 10000) / 10000 AS overlap_frac
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) d
+    LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """
+
+
+@register("dedup_incremental_spans", _incremental_spans_oracle())
+def dedup_incremental_spans(spark, sf_dir):
+    """Round-10: span-overlap screening of an arriving batch against a
+    STANDING winnowing-fingerprint store (operators/dedup.winnow_index
+    + span_overlap_against_index) - the span-granularity close of the
+    incremental family (document LSH -> clusters -> paragraphs -> now
+    partial/span overlap), and the incremental form of
+    dedup_span_first_occurrence's report. documents split by doc_id %
+    10 (corpus <8, batch >=8); the corpus's distinct MOSS fingerprints
+    are written to parquet, READ BACK, and each batch doc reports what
+    fraction of its prints the store already holds - corpus text never
+    re-read, batch-side cost only. The winnowing guarantee makes the
+    screen sound: any shared >= 4-token run contributes a shared
+    print. The oracle recomputes both splits' fingerprints from raw
+    (same CTE as text_fingerprint's oracle) and replays the overlap."""
+    import re
+
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    corpus = d.filter(F.col("doc_id") % 10 < 8)
+    batch = d.filter(F.col("doc_id") % 10 >= 8)
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    path = _run_tmp(f"winnow_idx_{tag}")
+    DD.winnow_index(corpus, "doc_id", "text").write.mode(
+        "overwrite"
+    ).parquet(path)
+    store = spark.read.parquet(path)
+    return DD.span_overlap_against_index(batch, store, "doc_id", "text")
+
+
 @register(
     "dedup_simhash_values",
     f"""
@@ -7335,6 +7406,9 @@ _DRIVER_ORDER = [
     # -- round-10 late addition: the paragraph-granularity standing
     #    store screen (cedes q3_unshipped_topk, green r1+r9) --
     "dedup_incremental_paragraphs",
+    # -- round-10 late addition: the span-granularity winnow store
+    #    screen (cedes w4_rank_quartiles, green r1+r9) --
+    "dedup_incremental_spans",
     # -- VERDICT r9 #2: the two single-green r2 queries + the five
     #    oldest-evidence queries (newest r2/r3) --
     "dedup_exact_groups",
@@ -7373,7 +7447,6 @@ _DRIVER_ORDER = [
     "agg_value_percentiles",
     "pivot_user_event_matrix",
     "w3_lag_event_gaps",
-    "w4_rank_quartiles",
     "setop_user_cohorts",
     "pattern_c_collection_refresh",
     # ---------------- position 51+: past the driver window ----------
@@ -7474,6 +7547,7 @@ _DRIVER_ORDER = [
     "text_unigram_logprob",
     "timeseries_gap_fill",
     "timeseries_max_concurrency",
+    "w4_rank_quartiles",
     "w5_sliding_hour_frame",
     "topk_orders_per_segment",
     "tsv_round_trip",

@@ -2871,3 +2871,49 @@ def test_merge_catalog_empty_bootstrap_roundtrip(spark, tmp_path):
         "T", ["k"],
     )
     assert cat.read("T").count() == 0
+
+
+def test_span_overlap_against_index_semantics(spark):
+    """Round-10: the winnow-store screen - an exact dup of a corpus doc
+    overlaps 1.0, disjoint vocabulary 0.0, a doc sharing a long run
+    with the corpus lands strictly between, and short/empty/NULL docs
+    report 0 fps / 0.0 without crashing. The winnowing guarantee makes
+    the shared->=window-run case a hard lower bound (>0)."""
+    corpus = spark.createDataFrame(
+        [
+            (0, " ".join(f"c{i}" for i in range(30))),
+            (1, " ".join(f"d{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    shared_run = " ".join(f"c{i}" for i in range(10))
+    batch = spark.createDataFrame(
+        [
+            (100, " ".join(f"c{i}" for i in range(30))),  # exact dup of 0
+            (101, " ".join(f"z{i}" for i in range(30))),  # disjoint
+            (102, shared_run + " " + " ".join(f"y{i}" for i in range(20))),
+            (103, "one two"),                             # too short
+            (104, None),                                  # NULL
+        ],
+        "doc_id long, text string",
+    )
+    from ghcrawler_datalake_etl_spark.operators import dedup as D
+
+    idx = D.winnow_index(corpus)
+    got = {
+        r.doc_id: (r.n_fps, r.n_hit, r.overlap_frac)
+        for r in D.span_overlap_against_index(batch, idx).collect()
+    }
+    assert got[100][0] > 0 and got[100][2] == 1.0
+    assert got[101][2] == 0.0 and got[101][1] == 0
+    assert 0.0 < got[102][2] < 1.0
+    assert got[103] == (1, 0, 0.0)  # short doc: one min-print, no hit
+    assert got[104] == (0, 0, 0.0)
+    # daily append: after folding the batch's prints in, the same
+    # batch overlaps 1.0 everywhere it has prints
+    idx2 = idx.unionByName(D.winnow_index(batch)).distinct()
+    again = {
+        r.doc_id: r.overlap_frac
+        for r in D.span_overlap_against_index(batch, idx2).collect()
+    }
+    assert again[101] == 1.0 and again[102] == 1.0

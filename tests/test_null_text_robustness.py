@@ -91,6 +91,10 @@ DOC_ONLY = [
     # 80% id-threshold split puts the NULL/empty/dup rows on both
     # sides across the fixture's id range
     "dedup_incremental_paragraphs",
+    # round-10: the span-granularity winnow-store screen - NULL/empty
+    # batch docs report 0 fps / 0.0, the exact-dup batch doc (9)
+    # overlaps its corpus twin (0) at 1.0
+    "dedup_incremental_spans",
 ]
 
 
