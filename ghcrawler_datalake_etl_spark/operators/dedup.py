@@ -24,12 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ghcrawler_datalake_etl_spark.functions.core import fan_out, quantize, stable_long_hash
-from ghcrawler_datalake_etl_spark.operators.text import (
-    ROLL_B,
-    ROLL_P,
-    token_hashes,
-    tokenize,
-)
+from ghcrawler_datalake_etl_spark.operators.text import tokenize
 
 # Mersenne prime 2^31-1: keeps a*h+b within int64 after reducing h mod P.
 MINHASH_P = 2_147_483_647
@@ -1426,12 +1421,17 @@ def remove_duplicate_substrings(
     """Exact cross-document substring REMOVAL at token granularity -
     the Lee et al. 2021 "Deduplicating Training Data Makes Language
     Models Better" operator (their ExactSubstr, re-expressed over
-    rolling window hashes instead of a suffix array): every
-    ``min_tokens``-token window is Rabin-Karp hashed; a window whose
-    hash already occurred EARLIER in the corpus (corpus order =
-    (doc_id, position); the first occurrence survives) marks a
-    duplicate span, and every token covered by at least one duplicate
-    span is cut. Survivors reassemble in order, single-space joined
+    per-window content digests instead of a suffix array): every
+    ``min_tokens``-token window is md5-digested over its space-joined
+    tokens - tokens are alphanumeric-only (``tokenize``), so the join
+    is injective and the digest identifies the exact token sequence
+    (failure mode = an md5 collision, ~2^-128 per pair; at 10^13
+    windows the expected collision count is ~1e-12, unlike a 31-bit
+    rolling hash whose false removals would saturate at corpus
+    scale). A window whose digest already occurred EARLIER in the
+    corpus (corpus order = (doc_id, position); the first occurrence
+    survives) marks a duplicate span, and every token covered by at
+    least one duplicate span is cut. Survivors reassemble in order, single-space joined
     (tokenization normalizes whitespace/case - the standard trade for
     an exact token-level spec). Complements duplicate_span_fraction
     (which only REPORTS the overlap) and drop_duplicate_paragraphs
@@ -1441,34 +1441,30 @@ def remove_duplicate_substrings(
     text_clean) - docs shorter than ``min_tokens`` (and empty/null
     docs) pass through untouched with n_removed = 0.
 
-    Scale: gram hashing is array-side per row (O(tokens x min_tokens)
-    work, no shuffle); the global first-occurrence pass is one
-    map-side-combinable min() per distinct window hash plus one
-    equi-join back on the hash; coverage is one per-doc window over
-    token rows (rows = corpus token count, partitioned by doc). No
-    pairwise blow-up anywhere - the corpus-wide work is linear in
-    total tokens, the same budget as the winnowing fingerprint pass.
+    Scale: gram digesting is array-side per row (O(tokens x
+    min_tokens) work, no shuffle); the global first-occurrence pass is
+    one map-side-combinable min() per distinct window digest plus one
+    equi-join back on the digest (a 32-char string - 4x the shuffle
+    bytes of a long key, the price of collision-safety); coverage is
+    one per-doc window over token rows (rows = corpus token count,
+    partitioned by doc). No pairwise blow-up anywhere - the
+    corpus-wide work is linear in total tokens, the same budget as the
+    winnowing fingerprint pass.
     """
     k = min_tokens
     base = _materialize(
-        fan_out(df)
-        .select(
+        fan_out(df).select(
             F.col(id_col).alias("doc_id"),
             tokenize(F.col(text_col)).alias("toks"),
         )
-        .withColumn("th", token_hashes(F.col("toks")))
     )
-    nwin = F.greatest(F.size("th") - (k - 1), F.lit(0))
+    nwin = F.greatest(F.size("toks") - (k - 1), F.lit(0))
     gh_arr = F.when(
-        nwin == 0, F.array().cast("array<long>")
+        nwin == 0, F.array().cast("array<string>")
     ).otherwise(
         F.transform(
             F.sequence(F.lit(1), nwin),
-            lambda i: F.aggregate(
-                F.slice(F.col("th"), i, k),
-                F.lit(0).cast("long"),
-                lambda acc, h: (acc * ROLL_B + h) % ROLL_P,
-            ),
+            lambda i: F.md5(F.array_join(F.slice(F.col("toks"), i, k), " ")),
         )
     )
     grams = base.select(
@@ -1599,9 +1595,14 @@ def winnow_index(
     span-granularity sibling of lsh_band_index / paragraph_hash_index.
     The winnowing guarantee carries over: any shared token run of
     length >= window between an arriving doc and ANY corpus doc shares
-    at least one fingerprint with the store."""
+    at least one fingerprint with the store. Fingerprints live in the
+    63-bit token_hashes_wide space (store cardinality is bounded by
+    vocabulary - window minima ARE token hashes - so even a
+    10^9-token vocabulary leaves the append-forever store's false-hit
+    rate at ~1e-10 per lookup, where the 31-bit space would
+    saturate)."""
     from ghcrawler_datalake_etl_spark.operators.text import (
-        token_hashes as _th,
+        token_hashes_wide as _th,
         winnow_fingerprints as _wf,
     )
 
@@ -1648,9 +1649,11 @@ def span_overlap_against_index(
     Scale: batch-side cost only (fingerprints are array-side per row);
     the join shuffles (fp, doc_id) pairs - winnowing keeps that
     sublinear in batch tokens; the store never recomputes. Daily
-    append = winnow_index(batch) unioned DISTINCT into the store."""
+    append = winnow_index(batch) unioned DISTINCT into the store -
+    sound append-forever because the 63-bit fingerprint space (see
+    winnow_index) keeps false hits ~1e-10 at any realistic vocabulary."""
     from ghcrawler_datalake_etl_spark.operators.text import (
-        token_hashes as _th,
+        token_hashes_wide as _th,
         winnow_fingerprints as _wf,
     )
 

@@ -415,12 +415,31 @@ ROLL_P = 2_147_483_647
 
 def token_hashes(toks: Column) -> Column:
     """Portable 60-bit md5 hash per token, reduced mod ROLL_P
-    (array<long>). Total: a NULL token array (null document) hashes like
-    an empty one, so downstream folds stay non-null. ``toks`` should
-    reference a materialized projection in hot paths (same discipline as
+    (array<long>). The mod-P reduction exists ONLY so the Rabin-Karp
+    fold's acc*B + h stays within int64 - use this form solely as
+    ``rolling_hash_from_hashes`` input; anything persisted or compared
+    across a standing store (winnowing fingerprints) must use
+    ``token_hashes_wide`` so the value space doesn't saturate at 2^31.
+    Total: a NULL token array (null document) hashes like an empty one,
+    so downstream folds stay non-null. ``toks`` should reference a
+    materialized projection in hot paths (same discipline as
     lang_id_from_tokens)."""
     safe = F.coalesce(toks, F.array().cast("array<string>"))
     return F.transform(safe, lambda t: stable_long_hash(t) % ROLL_P)
+
+
+def token_hashes_wide(toks: Column) -> Column:
+    """Portable 60-bit md5 hash per token, UN-reduced (array<long>) -
+    the winnowing/fingerprint-store input. At a 10^9-distinct-token
+    vocabulary the birthday-expected collisions are ~0.04 in the 2^60
+    space (vs certain saturation mod 2^31); a standing store keyed on
+    these stays sound at 100-TB corpus scale. Same NULL-total contract
+    as token_hashes."""
+    safe = F.coalesce(toks, F.array().cast("array<string>"))
+    # explicit lambda: transform() would read stable_long_hash's
+    # (col, seed) arity as the two-arg (element, index) form and feed
+    # the position in as a seed
+    return F.transform(safe, lambda t: stable_long_hash(t))
 
 
 def rolling_hash_from_hashes(th: Column) -> Column:

@@ -2240,25 +2240,22 @@ _SUBSTR_K = 10  # window length for the driver query (operator default
 
 
 def _remove_substrings_oracle(k: int = _SUBSTR_K) -> str:
-    """Window algebra over hash first-occurrence: every k-token window
-    Rabin-Karp hashed (same B/P fold as the Spark side, exact in
-    BIGINT), rn>1 per hash in (doc_id, pos) order marks duplicate
-    starts, a k-wide running max marks covered tokens, survivors
-    string_agg back in order."""
+    """Window algebra over content-digest first-occurrence: every
+    k-token window md5-digested over its space-joined tokens (tokens
+    are alphanumeric-only, so the join is injective - the digest
+    identifies the exact window content, collision-safe where a 31-bit
+    rolling hash would not be), rn>1 per digest in (doc_id, pos) order
+    marks duplicate starts, a k-wide running max marks covered tokens,
+    survivors string_agg back in order."""
     k1 = k - 1
     return f"""
     WITH th AS (
-      SELECT doc_id, toks,
-             list_transform(toks,
-               tk -> cast(('0x' || substr(md5(tk), 1, 15)) AS BIGINT)
-                     % {TX.ROLL_P}) AS th
+      SELECT doc_id, toks
       FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) t
     ), g AS (
       SELECT doc_id, i AS pos,
-             list_reduce(list_prepend(0::BIGINT, th[i:i+{k1}]),
-                         (acc, h) -> (acc * {TX.ROLL_B} + h) % {TX.ROLL_P})
-               AS gh
-      FROM th, unnest(range(1, greatest(len(th) - {k1}, 0) + 1)) AS u(i)
+             md5(array_to_string(toks[i:i+{k1}], ' ')) AS gh
+      FROM th, unnest(range(1, greatest(len(toks) - {k1}, 0) + 1)) AS u(i)
     ), ds AS (
       SELECT doc_id, pos FROM (
         SELECT doc_id, pos,
@@ -2297,7 +2294,7 @@ def dedup_remove_substrings(spark, sf_dir):
     """Round-10 (VERDICT r9 #4): exact cross-document substring
     REMOVAL at token granularity - the Lee et al. 2021 ExactSubstr
     operator ("Deduplicating Training Data Makes Language Models
-    Better") over rolling window hashes: any {_SUBSTR_K}-token span
+    Better") over per-window content digests: any {_SUBSTR_K}-token span
     seen earlier in the corpus is cut from later documents, first
     occurrence kept, covered tokens removed, survivors reassembled in
     order. duplicate_span_fraction only REPORTS overlap; this REWRITES
@@ -2429,16 +2426,17 @@ def dedup_incremental_paragraphs(spark, sf_dir):
 
 
 def _incremental_spans_oracle(window: int = 4) -> str:
-    """Cross-split winnowing overlap: both splits' fingerprints from
-    the same CTE as _fingerprint_oracle; the batch's exploded prints
-    left-join the corpus's distinct set."""
+    """Cross-split winnowing overlap: both splits' fingerprints in the
+    63-bit token_hashes_wide space (un-reduced - the standing store's
+    width, see winnow_index); the batch's exploded prints left-join
+    the corpus's distinct set."""
     w1 = window - 1
     return f"""
     WITH th AS (
       SELECT doc_id,
              coalesce(list_transform({_TOKS_SQL},
-               t -> cast(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
-                    % {TX.ROLL_P}), []::BIGINT[]) AS th
+               t -> cast(('0x' || substr(md5(t), 1, 15)) AS BIGINT)),
+               []::BIGINT[]) AS th
       FROM documents
     ), fp AS (
       SELECT doc_id,
@@ -3163,15 +3161,18 @@ def _fingerprint_oracle(window: int = 4) -> str:
     return f"""
     WITH th AS (
       SELECT doc_id,
-             coalesce(list_transform({_TOKS_SQL},
+             coalesce(list_transform(toks,
                t -> cast(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
-                    % {TX.ROLL_P}), []::BIGINT[]) AS th
-      FROM documents
+                    % {TX.ROLL_P}), []::BIGINT[]) AS th,
+             coalesce(list_transform(toks,
+               t -> cast(('0x' || substr(md5(t), 1, 15)) AS BIGINT)),
+               []::BIGINT[]) AS thw
+      FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) t
     ), fp AS (
       SELECT doc_id, th,
              list_sort(list_distinct(list_transform(
-               range(1, greatest(len(th) - {w1}, least(len(th), 1)) + 1),
-               i -> list_min(th[i:i+{w1}])))) AS fps
+               range(1, greatest(len(thw) - {w1}, least(len(thw), 1)) + 1),
+               i -> list_min(thw[i:i+{w1}])))) AS fps
       FROM th
     )
     SELECT doc_id,
@@ -3186,14 +3187,23 @@ def _fingerprint_oracle(window: int = 4) -> str:
 @register("text_fingerprint", _fingerprint_oracle())
 def text_fingerprint(spark, sf_dir):
     """Order-sensitive Rabin-Karp rolling hash + MOSS winnowing sketch
-    per document. Three narrow projections (tokenize -> token hashes ->
-    fingerprints), each materialized once so the md5 per token runs once
-    - no shuffle anywhere."""
+    per document. The roll hash folds the mod-P token hashes (the fold
+    must stay < 2^31 to be exact in int64); the winnow sketch digests
+    the 63-bit WIDE fingerprints - the same value space the standing
+    winnow_index store persists, so this per-doc sketch and the store
+    agree. Three narrow projections (tokenize -> token hashes ->
+    fingerprints), each materialized once so the md5 per token runs
+    once - no shuffle anywhere."""
     d = fan_out(_t(spark, sf_dir, "documents"))
     toks = d.select("doc_id", TX.tokenize(F.col("text")).alias("toks"))
-    th = toks.select("doc_id", TX.token_hashes(F.col("toks")).alias("th"))
+    th = toks.select(
+        "doc_id",
+        TX.token_hashes(F.col("toks")).alias("th"),
+        TX.token_hashes_wide(F.col("toks")).alias("thw"),
+    )
     fps = th.select(
-        "doc_id", "th", TX.winnow_fingerprints(F.col("th"), window=4).alias("fps")
+        "doc_id", "th",
+        TX.winnow_fingerprints(F.col("thw"), window=4).alias("fps"),
     )
     return fps.select(
         "doc_id",
