@@ -1141,7 +1141,13 @@ def _ac_refine_block(br, blk, ss, se, al, lookup, eobrun):
                     # newly-nonzero coefficient still pending: the
                     # stream is desynced - raise like _ac_first_block
                     # so corrupt streams route to callers' surrogate
-                    # arms instead of decoding garbage pixels
+                    # arms instead of decoding garbage pixels.
+                    # Deliberate divergence from libjpeg (which warns
+                    # and drops the coefficient): in a pipeline the
+                    # surrogate arm is the recorded, deterministic
+                    # "corrupt input" signal - a silently-patched
+                    # decode would feed downstream features
+                    # nondeterministically-wrong pixels with no flag
                     raise ValueError("JPEG AC overrun")
                 blk[k] = val
             k += 1

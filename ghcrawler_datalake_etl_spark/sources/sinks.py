@@ -121,7 +121,13 @@ class ParquetCatalog:
     def _read_snapshot(self, name: str, path: str) -> DataFrame:
         """Read one snapshot dir; an all-empty snapshot (no data files
         to infer a schema from) degrades to an empty frame with the
-        schema persisted in the merge metadata instead of throwing."""
+        schema persisted in the merge metadata instead of throwing.
+
+        The fallback is gated on a directory listing CONFIRMING zero
+        data files: a transiently-unreadable but non-empty snapshot
+        must re-raise, never silently read as an empty table (a merge
+        bootstrapping off that empty read would persist the emptiness
+        as the next version - silent data loss)."""
         from pyspark.errors import AnalysisException
         from pyspark.sql.types import StructType
 
@@ -129,11 +135,22 @@ class ParquetCatalog:
             return self._read_files(path)
         except AnalysisException:
             meta = self._merge_meta(name)
-            if meta and meta.get("schema"):
+            if meta and meta.get("schema") and not self._has_data_files(path):
                 return self.spark.createDataFrame(
                     [], StructType.fromJson(json.loads(meta["schema"]))
                 )
             raise
+
+    @staticmethod
+    def _has_data_files(path: str) -> bool:
+        """True if the snapshot dir holds at least one non-hidden data
+        file (recursing through partition dirs). Hidden/marker entries
+        (_SUCCESS, .crc, ...) are not data."""
+        for root, dirs, files in os.walk(path):
+            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+            if any(not f.startswith((".", "_")) for f in files):
+                return True
+        return False
 
     def overwrite(
         self,

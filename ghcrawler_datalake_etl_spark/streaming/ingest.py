@@ -257,6 +257,131 @@ def stream_incremental_dedup(
     )
 
 
+#: delta-store manifest sidecar (same idiom as sources.tokshard.MANIFEST)
+DELTA_MANIFEST = "_manifest.json"
+
+
+def _require_driver_local(path: str, what: str) -> None:
+    """The delta-store manifest and compaction run through driver-side
+    file ops (open/os.replace - the same contract as ParquetCatalog and
+    tokshard). On an object-store URI those ops would SILENTLY see an
+    empty store (os.listdir/os.path.isfile return nothing) and
+    cross-trigger duplicates would quietly fail to cluster - fail
+    loudly instead. ``file://`` is allowed (stripped by callers)."""
+    import re
+
+    m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", path)
+    if m and m.group(1).lower() != "file":
+        raise NotImplementedError(
+            f"{what} requires a driver-local filesystem path; got "
+            f"{path!r}. Route the store through a mounted/local path, "
+            "or port the manifest IO to the Hadoop FileSystem API."
+        )
+
+
+def _read_delta_manifest(store_root: str, sub: str) -> dict:
+    """Manifest of a micro-batch delta store:
+    ``{"version": 1, "base": "base_vK" | None, "deltas": [ints]}``.
+    The manifest IS the read set - no per-trigger directory listing
+    (the object-store-shape fix tokshard got, VERDICT r9 #7). A store
+    written before the manifest existed reconstructs from ONE listing."""
+    import json
+    import os
+
+    mpath = os.path.join(store_root, DELTA_MANIFEST)
+    if os.path.isfile(mpath):
+        with open(mpath) as fh:
+            return json.load(fh)
+    deltas = []
+    root = os.path.join(store_root, sub)
+    if os.path.isdir(root):  # pre-manifest store: migrate via one listing
+        deltas = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(root)
+            if d.startswith("micro_batch=")
+        )
+    return {"version": 1, "base": None, "deltas": deltas}
+
+
+def _write_delta_manifest(store_root: str, manifest: dict) -> None:
+    """Atomic tmp + os.replace, the tokshard write idiom."""
+    import json
+    import os
+
+    os.makedirs(store_root, exist_ok=True)
+    tmp = os.path.join(store_root, DELTA_MANIFEST + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(store_root, DELTA_MANIFEST))
+
+
+def _delta_read_paths(
+    store_root: str, sub: str, manifest: dict, before: int
+) -> list[str]:
+    """The bounded per-trigger read set: the compacted base (if any)
+    plus every delta strictly OLDER than ``before`` - a replayed
+    trigger never reads its own about-to-be-overwritten output."""
+    import os
+
+    paths = []
+    if manifest.get("base"):
+        paths.append(os.path.join(store_root, sub, manifest["base"]))
+    paths.extend(
+        os.path.join(store_root, sub, f"micro_batch={mb}")
+        for mb in manifest.get("deltas", [])
+        if mb < before
+    )
+    return paths
+
+
+def _compact_delta_store(
+    spark: SparkSession,
+    store_root: str,
+    subs: tuple[str, ...],
+    manifest: dict,
+    current: int,
+) -> dict:
+    """Fold every delta OLDER than ``current`` (plus the old base) into
+    ``base_v{K+1}`` for each parquet family, then switch the manifest
+    atomically. The current trigger's delta is deliberately excluded:
+    if the stream crashes between this compaction and the checkpoint
+    commit, the replayed trigger's read set (base + deltas < current)
+    still holds exactly the pre-compaction content. Crash DURING
+    compaction is safe too - the manifest still names the old base and
+    full delta list until the os.replace, and a retried compaction
+    rewrites the same base_v{K+1} dirs mode("overwrite"). Folded dirs
+    and the old base are removed best-effort AFTER the switch (stale
+    dirs are unreachable: the manifest governs every read)."""
+    import os
+    import shutil
+
+    fold = [mb for mb in manifest.get("deltas", []) if mb < current]
+    if not fold:
+        return manifest
+    old_base = manifest.get("base")
+    ver = int(old_base.rsplit("_v", 1)[1]) + 1 if old_base else 0
+    new_base = f"base_v{ver}"
+    for sub in subs:
+        srcs = ([os.path.join(store_root, sub, old_base)] if old_base else []) + [
+            os.path.join(store_root, sub, f"micro_batch={mb}") for mb in fold
+        ]
+        spark.read.parquet(*srcs).write.mode("overwrite").parquet(
+            os.path.join(store_root, sub, new_base)
+        )
+    out = {
+        "version": 1,
+        "base": new_base,
+        "deltas": [mb for mb in manifest.get("deltas", []) if mb >= current],
+    }
+    _write_delta_manifest(store_root, out)
+    for sub in subs:  # best-effort cleanup; failures leave unread orphans
+        for d in ([old_base] if old_base else []) + [
+            f"micro_batch={mb}" for mb in fold
+        ]:
+            shutil.rmtree(os.path.join(store_root, sub, d), ignore_errors=True)
+    return out
+
+
 def stream_cluster_maintenance(
     stream_df: DataFrame,
     base_index: DataFrame,
@@ -272,6 +397,7 @@ def stream_cluster_maintenance(
     bands: int = 8,
     threshold: float = 0.5,
     num_buckets: int = 32,
+    compact_after: int = 8,
 ) -> StreamingQuery:
     """Streaming STANDING-CLUSTER maintenance - the full production
     loop of the incremental dedup family run per micro-batch: arriving
@@ -289,11 +415,19 @@ def stream_cluster_maintenance(
     State layout under ``store_root``: ``idx/micro_batch=N/`` band-
     index deltas and ``docs/micro_batch=N/`` text deltas, each written
     mode("overwrite") so a replayed trigger overwrites its OWN dirs;
-    the label merge is idempotent by the union-find algebra (re-folding
-    the same edges contracts every edge to a self-loop - an empty
-    delta). The labels table lives in ``catalog`` under
-    ``labels_table`` and must be bootstrapped (merge_upsert of the
-    corpus's connected_components) before the stream starts.
+    a ``_manifest.json`` sidecar (atomic tmp+replace) names the read
+    set - the compacted ``base_vK`` dirs plus the open delta tail -
+    and once the tail passes ``compact_after`` triggers, every delta
+    older than the current one folds into the next base, so the
+    per-trigger read set is BOUNDED (base + <= compact_after deltas),
+    not O(#triggers). The label merge is idempotent by the union-find
+    algebra (re-folding the same edges contracts every edge to a
+    self-loop - an empty delta). The labels table lives in ``catalog``
+    under ``labels_table`` and must be bootstrapped (merge_upsert of
+    the corpus's connected_components) before the stream starts.
+    Manifest IO is driver-local-FS (same contract as ParquetCatalog /
+    tokshard); an object-store URI raises up front instead of
+    silently reading an empty store.
 
     Scale/state: foreachBatch holds no streaming state; per-trigger
     cost is screen (batch-proportional) + within-batch pairing +
@@ -310,6 +444,7 @@ def stream_cluster_maintenance(
         minhash_lsh_pairs,
     )
 
+    _require_driver_local(store_root, "stream_cluster_maintenance")
     idx_root = os.path.join(store_root, "idx")
     docs_root = os.path.join(store_root, "docs")
 
@@ -325,26 +460,23 @@ def stream_cluster_maintenance(
             # makes the base frame union-compatible with the two-column
             # text deltas the store holds
             corpus = base_corpus.select(F.col(id_col), F.col(text_col))
-            # earlier triggers' deltas (replay-safe: this trigger's own
-            # dirs are excluded - a replay must not dedup against its
-            # previous, about-to-be-overwritten self)
-            prior = [
-                d for d in (
-                    os.listdir(idx_root) if os.path.isdir(idx_root) else []
-                )
-                if d.startswith("micro_batch=")
-                and int(d.split("=", 1)[1]) < micro_batch
-            ]
-            if prior:
+            # earlier triggers' state, manifest-named (no listing):
+            # the compacted base + the open delta tail, own dirs
+            # excluded - a replay must not dedup against its previous,
+            # about-to-be-overwritten self
+            manifest = _read_delta_manifest(store_root, "idx")
+            idx_paths = _delta_read_paths(
+                store_root, "idx", manifest, micro_batch
+            )
+            doc_paths = _delta_read_paths(
+                store_root, "docs", manifest, micro_batch
+            )
+            if idx_paths:
                 index = index.unionByName(
-                    spark.read.option("basePath", idx_root).parquet(
-                        *[os.path.join(idx_root, d) for d in prior]
-                    ).select(*index.columns)
+                    spark.read.parquet(*idx_paths).select(*index.columns)
                 )
                 corpus = corpus.unionByName(
-                    spark.read.option("basePath", docs_root).parquet(
-                        *[os.path.join(docs_root, d) for d in prior]
-                    ).select(*corpus.columns)
+                    spark.read.parquet(*doc_paths).select(*corpus.columns)
                 )
             cross = incremental_lsh_dedup(
                 bdf, index, corpus, id_col, text_col,
@@ -380,6 +512,22 @@ def stream_cluster_maintenance(
             ).write.mode("overwrite").parquet(
                 os.path.join(docs_root, f"micro_batch={micro_batch}")
             )
+            # commit this trigger into the manifest (idempotent on
+            # replay), then bound the tail: once more than
+            # compact_after OLDER deltas are open, fold them (plus the
+            # old base) into the next base - the current trigger's
+            # delta stays out so a replay's read set is unchanged
+            if micro_batch not in manifest["deltas"]:
+                manifest = {
+                    "version": 1,
+                    "base": manifest.get("base"),
+                    "deltas": sorted(manifest["deltas"] + [micro_batch]),
+                }
+                _write_delta_manifest(store_root, manifest)
+            if len([m for m in manifest["deltas"] if m < micro_batch]) >= compact_after:
+                _compact_delta_store(
+                    spark, store_root, ("idx", "docs"), manifest, micro_batch
+                )
         finally:
             bdf.unpersist()
             for h in handles:

@@ -2873,6 +2873,49 @@ def test_merge_catalog_empty_bootstrap_roundtrip(spark, tmp_path):
     assert cat.read("T").count() == 0
 
 
+def test_read_snapshot_unreadable_nonempty_reraises(spark, tmp_path):
+    """Round-11 (ADVICE r10): the empty-frame fallback is gated on a
+    listing that CONFIRMS zero data files - a snapshot that holds data
+    but fails to read must re-raise, never silently read as an empty
+    table (a merge bootstrapping off that would persist the emptiness
+    as the new version: silent data loss)."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.errors import AnalysisException
+
+    from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    cat.merge_upsert(
+        spark.createDataFrame([(1, "a")], "k long, v string"),
+        "T", ["k"], num_buckets=2,
+    )
+    path = cat.current_path("T")
+    # corrupt the snapshot: replace every parquet data file with
+    # garbage bytes - the dir still HAS data files, so the schema
+    # fallback must not trigger
+    n_corrupted = 0
+    for root, dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith((".", "_")):
+                with open(os.path.join(root, f), "wb") as fh:
+                    fh.write(b"not parquet at all")
+                n_corrupted += 1
+    assert n_corrupted > 0
+    with _pytest.raises(Exception) as ei:
+        cat.read("T").collect()
+    assert not isinstance(ei.value, IndexError)
+    # _has_data_files semantics: markers are not data
+    marker_only = tmp_path / "marker_only"
+    os.makedirs(str(marker_only / "sub"))
+    open(str(marker_only / "_SUCCESS"), "w").close()
+    open(str(marker_only / "sub" / ".hidden.crc"), "w").close()
+    assert not ParquetCatalog._has_data_files(str(marker_only))
+    open(str(marker_only / "sub" / "part-0000.parquet"), "w").close()
+    assert ParquetCatalog._has_data_files(str(marker_only))
+
+
 def test_span_overlap_against_index_semantics(spark):
     """Round-10: the winnow-store screen - an exact dup of a corpus doc
     overlaps 1.0, disjoint vocabulary 0.0, a doc sharing a long run

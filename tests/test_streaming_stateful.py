@@ -542,3 +542,119 @@ def test_stream_cluster_maintenance_matches_full_recluster(spark, tmp_path):
     # two triggers really ran: both delta dirs exist
     idx_dirs = sorted(os.listdir(str(tmp_path / "store" / "idx")))
     assert [d for d in idx_dirs if d.startswith("micro_batch=")], idx_dirs
+    # the manifest names the full read set (no listing on the read path)
+    import json
+
+    with open(str(tmp_path / "store" / "_manifest.json")) as fh:
+        man = json.load(fh)
+    assert sorted(man["deltas"]) == [
+        int(d.split("=", 1)[1]) for d in idx_dirs if d.startswith("micro_batch=")
+    ]
+
+
+def test_stream_cluster_maintenance_compacts_delta_tail(spark, tmp_path):
+    """Round-11 (VERDICT r10 #3): the delta store's per-trigger read
+    set is BOUNDED - with compact_after=1, each trigger folds every
+    older delta into a base_vK dir and drops the folded dirs, yet a
+    duplicate spanning trigger 0 -> trigger 2 (visible only THROUGH
+    the compacted base) still clusters, and the final table equals the
+    full re-cluster."""
+    import json
+    import os
+
+    from ghcrawler_datalake_etl_spark.operators import dedup as D
+    from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
+    from ghcrawler_datalake_etl_spark.streaming.ingest import (
+        stream_cluster_maintenance,
+    )
+
+    def txt(seed, k=12):
+        return " ".join(f"tok{(seed * 7 + j) % 97}" for j in range(k))
+
+    corpus = spark.createDataFrame(
+        [(i, txt(i)) for i in range(8)], "doc_id long, text string"
+    )
+    batches = [
+        [(101, txt(300))],              # trigger 0: fresh content
+        [(201, txt(400))],              # trigger 1: fresh content
+        [(301, txt(300)),               # trigger 2: dup of trigger 0's 101
+         (302, txt(400))],              # ... and of trigger 1's 201
+    ]
+    sdir = str(tmp_path / "in")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(os.path.join(sdir, "f0"))
+
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    base_pairs = D.minhash_lsh_pairs(corpus, "doc_id", "text",
+                                     n=3, num_hashes=16, bands=4)
+    cat.merge_upsert(D.connected_components(base_pairs), "labels",
+                     ["node"], num_buckets=4)
+    index = D.lsh_band_index(corpus, "doc_id", "text",
+                             n=3, num_hashes=16, bands=4)
+    q = stream_cluster_maintenance(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(sdir, "f0")),
+        index, corpus, cat, "labels",
+        str(tmp_path / "store"), str(tmp_path / "ck"),
+        "doc_id", "text", n=3, num_hashes=16, bands=4, num_buckets=4,
+        compact_after=1,
+    )
+    q.awaitTermination()
+    got = {r.node: r.cluster_id for r in cat.read("labels").collect()}
+
+    everything = corpus.unionByName(
+        spark.createDataFrame(
+            [r for b in batches for r in b], "doc_id long, text string"
+        )
+    )
+    full = {
+        r.node: r.cluster_id
+        for r in D.connected_components(
+            D.minhash_lsh_pairs(everything, "doc_id", "text",
+                                n=3, num_hashes=16, bands=4)
+        ).collect()
+    }
+    assert got == full
+    # cross-trigger dups merged THROUGH the compacted base
+    assert got[301] == got[101] and got[302] == got[201]
+    # tail bounded: older deltas folded into a base, folded dirs gone
+    with open(str(tmp_path / "store" / "_manifest.json")) as fh:
+        man = json.load(fh)
+    assert man["base"] is not None
+    assert len(man["deltas"]) <= 2  # current trigger + <= compact_after
+    for sub in ("idx", "docs"):
+        dirs = set(os.listdir(str(tmp_path / "store" / sub)))
+        assert man["base"] in dirs
+        open_deltas = {f"micro_batch={m}" for m in man["deltas"]}
+        stale = {
+            d for d in dirs
+            if d.startswith("micro_batch=") and d not in open_deltas
+        }
+        assert not stale, f"folded delta dirs not cleaned in {sub}: {stale}"
+
+
+def test_stream_cluster_maintenance_rejects_object_store_uri(spark, tmp_path):
+    """The manifest/compaction path is driver-local-FS by contract: an
+    object-store URI must raise up front, not silently read an empty
+    store (ADVICE r10)."""
+    import pytest as _pytest
+
+    from ghcrawler_datalake_etl_spark.streaming.ingest import (
+        stream_cluster_maintenance,
+    )
+
+    import os
+
+    src = tmp_path / "empty_src"
+    os.makedirs(str(src), exist_ok=True)
+    with _pytest.raises(NotImplementedError, match="driver-local"):
+        stream_cluster_maintenance(
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(str(src)),
+            None, None, None, "labels",
+            "s3://bucket/store", str(tmp_path / "ck"),
+            "doc_id", "text",
+        )
