@@ -5820,10 +5820,16 @@ def sketch_bloom_decontaminate(spark, sf_dir):
     decontaminate_eval_overlap query runs."""
     d = _t(spark, sf_dir, "documents")
     # materialize the shingle frame once (the _materialize discipline
-    # from operators/dedup.py): ev, the three bits broadcasts, the
-    # probe pass and the exact join all consume it - without the eager
-    # persist the tokenize+shingle subtree recomputes ~6x (measured
-    # 15.7s -> ~2s at sf0.1)
+    # from operators/dedup.py). Round-11 restructure (VERDICT r10 #4):
+    # the exact-hit join is FOLDED INTO the probe pass - cand is
+    # consumed once and there is ONE aggregate, so sh now has two
+    # consumers (ev build + cand) instead of six. That both speeds the
+    # happy path (one less shuffle + no hits/exact re-join) and
+    # bounds the cache-eviction pathology: if sh's persisted blocks
+    # are displaced under a full loop's storage pressure, the
+    # recompute band is 2 shingle scans, not 6 (the r10 driver bench
+    # read 16.05s - the 6x recompute signature - vs 1.45s idle;
+    # NOTES_r11.md has the root-cause trail)
     sh = d.select("doc_id", DD.shingles(F.col("text"), 3).alias("sh"))
     sh.persist()
     sh.count()
@@ -5834,25 +5840,23 @@ def sketch_bloom_decontaminate(spark, sf_dir):
     bits.persist()
     bits.count()
     cand = sh.filter(~pred).select("doc_id", F.explode("sh").alias("g"))
-    probed = SK.bloom_probe(cand, "g", bits)
-    hits = probed.groupBy("doc_id").agg(
+    probed = SK.bloom_probe(cand, "g", bits).join(
+        ev.select("g", F.lit(1).alias("_ex")), "g", "left"
+    )
+    return probed.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_shingles"),
         F.sum(F.col("bloom_maybe").cast("long"))
         .cast("long")
         .alias("n_bloom_hits"),
-    )
-    exact = (
-        cand.join(ev, "g")
-        .groupBy("doc_id")
-        .agg(F.count("*").cast("long").alias("n_exact_hits"))
-    )
-    n_exact = F.coalesce(F.col("n_exact_hits"), F.lit(0).cast("long"))
-    return hits.join(exact, "doc_id", "left").select(
-        "doc_id",
-        "n_shingles",
-        "n_bloom_hits",
-        n_exact.alias("n_exact_hits"),
-        (F.col("n_bloom_hits") - n_exact).alias("n_false_pos"),
+        F.sum(F.coalesce(F.col("_ex"), F.lit(0)))
+        .cast("long")
+        .alias("n_exact_hits"),
+        (
+            F.sum(F.col("bloom_maybe").cast("long"))
+            - F.sum(F.coalesce(F.col("_ex"), F.lit(0)))
+        )
+        .cast("long")
+        .alias("n_false_pos"),
     )
 
 
