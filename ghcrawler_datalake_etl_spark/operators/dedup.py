@@ -1452,24 +1452,8 @@ def remove_duplicate_substrings(
     winnowing fingerprint pass.
     """
     k = min_tokens
-    base = _materialize(
-        fan_out(df).select(
-            F.col(id_col).alias("doc_id"),
-            tokenize(F.col(text_col)).alias("toks"),
-        )
-    )
-    nwin = F.greatest(F.size("toks") - (k - 1), F.lit(0))
-    gh_arr = F.when(
-        nwin == 0, F.array().cast("array<string>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), nwin),
-            lambda i: F.md5(F.array_join(F.slice(F.col("toks"), i, k), " ")),
-        )
-    )
-    grams = base.select(
-        "doc_id", F.posexplode(gh_arr).alias("pos0", "gh")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gh")
+    base = _substr_base(df, id_col, text_col)
+    grams = _substr_grams(base, k)
     first = grams.groupBy("gh").agg(
         F.min(F.struct("doc_id", "pos")).alias("fst")
     )
@@ -1481,6 +1465,47 @@ def remove_duplicate_substrings(
         )
         .select("doc_id", F.col("pos").alias("j"), F.lit(1).alias("ds"))
     )
+    return _substr_cut(df, base, dup_starts, id_col, k)
+
+
+def _substr_base(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, toks) projection shared by the ExactSubstr family,
+    materialized once (two consumers: window digesting + token rows)."""
+    return _materialize(
+        fan_out(df).select(
+            F.col(id_col).alias("doc_id"),
+            tokenize(F.col(text_col)).alias("toks"),
+        )
+    )
+
+
+def _substr_grams(base: DataFrame, k: int) -> DataFrame:
+    """One row per k-token window: (doc_id, pos, gh) with pos the
+    1-based window start and gh the md5 content digest of the
+    space-joined window tokens (injective - see
+    remove_duplicate_substrings)."""
+    nwin = F.greatest(F.size("toks") - (k - 1), F.lit(0))
+    gh_arr = F.when(
+        nwin == 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), nwin),
+            lambda i: F.md5(F.array_join(F.slice(F.col("toks"), i, k), " ")),
+        )
+    )
+    return base.select(
+        "doc_id", F.posexplode(gh_arr).alias("pos0", "gh")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gh")
+
+
+def _substr_cut(
+    df: DataFrame, base: DataFrame, dup_starts: DataFrame,
+    id_col: str, k: int,
+) -> DataFrame:
+    """Shared removal tail: k-wide running-max coverage over token
+    rows, in-order reassembly, pass-through restore of empty/null
+    docs. ``dup_starts`` is (doc_id, j, ds=1) - the duplicate window
+    START positions."""
     tok_rows = base.select(
         "doc_id", F.posexplode("toks").alias("j0", "tok")
     ).select("doc_id", (F.col("j0") + 1).alias("j"), "tok")
@@ -1519,6 +1544,76 @@ def remove_duplicate_substrings(
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
         )
     )
+
+
+def substring_window_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 50,
+) -> DataFrame:
+    """The STANDING state of cross-document substring removal: the
+    distinct md5 content digest of every ``min_tokens``-token window
+    in ``df`` - one 32-char string per row, parquet-persistable,
+    mergeable by DISTINCT union (the window-granularity sibling of
+    paragraph_hash_index / winnow_index, completing the screen-store
+    family with the Lee et al. REMOVAL grain). Unlike the winnow
+    store this is LINEAR in corpus tokens (every window, not the
+    ~2/(window+1) minima) - the price of removal semantics: the
+    screen must know EVERY seen window, not just a sketch."""
+    k = min_tokens
+    return _substr_grams(
+        _substr_base(df, id_col, text_col), k
+    ).select("gh").distinct()
+
+
+def remove_duplicate_substrings_incremental(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 50,
+) -> DataFrame:
+    """ExactSubstr removal of an ARRIVING batch against a STANDING
+    corpus via its persisted window-digest index
+    (``substring_window_index``): a batch window is cut if its digest
+    is in the store (the corpus saw that exact token run first -
+    whenever it arrived, it arrived earlier) OR an earlier batch
+    position already carried it; covered tokens are removed and
+    survivors reassemble exactly as in the batch operator. Returns
+    the same (doc_id, n_tokens, n_removed, text_clean) shape - and
+    when every corpus id precedes every batch id, the union of the
+    corpus's own ``remove_duplicate_substrings`` with this screen IS
+    the batch operator over the whole collection (the driver oracle
+    pins exactly that identity; a hypothesis property pins it over
+    arbitrary splits).
+
+    100-TB shape: the arriving batch never touches corpus TEXT - only
+    the digest store (one equi-join on the 32-char digest); the daily
+    append is ``substring_window_index(batch)`` unioned DISTINCT into
+    the store, the same delta-append loop the LSH band / paragraph /
+    winnow stores run. Batch-side cost is linear in batch tokens."""
+    k = min_tokens
+    base = _substr_base(batch, id_col, text_col)
+    grams = _substr_grams(base, k)
+    first = grams.groupBy("gh").agg(
+        F.min(F.struct("doc_id", "pos")).alias("fst")
+    )
+    dup_starts = (
+        grams.join(first, "gh")
+        .join(
+            index.select(F.col("gh"), F.lit(1).alias("_in_idx")),
+            "gh",
+            "left",
+        )
+        .filter(
+            F.col("_in_idx").isNotNull()
+            | (F.col("doc_id") != F.col("fst.doc_id"))
+            | (F.col("pos") != F.col("fst.pos"))
+        )
+        .select("doc_id", F.col("pos").alias("j"), F.lit(1).alias("ds"))
+    )
+    return _substr_cut(batch, base, dup_starts, id_col, k)
 
 
 def drop_duplicate_paragraphs(

@@ -2916,6 +2916,64 @@ def test_read_snapshot_unreadable_nonempty_reraises(spark, tmp_path):
     assert ParquetCatalog._has_data_files(str(marker_only))
 
 
+def test_table_changes_emits_cdc_feed(spark, tmp_path):
+    """Round-11 (VERDICT r10 #6): the changefeed EMISSION dual of
+    apply_changes - diffing two snapshot versions yields exactly the
+    insert/update/delete rows, the feed replayed through
+    apply_changes reproduces the target snapshot, and hard-linked
+    (untouched) buckets are never read."""
+    from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    day0 = spark.createDataFrame(
+        [(i, f"v{i}", i * 10) for i in range(20)], "k long, v string, n long"
+    )
+    cat.merge_upsert(day0, "T", ["k"], num_buckets=8)
+    # day 1: update k=3, delete k=7, insert k=100; 17 keys untouched
+    cat.apply_changes(
+        spark.createDataFrame(
+            [(3, "v3x", 30, "U"), (7, None, None, "D"), (100, "new", 1000, "I")],
+            "k long, v string, n long, op string",
+        ),
+        "T", ["k"], num_buckets=8,
+    )
+    feed = cat.table_changes("T", 0, 1)
+    got = {(r.op, r.k): (r.v, r.n) for r in feed.collect()}
+    assert got == {
+        ("U", 3): ("v3x", 30),
+        ("D", 7): ("v7", 70),
+        ("I", 100): ("new", 1000),
+    }
+    # bucket pruning: every scanned file lives in a CHANGED bucket dir
+    from pyspark.sql import functions as F
+
+    keys = spark.createDataFrame([(3,), (7,), (100,)], "k long")
+    changed_buckets = {
+        r[0]
+        for r in keys.select(
+            F.pmod(F.xxhash64("k"), F.lit(8)).cast("int").alias("b")
+        ).collect()
+    }
+    for f in feed.inputFiles():
+        assert "_kb=" in f
+        b = int(f.split("_kb=")[1].split("/")[0])
+        assert b in changed_buckets, f"read untouched bucket {b}"
+    # roundtrip: v0 + feed == v1
+    cat2 = ParquetCatalog(spark, str(tmp_path / "wh2"))
+    cat2.merge_upsert(cat.read("T", version=0), "T", ["k"], num_buckets=8)
+    cat2.apply_changes(feed, "T", ["k"], num_buckets=8)
+    a = sorted((r.k, r.v, r.n) for r in cat2.read("T").collect())
+    b = sorted((r.k, r.v, r.n) for r in cat.read("T", version=1).collect())
+    assert a == b
+    # identical versions -> empty feed; no merge meta -> loud error
+    import pytest as _pytest
+
+    assert cat.table_changes("T", 1, 1).count() == 0
+    cat.overwrite(day0, "P")
+    with _pytest.raises(ValueError, match="merge metadata"):
+        cat.table_changes("P", 0, 0)
+
+
 def test_span_overlap_against_index_semantics(spark):
     """Round-10: the winnow-store screen - an exact dup of a corpus doc
     overlaps 1.0, disjoint vocabulary 0.0, a doc sharing a long run

@@ -1033,6 +1033,48 @@ def test_remove_duplicate_substrings_matches_bruteforce(
 @settings(max_examples=8, deadline=None, derandomize=True)
 @given(
     st.lists(
+        st.lists(st.sampled_from("aa bb cc dd".split()),
+                 min_size=0, max_size=10),
+        min_size=1, max_size=8,
+    ),
+    st.integers(2, 3),
+    st.integers(0, 8),
+)
+def test_incremental_substring_removal_matches_global(
+    spark, token_lists, k, cut
+):
+    """Round-11 (VERDICT r10 #5): for ANY id-threshold split
+    (corpus = ids < cut, batch = ids >= cut), the corpus's own
+    ExactSubstr removal unioned with the batch's screen against the
+    corpus's window-digest store must equal remove_duplicate_substrings
+    over the whole collection - the store IS a sufficient statistic
+    for removal at batch cost."""
+    from ghcrawler_datalake_etl_spark.operators import dedup as D
+
+    docs = {i: t for i, t in enumerate(token_lists)}
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs.items()],
+        "doc_id long, text string",
+    )
+    corpus = df.filter(F.col("doc_id") < cut)
+    batch = df.filter(F.col("doc_id") >= cut)
+    idx = D.substring_window_index(corpus, min_tokens=k)
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+        for r in D.remove_duplicate_substrings(corpus, min_tokens=k)
+        .unionByName(
+            D.remove_duplicate_substrings_incremental(
+                batch, idx, min_tokens=k
+            )
+        )
+        .collect()
+    }
+    assert got == _brute_remove_substrings(docs, k)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    st.lists(
         st.lists(st.sampled_from(["px", "qy", "rz", ""]),
                  min_size=1, max_size=6),
         min_size=1, max_size=8,
