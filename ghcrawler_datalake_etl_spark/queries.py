@@ -2497,6 +2497,391 @@ def dedup_incremental_spans(spark, sf_dir):
     return DD.span_overlap_against_index(batch, store, "doc_id", "text")
 
 
+@register("dedup_incremental_substrings", _remove_substrings_oracle())
+def dedup_incremental_substrings(spark, sf_dir):
+    """Round-11 (VERDICT r10 #5): ExactSubstr REMOVAL of an arriving
+    batch against a STANDING window-digest store
+    (operators/dedup.substring_window_index +
+    remove_duplicate_substrings_incremental) - the removal twin of
+    dedup_incremental_spans, completing the screen-store family at the
+    Lee et al. grain. documents split at the 80% id threshold (arrival
+    order IS id order, so every corpus id precedes every batch id);
+    the corpus's distinct {_SUBSTR_K}-token window content digests are
+    written to parquet, READ BACK, and the batch cuts any window the
+    store holds or an earlier batch position carried - corpus text
+    never re-read, batch-side cost only. The oracle is the GLOBAL
+    remove-substrings window algebra over the whole table: the
+    corpus's own dedup unioned with the screen must equal it exactly
+    (the union identity IS the correctness claim, the same contract
+    dedup_incremental_paragraphs pins at paragraph grain; a hypothesis
+    property pins it over arbitrary splits)."""
+    import re
+
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    # one bounded scalar pull - the split constant
+    cut = (d.agg(F.max("doc_id")).collect()[0][0] or 0) + 1
+    corpus = d.filter(F.col("doc_id") * 5 < 4 * cut)
+    batch = d.filter(F.col("doc_id") * 5 >= 4 * cut)
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    path = _run_tmp(f"substr_idx_{tag}")
+    DD.substring_window_index(
+        corpus, "doc_id", "text", min_tokens=_SUBSTR_K
+    ).write.mode("overwrite").parquet(path)
+    store = spark.read.parquet(path)
+    return DD.remove_duplicate_substrings(
+        corpus, "doc_id", "text", min_tokens=_SUBSTR_K
+    ).unionByName(
+        DD.remove_duplicate_substrings_incremental(
+            batch, store, "doc_id", "text", min_tokens=_SUBSTR_K
+        )
+    )
+
+
+@register(
+    "dim_table_changes",
+    """
+    WITH s0 AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             o_totalprice AS price
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ), s1 AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS price
+      FROM orders WHERE o_orderkey % 4 <> 0
+    )
+    SELECT 'I' AS op, k, status, price FROM s1
+    WHERE k % 3 = 0
+    UNION ALL
+    SELECT 'D' AS op, k, status, price FROM s0
+    WHERE k % 4 = 0
+    UNION ALL
+    SELECT 'U' AS op, k, status, price FROM s1
+    -- the price IS NOT NULL / <> 0 guards mirror the emitter's
+    -- value-diff semantics: doubling NULL or 0 changes nothing, and a
+    -- no-op "update" must not appear in the feed
+    WHERE k % 3 <> 0 AND k % 7 = 0
+      AND price IS NOT NULL AND price <> 0
+    """,
+)
+def dim_table_changes(spark, sf_dir):
+    """Round-11 (VERDICT r10 #6): changefeed EMISSION - the read-side
+    dual of dim_apply_changes (sources/sinks.table_changes, the Delta
+    ``table_changes()`` shape). Snapshot v0 holds orders keys with
+    k % 3 <> 0; a day-1 merge moves the table to keys with k % 4 <> 0
+    and doubles the price where k % 7 = 0 - so the diff carries
+    inserts (k%3=0, k%4<>0), deletes (k%3<>0, k%4=0) and updates
+    (k in both, k%7=0). The feed is emitted by diffing the two
+    RETAINED snapshot versions, bucket-pruned by hardlink file
+    identity (inode-equal untouched buckets are skipped unread). The
+    oracle replays the two snapshot definitions and the three-way
+    set algebra in SQL. Updates carry the post-image; deletes the
+    deleted row - exactly what apply_changes replays (the roundtrip
+    is operator-test-pinned)."""
+    import re
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    s0 = o.filter(k % 3 != 0).select(
+        k.alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    s1 = o.filter(k % 4 != 0).select(
+        k.alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.when(k % 7 == 0, F.col("o_totalprice") * 2)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+    )
+    from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
+
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    cat = ParquetCatalog(spark, _run_tmp(f"tc_wh_{tag}"))
+    cat.merge_upsert(s0, "T", ["k"], num_buckets=16)
+    # day-1 delta: only the rows that change (inserts + updates), plus
+    # the delete keys - a SPARSE merge, so most buckets hard-link and
+    # the emission's pruning has real work to skip
+    delta = s1.filter((F.col("k") % 3 == 0) | (F.col("k") % 7 == 0))
+    dels = s0.select("k").filter(F.col("k") % 4 == 0)
+    cat.merge_upsert(delta, "T", ["k"], num_buckets=16, delete_keys=dels)
+    return cat.table_changes("T", 0, 1)
+
+
+_DAILY_BUDGET = 500  # tokens per shard for the daily-ingest pack stage
+
+
+def _daily_ingest_oracle(
+    chunk: int = _PARA_CHUNK,
+    window: int = 4,
+    num_hashes: int = 32,
+    bands: int = 8,
+    budget: int = _DAILY_BUDGET,
+) -> str:
+    """The composed production-day oracle: every stage's own window
+    algebra (paragraph first-occurrence, winnowing overlap in the
+    63-bit wide space, minhash-LSH band match + exact-Jaccard verify,
+    exclusive-cumsum packing) chained through the SAME cleaned-text
+    coupling the Spark composition runs - the batch's span/LSH/pack
+    stages all operate on the paragraph-screened text."""
+    c1 = chunk - 1
+    w1 = window - 1
+    rows = num_hashes // bands
+    params = DD.minhash_params(num_hashes)
+    params_sql = "[" + ", ".join(
+        f"[{a}::BIGINT, {b}::BIGINT]" for a, b in params
+    ) + "]"
+    p = DD.MINHASH_P
+    wide = "t -> cast(('0x' || substr(md5(t), 1, 15)) AS BIGINT)"
+    return f"""
+    WITH pt AS (
+      SELECT doc_id,
+             coalesce(array_to_string(list_transform(
+               range(1, greatest(len(toks), 1) + 1, {chunk}),
+               i -> coalesce(array_to_string(toks[i:i+{c1}], ' '), '')),
+               chr(10)), '') AS text
+      FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) t
+    ), cutoff AS (SELECT max(doc_id) + 1 AS c FROM documents),
+    p AS (
+      SELECT doc_id, i AS pno, ps[i] AS para
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ps FROM pt),
+           unnest(range(1, len(ps) + 1)) AS u(i)
+    ), r AS (
+      SELECT doc_id, pno, para,
+             (trim(para) = '') AS blank,
+             row_number() OVER (PARTITION BY md5(para)
+                                ORDER BY doc_id, pno) AS rn
+      FROM p
+    ), cleaned AS (
+      SELECT doc_id, count(*) AS n_paras,
+             CAST(sum(CASE WHEN blank OR rn = 1 THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n_paras_dropped,
+             coalesce(string_agg(CASE WHEN blank OR rn = 1 THEN para END,
+                                 chr(10) ORDER BY pno), '') AS text
+      FROM r GROUP BY doc_id
+    ), btoks AS (
+      SELECT c.doc_id, c.n_paras, c.n_paras_dropped,
+             {_TOKS_SQL} AS toks
+      FROM (SELECT doc_id, n_paras, n_paras_dropped, text
+            FROM cleaned, cutoff WHERE doc_id * 5 >= 4 * cutoff.c) c
+    ), cfp AS (
+      SELECT DISTINCT u.f FROM (
+        SELECT list_sort(list_distinct(list_transform(
+          range(1, greatest(len(th) - {w1}, least(len(th), 1)) + 1),
+          i -> list_min(th[i:i+{w1}])))) AS fps
+        FROM (SELECT coalesce(list_transform({_TOKS_SQL}, {wide}),
+                              []::BIGINT[]) AS th
+              FROM documents, cutoff WHERE doc_id * 5 < 4 * cutoff.c)
+      ), unnest(fps) AS u(f)
+    ), brows AS (
+      SELECT doc_id, u.f FROM (
+        SELECT doc_id, list_sort(list_distinct(list_transform(
+          range(1, greatest(len(th) - {w1}, least(len(th), 1)) + 1),
+          i -> list_min(th[i:i+{w1}])))) AS fps
+        FROM (SELECT doc_id, coalesce(list_transform(toks, {wide}),
+                              []::BIGINT[]) AS th FROM btoks)
+      ), unnest(fps) AS u(f)
+    ), span AS (
+      SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+             CAST(sum(CASE WHEN c.f IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hit
+      FROM brows b LEFT JOIN cfp c ON b.f = c.f
+      GROUP BY b.doc_id
+    ), spanrep AS (
+      SELECT bt.doc_id, coalesce(span.n_fps, 0) AS n_fps,
+             floor(CASE WHEN coalesce(span.n_fps, 0) = 0 THEN 0.0
+                        ELSE span.n_hit::DOUBLE / span.n_fps END
+                   * 10000) / 10000 AS overlap_frac
+      FROM btoks bt LEFT JOIN span ON bt.doc_id = span.doc_id
+    ), sig_b AS (
+      SELECT bt.doc_id, {_SH_SQL} AS sh,
+             list_transform({params_sql}, pp ->
+               coalesce(list_min(list_transform({_SH_SQL}, s ->
+                 ((cast(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {p})
+                   * pp[1] + pp[2]) % {p})), {p})) AS sig
+      FROM btoks bt JOIN spanrep sp ON bt.doc_id = sp.doc_id
+      WHERE sp.overlap_frac < 0.5 AND len({_SH_SQL}) > 0
+    ), sig_c AS (
+      SELECT doc_id, sh,
+             list_transform({params_sql}, pp ->
+               coalesce(list_min(list_transform(sh, s ->
+                 ((cast(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {p})
+                   * pp[1] + pp[2]) % {p})), {p})) AS sig
+      FROM (SELECT doc_id, {_SH_SQL} AS sh
+            FROM (SELECT doc_id, {_TOKS_SQL} AS toks
+                  FROM documents, cutoff
+                  WHERE doc_id * 5 < 4 * cutoff.c) t)
+      WHERE len(sh) > 0
+    ), best AS (
+      SELECT batch_id, corpus_id AS dup_of, jaccard FROM (
+        SELECT batch_id, corpus_id, jaccard,
+               row_number() OVER (PARTITION BY batch_id
+                                  ORDER BY corpus_id) AS rn
+        FROM (
+          SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+                 floor(len(list_intersect(b.sh, c.sh))::DOUBLE /
+                       (len(b.sh) + len(c.sh)
+                        - len(list_intersect(b.sh, c.sh)))
+                       * 10000) / 10000 AS jaccard
+          FROM sig_b b, sig_c c
+          WHERE len(list_filter(range(0, {bands}),
+                  bb -> b.sig[bb*{rows}+1 : bb*{rows}+{rows}]
+                      = c.sig[bb*{rows}+1 : bb*{rows}+{rows}])) > 0
+            AND len(list_intersect(b.sh, c.sh))::DOUBLE /
+                (len(b.sh) + len(c.sh)
+                 - len(list_intersect(b.sh, c.sh))) >= 0.5
+        )) WHERE rn = 1
+    ), packed AS (
+      SELECT doc_id,
+             CAST(floor(coalesce(sum(wt) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  / {budget}) AS BIGINT) AS shard_id
+      FROM (SELECT sp.doc_id, len(bt.toks)::DOUBLE AS wt
+            FROM spanrep sp JOIN btoks bt ON sp.doc_id = bt.doc_id
+            WHERE sp.overlap_frac < 0.5
+              AND sp.doc_id NOT IN (SELECT batch_id FROM best))
+    )
+    SELECT bt.doc_id,
+           bt.n_paras,
+           bt.n_paras_dropped,
+           sp.n_fps,
+           sp.overlap_frac,
+           CAST(CASE WHEN sp.overlap_frac >= 0.5 THEN 1 ELSE 0 END
+                AS BIGINT) AS span_dup,
+           coalesce(best.dup_of, -1) AS dup_of,
+           coalesce(best.jaccard, 0.0) AS jaccard,
+           CAST(len(bt.toks) AS BIGINT) AS n_tokens,
+           coalesce(packed.shard_id, -1) AS shard_id
+    FROM btoks bt
+    JOIN spanrep sp ON bt.doc_id = sp.doc_id
+    LEFT JOIN best ON bt.doc_id = best.batch_id
+    LEFT JOIN packed ON bt.doc_id = packed.doc_id
+    """
+
+
+@register("pipeline_daily_ingest", _daily_ingest_oracle())
+def pipeline_daily_ingest(spark, sf_dir):
+    """Round-11 (VERDICT r10 #8 stretch): ONE production day of the
+    standing-state ingest loop, composed end-to-end and oracled as a
+    whole - the demo artifact of the family. An arriving batch (80%
+    id-threshold split; arrival order IS id order) runs:
+
+    1. paragraph screen against the persisted paragraph-hash store
+       (drop_duplicate_paragraphs_incremental) - producing CLEANED
+       text that every later stage consumes (the cross-stage coupling
+       the per-stage oracles cannot pin);
+    2. span-overlap screen of the cleaned text against the persisted
+       63-bit winnowing store; docs with >= 0.5 overlap are dropped;
+    3. minhash-LSH screen of the survivors against the persisted band
+       index (incremental_lsh_dedup: band match -> exact-Jaccard
+       verify >= 0.5, smallest matching corpus id wins);
+    4. token-budget packing of the kept docs into ~_DAILY_BUDGET-token
+       shards (pack_shards exclusive cumsum).
+
+    All three standing stores are written to parquet and READ BACK, so
+    the driver row verifies the full persist->reload->screen plumbing.
+    Returns one row per batch doc with every stage's verdict:
+    (doc_id, n_paras, n_paras_dropped, n_fps, overlap_frac, span_dup,
+    dup_of, jaccard, n_tokens, shard_id) - dropped docs carry
+    dup_of/shard_id = -1. Batch-side cost only at every stage: corpus
+    text is touched exactly once per store build (a standing corpus
+    would have built them on ITS ingest day)."""
+    import re
+
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    toks0 = TX.tokenize(F.col("text"))
+    n_chunks = F.greatest(
+        F.ceil(F.size(toks0) / F.lit(_PARA_CHUNK)).cast("int"), F.lit(1)
+    )
+    para_text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda c: F.array_join(
+                F.slice(toks0, (c - 1) * _PARA_CHUNK + 1, _PARA_CHUNK), " "
+            ),
+        ),
+        "\n",
+    )
+    pdf = d.select("doc_id", para_text.alias("text"))
+    cut = (pdf.agg(F.max("doc_id")).collect()[0][0] or 0) + 1
+    corpus = pdf.filter(F.col("doc_id") * 5 < 4 * cut)
+    batch = pdf.filter(F.col("doc_id") * 5 >= 4 * cut)
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    root = _run_tmp(f"daily_{tag}")
+    # the three standing stores: persisted, then READ BACK
+    DD.paragraph_hash_index(corpus, "doc_id", "text").write.mode(
+        "overwrite"
+    ).parquet(f"{root}/para")
+    DD.winnow_index(corpus, "doc_id", "text").write.mode(
+        "overwrite"
+    ).parquet(f"{root}/winnow")
+    DD.lsh_band_index(
+        corpus, "doc_id", "text", n=3, num_hashes=32, bands=8
+    ).write.mode("overwrite").parquet(f"{root}/lsh")
+    pstore = spark.read.parquet(f"{root}/para")
+    wstore = spark.read.parquet(f"{root}/winnow")
+    lidx = spark.read.parquet(f"{root}/lsh")
+    # stage 1: paragraph screen -> cleaned text (feeds everything)
+    cleaned = DD.drop_duplicate_paragraphs_incremental(
+        batch, pstore, "doc_id", "text", sep="\n"
+    ).select(
+        "doc_id", "n_paras",
+        F.col("n_dropped").alias("n_paras_dropped"),
+        F.col("text_clean").alias("text"),
+    )
+    cleaned.persist()
+    cleaned.count()  # eager: span + LSH + pack + assembly all consume it
+    # stage 2: span screen on the CLEANED text
+    span = DD.span_overlap_against_index(
+        cleaned, wstore, "doc_id", "text", window=4
+    ).select("doc_id", "n_fps", "overlap_frac")
+    span.persist()
+    span.count()
+    surv = cleaned.join(
+        span.filter(F.col("overlap_frac") < 0.5).select("doc_id"),
+        "doc_id", "left_semi",
+    )
+    # stage 3: LSH screen of the survivors vs the standing band index
+    best = DD.incremental_lsh_dedup(
+        surv, lidx, corpus, "doc_id", "text",
+        n=3, num_hashes=32, bands=8, threshold=0.5,
+    )
+    best.persist()
+    best.count()
+    # stage 4: pack the kept docs into ~token-budget shards
+    kept = surv.join(
+        best.select(F.col("batch_id").alias("doc_id")), "doc_id",
+        "left_anti",
+    ).select(
+        "doc_id", F.size(TX.tokenize(F.col("text"))).cast("double").alias("wt")
+    )
+    packed = SP.pack_shards(
+        kept, "doc_id", "wt", _DAILY_BUDGET, materialize=True
+    )
+    return (
+        cleaned.select(
+            "doc_id", "n_paras", "n_paras_dropped",
+            F.size(TX.tokenize(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+        .join(span, "doc_id")
+        .join(
+            best.select(
+                F.col("batch_id").alias("doc_id"), "dup_of", "jaccard"
+            ),
+            "doc_id", "left",
+        )
+        .join(packed.select("doc_id", "shard_id"), "doc_id", "left")
+        .select(
+            "doc_id", "n_paras", "n_paras_dropped", "n_fps", "overlap_frac",
+            (F.col("overlap_frac") >= 0.5).cast("long").alias("span_dup"),
+            F.coalesce("dup_of", F.lit(-1)).cast("long").alias("dup_of"),
+            F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"),
+            "n_tokens",
+            F.coalesce("shard_id", F.lit(-1)).cast("long").alias("shard_id"),
+        )
+    )
+
+
 @register(
     "dedup_simhash_values",
     f"""
@@ -7377,111 +7762,107 @@ def dim_apply_changes(spark, sf_dir):
 # via SPARK_GRAFT_ORACLE_SF_DIR).
 
 _DRIVER_ORDER = [
-    # ============ driver window (first 50): what round 10 verifies ====
-    # Round-10 rotation (VERDICT r9 #1-#8): 27 queries with >=2 green
-    # driver rounds each (EVIDENCE.json) ceded their slots to (a) the
-    # FIVE new round-10 operators (incremental clusters, substring
-    # removal, paragraph dedup, CDC-backed stats table, streaming
-    # cluster maintenance), (b) the two single-green r2 queries plus
-    # the five oldest-evidence queries the verdict named, (c) the nine
-    # newest-r4 extension queries, and (d) the six oldest multi-green
-    # extension queries from the NOTES_r9 re-green plan.
-    # Every incoming query probe_strict-verified green at sf0.01 before
-    # its commit. Ceded: the 17 r9-fresh parity-core rotations (each
-    # holds 3 green rounds; moved to PARITY_CORE_ROTATED_OUT), the six
-    # triple-green [5,8,9] extension keepers (OUT_OF_WINDOW_OK
-    # evidence entries added), and subquery_lineitem_count /
-    # cube_status_priority / q18_large_quantity_orders /
-    # w5_sliding_hour_frame (non-extension, green r1+r9).
-    # -- round-9 single-green newcomers + codec oracles (must stay) --
-    "multimodal_gif_frames",
-    "multimodal_gif_resize",
-    "multimodal_wav_stats",
-    "multimodal_image_features",
-    "sketch_incremental_stats",
-    "dedup_prefix_jaccard",
-    "stream_lsh_dedup",
-    "pack_store_delta_append",
-    "dedup_incremental_index",
-    "sim_ivf_delta_append",
-    # -- round-10 NEW operators: the standing-state family completed
-    #    (incremental connected-components), Lee-et-al exact substring
-    #    removal, Dolma-style corpus-wide paragraph dedup --
+    # ============ driver window (first 50): what round 11 verifies ====
+    # Round-11 rotation (VERDICT r10 #1-#8): the seven single-green
+    # round-10 newcomers stay; TWO new round-11 operators (incremental
+    # ExactSubstr store screen, catalog changefeed emission) take
+    # slots; the 22-query newest-r4 extension cohort and the 6-query
+    # newest-r5 cohort rotate in (VERDICT #2/#7); the remaining 13
+    # slots go to the two queries whose VALUES changed this round
+    # (text_fingerprint - 63-bit winnow space; restructured
+    # sketch_bloom_decontaminate) plus the ten oldest newest-r8
+    # extension queries and pattern_c (the parity-core in-window
+    # representative). Every incoming query probe_strict-verified
+    # green at sf0.01 before its commit; every leaver holds >= 2
+    # green driver rounds (EVIDENCE.json); OUT_OF_WINDOW_OK
+    # regenerated as derived state.
+    # -- round-10 single-green newcomers (must stay) --
     "dedup_incremental_clusters",
     "dedup_remove_substrings",
     "dedup_drop_paragraphs",
-    # -- VERDICT r9 #8 stretch: the standing stats table maintained
-    #    through the CDC merge sink (cedes q18_large_quantity_orders,
-    #    green r1+r9) --
     "sketch_stats_cdc_table",
-    # -- round-10 late addition: the streaming arm of the standing-
-    #    cluster loop (cedes w5_sliding_hour_frame, green r1+r9) --
     "stream_cluster_maintenance",
-    # -- round-10 late addition: the paragraph-granularity standing
-    #    store screen (cedes q3_unshipped_topk, green r1+r9) --
     "dedup_incremental_paragraphs",
-    # -- round-10 late addition: the span-granularity winnow store
-    #    screen (cedes w4_rank_quartiles, green r1+r9) --
     "dedup_incremental_spans",
-    # -- VERDICT r9 #2: the two single-green r2 queries + the five
-    #    oldest-evidence queries (newest r2/r3) --
-    "dedup_exact_groups",
-    "sim_knn_bruteforce",
-    "sample_hash_deterministic",
-    "split_train_valid_test",
-    "dedup_span_first_occurrence",
-    "text_fingerprint",
-    "multimodal_frames",
-    # -- newest-r4 extension cohort (green r2/r3+r4, 6 rounds old) --
-    "corpus_source_report",
-    "decontaminate_eval_overlap",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_values",
-    "embedding_quantize_int8",
-    "multimodal_audio_chunks",
-    "multimodal_features",
-    "pipeline_dedup_shards",
-    # -- NOTES_r9/VERDICT #6 oldest multi-green extension set --
-    "dedup_minhash_lsh",
-    "dedup_keep_best_quality",
-    "pack_token_shards",
-    "sim_ivf_kmeans_topk",
-    "sim_knn_graph",
-    "text_bigram_logprob",
-    # -- keepers (15): the [1,9] two-green r9 window members get a
-    #    third green round; j8 keeps the edit-distance family,
-    #    stream twins keep streaming, pattern_c keeps patterns --
-    "j8_edit_distance2_join",
-    "stream_windowed_counts",
-    "stream_static_enrich",
-    "w1_maxby_latest_event_per_user",
-    "a5_distinct_count_two_stage",
-    "asof_next_purchase",
-    "agg_value_percentiles",
-    "pivot_user_event_matrix",
-    "w3_lag_event_gaps",
-    "setop_user_cohorts",
-    "pattern_c_collection_refresh",
-    # ---------------- position 51+: past the driver window ----------
-    # Everything below holds >=2 green driver rounds (most 3) in
-    # EVIDENCE.json; extension-prefixed names have OUT_OF_WINDOW_OK
-    # entries in tests/test_registry_order.py, parity-core names sit in
-    # PARITY_CORE_ROTATED_OUT there. Sorted for diff stability.
-    "a1_collect_reassembly",
-    "a4_union_all_agg",
-    "agg_rollup_daily",
-    "asof_last_purchase",
-    "corpus_fertility_by_lang",
+    # -- round-11 NEW operators: incremental ExactSubstr screen
+    #    (VERDICT #5) + changefeed emission (VERDICT #6) --
+    "dedup_incremental_substrings",
+    "dim_table_changes",
+    # -- newest-r4 extension cohort (VERDICT #2, 7 rounds old) --
     "corpus_vocabulary_topk",
-    "cube_status_priority",
-    "dedup_clusters",
     "dedup_minhash_clusters",
     "dedup_semantic_prune",
-    "dim_apply_changes",
+    "pipeline_chunk_dedup_pack",
+    "pipeline_training_data",
+    "sample_eval_carve",
+    "sample_stratified_by_lang",
+    "sample_target_mix",
+    "search_bm25_topk",
+    "sim_ann_lsh",
+    "sim_ivf_topk",
+    "sim_kmeans_assign",
+    "sim_knn_int8_dot",
+    "sim_knn_pandas_gemm",
+    "text_chunk_windows",
+    "text_gopher_filter",
+    "text_lang_id",
+    "text_quality_score",
+    "text_redact_pii",
+    "text_repetition_metrics",
+    "text_stats",
+    "text_unigram_logprob",
+    # -- newest-r5 cohort (VERDICT #7) --
+    "pipeline_quality_mix_pack",
+    "sample_dsir_select",
+    "sample_top_share_quality",
+    "text_bpe_encode",
+    "text_bpe_pair_stats",
+    "text_quality_classifier",
+    # -- changed-this-round re-greens + oldest newest-r8 fills +
+    #    the parity-core representative --
+    "text_fingerprint",
+    "sketch_bloom_decontaminate",
     "dim_scd2_user_state",
     "dq_validate_orders",
     "embedding_random_projection",
+    "jsonl_round_trip",
+    "layout_compact_roundtrip",
+    "layout_zorder_buckets",
+    "multimodal_audio_stats",
+    "multimodal_phash_pairs",
+    "orc_catalog_roundtrip",
+    "pattern_c_collection_refresh",
+    # -- round-11 late flagship: the composed production-day loop
+    #    (VERDICT #8 stretch; cedes pack_store_roundtrip, green r5+r8) --
+    "pipeline_daily_ingest",
+    # ---------------- position 51+: past the driver window ----------
+    # Everything below holds >= 2 green driver rounds in EVIDENCE.json;
+    # extension-prefixed names have OUT_OF_WINDOW_OK entries in
+    # tests/test_registry_order.py, parity-core names sit in
+    # PARITY_CORE_ROTATED_OUT there. Sorted for diff stability.
+    "a1_collect_reassembly",
+    "a4_union_all_agg",
+    "a5_distinct_count_two_stage",
+    "agg_rollup_daily",
+    "agg_value_percentiles",
+    "asof_last_purchase",
+    "asof_next_purchase",
+    "corpus_fertility_by_lang",
+    "corpus_source_report",
+    "cube_status_priority",
+    "decontaminate_eval_overlap",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_exact_groups",
+    "dedup_incremental_index",
+    "dedup_keep_best_quality",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_prefix_jaccard",
+    "dedup_simhash_values",
+    "dedup_span_first_occurrence",
+    "dim_apply_changes",
+    "embedding_quantize_int8",
     "f10_greatest_last_touched",
     "f1_json_extract",
     "f3_pii_pseudonymize",
@@ -7494,79 +7875,73 @@ _DRIVER_ORDER = [
     "j5_salted_skew_join",
     "j6_bloom_prefilter_join",
     "j7_edit_distance_join",
-    "jsonl_round_trip",
-    "layout_compact_roundtrip",
-    "layout_zorder_buckets",
+    "j8_edit_distance2_join",
     "locf_fill_forward",
-    "multimodal_audio_stats",
-    "multimodal_phash_pairs",
-    "orc_catalog_roundtrip",
+    "multimodal_audio_chunks",
+    "multimodal_features",
+    "multimodal_frames",
+    "multimodal_gif_frames",
+    "multimodal_gif_resize",
+    "multimodal_image_features",
+    "multimodal_wav_stats",
     "p1_eq_filter",
     "p2_like_filter",
     "p3_isin_filter",
     "p5_string_predicates",
+    "pack_store_delta_append",
     "pack_store_roundtrip",
+    "pack_token_shards",
     "pattern_a_snapshot_upsert",
     "pattern_b_array_child",
     "pattern_d_traffic_series",
     "pattern_e_version_log",
-    "pipeline_chunk_dedup_pack",
-    "pipeline_quality_mix_pack",
+    "pipeline_dedup_shards",
     "pipeline_tokenize_pack",
-    "pipeline_training_data",
+    "pivot_user_event_matrix",
     "q18_large_quantity_orders",
     "q1_pricing_summary",
     "q3_unshipped_topk",
     "range_interval_join",
-    "sample_dsir_select",
-    "sample_eval_carve",
+    "sample_hash_deterministic",
     "sample_pps_systematic",
-    "sample_stratified_by_lang",
-    "sample_target_mix",
     "sample_temperature_mix",
-    "sample_top_share_quality",
-    "search_bm25_topk",
     "search_tfidf_cosine",
     "sessionize_events",
-    "sim_ann_lsh",
-    "sim_ivf_topk",
-    "sim_kmeans_assign",
-    "sim_knn_int8_dot",
-    "sim_knn_pandas_gemm",
+    "setop_user_cohorts",
+    "sim_ivf_delta_append",
+    "sim_ivf_kmeans_topk",
+    "sim_knn_bruteforce",
+    "sim_knn_graph",
     "sim_pq_adc_topk",
-    "sketch_bloom_decontaminate",
     "sketch_cms_heavy_hitters",
     "sketch_histogram_quantiles",
     "sketch_hll_distinct",
     "sketch_hll_merge",
+    "sketch_incremental_stats",
     "sketch_kmv_distinct",
     "sketch_kmv_overlap",
+    "split_train_valid_test",
     "stream_dedup_ingest",
     "stream_hll_distinct",
     "stream_interval_join",
+    "stream_lsh_dedup",
+    "stream_static_enrich",
+    "stream_windowed_counts",
     "subquery_lineitem_count",
-    "text_bpe_encode",
+    "text_bigram_logprob",
     "text_bpe_encode_ids",
-    "text_bpe_pair_stats",
-    "text_chunk_windows",
     "text_clean_lines",
-    "text_gopher_filter",
-    "text_lang_id",
     "text_perplexity_buckets",
-    "text_quality_classifier",
-    "text_quality_score",
-    "text_redact_pii",
-    "text_repetition_metrics",
-    "text_stats",
-    "text_unigram_logprob",
     "timeseries_gap_fill",
     "timeseries_max_concurrency",
-    "w4_rank_quartiles",
-    "w5_sliding_hour_frame",
     "topk_orders_per_segment",
     "tsv_round_trip",
     "w1_latest_event_per_user",
+    "w1_maxby_latest_event_per_user",
     "w2_distinct_keys",
+    "w3_lag_event_gaps",
+    "w4_rank_quartiles",
+    "w5_sliding_hour_frame",
     "x3_posexplode_tokens",
 ]
 

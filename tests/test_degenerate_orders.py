@@ -36,6 +36,11 @@ ORDERS_ONLY = [
     # edit-distance join: NULL names never pair, ""/"b" pair through
     # the identity variant, and a genuine distance-1 name pair
     "j7_edit_distance_join",
+    # round-11 changefeed emission: the NULL-price key (4) rides the
+    # delete arm carrying its NULL, key 7 is a genuine update, and
+    # keys 3/6 insert (6 with NULL date/priority outside the
+    # projection) - the full-outer diff must stay null-safe throughout
+    "dim_table_changes",
 ]
 
 

@@ -95,6 +95,14 @@ DOC_ONLY = [
     # batch docs report 0 fps / 0.0, the exact-dup batch doc (9)
     # overlaps its corpus twin (0) at 1.0
     "dedup_incremental_spans",
+    # round-11: the window-digest standing-store screen (removal
+    # grain) - NULL/empty batch docs pass through untouched, the
+    # batch dup of doc 0 (9) cuts through the persisted store
+    "dedup_incremental_substrings",
+    # round-11: the composed production-day loop - every stage must
+    # survive NULL/empty/whitespace docs on both split sides and the
+    # exact-dup pairs must trip the paragraph/span/LSH screens
+    "pipeline_daily_ingest",
 ]
 
 
