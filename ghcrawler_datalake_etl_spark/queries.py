@@ -2537,6 +2537,12 @@ def dedup_incremental_substrings(spark, sf_dir):
     )
 
 
+# invocation counter for dim_table_changes' per-run warehouses
+import itertools as _itertools  # noqa: E402
+
+_TC_SEQ = _itertools.count()
+
+
 @register(
     "dim_table_changes",
     """
@@ -2596,8 +2602,13 @@ def dim_table_changes(spark, sf_dir):
     )
     from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
 
+    # fresh warehouse PER INVOCATION: a rerun (bench min-of-2) into the
+    # same catalog would march the version counter past retention and
+    # the v0-vs-v1 diff below would raise; overwrite-idempotence is not
+    # enough for versioned state
     tag = re.sub(r"\W+", "_", sf_dir).strip("_")
-    cat = ParquetCatalog(spark, _run_tmp(f"tc_wh_{tag}"))
+    seq = next(_TC_SEQ)
+    cat = ParquetCatalog(spark, _run_tmp(f"tc_wh_{tag}_{seq}"))
     cat.merge_upsert(s0, "T", ["k"], num_buckets=16)
     # day-1 delta: only the rows that change (inserts + updates), plus
     # the delete keys - a SPARSE merge, so most buckets hard-link and
