@@ -19,6 +19,25 @@ from pyspark.sql import functions as F
 ColumnOrName = Column | str
 
 
+def require_driver_local(path: str, what: str) -> None:
+    """Guard for components whose metadata lives behind driver-side
+    file ops (ParquetCatalog pointers/metadata/hardlinks, tokshard and
+    streaming-delta manifests): on an object-store URI those ops would
+    SILENTLY see an empty store (os.listdir/os.path.isfile return
+    nothing) instead of failing - so fail loudly up front. ``file://``
+    is allowed (callers strip it); port the metadata IO to the Hadoop
+    FileSystem API to lift the restriction."""
+    import re
+
+    m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", path)
+    if m and m.group(1).lower() != "file":
+        raise NotImplementedError(
+            f"{what} requires a driver-local filesystem path; got "
+            f"{path!r}. Route the store through a mounted/local path, "
+            "or port the manifest IO to the Hadoop FileSystem API."
+        )
+
+
 def _path(col: ColumnOrName) -> Column:
     return F.col(col) if isinstance(col, str) else col
 

@@ -49,6 +49,16 @@ class ParquetCatalog:
             raise ValueError(
                 f"data_format must be 'parquet' or 'orc', got {data_format!r}"
             )
+        # version pointers, merge metadata, hardlink relinking and
+        # vacuum all run through driver-side file ops; on an object-
+        # store URI those would silently see an empty warehouse (the
+        # same failure mode the streaming delta store guards against) -
+        # fail loudly at construction instead
+        from ghcrawler_datalake_etl_spark.functions.core import (
+            require_driver_local,
+        )
+
+        require_driver_local(warehouse, "ParquetCatalog")
         self.spark = spark
         self.warehouse = warehouse
         self.retain = max(1, retain)

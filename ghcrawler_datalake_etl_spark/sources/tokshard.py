@@ -90,6 +90,15 @@ def next_shard_index(path: str) -> int:
     from one listing of the shard files (fallback: stores written
     before the manifest existed, or whose maintainer never ran
     write_store_manifest)."""
+    from ghcrawler_datalake_etl_spark.functions.core import (
+        require_driver_local,
+    )
+
+    # on an object-store URI both the manifest probe and the listing
+    # fallback silently read empty -> index 0 would overwrite standing
+    # shards even under exclusive=True (os.path.exists is just as
+    # blind); fail loudly instead
+    require_driver_local(path, "tokshard store")
     mpath = os.path.join(path, MANIFEST)
     if os.path.isfile(mpath):
         with open(mpath) as fh:

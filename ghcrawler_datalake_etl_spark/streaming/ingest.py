@@ -261,22 +261,9 @@ def stream_incremental_dedup(
 DELTA_MANIFEST = "_manifest.json"
 
 
-def _require_driver_local(path: str, what: str) -> None:
-    """The delta-store manifest and compaction run through driver-side
-    file ops (open/os.replace - the same contract as ParquetCatalog and
-    tokshard). On an object-store URI those ops would SILENTLY see an
-    empty store (os.listdir/os.path.isfile return nothing) and
-    cross-trigger duplicates would quietly fail to cluster - fail
-    loudly instead. ``file://`` is allowed (stripped by callers)."""
-    import re
-
-    m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", path)
-    if m and m.group(1).lower() != "file":
-        raise NotImplementedError(
-            f"{what} requires a driver-local filesystem path; got "
-            f"{path!r}. Route the store through a mounted/local path, "
-            "or port the manifest IO to the Hadoop FileSystem API."
-        )
+from ghcrawler_datalake_etl_spark.functions.core import (  # noqa: E402
+    require_driver_local as _require_driver_local,
+)
 
 
 def _read_delta_manifest(store_root: str, sub: str) -> dict:

@@ -626,6 +626,53 @@ def test_remove_substrings_plan_shape(spark, queries):
     assert "partial_min" in p, p  # first-occurrence combines map-side
 
 
+def test_incremental_substrings_plan_shape(spark, queries):
+    """Round-11: the store-screen twin keeps the batch operator's
+    contract - pure JVM, no cartesian/nested-loop pair-up, map-side
+    first-occurrence - and the store probe is an equi-join on the
+    digest (a hash or sort-merge join, never a broadcast nested
+    loop)."""
+    p = plan(queries["dedup_incremental_substrings"](spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "InPandas" not in p, p
+    assert "partial_min" in p, p
+    assert "HashJoin" in p or "SortMergeJoin" in p, p
+
+
+def test_table_changes_reads_only_changed_buckets(spark, tmp_path):
+    """Round-11: changefeed emission's scan set is the CHANGED buckets
+    only - a sparse one-key update against a 16-bucket table must
+    plan a diff whose input files all live under one bucket dir per
+    side, and the join is a key equi-join (no nested loop)."""
+    from pyspark.sql import functions as F
+
+    from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    base = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    cat.merge_upsert(base, "T", ["k"], num_buckets=16)
+    cat.merge_upsert(
+        spark.createDataFrame([(7, 1000)], "k long, v long"),
+        "T", ["k"], num_buckets=16,
+    )
+    feed = cat.table_changes("T", 0, 1)
+    bucket = (
+        spark.createDataFrame([(7,)], "k long")
+        .select(F.pmod(F.xxhash64("k"), F.lit(16)).cast("int").alias("b"))
+        .collect()[0][0]
+    )
+    files = feed.inputFiles()
+    assert files, "diff read no files"
+    assert all(f"_kb={bucket}/" in f for f in files), files
+    p = feed._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
 def test_drop_paragraphs_plan_shape(spark, queries):
     """Round-10: paragraph dedup is one md5-keyed window (paragraph
     text never shuffles as a key - only its digest) plus one groupBy
