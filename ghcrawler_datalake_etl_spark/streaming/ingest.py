@@ -114,6 +114,111 @@ def stream_upsert_snapshot(
     )
 
 
+def _merge_and_emit_changes(
+    catalog,
+    bdf: DataFrame,
+    micro_batch: int,
+    name: str,
+    key_cols: list[str],
+    feed_root: str,
+    op_col: str,
+    seq_col: str | None,
+    num_buckets: int,
+) -> None:
+    """One trigger of stream_apply_changes_feed: apply the micro-batch
+    CDC rows to the merged table, then emit the version diff to
+    ``feed_root/micro_batch=N``. Replay-safe via a per-trigger version
+    ledger in the feed manifest (the Delta txnVersion idiom): a trigger
+    already in the ledger SKIPS the merge (re-merging would mint a
+    spurious version whose self-diff is empty, and the overwrite would
+    ERASE the first attempt's feed rows) and re-emits the recorded
+    from/to diff instead - crash at any point between the merge and
+    the checkpoint commit replays to the identical feed."""
+    import os
+
+    man = _read_delta_manifest(feed_root, "feed")
+    ledger = man.setdefault("txn", {})
+    key = str(micro_batch)
+    if key not in ledger:
+        pre = catalog._current_version(name)
+        catalog.apply_changes(
+            bdf, name, key_cols, op_col=op_col, seq_col=seq_col,
+            num_buckets=num_buckets,
+        )
+        post = catalog._current_version(name)
+        ledger[key] = {"from": pre, "to": post}
+        _write_delta_manifest(feed_root, man)
+    rec = ledger[key]
+    out = os.path.join(feed_root, f"micro_batch={micro_batch}")
+    try:
+        feed = (
+            catalog.table_changes(name, rec["from"], rec["to"], op_col=op_col)
+            if rec["from"] is not None
+            else catalog.read(name, version=rec["to"]).selectExpr(
+                f"'I' AS {op_col}", "*"
+            )
+        )
+    except FileNotFoundError:
+        # the diff's versions were vacuumed - only possible when LATER
+        # triggers already merged, which the checkpoint only commits
+        # after this trigger's feed write completed: the existing dir
+        # IS the emitted feed, keep it (re-raise if it is missing -
+        # that would be real state loss, not a replay)
+        if os.path.isdir(out):
+            return
+        raise
+    feed.write.mode("overwrite").parquet(out)
+
+
+def stream_apply_changes_feed(
+    stream: DataFrame,
+    catalog,
+    name: str,
+    key_cols: list[str],
+    feed_root: str,
+    checkpoint: str,
+    op_col: str = "op",
+    seq_col: str | None = None,
+    num_buckets: int = 32,
+) -> StreamingQuery:
+    """Streaming CDC maintenance WITH downstream change emission - the
+    full loop the stats/cluster tables run, closed on the read side:
+    each micro-batch of (op, key, row) rows applies to the merged
+    table (bucket-pruned apply_changes), and the resulting version
+    diff is emitted to ``feed_root/micro_batch=N`` as an I/U/D feed a
+    downstream consumer subscribes to WITHOUT rescanning snapshots
+    (table_changes - hardlink-pruned, so emission cost scales with
+    the changed fraction).
+
+    Exactly-once feed under replay: the per-trigger version ledger in
+    the feed manifest records (from, to) BEFORE the checkpoint
+    commits; a replayed trigger skips the merge and re-emits the
+    recorded diff (see _merge_and_emit_changes). Requires the
+    catalog's retain >= 2 (the default) so the pre-merge version
+    survives until its diff is emitted. Bootstrap (no table yet)
+    emits the whole first snapshot as inserts.
+
+    Concatenating every feed dir and replaying it through
+    apply_changes onto the pre-stream snapshot reproduces the final
+    table - the roundtrip contract the operator test pins."""
+    _require_driver_local(feed_root, "stream_apply_changes_feed")
+
+    def _apply(bdf: DataFrame, micro_batch: int) -> None:
+        if not bdf.head(1):
+            return
+        _merge_and_emit_changes(
+            catalog, bdf, micro_batch, name, list(key_cols), feed_root,
+            op_col, seq_col, num_buckets,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",

@@ -636,6 +636,116 @@ def test_stream_cluster_maintenance_compacts_delta_tail(spark, tmp_path):
         assert not stale, f"folded delta dirs not cleaned in {sub}: {stale}"
 
 
+def test_stream_apply_changes_feed_roundtrip(spark, tmp_path):
+    """Round-11: streaming CDC maintenance with per-trigger changefeed
+    emission - the final table equals the sequential batch apply, the
+    CONCATENATED feeds replayed onto the pre-stream snapshot reproduce
+    it (the roundtrip contract), and a replayed trigger re-emits the
+    identical feed without minting a spurious version."""
+    import os
+
+    from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
+    from ghcrawler_datalake_etl_spark.streaming.ingest import (
+        _merge_and_emit_changes,
+        stream_apply_changes_feed,
+    )
+
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    cat.merge_upsert(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "k long, v string"
+        ),
+        "T", ["k"], num_buckets=4,
+    )
+    t1 = [(3, "v3x", "U"), (100, "new", "I"), (7, None, "D")]
+    t2 = [(100, "newer", "U"), (4, None, "D"), (200, "fresh", "I")]
+    sdir = str(tmp_path / "in")
+    for rows in (t1, t2):
+        spark.createDataFrame(rows, "k long, v string, op string").coalesce(
+            1
+        ).write.mode("append").parquet(sdir)
+    feed_root = str(tmp_path / "feed")
+    q = stream_apply_changes_feed(
+        spark.readStream.schema("k long, v string, op string")
+        .option("maxFilesPerTrigger", 1).parquet(sdir),
+        cat, "T", ["k"], feed_root, str(tmp_path / "ck"), num_buckets=4,
+    )
+    q.awaitTermination()
+
+    # (a) final table == sequential batch apply on a twin
+    twin = ParquetCatalog(spark, str(tmp_path / "wh2"))
+    twin.merge_upsert(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "k long, v string"
+        ),
+        "T", ["k"], num_buckets=4,
+    )
+    for rows in (t1, t2):
+        twin.apply_changes(
+            spark.createDataFrame(rows, "k long, v string, op string"),
+            "T", ["k"], num_buckets=4,
+        )
+    got = sorted((r.k, r.v) for r in cat.read("T").collect())
+    assert got == sorted((r.k, r.v) for r in twin.read("T").collect())
+
+    # (b) concatenated feeds replayed onto the PRE-stream snapshot
+    # reproduce the final table (feeds are per-trigger; replay in
+    # trigger order)
+    replay = ParquetCatalog(spark, str(tmp_path / "wh3"))
+    replay.merge_upsert(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "k long, v string"
+        ),
+        "T", ["k"], num_buckets=4,
+    )
+    feed_dirs = sorted(
+        (int(d.split("=", 1)[1]), d)
+        for d in os.listdir(feed_root)
+        if d.startswith("micro_batch=")
+    )
+    assert len(feed_dirs) == 2
+    for _, d in feed_dirs:
+        replay.apply_changes(
+            spark.read.parquet(os.path.join(feed_root, d)),
+            "T", ["k"], num_buckets=4,
+        )
+    assert got == sorted((r.k, r.v) for r in replay.read("T").collect())
+
+    # (c) replayed LAST trigger (the only one the checkpoint contract
+    # can replay): same feed, no spurious version
+    ver_before = cat._current_version("T")
+    feed1 = os.path.join(feed_root, feed_dirs[1][1])
+    before = sorted(
+        (r.op, r.k, r.v) for r in spark.read.parquet(feed1).collect()
+    )
+    _merge_and_emit_changes(
+        cat,
+        spark.createDataFrame(t2, "k long, v string, op string"),
+        feed_dirs[1][0], "T", ["k"], feed_root, "op", None, 4,
+    )
+    assert cat._current_version("T") == ver_before
+    assert before == sorted(
+        (r.op, r.k, r.v) for r in spark.read.parquet(feed1).collect()
+    )
+    # ... and a replay of an OLD trigger whose versions were vacuumed
+    # keeps its existing feed dir untouched instead of erasing it
+    feed0 = os.path.join(feed_root, feed_dirs[0][1])
+    before0 = sorted(
+        (r.op, r.k, r.v) for r in spark.read.parquet(feed0).collect()
+    )
+    _merge_and_emit_changes(
+        cat,
+        spark.createDataFrame(t1, "k long, v string, op string"),
+        feed_dirs[0][0], "T", ["k"], feed_root, "op", None, 4,
+    )
+    assert cat._current_version("T") == ver_before
+    assert before0 == sorted(
+        (r.op, r.k, r.v) for r in spark.read.parquet(feed0).collect()
+    )
+    # the deleted key's feed row carries op 'D' with the old value
+    assert ("D", 7, "v7") in before0
+
+
 def test_stream_cluster_maintenance_rejects_object_store_uri(spark, tmp_path):
     """The manifest/compaction path is driver-local-FS by contract: an
     object-store URI must raise up front, not silently read an empty
