@@ -93,7 +93,12 @@ def bench_incremental_merge(spark, n_docs: int = 150_000):
             stage_json(spark, path, os.path.join(root, "staging"), day)
 
         for mode, incremental in (("full", False), ("merge", True)):
-            catalog = ParquetCatalog(spark, os.path.join(root, f"wh_{mode}"))
+            # retain=3 on the merge warehouse keeps all three versions
+            # alive for the changefeed-emission arms below
+            catalog = ParquetCatalog(
+                spark, os.path.join(root, f"wh_{mode}"),
+                retain=3 if incremental else 2,
+            )
             run_daily(
                 spark, os.path.join(root, "staging"), "2024-01-05",
                 catalog, specs=(spec_for("Repo"),), incremental=incremental,
@@ -112,6 +117,18 @@ def bench_incremental_merge(spark, n_docs: int = 150_000):
         out["n_docs"] = n_docs
         out["n_delta_keys_dense"] = 400
         out["n_delta_keys_sparse"] = 6
+        # round-11 changefeed-emission arms: table_changes diffs two
+        # retained versions of the 150k-row merged table. The sparse
+        # diff (6-key day) must cost a fraction of the dense one (400
+        # keys -> most buckets rewritten): hardlink identity skips
+        # inode-equal buckets unread, so emission scales with the
+        # CHANGED fraction - the mechanism, measured, not just pinned.
+        t0 = time.perf_counter()
+        out["tc_dense_rows"] = catalog.table_changes("Repo", 0, 1).count()
+        out["tc_dense_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        out["tc_sparse_rows"] = catalog.table_changes("Repo", 1, 2).count()
+        out["tc_sparse_sec"] = round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out

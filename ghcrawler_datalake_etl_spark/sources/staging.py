@@ -99,6 +99,12 @@ def stage_json(
     )
     (
         staged.write.mode("overwrite")
+        # per-write override, NOT session-conf reliance: under the
+        # static default a vanilla session's re-stage of day N would
+        # silently TRUNCATE every other day's partition (found round-11
+        # while probing under a plain SparkSession.builder session -
+        # the factory session masked it)
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("ingest_date")
         .parquet(staging_path)
     )

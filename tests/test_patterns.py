@@ -215,6 +215,28 @@ def test_staging_partition_swap_idempotent(spark, warehouse):
     assert day2.filter("entity_name = 'commit'").count() == 2
 
 
+def test_staging_swap_is_dynamic_under_static_session(
+    spark, tmp_path_factory
+):
+    """Round-11: the partition swap must be a PER-WRITE property of
+    stage_json, not a session-conf accident - under a session whose
+    partitionOverwriteMode is the static default, staging day 2 must
+    not truncate day 1's partition (found while probing under a plain
+    SparkSession.builder session: every earlier day silently
+    vanished)."""
+    root = tmp_path_factory.mktemp("staticstage")
+    raw1, raw2 = str(root / "d1"), str(root / "d2")
+    write_docs(raw1, DAY1)
+    write_docs(raw2, DAY2)
+    staging = str(root / "staging")
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    stage_json(s2, raw1, staging, "2024-01-01")
+    stage_json(s2, raw2, staging, "2024-01-02")
+    assert read_staging(s2, staging, "2024-01-01").count() == len(DAY1)
+    assert read_staging(s2, staging, "2024-01-02").count() == len(DAY2)
+
+
 def test_pattern_a_latest_wins(spark, warehouse):
     catalog, _ = warehouse
     got = rows(catalog, "Commit", "CommitSha", "CommitMessage", "StatsAdditions")
