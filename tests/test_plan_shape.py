@@ -90,7 +90,13 @@ def test_parity_paths_have_no_python(spark, queries):
                  # generation is the same Arrow-batched signature
                  # pandas_udf as dedup_minhash_clusters; the fold
                  # itself (contract + propagate + relabel) is pure JVM
-                 "dedup_incremental_clusters"}
+                 "dedup_incremental_clusters",
+                 # round-11 composed daily flagship: its LSH-screen
+                 # stage rides the same Arrow-batched signature
+                 # pandas_udf as dedup_incremental_index; paragraph/
+                 # span/pack stages are pure JVM (plan counted 0
+                 # BatchEvalPython / 0 InPandas beyond the sig nodes)
+                 "pipeline_daily_ingest"}
     for name, fn in entrymod.queries().items():
         p = plan(fn(spark, SF_DIR), "simple")
         assert "BatchEvalPython" not in p, f"{name}: row-at-a-time Python UDF"
