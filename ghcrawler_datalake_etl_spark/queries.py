@@ -2619,6 +2619,169 @@ def dim_table_changes(spark, sf_dir):
     return cat.table_changes("T", 0, 1)
 
 
+# invocation counter for stream_changefeed_emission's per-run state
+_CFE_SEQ = _itertools.count()
+
+
+@register(
+    "stream_changefeed_emission",
+    """
+    WITH o AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS pr
+      FROM orders WHERE o_orderkey IS NOT NULL
+    ), f0 AS (
+      -- trigger 0 = diff(v0, v1): day-1 CDC applied to the base table
+      SELECT CAST(0 AS BIGINT) AS micro_batch, 'I' AS op, k,
+             st AS status, pr AS price
+      FROM o WHERE k % 3 = 0
+      UNION ALL
+      -- the price guards mirror the emitter's value-diff semantics:
+      -- doubling NULL or 0 changes nothing -> no feed row
+      SELECT 0, 'U', k, st, pr * 2 FROM o
+      WHERE k % 3 <> 0 AND k % 7 = 0 AND pr IS NOT NULL AND pr <> 0
+      UNION ALL
+      SELECT 0, 'D', k, st, pr FROM o
+      WHERE k % 3 <> 0 AND k % 4 = 0 AND k % 7 <> 0
+    ), s1 AS (
+      -- the table state after day-1 (no-op updates still land, they
+      -- just do not change values): inserts k%3=0, deletes k%4=0&k%7<>0,
+      -- doubled price where k%7=0
+      SELECT k, st,
+             CASE WHEN k % 3 <> 0 AND k % 7 = 0 THEN pr * 2
+                  ELSE pr END AS pr1
+      FROM o WHERE k % 3 = 0 OR NOT (k % 4 = 0 AND k % 7 <> 0)
+    ), f1 AS (
+      -- trigger 1 = diff(v1, v2): re-inserts of day-1-deleted keys,
+      -- status flips, deletes
+      SELECT CAST(1 AS BIGINT) AS micro_batch, 'I' AS op, k,
+             st AS status, pr + 1 AS price
+      FROM o
+      WHERE k % 3 <> 0 AND k % 4 = 0 AND k % 7 <> 0 AND k % 9 = 0
+        AND k % 5 <> 0
+      UNION ALL
+      -- a status already 'X' makes the CDC row a whole-row no-op the
+      -- emitter drops (the row carries the current price by design)
+      SELECT 1, 'U', k, 'X', pr1 FROM s1
+      WHERE k % 11 = 0 AND k % 5 <> 0 AND st IS DISTINCT FROM 'X'
+      UNION ALL
+      SELECT 1, 'D', k, st, pr1 FROM s1 WHERE k % 5 = 0
+    )
+    SELECT * FROM f0 UNION ALL SELECT * FROM f1
+    """,
+)
+def stream_changefeed_emission(spark, sf_dir):
+    """Round-11: the streaming CDC loop CLOSED on the read side
+    (streaming/ingest.stream_apply_changes_feed) - each micro-batch of
+    (op, key, row) rows applies to the merged table through the
+    bucket-pruned apply_changes, and the resulting version diff is
+    emitted to ``feed_root/micro_batch=N`` via the hardlink-pruned
+    table_changes, so a downstream consumer subscribes to table
+    changes without rescanning snapshots (the Delta CDF
+    ``readChangeFeed`` shape; exactly-once under replay via the feed
+    manifest's per-trigger version ledger - operator-test-pinned).
+
+    Two CDC days arrive as two SEQUENTIAL availableNow runs over the
+    same source dir + checkpoint (day-2 files land between runs - the
+    restart-driven ingestion shape; trigger order is deterministic,
+    not mtime-dependent). Day 1 inserts the k%3=0 orders keys, doubles
+    the price where k%7=0 and deletes k%4=0 (k%7<>0) keys; day 2
+    re-inserts a slice of the day-1 deletions at price+1, flips status
+    to 'X' where k%11=0 and deletes k%5=0 keys. The oracle replays the
+    snapshot algebra: each trigger's feed is the exact I/U/D set
+    algebra between consecutive states, no-op updates excluded."""
+    import os
+    import re
+
+    from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
+    from ghcrawler_datalake_etl_spark.streaming.ingest import (
+        stream_apply_changes_feed,
+    )
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey").isNotNull())
+    k = F.col("o_orderkey")
+    st = F.col("o_orderstatus")
+    pr = F.col("o_totalprice")
+    base = o.filter(k % 3 != 0).select(
+        k.alias("k"), st.alias("status"), pr.alias("price")
+    )
+    c1 = (
+        o.filter(k % 3 == 0)
+        .select(
+            F.lit("I").alias("op"), k.alias("k"), st.alias("status"),
+            pr.alias("price"),
+        )
+        .unionByName(
+            o.filter((k % 3 != 0) & (k % 7 == 0)).select(
+                F.lit("U").alias("op"), k.alias("k"), st.alias("status"),
+                (pr * 2).alias("price"),
+            )
+        )
+        .unionByName(
+            o.filter((k % 3 != 0) & (k % 4 == 0) & (k % 7 != 0)).select(
+                F.lit("D").alias("op"), k.alias("k"), st.alias("status"),
+                pr.alias("price"),
+            )
+        )
+    )
+    # day-2 rows are computed against the post-day-1 state: pr1 is the
+    # standing price, memb1 the standing key set
+    pr1 = F.when((k % 3 != 0) & (k % 7 == 0), pr * 2).otherwise(pr)
+    memb1 = (k % 3 == 0) | (~((k % 4 == 0) & (k % 7 != 0)))
+    c2 = (
+        o.filter(
+            (k % 3 != 0) & (k % 4 == 0) & (k % 7 != 0)
+            & (k % 9 == 0) & (k % 5 != 0)
+        )
+        .select(
+            F.lit("I").alias("op"), k.alias("k"), st.alias("status"),
+            (pr + 1).alias("price"),
+        )
+        .unionByName(
+            o.filter(memb1 & (k % 11 == 0) & (k % 5 != 0)).select(
+                F.lit("U").alias("op"), k.alias("k"),
+                F.lit("X").alias("status"), pr1.alias("price"),
+            )
+        )
+        .unionByName(
+            o.filter(memb1 & (k % 5 == 0)).select(
+                F.lit("D").alias("op"), k.alias("k"), st.alias("status"),
+                pr1.alias("price"),
+            )
+        )
+    )
+    # fresh per-invocation state: versioned warehouse + feed ledger +
+    # checkpoint (the dim_table_changes lesson - reruns into the same
+    # catalog march versions past retention)
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    seq = next(_CFE_SEQ)
+    root = _run_tmp(f"cfe_{tag}_{seq}")
+    cat = ParquetCatalog(spark, os.path.join(root, "wh"))
+    cat.merge_upsert(base, "T", ["k"], num_buckets=16)
+    sdir = os.path.join(root, "in")
+    feed_root = os.path.join(root, "feed")
+    ck = os.path.join(root, "ck")
+    cdc_schema = "op string, k bigint, status string, price double"
+    for day in (c1, c2):
+        day.coalesce(1).write.mode("append").parquet(sdir)
+        stream_apply_changes_feed(
+            spark.readStream.schema(cdc_schema).parquet(sdir),
+            cat, "T", ["k"], feed_root, ck, num_buckets=16,
+        ).awaitTermination()
+    # an all-empty orders fixture produces zero-row micro-batches the
+    # sink skips - a quiet day is an empty feed, not a read error
+    if not os.path.isdir(feed_root) or not any(
+        f.startswith("micro_batch=") for f in os.listdir(feed_root)
+    ):
+        return spark.createDataFrame(
+            [], "micro_batch bigint, op string, k bigint, "
+            "status string, price double"
+        )
+    return spark.read.parquet(feed_root).select(
+        F.col("micro_batch").cast("bigint").alias("micro_batch"),
+        "op", "k", "status", "price",
+    )
+
+
 _DAILY_BUDGET = 500  # tokens per shard for the daily-ingest pack stage
 
 
@@ -7796,9 +7959,12 @@ _DRIVER_ORDER = [
     "dedup_incremental_paragraphs",
     "dedup_incremental_spans",
     # -- round-11 NEW operators: incremental ExactSubstr screen
-    #    (VERDICT #5) + changefeed emission (VERDICT #6) --
+    #    (VERDICT #5) + changefeed emission (VERDICT #6) + the
+    #    streaming CDC loop closed on the read side (emission per
+    #    micro-batch; cedes orc_catalog_roundtrip, green r4+r5+r8) --
     "dedup_incremental_substrings",
     "dim_table_changes",
+    "stream_changefeed_emission",
     # -- newest-r4 extension cohort (VERDICT #2, 7 rounds old) --
     "corpus_vocabulary_topk",
     "dedup_minhash_clusters",
@@ -7841,7 +8007,6 @@ _DRIVER_ORDER = [
     "layout_zorder_buckets",
     "multimodal_audio_stats",
     "multimodal_phash_pairs",
-    "orc_catalog_roundtrip",
     "pattern_c_collection_refresh",
     # -- round-11 late flagship: the composed production-day loop
     #    (VERDICT #8 stretch; cedes pack_store_roundtrip, green r5+r8) --
@@ -7895,6 +8060,7 @@ _DRIVER_ORDER = [
     "multimodal_gif_resize",
     "multimodal_image_features",
     "multimodal_wav_stats",
+    "orc_catalog_roundtrip",
     "p1_eq_filter",
     "p2_like_filter",
     "p3_isin_filter",

@@ -41,6 +41,12 @@ ORDERS_ONLY = [
     # keys 3/6 insert (6 with NULL date/priority outside the
     # projection) - the full-outer diff must stay null-safe throughout
     "dim_table_changes",
+    # round-11 streaming changefeed: keys 3/6 insert on trigger 0,
+    # key 7 is a genuine doubled-price update, key 4 deletes carrying
+    # its NULL price, and trigger 1's only live arm is the k%5=0
+    # delete (key 5) - two real triggers over a 7-row table, feeds
+    # emitted through the same null-safe diff
+    "stream_changefeed_emission",
 ]
 
 
