@@ -554,6 +554,114 @@ def clean_lines(col: ColumnOrName) -> Column:
     return F.filter(lines, _keep)
 
 
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    sep: str = "\n",
+    min_docs: int = 2,
+    min_frac: float = 0.3,
+) -> DataFrame:
+    """Corpus-FREQUENCY boilerplate removal (the RefinedWeb/CCNet
+    line-dedup shape, per-domain): a line is boilerplate when it
+    appears (trimmed-exact) in at least ``min_docs`` distinct documents
+    AND at least ``min_frac`` of the documents of the SAME
+    ``source_col`` group - navigation menus, cookie banners, copyright
+    footers. EVERY occurrence of a boilerplate line is removed
+    (unlike :func:`~...dedup.drop_duplicate_paragraphs`, which keeps
+    the first); rarer cross-doc repeats below the frequency threshold
+    survive untouched. Blank lines (empty after trim) are document
+    structure and always pass through. Complements :func:`clean_lines`
+    (within-document heuristics, no corpus statistics).
+
+    Returns (doc_id, n_lines, n_dropped, text_clean) for every input
+    document (NULL text behaves as '').
+
+    Scale: the frequency pass shuffles only (source, line-digest,
+    doc_id) coordinates - two-phase partial-distinct aggregation, line
+    TEXT never rides that shuffle; per-source doc totals are a
+    dimension-sized aggregate joined by broadcast. The boilerplate set
+    itself is broadcast back for the marking join: the ``min_frac``
+    threshold bounds it to ~lines_per_doc / min_frac distinct lines
+    per source, so marking never shuffles the corpus - the only
+    corpus-wide shuffle is the doc_id reassembly groupBy. NULL sources
+    form their own group (null-safe joins throughout).
+    """
+    import re as _re
+
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("src"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep))
+        ).alias("lno0", "line"),
+    ).select(
+        "doc_id",
+        "src",
+        (F.col("lno0") + 1).alias("lno"),
+        "line",
+        F.md5(F.trim(F.col("line"))).alias("dig"),
+        (F.trim(F.col("line")) == "").alias("blank"),
+    )
+    src_docs = df.groupBy(F.col(source_col).alias("bsrc")).agg(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    freq = (
+        lines.filter(~F.col("blank"))
+        .select("src", "dig", "doc_id")
+        .groupBy("src", "dig")
+        .agg(F.countDistinct("doc_id").alias("line_df"))
+    )
+    boiler = (
+        freq.join(
+            F.broadcast(src_docs),
+            freq["src"].eqNullSafe(src_docs["bsrc"]),
+            "left",
+        )
+        .filter(
+            (F.col("line_df") >= F.lit(int(min_docs)))
+            & (
+                F.col("line_df").cast("double")
+                >= F.lit(float(min_frac)) * F.col("n_docs")
+            )
+        )
+        .select(
+            F.col("src").alias("bsrc2"),
+            F.col("dig").alias("bdig"),
+            F.lit(True).alias("__boiler"),
+        )
+    )
+    marked = lines.join(
+        F.broadcast(boiler),
+        lines["src"].eqNullSafe(boiler["bsrc2"])
+        & (lines["dig"] == boiler["bdig"]),
+        "left",
+    )
+    keep = F.col("blank") | F.col("__boiler").isNull()
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(keep, 0).otherwise(1))
+            .cast("long")
+            .alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct("lno", "line"))
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias("text_clean"),
+        )
+        .select("doc_id", "n_lines", "n_dropped", "text_clean")
+    )
+
+
 #: memo for use_cache=True driver-strategy trainings: (plan
 #: semanticHash, text_col, num_merges) -> (merges, vocab rows). Plain
 #: Python state like clustering._FIT_CACHE - holds the bounded

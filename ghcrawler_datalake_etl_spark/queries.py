@@ -2374,6 +2374,97 @@ def dedup_drop_paragraphs(spark, sf_dir):
     return DD.drop_duplicate_paragraphs(pdf, "doc_id", "text", sep="\n")
 
 
+def _boilerplate_oracle(
+    chunk: int = _PARA_CHUNK, min_docs: int = 2, min_frac: float = 0.3
+) -> str:
+    c1 = chunk - 1
+    return f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             'site ' || coalesce(source, '') || ' navigation menu' ||
+             chr(10) ||
+             coalesce(array_to_string(list_transform(
+               range(1, greatest(len(toks), 1) + 1, {chunk}),
+               i -> coalesce(array_to_string(toks[i:i+{c1}], ' '), '')),
+               chr(10)), '') ||
+             chr(10) || 'copyright ' || coalesce(source, '') ||
+             ' all rights reserved' AS text
+      FROM (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents) t
+    ), l AS (
+      SELECT doc_id, source, i AS lno, ls[i] AS line,
+             (trim(ls[i]) = '') AS blank
+      FROM (SELECT doc_id, source, string_split(text, chr(10)) AS ls
+            FROM base),
+           unnest(range(1, len(ls) + 1)) AS u(i)
+    ), spd AS (
+      SELECT source, count(DISTINCT doc_id) AS n_docs
+      FROM base GROUP BY source
+    ), b AS (
+      SELECT f.source, f.dig FROM (
+        SELECT source, md5(trim(line)) AS dig,
+               count(DISTINCT doc_id) AS line_df
+        FROM l WHERE NOT blank GROUP BY 1, 2
+      ) f JOIN spd ON f.source IS NOT DISTINCT FROM spd.source
+      WHERE line_df >= {min_docs}
+        AND line_df >= {min_frac}::DOUBLE * n_docs
+    )
+    SELECT l.doc_id, count(*) AS n_lines,
+           CAST(sum(CASE WHEN blank OR b.dig IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_dropped,
+           coalesce(string_agg(CASE WHEN blank OR b.dig IS NULL
+                                    THEN l.line END,
+                               chr(10) ORDER BY l.lno), '') AS text_clean
+    FROM l LEFT JOIN b
+      ON l.source IS NOT DISTINCT FROM b.source
+      AND md5(trim(l.line)) = b.dig
+    GROUP BY l.doc_id
+    """
+
+
+@register("text_boilerplate_lines", _boilerplate_oracle())
+def text_boilerplate_lines(spark, sf_dir):
+    """Round-11: corpus-FREQUENCY boilerplate removal per source group
+    (operators/text.remove_boilerplate_lines - the RefinedWeb/CCNet
+    line-frequency filter): a line repeated in >= 30% (and >= 2) of a
+    source's documents is boilerplate and EVERY occurrence drops -
+    navigation menus, cookie banners, copyright footers - while rarer
+    cross-doc repeats survive (the exact opposite keep-rule of
+    dedup_drop_paragraphs, which keeps first occurrences of
+    arbitrarily rare dups). The synthetic corpus has no line structure
+    or boilerplate, so the query derives both: each doc becomes a
+    per-source header line + {_PARA_CHUNK}-token body chunks + a
+    per-source footer line. The operator must drop exactly the
+    header/footer in every multi-doc source (df = 100% of the source)
+    and keep the bodies - including the handful of naturally-repeated
+    body chunks (df=2 of 25 docs at sf0.01: below threshold, the
+    frequency rule's whole point). Single-doc sources keep everything
+    (the min_docs floor)."""
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    toks = TX.tokenize(F.col("text"))
+    n_chunks = F.greatest(
+        F.ceil(F.size(toks) / F.lit(_PARA_CHUNK)).cast("int"), F.lit(1)
+    )
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda c: F.array_join(
+                F.slice(toks, (c - 1) * _PARA_CHUNK + 1, _PARA_CHUNK), " "
+            ),
+        ),
+        "\n",
+    )
+    src = F.coalesce(F.col("source"), F.lit(""))
+    line_text = F.concat(
+        F.lit("site "), src, F.lit(" navigation menu\n"),
+        body,
+        F.lit("\ncopyright "), src, F.lit(" all rights reserved"),
+    )
+    pdf = d.select("doc_id", "source", line_text.alias("text"))
+    return TX.remove_boilerplate_lines(
+        pdf, "doc_id", "text", "source", min_docs=2, min_frac=0.3
+    )
+
+
 @register("dedup_incremental_paragraphs", _drop_paragraphs_oracle())
 def dedup_incremental_paragraphs(spark, sf_dir):
     """Round-10: paragraph dedup of an arriving batch against a
@@ -7965,6 +8056,10 @@ _DRIVER_ORDER = [
     "dedup_incremental_substrings",
     "dim_table_changes",
     "stream_changefeed_emission",
+    # -- round-11 NEW operator: corpus-frequency boilerplate removal
+    #    (RefinedWeb/CCNet line filter; cedes jsonl_round_trip,
+    #    green r5+r8) --
+    "text_boilerplate_lines",
     # -- newest-r4 extension cohort (VERDICT #2, 7 rounds old) --
     "corpus_vocabulary_topk",
     "dedup_minhash_clusters",
@@ -8002,7 +8097,6 @@ _DRIVER_ORDER = [
     "dim_scd2_user_state",
     "dq_validate_orders",
     "embedding_random_projection",
-    "jsonl_round_trip",
     "layout_compact_roundtrip",
     "layout_zorder_buckets",
     "multimodal_audio_stats",
@@ -8052,6 +8146,7 @@ _DRIVER_ORDER = [
     "j6_bloom_prefilter_join",
     "j7_edit_distance_join",
     "j8_edit_distance2_join",
+    "jsonl_round_trip",
     "locf_fill_forward",
     "multimodal_audio_chunks",
     "multimodal_features",

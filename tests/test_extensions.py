@@ -1140,6 +1140,57 @@ def test_clean_lines_c4_rules(spark):
     assert rows[2] == []  # NULL text = no lines
 
 
+def test_remove_boilerplate_lines_semantics(spark):
+    """Corpus-frequency boilerplate removal (round-11): a line in >=
+    min_frac of a source's docs drops EVERYWHERE (including its first
+    occurrence - the opposite keep-rule of paragraph dedup), repeats
+    below the threshold survive in full, blanks pass through, a NULL
+    source forms its own group, and a single-doc source keeps
+    everything via the min_docs floor."""
+    from ghcrawler_datalake_etl_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+
+    rows = [
+        # source "a": 3 docs; "MENU" in all 3 (boilerplate), "rare
+        # repeat" in 2 of 3 (66% >= 50% -> also boilerplate), "once"
+        # unique; doc 12 carries a blank structural line
+        (10, "a", "MENU\nbody ten\nrare repeat"),
+        (11, "a", "MENU\nrare repeat\nbody eleven"),
+        (12, "a", "MENU\n\nbody twelve"),
+        # source "b": the SAME "MENU" text, but only 1 of 3 docs -> b's
+        # group statistics keep it (frequency is per-source)
+        (20, "b", "MENU\nbody twenty"),
+        (21, "b", "body twenty one\ndup below floor"),
+        (22, "b", "dup below floor\nbody twenty two"),
+        # NULL source: its own group, single doc -> min_docs floor
+        (30, None, "MENU\nalone"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in remove_boilerplate_lines(
+            spark.createDataFrame(
+                rows, "doc_id long, source string, text string"
+            ),
+            min_docs=2,
+            min_frac=0.5,
+        ).collect()
+    }
+    assert out[10].text_clean == "body ten"
+    assert out[10].n_lines == 3 and out[10].n_dropped == 2
+    assert out[11].text_clean == "body eleven"
+    # blank line survives as structure
+    assert out[12].text_clean == "\nbody twelve"
+    assert out[12].n_dropped == 1
+    # source b: MENU is 1/3 of b's docs -> kept; "dup below floor" is
+    # 2/3 (66% >= 50%) -> dropped from BOTH docs, first occurrence too
+    assert out[20].text_clean == "MENU\nbody twenty"
+    assert out[21].text_clean == "body twenty one"
+    assert out[22].text_clean == "body twenty two"
+    # NULL-source single doc keeps everything (min_docs floor)
+    assert out[30].text_clean == "MENU\nalone"
+    assert out[30].n_dropped == 0
+
 
 def test_target_mix_sample_exact_proportions(spark):
     """The carve's composition equals the target mixture (up to the

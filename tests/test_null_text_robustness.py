@@ -103,6 +103,12 @@ DOC_ONLY = [
     # survive NULL/empty/whitespace docs on both split sides and the
     # exact-dup pairs must trip the paragraph/span/LSH screens
     "pipeline_daily_ingest",
+    # round-11: corpus-frequency boilerplate removal - the NULL-source
+    # doc forms its own 1-doc group (min_docs floor keeps everything),
+    # the 7-doc "web" group drops its synthesized header/footer, the
+    # 2-doc "news" group drops them at exactly the min_docs floor, and
+    # the df=2 duplicate bodies (0/9, 6/7) stay below the 30% line
+    "text_boilerplate_lines",
 ]
 
 
