@@ -413,6 +413,74 @@ def tfidf_cosine_topk(
     return scored.orderBy(F.desc("score"), "doc_id").limit(top_k)
 
 
+def hybrid_rrf_topk(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: float = 60.0,
+    top_k: int = 10,
+    weights: list[float] | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N retrieval
+    rankings - the standard hybrid-retrieval combiner (BM25 + dense,
+    or any mix): ``rrf = sum_i w_i / (k + rank_i)`` over the lists
+    that retrieved the id; absent lists contribute nothing. Rank-based
+    fusion needs no score calibration between modalities, which is
+    exactly why it is the production default for lexical+vector
+    hybrids.
+
+    Each input frame carries (``id_col``, ``rank_col``) - the top-N of
+    one retriever with deterministic ranks (quantized-score-desc, id).
+    Returns (id, n_lists, rrf_score) ranked by (quantized score desc,
+    id), limited to ``top_k``.
+
+    Determinism: contributions fold in LIST-INDEX order (the same
+    sorted-struct fold the BM25 score uses), so the double sum is
+    bit-reproducible across engines; the score quantizes before
+    ranking.
+
+    Scale: inputs are already distributed top-Ns (TakeOrderedAndProject
+    / windowed rank filters), so fusion touches O(top_n x lists) rows -
+    candidate-set sized, never corpus-sized.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    w = [1.0] * len(rankings) if weights is None else [float(x) for x in weights]
+    if len(w) != len(rankings):
+        raise ValueError("weights must match rankings length")
+    tagged = None
+    for i, r in enumerate(rankings):
+        t = r.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(i).alias("li"),
+            F.col(rank_col).cast("long").alias("rnk"),
+            F.lit(w[i]).alias("w"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    fused = (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lists"),
+            F.array_sort(
+                F.collect_list(F.struct("li", F.col("rnk"), F.col("w")))
+            ).alias("_parts"),
+        )
+        .select(
+            "doc_id",
+            "n_lists",
+            quantize(
+                F.aggregate(
+                    F.col("_parts"),
+                    F.lit(0.0),
+                    lambda acc, p: acc + p["w"] / (F.lit(float(k)) + p["rnk"]),
+                ),
+                6,
+            ).alias("rrf_score"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(top_k)
+
+
 def bigram_logprob(
     df: DataFrame,
     id_col: str,

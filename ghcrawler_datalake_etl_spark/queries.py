@@ -4748,6 +4748,101 @@ def search_tfidf_cosine(spark, sf_dir):
     )
 
 
+def _hybrid_rrf_oracle(
+    depth: int = 50, rrf_k: float = 60.0, top_k: int = 10
+) -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    WITH base AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    lens AS (SELECT doc_id, len(toks) AS dl FROM base),
+    tf AS (
+      SELECT b.doc_id, t.term, count(*) AS tf
+      FROM base b, unnest(b.toks) AS t(term)
+      WHERE t.term IN ({terms})
+      GROUP BY b.doc_id, t.term),
+    consts AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM lens),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT tf.doc_id, tf.term,
+             ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf::DOUBLE
+                  + 1.2 * (0.25 + 0.75 * l.dl
+                           / (c.total_dl::DOUBLE / c.n_docs))) AS contrib
+      FROM tf
+      JOIN dfreq d USING (term)
+      CROSS JOIN consts c
+      JOIN lens l ON l.doc_id = tf.doc_id),
+    bm AS (
+      SELECT doc_id,
+             floor(list_reduce(list(contrib ORDER BY term),
+                               (a, b) -> a + b) * 10000) / 10000 AS score
+      FROM contrib GROUP BY doc_id),
+    bmr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+      FROM bm ORDER BY score DESC, doc_id LIMIT {depth}),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS vec,
+                 sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                              x -> x*x))) AS nrm
+          FROM embeddings),
+    dnr AS (
+      SELECT neighbor_id AS doc_id, rank AS rnk FROM (
+        SELECT c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 ORDER BY floor(list_dot_product(q.vec, c.vec)
+                                / (q.nrm * c.nrm) * 1000000) / 1000000
+                            DESC,
+                          c.vec_id ASC) AS rank
+        FROM v q, v c
+        WHERE q.vec_id = 0 AND c.vec_id <> 0) t
+      WHERE rank <= {depth}),
+    u AS (
+      SELECT doc_id, 0 AS li, rnk FROM bmr
+      UNION ALL
+      SELECT doc_id, 1 AS li, rnk FROM dnr),
+    f AS (
+      SELECT doc_id, count(*)::BIGINT AS n_lists,
+             floor(list_reduce(
+               list_prepend(0.0,
+                 list(1.0::DOUBLE / ({rrf_k}::DOUBLE + rnk) ORDER BY li)),
+               (a, b) -> a + b) * 1000000) / 1000000 AS rrf_score
+      FROM u GROUP BY doc_id)
+    SELECT doc_id, n_lists, rrf_score
+    FROM f ORDER BY rrf_score DESC, doc_id LIMIT {top_k}
+    """
+
+
+@register("search_hybrid_rrf", _hybrid_rrf_oracle())
+def search_hybrid_rrf(spark, sf_dir):
+    """Round-11: HYBRID retrieval - BM25 lexical top-50 fused with
+    dense cosine top-50 by reciprocal-rank fusion
+    (operators/search.hybrid_rrf_topk, Cormack et al. 2009;
+    rrf = sum 1/(60 + rank)). The production lexical+vector combiner:
+    rank-based fusion needs no score calibration between modalities.
+    The dense list ranks the corpus against doc 0's embedding
+    (vec_id == doc_id by construction); docs retrieved by BOTH lists
+    outrank single-list hits. Each list's ranks are deterministic
+    (quantized score desc, id), contributions fold in list-index
+    order, and the fused score quantizes before the final rank - the
+    full bit-reproducibility discipline of the underlying retrievers,
+    carried through the fusion."""
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    e = _t(spark, sf_dir, "embeddings")
+    bm = SR.bm25_topk(d, "doc_id", "text", list(_BM25_TERMS), top_k=50)
+    bmr = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), "doc_id"))
+        .alias("rank"),
+    )
+    dense = SIM.cosine_topk(
+        e, e.filter(F.col("vec_id") == 0), "vec_id", "embedding", k=50
+    )
+    dnr = dense.select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return SR.hybrid_rrf_topk([bmr, dnr], k=60.0, top_k=10)
+
+
 @register(
     "text_bigram_logprob",
     f"""
@@ -8060,6 +8155,10 @@ _DRIVER_ORDER = [
     #    (RefinedWeb/CCNet line filter; cedes jsonl_round_trip,
     #    green r5+r8) --
     "text_boilerplate_lines",
+    # -- round-11 NEW operator: hybrid BM25+dense retrieval fused by
+    #    reciprocal-rank fusion (cedes layout_zorder_buckets,
+    #    green r5+r8) --
+    "search_hybrid_rrf",
     # -- newest-r4 extension cohort (VERDICT #2, 7 rounds old) --
     "corpus_vocabulary_topk",
     "dedup_minhash_clusters",
@@ -8098,7 +8197,6 @@ _DRIVER_ORDER = [
     "dq_validate_orders",
     "embedding_random_projection",
     "layout_compact_roundtrip",
-    "layout_zorder_buckets",
     "multimodal_audio_stats",
     "multimodal_phash_pairs",
     "pattern_c_collection_refresh",
@@ -8147,6 +8245,7 @@ _DRIVER_ORDER = [
     "j7_edit_distance_join",
     "j8_edit_distance2_join",
     "jsonl_round_trip",
+    "layout_zorder_buckets",
     "locf_fill_forward",
     "multimodal_audio_chunks",
     "multimodal_features",

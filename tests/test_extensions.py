@@ -1192,6 +1192,43 @@ def test_remove_boilerplate_lines_semantics(spark):
     assert out[30].n_dropped == 0
 
 
+def test_hybrid_rrf_fusion_semantics(spark):
+    """RRF fusion (round-11): ids in both lists outrank single-list
+    ids at similar depth, absent lists contribute exactly nothing,
+    weights scale per-list contributions, and the score is the pinned
+    1/(k+rank) fold."""
+    from ghcrawler_datalake_etl_spark.operators.search import (
+        hybrid_rrf_topk,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(2, 1), (4, 2)], "doc_id long, rank long"
+    )
+    out = {r.doc_id: r for r in hybrid_rrf_topk([a, b], k=60.0).collect()}
+    # doc 2: rank 2 in a + rank 1 in b -> 1/62 + 1/61
+    assert out[2].n_lists == 2
+    assert abs(out[2].rrf_score - (1 / 62 + 1 / 61)) < 1e-6
+    # doc 1: only list a, rank 1 -> 1/61; beats doc 4 (1/62)
+    assert out[1].n_lists == 1
+    assert abs(out[1].rrf_score - 1 / 61) < 1e-6
+    ranked = sorted(out.values(), key=lambda r: -r.rrf_score)
+    assert [r.doc_id for r in ranked] == [2, 1, 3, 4] or [
+        r.doc_id for r in ranked
+    ] == [2, 1, 4, 3]
+    # both-lists doc 2 on top
+    assert ranked[0].doc_id == 2
+    # weights: zeroing list b removes doc 4 entirely from the scoring
+    wout = {
+        r.doc_id: r.rrf_score
+        for r in hybrid_rrf_topk([a, b], k=60.0, weights=[1.0, 0.0]).collect()
+    }
+    assert abs(wout[2] - 1 / 62) < 1e-6
+    assert wout[4] == 0.0
+
+
 def test_target_mix_sample_exact_proportions(spark):
     """The carve's composition equals the target mixture (up to the
     documented integer floors), the binding group is fully consumed,
