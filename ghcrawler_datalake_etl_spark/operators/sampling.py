@@ -346,6 +346,55 @@ def hash_split(
     return df.withColumn(out_col, split_column(key_col, weights, seed))
 
 
+def cluster_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    seed: int = 42,
+    node_col: str = "node",
+    cluster_col: str = "cluster_id",
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe dataset splitting: every document splits by its
+    DEDUP-CLUSTER representative, not its own id, so near-duplicates
+    (minhash clusters, exact-dup groups, ...) can never straddle a
+    train/eval boundary - the contamination mode plain
+    :func:`hash_split` cannot see (two near-identical docs hash
+    independently and land in different splits). Docs absent from
+    ``clusters`` are their own singleton group and split by their id.
+
+    ``clusters`` carries (``node_col``, ``cluster_col``) - the
+    connected-components labels frame (dedup.connected_components /
+    the standing cluster table). Returns ``df`` plus ``split_key``
+    (the id the bucket was computed from), ``clustered`` (whether a
+    cluster label was found) and ``out_col``.
+
+    Scale: one equi-join of the corpus against the labels table on the
+    doc id (at 100 TB: the standing labels table is merge-bucketed on
+    ``node``, so the join co-locates / prunes; the mapping is NOT
+    broadcast - it is corpus-sized), then a narrow hash projection.
+    All split-stability properties of hash_split carry over, now at
+    cluster granularity: growing a cluster re-routes ONLY that
+    cluster's docs (they must move - that is the leakage guarantee),
+    everything else stays put.
+    """
+    lab = clusters.select(
+        F.col(node_col).alias("__csplit_node"),
+        F.col(cluster_col).alias("__csplit_label"),
+    )
+    keyed = df.join(
+        lab, df[id_col] == lab["__csplit_node"], "left"
+    ).drop("__csplit_node")
+    key = F.coalesce(F.col("__csplit_label"), F.col(id_col))
+    return (
+        keyed.withColumn("split_key", key)
+        .withColumn("clustered", F.col("__csplit_label").isNotNull())
+        .withColumn(out_col, split_column(F.col("split_key"), weights, seed))
+        .drop("__csplit_label")
+    )
+
+
 def _monotone_proxy(key: Column, ktype) -> tuple[Column, bool]:
     """(numeric proxy column, is_integral) for quantile-binning a key:
     a deterministic expression MONOTONE (non-strictly) in the key's

@@ -1766,6 +1766,8 @@ def split_train_valid_test(spark, sf_dir):
     )
 
 
+
+
 @register(
     "pack_token_shards",
     """
@@ -2099,6 +2101,78 @@ def dedup_minhash_clusters(spark, sf_dir):
     )
     return DD.connected_components(pairs).select(
         F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+
+@register(
+    "split_leakage_safe",
+    f"""
+    WITH RECURSIVE mh_pairs AS ({_minhash_oracle()}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM mh_pairs
+      UNION
+      SELECT id_b, id_a FROM mh_pairs
+    ),
+    walk(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.node
+    ),
+    clusters AS (
+      SELECT node, min(label) AS cluster_id FROM walk GROUP BY node
+    ),
+    keys AS (
+      SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS key_id,
+             (c.cluster_id IS NOT NULL) AS clustered
+      FROM documents d LEFT JOIN clusters c ON d.doc_id = c.node
+    ),
+    b AS (
+      SELECT doc_id, key_id, clustered,
+             cast(('0x' || substr(md5('42' || chr(31) ||
+               cast(key_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000
+               AS bucket
+      FROM keys
+    )
+    SELECT CASE WHEN bucket < 800000 THEN 'train'
+                WHEN bucket < 900000 THEN 'valid'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           count(DISTINCT key_id) AS n_groups,
+           CAST(sum(CASE WHEN clustered THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clustered_docs
+    FROM b GROUP BY 1
+    """,
+)
+def split_leakage_safe(spark, sf_dir):
+    """Round-11: LEAKAGE-SAFE dataset splitting
+    (operators/sampling.cluster_safe_split) - every document splits by
+    its minhash-cluster representative, so near-duplicates can never
+    straddle a train/eval boundary: the contamination mode plain
+    hash_split cannot see (two near-identical docs hash independently
+    and may land train/test). Clusters come from the SAME
+    materialized LSH pair frame the other minhash queries share
+    (identical args -> identical cache slot) resolved by checkpointed
+    label propagation; docs outside any cluster are singleton groups
+    keyed by their own id. The oracle replays components as a
+    recursive CTE and the split as the exact md5 bucket arithmetic.
+    The split property itself (one split per cluster, all members
+    together) is operator-test-pinned."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.5,
+        materialize_result=True,
+    )
+    clusters = DD.connected_components(pairs)
+    tagged = SP.cluster_safe_split(
+        d, clusters, "doc_id",
+        {"train": 0.8, "valid": 0.1, "test": 0.1}, seed=42,
+    )
+    return tagged.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("split_key").alias("n_groups"),
+        F.sum(F.when(F.col("clustered"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clustered_docs"),
     )
 
 
@@ -8159,6 +8233,9 @@ _DRIVER_ORDER = [
     #    reciprocal-rank fusion (cedes layout_zorder_buckets,
     #    green r5+r8) --
     "search_hybrid_rrf",
+    # -- round-11 NEW operator: leakage-safe splitting by dedup
+    #    cluster (cedes layout_compact_roundtrip, green r5+r8) --
+    "split_leakage_safe",
     # -- newest-r4 extension cohort (VERDICT #2, 7 rounds old) --
     "corpus_vocabulary_topk",
     "dedup_minhash_clusters",
@@ -8196,7 +8273,6 @@ _DRIVER_ORDER = [
     "dim_scd2_user_state",
     "dq_validate_orders",
     "embedding_random_projection",
-    "layout_compact_roundtrip",
     "multimodal_audio_stats",
     "multimodal_phash_pairs",
     "pattern_c_collection_refresh",
@@ -8245,6 +8321,7 @@ _DRIVER_ORDER = [
     "j7_edit_distance_join",
     "j8_edit_distance2_join",
     "jsonl_round_trip",
+    "layout_compact_roundtrip",
     "layout_zorder_buckets",
     "locf_fill_forward",
     "multimodal_audio_chunks",

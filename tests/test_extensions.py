@@ -1229,6 +1229,54 @@ def test_hybrid_rrf_fusion_semantics(spark):
     assert wout[4] == 0.0
 
 
+def test_cluster_safe_split_no_leakage(spark):
+    """Leakage-safe splitting (round-11): every member of a dedup
+    cluster lands in the SAME split (the guarantee plain hash_split
+    lacks), singletons split by their own id exactly as hash_split
+    would, and the clustered flag marks which path applied."""
+    from ghcrawler_datalake_etl_spark.operators.sampling import (
+        cluster_safe_split,
+        hash_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    # 40 docs in 20 two-member clusters spanning distant ids (i, i+100)
+    clusters = spark.createDataFrame(
+        [(i, i) for i in range(20)] + [(i + 100, i) for i in range(20)],
+        "node long, cluster_id long",
+    )
+    out = cluster_safe_split(
+        docs, clusters, "doc_id",
+        {"train": 0.8, "valid": 0.1, "test": 0.1}, seed=42,
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert len(by_id) == 200
+    # cluster members share a split, keyed by the cluster label
+    for i in range(20):
+        a, b = by_id[i], by_id[i + 100]
+        assert a.clustered and b.clustered
+        assert a.split_key == i and b.split_key == i
+        assert a.split == b.split
+    # singletons: identical to plain hash_split on their own id
+    plain = {
+        r.doc_id: r.split
+        for r in hash_split(
+            docs, "doc_id",
+            {"train": 0.8, "valid": 0.1, "test": 0.1}, seed=42,
+        ).collect()
+    }
+    for i in range(20, 100):
+        assert not by_id[i].clustered and by_id[i].split_key == i
+        assert by_id[i].split == plain[i]
+    # the guard matters: at least one cluster's far member would have
+    # split differently under per-doc hashing (else the test is vacuous)
+    assert any(
+        by_id[i + 100].split != plain[i + 100] for i in range(20)
+    )
+
+
 def test_target_mix_sample_exact_proportions(spark):
     """The carve's composition equals the target mixture (up to the
     documented integer floors), the binding group is fully consumed,

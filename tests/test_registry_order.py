@@ -113,6 +113,7 @@ OUT_OF_WINDOW_OK = {
     "embedding_quantize_int8": "evidence",  # green r2+r3+r4+r10
     "graph_pagerank_transitions": "evidence",  # green r5+r8+r9
     "jsonl_round_trip": "evidence",  # green r5+r8
+    "layout_compact_roundtrip": "evidence",  # green r5+r8
     "layout_zorder_buckets": "evidence",  # green r5+r8
     "multimodal_audio_chunks": "evidence",  # green r2+r3+r4+r10
     "multimodal_features": "evidence",  # green r2+r3+r4+r10
