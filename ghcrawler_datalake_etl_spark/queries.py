@@ -2914,20 +2914,50 @@ def stream_changefeed_emission(spark, sf_dir):
             )
         )
     )
-    # fresh per-invocation state: versioned warehouse + feed ledger +
-    # checkpoint (the dim_table_changes lesson - reruns into the same
-    # catalog march versions past retention)
+    # the deterministic inputs (base warehouse, the two CDC day files)
+    # stage ONCE per sf; each invocation hardlinks them into fresh
+    # per-run state - versioned warehouse + feed ledger + checkpoint
+    # must be fresh per invocation (the dim_table_changes lesson:
+    # reruns into the same catalog march versions past retention)
+    import shutil
+
+    global _CFE_STAGED
+    try:
+        _CFE_STAGED
+    except NameError:
+        _CFE_STAGED = set()
     tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    sroot = _run_tmp(f"cfe_{tag}")
+    wh_base = os.path.join(sroot, "wh_base")
+    if sf_dir not in _CFE_STAGED:
+        ParquetCatalog(spark, wh_base).merge_upsert(
+            base, "T", ["k"], num_buckets=16
+        )
+        for i, day in enumerate((c1, c2)):
+            day.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(sroot, f"day{i}")
+            )
+        _CFE_STAGED.add(sf_dir)
+
+    def _day_file(i: int) -> str:
+        d = os.path.join(sroot, f"day{i}")
+        return os.path.join(
+            d, next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        )
+
     seq = next(_CFE_SEQ)
     root = _run_tmp(f"cfe_{tag}_{seq}")
-    cat = ParquetCatalog(spark, os.path.join(root, "wh"))
-    cat.merge_upsert(base, "T", ["k"], num_buckets=16)
+    wh = os.path.join(root, "wh")
+    if not os.path.isdir(wh):
+        shutil.copytree(wh_base, wh)
+    cat = ParquetCatalog(spark, wh)
     sdir = os.path.join(root, "in")
+    os.makedirs(sdir, exist_ok=True)
     feed_root = os.path.join(root, "feed")
     ck = os.path.join(root, "ck")
     cdc_schema = "op string, k bigint, status string, price double"
-    for day in (c1, c2):
-        day.coalesce(1).write.mode("append").parquet(sdir)
+    for i in range(2):
+        os.link(_day_file(i), os.path.join(sdir, f"day{i}.parquet"))
         stream_apply_changes_feed(
             spark.readStream.schema(cdc_schema).parquet(sdir),
             cat, "T", ["k"], feed_root, ck, num_buckets=16,
