@@ -554,6 +554,128 @@ def clean_lines(col: ColumnOrName) -> Column:
     return F.filter(lines, _keep)
 
 
+def _boiler_lines(
+    df: DataFrame, id_col: str, text_col: str, source_col: str, sep: str
+) -> DataFrame:
+    """Exploded line frame shared by the batch and incremental
+    boilerplate paths: (doc_id, src, lno, line, dig, blank)."""
+    import re as _re
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("src"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep))
+        ).alias("lno0", "line"),
+    ).select(
+        "doc_id",
+        "src",
+        (F.col("lno0") + 1).alias("lno"),
+        "line",
+        F.md5(F.trim(F.col("line"))).alias("dig"),
+        (F.trim(F.col("line")) == "").alias("blank"),
+    )
+
+
+def boilerplate_line_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    sep: str = "\n",
+) -> DataFrame:
+    """The STANDING state of corpus-frequency boilerplate screening:
+    per-(source, line-digest) distinct-document counts, (src, dig,
+    line_df) - narrow, parquet-persistable, and MERGEABLE by grouped
+    SUM (each document arrives in exactly one batch, so per-batch
+    distinct-doc counts add exactly). Blank lines never enter the
+    stats. Pair with :func:`source_doc_counts` for the per-source
+    denominators."""
+    return (
+        _boiler_lines(df, id_col, text_col, source_col, sep)
+        .filter(~F.col("blank"))
+        .select("src", "dig", "doc_id")
+        .groupBy("src", "dig")
+        .agg(F.countDistinct("doc_id").alias("line_df"))
+    )
+
+
+def source_doc_counts(
+    df: DataFrame, id_col: str = "doc_id", source_col: str = "source"
+) -> DataFrame:
+    """Per-source distinct-document totals (src, n_docs) - the
+    denominator side of the boilerplate frequency test; mergeable by
+    grouped SUM under the same one-batch-per-document contract as
+    :func:`boilerplate_line_stats`."""
+    return df.groupBy(F.col(source_col).alias("src")).agg(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+
+
+def _boiler_set(
+    freq: DataFrame, src_docs: DataFrame, min_docs: int, min_frac: float
+) -> DataFrame:
+    """(bsrc2, bdig, __boiler) - the lines crossing the frequency
+    threshold, broadcast-sized by construction (at most
+    ~lines_per_doc / min_frac distinct lines per source)."""
+    sd = src_docs.select(
+        F.col("src").alias("bsrc"), F.col("n_docs")
+    )
+    return (
+        freq.join(
+            F.broadcast(sd),
+            freq["src"].eqNullSafe(sd["bsrc"]),
+            "left",
+        )
+        .filter(
+            (F.col("line_df") >= F.lit(int(min_docs)))
+            & (
+                F.col("line_df").cast("double")
+                >= F.lit(float(min_frac)) * F.col("n_docs")
+            )
+        )
+        .select(
+            F.col("src").alias("bsrc2"),
+            F.col("dig").alias("bdig"),
+            F.lit(True).alias("__boiler"),
+        )
+    )
+
+
+def _boiler_cut(lines: DataFrame, boiler: DataFrame, sep: str) -> DataFrame:
+    """Mark lines against the (broadcast) boilerplate set and
+    reassemble survivors in order: (doc_id, n_lines, n_dropped,
+    text_clean)."""
+    marked = lines.join(
+        F.broadcast(boiler),
+        lines["src"].eqNullSafe(boiler["bsrc2"])
+        & (lines["dig"] == boiler["bdig"]),
+        "left",
+    )
+    keep = F.col("blank") | F.col("__boiler").isNull()
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(keep, 0).otherwise(1))
+            .cast("long")
+            .alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct("lno", "line"))
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias("text_clean"),
+        )
+        .select("doc_id", "n_lines", "n_dropped", "text_clean")
+    )
+
+
 def remove_boilerplate_lines(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -588,78 +710,72 @@ def remove_boilerplate_lines(
     corpus-wide shuffle is the doc_id reassembly groupBy. NULL sources
     form their own group (null-safe joins throughout).
     """
-    import re as _re
-
-    lines = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(source_col).alias("src"),
-        F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep))
-        ).alias("lno0", "line"),
-    ).select(
-        "doc_id",
-        "src",
-        (F.col("lno0") + 1).alias("lno"),
-        "line",
-        F.md5(F.trim(F.col("line"))).alias("dig"),
-        (F.trim(F.col("line")) == "").alias("blank"),
-    )
-    src_docs = df.groupBy(F.col(source_col).alias("bsrc")).agg(
-        F.countDistinct(id_col).alias("n_docs")
-    )
+    lines = _boiler_lines(df, id_col, text_col, source_col, sep)
     freq = (
         lines.filter(~F.col("blank"))
         .select("src", "dig", "doc_id")
         .groupBy("src", "dig")
         .agg(F.countDistinct("doc_id").alias("line_df"))
     )
-    boiler = (
-        freq.join(
-            F.broadcast(src_docs),
-            freq["src"].eqNullSafe(src_docs["bsrc"]),
-            "left",
-        )
-        .filter(
-            (F.col("line_df") >= F.lit(int(min_docs)))
-            & (
-                F.col("line_df").cast("double")
-                >= F.lit(float(min_frac)) * F.col("n_docs")
-            )
-        )
-        .select(
-            F.col("src").alias("bsrc2"),
-            F.col("dig").alias("bdig"),
-            F.lit(True).alias("__boiler"),
-        )
+    boiler = _boiler_set(
+        freq, source_doc_counts(df, id_col, source_col), min_docs, min_frac
     )
-    marked = lines.join(
-        F.broadcast(boiler),
-        lines["src"].eqNullSafe(boiler["bsrc2"])
-        & (lines["dig"] == boiler["bdig"]),
-        "left",
+    return _boiler_cut(lines, boiler, sep)
+
+
+def remove_boilerplate_lines_incremental(
+    batch: DataFrame,
+    line_stats: DataFrame,
+    source_stats: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    sep: str = "\n",
+    min_docs: int = 2,
+    min_frac: float = 0.3,
+) -> DataFrame:
+    """Boilerplate screening of an ARRIVING batch against STANDING
+    corpus statistics: fold the batch's own (src, dig, line_df) and
+    (src, n_docs) into the persisted stores (grouped SUM - exact,
+    because each document arrives exactly once), then screen the BATCH
+    lines against the UNION thresholds. Corpus text is never re-read -
+    only the two narrow stats stores. Returns the same (doc_id,
+    n_lines, n_dropped, text_clean) shape as the batch operator, for
+    batch documents only.
+
+    The screen is deliberately NON-retroactive (the Dolma/CCNet daily
+    shape): a corpus line that crosses the threshold only once the
+    batch arrives is cut from the BATCH's documents, while the
+    already-landed corpus text stays as screened at its own arrival
+    time. The exact identity the driver oracle pins: this screen
+    equals the GLOBAL operator (stats over corpus + batch) restricted
+    to batch documents.
+
+    The daily append is the batch's own stats unioned+summed into the
+    stores - the same delta-append loop the LSH band / paragraph-hash
+    / winnow stores run.
+    """
+    lines = _boiler_lines(batch, id_col, text_col, source_col, sep)
+    batch_freq = (
+        lines.filter(~F.col("blank"))
+        .select("src", "dig", "doc_id")
+        .groupBy("src", "dig")
+        .agg(F.countDistinct("doc_id").alias("line_df"))
     )
-    keep = F.col("blank") | F.col("__boiler").isNull()
-    return (
-        marked.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_lines"),
-            F.sum(F.when(keep, 0).otherwise(1))
-            .cast("long")
-            .alias("n_dropped"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(keep, F.struct("lno", "line"))
-                        )
-                    ),
-                    lambda s: s["line"],
-                ),
-                sep,
-            ).alias("text_clean"),
-        )
-        .select("doc_id", "n_lines", "n_dropped", "text_clean")
+    freq = (
+        line_stats.select("src", "dig", "line_df")
+        .unionByName(batch_freq)
+        .groupBy("src", "dig")
+        .agg(F.sum("line_df").alias("line_df"))
     )
+    src_docs = (
+        source_stats.select("src", "n_docs")
+        .unionByName(source_doc_counts(batch, id_col, source_col))
+        .groupBy("src")
+        .agg(F.sum("n_docs").alias("n_docs"))
+    )
+    boiler = _boiler_set(freq, src_docs, min_docs, min_frac)
+    return _boiler_cut(lines, boiler, sep)
 
 
 #: memo for use_cache=True driver-strategy trainings: (plan

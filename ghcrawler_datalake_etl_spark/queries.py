@@ -2449,9 +2449,26 @@ def dedup_drop_paragraphs(spark, sf_dir):
 
 
 def _boilerplate_oracle(
-    chunk: int = _PARA_CHUNK, min_docs: int = 2, min_frac: float = 0.3
+    chunk: int = _PARA_CHUNK,
+    min_docs: int = 2,
+    min_frac: float = 0.3,
+    batch_only: bool = False,
 ) -> str:
+    """Corpus-frequency boilerplate algebra. ``batch_only`` restricts
+    the OUTPUT to the 80%-id-threshold arriving batch while the
+    frequency statistics stay global (corpus + batch) - exactly the
+    identity the incremental screen claims."""
     c1 = chunk - 1
+    batch_where = (
+        "WHERE l.doc_id * 5 >= 4 * (SELECT c FROM cutoff)"
+        if batch_only
+        else ""
+    )
+    cutoff_cte = (
+        ", cutoff AS (SELECT max(doc_id) + 1 AS c FROM documents)"
+        if batch_only
+        else ""
+    )
     return f"""
     WITH base AS (
       SELECT doc_id, source,
@@ -2481,7 +2498,7 @@ def _boilerplate_oracle(
       ) f JOIN spd ON f.source IS NOT DISTINCT FROM spd.source
       WHERE line_df >= {min_docs}
         AND line_df >= {min_frac}::DOUBLE * n_docs
-    )
+    ){cutoff_cte}
     SELECT l.doc_id, count(*) AS n_lines,
            CAST(sum(CASE WHEN blank OR b.dig IS NULL THEN 0 ELSE 1 END)
                 AS BIGINT) AS n_dropped,
@@ -2491,6 +2508,7 @@ def _boilerplate_oracle(
     FROM l LEFT JOIN b
       ON l.source IS NOT DISTINCT FROM b.source
       AND md5(trim(l.line)) = b.dig
+    {batch_where}
     GROUP BY l.doc_id
     """
 
@@ -2513,6 +2531,16 @@ def text_boilerplate_lines(spark, sf_dir):
     body chunks (df=2 of 25 docs at sf0.01: below threshold, the
     frequency rule's whole point). Single-doc sources keep everything
     (the min_docs floor)."""
+    return TX.remove_boilerplate_lines(
+        _boiler_corpus(spark, sf_dir),
+        "doc_id", "text", "source", min_docs=2, min_frac=0.3,
+    )
+
+
+def _boiler_corpus(spark, sf_dir) -> DataFrame:
+    """(doc_id, source, text) with the synthesized line structure both
+    boilerplate queries screen: per-source header line +
+    {_PARA_CHUNK}-token body chunks + per-source footer line."""
     d = fan_out(_t(spark, sf_dir, "documents"))
     toks = TX.tokenize(F.col("text"))
     n_chunks = F.greatest(
@@ -2533,9 +2561,49 @@ def text_boilerplate_lines(spark, sf_dir):
         body,
         F.lit("\ncopyright "), src, F.lit(" all rights reserved"),
     )
-    pdf = d.select("doc_id", "source", line_text.alias("text"))
-    return TX.remove_boilerplate_lines(
-        pdf, "doc_id", "text", "source", min_docs=2, min_frac=0.3
+    return d.select("doc_id", "source", line_text.alias("text"))
+
+
+@register(
+    "text_boilerplate_incremental", _boilerplate_oracle(batch_only=True)
+)
+def text_boilerplate_incremental(spark, sf_dir):
+    """Round-11: boilerplate screening of an ARRIVING batch against
+    STANDING corpus statistics (operators/text.boilerplate_line_stats
+    + source_doc_counts + remove_boilerplate_lines_incremental) - the
+    frequency-statistics sibling of the paragraph/span/substring
+    screen stores, completing the screen-store family at line grain.
+    documents split at the 80% id threshold; the corpus's
+    (src, dig, line_df) and (src, n_docs) stats are written to
+    parquet, READ BACK, folded with the batch's own stats (grouped SUM
+    - exact, one batch per document) and the batch screens against the
+    UNION thresholds; corpus text never re-read. Deliberately
+    NON-retroactive (the Dolma/CCNet daily shape) - the oracle pins
+    the exact identity: this screen equals the GLOBAL operator
+    restricted to batch documents."""
+    import re
+
+    pdf = _boiler_corpus(spark, sf_dir)
+    cut = (pdf.agg(F.max("doc_id")).collect()[0][0] or 0) + 1
+    corpus = pdf.filter(F.col("doc_id") * 5 < 4 * cut)
+    batch = pdf.filter(F.col("doc_id") * 5 >= 4 * cut)
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    root = _run_tmp(f"boiler_stats_{tag}")
+    import os
+
+    lpath = os.path.join(root, "lines")
+    spath = os.path.join(root, "sources")
+    TX.boilerplate_line_stats(corpus, "doc_id", "text", "source").write.mode(
+        "overwrite"
+    ).parquet(lpath)
+    TX.source_doc_counts(corpus, "doc_id", "source").write.mode(
+        "overwrite"
+    ).parquet(spath)
+    return TX.remove_boilerplate_lines_incremental(
+        batch,
+        spark.read.parquet(lpath),
+        spark.read.parquet(spath),
+        "doc_id", "text", "source", min_docs=2, min_frac=0.3,
     )
 
 
@@ -8266,6 +8334,9 @@ _DRIVER_ORDER = [
     # -- round-11 NEW operator: leakage-safe splitting by dedup
     #    cluster (cedes layout_compact_roundtrip, green r5+r8) --
     "split_leakage_safe",
+    # -- round-11 NEW operator: the boilerplate screen's standing-
+    #    stats twin (cedes embedding_random_projection, green r5+r8) --
+    "text_boilerplate_incremental",
     # -- newest-r4 extension cohort (VERDICT #2, 7 rounds old) --
     "corpus_vocabulary_topk",
     "dedup_minhash_clusters",
@@ -8302,7 +8373,6 @@ _DRIVER_ORDER = [
     "sketch_bloom_decontaminate",
     "dim_scd2_user_state",
     "dq_validate_orders",
-    "embedding_random_projection",
     "multimodal_audio_stats",
     "multimodal_phash_pairs",
     "pattern_c_collection_refresh",
@@ -8337,6 +8407,7 @@ _DRIVER_ORDER = [
     "dedup_span_first_occurrence",
     "dim_apply_changes",
     "embedding_quantize_int8",
+    "embedding_random_projection",
     "f10_greatest_last_touched",
     "f1_json_extract",
     "f3_pii_pseudonymize",

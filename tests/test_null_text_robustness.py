@@ -109,6 +109,11 @@ DOC_ONLY = [
     # 2-doc "news" group drops them at exactly the min_docs floor, and
     # the df=2 duplicate bodies (0/9, 6/7) stay below the 30% line
     "text_boilerplate_lines",
+    # round-11: the standing-stats boilerplate screen - the 80% split
+    # puts docs 9/18 in the batch; their headers/footers cross the
+    # union threshold through the CORPUS-side counts (web 7 docs, news
+    # 2), and doc 9's duplicate body stays below 30% of the union
+    "text_boilerplate_incremental",
 ]
 
 

@@ -1151,3 +1151,50 @@ def test_incremental_paragraphs_union_equals_global(
         for r in D.drop_duplicate_paragraphs(df).collect()
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["sa", "sb", None]),  # source (few -> groups)
+            st.lists(st.sampled_from(["menu", "body", "foot", ""]),
+                     min_size=1, max_size=5),     # lines
+        ),
+        min_size=1, max_size=10,
+    ),
+    st.integers(0, 10),
+)
+def test_incremental_boilerplate_equals_global_batch_slice(
+    spark, docs, cut
+):
+    """Round-11: for ANY id-threshold split, folding the corpus's
+    standing (src, dig, line_df)/(src, n_docs) stats with the batch's
+    own and screening the batch against the UNION thresholds equals
+    the GLOBAL remove_boilerplate_lines restricted to batch documents
+    - incl. all-corpus/all-batch splits, NULL sources, blanks, and
+    lines whose threshold crossing only happens once the batch
+    arrives."""
+    df = spark.createDataFrame(
+        [(i, s, "\n".join(ls)) for i, (s, ls) in enumerate(docs)],
+        "doc_id long, source string, text string",
+    )
+    corpus = df.filter(F.col("doc_id") < cut)
+    batch = df.filter(F.col("doc_id") >= cut)
+    got = {
+        r.doc_id: (r.n_lines, r.n_dropped, r.text_clean)
+        for r in TX.remove_boilerplate_lines_incremental(
+            batch,
+            TX.boilerplate_line_stats(corpus),
+            TX.source_doc_counts(corpus),
+            min_docs=2, min_frac=0.5,
+        ).collect()
+    }
+    want = {
+        r.doc_id: (r.n_lines, r.n_dropped, r.text_clean)
+        for r in TX.remove_boilerplate_lines(
+            df, min_docs=2, min_frac=0.5
+        ).collect()
+        if r.doc_id >= cut
+    }
+    assert got == want
