@@ -96,7 +96,12 @@ def test_parity_paths_have_no_python(spark, queries):
                  # pandas_udf as dedup_incremental_index; paragraph/
                  # span/pack stages are pure JVM (plan counted 0
                  # BatchEvalPython / 0 InPandas beyond the sig nodes)
-                 "pipeline_daily_ingest"}
+                 "pipeline_daily_ingest",
+                 # round-11 leakage-safe split: its cluster labels come
+                 # from the same Arrow-batched signature pandas_udf as
+                 # dedup_minhash_clusters; the split itself (join +
+                 # md5-bucket projection) is pure JVM
+                 "split_leakage_safe"}
     for name, fn in entrymod.queries().items():
         p = plan(fn(spark, SF_DIR), "simple")
         assert "BatchEvalPython" not in p, f"{name}: row-at-a-time Python UDF"
@@ -324,6 +329,29 @@ def test_bm25_plan_filters_before_shuffle_and_takes_ordered(spark, queries):
     filt_pos = p.rfind("Filter")
     assert agg_pos != -1 and filt_pos != -1
     assert filt_pos > agg_pos, "term filter not below the tf aggregation"
+
+
+def test_boilerplate_marking_broadcasts_no_sort_merge(spark, queries):
+    # the boilerplate SET is threshold-bounded, so both the per-source
+    # totals join and the marking join must be broadcast - a
+    # SortMergeJoin would mean the corpus lines shuffled for marking;
+    # the only corpus-wide shuffles are the frequency aggregation and
+    # the doc_id reassembly
+    for name in ("text_boilerplate_lines", "text_boilerplate_incremental"):
+        p = plan(queries[name](spark, SF_DIR), "simple")
+        assert "SortMergeJoin" not in p, f"{name}: marking join shuffled"
+        assert p.count("BroadcastHashJoin") >= 2, f"{name}: {p}"
+        assert "CartesianProduct" not in p, name
+
+
+def test_hybrid_rrf_fuses_topk_lists_distributed(spark, queries):
+    # both retriever lists end in a distributed top-k and the fused
+    # ranking does too - no global sort anywhere in the fusion
+    p = plan(queries["search_hybrid_rrf"](spark, SF_DIR), "simple")
+    assert p.count("TakeOrderedAndProject") >= 2, p
+    assert "CartesianProduct" not in p.replace(
+        "BroadcastNestedLoopJoin", ""
+    ), p
 
 
 def test_narrow_text_operators_have_no_exchange(spark, queries):
