@@ -186,6 +186,124 @@ def cosine_topk_pandas(
     )
 
 
+def mmr_rerank(
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    rel_col: str,
+    k: int = 8,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) of a retriever's candidate set: greedily select ``k`` items,
+    each maximizing ``lam * relevance - (1 - lam) * max cosine to the
+    already-selected`` - the standard diversity pass over a dense
+    top-N (RAG context assembly, diverse-exemplar selection). Returns
+    (id, mmr_rank, mmr_score); ranks 1..k, deterministic (quantized
+    score desc, id).
+
+    MMR is inherently sequential (each pick depends on the previous),
+    so the operator runs k rounds; each round is ONE distributed
+    narrow pass over the persisted candidate frame with the selected
+    vectors inlined as a nested-array literal (the k-means centroid
+    idiom - functions.core.matrix_literal), followed by a ONE-ROW
+    driver pull of the argmax. Candidates are top-N bounded by
+    contract, but never collected wholesale: the scan distributes, so
+    the same code re-ranks a 10k-candidate set. Zero-norm and
+    NULL vectors are excluded (cosine undefined), matching
+    cosine_topk.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    cand = (
+        candidates.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_mmr_id"),
+            _as_double(F.col(vec_col)).alias("_vec"),
+            F.col(rel_col).cast("double").alias("_rel"),
+        )
+        .withColumn(
+            "_norm",
+            F.sqrt(
+                F.aggregate(
+                    F.col("_vec"), F.lit(0.0), lambda acc, x: acc + x * x
+                )
+            ),
+        )
+        .filter(F.col("_norm") > 0)
+        .persist()
+    )
+    cand.count()  # eager: k argmax rounds re-scan the persisted frame
+    try:
+        sel_vecs: list[list[float]] = []
+        sel_norms: list[float] = []
+        picked: list[tuple] = []
+        for step in range(1, k + 1):
+            rest = cand
+            for pid, _ in picked:
+                rest = rest.filter(F.col("_mmr_id") != F.lit(pid))
+            if not sel_vecs:
+                scored = rest.select(
+                    "_mmr_id", quantize(F.col("_rel"), 6).alias("_score")
+                )
+            else:
+                mat = matrix_literal(sel_vecs)
+                norms = vector_literal(sel_norms)
+                maxsim = F.array_max(
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(len(sel_vecs))),
+                        lambda i: quantize(
+                            _DOT(F.col("_vec"), F.element_at(mat, i))
+                            / (F.col("_norm") * F.element_at(norms, i)),
+                            6,
+                        ),
+                    )
+                )
+                scored = rest.select(
+                    "_mmr_id",
+                    quantize(
+                        F.lit(float(lam)) * F.col("_rel")
+                        - F.lit(1.0 - float(lam)) * maxsim,
+                        6,
+                    ).alias("_score"),
+                )
+            rows = (
+                scored.orderBy(F.desc("_score"), "_mmr_id")
+                .limit(1)
+                .join(
+                    cand.select("_mmr_id", "_vec", "_norm"), "_mmr_id"
+                )
+                .collect()
+            )
+            if not rows:
+                break  # fewer candidates than k
+            r = rows[0]
+            picked.append((r._mmr_id, float(r._score)))
+            sel_vecs.append([float(x) for x in r._vec])
+            sel_norms.append(float(r._norm))
+        spark = candidates.sparkSession
+        id_field = candidates.select(F.col(id_col).alias("id")).schema[0]
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        schema = StructType(
+            [
+                StructField("id", id_field.dataType, True),
+                StructField("mmr_rank", IntegerType(), False),
+                StructField("mmr_score", DoubleType(), True),
+            ]
+        )
+        return spark.createDataFrame(
+            [(pid, i + 1, s) for i, (pid, s) in enumerate(picked)], schema
+        )
+    finally:
+        cand.unpersist()
+
+
 def knn_graph(
     corpus: DataFrame,
     id_col: str,

@@ -3387,6 +3387,93 @@ def sim_knn_bruteforce(spark, sf_dir):
     return SIM.cosine_topk(e, queries_df, "vec_id", "embedding", k=5)
 
 
+def _mmr_oracle(top_n: int = 20, k: int = 8, lam: float = 0.7) -> str:
+    """Unrolled k-step greedy MMR: each step picks the (quantized
+    score desc, id) argmax of lam*rel - (1-lam)*max-cosine-to-selected
+    over the not-yet-selected candidates. (1 - lam) is formatted from
+    the PYTHON double so both engines subtract the identical IEEE
+    value (0.7 -> 0.30000000000000004)."""
+    lam_r = repr(float(lam))
+    om = repr(1.0 - float(lam))
+    q6 = "* 1000000) / 1000000"
+    steps = []
+    # every step CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
+    # sel{i} referencing sel{i-1} twice (join + NOT IN) would inline
+    # the whole chain EXPONENTIALLY (2^k copies of the candidate
+    # cross-join - measured as a hang at k=8 even on 50 vectors)
+    for i in range(2, k + 1):
+        steps.append(f"""
+    s{i} AS MATERIALIZED (
+      SELECT c.id, c.vec, c.nrm, c.rel,
+             floor(({lam_r}::DOUBLE * c.rel - {om}::DOUBLE *
+               max(floor(list_dot_product(c.vec, s.vec)
+                         / (c.nrm * s.nrm) {q6}))
+               {q6} AS score
+      FROM cand c CROSS JOIN sel{i - 1} s
+      WHERE c.id NOT IN (SELECT id FROM sel{i - 1})
+      GROUP BY c.id, c.vec, c.nrm, c.rel
+      ORDER BY score DESC, c.id LIMIT 1
+    ),
+    sel{i} AS MATERIALIZED (
+      SELECT id, vec, nrm, rel FROM sel{i - 1}
+      UNION ALL SELECT id, vec, nrm, rel FROM s{i})""")
+    union = "\n    UNION ALL\n    ".join(
+        ["SELECT id, 1 AS mmr_rank, score AS mmr_score FROM s1"]
+        + [f"SELECT id, {i}, score FROM s{i}" for i in range(2, k + 1)]
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec,
+                      sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                   x -> x*x))) AS nrm
+               FROM embeddings),
+    cand AS MATERIALIZED (
+      SELECT neighbor_id AS id, vec, nrm, cosine AS rel FROM (
+        SELECT c.vec_id AS neighbor_id, c.vec, c.nrm,
+               floor(list_dot_product(q.vec, c.vec)
+                     / (q.nrm * c.nrm) {q6} AS cosine,
+               row_number() OVER (
+                 ORDER BY floor(list_dot_product(q.vec, c.vec)
+                                / (q.nrm * c.nrm) {q6} DESC,
+                          c.vec_id ASC) AS rank
+        FROM v q, v c
+        WHERE q.vec_id = 0 AND c.vec_id <> 0) t
+      WHERE rank <= {top_n}
+    ),
+    s1 AS MATERIALIZED (
+      SELECT id, vec, nrm, rel, floor(rel {q6} AS score
+      FROM cand ORDER BY floor(rel {q6} DESC, id LIMIT 1
+    ),
+    sel1 AS MATERIALIZED (SELECT id, vec, nrm, rel FROM s1),{",".join(steps)}
+    {union}
+    """
+
+
+@register("sim_mmr_rerank", _mmr_oracle())
+def sim_mmr_rerank(spark, sf_dir):
+    """Round-11: Maximal Marginal Relevance re-ranking
+    (operators/similarity.mmr_rerank, Carbonell & Goldstein 1998) -
+    the diversity pass over a dense retriever's top-N: greedily pick 8
+    of the cosine top-20 (vs doc 0's embedding), each maximizing
+    0.7*relevance - 0.3*max-cosine-to-already-selected, so redundant
+    near-duplicates of an already-picked item sink even when highly
+    relevant - the RAG context-assembly / diverse-exemplar selection
+    step. Sequential by nature: k one-row driver pulls, each preceded
+    by ONE distributed pass with the selected vectors inlined as a
+    nested-array literal (the k-means centroid idiom). The oracle
+    unrolls the greedy recursion into k CTE steps over the identical
+    quantized arithmetic."""
+    e = _t(spark, sf_dir, "embeddings")
+    cand = SIM.cosine_topk(
+        e, e.filter(F.col("vec_id") == 0), "vec_id", "embedding", k=20
+    ).join(
+        e.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        "neighbor_id",
+    )
+    return SIM.mmr_rerank(
+        cand, "neighbor_id", "embedding", "cosine", k=8, lam=0.7
+    ).select(F.col("id"), "mmr_rank", "mmr_score")
+
+
 @register(
     "sim_knn_int8_dot",
     """
@@ -8337,6 +8424,9 @@ _DRIVER_ORDER = [
     # -- round-11 NEW operator: the boilerplate screen's standing-
     #    stats twin (cedes embedding_random_projection, green r5+r8) --
     "text_boilerplate_incremental",
+    # -- round-11 NEW operator: MMR diversity re-ranking over the
+    #    dense top-N (cedes dim_scd2_user_state, green r5+r8) --
+    "sim_mmr_rerank",
     # -- newest-r4 extension cohort (VERDICT #2, 7 rounds old) --
     "corpus_vocabulary_topk",
     "dedup_minhash_clusters",
@@ -8371,7 +8461,6 @@ _DRIVER_ORDER = [
     #    the parity-core representative --
     "text_fingerprint",
     "sketch_bloom_decontaminate",
-    "dim_scd2_user_state",
     "dq_validate_orders",
     "multimodal_audio_stats",
     "multimodal_phash_pairs",
@@ -8406,6 +8495,7 @@ _DRIVER_ORDER = [
     "dedup_simhash_values",
     "dedup_span_first_occurrence",
     "dim_apply_changes",
+    "dim_scd2_user_state",
     "embedding_quantize_int8",
     "embedding_random_projection",
     "f10_greatest_last_touched",

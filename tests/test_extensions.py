@@ -1277,6 +1277,43 @@ def test_cluster_safe_split_no_leakage(spark):
     )
 
 
+def test_mmr_rerank_diversity_semantics(spark):
+    """MMR (round-11): the most relevant item goes first; a redundant
+    near-duplicate of it sinks below a less relevant but diverse item;
+    ranks are 1..k; fewer candidates than k returns what exists."""
+    from ghcrawler_datalake_etl_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    rows = [
+        # id, vec, rel: 1 is the top pick; 2 is its near-clone
+        # (cosine ~1) with slightly lower rel; 3 is orthogonal with
+        # much lower rel - MMR must pick 3 over 2 at lambda=0.5
+        (1, [1.0, 0.0, 0.0], 0.99),
+        (2, [0.999, 0.001, 0.0], 0.95),
+        (3, [0.0, 1.0, 0.0], 0.60),
+    ]
+    out = mmr_rerank(
+        spark.createDataFrame(
+            rows, "id long, vec array<double>, rel double"
+        ),
+        "id", "vec", "rel", k=3, lam=0.5,
+    ).collect()
+    order = [r.id for r in sorted(out, key=lambda r: r.mmr_rank)]
+    assert order == [1, 3, 2]
+    assert [r.mmr_rank for r in sorted(out, key=lambda r: r.mmr_rank)] == [
+        1, 2, 3,
+    ]
+    # k beyond the candidate count: returns what exists
+    short = mmr_rerank(
+        spark.createDataFrame(
+            rows[:2], "id long, vec array<double>, rel double"
+        ),
+        "id", "vec", "rel", k=5, lam=0.5,
+    ).collect()
+    assert sorted(r.id for r in short) == [1, 2]
+
+
 def test_target_mix_sample_exact_proportions(spark):
     """The carve's composition equals the target mixture (up to the
     documented integer floors), the binding group is fully consumed,
