@@ -37,7 +37,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ghcrawler_datalake_etl_spark.functions.core import quantize
@@ -189,6 +189,89 @@ def validate(df: DataFrame, checks: list[Check]) -> DataFrame:
     return (
         agg.select(F.explode(rows).alias("r"))
         .select("r.check_name", "r.metric", "r.passed")
+    )
+
+
+def drift_report(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    row_ratio_tol: float = 2.0,
+    null_frac_jump: float = 0.1,
+) -> DataFrame:
+    """Day-over-day data-quality DRIFT detection - the monitoring pass
+    a daily ingest runs before trusting a new partition: per-day
+    profile (row count, distinct keys, value-null fraction) plus
+    day-over-day anomaly flags (row count outside
+    [prev/tol, prev*tol]; null fraction jumping by more than
+    ``null_frac_jump``). The per-batch complement of :func:`validate`
+    (absolute invariants): drift compares each day to ITS OWN history,
+    so it catches a feed that silently halves or a column that starts
+    arriving empty even when every absolute check still passes.
+
+    Returns one row per day: (day, n_rows, n_keys, null_frac,
+    row_ratio, row_count_anomaly, null_frac_jump). The first day has
+    NULL ratio and false flags (no baseline). NULL timestamps are
+    excluded EXPLICITLY (engines disagree on NULL ordering in the
+    lag window; a NULL-ts row has no day to profile).
+
+    Every metric is integer-derived (counts + one exact division,
+    floor-quantized) - deliberately no mean/sum of doubles, whose
+    partition-order-dependent accumulation would make the report
+    nondeterministic across runs, let alone engines.
+
+    Scale: one groupBy(day) with full partial aggregation, then a lag
+    window over the DAYS-sized profile (dimension-sized by
+    construction - single-partition window on ~365 rows/year is the
+    right plan, not a smell).
+    """
+    day = F.to_date(F.col(ts_col))
+    prof = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(day.alias("day"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct(key_col).alias("n_keys"),
+            F.sum(
+                F.when(F.col(value_col).isNull(), 1).otherwise(0)
+            ).cast("long").alias("_n_null"),
+        )
+        .withColumn(
+            "null_frac",
+            quantize(F.col("_n_null").cast("double") / F.col("n_rows"), 6),
+        )
+    )
+    w = Window.orderBy("day")
+    prev_rows = F.lag("n_rows").over(w)
+    prev_frac = F.lag("null_frac").over(w)
+    tol = F.lit(float(row_ratio_tol))
+    return (
+        prof.withColumn(
+            "row_ratio",
+            F.when(
+                prev_rows.isNotNull(),
+                quantize(F.col("n_rows").cast("double") / prev_rows, 6),
+            ),
+        )
+        .withColumn(
+            "row_count_anomaly",
+            F.when(prev_rows.isNull(), F.lit(False)).otherwise(
+                (F.col("n_rows").cast("double") > tol * prev_rows)
+                | (tol * F.col("n_rows") < prev_rows.cast("double"))
+            ),
+        )
+        .withColumn(
+            "null_frac_jump",
+            F.when(prev_frac.isNull(), F.lit(False)).otherwise(
+                F.col("null_frac") - prev_frac
+                > F.lit(float(null_frac_jump))
+            ),
+        )
+        .select(
+            "day", "n_rows", "n_keys", "null_frac", "row_ratio",
+            "row_count_anomaly", "null_frac_jump",
+        )
     )
 
 

@@ -7630,6 +7630,77 @@ def dq_validate_orders(spark, sf_dir):
     return base.unionByName(ref)
 
 
+@register(
+    "dq_drift_by_day",
+    """
+    WITH e AS (
+      SELECT ts, user_id,
+             CASE WHEN extract(day FROM ts) % 5 = 2 AND event_id % 2 = 0
+                  THEN NULL ELSE value END AS value
+      FROM events
+      WHERE ts IS NOT NULL
+        AND NOT (extract(day FROM ts) % 7 = 3 AND event_id % 5 <> 0)
+    ), p AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n_rows,
+             count(DISTINCT user_id) AS n_keys,
+             floor(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::DOUBLE
+                   / count(*) * 1000000) / 1000000 AS null_frac
+      FROM e GROUP BY 1
+    ), r AS (
+      SELECT day, n_rows, n_keys, null_frac,
+             lag(n_rows) OVER (ORDER BY day) AS prev_rows,
+             lag(null_frac) OVER (ORDER BY day) AS prev_frac
+      FROM p
+    )
+    SELECT day, n_rows, n_keys, null_frac,
+           CASE WHEN prev_rows IS NOT NULL
+                THEN floor(n_rows::DOUBLE / prev_rows * 1000000)
+                     / 1000000 END AS row_ratio,
+           CASE WHEN prev_rows IS NULL THEN false
+                ELSE (n_rows::DOUBLE > 2.0::DOUBLE * prev_rows
+                      OR 2.0::DOUBLE * n_rows < prev_rows::DOUBLE) END
+             AS row_count_anomaly,
+           CASE WHEN prev_frac IS NULL THEN false
+                ELSE null_frac - prev_frac > 0.1::DOUBLE END
+             AS null_frac_jump
+    FROM r
+    """,
+)
+def dq_drift_by_day(spark, sf_dir):
+    """Round-11: day-over-day drift detection
+    (operators/quality.drift_report) - the monitoring complement of
+    dq_validate_orders' absolute checks: each day's profile (row
+    count, distinct users, value-null fraction - all integer-derived,
+    deliberately no order-dependent double sums) compared to the
+    previous day's, flagging row counts outside [prev/2, prev*2] and
+    null-fraction jumps > 0.1. The synthetic events feed is uniform,
+    so the query INJECTS deterministic incidents first: days with
+    dom % 7 = 3 keep only event_id % 5 = 0 (a feed crash + next-day
+    recovery - both ratio directions fire), and days with dom % 5 = 2
+    null out value for even event ids (a column going dark). NULL
+    timestamps are excluded explicitly (NULL-ordering divergence in
+    the lag window)."""
+    from ghcrawler_datalake_etl_spark.operators import quality as DQ
+
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    dom = F.dayofmonth("ts")
+    inj = e.filter(
+        ~((dom % 7 == 3) & (F.col("event_id") % 5 != 0))
+    ).select(
+        "ts",
+        "user_id",
+        F.when(
+            (dom % 5 == 2) & (F.col("event_id") % 2 == 0), F.lit(None)
+        )
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    return DQ.drift_report(
+        inj, "ts", "user_id", "value",
+        row_ratio_tol=2.0, null_frac_jump=0.1,
+    )
+
+
 # =====================================================================
 # Time-series densification (operators/temporal.gap_fill)
 # =====================================================================
@@ -8427,6 +8498,9 @@ _DRIVER_ORDER = [
     # -- round-11 NEW operator: MMR diversity re-ranking over the
     #    dense top-N (cedes dim_scd2_user_state, green r5+r8) --
     "sim_mmr_rerank",
+    # -- round-11 NEW operator: day-over-day DQ drift detection
+    #    (cedes multimodal_audio_stats, green r5+r8) --
+    "dq_drift_by_day",
     # -- newest-r4 extension cohort (VERDICT #2, 7 rounds old) --
     "corpus_vocabulary_topk",
     "dedup_minhash_clusters",
@@ -8462,7 +8536,6 @@ _DRIVER_ORDER = [
     "text_fingerprint",
     "sketch_bloom_decontaminate",
     "dq_validate_orders",
-    "multimodal_audio_stats",
     "multimodal_phash_pairs",
     "pattern_c_collection_refresh",
     # -- round-11 late flagship: the composed production-day loop
@@ -8516,6 +8589,7 @@ _DRIVER_ORDER = [
     "layout_zorder_buckets",
     "locf_fill_forward",
     "multimodal_audio_chunks",
+    "multimodal_audio_stats",
     "multimodal_features",
     "multimodal_frames",
     "multimodal_gif_frames",

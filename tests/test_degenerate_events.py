@@ -77,6 +77,12 @@ EVENTS_ONLY = [
     # NULL-key/value/user handling must survive the bucket-pruned
     # merge_upsert round trip and the touched-keys semi-join
     "sketch_stats_cdc_table",
+    # round-11: day-over-day drift - NULL ts rows are excluded
+    # EXPLICITLY before the lag window (the NULL-placement divergence
+    # this suite hunts); NULL users/values fold into n_keys/null_frac
+    # identically, and single-day corpora yield NULL ratio + false
+    # flags (no baseline), not a crash
+    "dq_drift_by_day",
 ]
 
 

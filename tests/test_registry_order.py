@@ -118,6 +118,7 @@ OUT_OF_WINDOW_OK = {
     "layout_compact_roundtrip": "evidence",  # green r5+r8
     "layout_zorder_buckets": "evidence",  # green r5+r8
     "multimodal_audio_chunks": "evidence",  # green r2+r3+r4+r10
+    "multimodal_audio_stats": "evidence",  # green r5+r8
     "multimodal_features": "evidence",  # green r2+r3+r4+r10
     "multimodal_frames": "evidence",  # green r2+r3+r10
     "multimodal_gif_frames": "evidence",  # green r9+r10
