@@ -132,16 +132,27 @@ def kmeans_init(
 _FIT_CACHE: dict[tuple, list[list[float]]] = {}
 
 
-def _iteration_sums_expr(pts: DataFrame, vec_col: str, centroids) -> list:
-    """One Lloyd's pass, pure Column expressions: assignment inlined
-    into the M-step projection - one pass, one shuffle, no self-join.
-    Two selects, not one: a generator (posexplode) alongside the struct
-    argmin makes the analyzer drop the struct's field names (Generate
-    re-analysis), so the argmin is projected first and the explode
-    reads it as a plain column. This is the ORACLE-EXACT path: the
-    fold-ordered (x-c)^2 distance matches the SQL list_reduce term by
-    term."""
+def kmeans_stats(
+    df: DataFrame, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """The STANDING state of incremental centroid maintenance: the
+    integer-scaled Lloyd's sufficient statistics of ``df`` under the
+    given centroids - one (cluster, pos, s, n) row per centroid
+    coordinate, where ``s`` sums ``floor(x * SCALE)`` longs and ``n``
+    counts members. Narrow (k x d rows), parquet-persistable, and
+    MERGEABLE by grouped SUM - integer sums add exactly, so folding a
+    batch's stats into the store equals recomputing over the union
+    (the CF-vector idiom of BIRCH / mini-batch k-means). One pass,
+    one shuffle (the M-step aggregation); assignment inlined.
+
+    Two selects, not one: a generator (posexplode) alongside the
+    struct argmin makes the analyzer drop the struct's field names
+    (Generate re-analysis), so the argmin is projected first and the
+    explode reads it as a plain column. This is the ORACLE-EXACT
+    path: the fold-ordered (x-c)^2 distance matches the SQL
+    list_reduce term by term."""
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    pts = df.filter(F.col(vec_col).isNotNull())
     return (
         pts.select(_best(vec, centroids)["cid"].alias("cluster"), vec.alias("_v"))
         .select("cluster", F.posexplode("_v").alias("pos", "x"))
@@ -150,8 +161,74 @@ def _iteration_sums_expr(pts: DataFrame, vec_col: str, centroids) -> list:
             F.sum(F.floor(F.col("x") * SCALE).cast("long")).alias("s"),
             F.count("*").alias("n"),
         )
-        .collect()
     )
+
+
+def kmeans_refresh(
+    spark,
+    centroids: list[list[float]],
+    *stats: DataFrame,
+) -> DataFrame:
+    """Incremental centroid REFRESH from standing sufficient
+    statistics: fold any number of (cluster, pos, s, n) stats frames
+    (the persisted store + the arriving batch's own
+    :func:`kmeans_stats`) by grouped SUM and take one exact M-step -
+    ``floor(s_total / n_total) / SCALE`` per coordinate, keeping the
+    OLD centroid wherever a cluster has no members anywhere. Because
+    the integer sums add exactly, the refreshed centroids equal one
+    Lloyd M-step over the UNION of every frame's input at the
+    standing centroids - the identity the driver oracle pins. This is
+    how the learned IVF quantizer tracks corpus drift without
+    re-reading history (postings delta-append keeps the cells; this
+    keeps the cell CENTERS).
+
+    Returns (cluster, pos, c_value, n_total) - k x d rows, the new
+    centroid matrix in coordinate form.
+    """
+    if not stats:
+        raise ValueError("kmeans_refresh needs at least one stats frame")
+    folded = stats[0]
+    for s in stats[1:]:
+        folded = folded.unionByName(s)
+    folded = folded.groupBy("cluster", "pos").agg(
+        F.sum("s").alias("s"), F.sum("n").alias("n")
+    )
+    grid = spark.createDataFrame(
+        [
+            (cid, pos, float(val))
+            for cid, c in enumerate(centroids)
+            for pos, val in enumerate(c)
+        ],
+        "cluster long, pos long, old_value double",
+    )
+    return (
+        grid.join(
+            folded.select(
+                F.col("cluster").cast("long").alias("cluster"),
+                F.col("pos").cast("long").alias("pos"),
+                "s",
+                "n",
+            ),
+            ["cluster", "pos"],
+            "left",
+        )
+        .select(
+            "cluster",
+            "pos",
+            F.coalesce(
+                F.floor(F.col("s").cast("double") / F.col("n"))
+                / F.lit(float(SCALE)),
+                F.col("old_value"),
+            ).alias("c_value"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_total"),
+        )
+    )
+
+
+def _iteration_sums_expr(pts: DataFrame, vec_col: str, centroids) -> list:
+    """One Lloyd's pass (see :func:`kmeans_stats` - this is its
+    collected form, kept as the fit loop's E+M step)."""
+    return kmeans_stats(pts, vec_col, centroids).collect()
 
 
 def _iteration_sums_gemm(pts: DataFrame, vec_col: str, centroids) -> list:

@@ -3703,6 +3703,7 @@ def _kmeans_ctes(
     iters: int,
     prefix: str = "",
     vexpr: str = "list_transform(embedding, x -> x::DOUBLE)",
+    where: str = "embedding IS NOT NULL",
 ) -> tuple[list[str], str]:
     """The unrolled Lloyd's-iteration CTE chain; returns (ctes, name of
     the final centroid CTE). Shared by the kmeans assignment oracle,
@@ -3720,7 +3721,7 @@ def _kmeans_ctes(
     ctes = [
         f"""{p}pts AS MATERIALIZED (
       SELECT vec_id, {vexpr} AS v
-      FROM embeddings WHERE embedding IS NOT NULL
+      FROM embeddings WHERE {where}
     )""",
         f"""{p}c0 AS (
       SELECT cid, c FROM (
@@ -3842,6 +3843,101 @@ def sim_pq_adc_topk(spark, sf_dir):
     return SIM.pq_topk(
         e, q, "vec_id", "embedding", k=5, m=4, k_sub=8, iterations=2,
         dim=64, use_cache=True,
+    )
+
+
+def _kmeans_refresh_oracle(k: int = 4, iters: int = 2) -> str:
+    """Incremental-centroid-refresh oracle: fit the standing centroids
+    over the CORPUS split (the unrolled Lloyd chain, corpus-restricted
+    by the same 80% id threshold), then one exact M-step over ALL
+    vectors at those centroids - the identity kmeans_refresh claims
+    (corpus stats + batch stats fold == M-step over the union)."""
+    ctes, final = _kmeans_ctes(
+        k,
+        iters,
+        where=(
+            "embedding IS NOT NULL AND vec_id * 5 < 4 * "
+            "(SELECT max(vec_id) + 1 FROM embeddings)"
+        ),
+    )
+    dist = (
+        "list_reduce(list_transform(range(1, len(p.v) + 1), "
+        "i -> (p.v[i] - c.c[i]) * (p.v[i] - c.c[i])), (a, b) -> a + b)"
+    )
+    return f"""
+    WITH {', '.join(ctes)},
+    allpts AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    aa AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT p.vec_id, p.v, c.cid AS cluster,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY {dist}, c.cid) AS rn
+        FROM allpts p CROSS JOIN {final} c)
+      WHERE rn = 1
+    ),
+    mm AS (
+      SELECT a.cluster, u.i - 1 AS pos,
+             sum(cast(floor(a.v[u.i] * 1000000) AS BIGINT)) AS s,
+             count(*) AS n
+      FROM aa a, unnest(range(1, len(a.v) + 1)) AS u(i)
+      GROUP BY a.cluster, u.i
+    ),
+    grid AS (
+      SELECT c.cid AS cluster, u.i - 1 AS pos, c.c[u.i] AS old_value
+      FROM {final} c, unnest(range(1, len(c.c) + 1)) AS u(i)
+    )
+    SELECT g.cluster, g.pos,
+           coalesce(floor(mm.s::DOUBLE / mm.n) / 1000000, g.old_value)
+             AS c_value,
+           coalesce(mm.n, 0) AS n_total
+    FROM grid g LEFT JOIN mm
+      ON mm.cluster = g.cluster AND mm.pos = g.pos
+    """
+
+
+@register("sim_kmeans_refresh", _kmeans_refresh_oracle(k=4, iters=2))
+def sim_kmeans_refresh(spark, sf_dir):
+    """Round-11: incremental centroid maintenance
+    (operators/clustering.kmeans_stats + kmeans_refresh) - the
+    standing-state twin of sim_kmeans_assign, and the missing half of
+    the IVF drift story (sim_ivf_delta_append keeps the CELLS fresh;
+    this keeps the cell CENTERS fresh without re-reading history).
+    embeddings split at the 80% id threshold; standing centroids fit
+    on the corpus (the bit-reproducible Lloyd chain), the corpus's
+    integer-scaled sufficient statistics (cluster, pos, s, n) written
+    to parquet, READ BACK, folded with the arriving batch's own stats
+    by grouped SUM (exact - integer sums add), and one M-step emits
+    the refreshed centroid matrix. The oracle pins the identity: the
+    fold equals one Lloyd M-step over the UNION at the standing
+    centroids. Clusters empty in both splits keep their old center."""
+    import os
+    import re
+
+    e = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    cut_row = e.agg(F.max("vec_id")).collect()[0][0]
+    cut = (cut_row or 0) + 1
+    corpus = e.filter(F.col("vec_id") * 5 < 4 * cut)
+    batch = e.filter(F.col("vec_id") * 5 >= 4 * cut)
+    cents = CL.kmeans_fit(
+        corpus, "vec_id", "embedding", k=4, iterations=2, seed=42,
+        use_cache=True,
+    )
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    root = _run_tmp(f"kmstats_{tag}")
+    spath = os.path.join(root, "stats")
+    CL.kmeans_stats(corpus, "embedding", cents).write.mode(
+        "overwrite"
+    ).parquet(spath)
+    return CL.kmeans_refresh(
+        spark,
+        cents,
+        spark.read.parquet(spath),
+        CL.kmeans_stats(batch, "embedding", cents),
     )
 
 
@@ -8501,6 +8597,10 @@ _DRIVER_ORDER = [
     # -- round-11 NEW operator: day-over-day DQ drift detection
     #    (cedes multimodal_audio_stats, green r5+r8) --
     "dq_drift_by_day",
+    # -- round-11 NEW operator: incremental centroid refresh from
+    #    standing sufficient stats (cedes multimodal_phash_pairs,
+    #    green r5+r8) --
+    "sim_kmeans_refresh",
     # -- newest-r4 extension cohort (VERDICT #2, 7 rounds old) --
     "corpus_vocabulary_topk",
     "dedup_minhash_clusters",
@@ -8536,7 +8636,6 @@ _DRIVER_ORDER = [
     "text_fingerprint",
     "sketch_bloom_decontaminate",
     "dq_validate_orders",
-    "multimodal_phash_pairs",
     "pattern_c_collection_refresh",
     # -- round-11 late flagship: the composed production-day loop
     #    (VERDICT #8 stretch; cedes pack_store_roundtrip, green r5+r8) --
@@ -8595,6 +8694,7 @@ _DRIVER_ORDER = [
     "multimodal_gif_frames",
     "multimodal_gif_resize",
     "multimodal_image_features",
+    "multimodal_phash_pairs",
     "multimodal_wav_stats",
     "orc_catalog_roundtrip",
     "p1_eq_filter",

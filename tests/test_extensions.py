@@ -1277,6 +1277,42 @@ def test_cluster_safe_split_no_leakage(spark):
     )
 
 
+def test_kmeans_stats_fold_equals_union_mstep(spark):
+    """Incremental centroid refresh (round-11): folding split stats by
+    grouped SUM equals one M-step over the union (integer sums add
+    exactly), and a cluster with no members anywhere keeps its old
+    center."""
+    from ghcrawler_datalake_etl_spark.operators import clustering as CL
+
+    rows = [
+        (1, [0.1, 0.2]), (2, [0.11, 0.19]),          # near c0
+        (3, [5.0, 5.0]), (4, [5.2, 4.9]), (5, [4.9, 5.1]),  # near c1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[0.0, 0.0], [5.0, 5.0], [99.0, 99.0]]  # c2 stays empty
+    a, b = df.filter("vec_id <= 2"), df.filter("vec_id > 2")
+    got = {
+        (r.cluster, r.pos): (r.c_value, r.n_total)
+        for r in CL.kmeans_refresh(
+            spark, cents,
+            CL.kmeans_stats(a, "embedding", cents),
+            CL.kmeans_stats(b, "embedding", cents),
+        ).collect()
+    }
+    want = {
+        (r.cluster, r.pos): (r.c_value, r.n_total)
+        for r in CL.kmeans_refresh(
+            spark, cents, CL.kmeans_stats(df, "embedding", cents)
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == 6  # 3 clusters x 2 dims
+    # empty cluster keeps its old center with n_total 0
+    assert got[(2, 0)] == (99.0, 0) and got[(2, 1)] == (99.0, 0)
+    # a populated coordinate: floor(sum(floor(x*1e6))/n)/1e6
+    assert got[(0, 0)] == ((100000 + 110000) // 2 / 1e6, 2)
+
+
 def test_mmr_rerank_diversity_semantics(spark):
     """MMR (round-11): the most relevant item goes first; a redundant
     near-duplicate of it sinks below a less relevant but diverse item;
