@@ -288,6 +288,55 @@ def bench_scaling(spark) -> dict:
         out["incr_cc_fold_2k_sec"] = round(time.perf_counter() - t0, 3)
         assert n_labels >= n_hits, (n_labels, n_hits)
 
+        # round-11: the boilerplate screen's batch-proportionality at
+        # 10x - 50k docs across 20 sources, each wrapped in per-source
+        # header/footer lines. The full corpus-frequency pass
+        # (boiler_full_50k) is the O(corpus) baseline; the recurring
+        # daily cost (boiler_batch_2k) screens a 2k batch against the
+        # PERSISTED (src,dig,line_df)/(src,n_docs) stats - corpus text
+        # never re-read, so it must track the BATCH. The stats build
+        # (boiler_stats_50k) is the one-time indexing cost.
+        src = F.concat(F.lit("src"), (F.col("doc_id") % 20))
+        wrap = F.concat(
+            F.lit("nav menu "), src, F.lit("\n"),
+            F.col("text"),
+            F.lit("\ncopyright "), src,
+        )
+        bd = d.select("doc_id", src.alias("source"), wrap.alias("text"))
+        t0 = time.perf_counter()
+        n_full = TX.remove_boilerplate_lines(bd).filter(
+            F.col("n_dropped") >= 2
+        ).count()
+        out["boiler_full_50k_sec"] = round(time.perf_counter() - t0, 3)
+        assert n_full == n_docs, n_full  # header+footer drop everywhere
+        t0 = time.perf_counter()
+        TX.boilerplate_line_stats(bd).write.mode("overwrite").parquet(
+            f"{root}/boiler_lines"
+        )
+        TX.source_doc_counts(bd).write.mode("overwrite").parquet(
+            f"{root}/boiler_src"
+        )
+        out["boiler_stats_50k_sec"] = round(time.perf_counter() - t0, 3)
+        bb = spark.read.parquet(f"{root}/batch")
+        bsrc = F.concat(F.lit("src"), (F.col("doc_id") % 20))
+        bbd = bb.select(
+            "doc_id",
+            bsrc.alias("source"),
+            F.concat(
+                F.lit("nav menu "), bsrc, F.lit("\n"),
+                F.col("text"),
+                F.lit("\ncopyright "), bsrc,
+            ).alias("text"),
+        )
+        t0 = time.perf_counter()
+        n_batch = TX.remove_boilerplate_lines_incremental(
+            bbd,
+            spark.read.parquet(f"{root}/boiler_lines"),
+            spark.read.parquet(f"{root}/boiler_src"),
+        ).filter(F.col("n_dropped") >= 2).count()
+        out["boiler_batch_2k_sec"] = round(time.perf_counter() - t0, 3)
+        assert n_batch == 2_000, n_batch
+
         t0 = time.perf_counter()
         SP.pack_shards(
             d.select("doc_id", F.length("text").alias("wt")),
