@@ -1198,3 +1198,85 @@ def test_incremental_boilerplate_equals_global_batch_slice(
         if r.doc_id >= cut
     }
     assert got == want
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.integers(-3, 3), min_size=3, max_size=3),
+            st.integers(0, 100),  # rel * 100
+        ),
+        min_size=1, max_size=8,
+    ),
+    st.sampled_from([0.5, 0.7]),
+)
+def test_mmr_rerank_matches_bruteforce(spark, cands, lam):
+    """Round-11: the distributed greedy MMR equals a pure-Python greedy
+    reimplementation running the IDENTICAL arithmetic (left-fold dot,
+    left-fold norm, floor-quantize-6, lam*rel - (1-lam)*maxsim,
+    score-desc-then-id argmax) - over arbitrary small candidate sets
+    incl. zero vectors (excluded), duplicate vectors (cosine 1), and
+    ties broken by id."""
+    import math
+
+    from ghcrawler_datalake_etl_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    def q6(x):
+        return math.floor(x * 1_000_000) / 1_000_000
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def nrm(a):
+        acc = 0.0
+        for x in a:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    rows = [
+        (i, [float(x) for x in v], r / 100.0)
+        for i, (v, r) in enumerate(cands)
+    ]
+    k = 4
+    got = [
+        (r.id, r.mmr_rank, r.mmr_score)
+        for r in sorted(
+            mmr_rerank(
+                spark.createDataFrame(
+                    rows, "id long, vec array<double>, rel double"
+                ),
+                "id", "vec", "rel", k=k, lam=lam,
+            ).collect(),
+            key=lambda r: r.mmr_rank,
+        )
+    ]
+    # brute force, same arithmetic
+    pool = [(i, v, rel) for i, v, rel in rows if nrm(v) > 0]
+    sel, want = [], []
+    for rank in range(1, k + 1):
+        best = None
+        for i, v, rel in pool:
+            if any(i == j for j, _ in sel):
+                continue
+            if not sel:
+                score = q6(rel)
+            else:
+                maxsim = max(
+                    q6(dot(v, sv) / (nrm(v) * nv)) for _, (sv, nv) in [
+                        (j, s) for j, s in sel
+                    ]
+                )
+                score = q6(lam * rel - (1.0 - lam) * maxsim)
+            if best is None or (score, -i) > (best[1], -best[0]):
+                best = (i, score, v)
+        if best is None:
+            break
+        sel.append((best[0], (best[2], nrm(best[2]))))
+        want.append((best[0], rank, best[1]))
+    assert got == want
