@@ -162,6 +162,69 @@ def fill_forward(
     return out
 
 
+def interpolate_linear(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    partition_by: Sequence[str],
+    tiebreak: Sequence[str],
+    digits: int = 6,
+) -> DataFrame:
+    """Linear interpolation of NULL values between the nearest non-null
+    observations within a partition - the INTERIOR complement of
+    :func:`fill_forward` (LOCF carries one side; this draws the line
+    between both): ``v = prev + (next - prev) * (t - t_prev) /
+    (t_next - t_prev)`` over exact microsecond timestamps, floor-
+    quantized. Rows missing a neighbor on EITHER side stay NULL
+    (leading/trailing gaps are LOCF's job, not a line's); non-null
+    rows keep their value untouched. Rows whose two neighbors share a
+    timestamp also stay NULL (the line is undefined; possible only
+    under duplicate timestamps).
+
+    ``ts_col`` must be non-null on every row (filter first - engines
+    disagree on NULL placement in window order) and (``ts_col``,
+    ``tiebreak``) must be a total order.
+
+    Scale: one shuffle on ``partition_by`` + one per-partition sort;
+    both neighbor scans are running-frame window passes over the same
+    sort (Spark evaluates them in a single WindowExec), state = one
+    (t, v) struct per direction - independent of gap length, same
+    contract as fill_forward.
+    """
+    from ghcrawler_datalake_etl_spark.functions.core import quantize
+
+    tus = F.unix_micros(F.col(ts_col))
+    obs = F.when(
+        F.col(value_col).isNotNull(),
+        F.struct(tus.alias("t"), F.col(value_col).alias("v")),
+    )
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak]]
+    w_prev = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    prev = F.last(obs, ignorenulls=True).over(w_prev)
+    nxt = F.first(obs, ignorenulls=True).over(w_next)
+    frac = (tus - prev["t"]).cast("double") / (nxt["t"] - prev["t"])
+    line = prev["v"] + (nxt["v"] - prev["v"]) * frac
+    return df.withColumn(
+        f"{value_col}_interp",
+        F.when(F.col(value_col).isNotNull(), F.col(value_col)).otherwise(
+            F.when(
+                prev.isNotNull() & nxt.isNotNull()
+                & (nxt["t"] != prev["t"]),
+                quantize(line, digits),
+            )
+        ),
+    )
+
+
 def gap_fill(
     df: DataFrame,
     ts_col: str,

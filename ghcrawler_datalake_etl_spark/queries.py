@@ -1424,6 +1424,72 @@ def locf_fill_forward(spark, sf_dir):
 
 
 @register(
+    "timeseries_interpolate",
+    """
+    WITH x AS (
+      SELECT event_id, user_id, epoch_us(ts) AS tus,
+             CASE WHEN event_type = 'purchase' THEN value END AS obs
+      FROM events WHERE ts IS NOT NULL
+    ), n AS (
+      SELECT event_id, user_id, tus, obs,
+             last_value(CASE WHEN obs IS NOT NULL
+                             THEN struct_pack(t := tus, v := obs) END
+                        IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY tus, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p,
+             first_value(CASE WHEN obs IS NOT NULL
+                              THEN struct_pack(t := tus, v := obs) END
+                         IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY tus, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS f
+      FROM x
+    )
+    SELECT event_id, user_id, obs,
+           CASE WHEN obs IS NOT NULL THEN obs
+                WHEN p IS NOT NULL AND f IS NOT NULL AND f.t <> p.t
+                THEN floor((p.v + (f.v - p.v) *
+                            ((tus - p.t)::DOUBLE / (f.t - p.t)))
+                           * 1000000) / 1000000
+           END AS obs_interp
+    FROM n
+    """,
+)
+def timeseries_interpolate(spark, sf_dir):
+    """Round-11: linear gap interpolation
+    (operators/temporal.interpolate_linear) - the INTERIOR complement
+    of locf_fill_forward: a non-purchase event's missing observation
+    takes the value on the straight line between the user's
+    neighboring purchase observations over exact microsecond
+    timestamps; leading/trailing gaps (no neighbor on one side) stay
+    NULL - that is LOCF's job, not a line's. Both neighbor scans ride
+    ONE window sort; the arithmetic order (prev + (next - prev) *
+    frac, integer time deltas, one double division) is mirrored
+    exactly in the oracle and floor-quantized. NULL timestamps are
+    excluded explicitly (NULL window-order placement diverges between
+    engines)."""
+    from ghcrawler_datalake_etl_spark.operators.temporal import (
+        interpolate_linear,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    staged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias(
+            "obs"
+        ),
+    )
+    return interpolate_linear(
+        staged, "obs", "ts", partition_by=["user_id"],
+        tiebreak=["event_id"],
+    ).select(
+        "event_id", "user_id", "obs",
+        F.col("obs_interp").alias("obs_interp"),
+    )
+
+
+@register(
     "q18_large_quantity_orders",
     """
     SELECT c.c_custkey, c.c_name, o.o_orderkey, round(t.total_qty, 2) AS total_qty
@@ -8601,6 +8667,9 @@ _DRIVER_ORDER = [
     #    standing sufficient stats (cedes multimodal_phash_pairs,
     #    green r5+r8) --
     "sim_kmeans_refresh",
+    # -- round-11 NEW operator: linear gap interpolation, the interior
+    #    complement of LOCF (cedes dq_validate_orders, green r5+r8) --
+    "timeseries_interpolate",
     # -- newest-r4 extension cohort (VERDICT #2, 7 rounds old) --
     "corpus_vocabulary_topk",
     "dedup_minhash_clusters",
@@ -8635,7 +8704,6 @@ _DRIVER_ORDER = [
     #    the parity-core representative --
     "text_fingerprint",
     "sketch_bloom_decontaminate",
-    "dq_validate_orders",
     "pattern_c_collection_refresh",
     # -- round-11 late flagship: the composed production-day loop
     #    (VERDICT #8 stretch; cedes pack_store_roundtrip, green r5+r8) --
@@ -8668,6 +8736,7 @@ _DRIVER_ORDER = [
     "dedup_span_first_occurrence",
     "dim_apply_changes",
     "dim_scd2_user_state",
+    "dq_validate_orders",
     "embedding_quantize_int8",
     "embedding_random_projection",
     "f10_greatest_last_touched",

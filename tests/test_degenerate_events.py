@@ -83,6 +83,10 @@ EVENTS_ONLY = [
     # identically, and single-day corpora yield NULL ratio + false
     # flags (no baseline), not a crash
     "dq_drift_by_day",
+    # round-11: linear interpolation - NULL ts excluded explicitly,
+    # one-sided gaps (leading/trailing) stay NULL, NULL-value purchase
+    # rows never become neighbors, tie timestamps break by event_id
+    "timeseries_interpolate",
 ]
 
 
