@@ -3361,7 +3361,7 @@ def pipeline_daily_ingest(spark, sf_dir):
     packed = SP.pack_shards(
         kept, "doc_id", "wt", _DAILY_BUDGET, materialize=True
     )
-    return (
+    out = (
         cleaned.select(
             "doc_id", "n_paras", "n_paras_dropped",
             F.size(TX.tokenize(F.col("text"))).cast("long").alias("n_tokens"),
@@ -3383,6 +3383,15 @@ def pipeline_daily_ingest(spark, sf_dir):
             F.coalesce("shard_id", F.lit(-1)).cast("long").alias("shard_id"),
         )
     )
+    # the verdicts frame is per-batch-doc sized; eagerly checkpoint it
+    # and RELEASE the private stage frames (cleaned/span/best) - they
+    # exist only to fan into this result, and leaving them pinned is
+    # exactly the loop-wide eviction pressure the r11 bench measured
+    # (in-loop costs 2-4x the isolated reruns of identical code)
+    out = out.localCheckpoint(eager=True)
+    for h in (cleaned, span, best):
+        h.unpersist()
+    return out
 
 
 @register(
@@ -7009,7 +7018,7 @@ def sketch_bloom_decontaminate(spark, sf_dir):
     probed = SK.bloom_probe(cand, "g", bits).join(
         ev.select("g", F.lit(1).alias("_ex")), "g", "left"
     )
-    return probed.groupBy("doc_id").agg(
+    out = probed.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_shingles"),
         F.sum(F.col("bloom_maybe").cast("long"))
         .cast("long")
@@ -7024,6 +7033,15 @@ def sketch_bloom_decontaminate(spark, sf_dir):
         .cast("long")
         .alias("n_false_pos"),
     )
+    # per-doc verdicts are corpus-row sized and cheap; eagerly
+    # checkpoint them and RELEASE the private shingle/bit frames -
+    # pinned, they are pure eviction pressure for the rest of a full
+    # bench/driver loop (the recompute band they guarded against can
+    # no longer occur once the result is materialized)
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
+    bits.unpersist()
+    return out
 
 
 @register(
