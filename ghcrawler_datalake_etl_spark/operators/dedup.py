@@ -173,6 +173,49 @@ def _pairs_from_candidates(cands: DataFrame, left: str, right: str) -> DataFrame
 _BROADCAST_ID_CAP = 4_000_000
 
 
+# Release handles for every frame an operator pins internally via a
+# plain persist. _materialize frames are private to their operator - no
+# call site can reach them to unpersist - so across a long query loop
+# (the 162-query bench) they accumulate and evict each other's AND the
+# live query's cached blocks (measured r11: dedup_prefix_jaccard 8.4s
+# in-loop vs 3.2s isolated, identical code). The registry makes the
+# lifecycle explicit: loop harnesses call release_materialized() after
+# each query's actions complete. Scope is DELIBERATELY plain persists
+# only - releasing one is always correctness-safe (persist is an
+# optimization; a released frame recomputes from lineage on re-scan).
+# localCheckpoint blocks (_checkpoint) are NOT registered: they have no
+# recompute lineage, and module-level caches (text._BPE_IDS_CACHE) hold
+# persisted frames whose plans embed checkpointed RDDs - releasing
+# those would turn a later cache eviction into a job failure, not a
+# slowdown. Checkpoint lifecycles stay with their owners
+# (_checkpoint_tracked + the per-trigger stream releases).
+_RELEASE_HANDLES: list = []
+
+
+def register_release(handle) -> None:
+    """Register a zero-arg release callback (typically a bound
+    ``df.unpersist``) for the next :func:`release_materialized`. For
+    operator-internal plain persists that outlive their function."""
+    _RELEASE_HANDLES.append(handle)
+
+
+def release_materialized() -> int:
+    """Unpersist every operator-internal frame pinned since the last
+    call; returns the number of handles released. Intended call point:
+    a query/bench loop boundary, after the current query's actions have
+    completed and before the next query starts. Safe by construction:
+    only lineage-bearing persists are registered, so a released frame
+    that is scanned again recomputes instead of failing."""
+    n = len(_RELEASE_HANDLES)
+    for h in _RELEASE_HANDLES:
+        try:
+            h()
+        except Exception:  # noqa: BLE001 - a dead session must not
+            pass  # block releasing the remaining handles
+    _RELEASE_HANDLES.clear()
+    return n
+
+
 def _materialize(df: DataFrame) -> DataFrame:
     """Persist AND eagerly compute a frame that feeds a self-join.
 
@@ -182,10 +225,12 @@ def _materialize(df: DataFrame) -> DataFrame:
     shingle/signature subtree before any partition lands in the cache.
     Measured on local[32] at sf0.1 that race made minhash-LSH ~10x
     slower than compute-once. One eager count() pays the subtree exactly
-    once; MEMORY_AND_DISK spills instead of OOMing at scale.
-    """
+    once; MEMORY_AND_DISK spills instead of OOMing at scale. The frame
+    registers in ``_RELEASE_HANDLES`` so loop harnesses can unpersist it
+    once the query's actions are done (release_materialized)."""
     df.persist(StorageLevel.MEMORY_AND_DISK)
     df.count()
+    _RELEASE_HANDLES.append(df.unpersist)
     return df
 
 

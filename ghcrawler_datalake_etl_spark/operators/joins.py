@@ -118,8 +118,11 @@ def bloom_prefiltered_join(
         # bits subplan; without an eager persist that re-scans the dim
         # k times (the _materialize discipline - and the dim being too
         # large to broadcast is this operator's whole use case)
+        from ghcrawler_datalake_etl_spark.operators.dedup import register_release
+
         bits.persist()
         bits.count()
+        register_release(bits.unpersist)
     pref = bloom_probe(fact, on, bits).filter(
         F.col("bloom_maybe")
     ).drop("bloom_maybe")

@@ -1046,6 +1046,37 @@ def test_connected_components_releases_superseded_rounds(spark):
 
 
 
+def test_release_materialized_clears_operator_internal_persists(spark):
+    """Operator-internal _materialize frames are unreachable from call
+    sites; release_materialized() is the loop-boundary hook that frees
+    them (r11 finding: across the 162-query bench loop they accumulate
+    and evict live caches - dedup_prefix_jaccard ran 8.4s in-loop vs
+    3.2s isolated on identical code). Contract: after the operator's
+    consumer finishes its action, release drops every registered frame
+    from the cache manager; re-scanning the RESULT still works (plain
+    persists recompute from lineage)."""
+    sc = spark.sparkContext
+    D.release_materialized()  # drain anything earlier tests pinned
+    before = sc._jsc.getPersistentRDDs().size()
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta tok{i} tok{i + 1} tok{i + 2}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    n_pairs = pairs.count()  # consumer action completes first
+    assert sc._jsc.getPersistentRDDs().size() > before, (
+        "operator should have pinned at least one internal frame"
+    )
+    released = D.release_materialized()
+    assert released >= 1
+    assert sc._jsc.getPersistentRDDs().size() <= before, (
+        "release_materialized left operator-internal frames in storage"
+    )
+    # correctness survives release: the result recomputes from lineage
+    assert pairs.count() == n_pairs
+    assert D.release_materialized() >= 0  # recount re-registered; drain
+
+
 def test_chunk_pipeline_key_guard_raises_on_giant_doc(spark, tmp_path):
     """pipeline_chunk_dedup_pack packs its chunk key as
     doc_id*1024+chunk_idx; a doc with >= 1024 chunks must fail loudly
