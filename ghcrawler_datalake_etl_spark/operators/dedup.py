@@ -1075,6 +1075,128 @@ def semantic_dedup(
     )
 
 
+def semantic_postings(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+) -> DataFrame:
+    """The STANDING store of the incremental semantic screen: every
+    non-null corpus vector assigned to its cell under the standing
+    quantizer - (cluster, vec_id, vec), the exact frame
+    :func:`semantic_dedup` builds internally, made persistable. Write
+    as parquet partitioned by cluster at warehouse scale; screen
+    arriving batches with :func:`semantic_dedup_incremental`, which
+    reads ONLY the batch's own cells. Uses the same fold-ordered
+    distance argmin as semantic_dedup/assign_clusters, so the store is
+    bit-reproducible and the incremental identity below is exact.
+    Maintenance is delta-append (assign the batch, append its rows) -
+    the same loop as the IVF postings and the LSH band index; pair with
+    clustering.kmeans_refresh when the quantizer itself must track
+    drift."""
+    from ghcrawler_datalake_etl_spark.operators.clustering import _best
+
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return (
+        fan_out(df)
+        .filter(F.col(vec_col).isNotNull())
+        .select(
+            _best(vec, centroids)["cid"].alias("cluster"),
+            F.col(id_col).alias("vec_id"),
+            vec.alias("vec"),
+        )
+    )
+
+
+def semantic_dedup_incremental(
+    batch: DataFrame,
+    postings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float = 0.5,
+) -> DataFrame:
+    """SemDeDup screening of an ARRIVING batch against a STANDING
+    postings store (:func:`semantic_postings`) - the embedding-space
+    member of the incremental screen family (paragraph / span /
+    substring / LSH / boilerplate all have standing twins; this is the
+    semantic one). Returns (vec_id, cluster, keep) for every non-null
+    batch vector: keep = 0 iff some vector with a SMALLER id - in the
+    store or earlier in the batch - shares its cell and has cosine >=
+    threshold.
+
+    Exactness contract: with the store built under the SAME standing
+    centroids, this equals :func:`semantic_dedup` over the union corpus
+    restricted to batch ids (greedy-by-id is scan-order independent, so
+    "the store saw it first" and "the smaller id saw it first"
+    coincide whenever ids are arrival-ordered) - the identity the
+    driver oracle and the hypothesis property pin.
+
+    Cost is O(batch), never O(corpus): the store probe is an equi-join
+    on cluster semi-joined to the batch's OWN cells first (cells per
+    batch <= k, broadcast), so untouched cells are never read - with
+    the postings parquet partitioned by cluster they prune at the scan.
+    Each probed cell scores as one |batch_in_cell| x |cell| GEMM row
+    block (batch rows only on the left side - store-store pairs are
+    never formed).
+    """
+    from ghcrawler_datalake_etl_spark.operators.clustering import _best
+
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bv = _materialize(
+        fan_out(batch)
+        .filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("vec_id"),
+            vec.alias("vec"),
+            _best(vec, centroids)["cid"].alias("cluster"),
+        )
+    )
+    batch_cells = bv.select("cluster").distinct()
+    store_rel = postings.join(F.broadcast(batch_cells), "cluster", "semi")
+    union = bv.select(
+        "cluster", "vec_id", "vec", F.lit(1).alias("_is_batch")
+    ).unionByName(
+        store_rel.select(
+            "cluster", "vec_id", "vec", F.lit(0).alias("_is_batch")
+        )
+    )
+
+    def drop_in_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_id": pd.Series([], dtype="int64")})
+        if len(pdf) < 2 or not (pdf["_is_batch"] == 1).any():
+            return empty
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)[order]
+        mat = np.stack(pdf["vec"].to_numpy())[order].astype(np.float64)
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        bidx = np.nonzero(pdf["_is_batch"].to_numpy()[order] == 1)[0]
+        # batch rows only on the left: |batch| x |cell|, not |cell|^2
+        sims = (mat[bidx] @ mat.T) / np.outer(nrm[bidx], nrm)
+        # ids ascending, so "smaller id" == "earlier union position"
+        earlier = np.arange(len(ids))[None, :] < bidx[:, None]
+        hits = ((sims >= threshold) & earlier).any(axis=1)
+        return pd.DataFrame({"vec_id": ids[bidx[hits]]})
+
+    dropped = (
+        union.groupby("cluster")
+        .applyInPandas(drop_in_cell, schema="vec_id long")
+        .withColumn("_dropped", F.lit(1))
+    )
+    return (
+        bv.select("vec_id", "cluster")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.when(F.col("_dropped").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("keep"),
+        )
+    )
+
+
 def connected_components(
     pairs_df: DataFrame,
     src_col: str = "id_a",

@@ -4125,6 +4125,105 @@ def _semantic_dedup_oracle(k: int = 8, iters: int = 2, threshold: float = 0.5) -
     """
 
 
+def _semantic_incremental_oracle(
+    k: int = 8, iters: int = 2, threshold: float = 0.5
+) -> str:
+    """Incremental-SemDeDup oracle: fit the standing centroids over the
+    CORPUS split only (80% id threshold - the standing quantizer), then
+    the GLOBAL within-cluster prune over ALL vectors at those centroids.
+    That global answer IS the union the query returns (corpus's own
+    prune + the batch screened against the standing postings): batch
+    ids all exceed corpus ids, so greedy-by-id never lets a batch
+    vector influence a corpus verdict, and a batch vector's smaller-id
+    neighbors are exactly store + earlier-batch - the identity
+    semantic_dedup_incremental claims."""
+    ctes, final = _kmeans_ctes(
+        k,
+        iters,
+        where=(
+            "embedding IS NOT NULL AND vec_id * 5 < 4 * "
+            "(SELECT max(vec_id) + 1 FROM embeddings)"
+        ),
+    )
+    dist = (
+        "list_reduce(list_transform(range(1, len(p.v) + 1), "
+        "i -> (p.v[i] - c.c[i]) * (p.v[i] - c.c[i])), (a, b) -> a + b)"
+    )
+    return f"""
+    WITH {', '.join(ctes)},
+    allpts AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    assign AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT p.vec_id, p.v, c.cid AS cluster,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY {dist}, c.cid) AS rn
+        FROM allpts p CROSS JOIN {final} c)
+      WHERE rn = 1
+    ),
+    vv AS (
+      SELECT vec_id, v AS vec,
+             sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm, cluster
+      FROM assign
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM vv a JOIN vv b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) >= {threshold}
+    )
+    SELECT v.vec_id, v.cluster,
+           (CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS keep
+    FROM vv v LEFT JOIN dropped d USING (vec_id)
+    """
+
+
+@register("dedup_semantic_incremental", _semantic_incremental_oracle())
+def dedup_semantic_incremental(spark, sf_dir):
+    """Round-12: SemDeDup screening of an ARRIVING batch against a
+    STANDING postings store (operators/dedup.semantic_postings +
+    semantic_dedup_incremental) - the embedding-space member of the
+    incremental screen family (paragraph / span / substring / LSH /
+    boilerplate all have standing twins; this completes the set).
+    embeddings split at the 80% id threshold; the standing quantizer
+    fit on the corpus (bit-reproducible Lloyd chain), the corpus's
+    cell postings written to parquet PARTITIONED BY cell, READ BACK,
+    and the batch screened against ONLY its own cells (broadcast
+    semi-join prune - untouched cells never read); corpus embeddings
+    never re-scored. Returns corpus's own prune unioned with the batch
+    screen; the oracle pins the identity: that union equals the GLOBAL
+    SemDeDup over all vectors at the standing centroids."""
+    import os
+    import re
+
+    raw = _t(spark, sf_dir, "embeddings")
+    # cut over ALL rows (null embeddings included) - the oracle's
+    # scalar subquery sees the unfiltered table, and a NULL-embedding
+    # row holding the max id must not shift the split between engines
+    cut = (raw.agg(F.max("vec_id")).collect()[0][0] or 0) + 1
+    e = raw.filter(F.col("embedding").isNotNull())
+    corpus = e.filter(F.col("vec_id") * 5 < 4 * cut)
+    batch = e.filter(F.col("vec_id") * 5 >= 4 * cut)
+    cents = CL.kmeans_fit(
+        corpus, "vec_id", "embedding", k=8, iterations=2, seed=42,
+        use_cache=True,
+    )
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    root = _run_tmp(f"sem_postings_{tag}")
+    ppath = os.path.join(root, "postings")
+    DD.semantic_postings(corpus, "vec_id", "embedding", cents).write.mode(
+        "overwrite"
+    ).partitionBy("cluster").parquet(ppath)
+    store = spark.read.parquet(ppath)
+    inc = DD.semantic_dedup_incremental(
+        batch, store, "vec_id", "embedding", cents, threshold=0.5
+    )
+    return DD.semantic_dedup(
+        corpus, "vec_id", "embedding", cents, threshold=0.5
+    ).unionByName(inc)
+
+
 @register("dedup_semantic_prune", _semantic_dedup_oracle())
 def dedup_semantic_prune(spark, sf_dir):
     """SemDeDup (public algorithm, Abbas et al. 2023): kmeans_fit learns
@@ -8632,100 +8731,71 @@ def dim_apply_changes(spark, sf_dir):
 # via SPARK_GRAFT_ORACLE_SF_DIR).
 
 _DRIVER_ORDER = [
-    # ============ driver window (first 50): what round 11 verifies ====
-    # Round-11 rotation (VERDICT r10 #1-#8): the seven single-green
-    # round-10 newcomers stay; TWO new round-11 operators (incremental
-    # ExactSubstr store screen, catalog changefeed emission) take
-    # slots; the 22-query newest-r4 extension cohort and the 6-query
-    # newest-r5 cohort rotate in (VERDICT #2/#7); the remaining 13
-    # slots go to the two queries whose VALUES changed this round
-    # (text_fingerprint - 63-bit winnow space; restructured
-    # sketch_bloom_decontaminate) plus the ten oldest newest-r8
-    # extension queries and pattern_c (the parity-core in-window
-    # representative). Every incoming query probe_strict-verified
-    # green at sf0.01 before its commit; every leaver holds >= 2
-    # green driver rounds (EVIDENCE.json); OUT_OF_WINDOW_OK
-    # regenerated as derived state.
-    # -- round-10 single-green newcomers (must stay) --
-    "dedup_incremental_clusters",
-    "dedup_remove_substrings",
-    "dedup_drop_paragraphs",
-    "sketch_stats_cdc_table",
-    "stream_cluster_maintenance",
-    "dedup_incremental_paragraphs",
-    "dedup_incremental_spans",
-    # -- round-11 NEW operators: incremental ExactSubstr screen
-    #    (VERDICT #5) + changefeed emission (VERDICT #6) + the
-    #    streaming CDC loop closed on the read side (emission per
-    #    micro-batch; cedes orc_catalog_roundtrip, green r4+r5+r8) --
+    # ============ driver window (first 50): what round 12 verifies ====
+    # Round-12 rotation (VERDICT r11 #3): the twelve single-green
+    # round-11 newcomers stay; round-12 NEW operators take slots as
+    # they land (incremental semantic dedup first); pattern_c keeps
+    # the reference-pattern family represented in-window; every
+    # remaining slot goes to the newest-r8 cohort oldest-first (the
+    # sketch / stream / text / timeseries extension set, then the
+    # r8-green non-extension set). Every leaver holds >= 2 green
+    # driver rounds (EVIDENCE.json); every incoming query
+    # probe_strict-verified at sf0.01 in the same session as its
+    # commit.
+    # -- round-11 single-green newcomers (must stay) --
     "dedup_incremental_substrings",
     "dim_table_changes",
     "stream_changefeed_emission",
-    # -- round-11 NEW operator: corpus-frequency boilerplate removal
-    #    (RefinedWeb/CCNet line filter; cedes jsonl_round_trip,
-    #    green r5+r8) --
     "text_boilerplate_lines",
-    # -- round-11 NEW operator: hybrid BM25+dense retrieval fused by
-    #    reciprocal-rank fusion (cedes layout_zorder_buckets,
-    #    green r5+r8) --
     "search_hybrid_rrf",
-    # -- round-11 NEW operator: leakage-safe splitting by dedup
-    #    cluster (cedes layout_compact_roundtrip, green r5+r8) --
     "split_leakage_safe",
-    # -- round-11 NEW operator: the boilerplate screen's standing-
-    #    stats twin (cedes embedding_random_projection, green r5+r8) --
     "text_boilerplate_incremental",
-    # -- round-11 NEW operator: MMR diversity re-ranking over the
-    #    dense top-N (cedes dim_scd2_user_state, green r5+r8) --
     "sim_mmr_rerank",
-    # -- round-11 NEW operator: day-over-day DQ drift detection
-    #    (cedes multimodal_audio_stats, green r5+r8) --
     "dq_drift_by_day",
-    # -- round-11 NEW operator: incremental centroid refresh from
-    #    standing sufficient stats (cedes multimodal_phash_pairs,
-    #    green r5+r8) --
     "sim_kmeans_refresh",
-    # -- round-11 NEW operator: linear gap interpolation, the interior
-    #    complement of LOCF (cedes dq_validate_orders, green r5+r8) --
     "timeseries_interpolate",
-    # -- newest-r4 extension cohort (VERDICT #2, 7 rounds old) --
-    "corpus_vocabulary_topk",
-    "dedup_minhash_clusters",
-    "dedup_semantic_prune",
-    "pipeline_chunk_dedup_pack",
-    "pipeline_training_data",
-    "sample_eval_carve",
-    "sample_stratified_by_lang",
-    "sample_target_mix",
-    "search_bm25_topk",
-    "sim_ann_lsh",
-    "sim_ivf_topk",
-    "sim_kmeans_assign",
-    "sim_knn_int8_dot",
-    "sim_knn_pandas_gemm",
-    "text_chunk_windows",
-    "text_gopher_filter",
-    "text_lang_id",
-    "text_quality_score",
-    "text_redact_pii",
-    "text_repetition_metrics",
-    "text_stats",
-    "text_unigram_logprob",
-    # -- newest-r5 cohort (VERDICT #7) --
-    "pipeline_quality_mix_pack",
-    "sample_dsir_select",
-    "sample_top_share_quality",
-    "text_bpe_encode",
-    "text_bpe_pair_stats",
-    "text_quality_classifier",
-    # -- changed-this-round re-greens + oldest newest-r8 fills +
-    #    the parity-core representative --
-    "text_fingerprint",
-    "sketch_bloom_decontaminate",
-    "pattern_c_collection_refresh",
-    # -- round-11 late flagship: the composed production-day loop
-    #    (VERDICT #8 stretch; cedes pack_store_roundtrip, green r5+r8) --
     "pipeline_daily_ingest",
+    # -- round-12 NEW operators --
+    "dedup_semantic_incremental",
+    # -- parity-core in-window representative --
+    "pattern_c_collection_refresh",
+    # -- newest-r8 rotation cohort (VERDICT #3, oldest evidence) --
+    "sketch_cms_heavy_hitters",
+    "sketch_histogram_quantiles",
+    "sketch_hll_distinct",
+    "sketch_hll_merge",
+    "sketch_kmv_distinct",
+    "sketch_kmv_overlap",
+    "stream_dedup_ingest",
+    "stream_hll_distinct",
+    "stream_interval_join",
+    "text_clean_lines",
+    "text_perplexity_buckets",
+    "timeseries_gap_fill",
+    "timeseries_max_concurrency",
+    "tsv_round_trip",
+    "dedup_clusters",
+    "pack_store_roundtrip",
+    "sample_temperature_mix",
+    "search_tfidf_cosine",
+    "sim_pq_adc_topk",
+    "agg_rollup_daily",
+    "asof_last_purchase",
+    "funnel_click_to_purchase",
+    "j5_salted_skew_join",
+    "locf_fill_forward",
+    "j2_anti_join",
+    "dim_scd2_user_state",
+    "dq_validate_orders",
+    "embedding_random_projection",
+    "j6_bloom_prefilter_join",
+    "jsonl_round_trip",
+    "layout_compact_roundtrip",
+    "layout_zorder_buckets",
+    "multimodal_audio_stats",
+    "multimodal_phash_pairs",
+    "orc_catalog_roundtrip",
+    "j7_edit_distance_join",
     # ---------------- position 51+: past the driver window ----------
     # Everything below holds >= 2 green driver rounds in EVIDENCE.json;
     # extension-prefixed names have OUT_OF_WINDOW_OK entries in
@@ -8734,108 +8804,109 @@ _DRIVER_ORDER = [
     "a1_collect_reassembly",
     "a4_union_all_agg",
     "a5_distinct_count_two_stage",
-    "agg_rollup_daily",
     "agg_value_percentiles",
-    "asof_last_purchase",
     "asof_next_purchase",
     "corpus_fertility_by_lang",
     "corpus_source_report",
+    "corpus_vocabulary_topk",
     "cube_status_priority",
     "decontaminate_eval_overlap",
-    "dedup_clusters",
+    "dedup_drop_paragraphs",
     "dedup_embedding_cosine",
     "dedup_exact_groups",
+    "dedup_incremental_clusters",
     "dedup_incremental_index",
+    "dedup_incremental_paragraphs",
+    "dedup_incremental_spans",
     "dedup_keep_best_quality",
+    "dedup_minhash_clusters",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_prefix_jaccard",
+    "dedup_remove_substrings",
+    "dedup_semantic_prune",
     "dedup_simhash_values",
     "dedup_span_first_occurrence",
     "dim_apply_changes",
-    "dim_scd2_user_state",
-    "dq_validate_orders",
     "embedding_quantize_int8",
-    "embedding_random_projection",
     "f10_greatest_last_touched",
     "f1_json_extract",
     "f3_pii_pseudonymize",
-    "funnel_click_to_purchase",
     "graph_pagerank_transitions",
     "j1_inner_join_agg",
-    "j2_anti_join",
     "j3_join_chain_q5",
     "j4_semi_join",
-    "j5_salted_skew_join",
-    "j6_bloom_prefilter_join",
-    "j7_edit_distance_join",
     "j8_edit_distance2_join",
-    "jsonl_round_trip",
-    "layout_compact_roundtrip",
-    "layout_zorder_buckets",
-    "locf_fill_forward",
     "multimodal_audio_chunks",
-    "multimodal_audio_stats",
     "multimodal_features",
     "multimodal_frames",
     "multimodal_gif_frames",
     "multimodal_gif_resize",
     "multimodal_image_features",
-    "multimodal_phash_pairs",
     "multimodal_wav_stats",
-    "orc_catalog_roundtrip",
     "p1_eq_filter",
     "p2_like_filter",
     "p3_isin_filter",
     "p5_string_predicates",
     "pack_store_delta_append",
-    "pack_store_roundtrip",
     "pack_token_shards",
     "pattern_a_snapshot_upsert",
     "pattern_b_array_child",
     "pattern_d_traffic_series",
     "pattern_e_version_log",
+    "pipeline_chunk_dedup_pack",
     "pipeline_dedup_shards",
+    "pipeline_quality_mix_pack",
     "pipeline_tokenize_pack",
+    "pipeline_training_data",
     "pivot_user_event_matrix",
     "q18_large_quantity_orders",
     "q1_pricing_summary",
     "q3_unshipped_topk",
     "range_interval_join",
+    "sample_dsir_select",
+    "sample_eval_carve",
     "sample_hash_deterministic",
     "sample_pps_systematic",
-    "sample_temperature_mix",
-    "search_tfidf_cosine",
+    "sample_stratified_by_lang",
+    "sample_target_mix",
+    "sample_top_share_quality",
+    "search_bm25_topk",
     "sessionize_events",
     "setop_user_cohorts",
+    "sim_ann_lsh",
     "sim_ivf_delta_append",
     "sim_ivf_kmeans_topk",
+    "sim_ivf_topk",
+    "sim_kmeans_assign",
     "sim_knn_bruteforce",
     "sim_knn_graph",
-    "sim_pq_adc_topk",
-    "sketch_cms_heavy_hitters",
-    "sketch_histogram_quantiles",
-    "sketch_hll_distinct",
-    "sketch_hll_merge",
+    "sim_knn_int8_dot",
+    "sim_knn_pandas_gemm",
+    "sketch_bloom_decontaminate",
     "sketch_incremental_stats",
-    "sketch_kmv_distinct",
-    "sketch_kmv_overlap",
+    "sketch_stats_cdc_table",
     "split_train_valid_test",
-    "stream_dedup_ingest",
-    "stream_hll_distinct",
-    "stream_interval_join",
+    "stream_cluster_maintenance",
     "stream_lsh_dedup",
     "stream_static_enrich",
     "stream_windowed_counts",
     "subquery_lineitem_count",
     "text_bigram_logprob",
+    "text_bpe_encode",
     "text_bpe_encode_ids",
-    "text_clean_lines",
-    "text_perplexity_buckets",
-    "timeseries_gap_fill",
-    "timeseries_max_concurrency",
+    "text_bpe_pair_stats",
+    "text_chunk_windows",
+    "text_fingerprint",
+    "text_gopher_filter",
+    "text_lang_id",
+    "text_quality_classifier",
+    "text_quality_score",
+    "text_redact_pii",
+    "text_repetition_metrics",
+    "text_stats",
+    "text_unigram_logprob",
     "topk_orders_per_segment",
-    "tsv_round_trip",
     "w1_latest_event_per_user",
     "w1_maxby_latest_event_per_user",
     "w2_distinct_keys",

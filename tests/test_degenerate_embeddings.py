@@ -44,6 +44,11 @@ EMB_ONLY = [
     # (id 19) vectors land in the DELTA split and must be excluded
     # from its appended postings identically on both engines
     "sim_ivf_delta_append",
+    # round-12: incremental SemDeDup - the duplicate (16), scaled copy
+    # (17), zero-norm (18), and NULL (19) all land in the BATCH split
+    # and must screen against the standing postings identically (NaN
+    # cosine never drops; the duplicate of id 0 must drop)
+    "dedup_semantic_incremental",
 ]
 
 DIM = 64  # the width the registered queries pin (ann dim=64)

@@ -101,7 +101,13 @@ def test_parity_paths_have_no_python(spark, queries):
                  # from the same Arrow-batched signature pandas_udf as
                  # dedup_minhash_clusters; the split itself (join +
                  # md5-bucket projection) is pure JVM
-                 "split_leakage_safe"}
+                 "split_leakage_safe",
+                 # round-12 incremental semantic screen: the per-cell
+                 # batch-vs-store GEMM rides the same Arrow-batched
+                 # applyInPandas shape as dedup_semantic_prune (its
+                 # batch twin, whitelisted above); assignment and the
+                 # cell prune are pure JVM
+                 "dedup_semantic_incremental"}
     for name, fn in entrymod.queries().items():
         p = plan(fn(spark, SF_DIR), "simple")
         assert "BatchEvalPython" not in p, f"{name}: row-at-a-time Python UDF"
@@ -352,6 +358,17 @@ def test_hybrid_rrf_fuses_topk_lists_distributed(spark, queries):
     assert "CartesianProduct" not in p.replace(
         "BroadcastNestedLoopJoin", ""
     ), p
+
+
+def test_semantic_incremental_probe_is_cell_pruned(spark, queries):
+    # the standing-postings probe must be a broadcast SEMI join on the
+    # batch's own cells (untouched cells never read) and the pair space
+    # must never degrade to a cartesian; the only Python stage is the
+    # per-cell GEMM (FlatMapGroupsInPandas), whitelisted below
+    p = plan(queries["dedup_semantic_incremental"](spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in p, p
+    assert "LeftSemi" in p, f"postings probe not a semi join:\n{p}"
+    assert "BroadcastHashJoin" in p, f"cell prune not broadcast:\n{p}"
 
 
 def test_narrow_text_operators_have_no_exchange(spark, queries):

@@ -1156,6 +1156,48 @@ def test_incremental_paragraphs_union_equals_global(
 @settings(max_examples=8, deadline=None, derandomize=True)
 @given(
     st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 3)),
+        min_size=1, max_size=10,
+    ),
+    st.integers(0, 10),
+)
+def test_incremental_semantic_union_equals_global(spark, vec_rows, cut):
+    """Round-12: for ANY id-threshold split under a FIXED standing
+    quantizer, the corpus's own SemDeDup unioned with the batch's
+    screen against the standing postings must equal the GLOBAL
+    semantic_dedup over all vectors - incl. all-corpus and all-batch
+    splits, duplicate vectors straddling the cut, and zero-norm
+    vectors (NaN cosine never drops, both paths)."""
+    from ghcrawler_datalake_etl_spark.operators import dedup as D
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    df = spark.createDataFrame(
+        [(i, [float(a), float(b)]) for i, (a, b) in enumerate(vec_rows)],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = df.filter(F.col("vec_id") < cut)
+    batch = df.filter(F.col("vec_id") >= cut)
+    postings = D.semantic_postings(corpus, "vec_id", "embedding", cents)
+    got_df = D.semantic_dedup(
+        corpus, "vec_id", "embedding", cents, threshold=0.5
+    ).unionByName(
+        D.semantic_dedup_incremental(
+            batch, postings, "vec_id", "embedding", cents, threshold=0.5
+        )
+    )
+    got = {r.vec_id: (r.cluster, r.keep) for r in got_df.collect()}
+    want = {
+        r.vec_id: (r.cluster, r.keep)
+        for r in D.semantic_dedup(
+            df, "vec_id", "embedding", cents, threshold=0.5
+        ).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    st.lists(
         st.tuples(
             st.sampled_from(["sa", "sb", None]),  # source (few -> groups)
             st.lists(st.sampled_from(["menu", "body", "foot", ""]),
