@@ -2673,6 +2673,176 @@ def text_boilerplate_incremental(spark, sf_dir):
     )
 
 
+import itertools as _itertools_sb  # noqa: E402
+
+#: per-invocation sequence for the streaming-boilerplate query's fresh
+#: out/store/checkpoint roots (the _CFE_SEQ idiom)
+_SBOILER_SEQ = _itertools_sb.count()
+
+
+def _stream_boiler_oracle(
+    chunk: int = _PARA_CHUNK, min_docs: int = 2, min_frac: float = 0.3
+) -> str:
+    """Two-trigger streaming-boilerplate replay: the screen is
+    NON-retroactive, so each trigger's documents screen against the
+    statistics of everything seen UP TO AND INCLUDING that trigger -
+    trigger 1 (ids in [0.8c, 0.9c)) against corpus+day1 stats, trigger
+    2 (ids >= 0.9c) against corpus+day1+day2 stats. The oracle
+    instantiates the boilerplate frequency algebra once per stage and
+    unions the outputs - exactly the micro-batch algebra
+    streaming/ingest.stream_boilerplate_screen runs."""
+    c1 = chunk - 1
+
+    def stage(n: int, stats_pred: str, out_pred: str) -> str:
+        return f"""spd{n} AS (
+      SELECT source, count(DISTINCT doc_id) AS n_docs
+      FROM base WHERE {stats_pred} GROUP BY source
+    ), b{n} AS (
+      SELECT f.source, f.dig FROM (
+        SELECT source, md5(trim(line)) AS dig,
+               count(DISTINCT doc_id) AS line_df
+        FROM l WHERE NOT blank AND {stats_pred} GROUP BY 1, 2
+      ) f JOIN spd{n} spd ON f.source IS NOT DISTINCT FROM spd.source
+      WHERE line_df >= {min_docs}
+        AND line_df >= {min_frac}::DOUBLE * n_docs
+    ), out{n} AS (
+      SELECT l.doc_id, count(*) AS n_lines,
+             CAST(sum(CASE WHEN blank OR b.dig IS NULL THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n_dropped,
+             coalesce(string_agg(CASE WHEN blank OR b.dig IS NULL
+                                      THEN l.line END,
+                                 chr(10) ORDER BY l.lno), '') AS text_clean
+      FROM l LEFT JOIN b{n} b
+        ON l.source IS NOT DISTINCT FROM b.source
+        AND md5(trim(l.line)) = b.dig
+      WHERE {out_pred}
+      GROUP BY l.doc_id
+    )"""
+
+    cut = "(SELECT c FROM cutoff)"
+    return f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             'site ' || coalesce(source, '') || ' navigation menu' ||
+             chr(10) ||
+             coalesce(array_to_string(list_transform(
+               range(1, greatest(len(toks), 1) + 1, {chunk}),
+               i -> coalesce(array_to_string(toks[i:i+{c1}], ' '), '')),
+               chr(10)), '') ||
+             chr(10) || 'copyright ' || coalesce(source, '') ||
+             ' all rights reserved' AS text
+      FROM (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents) t
+    ), l AS (
+      SELECT doc_id, source, i AS lno, ls[i] AS line,
+             (trim(ls[i]) = '') AS blank
+      FROM (SELECT doc_id, source, string_split(text, chr(10)) AS ls
+            FROM base),
+           unnest(range(1, len(ls) + 1)) AS u(i)
+    ), cutoff AS (SELECT max(doc_id) + 1 AS c FROM documents),
+    {stage(1, f"doc_id * 10 < 9 * {cut}",
+           f"l.doc_id * 10 >= 8 * {cut} AND l.doc_id * 10 < 9 * {cut}")},
+    {stage(2, "TRUE", f"l.doc_id * 10 >= 9 * {cut}")}
+    SELECT * FROM out1 UNION ALL SELECT * FROM out2
+    """
+
+
+@register("stream_boilerplate_screen", _stream_boiler_oracle())
+def stream_boilerplate_screen(spark, sf_dir):
+    """Round-12: the boilerplate screen's STREAMING arm
+    (streaming/ingest.stream_boilerplate_screen) - a REAL two-trigger
+    file stream whose micro-batches screen against the bootstrapped
+    corpus statistics plus every earlier trigger's delta stats, with
+    the per-trigger stats landing as manifest-named delta appends (the
+    stream_cluster_maintenance state discipline). documents split
+    corpus / day1 / day2 at the 80%/90% id thresholds; the two days
+    arrive as two SEQUENTIAL availableNow runs over one source dir +
+    checkpoint (restart-driven ingestion - deterministic trigger
+    order), so day 2's documents must see day 1's statistics folded
+    in: a line that crosses the frequency threshold only once day 1
+    lands is cut from day 2's documents (and day 1's output stays as
+    screened at its own arrival - the non-retroactive contract). The
+    oracle replays the per-trigger algebra exactly."""
+    import os
+    import re
+    import shutil
+
+    from ghcrawler_datalake_etl_spark.streaming.ingest import (
+        stream_boilerplate_screen as _sbs,
+    )
+
+    pdf = _boiler_corpus(spark, sf_dir)
+    cut = (pdf.agg(F.max("doc_id")).collect()[0][0] or 0) + 1
+    d10 = F.col("doc_id") * 10
+    corpus = pdf.filter(d10 < 8 * cut)
+    days = (
+        pdf.filter((d10 >= 8 * cut) & (d10 < 9 * cut)),
+        pdf.filter(d10 >= 9 * cut),
+    )
+    # deterministic inputs (corpus stats + the two day files) stage
+    # ONCE per sf; each invocation gets fresh out/store/checkpoint
+    # state (delta stores and checkpoints must not be reused)
+    global _SBOILER_STAGED
+    try:
+        _SBOILER_STAGED
+    except NameError:
+        _SBOILER_STAGED = set()
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    sroot = _run_tmp(f"sboiler_{tag}")
+    lpath = os.path.join(sroot, "lines")
+    spath = os.path.join(sroot, "sources")
+    if sf_dir not in _SBOILER_STAGED:
+        TX.boilerplate_line_stats(corpus, "doc_id", "text", "source").write.mode(
+            "overwrite"
+        ).parquet(lpath)
+        TX.source_doc_counts(corpus, "doc_id", "source").write.mode(
+            "overwrite"
+        ).parquet(spath)
+        for i, day in enumerate(days):
+            day.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(sroot, f"day{i}")
+            )
+        _SBOILER_STAGED.add(sf_dir)
+
+    def _day_file(i: int) -> str:
+        d = os.path.join(sroot, f"day{i}")
+        return os.path.join(
+            d, next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        )
+
+    seq = next(_SBOILER_SEQ)
+    root = _run_tmp(f"sboiler_{tag}_{seq}")
+    sdir = os.path.join(root, "in")
+    os.makedirs(sdir, exist_ok=True)
+    out_path = os.path.join(root, "out")
+    store_root = os.path.join(root, "store")
+    ck = os.path.join(root, "ck")
+    schema = "doc_id bigint, source string, text string"
+    base_lines = spark.read.parquet(lpath)
+    base_sources = spark.read.parquet(spath)
+    for i in range(2):
+        try:
+            os.link(_day_file(i), os.path.join(sdir, f"day{i}.parquet"))
+        except OSError:
+            shutil.copy(_day_file(i), os.path.join(sdir, f"day{i}.parquet"))
+        _sbs(
+            spark.readStream.schema(schema).parquet(sdir),
+            base_lines, base_sources, out_path, store_root, ck,
+            min_docs=2, min_frac=0.3,
+        ).awaitTermination()
+    # an all-empty documents fixture yields zero-row micro-batches the
+    # sink skips - a quiet day is an empty screen, not a read error
+    if not os.path.isdir(out_path) or not any(
+        f.startswith("micro_batch=") for f in os.listdir(out_path)
+    ):
+        return spark.createDataFrame(
+            [], "doc_id bigint, n_lines bigint, n_dropped bigint, "
+            "text_clean string"
+        )
+    return spark.read.parquet(out_path).select(
+        "doc_id", "n_lines", "n_dropped", "text_clean"
+    )
+
+
 @register("dedup_incremental_paragraphs", _drop_paragraphs_oracle())
 def dedup_incremental_paragraphs(spark, sf_dir):
     """Round-10: paragraph dedup of an arriving batch against a
@@ -8757,6 +8927,7 @@ _DRIVER_ORDER = [
     "pipeline_daily_ingest",
     # -- round-12 NEW operators --
     "dedup_semantic_incremental",
+    "stream_boilerplate_screen",
     # -- parity-core in-window representative --
     "pattern_c_collection_refresh",
     # -- newest-r8 rotation cohort (VERDICT #3, oldest evidence) --
@@ -8795,7 +8966,6 @@ _DRIVER_ORDER = [
     "multimodal_audio_stats",
     "multimodal_phash_pairs",
     "orc_catalog_roundtrip",
-    "j7_edit_distance_join",
     # ---------------- position 51+: past the driver window ----------
     # Everything below holds >= 2 green driver rounds in EVIDENCE.json;
     # extension-prefixed names have OUT_OF_WINDOW_OK entries in
@@ -8836,6 +9006,7 @@ _DRIVER_ORDER = [
     "j1_inner_join_agg",
     "j3_join_chain_q5",
     "j4_semi_join",
+    "j7_edit_distance_join",
     "j8_edit_distance2_join",
     "multimodal_audio_chunks",
     "multimodal_features",

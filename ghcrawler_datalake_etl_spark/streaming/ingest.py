@@ -633,6 +633,132 @@ def stream_cluster_maintenance(
     )
 
 
+def stream_boilerplate_screen(
+    stream_df: DataFrame,
+    base_line_stats: DataFrame,
+    base_source_stats: DataFrame,
+    out_path: str,
+    store_root: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    sep: str = "\n",
+    min_docs: int = 2,
+    min_frac: float = 0.3,
+    compact_after: int = 8,
+) -> StreamingQuery:
+    """Streaming corpus-frequency boilerplate screening - the
+    foreachBatch arm of text.remove_boilerplate_lines_incremental, the
+    last incremental screen without a streaming twin (LSH has
+    stream_lsh_dedup, the cluster fold has stream_cluster_maintenance;
+    this is the line-frequency one). Per micro-batch: (1) screen the
+    arriving documents against the UNION of the bootstrapped corpus
+    statistics and every EARLIER trigger's delta stats (both mergeable
+    by grouped SUM - each document arrives exactly once, so per-batch
+    distinct-doc counts add exactly), writing (doc_id, n_lines,
+    n_dropped, text_clean) to ``out_path/micro_batch=N``; (2) land the
+    batch's OWN (src, dig, line_df) and (src, n_docs) stats as deltas
+    under ``store_root/lines|sources/micro_batch=N`` so later triggers
+    screen against everything seen so far - corpus text is never
+    re-read, only the two narrow stats stores.
+
+    Like the screen it wraps, deliberately NON-retroactive (the
+    CCNet/Dolma daily shape): a line that crosses the threshold only
+    at trigger N is cut from trigger N's documents onward; earlier
+    triggers' output stays as screened at its own arrival time.
+
+    State discipline = the stream_cluster_maintenance recipe verbatim:
+    every per-trigger write is mode("overwrite") into its own
+    ``micro_batch=N`` dir (a replayed trigger overwrites its own
+    output), the ``_manifest.json`` sidecar names the read set (the
+    compacted base + the open delta tail, own dirs excluded so a
+    replay never reads its about-to-be-overwritten self), deltas land
+    LAST so a crash before that point replays against unchanged prior
+    state, and once more than ``compact_after`` older deltas are open
+    they fold into the next base - the per-trigger read set is BOUNDED.
+    Compaction concatenates delta rows without re-aggregating; the
+    screen's grouped SUM makes that equivalent.
+    """
+    import os
+
+    from ghcrawler_datalake_etl_spark.operators.text import (
+        boilerplate_line_stats,
+        remove_boilerplate_lines_incremental,
+        source_doc_counts,
+    )
+
+    _require_driver_local(store_root, "stream_boilerplate_screen")
+
+    def _apply(bdf: DataFrame, micro_batch: int) -> None:
+        spark = bdf.sparkSession
+        bdf = bdf.persist()
+        try:
+            if bdf.count() == 0:
+                return
+            line_stats = base_line_stats
+            source_stats = base_source_stats
+            manifest = _read_delta_manifest(store_root, "lines")
+            line_paths = _delta_read_paths(
+                store_root, "lines", manifest, micro_batch
+            )
+            src_paths = _delta_read_paths(
+                store_root, "sources", manifest, micro_batch
+            )
+            if line_paths:
+                line_stats = line_stats.unionByName(
+                    spark.read.parquet(*line_paths).select(
+                        *line_stats.columns
+                    )
+                )
+                source_stats = source_stats.unionByName(
+                    spark.read.parquet(*src_paths).select(
+                        *source_stats.columns
+                    )
+                )
+            remove_boilerplate_lines_incremental(
+                bdf, line_stats, source_stats,
+                id_col, text_col, source_col,
+                sep=sep, min_docs=min_docs, min_frac=min_frac,
+            ).write.mode("overwrite").parquet(
+                os.path.join(out_path, f"micro_batch={micro_batch}")
+            )
+            # land this trigger's stats deltas LAST (crash-replay safe)
+            boilerplate_line_stats(
+                bdf, id_col, text_col, source_col, sep
+            ).write.mode("overwrite").parquet(
+                os.path.join(store_root, "lines", f"micro_batch={micro_batch}")
+            )
+            source_doc_counts(bdf, id_col, source_col).write.mode(
+                "overwrite"
+            ).parquet(
+                os.path.join(
+                    store_root, "sources", f"micro_batch={micro_batch}"
+                )
+            )
+            if micro_batch not in manifest["deltas"]:
+                manifest = {
+                    "version": 1,
+                    "base": manifest.get("base"),
+                    "deltas": sorted(manifest["deltas"] + [micro_batch]),
+                }
+                _write_delta_manifest(store_root, manifest)
+            if len([m for m in manifest["deltas"] if m < micro_batch]) >= compact_after:
+                _compact_delta_store(
+                    spark, store_root, ("lines", "sources"),
+                    manifest, micro_batch,
+                )
+        finally:
+            bdf.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_hll_registers(
     events: DataFrame,
     value_col: str,

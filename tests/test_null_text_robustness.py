@@ -114,6 +114,10 @@ DOC_ONLY = [
     # union threshold through the CORPUS-side counts (web 7 docs, news
     # 2), and doc 9's duplicate body stays below 30% of the union
     "text_boilerplate_incremental",
+    # round-12: the streaming arm of the same - the 80%/90% split
+    # sends the tail docs through two REAL triggers; NULL text behaves
+    # as '' and NULL sources keep their own group at every trigger
+    "stream_boilerplate_screen",
 ]
 
 

@@ -636,6 +636,96 @@ def test_stream_cluster_maintenance_compacts_delta_tail(spark, tmp_path):
         assert not stale, f"folded delta dirs not cleaned in {sub}: {stale}"
 
 
+def test_stream_boilerplate_screen_folds_trigger_stats(spark, tmp_path):
+    """Round-12: the boilerplate screen's streaming arm. Three
+    SEQUENTIAL availableNow triggers (deterministic order) with
+    compact_after=1: each trigger must screen against corpus + all
+    EARLIER triggers' stats - a line crossing the frequency threshold
+    only once trigger 0 lands is cut from trigger 1's documents while
+    trigger 0's own output stays as screened at its arrival (the
+    non-retroactive contract) - the union equals the per-stage replay
+    through the batch incremental operator, and the delta tail stays
+    bounded with folded dirs cleaned."""
+    import os
+
+    from ghcrawler_datalake_etl_spark.operators import text as TX
+    from ghcrawler_datalake_etl_spark.streaming.ingest import (
+        stream_boilerplate_screen,
+    )
+
+    SCHEMA = "doc_id long, source string, text string"
+    corpus_rows = [(0, "s", "HDR\na0"), (1, "s", "HDR\nb1")]
+    trigger_rows = [
+        [(10, "s", "HDR\nNEW\nu10")],   # NEW df=1 -> survives here
+        [(20, "s", "NEW\nu20")],        # NEW df=2 now -> cut here
+        [(30, "s", "HDR\nu30")],        # bootstrapped boilerplate cut
+    ]
+    corpus = spark.createDataFrame(corpus_rows, SCHEMA)
+    lroot = str(tmp_path / "lstats")
+    sroot_stats = str(tmp_path / "sstats")
+    TX.boilerplate_line_stats(corpus).write.parquet(lroot)
+    TX.source_doc_counts(corpus).write.parquet(sroot_stats)
+    base_lines = spark.read.parquet(lroot)
+    base_sources = spark.read.parquet(sroot_stats)
+
+    sdir = str(tmp_path / "in")
+    os.makedirs(sdir)
+    out_path = str(tmp_path / "out")
+    store = str(tmp_path / "store")
+    for i, rows in enumerate(trigger_rows):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            os.path.join(sdir, f"day{i}")
+        )
+        stream_boilerplate_screen(
+            spark.readStream.schema(SCHEMA).option(
+                "recursiveFileLookup", "true"
+            ).parquet(sdir),
+            base_lines, base_sources, out_path, store,
+            str(tmp_path / "ck"), min_docs=2, min_frac=0.3,
+            compact_after=1,
+        ).awaitTermination()
+
+    got = {
+        r.doc_id: (r.n_lines, r.n_dropped, r.text_clean)
+        for r in spark.read.parquet(out_path).collect()
+    }
+    # per-stage replay through the batch incremental operator
+    seen = corpus
+    want = {}
+    for rows in trigger_rows:
+        batch = spark.createDataFrame(rows, SCHEMA)
+        inc = TX.remove_boilerplate_lines_incremental(
+            batch,
+            TX.boilerplate_line_stats(seen),
+            TX.source_doc_counts(seen),
+            min_docs=2, min_frac=0.3,
+        )
+        want.update({
+            r.doc_id: (r.n_lines, r.n_dropped, r.text_clean)
+            for r in inc.collect()
+        })
+        seen = seen.unionByName(batch)
+    assert got == want
+    # the non-retroactive cross-trigger effect, pinned explicitly
+    assert got[10] == (3, 1, "NEW\nu10")   # NEW survives at trigger 0
+    assert got[20] == (2, 1, "u20")        # ... and is cut at trigger 1
+    assert got[30] == (2, 1, "u30")
+    # tail bounded with compact_after=1; folded dirs cleaned
+    with open(os.path.join(store, "_manifest.json")) as fh:
+        man = json.load(fh)
+    assert man["base"] is not None
+    assert len(man["deltas"]) <= 2
+    for sub in ("lines", "sources"):
+        dirs = set(os.listdir(os.path.join(store, sub)))
+        assert man["base"] in dirs
+        open_deltas = {f"micro_batch={m}" for m in man["deltas"]}
+        stale = {
+            d for d in dirs
+            if d.startswith("micro_batch=") and d not in open_deltas
+        }
+        assert not stale, f"folded delta dirs not cleaned in {sub}: {stale}"
+
+
 def test_stream_apply_changes_feed_roundtrip(spark, tmp_path):
     """Round-11: streaming CDC maintenance with per-trigger changefeed
     emission - the final table equals the sequential batch apply, the
