@@ -3088,6 +3088,115 @@ def dim_table_changes(spark, sf_dir):
     return cat.table_changes("T", 0, 1)
 
 
+@register(
+    "dim_changefeed_consume",
+    """
+    WITH o AS (
+      SELECT o_orderkey AS k, coalesce(o_orderstatus, '') AS g,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey IS NOT NULL
+    ), s1 AS (
+      -- state after day 1: inserts k%3=0, deletes k%4=0 (k%7<>0),
+      -- doubled cents where k%7=0
+      SELECT k, g,
+             CASE WHEN k % 3 <> 0 AND k % 7 = 0 THEN cents * 2
+                  ELSE cents END AS c
+      FROM o WHERE k % 3 = 0 OR NOT (k % 4 = 0 AND k % 7 <> 0)
+    ), s2 AS (
+      -- state after day 2: deletes k%5=0, status flip where k%11=0,
+      -- re-inserts of a day-1-deleted slice at cents+1
+      SELECT k, CASE WHEN k % 11 = 0 THEN 'X' ELSE g END AS g, c
+      FROM s1 WHERE k % 5 <> 0
+      UNION ALL
+      SELECT k, g, cents + 1 AS c FROM o
+      WHERE k % 3 <> 0 AND k % 4 = 0 AND k % 7 <> 0
+        AND k % 9 = 0 AND k % 5 <> 0
+    )
+    SELECT g, count(*) AS n, count(c) AS n_vals,
+           CAST(sum(c) AS BIGINT) AS sum_v
+    FROM s2 GROUP BY g
+    """,
+)
+def dim_changefeed_consume(spark, sf_dir):
+    """Round-12 (VERDICT r11 #6): the CDC loop CLOSED end-to-end - a
+    downstream standing per-group stats table maintained PURELY by
+    subscribing to the upstream table's changefeeds (the Delta Live
+    Tables shape), never re-reading the upstream after bootstrap.
+    table_changes(with_preimages=True) emits the Delta CDF change-type
+    set (updates as U_pre/U_post pairs), and
+    ParquetCatalog.fold_changes_into_stats folds each feed with the
+    retractable algebra (+post, -pre; integer cents, exact under any
+    order), rewriting only the touched groups' buckets. Two upstream
+    merge days exercise value updates, GROUP MOVES (status flips
+    retract from one group and add to another), deletes that empty
+    groups, and re-inserts; the oracle recomputes the stats from the
+    final upstream state algebra - the fold must land exactly there."""
+    import re
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey").isNotNull())
+    k = F.col("o_orderkey")
+    g = F.coalesce(F.col("o_orderstatus"), F.lit(""))
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    s0 = o.filter(k % 3 != 0).select(
+        k.alias("k"), g.alias("g"), cents.alias("cents")
+    )
+    from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
+
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    seq = next(_TC_SEQ)
+    cat = ParquetCatalog(
+        spark, _run_tmp(f"cfc_wh_{tag}_{seq}"), retain=3
+    )
+    cat.merge_upsert(s0, "T", ["k"], num_buckets=16)
+    # downstream bootstrap = day-0's insert feed; after this the stats
+    # table sees the upstream ONLY through table_changes feeds
+    cat.fold_changes_into_stats(
+        s0.select(F.lit("I").alias("op"), "k", "g", "cents"),
+        "S", ["g"], "cents", num_buckets=8,
+    )
+    # day 1: inserts (k%3=0), doubled cents (k%7=0), deletes (k%4=0)
+    day1 = (
+        o.filter(k % 3 == 0)
+        .select(k.alias("k"), g.alias("g"), cents.alias("cents"))
+        .unionByName(
+            o.filter((k % 3 != 0) & (k % 7 == 0)).select(
+                k.alias("k"), g.alias("g"), (cents * 2).alias("cents")
+            )
+        )
+    )
+    dels1 = o.filter((k % 3 != 0) & (k % 4 == 0) & (k % 7 != 0)).select(
+        k.alias("k")
+    )
+    cat.merge_upsert(day1, "T", ["k"], num_buckets=16, delete_keys=dels1)
+    cat.fold_changes_into_stats(
+        cat.table_changes("T", 0, 1, with_preimages=True),
+        "S", ["g"], "cents", num_buckets=8,
+    )
+    # day 2 against the post-day-1 state: status flips (GROUP MOVES),
+    # deletes, re-inserts of a day-1-deleted slice
+    cents1 = F.when((k % 3 != 0) & (k % 7 == 0), cents * 2).otherwise(cents)
+    memb1 = (k % 3 == 0) | (~((k % 4 == 0) & (k % 7 != 0)))
+    day2 = (
+        o.filter(
+            (k % 3 != 0) & (k % 4 == 0) & (k % 7 != 0)
+            & (k % 9 == 0) & (k % 5 != 0)
+        )
+        .select(k.alias("k"), g.alias("g"), (cents + 1).alias("cents"))
+        .unionByName(
+            o.filter(memb1 & (k % 11 == 0) & (k % 5 != 0)).select(
+                k.alias("k"), F.lit("X").alias("g"), cents1.alias("cents")
+            )
+        )
+    )
+    dels2 = o.filter(memb1 & (k % 5 == 0)).select(k.alias("k"))
+    cat.merge_upsert(day2, "T", ["k"], num_buckets=16, delete_keys=dels2)
+    cat.fold_changes_into_stats(
+        cat.table_changes("T", 1, 2, with_preimages=True),
+        "S", ["g"], "cents", num_buckets=8,
+    )
+    return cat.read("S").select("g", "n", "n_vals", "sum_v")
+
+
 # invocation counter for stream_changefeed_emission's per-run state
 _CFE_SEQ = _itertools.count()
 
@@ -8928,6 +9037,7 @@ _DRIVER_ORDER = [
     # -- round-12 NEW operators --
     "dedup_semantic_incremental",
     "stream_boilerplate_screen",
+    "dim_changefeed_consume",
     # -- parity-core in-window representative --
     "pattern_c_collection_refresh",
     # -- newest-r8 rotation cohort (VERDICT #3, oldest evidence) --
@@ -8965,7 +9075,6 @@ _DRIVER_ORDER = [
     "layout_zorder_buckets",
     "multimodal_audio_stats",
     "multimodal_phash_pairs",
-    "orc_catalog_roundtrip",
     # ---------------- position 51+: past the driver window ----------
     # Everything below holds >= 2 green driver rounds in EVIDENCE.json;
     # extension-prefixed names have OUT_OF_WINDOW_OK entries in
@@ -9015,6 +9124,7 @@ _DRIVER_ORDER = [
     "multimodal_gif_resize",
     "multimodal_image_features",
     "multimodal_wav_stats",
+    "orc_catalog_roundtrip",
     "p1_eq_filter",
     "p2_like_filter",
     "p3_isin_filter",

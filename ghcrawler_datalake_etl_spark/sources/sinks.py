@@ -481,6 +481,7 @@ class ParquetCatalog:
         from_version: int,
         to_version: int | None = None,
         op_col: str = "op",
+        with_preimages: bool = False,
     ) -> DataFrame:
         """Changefeed EMISSION - the read-side dual of
         :meth:`apply_changes` (the Delta ``table_changes()`` shape):
@@ -494,6 +495,18 @@ class ParquetCatalog:
         replayed through :meth:`apply_changes` onto the ``from``
         snapshot reproduces the ``to`` snapshot exactly - the
         roundtrip contract the CDC loop (stats/cluster tables) closes.
+
+        ``with_preimages=True`` emits the Delta CDF change-type set
+        instead: each update becomes TWO rows - ``'U_pre'`` carrying
+        the PRE-image and ``'U_post'`` the post-image (Delta's
+        ``update_preimage`` / ``update_postimage``) - while I/D rows
+        are unchanged. This is what a downstream AGGREGATE consumer
+        needs: retractable aggregates (counts, integer sums) fold a
+        preimage feed exactly (+post, -pre), so a standing stats table
+        can subscribe to the feed instead of re-reading the upstream
+        (see :func:`fold_changes_into_stats`). Post-image-only feeds
+        cannot support retraction - the plain form stays the
+        :meth:`apply_changes` replay format.
 
         Bucket-pruned via the merge layout: snapshots share the
         ``_kb`` hash-bucket partitioning, and :meth:`merge_upsert`
@@ -598,10 +611,137 @@ class ParquetCatalog:
         pick = lambda c: F.when(  # noqa: E731 - post-image for I/U, pre for D
             F.col("_n_present").isNotNull(), F.col(f"_n_{c}")
         ).otherwise(F.col(f"_o_{c}"))
+        if not with_preimages:
+            return (
+                j.withColumn(op_col, op)
+                .filter(F.col(op_col).isNotNull())
+                .select(op_col, *[pick(c).alias(c) for c in cols])
+            )
+        # CDF form: one pass - U rows explode into (U_pre, U_post)
+        pre_s = F.struct(
+            F.lit("U_pre").alias(op_col),
+            *[F.col(f"_o_{c}").alias(c) for c in cols],
+        )
+        post_s = F.struct(
+            F.lit("U_post").alias(op_col),
+            *[F.col(f"_n_{c}").alias(c) for c in cols],
+        )
+        plain_s = F.struct(
+            op.alias(op_col), *[pick(c).alias(c) for c in cols]
+        )
+        rows = F.when(op == "U", F.array(pre_s, post_s)).otherwise(
+            F.array(plain_s)
+        )
         return (
             j.withColumn(op_col, op)
             .filter(F.col(op_col).isNotNull())
-            .select(op_col, *[pick(c).alias(c) for c in cols])
+            .select(F.explode(rows).alias("_r"))
+            .select(f"_r.{op_col}", *[F.col(f"_r.{c}").alias(c) for c in cols])
+        )
+
+    def fold_changes_into_stats(
+        self,
+        feed: DataFrame,
+        stats_table: str,
+        group_cols: Sequence[str],
+        value_col: str,
+        op_col: str = "op",
+        num_buckets: int = 16,
+    ) -> None:
+        """Incremental-view maintenance of a standing AGGREGATE table
+        from a PREIMAGE changefeed alone - the Delta Live Tables shape:
+        a downstream per-group stats table (group, n, n_vals, sum_v)
+        maintained purely by SUBSCRIBING to
+        :meth:`table_changes`(..., with_preimages=True) feeds of the
+        upstream table, never re-reading it. Retractable fold: I /
+        U_post rows contribute +1 / +value, D / U_pre rows -1 / -value;
+        ``value_col`` must be INTEGER-typed (integer sums retract
+        exactly under any order - float retraction drifts, the standard
+        IVM restriction; quantize upstream, e.g. cents). ``n_vals``
+        counts non-null values so a group whose values are all NULL
+        reports sum_v NULL, matching a from-scratch aggregate. A plain
+        post-image-only ``'U'`` row raises loudly - folding it would
+        silently double-count instead of retracting.
+
+        The merge touches only CHANGED groups: the feed's groups fold
+        against their standing rows (left join - feed side is
+        aggregate-sized), groups whose count reaches zero are DELETED,
+        and :meth:`merge_upsert` rewrites only the affected buckets.
+        Group keys must be non-null (the merge layout's key contract);
+        coalesce upstream. Cost per fold is O(feed + touched groups),
+        independent of the stats table's total size - min/max-style
+        non-retractable aggregates deliberately excluded."""
+        import pyspark.sql.types as T
+
+        group_cols = list(group_cols)
+        vf = dict(feed.dtypes)[value_col]
+        if vf not in ("bigint", "int", "smallint", "tinyint"):
+            raise ValueError(
+                f"fold_changes_into_stats needs an integer value column "
+                f"(exact retraction); {value_col!r} is {vf} - quantize "
+                "upstream (e.g. floor(x * 100) cents)"
+            )
+        sign = (
+            F.when(F.col(op_col).isin("I", "U_post"), F.lit(1))
+            .when(F.col(op_col).isin("D", "U_pre"), F.lit(-1))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "fold_changes_into_stats needs a preimage "
+                            "feed (table_changes with_preimages=True); "
+                            "got op="
+                        ),
+                        F.col(op_col),
+                    )
+                ).cast(T.IntegerType())
+            )
+        )
+        v = F.col(value_col)
+        delta = feed.groupBy(*group_cols).agg(
+            F.sum(sign).cast("long").alias("_dn"),
+            F.sum(F.when(v.isNotNull(), sign).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("_dnv"),
+            F.coalesce(F.sum(sign * v), F.lit(0))
+            .cast("long")
+            .alias("_dsum"),
+        )
+        standing = self.read_or_none(stats_table)
+        if standing is not None:
+            prior = standing.select(
+                *group_cols,
+                F.col("n").alias("_pn"),
+                F.col("n_vals").alias("_pnv"),
+                F.coalesce(F.col("sum_v"), F.lit(0)).alias("_psum"),
+            )
+            delta = delta.join(prior, group_cols, "left")
+        else:
+            delta = (
+                delta.withColumn("_pn", F.lit(None).cast("long"))
+                .withColumn("_pnv", F.lit(None).cast("long"))
+                .withColumn("_psum", F.lit(None).cast("long"))
+            )
+        folded = delta.select(
+            *group_cols,
+            (F.coalesce(F.col("_pn"), F.lit(0)) + F.col("_dn")).alias("n"),
+            (F.coalesce(F.col("_pnv"), F.lit(0)) + F.col("_dnv")).alias(
+                "n_vals"
+            ),
+            (F.coalesce(F.col("_psum"), F.lit(0)) + F.col("_dsum")).alias(
+                "_rawsum"
+            ),
+        ).select(
+            *group_cols,
+            "n",
+            "n_vals",
+            F.when(F.col("n_vals") > 0, F.col("_rawsum")).alias("sum_v"),
+        )
+        ups = folded.filter(F.col("n") > 0)
+        dels = folded.filter(F.col("n") <= 0).select(*group_cols).distinct()
+        self.merge_upsert(
+            ups, stats_table, group_cols,
+            num_buckets=num_buckets, delete_keys=dels,
         )
 
     def compact(

@@ -47,6 +47,11 @@ ORDERS_ONLY = [
     # delete (key 5) - two real triggers over a 7-row table, feeds
     # emitted through the same null-safe diff
     "stream_changefeed_emission",
+    # round-12 changefeed consumption: the NULL-price rows carry NULL
+    # cents through insert/retract (n_vals stays exact, an all-NULL
+    # group reports sum_v NULL), the NULL status coalesces to the ''
+    # group, and the two-day fold must land on the recompute
+    "dim_changefeed_consume",
 ]
 
 

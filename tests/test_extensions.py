@@ -3156,6 +3156,78 @@ def test_read_snapshot_unreadable_nonempty_reraises(spark, tmp_path):
     assert ParquetCatalog._has_data_files(str(marker_only))
 
 
+def test_fold_changes_into_stats_maintains_downstream(spark, tmp_path):
+    """Round-12: changefeed CONSUMPTION end-to-end (the Delta Live
+    Tables shape) - a standing per-group stats table maintained purely
+    by subscribing to preimage changefeeds of the upstream table.
+    Pins: the CDF form (U -> U_pre/U_post pair), the retractable fold
+    equaling a from-scratch recompute after updates that MOVE rows
+    between groups, vanished groups deleted, all-NULL-value groups
+    reporting sum_v NULL, and the loud guards (post-image-only feed,
+    float value column)."""
+    import pytest
+
+    from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"), retain=3)
+    s0 = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 50), (3, "b", 10),
+         (4, "b", None), (5, "c", None)],
+        "k long, g string, cents long",
+    )
+    cat.merge_upsert(s0, "T", ["k"], num_buckets=4)
+    # bootstrap = day-0's insert feed (the table is born as changes)
+    cat.fold_changes_into_stats(
+        s0.select(F.lit("I").alias("op"), "k", "g", "cents"),
+        "S", ["g"], "cents", num_buckets=4,
+    )
+    assert {
+        tuple(r) for r in cat.read("S").select("g", "n", "n_vals", "sum_v").collect()
+    } == {("a", 2, 2, 150), ("b", 2, 1, 10), ("c", 1, 0, None)}
+
+    # day 1: value update (k=1), GROUP MOVE (k=2 a->b), delete b's only
+    # valued row (k=3), vanish group c (k=5), fresh group d (k=6)
+    cat.merge_upsert(
+        spark.createDataFrame(
+            [(1, "a", 200), (2, "b", 50), (6, "d", 7)],
+            "k long, g string, cents long",
+        ),
+        "T", ["k"], num_buckets=4,
+        delete_keys=spark.createDataFrame([(3,), (5,)], "k long"),
+    )
+    feed = cat.table_changes("T", 0, 1, with_preimages=True)
+    assert {r.op for r in feed.collect()} == {"I", "D", "U_pre", "U_post"}
+    cat.fold_changes_into_stats(feed, "S", ["g"], "cents", num_buckets=4)
+    got = {
+        tuple(r)
+        for r in cat.read("S").select("g", "n", "n_vals", "sum_v").collect()
+    }
+    want = {
+        tuple(r)
+        for r in cat.read("T")
+        .groupBy("g")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("cents").alias("n_vals"),
+            F.sum("cents").alias("sum_v"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert not any(r[0] == "c" for r in got), "vanished group not deleted"
+    # post-image-only feeds cannot retract - must raise, not miscount
+    with pytest.raises(Exception, match="preimage"):
+        cat.fold_changes_into_stats(
+            cat.table_changes("T", 0, 1), "S", ["g"], "cents", num_buckets=4
+        )
+    # float values would drift under retraction - rejected up front
+    with pytest.raises(ValueError, match="integer"):
+        cat.fold_changes_into_stats(
+            feed.withColumn("cents", F.col("cents").cast("double")),
+            "S", ["g"], "cents", num_buckets=4,
+        )
+
+
 def test_table_changes_emits_cdc_feed(spark, tmp_path):
     """Round-11 (VERDICT r10 #6): the changefeed EMISSION dual of
     apply_changes - diffing two snapshot versions yields exactly the

@@ -126,6 +126,7 @@ OUT_OF_WINDOW_OK = {
     "multimodal_gif_resize": "evidence",  # green r9+r10
     "multimodal_image_features": "evidence",  # green r9+r10
     "multimodal_wav_stats": "evidence",  # green r9+r10
+    "orc_catalog_roundtrip": "evidence",  # green r4+r5+r8
     "pack_store_delta_append": "evidence",  # green r9+r10
     "pack_token_shards": "evidence",  # green r1+r2+r3+r4+r5+r10
     "pipeline_chunk_dedup_pack": "evidence",  # green r3+r4+r11
