@@ -199,6 +199,29 @@ def register_release(handle) -> None:
     _RELEASE_HANDLES.append(handle)
 
 
+class released_scope:
+    """Context manager releasing ONLY the frames registered inside its
+    body - the per-trigger form of :func:`release_materialized` for
+    long-running streams: a foreachBatch body wraps its screen in one
+    scope so each trigger's operator-internal persists free before the
+    next trigger, without touching frames the CALLER pinned earlier
+    (a global drain mid-query could release a frame the enclosing
+    query still scans)."""
+
+    def __enter__(self):
+        self._start = len(_RELEASE_HANDLES)
+        return self
+
+    def __exit__(self, *exc):
+        for h in _RELEASE_HANDLES[self._start:]:
+            try:
+                h()
+            except Exception:  # noqa: BLE001
+                pass
+        del _RELEASE_HANDLES[self._start:]
+        return False
+
+
 def release_materialized() -> int:
     """Unpersist every operator-internal frame pinned since the last
     call; returns the number of handles released. Intended call point:

@@ -4405,7 +4405,10 @@ def _semantic_dedup_oracle(k: int = 8, iters: int = 2, threshold: float = 0.5) -
 
 
 def _semantic_incremental_oracle(
-    k: int = 8, iters: int = 2, threshold: float = 0.5
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.5,
+    out_where: str = "",
 ) -> str:
     """Incremental-SemDeDup oracle: fit the standing centroids over the
     CORPUS split only (80% id threshold - the standing quantizer), then
@@ -4455,6 +4458,7 @@ def _semantic_incremental_oracle(
     SELECT v.vec_id, v.cluster,
            (CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS keep
     FROM vv v LEFT JOIN dropped d USING (vec_id)
+    {out_where}
     """
 
 
@@ -4501,6 +4505,110 @@ def dedup_semantic_incremental(spark, sf_dir):
     return DD.semantic_dedup(
         corpus, "vec_id", "embedding", cents, threshold=0.5
     ).unionByName(inc)
+
+
+import itertools as _itertools_ss  # noqa: E402
+
+#: per-invocation sequence for the streaming-semantic query's fresh
+#: out/store/checkpoint roots (the _CFE_SEQ idiom)
+_SSEM_SEQ = _itertools_ss.count()
+
+
+@register(
+    "stream_semantic_dedup",
+    _semantic_incremental_oracle(
+        out_where=(
+            "WHERE v.vec_id * 5 >= 4 * "
+            "(SELECT max(vec_id) + 1 FROM embeddings)"
+        )
+    ),
+)
+def stream_semantic_dedup(spark, sf_dir):
+    """Round-12: streaming SemDeDup
+    (streaming/ingest.stream_semantic_dedup) - the semantic screen's
+    foreachBatch arm, completing its batch -> incremental -> streaming
+    lifecycle. embeddings split corpus / day1 / day2 at the 80%/90%
+    id thresholds; the standing quantizer fits on the corpus and the
+    corpus's cell postings bootstrap the store; the two days arrive as
+    two SEQUENTIAL availableNow runs (restart-driven, deterministic
+    order), each trigger screening against base + earlier deltas and
+    delta-appending its own assignments - so a day-2 near-dup of a
+    day-1 vector drops THROUGH the store. Greedy-by-id is cumulative
+    (no per-trigger threshold state), so the union of both days'
+    verdicts equals the GLOBAL SemDeDup at the standing centroids
+    restricted to streamed ids - the same identity oracle as
+    dedup_semantic_incremental with the output sliced to the stream."""
+    import os
+    import re
+    import shutil
+
+    from ghcrawler_datalake_etl_spark.streaming.ingest import (
+        stream_semantic_dedup as _ssd,
+    )
+
+    raw = _t(spark, sf_dir, "embeddings")
+    cut = (raw.agg(F.max("vec_id")).collect()[0][0] or 0) + 1
+    e = raw.filter(F.col("embedding").isNotNull())
+    v10 = F.col("vec_id") * 10
+    corpus = e.filter(v10 < 8 * cut)
+    days = (
+        e.filter((v10 >= 8 * cut) & (v10 < 9 * cut)),
+        e.filter(v10 >= 9 * cut),
+    )
+    cents = CL.kmeans_fit(
+        corpus, "vec_id", "embedding", k=8, iterations=2, seed=42,
+        use_cache=True,
+    )
+    global _SSEM_STAGED
+    try:
+        _SSEM_STAGED
+    except NameError:
+        _SSEM_STAGED = set()
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    sroot = _run_tmp(f"ssem_{tag}")
+    ppath = os.path.join(sroot, "postings")
+    if sf_dir not in _SSEM_STAGED:
+        DD.semantic_postings(
+            corpus, "vec_id", "embedding", cents
+        ).write.mode("overwrite").partitionBy("cluster").parquet(ppath)
+        for i, day in enumerate(days):
+            day.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(sroot, f"day{i}")
+            )
+        _SSEM_STAGED.add(sf_dir)
+
+    def _day_file(i: int) -> str:
+        d = os.path.join(sroot, f"day{i}")
+        return os.path.join(
+            d, next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        )
+
+    seq = next(_SSEM_SEQ)
+    root = _run_tmp(f"ssem_{tag}_{seq}")
+    sdir = os.path.join(root, "in")
+    os.makedirs(sdir, exist_ok=True)
+    out_path = os.path.join(root, "out")
+    store_root = os.path.join(root, "store")
+    ck = os.path.join(root, "ck")
+    base_postings = spark.read.parquet(ppath)
+    schema = "vec_id bigint, embedding array<float>"
+    for i in range(2):
+        try:
+            os.link(_day_file(i), os.path.join(sdir, f"day{i}.parquet"))
+        except OSError:
+            shutil.copy(_day_file(i), os.path.join(sdir, f"day{i}.parquet"))
+        _ssd(
+            spark.readStream.schema(schema).parquet(sdir),
+            base_postings, cents, out_path, store_root, ck,
+            threshold=0.5,
+        ).awaitTermination()
+    if not os.path.isdir(out_path) or not any(
+        f.startswith("micro_batch=") for f in os.listdir(out_path)
+    ):
+        return spark.createDataFrame(
+            [], "vec_id bigint, cluster int, keep bigint"
+        )
+    return spark.read.parquet(out_path).select("vec_id", "cluster", "keep")
 
 
 @register("dedup_semantic_prune", _semantic_dedup_oracle())
@@ -9038,6 +9146,7 @@ _DRIVER_ORDER = [
     "dedup_semantic_incremental",
     "stream_boilerplate_screen",
     "dim_changefeed_consume",
+    "stream_semantic_dedup",
     # -- parity-core in-window representative --
     "pattern_c_collection_refresh",
     # -- newest-r8 rotation cohort (VERDICT #3, oldest evidence) --
@@ -9074,7 +9183,6 @@ _DRIVER_ORDER = [
     "layout_compact_roundtrip",
     "layout_zorder_buckets",
     "multimodal_audio_stats",
-    "multimodal_phash_pairs",
     # ---------------- position 51+: past the driver window ----------
     # Everything below holds >= 2 green driver rounds in EVIDENCE.json;
     # extension-prefixed names have OUT_OF_WINDOW_OK entries in
@@ -9123,6 +9231,7 @@ _DRIVER_ORDER = [
     "multimodal_gif_frames",
     "multimodal_gif_resize",
     "multimodal_image_features",
+    "multimodal_phash_pairs",
     "multimodal_wav_stats",
     "orc_catalog_roundtrip",
     "p1_eq_filter",

@@ -759,6 +759,102 @@ def stream_boilerplate_screen(
     )
 
 
+def stream_semantic_dedup(
+    stream_df: DataFrame,
+    base_postings: DataFrame,
+    centroids: list[list[float]],
+    out_path: str,
+    store_root: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+    compact_after: int = 8,
+) -> StreamingQuery:
+    """Streaming SemDeDup - the foreachBatch arm of
+    dedup.semantic_dedup_incremental, completing the semantic screen's
+    lifecycle (batch -> incremental -> streaming, like the LSH and
+    boilerplate families). Per micro-batch: screen the arriving
+    vectors against the standing cell postings (the bootstrapped base
+    plus every EARLIER trigger's delta - manifest-named, own dirs
+    excluded), write (vec_id, cluster, keep) verdicts to
+    ``out_path/micro_batch=N``, then delta-append the batch's OWN cell
+    assignments so later triggers dedup against everything seen so
+    far. The quantizer stays FIXED (the standing centroids) - pair
+    with clustering.kmeans_refresh out-of-band when it must track
+    drift; greedy-by-id is cumulative, so the union of all triggers'
+    verdicts equals the BATCH SemDeDup over the whole corpus
+    restricted to streamed ids (unlike the frequency screens there is
+    no per-trigger threshold state - the identity is global).
+
+    State discipline = the delta-store recipe: mode("overwrite") into
+    per-trigger dirs, manifest-governed read set, deltas land last,
+    tail compaction past ``compact_after``. Each trigger's
+    operator-internal persists release in a scope so a long-running
+    stream's executor storage does not grow per trigger."""
+    import os
+
+    from ghcrawler_datalake_etl_spark.operators.dedup import (
+        released_scope,
+        semantic_dedup_incremental,
+        semantic_postings,
+    )
+
+    _require_driver_local(store_root, "stream_semantic_dedup")
+
+    def _apply(bdf: DataFrame, micro_batch: int) -> None:
+        spark = bdf.sparkSession
+        bdf = bdf.persist()
+        try:
+            if bdf.count() == 0:
+                return
+            with released_scope():
+                postings = base_postings
+                manifest = _read_delta_manifest(store_root, "post")
+                paths = _delta_read_paths(
+                    store_root, "post", manifest, micro_batch
+                )
+                if paths:
+                    postings = postings.unionByName(
+                        spark.read.parquet(*paths).select(*postings.columns)
+                    )
+                semantic_dedup_incremental(
+                    bdf, postings, id_col, vec_col, centroids,
+                    threshold=threshold,
+                ).write.mode("overwrite").parquet(
+                    os.path.join(out_path, f"micro_batch={micro_batch}")
+                )
+                # this trigger's postings delta lands LAST (crash-replay
+                # safe: a replay's read set is unchanged)
+                semantic_postings(
+                    bdf, id_col, vec_col, centroids
+                ).write.mode("overwrite").parquet(
+                    os.path.join(
+                        store_root, "post", f"micro_batch={micro_batch}"
+                    )
+                )
+            if micro_batch not in manifest["deltas"]:
+                manifest = {
+                    "version": 1,
+                    "base": manifest.get("base"),
+                    "deltas": sorted(manifest["deltas"] + [micro_batch]),
+                }
+                _write_delta_manifest(store_root, manifest)
+            if len([m for m in manifest["deltas"] if m < micro_batch]) >= compact_after:
+                _compact_delta_store(
+                    spark, store_root, ("post",), manifest, micro_batch
+                )
+        finally:
+            bdf.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_hll_registers(
     events: DataFrame,
     value_col: str,

@@ -49,6 +49,11 @@ EMB_ONLY = [
     # and must screen against the standing postings identically (NaN
     # cosine never drops; the duplicate of id 0 must drop)
     "dedup_semantic_incremental",
+    # round-12: the streaming arm - the dup/scaled rows (16, 17) land
+    # in trigger 0 and the zero-norm/NULL rows (18, 19) in trigger 1;
+    # the NULL row must vanish before the stream and the zero-norm
+    # row must screen (NaN never drops) through the postings store
+    "stream_semantic_dedup",
 ]
 
 DIM = 64  # the width the registered queries pin (ann dim=64)

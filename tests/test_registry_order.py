@@ -125,6 +125,7 @@ OUT_OF_WINDOW_OK = {
     "multimodal_gif_frames": "evidence",  # green r9+r10
     "multimodal_gif_resize": "evidence",  # green r9+r10
     "multimodal_image_features": "evidence",  # green r9+r10
+    "multimodal_phash_pairs": "evidence",  # green r5+r8
     "multimodal_wav_stats": "evidence",  # green r9+r10
     "orc_catalog_roundtrip": "evidence",  # green r4+r5+r8
     "pack_store_delta_append": "evidence",  # green r9+r10

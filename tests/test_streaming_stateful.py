@@ -726,6 +726,82 @@ def test_stream_boilerplate_screen_folds_trigger_stats(spark, tmp_path):
         assert not stale, f"folded delta dirs not cleaned in {sub}: {stale}"
 
 
+def test_stream_semantic_dedup_drops_through_store(spark, tmp_path):
+    """Round-12: streaming SemDeDup. Three sequential availableNow
+    triggers with compact_after=1: a trigger-2 near-dup of a TRIGGER-0
+    vector must drop through the delta-appended postings store (not
+    just against the bootstrapped base), the union of all triggers'
+    verdicts must equal the batch SemDeDup over the full corpus
+    restricted to streamed ids (greedy-by-id is cumulative), executor
+    storage must not grow per trigger (the released_scope contract),
+    and the postings tail must compact."""
+    import os
+
+    from ghcrawler_datalake_etl_spark.operators import dedup as D
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    SCHEMA = "vec_id long, embedding array<double>"
+    corpus_rows = [(0, [1.0, 0.05]), (1, [0.05, 1.0])]
+    trigger_rows = [
+        [(10, [0.6, 0.61])],            # novel direction, cluster 1
+        [(20, [1.0, 0.06])],            # near-dup of CORPUS id 0
+        [(30, [0.55, 0.62]),            # near-dup of TRIGGER-0 id 10
+         (31, [0.0, 0.0])],             # zero-norm: NaN never drops
+    ]
+    corpus = spark.createDataFrame(corpus_rows, SCHEMA)
+    ppath = str(tmp_path / "postings")
+    D.semantic_postings(corpus, "vec_id", "embedding", cents).write.parquet(
+        ppath
+    )
+    base = spark.read.parquet(ppath)
+
+    from ghcrawler_datalake_etl_spark.streaming.ingest import (
+        stream_semantic_dedup,
+    )
+
+    sdir = str(tmp_path / "in")
+    os.makedirs(sdir)
+    out_path = str(tmp_path / "out")
+    store = str(tmp_path / "store")
+    sc = spark.sparkContext
+    D.release_materialized()
+    pinned_before = sc._jsc.getPersistentRDDs().size()
+    for i, rows in enumerate(trigger_rows):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            os.path.join(sdir, f"day{i}")
+        )
+        stream_semantic_dedup(
+            spark.readStream.schema(SCHEMA).option(
+                "recursiveFileLookup", "true"
+            ).parquet(sdir),
+            base, cents, out_path, store, str(tmp_path / "ck"),
+            threshold=0.9, compact_after=1,
+        ).awaitTermination()
+    # per-trigger scope released every operator-internal persist
+    assert sc._jsc.getPersistentRDDs().size() <= pinned_before
+
+    got = {
+        r.vec_id: r.keep for r in spark.read.parquet(out_path).collect()
+    }
+    streamed = [r for rows in trigger_rows for r in rows]
+    want = {
+        r.vec_id: r.keep
+        for r in D.semantic_dedup(
+            corpus.unionByName(spark.createDataFrame(streamed, SCHEMA)),
+            "vec_id", "embedding", cents, threshold=0.9,
+        ).collect()
+        if r.vec_id >= 10
+    }
+    assert got == want
+    assert got[10] == 1                 # novel survives
+    assert got[20] == 0                 # dup of corpus drops via base
+    assert got[30] == 0                 # dup of trigger 0 drops THROUGH
+    assert got[31] == 1                 # the store; NaN never drops
+    with open(os.path.join(store, "_manifest.json")) as fh:
+        man = json.load(fh)
+    assert man["base"] is not None and len(man["deltas"]) <= 2
+
+
 def test_stream_apply_changes_feed_roundtrip(spark, tmp_path):
     """Round-11: streaming CDC maintenance with per-trigger changefeed
     emission - the final table equals the sequential batch apply, the
