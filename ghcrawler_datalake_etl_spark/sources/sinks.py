@@ -671,71 +671,9 @@ class ParquetCatalog:
         coalesce upstream. Cost per fold is O(feed + touched groups),
         independent of the stats table's total size - min/max-style
         non-retractable aggregates deliberately excluded."""
-        import pyspark.sql.types as T
-
-        group_cols = list(group_cols)
-        vf = dict(feed.dtypes)[value_col]
-        if vf not in ("bigint", "int", "smallint", "tinyint"):
-            raise ValueError(
-                f"fold_changes_into_stats needs an integer value column "
-                f"(exact retraction); {value_col!r} is {vf} - quantize "
-                "upstream (e.g. floor(x * 100) cents)"
-            )
-        sign = (
-            F.when(F.col(op_col).isin("I", "U_post"), F.lit(1))
-            .when(F.col(op_col).isin("D", "U_pre"), F.lit(-1))
-            .otherwise(
-                F.raise_error(
-                    F.concat(
-                        F.lit(
-                            "fold_changes_into_stats needs a preimage "
-                            "feed (table_changes with_preimages=True); "
-                            "got op="
-                        ),
-                        F.col(op_col),
-                    )
-                ).cast(T.IntegerType())
-            )
-        )
-        v = F.col(value_col)
-        delta = feed.groupBy(*group_cols).agg(
-            F.sum(sign).cast("long").alias("_dn"),
-            F.sum(F.when(v.isNotNull(), sign).otherwise(F.lit(0)))
-            .cast("long")
-            .alias("_dnv"),
-            F.coalesce(F.sum(sign * v), F.lit(0))
-            .cast("long")
-            .alias("_dsum"),
-        )
-        standing = self.read_or_none(stats_table)
-        if standing is not None:
-            prior = standing.select(
-                *group_cols,
-                F.col("n").alias("_pn"),
-                F.col("n_vals").alias("_pnv"),
-                F.coalesce(F.col("sum_v"), F.lit(0)).alias("_psum"),
-            )
-            delta = delta.join(prior, group_cols, "left")
-        else:
-            delta = (
-                delta.withColumn("_pn", F.lit(None).cast("long"))
-                .withColumn("_pnv", F.lit(None).cast("long"))
-                .withColumn("_psum", F.lit(None).cast("long"))
-            )
-        folded = delta.select(
-            *group_cols,
-            (F.coalesce(F.col("_pn"), F.lit(0)) + F.col("_dn")).alias("n"),
-            (F.coalesce(F.col("_pnv"), F.lit(0)) + F.col("_dnv")).alias(
-                "n_vals"
-            ),
-            (F.coalesce(F.col("_psum"), F.lit(0)) + F.col("_dsum")).alias(
-                "_rawsum"
-            ),
-        ).select(
-            *group_cols,
-            "n",
-            "n_vals",
-            F.when(F.col("n_vals") > 0, F.col("_rawsum")).alias("sum_v"),
+        folded = fold_stats_delta(
+            feed, self.read_or_none(stats_table),
+            group_cols, value_col, op_col,
         )
         ups = folded.filter(F.col("n") > 0)
         dels = folded.filter(F.col("n") <= 0).select(*group_cols).distinct()
@@ -862,6 +800,95 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.format("parquet").saveAsTable(name)
+
+
+def fold_stats_delta(
+    feed: DataFrame,
+    standing: DataFrame | None,
+    group_cols: Sequence[str],
+    value_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """The pure fold of :meth:`ParquetCatalog.fold_changes_into_stats`:
+    a preimage changefeed plus the (possibly absent) standing stats
+    frame -> the refreshed (group, n, n_vals, sum_v) rows for TOUCHED
+    groups only. Kept standalone so the plan is pinnable and the fold
+    reusable outside a catalog (e.g. a foreachBatch consumer).
+
+    Shuffle shape at any scale: the feed aggregates once on the group
+    key (map-side combinable); the standing frame never crosses an
+    exchange - a broadcast SEMI on the feed's groups prunes it in one
+    scan, and the surviving prior rows are feed-sized so the outer
+    join broadcasts too."""
+    import pyspark.sql.types as T
+
+    group_cols = list(group_cols)
+    vf = dict(feed.dtypes)[value_col]
+    if vf not in ("bigint", "int", "smallint", "tinyint"):
+        raise ValueError(
+            f"fold_changes_into_stats needs an integer value column "
+            f"(exact retraction); {value_col!r} is {vf} - quantize "
+            "upstream (e.g. floor(x * 100) cents)"
+        )
+    sign = (
+        F.when(F.col(op_col).isin("I", "U_post"), F.lit(1))
+        .when(F.col(op_col).isin("D", "U_pre"), F.lit(-1))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "fold_changes_into_stats needs a preimage "
+                        "feed (table_changes with_preimages=True); "
+                        "got op="
+                    ),
+                    F.col(op_col),
+                )
+            ).cast(T.IntegerType())
+        )
+    )
+    v = F.col(value_col)
+    delta = feed.groupBy(*group_cols).agg(
+        F.sum(sign).cast("long").alias("_dn"),
+        F.sum(F.when(v.isNotNull(), sign).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("_dnv"),
+        F.coalesce(F.sum(sign * v), F.lit(0))
+        .cast("long")
+        .alias("_dsum"),
+    )
+    if standing is not None:
+        touched = delta.select(*group_cols).distinct()
+        prior = (
+            standing.join(F.broadcast(touched), group_cols, "semi")
+            .select(
+                *group_cols,
+                F.col("n").alias("_pn"),
+                F.col("n_vals").alias("_pnv"),
+                F.coalesce(F.col("sum_v"), F.lit(0)).alias("_psum"),
+            )
+        )
+        delta = delta.join(F.broadcast(prior), group_cols, "left")
+    else:
+        delta = (
+            delta.withColumn("_pn", F.lit(None).cast("long"))
+            .withColumn("_pnv", F.lit(None).cast("long"))
+            .withColumn("_psum", F.lit(None).cast("long"))
+        )
+    return delta.select(
+        *group_cols,
+        (F.coalesce(F.col("_pn"), F.lit(0)) + F.col("_dn")).alias("n"),
+        (F.coalesce(F.col("_pnv"), F.lit(0)) + F.col("_dnv")).alias(
+            "n_vals"
+        ),
+        (F.coalesce(F.col("_psum"), F.lit(0)) + F.col("_dsum")).alias(
+            "_rawsum"
+        ),
+    ).select(
+        *group_cols,
+        "n",
+        "n_vals",
+        F.when(F.col("n_vals") > 0, F.col("_rawsum")).alias("sum_v"),
+    )
 
 
 def write_tsv(df: DataFrame, path: str, num_files: int = 1) -> None:

@@ -371,6 +371,25 @@ def test_semantic_incremental_probe_is_cell_pruned(spark, queries):
     assert "BroadcastHashJoin" in p, f"cell prune not broadcast:\n{p}"
 
 
+def test_fold_stats_delta_never_shuffles_standing(spark):
+    # the standing stats table is table-sized (every group ever seen);
+    # the fold must prune it with a broadcast SEMI on the feed's groups
+    # and broadcast the feed-sized survivors into the outer join - no
+    # SortMergeJoin, no Exchange of the standing side at any scale
+    from ghcrawler_datalake_etl_spark.sources.sinks import fold_stats_delta
+
+    feed = spark.createDataFrame(
+        [("I", 1, "a", 10)], "op string, k long, g string, cents long"
+    )
+    standing = spark.range(1000).selectExpr(
+        "cast(id as string) g", "id n", "id n_vals", "id sum_v"
+    )
+    p = plan(fold_stats_delta(feed, standing, ["g"], "cents"), "simple")
+    assert "SortMergeJoin" not in p, p
+    assert "LeftSemi" in p, p
+    assert p.count("BroadcastHashJoin") >= 2, p
+
+
 def test_narrow_text_operators_have_no_exchange(spark, queries):
     # chunking, redaction, and repetition metrics are pure projections
     # (plus a generate for chunking): any Exchange would mean a shuffle
