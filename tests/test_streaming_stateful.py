@@ -802,6 +802,85 @@ def test_stream_semantic_dedup_drops_through_store(spark, tmp_path):
     assert man["base"] is not None and len(man["deltas"]) <= 2
 
 
+def test_stream_boilerplate_replayed_trigger_never_double_counts(
+    spark, tmp_path
+):
+    """Round-12 crash-replay proof: a trigger whose checkpoint COMMIT
+    is lost (crash after processing, before commit) replays on
+    restart; the replay must overwrite its own stats delta, not append
+    a second copy. Detector: line L appears once in trigger 0 and once
+    in trigger 1 with min_docs=3 - correct accounting leaves L at df=2
+    (survives trigger 1); a double-counted trigger-0 delta reads df=3
+    and wrongly cuts it."""
+    import os
+
+    from ghcrawler_datalake_etl_spark.operators import text as TX
+    from ghcrawler_datalake_etl_spark.streaming.ingest import (
+        stream_boilerplate_screen,
+    )
+
+    SCHEMA = "doc_id long, source string, text string"
+    corpus = spark.createDataFrame(
+        [(0, "s", "base zero"), (1, "s", "base one")], SCHEMA
+    )
+    lroot = str(tmp_path / "lstats")
+    sroot_stats = str(tmp_path / "sstats")
+    TX.boilerplate_line_stats(corpus).write.parquet(lroot)
+    TX.source_doc_counts(corpus).write.parquet(sroot_stats)
+    base_lines = spark.read.parquet(lroot)
+    base_sources = spark.read.parquet(sroot_stats)
+
+    sdir = str(tmp_path / "in")
+    os.makedirs(sdir)
+    out_path = str(tmp_path / "out")
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+
+    def run():
+        stream_boilerplate_screen(
+            spark.readStream.schema(SCHEMA).option(
+                "recursiveFileLookup", "true"
+            ).parquet(sdir),
+            base_lines, base_sources, out_path, store, ck,
+            min_docs=3, min_frac=0.1,
+        ).awaitTermination()
+
+    spark.createDataFrame(
+        [(10, "s", "L\nu10")], SCHEMA
+    ).coalesce(1).write.parquet(os.path.join(sdir, "day0"))
+    run()
+    # simulate crash after trigger 0 processed but before the commit
+    # landed: drop the commit record, keep the offsets - restart
+    # replays micro_batch 0 against the same input
+    os.remove(os.path.join(ck, "commits", "0"))
+    # the checksummed local FS keeps a .crc sidecar; a stale one fails
+    # the replay's commit rename (read as a concurrent-query conflict)
+    crc = os.path.join(ck, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()  # the replay
+    spark.createDataFrame(
+        [(20, "s", "L\nu20")], SCHEMA
+    ).coalesce(1).write.parquet(os.path.join(sdir, "day1"))
+    run()
+    got = {
+        r.doc_id: (r.n_dropped, r.text_clean)
+        for r in spark.read.parquet(out_path).collect()
+    }
+    # df(L)=2 < min_docs=3 everywhere: L must SURVIVE both documents;
+    # a double-counted replay delta would read df=3 and cut it at 20
+    assert got[10] == (0, "L\nu10"), got[10]
+    assert got[20] == (0, "L\nu20"), got[20]
+    # the store holds exactly one delta row for L per trigger
+    import pyspark.sql.functions as SF
+
+    lines_store = spark.read.parquet(os.path.join(store, "lines"))
+    l_rows = lines_store.groupBy("src", "dig").agg(
+        SF.sum("line_df").alias("df")
+    ).collect()
+    assert all(r.df <= 2 for r in l_rows), l_rows
+
+
 def test_stream_apply_changes_feed_roundtrip(spark, tmp_path):
     """Round-11: streaming CDC maintenance with per-trigger changefeed
     emission - the final table equals the sequential batch apply, the
