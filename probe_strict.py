@@ -90,6 +90,15 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 - report and continue
             print(f"{name}: FAIL - {exc}")
             failed.append(name)
+        finally:
+            # free operator-internal persisted frames between queries
+            # (the bench.py loop discipline - the 50-query window sweep
+            # otherwise accumulates every _materialize'd frame)
+            from ghcrawler_datalake_etl_spark.operators.dedup import (
+                release_materialized,
+            )
+
+            release_materialized()
     spark.stop()
     if failed:
         print("FAILED:", failed)

@@ -1153,6 +1153,74 @@ def test_incremental_paragraphs_union_equals_global(
     assert got == want
 
 
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    st.lists(  # initial table: (key, group, value-or-null)
+        st.tuples(st.integers(0, 15), st.integers(0, 2),
+                  st.one_of(st.none(), st.integers(-5, 5))),
+        min_size=0, max_size=8, unique_by=lambda t: t[0],
+    ),
+    st.lists(  # days of ops: (key, group, value-or-null, is_delete)
+        st.lists(
+            st.tuples(st.integers(0, 15), st.integers(0, 2),
+                      st.one_of(st.none(), st.integers(-5, 5)),
+                      st.booleans()),
+            min_size=0, max_size=6, unique_by=lambda t: t[0],
+        ),
+        min_size=1, max_size=3,
+    ),
+)
+def test_changefeed_fold_matches_recompute_property(spark, init, days):
+    """Round-12 IVM property: for ANY upstream evolution (inserts,
+    updates incl. group moves, deletes of existing or missing keys,
+    no-op updates, quiet days, groups vanishing and reappearing, NULL
+    values through insert and retract), a downstream stats table
+    maintained PURELY by folding per-version preimage changefeeds must
+    equal the from-scratch aggregate of the final upstream state."""
+    import tempfile
+
+    from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
+
+    SCHEMA = "k long, g long, cents long"
+    cat = ParquetCatalog(
+        spark, tempfile.mkdtemp(prefix="ivm_prop_"), retain=2
+    )
+    s0 = spark.createDataFrame(init, SCHEMA)
+    cat.merge_upsert(s0, "T", ["k"], num_buckets=4)
+    cat.fold_changes_into_stats(
+        s0.select(F.lit("I").alias("op"), "k", "g", "cents"),
+        "S", ["g"], "cents", num_buckets=2,
+    )
+    for v, ops in enumerate(days):
+        ups = [(k, g, c) for k, g, c, d in ops if not d]
+        dels = [(k,) for k, g, c, d in ops if d]
+        cat.merge_upsert(
+            spark.createDataFrame(ups, SCHEMA), "T", ["k"],
+            num_buckets=4,
+            delete_keys=spark.createDataFrame(dels, "k long"),
+        )
+        cat.fold_changes_into_stats(
+            cat.table_changes("T", v, v + 1, with_preimages=True),
+            "S", ["g"], "cents", num_buckets=2,
+        )
+    got = {
+        tuple(r)
+        for r in cat.read("S").select("g", "n", "n_vals", "sum_v").collect()
+    }
+    want = {
+        tuple(r)
+        for r in cat.read("T")
+        .groupBy("g")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("cents").alias("n_vals"),
+            F.sum("cents").alias("sum_v"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
 @settings(max_examples=8, deadline=None, derandomize=True)
 @given(
     st.lists(
