@@ -235,7 +235,68 @@ def bm25_topk(
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
+    return _bm25_score_tail(tf, lens, top_k, k1, b)
 
+
+def bm25_index(
+    df: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """The STANDING state of incremental lexical retrieval: the full
+    inverted index ``(term, doc_id, tf)`` plus the per-document length
+    table ``(doc_id, dl)`` - everything BM25 needs, and both
+    APPEND-ONLY: each document contributes its rows exactly once, and
+    every query-time statistic derives from them (df = postings count
+    per term, n_docs/avgdl from the lengths), so a day's index
+    maintenance is ``bm25_index(batch)`` appended to the stores -
+    corpus text never re-tokenized (the same delta-append loop as the
+    LSH band / paragraph-hash / IVF postings stores; no fold step at
+    all, unlike the boilerplate stats). Write postings repartitioned
+    by term (and sorted within partitions) so query-term predicates
+    prune at the scan; at warehouse scale, partition or bucket by a
+    term hash."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize(F.col(text_col)).alias("toks"),
+    )
+    postings = (
+        base.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    doc_stats = base.select("doc_id", F.size("toks").alias("dl"))
+    return postings, doc_stats
+
+
+def bm25_topk_index(
+    postings: DataFrame,
+    doc_stats: DataFrame,
+    query_terms: list[str],
+    top_k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """BM25 top-k over a PERSISTED index (:func:`bm25_index` read back
+    from parquet) - bit-identical to :func:`bm25_topk` over the same
+    corpus (same scoring tail, same term-sorted fold), with zero
+    corpus-side recompute: the only data-sized touch is the postings
+    scan under the query-term predicate (pushdown-prunable), the
+    df/constants aggregates are k rows + 2 scalars, and the ranking is
+    a distributed top-k."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted(set(t.lower() for t in query_terms))
+    tf = postings.filter(F.col("term").isin(terms)).select(
+        "doc_id", "term", "tf"
+    )
+    return _bm25_score_tail(tf, doc_stats, top_k, k1, b)
+
+
+def _bm25_score_tail(
+    tf: DataFrame, lens: DataFrame, top_k: int, k1: float, b: float
+) -> DataFrame:
+    """Shared BM25 scoring from a (doc_id, term, tf) frame and a
+    (doc_id, dl) frame - the single implementation behind the direct
+    and the persisted-index paths keeps their outputs bit-identical."""
     consts = lens.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl")
     )

@@ -118,6 +118,10 @@ DOC_ONLY = [
     # sends the tail docs through two REAL triggers; NULL text behaves
     # as '' and NULL sources keep their own group at every trigger
     "stream_boilerplate_screen",
+    # round-12: the persisted-index BM25 - NULL/empty docs contribute
+    # zero postings and dl=0 length rows (they still count in n_docs
+    # and avgdl), identically on both engines
+    "search_bm25_incremental",
 ]
 
 

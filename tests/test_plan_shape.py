@@ -371,6 +371,33 @@ def test_semantic_incremental_probe_is_cell_pruned(spark, queries):
     assert "BroadcastHashJoin" in p, f"cell prune not broadcast:\n{p}"
 
 
+def test_bm25_index_path_prunes_at_scan_and_matches_direct(spark, queries):
+    # the persisted-index query's only data-sized touch is the postings
+    # scan under the query-term predicate - it must reach the parquet
+    # scan as a pushed filter, and the ranking must stay a distributed
+    # top-k; results are bit-identical to the direct operator (shared
+    # scoring tail)
+    from ghcrawler_datalake_etl_spark.operators import search as SR
+
+    out = queries["search_bm25_incremental"](spark, SF_DIR)
+    p = plan(out, "formatted")
+    assert "TakeOrderedAndProject" in p
+    import re as _re
+
+    assert _re.search(r"PushedFilters: \[.*[Ii]n\(term", p), (
+        f"query-term predicate not pushed to the postings scan:\n{p[:2000]}"
+    )
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    import ghcrawler_datalake_etl_spark.queries as Q
+
+    direct = SR.bm25_topk(
+        d, "doc_id", "text", list(Q._BM25_TERMS), top_k=10
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        tuple(r) for r in direct.collect()
+    ]
+
+
 def test_fold_stats_delta_never_shuffles_standing(spark):
     # the standing stats table is table-sized (every group ever seen);
     # the fold must prune it with a broadcast SEMI on the feed's groups

@@ -117,6 +117,7 @@ OUT_OF_WINDOW_OK = {
     "dedup_simhash_values": "evidence",  # green r2+r3+r4+r10
     "dedup_span_first_occurrence": "evidence",  # green r2+r3+r10
     "dim_apply_changes": "evidence",  # green r5+r8+r9
+    "dim_scd2_user_state": "evidence",  # green r5+r8
     "embedding_quantize_int8": "evidence",  # green r2+r3+r4+r10
     "graph_pagerank_transitions": "evidence",  # green r5+r8+r9
     "multimodal_audio_chunks": "evidence",  # green r2+r3+r4+r10
