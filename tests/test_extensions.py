@@ -1077,6 +1077,28 @@ def test_release_materialized_clears_operator_internal_persists(spark):
     assert D.release_materialized() >= 0  # recount re-registered; drain
 
 
+def test_released_scope_frees_on_exception_and_spares_outer(spark):
+    """released_scope must free the frames registered inside its body
+    even when the body raises (a failing trigger must not leak its
+    persists), while frames the CALLER pinned before the scope stay
+    cached for the enclosing query."""
+    import pytest
+
+    sc = spark.sparkContext
+    D.release_materialized()
+    before = sc._jsc.getPersistentRDDs().size()
+    outer = D._materialize(spark.range(100).selectExpr("id", "id * 2 v"))
+    with pytest.raises(RuntimeError, match="boom"):
+        with D.released_scope():
+            D._materialize(spark.range(50).selectExpr("id", "id * 3 w"))
+            raise RuntimeError("boom")
+    # the inner frame is gone, the outer one survives
+    assert sc._jsc.getPersistentRDDs().size() == before + 1
+    assert outer.count() == 100
+    assert D.release_materialized() >= 1  # outer drains normally
+    assert sc._jsc.getPersistentRDDs().size() <= before
+
+
 def test_chunk_pipeline_key_guard_raises_on_giant_doc(spark, tmp_path):
     """pipeline_chunk_dedup_pack packs its chunk key as
     doc_id*1024+chunk_idx; a doc with >= 1024 chunks must fail loudly
