@@ -16,6 +16,14 @@ Env:
 Each query is forced with a noop-format write (computes every column on
 the executors, no driver collect) so timings reflect the full plan, not
 a count()-pruned one.
+
+Host-noise guard (full runs only): a fixed sentinel query
+(q1_pricing_summary, ~1-2s at sf0.1) is interleaved every 10 queries
+and its reading series recorded under `noise_band` in BENCH_FULL (plus
+a compact [min, max] on the stdout summary line), so every run
+self-documents which noise phases it crossed; per-query readings >2x
+the previously-committed BENCH_FULL record are auto-rerun once after
+the loop with both readings recorded under `outlier_reruns`.
 """
 
 from __future__ import annotations
@@ -532,8 +540,46 @@ def main() -> None:
         release_materialized,
     )
 
+    # ---- host-noise guard (round-13, VERDICT r12 #2) ----------------
+    # This host has documented multi-x CPU-noise phases (same-code A/B:
+    # an unchanged commit read 5.0-28.0s on a 2s query across six
+    # consecutive runs, NOTES_r12). Two structural defenses so a single
+    # driver pass self-documents instead of needing NOTES archaeology:
+    #  (a) a fixed ~1-2s SENTINEL query interleaved every few queries;
+    #      its reading series lands in BENCH_FULL as `noise_band`, so
+    #      any reader sees which phases the run crossed;
+    #  (b) per-query readings >2x the previously-committed BENCH_FULL
+    #      record are auto-rerun once after the loop (by then the phase
+    #      has usually passed); both readings are recorded and the
+    #      better one becomes the query's number.
+    sentinel_name = "q1_pricing_summary"
+    sentinel_every = 10
+    committed: dict[str, float] = {}
+    try:
+        _prev = json.loads(
+            (Path(__file__).resolve().parent / "BENCH_FULL.json").read_text()
+        )
+        committed = dict(_prev.get("queries") or {})
+    except Exception:  # noqa: BLE001 - first run ever / unparseable
+        committed = {}
+
+    def _time_once(name: str) -> float:
+        t0 = time.perf_counter()
+        force(qs[name](spark, sf_dir))
+        dt = time.perf_counter() - t0
+        release_materialized()
+        return dt
+
+    sentinel_readings: list[float] = []
+
+    def _sentinel_tick() -> None:
+        if subset:  # targeted reruns stay cheap
+            return
+        sentinel_readings.append(round(_time_once(sentinel_name), 3))
+
     timings: dict[str, float] = {}
-    for name in names:
+    _sentinel_tick()
+    for i, name in enumerate(names):
         best = float("inf")
         for _ in range(repeat):
             t0 = time.perf_counter()
@@ -541,6 +587,28 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
         release_materialized()
+        if (i + 1) % sentinel_every == 0:
+            _sentinel_tick()
+    _sentinel_tick()
+
+    # (b) auto-rerun outliers vs the committed record, once, at the end
+    outlier_reruns: dict[str, dict[str, float]] = {}
+    if not subset and committed:
+        outliers = [
+            n
+            for n in names
+            if n in committed
+            and committed[n] > 0
+            and timings[n] > 2.0 * committed[n]
+        ]
+        for n in outliers:
+            again = round(_time_once(n), 3)
+            outlier_reruns[n] = {
+                "in_loop": timings[n],
+                "rerun": again,
+                "committed": committed[n],
+            }
+            timings[n] = min(timings[n], again)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -560,6 +628,19 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
     }
+    if sentinel_readings:
+        # the run's self-documentation: a flat series ~= quiet host; a
+        # multi-x swing means the totals crossed a noise phase and
+        # per-query regressions need the outlier_reruns read first
+        sidecar["noise_band"] = {
+            "sentinel": sentinel_name,
+            "every_n_queries": sentinel_every,
+            "readings_sec": sentinel_readings,
+            "min": min(sentinel_readings),
+            "max": max(sentinel_readings),
+        }
+    if outlier_reruns:
+        sidecar["outlier_reruns"] = outlier_reruns
     # Sidecar-only arms run min-of-N too (VERDICT r4 #3/#4: single-shot
     # first-run numbers read as regressions that aren't - min-of-N is
     # the noise protocol everywhere, with the repeat count recorded).
@@ -600,19 +681,24 @@ def main() -> None:
     top = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:8]
     )
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_time",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": top,
-                "sf": sf_val,
-                "n_queries": len(timings),
-                "full_timings": sidecar_path.name,
-            }
-        )
-    )
+    summary = {
+        "metric": "total_query_time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": top,
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "full_timings": sidecar_path.name,
+    }
+    if sentinel_readings:
+        # compact in-artifact noise annotation for the driver record:
+        # [min, max] of the interleaved sentinel series (details in the
+        # sidecar's noise_band)
+        summary["noise_band"] = [
+            min(sentinel_readings), max(sentinel_readings)
+        ]
+        summary["n_outlier_reruns"] = len(outlier_reruns)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -17,6 +17,8 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 import pandas as pd
 from pyspark import StorageLevel
@@ -189,6 +191,13 @@ _BROADCAST_ID_CAP = 4_000_000
 # those would turn a later cache eviction into a job failure, not a
 # slowdown. Checkpoint lifecycles stay with their owners
 # (_checkpoint_tracked + the per-trigger stream releases).
+_RELEASE_LOCK = threading.RLock()
+# (registering-thread ident, handle) pairs; the thread tag lets
+# released_scope claim exactly its own thread's registrations, so two
+# concurrently-running streaming queries (each a foreachBatch worker
+# thread wrapping its screen in a scope) never free or orphan each
+# other's persists - interleaved appends made the previous index-slice
+# deletion do both.
 _RELEASE_HANDLES: list = []
 
 
@@ -196,7 +205,8 @@ def register_release(handle) -> None:
     """Register a zero-arg release callback (typically a bound
     ``df.unpersist``) for the next :func:`release_materialized`. For
     operator-internal plain persists that outlive their function."""
-    _RELEASE_HANDLES.append(handle)
+    with _RELEASE_LOCK:
+        _RELEASE_HANDLES.append((threading.get_ident(), handle))
 
 
 class released_scope:
@@ -206,37 +216,61 @@ class released_scope:
     scope so each trigger's operator-internal persists free before the
     next trigger, without touching frames the CALLER pinned earlier
     (a global drain mid-query could release a frame the enclosing
-    query still scans)."""
+    query still scans).
+
+    Thread-safe by identity, not position: on exit the scope claims
+    exactly the handles its OWN thread registered after enter (minus
+    any a nested scope already released). Concurrent foreachBatch
+    threads each see only their own registrations, so one trigger's
+    exit can neither free frames another trigger is mid-scan nor
+    silently orphan them."""
 
     def __enter__(self):
-        self._start = len(_RELEASE_HANDLES)
+        self._ident = threading.get_ident()
+        with _RELEASE_LOCK:
+            # strong refs keep the ids stable for the scope's lifetime
+            self._before_refs = [
+                h for t, h in _RELEASE_HANDLES if t == self._ident
+            ]
+        self._before_ids = {id(h) for h in self._before_refs}
         return self
 
     def __exit__(self, *exc):
-        for h in _RELEASE_HANDLES[self._start:]:
+        with _RELEASE_LOCK:
+            mine, keep = [], []
+            for t, h in _RELEASE_HANDLES:
+                if t == self._ident and id(h) not in self._before_ids:
+                    mine.append(h)
+                else:
+                    keep.append((t, h))
+            _RELEASE_HANDLES[:] = keep
+        for h in mine:
             try:
                 h()
             except Exception:  # noqa: BLE001
                 pass
-        del _RELEASE_HANDLES[self._start:]
+        self._before_refs = []
         return False
 
 
 def release_materialized() -> int:
     """Unpersist every operator-internal frame pinned since the last
-    call; returns the number of handles released. Intended call point:
-    a query/bench loop boundary, after the current query's actions have
-    completed and before the next query starts. Safe by construction:
-    only lineage-bearing persists are registered, so a released frame
-    that is scanned again recomputes instead of failing."""
-    n = len(_RELEASE_HANDLES)
-    for h in _RELEASE_HANDLES:
+    call - ALL threads' registrations; returns the number of handles
+    released. Intended call point: a query/bench loop boundary, after
+    the current query's actions have completed and before the next
+    query starts (no operator is concurrently running there, so a
+    global drain is unambiguous). Safe by construction: only
+    lineage-bearing persists are registered, so a released frame that
+    is scanned again recomputes instead of failing."""
+    with _RELEASE_LOCK:
+        drained = [h for _, h in _RELEASE_HANDLES]
+        _RELEASE_HANDLES.clear()
+    for h in drained:
         try:
             h()
         except Exception:  # noqa: BLE001 - a dead session must not
             pass  # block releasing the remaining handles
-    _RELEASE_HANDLES.clear()
-    return n
+    return len(drained)
 
 
 def _materialize(df: DataFrame) -> DataFrame:
@@ -253,7 +287,7 @@ def _materialize(df: DataFrame) -> DataFrame:
     once the query's actions are done (release_materialized)."""
     df.persist(StorageLevel.MEMORY_AND_DISK)
     df.count()
-    _RELEASE_HANDLES.append(df.unpersist)
+    register_release(df.unpersist)
     return df
 
 
@@ -1189,11 +1223,19 @@ def semantic_dedup_incremental(
         empty = pd.DataFrame({"vec_id": pd.Series([], dtype="int64")})
         if len(pdf) < 2 or not (pdf["_is_batch"] == 1).any():
             return empty
-        order = np.argsort(pdf["vec_id"].to_numpy())
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)[order]
+        ids_raw = pdf["vec_id"].to_numpy(dtype=np.int64)
+        isb_raw = pdf["_is_batch"].to_numpy()
+        # lexsort (stable): primary key vec_id, tie-break store (0)
+        # before batch (1). A batch id equal to a store id (a batch
+        # re-screened against a store that already absorbed it) then
+        # DETERMINISTICALLY counts the store copy as earlier, so the
+        # batch copy drops - under plain argsort (unstable quicksort)
+        # the verdict silently flipped between runs.
+        order = np.lexsort((isb_raw, ids_raw))
+        ids = ids_raw[order]
         mat = np.stack(pdf["vec"].to_numpy())[order].astype(np.float64)
         nrm = np.sqrt((mat * mat).sum(axis=1))
-        bidx = np.nonzero(pdf["_is_batch"].to_numpy()[order] == 1)[0]
+        bidx = np.nonzero(isb_raw[order] == 1)[0]
         # batch rows only on the left: |batch| x |cell|, not |cell|^2
         sims = (mat[bidx] @ mat.T) / np.outer(nrm[bidx], nrm)
         # ids ascending, so "smaller id" == "earlier union position"

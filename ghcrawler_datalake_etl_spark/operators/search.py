@@ -43,9 +43,14 @@ def _doc_term_tf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Every consumer builds this frame with the IDENTICAL construction on
     the same input plan, so Spark's cache manager substitutes one
     persisted copy for all of them (the jaccard-pairs-cache contract):
-    the unigram LM, TF-IDF retrieval, and the bigram model's unigram
-    fallback pay the tokenize + explode + tf shuffle once per process,
-    not once per query."""
+    consumers WITHIN one query (the bigram model's unigram fallback
+    rides its unigram sibling's copy) pay the tokenize + explode + tf
+    shuffle once. ACROSS queries the copy lives only until the loop
+    boundary: the persist registers in the release registry and
+    bench.py/probe_strict drain it after each query's reps, so the
+    unigram LM, TF-IDF, and bigram queries each rebuild it - the
+    deliberate loop discipline (release_materialized) that keeps a
+    167-query sweep from evicting the live query's cache."""
     from ghcrawler_datalake_etl_spark.operators.dedup import _materialize
 
     base = df.select(

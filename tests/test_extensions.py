@@ -1057,19 +1057,27 @@ def test_release_materialized_clears_operator_internal_persists(spark):
     persists recompute from lineage)."""
     sc = spark.sparkContext
     D.release_materialized()  # drain anything earlier tests pinned
-    before = sc._jsc.getPersistentRDDs().size()
+    # track RDD-id SETS, not counts: Spark's ContextCleaner unpersists
+    # earlier tests' out-of-scope checkpoints asynchronously, so an
+    # absolute size() comparison races it (flaked under reordered -k
+    # selections); the set difference isolates THIS operator's pins
+    before_ids = set(sc._jsc.getPersistentRDDs().keySet().toArray())
     docs = spark.createDataFrame(
         [(i, f"alpha beta gamma delta tok{i} tok{i + 1} tok{i + 2}") for i in range(40)],
         "doc_id long, text string",
     )
     pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
     n_pairs = pairs.count()  # consumer action completes first
-    assert sc._jsc.getPersistentRDDs().size() > before, (
-        "operator should have pinned at least one internal frame"
+    pinned = (
+        set(sc._jsc.getPersistentRDDs().keySet().toArray()) - before_ids
     )
+    assert pinned, "operator should have pinned at least one internal frame"
     released = D.release_materialized()
     assert released >= 1
-    assert sc._jsc.getPersistentRDDs().size() <= before, (
+    leftover = (
+        set(sc._jsc.getPersistentRDDs().keySet().toArray()) & pinned
+    )
+    assert not leftover, (
         "release_materialized left operator-internal frames in storage"
     )
     # correctness survives release: the result recomputes from lineage
@@ -1086,17 +1094,67 @@ def test_released_scope_frees_on_exception_and_spares_outer(spark):
 
     sc = spark.sparkContext
     D.release_materialized()
-    before = sc._jsc.getPersistentRDDs().size()
+    # id-set tracking, not counts: robust to the ContextCleaner
+    # asynchronously unpersisting earlier tests' out-of-scope frames
+    before_ids = set(sc._jsc.getPersistentRDDs().keySet().toArray())
     outer = D._materialize(spark.range(100).selectExpr("id", "id * 2 v"))
+    after_outer = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    outer_ids = after_outer - before_ids
     with pytest.raises(RuntimeError, match="boom"):
         with D.released_scope():
             D._materialize(spark.range(50).selectExpr("id", "id * 3 w"))
             raise RuntimeError("boom")
     # the inner frame is gone, the outer one survives
-    assert sc._jsc.getPersistentRDDs().size() == before + 1
+    now = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    assert now - after_outer == set(), "inner frame leaked past the scope"
+    assert outer_ids <= now, "scope released the caller's outer frame"
     assert outer.count() == 100
     assert D.release_materialized() >= 1  # outer drains normally
-    assert sc._jsc.getPersistentRDDs().size() <= before
+    assert not (
+        set(sc._jsc.getPersistentRDDs().keySet().toArray()) & outer_ids
+    )
+
+
+def test_released_scope_thread_isolation():
+    """Two concurrently-running streaming triggers each wrap their
+    screen in a released_scope (the documented use case); one scope's
+    exit must release exactly ITS thread's registrations - never free
+    frames another trigger is mid-scan, never silently orphan them
+    (round-12 ADVICE: the previous index-slice deletion did both under
+    interleaved appends). Pure-registry test: handles are counters, no
+    Spark needed."""
+    import threading
+
+    D.release_materialized()  # start from a drained registry
+    released: dict[str, int] = {"a": 0, "b": 0}
+    gate_a_registered = threading.Event()
+    gate_b_registered = threading.Event()
+
+    def worker(tag: str, my_gate, other_gate):
+        with D.released_scope():
+            for _ in range(3):
+                D.register_release(
+                    lambda t=tag: released.__setitem__(t, released[t] + 1)
+                )
+            my_gate.set()
+            # hold the scope open until the OTHER thread has interleaved
+            # its registrations into the shared registry
+            assert other_gate.wait(timeout=30)
+
+    ta = threading.Thread(
+        target=worker, args=("a", gate_a_registered, gate_b_registered)
+    )
+    tb = threading.Thread(
+        target=worker, args=("b", gate_b_registered, gate_a_registered)
+    )
+    ta.start()
+    tb.start()
+    ta.join(timeout=60)
+    tb.join(timeout=60)
+    assert not ta.is_alive() and not tb.is_alive()
+    # each scope released exactly its own 3 handles, none orphaned
+    assert released == {"a": 3, "b": 3}
+    assert D.release_materialized() == 0  # nothing left behind
 
 
 def test_chunk_pipeline_key_guard_raises_on_giant_doc(spark, tmp_path):
