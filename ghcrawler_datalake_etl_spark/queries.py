@@ -3197,6 +3197,294 @@ def dim_changefeed_consume(spark, sf_dir):
     return cat.read("S").select("g", "n", "n_vals", "sum_v")
 
 
+# invocation counters for the round-13 IVM queries' per-run warehouses
+_JIVM_SEQ = _itertools.count()
+_MMX_SEQ = _itertools.count()
+
+
+@register(
+    "dim_join_ivm",
+    """
+    WITH o AS (
+      SELECT o_orderkey AS k, o_custkey AS ck0,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey IS NOT NULL
+    ), c AS (
+      SELECT c_custkey AS ck, c_nationkey AS nat,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS acct
+      FROM customer WHERE c_custkey IS NOT NULL
+    ), a_final AS (
+      -- A after day 1: inserts k%3=0; FK MOVES + cents+5 where k%7=0;
+      -- deletes k%11=0 (k%3<>0, k%7<>0)
+      SELECT k,
+             CASE WHEN k % 3 <> 0 AND k % 7 = 0
+                  THEN CASE WHEN ck0 % 2 = 0 THEN ck0 + 1
+                            ELSE ck0 - 1 END
+                  ELSE ck0 END AS ck,
+             CASE WHEN k % 3 <> 0 AND k % 7 = 0 THEN cents + 5
+                  ELSE cents END AS cents
+      FROM o
+      WHERE k % 3 = 0 OR NOT (k % 7 <> 0 AND k % 11 = 0)
+    ), b1 AS (
+      -- B after day 1: doubled acct where ck%4=0; deletes ck%9=0;
+      -- inserts of the previously-missing ck%5=0 slice at acct+1
+      SELECT ck, nat,
+             CASE WHEN ck % 4 = 0 THEN acct * 2 ELSE acct END AS acct
+      FROM c WHERE ck % 5 <> 0 AND NOT (ck % 4 <> 0 AND ck % 9 = 0)
+      UNION ALL
+      SELECT ck, nat, acct + 1 FROM c WHERE ck % 5 = 0
+    ), b_final AS (
+      -- B after day 2 (A quiet): deletes ck%7=0, acct+9 where ck%13=0
+      SELECT ck, nat,
+             CASE WHEN ck % 13 = 0 THEN acct + 9 ELSE acct END AS acct
+      FROM b1 WHERE ck % 7 <> 0
+    )
+    SELECT a.k, a.ck, a.cents, b.nat, b.acct
+    FROM a_final a JOIN b_final b USING (ck)
+    """,
+)
+def dim_join_ivm(spark, sf_dir):
+    """Round-13 (VERDICT r12 #4): JOIN-shaped IVM - a standing
+    materialized equi-join (orders-shaped A JOIN customer-shaped B on
+    B's key) maintained PURELY from the two upstreams' preimage
+    changefeeds (ParquetCatalog.fold_changes_into_join), the piece
+    fold_changes_into_stats left open (aggregates only). Delta-join
+    algebra: dA probes the CURRENT B through a bucket-pruned point
+    read (B is keyed by the join column); dB probes a standing
+    SECONDARY INDEX of A - A's rows keyed by pk but BUCKETED BY the
+    join column (merge_upsert bucket_cols) - so neither side ever
+    rescans; FK MOVES ride the U_pre preimages (old join key's bucket
+    rewritten, new key's row lands), deletes cascade through the
+    index, and a same-day insert against a dying B key correctly
+    never joins. Two upstream days (day 2 A-quiet); the oracle is the
+    from-scratch join of the final upstream states."""
+    import re
+
+    from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey").isNotNull())
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_custkey").isNotNull()
+    )
+    k = F.col("o_orderkey")
+    ck0 = F.col("o_custkey")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    ckc = F.col("c_custkey")
+    nat = F.col("c_nationkey")
+    acct = F.floor(F.col("c_acctbal") * 100).cast("long")
+
+    a0 = o.filter(k % 3 != 0).select(
+        k.alias("k"), ck0.alias("ck"), cents.alias("cents")
+    )
+    b0 = c.filter(ckc % 5 != 0).select(
+        ckc.alias("ck"), nat.alias("nat"), acct.alias("acct")
+    )
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    cat = ParquetCatalog(
+        spark, _run_tmp(f"jivm_wh_{tag}_{next(_JIVM_SEQ)}"), retain=3
+    )
+    cat.merge_upsert(a0, "A", ["k"], num_buckets=16)
+    cat.merge_upsert(b0, "B", ["ck"], num_buckets=16)
+    cat.fold_changes_into_join(
+        a0.select(F.lit("I").alias("op"), "*"),
+        b0.select(F.lit("I").alias("op"), "*"),
+        "J", "AIdx", "B", ["k"], ["ck"], num_buckets=16,
+    )
+    # day 1 upstream A: inserts, FK moves (+5 cents), deletes
+    moved_ck = F.when(ck0 % 2 == 0, ck0 + 1).otherwise(ck0 - 1)
+    a1 = (
+        o.filter(k % 3 == 0)
+        .select(k.alias("k"), ck0.alias("ck"), cents.alias("cents"))
+        .unionByName(
+            o.filter((k % 3 != 0) & (k % 7 == 0)).select(
+                k.alias("k"), moved_ck.alias("ck"),
+                (cents + 5).alias("cents"),
+            )
+        )
+    )
+    dels_a1 = o.filter(
+        (k % 3 != 0) & (k % 7 != 0) & (k % 11 == 0)
+    ).select(k.alias("k"))
+    cat.merge_upsert(a1, "A", ["k"], num_buckets=16, delete_keys=dels_a1)
+    # day 1 upstream B: value updates, deletes, missing-slice inserts
+    b1 = (
+        c.filter((ckc % 5 != 0) & (ckc % 4 == 0))
+        .select(ckc.alias("ck"), nat.alias("nat"), (acct * 2).alias("acct"))
+        .unionByName(
+            c.filter(ckc % 5 == 0).select(
+                ckc.alias("ck"), nat.alias("nat"), (acct + 1).alias("acct")
+            )
+        )
+    )
+    dels_b1 = c.filter(
+        (ckc % 5 != 0) & (ckc % 4 != 0) & (ckc % 9 == 0)
+    ).select(ckc.alias("ck"))
+    cat.merge_upsert(b1, "B", ["ck"], num_buckets=16, delete_keys=dels_b1)
+    cat.fold_changes_into_join(
+        cat.table_changes("A", 0, 1, with_preimages=True),
+        cat.table_changes("B", 0, 1, with_preimages=True),
+        "J", "AIdx", "B", ["k"], ["ck"], num_buckets=16,
+    )
+    # day 2: A quiet; B deletes ck%7=0 and bumps acct where ck%13=0
+    memb_b1 = ((ckc % 5 != 0) & ~((ckc % 4 != 0) & (ckc % 9 == 0))) | (
+        ckc % 5 == 0
+    )
+    acct1 = F.when(
+        (ckc % 5 != 0) & (ckc % 4 == 0), acct * 2
+    ).otherwise(F.when(ckc % 5 == 0, acct + 1).otherwise(acct))
+    b2 = c.filter(memb_b1 & (ckc % 7 != 0) & (ckc % 13 == 0)).select(
+        ckc.alias("ck"), nat.alias("nat"), (acct1 + 9).alias("acct")
+    )
+    dels_b2 = c.filter(memb_b1 & (ckc % 7 == 0)).select(ckc.alias("ck"))
+    cat.merge_upsert(b2, "B", ["ck"], num_buckets=16, delete_keys=dels_b2)
+    cat.fold_changes_into_join(
+        None,
+        cat.table_changes("B", 1, 2, with_preimages=True),
+        "J", "AIdx", "B", ["k"], ["ck"], num_buckets=16,
+    )
+    return cat.read("J").select("k", "ck", "cents", "nat", "acct")
+
+
+@register(
+    "dim_minmax_ivm",
+    """
+    WITH o AS (
+      SELECT o_orderkey AS k, coalesce(o_orderstatus, '') AS g,
+             o_totalprice AS v
+      FROM orders WHERE o_orderkey IS NOT NULL
+    ), mx AS (SELECT max(k) AS mk, max(v) AS mv FROM o),
+    u1 AS (
+      -- after day 1: inserts k%3=0; v doubled where k%7=0; group moves
+      -- to 'M' where k%11=0; deletes k%5=0
+      SELECT k,
+             CASE WHEN k % 3 <> 0 AND k % 7 <> 0 AND k % 11 = 0
+                  THEN 'M' ELSE g END AS g,
+             CASE WHEN k % 3 <> 0 AND k % 7 = 0 THEN v * 2 ELSE v END AS v
+      FROM o
+      WHERE k % 3 = 0
+         OR NOT (k % 7 <> 0 AND k % 11 <> 0 AND k % 5 = 0)
+      UNION ALL
+      -- day-1 sentinels: a lone group max, a TIED max pair, a NULL
+      SELECT mk + 1, 'O', mv * 10 FROM mx
+      UNION ALL SELECT mk + 2, 'XX', mv * 10 FROM mx
+      UNION ALL SELECT mk + 3, 'XX', mv * 10 FROM mx
+      UNION ALL SELECT mk + 4, 'NN', CAST(NULL AS DOUBLE) FROM mx
+    ), u2 AS (
+      -- day 2: delete the lone max (retraction re-derives the group)
+      -- and ONE of the tied pair (max must survive); 'NN' gains a value
+      SELECT u1.* FROM u1 CROSS JOIN mx
+      WHERE u1.k NOT IN (mx.mk + 1, mx.mk + 2)
+      UNION ALL SELECT mk + 5, 'NN', 1.0 FROM mx
+    )
+    SELECT g, count(*) AS n, count(v) AS n_vals,
+           min(v) AS min_v, max(v) AS max_v
+    FROM u2 GROUP BY g
+    """,
+)
+def dim_minmax_ivm(spark, sf_dir):
+    """Round-13 (VERDICT r12 #5): NON-RETRACTABLE aggregate IVM - a
+    standing per-group (n, n_vals, min_v, max_v) table maintained from
+    preimage changefeeds (ParquetCatalog.fold_changes_into_extrema),
+    the documented exclusion of fold_changes_into_stats (a sum
+    retracts algebraically; an extremum does not). Counts fold
+    retractably and inserts only RAISE extrema; a delete that TIES the
+    standing extremum re-derives exactly that group through a
+    bucket-pruned read of the post-state upstream - which is why the
+    upstream is merged with bucket_cols=['g'] (the secondary-index
+    layout): the re-derivation reads only touched groups' buckets.
+    DOUBLE values throughout (no integer restriction - min/max/count
+    never sum). Day 1: inserts, doubled values (U_pre retractions),
+    group moves, deletes, plus sentinels pinning the edge set (a lone
+    group max, a tied max pair, an all-NULL group). Day 2 deletes the
+    lone max (the VERDICT's done-criterion: a delete retracting a
+    maximum) and one of the tied pair (the max must survive), and the
+    all-NULL group gains its first value. Oracle = full recompute from
+    the final upstream state."""
+    import re
+
+    from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey").isNotNull())
+    k = F.col("o_orderkey")
+    g = F.coalesce(F.col("o_orderstatus"), F.lit(""))
+    v = F.col("o_totalprice")
+    mk, mv = o.agg(F.max(k), F.max(v)).collect()[0]
+    mk = 0 if mk is None else mk  # empty-table robustness: sentinels
+    mv = 0.0 if mv is None else mv  # still land at deterministic keys
+    u0 = o.filter(k % 3 != 0).select(
+        k.alias("k"), g.alias("g"), v.alias("v")
+    )
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    cat = ParquetCatalog(
+        spark, _run_tmp(f"mmx_wh_{tag}_{next(_MMX_SEQ)}"), retain=3
+    )
+    cat.merge_upsert(u0, "U", ["k"], num_buckets=16, bucket_cols=["g"])
+    cat.fold_changes_into_extrema(
+        u0.select(F.lit("I").alias("op"), "*"), "U", "X", ["g"], "v",
+        num_buckets=8,
+    )
+    # day 1: inserts + sentinels + value doubles + group moves; deletes
+    sent = spark.createDataFrame(
+        [
+            (mk + 1, "O", mv * 10),
+            (mk + 2, "XX", mv * 10),
+            (mk + 3, "XX", mv * 10),
+            (mk + 4, "NN", None),
+        ],
+        "k long, g string, v double",
+    )
+    d1 = (
+        o.filter(k % 3 == 0)
+        .select(k.alias("k"), g.alias("g"), v.alias("v"))
+        .unionByName(sent)
+        .unionByName(
+            o.filter((k % 3 != 0) & (k % 7 == 0)).select(
+                k.alias("k"), g.alias("g"), (v * 2).alias("v")
+            )
+        )
+        .unionByName(
+            o.filter((k % 3 != 0) & (k % 7 != 0) & (k % 11 == 0)).select(
+                k.alias("k"), F.lit("M").alias("g"), v.alias("v")
+            )
+        )
+    )
+    # preimages: group moves need (k, OLD g) so the old bucket rewrites;
+    # plain deletes carry their group for the same reason
+    pre1 = (
+        o.filter((k % 3 != 0) & (k % 7 != 0) & (k % 11 == 0))
+        .select(k.alias("k"), g.alias("g"))
+        .unionByName(
+            o.filter(
+                (k % 3 != 0) & (k % 7 != 0) & (k % 11 != 0) & (k % 5 == 0)
+            ).select(k.alias("k"), g.alias("g"))
+        )
+    )
+    cat.merge_upsert(
+        d1, "U", ["k"], num_buckets=16, bucket_cols=["g"],
+        delete_keys=pre1,
+    )
+    cat.fold_changes_into_extrema(
+        cat.table_changes("U", 0, 1, with_preimages=True),
+        "U", "X", ["g"], "v", num_buckets=8,
+    )
+    # day 2: retract the lone max + one of the tied pair; 'NN' gains 1.0
+    d2 = spark.createDataFrame(
+        [(mk + 5, "NN", 1.0)], "k long, g string, v double"
+    )
+    pre2 = spark.createDataFrame(
+        [(mk + 1, "O"), (mk + 2, "XX")], "k long, g string"
+    )
+    cat.merge_upsert(
+        d2, "U", ["k"], num_buckets=16, bucket_cols=["g"],
+        delete_keys=pre2,
+    )
+    cat.fold_changes_into_extrema(
+        cat.table_changes("U", 1, 2, with_preimages=True),
+        "U", "X", ["g"], "v", num_buckets=8,
+    )
+    return cat.read("X").select("g", "n", "n_vals", "min_v", "max_v")
+
+
 # invocation counter for stream_changefeed_emission's per-run state
 _CFE_SEQ = _itertools.count()
 
@@ -5688,6 +5976,129 @@ def search_bm25_incremental(spark, sf_dir):
         spark.read.parquet(spath),
         list(_BM25_TERMS),
         top_k=10,
+    )
+
+
+#: per-invocation sequence for the streaming-BM25 query's fresh roots
+_SBM25_SEQ = _itertools.count()
+
+
+@register(
+    "stream_bm25_maintenance",
+    f"""
+    WITH base AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    lens AS (SELECT doc_id, len(toks) AS dl FROM base),
+    tf AS (
+      SELECT b.doc_id, t.term, count(*) AS tf
+      FROM base b, unnest(b.toks) AS t(term)
+      WHERE t.term IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+      GROUP BY b.doc_id, t.term),
+    consts AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM lens),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT tf.doc_id, tf.term,
+             ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf::DOUBLE
+                  + 1.2 * (0.25 + 0.75 * l.dl
+                           / (c.total_dl::DOUBLE / c.n_docs))) AS contrib
+      FROM tf
+      JOIN dfreq d USING (term)
+      CROSS JOIN consts c
+      JOIN lens l ON l.doc_id = tf.doc_id),
+    agg AS (
+      SELECT doc_id, count(*) AS n_terms_matched,
+             floor(list_reduce(list(contrib ORDER BY term),
+                               (a, b) -> a + b) * 10000) / 10000 AS score
+      FROM contrib GROUP BY doc_id)
+    SELECT doc_id, n_terms_matched, score
+    FROM agg ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def stream_bm25_maintenance(spark, sf_dir):
+    """Round-13 (VERDICT r12 #6): STREAMING BM25 index maintenance
+    (streaming/ingest.stream_bm25_maintenance) - the foreachBatch arm
+    of search.bm25_index, completing the lexical-search lifecycle
+    (batch -> incremental -> streaming) the way round 12 completed the
+    semantic screen's. documents split corpus / day1 / day2 at the
+    80%/90% id thresholds; the corpus index bootstraps the base
+    frames, and the two days arrive as two REAL sequential
+    availableNow runs (restart-driven, deterministic order), each
+    trigger tokenizing ONLY its batch and delta-appending its
+    postings/lengths (one shared manifest names both families' read
+    set; tail compaction) - the index is append-only, so a trigger IS
+    one append: no screen, no fold, no re-tokenization. Serving reads
+    base + manifest deltas into search.bm25_topk_index; the shared
+    scoring tail makes the post-stream top-k bit-identical to the
+    batch BM25 over ALL documents - the oracle."""
+    import os
+    import re
+    import shutil
+
+    from ghcrawler_datalake_etl_spark.streaming.ingest import (
+        bm25_store_frames,
+        stream_bm25_maintenance as _sbm,
+    )
+
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    cut = (d.agg(F.max("doc_id")).collect()[0][0] or 0) + 1
+    d10 = F.col("doc_id") * 10
+    corpus = d.filter(d10 < 8 * cut)
+    days = (
+        d.filter((d10 >= 8 * cut) & (d10 < 9 * cut)),
+        d.filter(d10 >= 9 * cut),
+    )
+    global _SBM25_STAGED
+    try:
+        _SBM25_STAGED
+    except NameError:
+        _SBM25_STAGED = set()
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    sroot = _run_tmp(f"sbm25_{tag}")
+    ppath = os.path.join(sroot, "postings")
+    lpath = os.path.join(sroot, "lengths")
+    if sf_dir not in _SBM25_STAGED:
+        p, s = SR.bm25_index(corpus, "doc_id", "text")
+        p.repartition(8, "term").sortWithinPartitions("term").write.mode(
+            "overwrite"
+        ).parquet(ppath)
+        s.write.mode("overwrite").parquet(lpath)
+        for i, day in enumerate(days):
+            day.select("doc_id", "text").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(sroot, f"day{i}"))
+        _SBM25_STAGED.add(sf_dir)
+
+    def _day_file(i: int) -> str:
+        dd = os.path.join(sroot, f"day{i}")
+        return os.path.join(
+            dd, next(f for f in os.listdir(dd) if f.endswith(".parquet"))
+        )
+
+    seq = next(_SBM25_SEQ)
+    root = _run_tmp(f"sbm25_{tag}_{seq}")
+    sdir = os.path.join(root, "in")
+    os.makedirs(sdir, exist_ok=True)
+    store_root = os.path.join(root, "store")
+    ck = os.path.join(root, "ck")
+    for i in range(2):
+        try:
+            os.link(_day_file(i), os.path.join(sdir, f"day{i}.parquet"))
+        except OSError:
+            shutil.copy(_day_file(i), os.path.join(sdir, f"day{i}.parquet"))
+        _sbm(
+            spark.readStream.schema("doc_id bigint, text string").parquet(
+                sdir
+            ),
+            store_root, ck,
+        ).awaitTermination()
+    postings, lengths = bm25_store_frames(
+        spark, store_root,
+        base_postings=spark.read.parquet(ppath),
+        base_lengths=spark.read.parquet(lpath),
+    )
+    return SR.bm25_topk_index(
+        postings, lengths, list(_BM25_TERMS), top_k=10
     )
 
 
@@ -9199,105 +9610,42 @@ def dim_apply_changes(spark, sf_dir):
 # via SPARK_GRAFT_ORACLE_SF_DIR).
 
 _DRIVER_ORDER = [
-    # ============ driver window (first 50): what round 12 verifies ====
-    # Round-12 rotation (VERDICT r11 #3): the twelve single-green
-    # round-11 newcomers stay; round-12 NEW operators take slots as
-    # they land (incremental semantic dedup first); pattern_c keeps
-    # the reference-pattern family represented in-window; every
-    # remaining slot goes to the newest-r8 cohort oldest-first (the
-    # sketch / stream / text / timeseries extension set, then the
-    # r8-green non-extension set). Every leaver holds >= 2 green
-    # driver rounds (EVIDENCE.json); every incoming query
-    # probe_strict-verified at sf0.01 in the same session as its
-    # commit.
-    # -- round-11 single-green newcomers (must stay) --
-    "dedup_incremental_substrings",
-    "dim_table_changes",
-    "stream_changefeed_emission",
-    "text_boilerplate_lines",
-    "search_hybrid_rrf",
-    "split_leakage_safe",
-    "text_boilerplate_incremental",
-    "sim_mmr_rerank",
-    "dq_drift_by_day",
-    "sim_kmeans_refresh",
-    "timeseries_interpolate",
-    "pipeline_daily_ingest",
-    # -- round-12 NEW operators --
+    # ============ driver window (first 50): what round 13 verifies ====
+    # Round-13 rotation (VERDICT r12 #3): the five single-green
+    # round-12 newcomers stay; the three round-13 NEW operators
+    # (join IVM, min/max IVM, streaming BM25) take the next slots;
+    # the entire newest-r8 cohort rotates in (the oldest evidence
+    # on record, incl. the parity core pattern_a/pattern_b/q1);
+    # the newest-r9 cohort fills the rest, plus three newest-r10
+    # queries (fewest greens first). Every leaver holds >= 2 green
+    # driver rounds (EVIDENCE.json).
+    # -- round-12 single-green newcomers (must stay) --
     "dedup_semantic_incremental",
     "stream_boilerplate_screen",
     "dim_changefeed_consume",
     "stream_semantic_dedup",
     "search_bm25_incremental",
-    # -- parity-core in-window representative --
-    "pattern_c_collection_refresh",
-    # -- newest-r8 rotation cohort (VERDICT #3, oldest evidence) --
-    "sketch_cms_heavy_hitters",
-    "sketch_histogram_quantiles",
-    "sketch_hll_distinct",
-    "sketch_hll_merge",
-    "sketch_kmv_distinct",
-    "sketch_kmv_overlap",
-    "stream_dedup_ingest",
-    "stream_hll_distinct",
-    "stream_interval_join",
-    "text_clean_lines",
-    "text_perplexity_buckets",
-    "timeseries_gap_fill",
-    "timeseries_max_concurrency",
-    "tsv_round_trip",
-    "dedup_clusters",
-    "pack_store_roundtrip",
-    "sample_temperature_mix",
-    "search_tfidf_cosine",
-    "sim_pq_adc_topk",
-    "agg_rollup_daily",
-    "asof_last_purchase",
-    "funnel_click_to_purchase",
-    "j5_salted_skew_join",
-    "locf_fill_forward",
-    "j2_anti_join",
-    "dq_validate_orders",
-    "embedding_random_projection",
-    "j6_bloom_prefilter_join",
-    "jsonl_round_trip",
-    "layout_compact_roundtrip",
-    "layout_zorder_buckets",
-    "multimodal_audio_stats",
-    # ---------------- position 51+: past the driver window ----------
-    # Everything below holds >= 2 green driver rounds in EVIDENCE.json;
-    # extension-prefixed names have OUT_OF_WINDOW_OK entries in
-    # tests/test_registry_order.py, parity-core names sit in
-    # PARITY_CORE_ROTATED_OUT there. Sorted for diff stability.
+    # -- round-13 NEW operators --
+    "dim_join_ivm",
+    "dim_minmax_ivm",
+    "stream_bm25_maintenance",
+    # -- newest-r8 cohort (oldest evidence; parity core re-green) --
+    "dim_scd2_user_state",
+    "j7_edit_distance_join",
+    "multimodal_phash_pairs",
+    "orc_catalog_roundtrip",
+    "pattern_a_snapshot_upsert",
+    "pattern_b_array_child",
+    "q1_pricing_summary",
+    "range_interval_join",
+    "sessionize_events",
+    "topk_orders_per_segment",
+    # -- newest-r9 cohort --
     "a1_collect_reassembly",
     "a4_union_all_agg",
-    "a5_distinct_count_two_stage",
-    "agg_value_percentiles",
-    "asof_next_purchase",
     "corpus_fertility_by_lang",
-    "corpus_source_report",
-    "corpus_vocabulary_topk",
     "cube_status_priority",
-    "decontaminate_eval_overlap",
-    "dedup_drop_paragraphs",
-    "dedup_embedding_cosine",
-    "dedup_exact_groups",
-    "dedup_incremental_clusters",
-    "dedup_incremental_index",
-    "dedup_incremental_paragraphs",
-    "dedup_incremental_spans",
-    "dedup_keep_best_quality",
-    "dedup_minhash_clusters",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_prefix_jaccard",
-    "dedup_remove_substrings",
-    "dedup_semantic_prune",
-    "dedup_simhash_values",
-    "dedup_span_first_occurrence",
     "dim_apply_changes",
-    "dim_scd2_user_state",
-    "embedding_quantize_int8",
     "f10_greatest_last_touched",
     "f1_json_extract",
     "f3_pii_pseudonymize",
@@ -9305,87 +9653,152 @@ _DRIVER_ORDER = [
     "j1_inner_join_agg",
     "j3_join_chain_q5",
     "j4_semi_join",
-    "j7_edit_distance_join",
+    "p1_eq_filter",
+    "p2_like_filter",
+    "p3_isin_filter",
+    "p5_string_predicates",
+    "pattern_d_traffic_series",
+    "pattern_e_version_log",
+    "pipeline_tokenize_pack",
+    "q18_large_quantity_orders",
+    "q3_unshipped_topk",
+    "sample_pps_systematic",
+    "subquery_lineitem_count",
+    "text_bpe_encode_ids",
+    "w1_latest_event_per_user",
+    "w2_distinct_keys",
+    "w4_rank_quartiles",
+    "w5_sliding_hour_frame",
+    "x3_posexplode_tokens",
+    # -- newest-r10 fill (fewest green rounds first) --
+    "dedup_exact_groups",
+    "dedup_incremental_index",
+    "dedup_prefix_jaccard",
+    # ---------------- position 51+: past the driver window ----------
+    # Everything below holds >= 2 green driver rounds in EVIDENCE.json;
+    # extension-prefixed names have OUT_OF_WINDOW_OK entries in
+    # tests/test_registry_order.py, parity-core names sit in
+    # PARITY_CORE_ROTATED_OUT there. Sorted for diff stability.
+    "a5_distinct_count_two_stage",
+    "agg_rollup_daily",
+    "agg_value_percentiles",
+    "asof_last_purchase",
+    "asof_next_purchase",
+    "corpus_source_report",
+    "corpus_vocabulary_topk",
+    "decontaminate_eval_overlap",
+    "dedup_clusters",
+    "dedup_drop_paragraphs",
+    "dedup_embedding_cosine",
+    "dedup_incremental_clusters",
+    "dedup_incremental_paragraphs",
+    "dedup_incremental_spans",
+    "dedup_incremental_substrings",
+    "dedup_keep_best_quality",
+    "dedup_minhash_clusters",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_remove_substrings",
+    "dedup_semantic_prune",
+    "dedup_simhash_values",
+    "dedup_span_first_occurrence",
+    "dim_table_changes",
+    "dq_drift_by_day",
+    "dq_validate_orders",
+    "embedding_quantize_int8",
+    "embedding_random_projection",
+    "funnel_click_to_purchase",
+    "j2_anti_join",
+    "j5_salted_skew_join",
+    "j6_bloom_prefilter_join",
     "j8_edit_distance2_join",
+    "jsonl_round_trip",
+    "layout_compact_roundtrip",
+    "layout_zorder_buckets",
+    "locf_fill_forward",
     "multimodal_audio_chunks",
+    "multimodal_audio_stats",
     "multimodal_features",
     "multimodal_frames",
     "multimodal_gif_frames",
     "multimodal_gif_resize",
     "multimodal_image_features",
-    "multimodal_phash_pairs",
     "multimodal_wav_stats",
-    "orc_catalog_roundtrip",
-    "p1_eq_filter",
-    "p2_like_filter",
-    "p3_isin_filter",
-    "p5_string_predicates",
     "pack_store_delta_append",
+    "pack_store_roundtrip",
     "pack_token_shards",
-    "pattern_a_snapshot_upsert",
-    "pattern_b_array_child",
-    "pattern_d_traffic_series",
-    "pattern_e_version_log",
+    "pattern_c_collection_refresh",
     "pipeline_chunk_dedup_pack",
+    "pipeline_daily_ingest",
     "pipeline_dedup_shards",
     "pipeline_quality_mix_pack",
-    "pipeline_tokenize_pack",
     "pipeline_training_data",
     "pivot_user_event_matrix",
-    "q18_large_quantity_orders",
-    "q1_pricing_summary",
-    "q3_unshipped_topk",
-    "range_interval_join",
     "sample_dsir_select",
     "sample_eval_carve",
     "sample_hash_deterministic",
-    "sample_pps_systematic",
     "sample_stratified_by_lang",
     "sample_target_mix",
+    "sample_temperature_mix",
     "sample_top_share_quality",
     "search_bm25_topk",
-    "sessionize_events",
+    "search_hybrid_rrf",
+    "search_tfidf_cosine",
     "setop_user_cohorts",
     "sim_ann_lsh",
     "sim_ivf_delta_append",
     "sim_ivf_kmeans_topk",
     "sim_ivf_topk",
     "sim_kmeans_assign",
+    "sim_kmeans_refresh",
     "sim_knn_bruteforce",
     "sim_knn_graph",
     "sim_knn_int8_dot",
     "sim_knn_pandas_gemm",
+    "sim_mmr_rerank",
+    "sim_pq_adc_topk",
     "sketch_bloom_decontaminate",
+    "sketch_cms_heavy_hitters",
+    "sketch_histogram_quantiles",
+    "sketch_hll_distinct",
+    "sketch_hll_merge",
     "sketch_incremental_stats",
+    "sketch_kmv_distinct",
+    "sketch_kmv_overlap",
     "sketch_stats_cdc_table",
+    "split_leakage_safe",
     "split_train_valid_test",
+    "stream_changefeed_emission",
     "stream_cluster_maintenance",
+    "stream_dedup_ingest",
+    "stream_hll_distinct",
+    "stream_interval_join",
     "stream_lsh_dedup",
     "stream_static_enrich",
     "stream_windowed_counts",
-    "subquery_lineitem_count",
     "text_bigram_logprob",
+    "text_boilerplate_incremental",
+    "text_boilerplate_lines",
     "text_bpe_encode",
-    "text_bpe_encode_ids",
     "text_bpe_pair_stats",
     "text_chunk_windows",
+    "text_clean_lines",
     "text_fingerprint",
     "text_gopher_filter",
     "text_lang_id",
+    "text_perplexity_buckets",
     "text_quality_classifier",
     "text_quality_score",
     "text_redact_pii",
     "text_repetition_metrics",
     "text_stats",
     "text_unigram_logprob",
-    "topk_orders_per_segment",
-    "w1_latest_event_per_user",
+    "timeseries_gap_fill",
+    "timeseries_interpolate",
+    "timeseries_max_concurrency",
+    "tsv_round_trip",
     "w1_maxby_latest_event_per_user",
-    "w2_distinct_keys",
     "w3_lag_event_gaps",
-    "w4_rank_quartiles",
-    "w5_sliding_hour_frame",
-    "x3_posexplode_tokens",
 ]
 
 

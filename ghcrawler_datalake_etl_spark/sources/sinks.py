@@ -128,6 +128,45 @@ class ParquetCatalog:
         df = self._read_snapshot(name, path)
         return df.drop(_BUCKET_COL) if _BUCKET_COL in df.columns else df
 
+    def read_pruned(self, name: str, probe: DataFrame) -> DataFrame | None:
+        """Read ONLY the hash buckets the probe's bucket-column values
+        land in - the partition-pruned point-lookup over a merged table
+        (primary-key layout, or a ``bucket_cols`` secondary-index
+        layout). The probe must carry the table's bucket columns; its
+        distinct BUCKET IDS are collected driver-side (<= num_buckets
+        ints - bounded by construction, not by feed size), the snapshot
+        scan filters ``_kb IN (...)`` so parquet partition pruning
+        skips every other bucket directory, and survivors LEFT SEMI
+        join (broadcast - probes are delta/feed-sized) the probe's
+        distinct bucket-col values so only matching rows return. At
+        100 TB this is the point of the layout: a fold's standing-side
+        read costs O(touched buckets), never a table scan. Returns
+        None for a table with no current version (mirrors
+        :meth:`read_or_none`)."""
+        meta = self._merge_meta(name)
+        if meta is None:
+            raise ValueError(
+                f"read_pruned needs a merged table; {name!r} has no "
+                "merge metadata"
+            )
+        bucket_cols = meta.get("bucket_cols") or meta["key_cols"]
+        bucket = F.pmod(
+            F.xxhash64(*[F.col(c) for c in bucket_cols]),
+            F.lit(meta["num_buckets"]),
+        ).cast("int")
+        path = self.current_path(name)
+        if path is None:
+            return None
+        vals = probe.select(*bucket_cols).distinct()
+        ids = [
+            r[0]
+            for r in vals.select(bucket.alias("_b")).distinct().collect()
+        ]
+        df = self._read_snapshot(name, path)
+        if _BUCKET_COL in df.columns:
+            df = df.filter(F.col(_BUCKET_COL).isin(ids)).drop(_BUCKET_COL)
+        return df.join(F.broadcast(vals), bucket_cols, "semi")
+
     def _read_snapshot(self, name: str, path: str) -> DataFrame:
         """Read one snapshot dir; an all-empty snapshot (no data files
         to infer a schema from) degrades to an empty frame with the
@@ -210,6 +249,7 @@ class ParquetCatalog:
         num_buckets: int = 32,
         dense_rewrite_fraction: float = 0.5,
         delete_keys: DataFrame | None = None,
+        bucket_cols: Sequence[str] | None = None,
     ) -> dict[str, int]:
         """Key-level upsert that rewrites ONLY the hash buckets the delta
         touches - the incremental alternative to ``overwrite`` for the
@@ -253,14 +293,39 @@ class ParquetCatalog:
         is a bucket rewrite without the row - the CDC building block
         :meth:`apply_changes` uses. Deleting an absent key is a no-op.
 
+        ``bucket_cols`` (round-13) decouples the PARTITION layout from
+        the key: the table stays keyed (anti-joined, deleted) by
+        ``key_cols`` but lands in ``_kb = pmod(xxhash64(bucket_cols),
+        num_buckets)`` - a SECONDARY-INDEX layout, so probes by
+        ``bucket_cols`` are partition-pruned even though rows are
+        upserted by primary key (the join/extrema IVM consumers read
+        "all rows whose join key / group is in the feed" that way).
+        Contract when ``bucket_cols != key_cols``: (a) ``delete_keys``
+        must carry ``bucket_cols`` alongside ``key_cols`` (the bucket a
+        deleted row sits in is derived from its OLD bucket-col values -
+        a preimage feed has them); (b) an update that may CHANGE a
+        row's bucket_cols must ship its preimage (key + old
+        bucket_cols) in ``delete_keys``, else the old copy survives in
+        its old bucket and the key silently duplicates across buckets.
+
         Returns {"rewritten": n, "linked": m} bucket counts (a full
         rewrite reports every non-empty bucket as rewritten).
         """
         key_cols = list(key_cols)
         if not key_cols:
             raise ValueError("merge_upsert needs at least one key column")
+        bucket_cols = list(bucket_cols) if bucket_cols else key_cols
+        if delete_keys is not None and bucket_cols != key_cols:
+            missing = [
+                c for c in bucket_cols if c not in delete_keys.columns
+            ]
+            if missing:
+                raise ValueError(
+                    "merge_upsert(bucket_cols=...) needs delete_keys to "
+                    f"carry the bucket columns too; missing {missing}"
+                )
         bucket = F.pmod(
-            F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(num_buckets)
+            F.xxhash64(*[F.col(k) for k in bucket_cols]), F.lit(num_buckets)
         ).cast("int")
 
         tdir = self._table_dir(name)
@@ -271,6 +336,8 @@ class ParquetCatalog:
             meta is not None
             and meta.get("key_cols") == key_cols
             and meta.get("num_buckets") == num_buckets
+            # tables written before bucket_cols existed bucketed by key
+            and meta.get("bucket_cols", meta.get("key_cols")) == bucket_cols
         )
 
         new = 0 if old_version is None else old_version + 1
@@ -296,86 +363,112 @@ class ParquetCatalog:
                 ).distinct().persist()
             )
             anti_keys.count()
-
-        if old_version is None or not compatible:
-            # bootstrap (or re-bucket): full write, partitioned layout
-            current = self.read_or_none(name)
-            if current is not None:
-                merged = current.join(
-                    anti_keys, key_cols, "left_anti"
-                ).unionByName(delta)
-            else:
-                merged = delta
-            # repartition by bucket before the partitioned write: without
-            # it every task writes a file into every bucket dir (tasks x
-            # buckets small files), and the NEXT day's snapshot read pays
-            # for the listing+scan of all of them
-            merged.withColumn(_BUCKET_COL, bucket).repartition(
-                num_buckets, F.col(_BUCKET_COL)
-            ).write.mode("overwrite").partitionBy(_BUCKET_COL).format(
-                self.data_format
-            ).save(out)
-            stats["rewritten"] = sum(
-                1 for d in os.listdir(out) if d.startswith(f"{_BUCKET_COL}=")
-            )
+        # the affected-bucket probe: with bucket_cols == key_cols the
+        # key set IS the probe; with a secondary-index layout the
+        # buckets derive from bucket_cols values (delta rows carry the
+        # new ones, delete_keys the old/preimage ones)
+        if bucket_cols == key_cols:
+            bucket_probe = anti_keys
         else:
-            affected = sorted(
-                r[0]
-                for r in anti_keys.withColumn(_BUCKET_COL, bucket)
-                .select(_BUCKET_COL)
-                .distinct()
-                .collect()
-            )
-            cur_path = self.current_path(name)
-            old_df = self._read_snapshot(name, cur_path)
-            if _BUCKET_COL not in old_df.columns:
-                # the empty-snapshot fallback restores the logical
-                # schema only; recompute the bucket col (deterministic
-                # over the key cols) so the merge paths below see the
-                # bucketed shape
-                old_df = old_df.withColumn(_BUCKET_COL, bucket)
-            if len(affected) > dense_rewrite_fraction * num_buckets:
-                # dense delta: merge machinery costs more than it saves
-                # (docstring) - bucketed full rewrite, nothing linked
-                merged = old_df.join(
-                    anti_keys, key_cols, "left_anti"
-                ).unionByName(delta_b.select(*old_df.columns))
-                merged.repartition(
+            bucket_probe = delta.select(*bucket_cols)
+            if delete_keys is not None:
+                bucket_probe = bucket_probe.unionByName(
+                    delete_keys.select(*bucket_cols)
+                )
+
+        try:
+            if old_version is None or not compatible:
+                # bootstrap (or re-bucket): full write, partitioned layout
+                current = self.read_or_none(name)
+                if current is not None:
+                    merged = current.join(
+                        anti_keys, key_cols, "left_anti"
+                    ).unionByName(delta)
+                else:
+                    merged = delta
+                # repartition by bucket before the partitioned write: without
+                # it every task writes a file into every bucket dir (tasks x
+                # buckets small files), and the NEXT day's snapshot read pays
+                # for the listing+scan of all of them
+                merged.withColumn(_BUCKET_COL, bucket).repartition(
                     num_buckets, F.col(_BUCKET_COL)
                 ).write.mode("overwrite").partitionBy(_BUCKET_COL).format(
                     self.data_format
                 ).save(out)
                 stats["rewritten"] = sum(
-                    1
-                    for d in os.listdir(out)
-                    if d.startswith(f"{_BUCKET_COL}=")
+                    1 for d in os.listdir(out) if d.startswith(f"{_BUCKET_COL}=")
                 )
             else:
-                survivors = (
-                    old_df.filter(F.col(_BUCKET_COL).isin(affected))
-                    .join(anti_keys, key_cols, "left_anti")
+                affected = sorted(
+                    r[0]
+                    for r in bucket_probe.withColumn(_BUCKET_COL, bucket)
+                    .select(_BUCKET_COL)
+                    .distinct()
+                    .collect()
                 )
-                merged = survivors.unionByName(
-                    delta_b.select(*survivors.columns)
-                )
-                # one task per affected bucket -> one file per bucket dir
-                merged.repartition(
-                    max(len(affected), 1), F.col(_BUCKET_COL)
-                ).write.mode("overwrite").partitionBy(_BUCKET_COL).format(
-                    self.data_format
-                ).save(out)
-                stats["rewritten"] = len(affected)
-                # re-link untouched buckets into the new snapshot
-                for d in os.listdir(cur_path):
-                    if not d.startswith(f"{_BUCKET_COL}="):
-                        continue
-                    b = int(d.split("=", 1)[1])
-                    if b in set(affected):
-                        continue
-                    _link_tree(
-                        os.path.join(cur_path, d), os.path.join(out, d)
+                cur_path = self.current_path(name)
+                old_df = self._read_snapshot(name, cur_path)
+                if _BUCKET_COL not in old_df.columns:
+                    # the empty-snapshot fallback restores the logical
+                    # schema only; recompute the bucket col (deterministic
+                    # over the key cols) so the merge paths below see the
+                    # bucketed shape
+                    old_df = old_df.withColumn(_BUCKET_COL, bucket)
+                if len(affected) > dense_rewrite_fraction * num_buckets:
+                    # dense delta: merge machinery costs more than it saves
+                    # (docstring) - bucketed full rewrite, nothing linked
+                    merged = old_df.join(
+                        anti_keys, key_cols, "left_anti"
+                    ).unionByName(delta_b.select(*old_df.columns))
+                    merged.repartition(
+                        num_buckets, F.col(_BUCKET_COL)
+                    ).write.mode("overwrite").partitionBy(_BUCKET_COL).format(
+                        self.data_format
+                    ).save(out)
+                    stats["rewritten"] = sum(
+                        1
+                        for d in os.listdir(out)
+                        if d.startswith(f"{_BUCKET_COL}=")
                     )
-                    stats["linked"] += 1
+                else:
+                    survivors = (
+                        old_df.filter(F.col(_BUCKET_COL).isin(affected))
+                        .join(anti_keys, key_cols, "left_anti")
+                    )
+                    merged = survivors.unionByName(
+                        delta_b.select(*survivors.columns)
+                    )
+                    # one task per affected bucket -> one file per bucket dir
+                    merged.repartition(
+                        max(len(affected), 1), F.col(_BUCKET_COL)
+                    ).write.mode("overwrite").partitionBy(_BUCKET_COL).format(
+                        self.data_format
+                    ).save(out)
+                    stats["rewritten"] = len(affected)
+                    # re-link untouched buckets into the new snapshot
+                    for d in os.listdir(cur_path):
+                        if not d.startswith(f"{_BUCKET_COL}="):
+                            continue
+                        b = int(d.split("=", 1)[1])
+                        if b in set(affected):
+                            continue
+                        _link_tree(
+                            os.path.join(cur_path, d), os.path.join(out, d)
+                        )
+                        stats["linked"] += 1
+        except BaseException:
+            # a failed write job (e.g. the fold's lazy op-set guard
+            # raising mid-execution, an executor OOM) can leave
+            # partial part-files in the in-progress version dir;
+            # the pointer never flipped, so the orphan would sit
+            # unreachable forever (vacuum keeps pointer-reachable
+            # versions). Remove it before re-raising - the current
+            # snapshot is untouched either way.
+            shutil.rmtree(out, ignore_errors=True)
+            delta.unpersist(blocking=False)
+            if delete_keys is not None:
+                anti_keys.unpersist(blocking=False)
+            raise
 
         tmp_meta = os.path.join(tdir, _MERGE_META + ".tmp")
         with open(tmp_meta, "w") as f:
@@ -388,6 +481,7 @@ class ParquetCatalog:
                 {
                     "key_cols": key_cols,
                     "num_buckets": num_buckets,
+                    "bucket_cols": bucket_cols,
                     "schema": delta.schema.json(),
                 },
                 f,
@@ -682,6 +776,210 @@ class ParquetCatalog:
             num_buckets=num_buckets, delete_keys=dels,
         )
 
+    def fold_changes_into_join(
+        self,
+        feed_a: DataFrame | None,
+        feed_b: DataFrame | None,
+        join_table: str,
+        index_table: str,
+        b_table: str,
+        a_key_cols: Sequence[str],
+        join_cols: Sequence[str],
+        op_col: str = "op",
+        num_buckets: int = 16,
+    ) -> None:
+        """Incremental-view maintenance of a standing materialized
+        EQUI-JOIN from the two upstreams' PREIMAGE changefeeds - the
+        join-shaped Delta Live Tables piece (:meth:`table_changes`
+        ``with_preimages=True`` feeds in, never an upstream rescan).
+        The maintained view is ``J = A JOIN B ON join_cols`` for an FK
+        join (``join_cols`` = B's primary key, so each A row yields at
+        most one J row and J's primary key is A's key).
+
+        Delta-join algebra, each term feed-sized or touched-key-sized:
+
+        * ``dA JOIN B_new``: the A feed's post-images probe the
+          CURRENT ``b_table`` through :meth:`read_pruned` - B is
+          keyed (and therefore bucketed) by ``join_cols``, so the
+          probe reads only the touched buckets;
+        * ``A_new JOIN dB``: the A side comes from ``index_table``, a
+          standing SECONDARY INDEX of A - same rows, keyed by
+          ``a_key_cols`` but laid out with ``bucket_cols=join_cols``
+          (maintained here from ``feed_a`` first) - so "all A rows
+          whose join key changed in B" is also a partition-pruned
+          point read, never an A scan;
+        * the ``dA JOIN dB`` overlap lands identically through both
+          terms and dedups by key before the merge.
+
+        Retractions ride ``delete_keys``: a feed-a D/U_pre removes the
+        key's J row (the post-image term re-adds it if it still
+        matches - an UPDATE THAT MOVES the FK lands in its new join
+        key's row, and an FK pointing at a missing B key drops out of
+        J, inner-join semantics); a feed-b D removes every J row whose
+        join key died, discovered through the pruned index read.
+        Bootstrap: fold all-'I' feeds of the initial snapshots (the
+        :meth:`fold_changes_into_stats` idiom). A plain post-image-only
+        ``'U'`` in either feed raises loudly (folding it would leave
+        the moved FK's old row behind).
+
+        Cost per fold is O(feeds + touched buckets); the standing
+        join, index, and B tables are each touched only through
+        bucket-pruned reads and bucket-pruned merges - at 100 TB a
+        quiet day costs proportional to the day, not the view."""
+        a_key_cols = list(a_key_cols)
+        join_cols = list(join_cols)
+        guard = _preimage_op_guard(op_col, "fold_changes_into_join")
+        ups_j: DataFrame | None = None
+        del_j: DataFrame | None = None
+
+        if feed_a is not None:
+            feed_a = feed_a.withColumn(op_col, guard).persist()
+            feed_a.count()
+            a_posts = feed_a.filter(
+                F.col(op_col).isin("I", "U_post")
+            ).drop(op_col)
+            a_pres = feed_a.filter(F.col(op_col).isin("D", "U_pre"))
+            # 1. maintain the secondary index (A keyed by pk, bucketed
+            # by join key); preimages carry the OLD join key so a
+            # moved row's old bucket is rewritten too
+            self.merge_upsert(
+                a_posts, index_table, a_key_cols,
+                num_buckets=num_buckets, bucket_cols=join_cols,
+                delete_keys=a_pres.select(*a_key_cols, *join_cols),
+            )
+            # 2. dA JOIN B_new - bucket-pruned probe of the CURRENT B
+            b_pruned = self.read_pruned(b_table, a_posts)
+            if b_pruned is not None:
+                ups_j = F.broadcast(a_posts).join(
+                    b_pruned, join_cols, "inner"
+                )
+            del_j = a_pres.select(*a_key_cols).distinct()
+
+        if feed_b is not None:
+            feed_b = feed_b.withColumn(op_col, guard).persist()
+            feed_b.count()
+            b_posts = feed_b.filter(
+                F.col(op_col).isin("I", "U_post")
+            ).drop(op_col)
+            b_dels = feed_b.filter(F.col(op_col) == "D").select(
+                *join_cols
+            ).distinct()
+            # 3. A_new JOIN dB - pruned read of the index AFTER step 1
+            a_side = self.read_pruned(index_table, feed_b)
+            if a_side is not None:
+                jb = a_side.join(F.broadcast(b_posts), join_cols, "inner")
+                ups_j = jb if ups_j is None else ups_j.unionByName(jb)
+                dead = a_side.join(
+                    F.broadcast(b_dels), join_cols, "semi"
+                ).select(*a_key_cols).distinct()
+                del_j = (
+                    dead if del_j is None
+                    else del_j.unionByName(dead).distinct()
+                )
+
+        if ups_j is None and del_j is None:
+            return
+        if ups_j is not None:
+            # the dA JOIN dB overlap arrives via BOTH terms with
+            # identical values - dedup by J's key before the merge
+            # (merge_upsert unions every delta row per key)
+            ups_j = ups_j.dropDuplicates(a_key_cols)
+            self.merge_upsert(
+                ups_j, join_table, a_key_cols,
+                num_buckets=num_buckets, delete_keys=del_j,
+            )
+        elif del_j is not None and self.exists(join_table):
+            empty = self.read(join_table).limit(0)
+            self.merge_upsert(
+                empty, join_table, a_key_cols,
+                num_buckets=num_buckets, delete_keys=del_j,
+            )
+        for f in (feed_a, feed_b):
+            if f is not None:
+                f.unpersist(blocking=False)
+
+    def fold_changes_into_extrema(
+        self,
+        feed: DataFrame,
+        upstream_table: str,
+        stats_table: str,
+        group_cols: Sequence[str],
+        value_col: str,
+        op_col: str = "op",
+        num_buckets: int = 16,
+    ) -> None:
+        """IVM of a standing per-group EXTREMA table (group, n,
+        n_vals, min_v, max_v) from a preimage changefeed - the
+        NON-RETRACTABLE-aggregate companion of
+        :meth:`fold_changes_into_stats` (which deliberately excludes
+        min/max: a sum retracts algebraically, an extremum does not -
+        deleting the max says nothing about the runner-up).
+
+        The fold is incremental everywhere retraction is exact and
+        re-derives ONLY where it is not:
+
+        * ``n`` / ``n_vals`` fold retractably (+1/-1) - counts are
+          exact under any order, any value type (no integer
+          restriction here: min/max/count never sum);
+        * inserts raise extrema monotonically:
+          ``max = greatest(prior, batch max)``;
+        * a D/U_pre whose value TIES the group's standing extremum may
+          have been the last copy - exactly those groups re-derive,
+          with a :meth:`read_pruned` point read of the POST-state
+          upstream. ``upstream_table`` must therefore be maintained
+          with ``bucket_cols=group_cols`` (the secondary-index merge
+          layout), so the re-derivation reads only the touched
+          groups' buckets - O(touched groups), never an upstream
+          scan. Groups whose count reaches zero are deleted.
+
+        Fold AFTER landing the upstream's day (the re-derivation reads
+        the post-state). A plain post-image-only 'U' raises loudly."""
+        group_cols = list(group_cols)
+        meta = self._merge_meta(upstream_table)
+        if meta is None or (
+            meta.get("bucket_cols") or meta["key_cols"]
+        ) != group_cols:
+            raise ValueError(
+                "fold_changes_into_extrema re-derives touched groups "
+                f"through bucket-pruned reads: {upstream_table!r} must "
+                f"be merged with bucket_cols={group_cols!r} (have "
+                f"{None if meta is None else meta.get('bucket_cols', meta['key_cols'])!r})"
+            )
+        folded = fold_extrema_delta(
+            feed, self.read_or_none(stats_table),
+            group_cols, value_col, op_col,
+        ).persist()
+        folded.count()  # eager: referenced by ups, dels, and rederive
+        try:
+            live = folded.filter(F.col("n") > 0)
+            dels = folded.filter(F.col("n") <= 0).select(
+                *group_cols
+            ).distinct()
+            rederive = live.filter(F.col("_rederive"))
+            incremental = live.filter(~F.col("_rederive")).drop("_rederive")
+            pruned = self.read_pruned(
+                upstream_table, rederive.select(*group_cols)
+            )
+            if pruned is not None:
+                v = F.col(value_col)
+                fresh = pruned.groupBy(*group_cols).agg(
+                    F.min(v).alias("min_v"), F.max(v).alias("max_v")
+                )
+                redone = (
+                    rederive.drop("_rederive", "min_v", "max_v")
+                    .join(F.broadcast(fresh), group_cols, "left")
+                    .select(*incremental.columns)
+                )
+                ups = incremental.unionByName(redone)
+            else:
+                ups = incremental
+            self.merge_upsert(
+                ups, stats_table, group_cols,
+                num_buckets=num_buckets, delete_keys=dels,
+            )
+        finally:
+            folded.unpersist(blocking=False)
+
     def compact(
         self,
         name: str,
@@ -802,6 +1100,27 @@ def write_bucketed_table(
     writer.format("parquet").saveAsTable(name)
 
 
+def _preimage_op_guard(op_col: str, who: str):
+    """Column passing through the Delta-CDF preimage op set
+    (I / D / U_pre / U_post) and raising loudly on anything else -
+    a plain post-image-only 'U' folded into an IVM consumer would
+    silently corrupt instead of retracting. Lazy by design (fires
+    inside the consumer's write job); merge_upsert cleans up the
+    in-progress version dir when that job fails."""
+    op = F.col(op_col)
+    return F.when(op.isin("I", "D", "U_pre", "U_post"), op).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"{who} needs a preimage feed (table_changes "
+                    "with_preimages=True); got op="
+                ),
+                op,
+            )
+        )
+    )
+
+
 def fold_stats_delta(
     feed: DataFrame,
     standing: DataFrame | None,
@@ -888,6 +1207,95 @@ def fold_stats_delta(
         "n",
         "n_vals",
         F.when(F.col("n_vals") > 0, F.col("_rawsum")).alias("sum_v"),
+    )
+
+
+def fold_extrema_delta(
+    feed: DataFrame,
+    standing: DataFrame | None,
+    group_cols: Sequence[str],
+    value_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """The pure fold of :meth:`ParquetCatalog.fold_changes_into_extrema`:
+    preimage feed + (possibly absent) standing (group, n, n_vals,
+    min_v, max_v) frame -> refreshed rows for TOUCHED groups, plus a
+    ``_rederive`` flag marking the groups whose extremum may have been
+    retracted (a D/U_pre value tying the standing min or max) - the
+    caller resolves exactly those with a bucket-pruned post-state
+    upstream read; every other group folds closed-form (counts
+    retract exactly; inserts only ever RAISE an extremum, so
+    ``greatest(prior, batch max)`` is exact).
+
+    Shuffle shape mirrors :func:`fold_stats_delta`: one map-side-
+    combinable feed aggregate; the standing side pruned by broadcast
+    SEMI and broadcast-joined back - it never crosses an exchange."""
+    group_cols = list(group_cols)
+    feed = feed.withColumn(
+        op_col, _preimage_op_guard(op_col, "fold_changes_into_extrema")
+    )
+    ins = F.col(op_col).isin("I", "U_post")
+    rem = F.col(op_col).isin("D", "U_pre")
+    sign = F.when(ins, F.lit(1)).otherwise(F.lit(-1))
+    v = F.col(value_col)
+    vtype = dict(feed.dtypes)[value_col]
+    delta = feed.groupBy(*group_cols).agg(
+        F.sum(sign).cast("long").alias("_dn"),
+        F.sum(F.when(v.isNotNull(), sign).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("_dnv"),
+        F.max(F.when(ins, v)).alias("_imax"),
+        F.min(F.when(ins, v)).alias("_imin"),
+        F.max(F.when(rem, v)).alias("_rmax"),
+        F.min(F.when(rem, v)).alias("_rmin"),
+    )
+    if standing is not None:
+        touched = delta.select(*group_cols).distinct()
+        prior = standing.join(
+            F.broadcast(touched), group_cols, "semi"
+        ).select(
+            *group_cols,
+            F.col("n").alias("_pn"),
+            F.col("n_vals").alias("_pnv"),
+            F.col("min_v").alias("_pmin"),
+            F.col("max_v").alias("_pmax"),
+        )
+        delta = delta.join(F.broadcast(prior), group_cols, "left")
+    else:
+        delta = (
+            delta.withColumn("_pn", F.lit(None).cast("long"))
+            .withColumn("_pnv", F.lit(None).cast("long"))
+            .withColumn("_pmin", F.lit(None).cast(vtype))
+            .withColumn("_pmax", F.lit(None).cast(vtype))
+        )
+    n = F.coalesce(F.col("_pn"), F.lit(0)) + F.col("_dn")
+    n_vals = F.coalesce(F.col("_pnv"), F.lit(0)) + F.col("_dnv")
+    # a retraction can only LOWER an extremum if it ties it (values in
+    # a consistent feed never exceed the standing extremum); a new
+    # group (_pn null) has nothing to retract
+    rederive = F.col("_pn").isNotNull() & (
+        (
+            F.col("_rmax").isNotNull()
+            & F.col("_pmax").isNotNull()
+            & (F.col("_rmax") >= F.col("_pmax"))
+        )
+        | (
+            F.col("_rmin").isNotNull()
+            & F.col("_pmin").isNotNull()
+            & (F.col("_rmin") <= F.col("_pmin"))
+        )
+    )
+    return delta.select(
+        *group_cols,
+        n.alias("n"),
+        n_vals.alias("n_vals"),
+        F.when(
+            n_vals > 0, F.least(F.col("_pmin"), F.col("_imin"))
+        ).alias("min_v"),
+        F.when(
+            n_vals > 0, F.greatest(F.col("_pmax"), F.col("_imax"))
+        ).alias("max_v"),
+        rederive.alias("_rederive"),
     )
 
 

@@ -855,6 +855,120 @@ def stream_semantic_dedup(
     )
 
 
+def stream_bm25_maintenance(
+    stream_df: DataFrame,
+    store_root: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    compact_after: int = 8,
+) -> StreamingQuery:
+    """Streaming maintenance of the persisted BM25 index - the
+    foreachBatch arm of search.bm25_index, completing the lexical-
+    search lifecycle (batch -> incremental -> streaming) the way the
+    semantic screen's was completed in round 12. The index state
+    (inverted postings (term, doc_id, tf) + lengths (doc_id, dl)) is
+    APPEND-ONLY: every BM25 statistic derives from the stored rows, so
+    a trigger is exactly one delta append - no screen step, no fold,
+    no re-tokenization of anything already indexed.
+
+    Per micro-batch: tokenize ONLY the arriving documents, write their
+    postings to ``store_root/post/micro_batch=N`` and lengths to
+    ``store_root/len/micro_batch=N`` (one shared manifest names both
+    families' read set; the tail compacts past ``compact_after``).
+    Serve queries at any point with :func:`bm25_store_frames` ->
+    search.bm25_topk_index; the shared scoring tail makes the served
+    top-k bit-identical to the batch BM25 over every document indexed
+    so far (the driver oracle's identity)."""
+    import os
+
+    from ghcrawler_datalake_etl_spark.operators.search import bm25_index
+
+    _require_driver_local(store_root, "stream_bm25_maintenance")
+
+    def _apply(bdf: DataFrame, micro_batch: int) -> None:
+        spark = bdf.sparkSession
+        bdf = bdf.persist()
+        try:
+            if bdf.count() == 0:
+                return
+            postings, lengths = bm25_index(bdf, id_col, text_col)
+            manifest = _read_delta_manifest(store_root, "post")
+            # both families land mode("overwrite") into per-trigger
+            # dirs - a replayed trigger overwrites its own output, and
+            # the manifest append below is the last (atomic) step
+            postings.write.mode("overwrite").parquet(
+                os.path.join(store_root, "post", f"micro_batch={micro_batch}")
+            )
+            lengths.write.mode("overwrite").parquet(
+                os.path.join(store_root, "len", f"micro_batch={micro_batch}")
+            )
+            if micro_batch not in manifest["deltas"]:
+                manifest = {
+                    "version": 1,
+                    "base": manifest.get("base"),
+                    "deltas": sorted(manifest["deltas"] + [micro_batch]),
+                }
+                _write_delta_manifest(store_root, manifest)
+            if (
+                len([m for m in manifest["deltas"] if m < micro_batch])
+                >= compact_after
+            ):
+                _compact_delta_store(
+                    spark, store_root, ("post", "len"), manifest, micro_batch
+                )
+        finally:
+            bdf.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def bm25_store_frames(
+    spark: SparkSession,
+    store_root: str,
+    base_postings: DataFrame | None = None,
+    base_lengths: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The serving read of a :func:`stream_bm25_maintenance` store:
+    (postings, lengths) = optional bootstrapped base frames UNION the
+    manifest-named deltas (compacted base + micro-batch dirs) - feed
+    straight into search.bm25_topk_index. The manifest IS the read
+    set: no directory listing."""
+    import os
+
+    manifest = _read_delta_manifest(store_root, "post")
+    out = []
+    for sub, base in (("post", base_postings), ("len", base_lengths)):
+        paths = [
+            p
+            for p in (
+                [os.path.join(store_root, sub, manifest["base"])]
+                if manifest.get("base")
+                else []
+            )
+        ] + [
+            os.path.join(store_root, sub, f"micro_batch={mb}")
+            for mb in manifest.get("deltas", [])
+        ]
+        frame = spark.read.parquet(*paths) if paths else None
+        if base is not None:
+            frame = base if frame is None else base.unionByName(
+                frame.select(*base.columns)
+            )
+        if frame is None:
+            raise FileNotFoundError(
+                f"bm25 store {store_root!r} has no {sub!r} data and no "
+                "base frame was supplied"
+            )
+        out.append(frame)
+    return out[0], out[1]
+
+
 def stream_hll_registers(
     events: DataFrame,
     value_col: str,

@@ -52,6 +52,18 @@ ORDERS_ONLY = [
     # group reports sum_v NULL), the NULL status coalesces to the ''
     # group, and the two-day fold must land on the recompute
     "dim_changefeed_consume",
+    # round-13 join IVM: the NULL-custkey order (5) sits in the index
+    # but never joins, the NULL-key customer row is filtered up front,
+    # key 7's FK move (10 -> 11) lands via its U_pre preimage, and the
+    # day-1 B insert of the ck%5=0 slice gives previously-unmatched
+    # orders their match - the two-day fold must equal the final join
+    "dim_join_ivm",
+    # round-13 extrema IVM: the NULL-price order (4) keeps n_vals
+    # exact through insert AND the sentinel NULL group starts at
+    # n_vals=0; day-2's sentinel deletes retract a genuine group max
+    # (re-derived through the group-bucketed upstream) and one of a
+    # tied pair (max survives)
+    "dim_minmax_ivm",
 ]
 
 
@@ -81,13 +93,18 @@ def _write_orders(folder, rows) -> None:
 
 def _write_customer(folder, rows) -> None:
     df = pd.DataFrame(
-        rows, columns=["c_custkey", "c_name", "c_mktsegment", "c_acctbal"]
+        rows,
+        columns=[
+            "c_custkey", "c_name", "c_mktsegment", "c_acctbal",
+            "c_nationkey",
+        ],
     )
     con = duckdb.connect()
     con.register("c", df)
     con.execute(
         "COPY (SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,"
-        " c_mktsegment, CAST(c_acctbal AS DOUBLE) AS c_acctbal"
+        " c_mktsegment, CAST(c_acctbal AS DOUBLE) AS c_acctbal,"
+        " CAST(c_nationkey AS BIGINT) AS c_nationkey"
         " FROM c) TO"
         f" '{folder}/customer.parquet' (FORMAT PARQUET)"
     )
@@ -114,14 +131,14 @@ def degenerate_orders_dir(tmp_path_factory):
             # c_name values drive j7: "Cust#10"/"Cust#11" are a real
             # distance-1 pair, "ab"/"b" pair through the identity
             # variant, NULL names never pair, "" pairs with "b"
-            (10, "Cust#10", "BUILDING", 9000.0),
-            (11, "Cust#11", "MACHINERY", 100.0),  # fails acctbal filter
-            (12, None, "AUTOMOBILE", 8000.0),      # NULL name
-            (None, "ab", "HOUSEHOLD", 9999.0),     # NULL dim key
+            (10, "Cust#10", "BUILDING", 9000.0, 1),
+            (11, "Cust#11", "MACHINERY", 100.0, 2),  # fails acctbal filter
+            (12, None, "AUTOMOBILE", 8000.0, None),   # NULL name+nation
+            (None, "ab", "HOUSEHOLD", 9999.0, 3),     # NULL dim key
             # keys 20/21 on purpose: custkey 13 must STAY missing from
             # the dim so dq's referential check keeps its failing arm
-            (20, "b", "FURNITURE", 1.0),
-            (21, "", "FURNITURE", 2.0),            # empty-string name
+            (20, "b", "FURNITURE", 1.0, 4),
+            (21, "", "FURNITURE", 2.0, 4),            # empty-string name
         ],
     )
     return str(folder)

@@ -1,0 +1,450 @@
+"""Round-13 IVM operators: the bucket_cols secondary-index merge
+layout, partition-pruned point reads, join-shaped IVM
+(fold_changes_into_join), non-retractable extrema IVM
+(fold_changes_into_extrema), streaming BM25 maintenance, and the
+failed-merge cleanup contract. Property-level identities (arbitrary
+evolutions == from-scratch recompute) live in test_properties.py;
+these pin the concrete edge scenarios and plan shapes."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
+
+
+def _cat(spark, tmp_path, retain=4) -> ParquetCatalog:
+    return ParquetCatalog(spark, str(tmp_path / "wh"), retain=retain)
+
+
+# ---------------------------------------------------------------------
+# bucket_cols: the secondary-index merge layout
+# ---------------------------------------------------------------------
+
+
+def test_merge_bucket_cols_moves_rows_between_buckets(spark, tmp_path):
+    """A table keyed by pk but bucketed by fk: an update that CHANGES
+    fk must land in the new fk's bucket and vanish from the old one
+    (its preimage rides delete_keys) - the layout the join/extrema IVM
+    probes depend on."""
+    cat = _cat(spark, tmp_path)
+    a = spark.createDataFrame(
+        [(i, i % 7, f"r{i}") for i in range(100)],
+        "pk long, fk long, s string",
+    )
+    cat.merge_upsert(a, "T", ["pk"], num_buckets=8, bucket_cols=["fk"])
+    assert cat.read("T").count() == 100
+
+    delta = spark.createDataFrame(
+        [(3, 6, "moved")], "pk long, fk long, s string"
+    )
+    pre = spark.createDataFrame([(3, 3)], "pk long, fk long")
+    cat.merge_upsert(
+        delta, "T", ["pk"], num_buckets=8, bucket_cols=["fk"],
+        delete_keys=pre,
+    )
+    t = cat.read("T")
+    assert t.count() == 100  # moved, not duplicated
+    assert t.filter("pk = 3").collect()[0]["fk"] == 6
+
+    got = cat.read_pruned(
+        "T", spark.createDataFrame([(6,)], "fk long")
+    ).collect()
+    assert all(r["fk"] == 6 for r in got)
+    assert any(r["pk"] == 3 for r in got)
+
+
+def test_merge_bucket_cols_requires_preimage_in_delete_keys(
+    spark, tmp_path
+):
+    cat = _cat(spark, tmp_path)
+    a = spark.createDataFrame([(1, 2, "x")], "pk long, fk long, s string")
+    cat.merge_upsert(a, "T", ["pk"], num_buckets=4, bucket_cols=["fk"])
+    with pytest.raises(ValueError, match="bucket columns"):
+        cat.merge_upsert(
+            a, "T", ["pk"], num_buckets=4, bucket_cols=["fk"],
+            delete_keys=spark.createDataFrame([(1,)], "pk long"),
+        )
+
+
+def test_read_pruned_is_partition_pruned(spark, tmp_path):
+    """The point of the layout: a read_pruned probe must reach the
+    scan as a PartitionFilter on _kb (parquet directory pruning), with
+    the probe values applied as a broadcast SEMI - never a full-table
+    scan feeding a shuffle join."""
+    cat = _cat(spark, tmp_path)
+    a = spark.createDataFrame(
+        [(i, i % 7) for i in range(100)], "pk long, fk long"
+    )
+    cat.merge_upsert(a, "T", ["pk"], num_buckets=8, bucket_cols=["fk"])
+    probe = spark.createDataFrame([(6,)], "fk long")
+    plan = (
+        cat.read_pruned("T", probe)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [" in plan and "_kb" in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_merge_upsert_failed_write_leaves_no_orphan_version(
+    spark, tmp_path
+):
+    """A write job that fails mid-merge (here: the IVM op-set guard
+    raising lazily inside the fold's write) must remove the
+    in-progress version dir - the pointer never flipped, so the orphan
+    would be unreachable forever - and the table must keep working."""
+    cat = _cat(spark, tmp_path)
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20)], "pk long, grp string, v long"
+    )
+    cat.merge_upsert(base, "Up", ["pk"], num_buckets=4)
+    bad = spark.createDataFrame(
+        [("U", 1, "a", 99)], "op string, pk long, grp string, v long"
+    )
+    with pytest.raises(Exception, match="preimage feed"):
+        cat.fold_changes_into_stats(bad, "St", ["grp"], "v")
+    tdir = str(tmp_path / "wh" / "St")
+    orphans = [
+        d for d in (os.listdir(tdir) if os.path.isdir(tdir) else [])
+        if d.startswith("v")
+    ]
+    assert not orphans, orphans
+    good = spark.createDataFrame(
+        [("I", 3, "b", 40)], "op string, pk long, grp string, v long"
+    )
+    cat.fold_changes_into_stats(good, "St", ["grp"], "v")
+    got = {
+        r["grp"]: (r["n"], r["sum_v"]) for r in cat.read("St").collect()
+    }
+    assert got == {"b": (1, 40)}
+
+
+# ---------------------------------------------------------------------
+# join-shaped IVM
+# ---------------------------------------------------------------------
+
+
+def test_join_ivm_scenario_fk_moves_deletes_and_quiet_day(
+    spark, tmp_path
+):
+    """The concrete delta-join edge set: FK moves (old join key's row
+    retracted, new key's lands), an unmatched row gaining a match, a
+    same-day insert against a same-day-deleted B key (must never
+    join), a B delete cascading through the index on an A-quiet day,
+    and the final identity J == A JOIN B."""
+    cat = _cat(spark, tmp_path)
+    a0 = spark.createDataFrame(
+        [(1, 10, "a1"), (2, 10, "a2"), (3, 20, "a3"), (4, 99, "a4")],
+        "k long, fk long, av string",
+    )
+    b0 = spark.createDataFrame(
+        [(10, "b10"), (20, "b20"), (30, "b30")], "fk long, bv string"
+    )
+    cat.merge_upsert(a0, "A", ["k"], num_buckets=4)
+    cat.merge_upsert(b0, "B", ["fk"], num_buckets=4)
+    cat.fold_changes_into_join(
+        a0.select(F.lit("I").alias("op"), "*"),
+        b0.select(F.lit("I").alias("op"), "*"),
+        "J", "AIdx", "B", ["k"], ["fk"], num_buckets=4,
+    )
+    j = {r["k"]: (r["fk"], r["bv"]) for r in cat.read("J").collect()}
+    assert j == {1: (10, "b10"), 2: (10, "b10"), 3: (20, "b20")}
+
+    # day 1: k=1 moves 10->20; k=2 deleted; k=5 inserted at fk=30
+    # while B deletes 30 the same day; k=4 moves 99->10 (was
+    # unmatched, now matches); B updates 20's value
+    a1 = spark.createDataFrame(
+        [(1, 20, "a1"), (5, 30, "a5"), (4, 10, "a4")],
+        "k long, fk long, av string",
+    )
+    cat.merge_upsert(
+        a1, "A", ["k"], num_buckets=4,
+        delete_keys=spark.createDataFrame([(2,)], "k long"),
+    )
+    cat.merge_upsert(
+        spark.createDataFrame([(20, "B20v2")], "fk long, bv string"),
+        "B", ["fk"], num_buckets=4,
+        delete_keys=spark.createDataFrame([(30,)], "fk long"),
+    )
+    cat.fold_changes_into_join(
+        cat.table_changes("A", 0, 1, with_preimages=True),
+        cat.table_changes("B", 0, 1, with_preimages=True),
+        "J", "AIdx", "B", ["k"], ["fk"], num_buckets=4,
+    )
+    j = {r["k"]: (r["fk"], r["bv"]) for r in cat.read("J").collect()}
+    assert j == {1: (20, "B20v2"), 3: (20, "B20v2"), 4: (10, "b10")}
+
+    # day 2: A quiet; B deletes 10 (kills k=4 via the index) and
+    # re-inserts 30 (k=5 appears - the index held it while unmatched)
+    cat.merge_upsert(
+        spark.createDataFrame([(30, "b30v2")], "fk long, bv string"),
+        "B", ["fk"], num_buckets=4,
+        delete_keys=spark.createDataFrame([(10,)], "fk long"),
+    )
+    cat.fold_changes_into_join(
+        None,
+        cat.table_changes("B", 1, 2, with_preimages=True),
+        "J", "AIdx", "B", ["k"], ["fk"], num_buckets=4,
+    )
+    j = {r["k"]: (r["fk"], r["bv"]) for r in cat.read("J").collect()}
+    assert j == {1: (20, "B20v2"), 3: (20, "B20v2"), 5: (30, "b30v2")}
+
+    full = {
+        r["k"]: (r["fk"], r["bv"])
+        for r in cat.read("A").join(cat.read("B"), "fk").collect()
+    }
+    assert full == j
+
+
+def test_join_ivm_rejects_post_image_only_feed(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    a0 = spark.createDataFrame([(1, 10, "x")], "k long, fk long, av string")
+    b0 = spark.createDataFrame([(10, "y")], "fk long, bv string")
+    cat.merge_upsert(a0, "A", ["k"], num_buckets=2)
+    cat.merge_upsert(b0, "B", ["fk"], num_buckets=2)
+    cat.fold_changes_into_join(
+        a0.select(F.lit("I").alias("op"), "*"),
+        b0.select(F.lit("I").alias("op"), "*"),
+        "J", "AIdx", "B", ["k"], ["fk"], num_buckets=2,
+    )
+    bad = spark.createDataFrame(
+        [("U", 1, 10, "z")], "op string, k long, fk long, av string"
+    )
+    with pytest.raises(Exception, match="preimage feed"):
+        cat.fold_changes_into_join(
+            bad, None, "J", "AIdx", "B", ["k"], ["fk"], num_buckets=2
+        )
+    # the standing join is untouched by the failed fold
+    assert {r["k"] for r in cat.read("J").collect()} == {1}
+
+
+def test_join_ivm_null_fk_rows_never_join(spark, tmp_path):
+    """Inner-join semantics: an A row with a NULL join key sits in the
+    index but never produces a J row - matching what a from-scratch
+    join computes."""
+    cat = _cat(spark, tmp_path)
+    a0 = spark.createDataFrame(
+        [(1, None, "n"), (2, 10, "m")], "k long, fk long, av string"
+    )
+    b0 = spark.createDataFrame([(10, "y")], "fk long, bv string")
+    cat.merge_upsert(a0, "A", ["k"], num_buckets=2)
+    cat.merge_upsert(b0, "B", ["fk"], num_buckets=2)
+    cat.fold_changes_into_join(
+        a0.select(F.lit("I").alias("op"), "*"),
+        b0.select(F.lit("I").alias("op"), "*"),
+        "J", "AIdx", "B", ["k"], ["fk"], num_buckets=2,
+    )
+    assert {r["k"] for r in cat.read("J").collect()} == {2}
+
+
+# ---------------------------------------------------------------------
+# extrema IVM
+# ---------------------------------------------------------------------
+
+
+def test_extrema_ivm_scenario_ties_nulls_moves_and_emptying(
+    spark, tmp_path
+):
+    """The edge set the operator exists for: a delete retracting a
+    group's max (re-derived through the pruned upstream read), a
+    delete of ONE of two tied maxima (max must survive), a group move
+    retracting both extrema of the source group, an all-NULL remainder
+    (n_vals=0 -> NULL extrema), an emptied group (stats row deleted),
+    and DOUBLE values (no integer restriction)."""
+    cat = _cat(spark, tmp_path)
+    rows0 = [(1, "a", 5.0), (2, "a", 9.0), (3, "a", 9.0), (4, "b", 1.0),
+             (5, "b", None), (6, "c", 7.0)]
+    up0 = spark.createDataFrame(rows0, "k long, g string, v double")
+    cat.merge_upsert(up0, "U", ["k"], num_buckets=4, bucket_cols=["g"])
+    cat.fold_changes_into_extrema(
+        up0.select(F.lit("I").alias("op"), "*"), "U", "X", ["g"], "v",
+        num_buckets=4,
+    )
+    x = {r["g"]: tuple(r)[1:] for r in cat.read("X").select(
+        "g", "n", "n_vals", "min_v", "max_v").collect()}
+    assert x == {"a": (3, 3, 5.0, 9.0), "b": (2, 1, 1.0, 1.0),
+                 "c": (1, 1, 7.0, 7.0)}
+
+    # day 1: delete one of a's tied maxima; move k=4 b->c at 8.0
+    # (b keeps only its NULL row); delete c's old max; insert 12.0 in a
+    cat.merge_upsert(
+        spark.createDataFrame(
+            [(7, "a", 12.0), (4, "c", 8.0)], "k long, g string, v double"
+        ),
+        "U", ["k"], num_buckets=4, bucket_cols=["g"],
+        delete_keys=spark.createDataFrame(
+            [(2, "a"), (6, "c"), (4, "b")], "k long, g string"
+        ),
+    )
+    cat.fold_changes_into_extrema(
+        cat.table_changes("U", 0, 1, with_preimages=True),
+        "U", "X", ["g"], "v", num_buckets=4,
+    )
+    x = {r["g"]: tuple(r)[1:] for r in cat.read("X").select(
+        "g", "n", "n_vals", "min_v", "max_v").collect()}
+    assert x == {"a": (3, 3, 5.0, 12.0), "b": (1, 0, None, None),
+                 "c": (1, 1, 8.0, 8.0)}
+
+    # day 2: empty group c entirely -> its stats row is deleted
+    cat.merge_upsert(
+        spark.createDataFrame([], "k long, g string, v double"),
+        "U", ["k"], num_buckets=4, bucket_cols=["g"],
+        delete_keys=spark.createDataFrame([(4, "c")], "k long, g string"),
+    )
+    cat.fold_changes_into_extrema(
+        cat.table_changes("U", 1, 2, with_preimages=True),
+        "U", "X", ["g"], "v", num_buckets=4,
+    )
+    x = {r["g"]: tuple(r)[1:] for r in cat.read("X").select(
+        "g", "n", "n_vals", "min_v", "max_v").collect()}
+    assert x == {"a": (3, 3, 5.0, 12.0), "b": (1, 0, None, None)}
+
+    full = {r["g"]: tuple(r)[1:] for r in cat.read("U").groupBy("g").agg(
+        F.count("*").alias("n"), F.count("v").alias("n_vals"),
+        F.min("v").alias("min_v"), F.max("v").alias("max_v"),
+    ).select("g", "n", "n_vals", "min_v", "max_v").collect()}
+    assert full == x
+
+
+def test_extrema_ivm_requires_group_bucketed_upstream(spark, tmp_path):
+    """The re-derivation reads the upstream through read_pruned by
+    GROUP - an upstream bucketed by its key cannot serve that read and
+    must be rejected up front, not scanned."""
+    cat = _cat(spark, tmp_path)
+    up0 = spark.createDataFrame(
+        [(1, "a", 5.0)], "k long, g string, v double"
+    )
+    cat.merge_upsert(up0, "U", ["k"], num_buckets=4)  # key-bucketed
+    with pytest.raises(ValueError, match="bucket_cols"):
+        cat.fold_changes_into_extrema(
+            up0.select(F.lit("I").alias("op"), "*"), "U", "X", ["g"], "v"
+        )
+
+
+# ---------------------------------------------------------------------
+# streaming BM25 maintenance
+# ---------------------------------------------------------------------
+
+_DOCS = [
+    (0, "spark joins windows and spark shuffles"),
+    (1, "window functions over spark frames"),
+    (2, "the quick brown fox"),
+    (3, "spark spark spark window join"),
+    (4, "join strategies in distributed engines"),
+    (5, "window join spark"),
+]
+
+
+def test_stream_bm25_two_triggers_match_batch_topk(spark, tmp_path):
+    """Two REAL availableNow triggers appending postings/length deltas;
+    the post-stream serve over base + deltas must be bit-identical to
+    the batch BM25 over all documents (shared scoring tail)."""
+    from ghcrawler_datalake_etl_spark.operators import search as SR
+    from ghcrawler_datalake_etl_spark.streaming.ingest import (
+        bm25_store_frames,
+        stream_bm25_maintenance,
+    )
+
+    SCHEMA = "doc_id long, text string"
+    corpus = spark.createDataFrame(_DOCS[:2], SCHEMA)
+    base_p, base_l = SR.bm25_index(corpus, "doc_id", "text")
+    sdir = str(tmp_path / "in")
+    os.makedirs(sdir)
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+
+    def run():
+        stream_bm25_maintenance(
+            spark.readStream.schema(SCHEMA).option(
+                "recursiveFileLookup", "true"
+            ).parquet(sdir), store, ck
+        ).awaitTermination()
+
+    for i, batch in enumerate((_DOCS[2:4], _DOCS[4:])):
+        spark.createDataFrame(batch, SCHEMA).coalesce(1).write.parquet(
+            os.path.join(sdir, f"day{i}")
+        )
+        run()
+
+    postings, lengths = bm25_store_frames(
+        spark, store, base_postings=base_p, base_lengths=base_l
+    )
+    got = [
+        tuple(r)
+        for r in SR.bm25_topk_index(
+            postings, lengths, ["spark", "window", "join"], top_k=6
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in SR.bm25_topk(
+            spark.createDataFrame(_DOCS, SCHEMA), "doc_id", "text",
+            ["spark", "window", "join"], top_k=6,
+        ).collect()
+    ]
+    assert got == want and len(got) >= 4
+
+
+def test_stream_bm25_replayed_trigger_never_double_appends(
+    spark, tmp_path
+):
+    """Crash-replay proof: losing trigger 0's checkpoint commit makes
+    the restart replay it; the replay must OVERWRITE its own delta
+    dirs (manifest append is idempotent) - a double-appended postings
+    delta would double tf/df and shift every score off the batch
+    identity."""
+    from ghcrawler_datalake_etl_spark.operators import search as SR
+    from ghcrawler_datalake_etl_spark.streaming.ingest import (
+        bm25_store_frames,
+        stream_bm25_maintenance,
+    )
+
+    SCHEMA = "doc_id long, text string"
+    sdir = str(tmp_path / "in")
+    os.makedirs(sdir)
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+
+    def run():
+        stream_bm25_maintenance(
+            spark.readStream.schema(SCHEMA).option(
+                "recursiveFileLookup", "true"
+            ).parquet(sdir), store, ck
+        ).awaitTermination()
+
+    spark.createDataFrame(_DOCS[:3], SCHEMA).coalesce(1).write.parquet(
+        os.path.join(sdir, "day0")
+    )
+    run()
+    os.remove(os.path.join(ck, "commits", "0"))
+    crc = os.path.join(ck, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()  # the replay
+    spark.createDataFrame(_DOCS[3:], SCHEMA).coalesce(1).write.parquet(
+        os.path.join(sdir, "day1")
+    )
+    run()
+
+    postings, lengths = bm25_store_frames(spark, store)
+    # every document indexed exactly once despite the replay
+    assert lengths.groupBy("doc_id").count().filter(
+        "count > 1"
+    ).count() == 0
+    got = [
+        tuple(r)
+        for r in SR.bm25_topk_index(
+            postings, lengths, ["spark", "window", "join"], top_k=6
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in SR.bm25_topk(
+            spark.createDataFrame(_DOCS, SCHEMA), "doc_id", "text",
+            ["spark", "window", "join"], top_k=6,
+        ).collect()
+    ]
+    assert got == want

@@ -122,6 +122,11 @@ DOC_ONLY = [
     # zero postings and dl=0 length rows (they still count in n_docs
     # and avgdl), identically on both engines
     "search_bm25_incremental",
+    # round-13: the streaming arm of the same - the 80%/90% split makes
+    # day 1 EMPTY (a zero-row trigger must skip cleanly, no manifest
+    # entry) and day 2 the empty-text doc 18 (zero postings, dl=0);
+    # the post-stream serve must still equal the global BM25
+    "stream_bm25_maintenance",
 ]
 
 

@@ -1221,6 +1221,177 @@ def test_changefeed_fold_matches_recompute_property(spark, init, days):
     assert got == want
 
 
+@settings(max_examples=5, deadline=None, derandomize=True)
+@given(
+    st.lists(  # initial A: (k, fk, val)
+        st.tuples(st.integers(0, 12), st.integers(0, 4), st.integers(0, 9)),
+        min_size=0, max_size=6, unique_by=lambda t: t[0],
+    ),
+    st.lists(  # initial B: (fk, bval)
+        st.tuples(st.integers(0, 4), st.integers(0, 9)),
+        min_size=0, max_size=4, unique_by=lambda t: t[0],
+    ),
+    st.lists(  # days: (a_ops, b_ops); op = (key, payload..., is_delete)
+        st.tuples(
+            st.lists(
+                st.tuples(st.integers(0, 12), st.integers(0, 4),
+                          st.integers(0, 9), st.booleans()),
+                min_size=0, max_size=5, unique_by=lambda t: t[0],
+            ),
+            st.lists(
+                st.tuples(st.integers(0, 4), st.integers(0, 9),
+                          st.booleans()),
+                min_size=0, max_size=4, unique_by=lambda t: t[0],
+            ),
+        ),
+        min_size=1, max_size=3,
+    ),
+)
+def test_join_ivm_fold_matches_recompute_property(
+    spark, init_a, init_b, days
+):
+    """Round-13 join-IVM property: for ANY two-upstream evolution
+    (inserts, FK-moving updates, deletes of existing or missing keys,
+    B keys vanishing and reappearing, quiet sides, same-day A-insert
+    against a dying B key), the standing join maintained purely from
+    preimage changefeeds must equal the from-scratch inner join of the
+    final upstream states."""
+    import tempfile
+
+    from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
+
+    A_SCHEMA = "k long, fk long, av long"
+    B_SCHEMA = "fk long, bv long"
+    cat = ParquetCatalog(
+        spark, tempfile.mkdtemp(prefix="jivm_prop_"), retain=2
+    )
+    a0 = spark.createDataFrame(init_a, A_SCHEMA)
+    b0 = spark.createDataFrame(init_b, B_SCHEMA)
+    cat.merge_upsert(a0, "A", ["k"], num_buckets=4)
+    cat.merge_upsert(b0, "B", ["fk"], num_buckets=4)
+    cat.fold_changes_into_join(
+        a0.select(F.lit("I").alias("op"), "*"),
+        b0.select(F.lit("I").alias("op"), "*"),
+        "J", "AIdx", "B", ["k"], ["fk"], num_buckets=4,
+    )
+    for v, (a_ops, b_ops) in enumerate(days):
+        cat.merge_upsert(
+            spark.createDataFrame(
+                [(k, fk, av) for k, fk, av, d in a_ops if not d], A_SCHEMA
+            ),
+            "A", ["k"], num_buckets=4,
+            delete_keys=spark.createDataFrame(
+                [(k,) for k, fk, av, d in a_ops if d], "k long"
+            ),
+        )
+        cat.merge_upsert(
+            spark.createDataFrame(
+                [(fk, bv) for fk, bv, d in b_ops if not d], B_SCHEMA
+            ),
+            "B", ["fk"], num_buckets=4,
+            delete_keys=spark.createDataFrame(
+                [(fk,) for fk, bv, d in b_ops if d], "fk long"
+            ),
+        )
+        cat.fold_changes_into_join(
+            cat.table_changes("A", v, v + 1, with_preimages=True),
+            cat.table_changes("B", v, v + 1, with_preimages=True),
+            "J", "AIdx", "B", ["k"], ["fk"], num_buckets=4,
+        )
+    got = {tuple(r) for r in cat.read("J").select("k", "fk", "av", "bv").collect()}
+    want = {
+        tuple(r)
+        for r in cat.read("A")
+        .join(cat.read("B"), "fk")
+        .select("k", "fk", "av", "bv")
+        .collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None, derandomize=True)
+@given(
+    st.lists(  # initial table: (key, group, value-or-null)
+        st.tuples(st.integers(0, 15), st.integers(0, 2),
+                  st.one_of(st.none(), st.integers(-5, 5))),
+        min_size=0, max_size=8, unique_by=lambda t: t[0],
+    ),
+    st.lists(  # days of ops: (key, group, value-or-null, is_delete)
+        st.lists(
+            st.tuples(st.integers(0, 15), st.integers(0, 2),
+                      st.one_of(st.none(), st.integers(-5, 5)),
+                      st.booleans()),
+            min_size=0, max_size=6, unique_by=lambda t: t[0],
+        ),
+        min_size=1, max_size=3,
+    ),
+)
+def test_extrema_fold_matches_recompute_property(spark, init, days):
+    """Round-13 extrema-IVM property: for ANY upstream evolution
+    (inserts, group-moving updates, deletes incl. of extrema and of
+    missing keys, ties at the extremum, NULL values, groups emptying
+    and reappearing), a standing (n, n_vals, min_v, max_v) table
+    maintained purely by folding preimage changefeeds - with
+    touched-group re-derivation through the group-bucketed upstream -
+    must equal the from-scratch aggregate of the final state. The
+    upstream's delete_keys preimages (k, old group) come from the
+    tracked prior state, the real pipeline's recipe."""
+    import tempfile
+
+    from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
+
+    SCHEMA = "k long, g long, v long"
+    cat = ParquetCatalog(
+        spark, tempfile.mkdtemp(prefix="mmx_prop_"), retain=2
+    )
+    state = {k: (g, v) for k, g, v in init}
+    s0 = spark.createDataFrame(init, SCHEMA)
+    cat.merge_upsert(s0, "U", ["k"], num_buckets=4, bucket_cols=["g"])
+    cat.fold_changes_into_extrema(
+        s0.select(F.lit("I").alias("op"), "k", "g", "v"),
+        "U", "X", ["g"], "v", num_buckets=2,
+    )
+    for v_i, ops in enumerate(days):
+        ups = [(k, g, val) for k, g, val, d in ops if not d]
+        touched = [k for k, g, val, d in ops]
+        # preimages: every touched key that EXISTS ships (k, old g) so
+        # group-moving updates and deletes rewrite their old bucket
+        pre = [(k, state[k][0]) for k in touched if k in state]
+        cat.merge_upsert(
+            spark.createDataFrame(ups, SCHEMA), "U", ["k"],
+            num_buckets=4, bucket_cols=["g"],
+            delete_keys=spark.createDataFrame(pre, "k long, g long"),
+        )
+        for k, g, val, d in ops:
+            if d:
+                state.pop(k, None)
+            else:
+                state[k] = (g, val)
+        cat.fold_changes_into_extrema(
+            cat.table_changes("U", v_i, v_i + 1, with_preimages=True),
+            "U", "X", ["g"], "v", num_buckets=2,
+        )
+    got = {
+        tuple(r)
+        for r in cat.read("X")
+        .select("g", "n", "n_vals", "min_v", "max_v")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in cat.read("U")
+        .groupBy("g")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("v").alias("n_vals"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
 @settings(max_examples=8, deadline=None, derandomize=True)
 @given(
     st.lists(

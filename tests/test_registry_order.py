@@ -91,129 +91,134 @@ EXTENSION_PREFIXES = (
 #: or "evidence" - the query must then hold a green driver row in
 #: EVIDENCE.json. Adding here requires one of the two kinds.
 OUT_OF_WINDOW_OK = {
-    # Round-12 regeneration: derived state - exactly the extension-
+    # Round-13 regeneration: derived state - exactly the extension-
     # prefixed queries outside the current driver window, each
     # carrying its green driver rounds (from EVIDENCE.json, the
     # single source of rotation truth) in the trailing comment.
     # Every entry is "evidence"-kind; rotation narrative lives in
     # git history and the NOTES_r*.md changelogs.
-    "corpus_fertility_by_lang": "evidence",  # green r5+r8+r9
     "corpus_source_report": "evidence",  # green r2+r3+r4+r10
     "corpus_vocabulary_topk": "evidence",  # green r3+r4+r11
+    "dedup_clusters": "evidence",  # green r2+r3+r4+r5+r8+r12
     "dedup_drop_paragraphs": "evidence",  # green r10+r11
     "dedup_embedding_cosine": "evidence",  # green r2+r3+r4+r10
-    "dedup_exact_groups": "evidence",  # green r2+r10
     "dedup_incremental_clusters": "evidence",  # green r10+r11
-    "dedup_incremental_index": "evidence",  # green r9+r10
     "dedup_incremental_paragraphs": "evidence",  # green r10+r11
     "dedup_incremental_spans": "evidence",  # green r10+r11
+    "dedup_incremental_substrings": "evidence",  # green r11+r12
     "dedup_keep_best_quality": "evidence",  # green r3+r4+r5+r10
     "dedup_minhash_clusters": "evidence",  # green r3+r4+r11
     "dedup_minhash_lsh": "evidence",  # green r2+r3+r4+r5+r10
     "dedup_ngram_jaccard": "evidence",  # green r2+r3+r4+r10
-    "dedup_prefix_jaccard": "evidence",  # green r9+r10
     "dedup_remove_substrings": "evidence",  # green r10+r11
     "dedup_semantic_prune": "evidence",  # green r3+r4+r11
     "dedup_simhash_values": "evidence",  # green r2+r3+r4+r10
     "dedup_span_first_occurrence": "evidence",  # green r2+r3+r10
-    "dim_apply_changes": "evidence",  # green r5+r8+r9
-    "dim_scd2_user_state": "evidence",  # green r5+r8
+    "dim_table_changes": "evidence",  # green r11+r12
+    "dq_drift_by_day": "evidence",  # green r11+r12
+    "dq_validate_orders": "evidence",  # green r5+r8+r12
     "embedding_quantize_int8": "evidence",  # green r2+r3+r4+r10
-    "graph_pagerank_transitions": "evidence",  # green r5+r8+r9
+    "embedding_random_projection": "evidence",  # green r5+r8+r12
+    "jsonl_round_trip": "evidence",  # green r5+r8+r12
+    "layout_compact_roundtrip": "evidence",  # green r5+r8+r12
+    "layout_zorder_buckets": "evidence",  # green r5+r8+r12
     "multimodal_audio_chunks": "evidence",  # green r2+r3+r4+r10
+    "multimodal_audio_stats": "evidence",  # green r5+r8+r12
     "multimodal_features": "evidence",  # green r2+r3+r4+r10
     "multimodal_frames": "evidence",  # green r2+r3+r10
     "multimodal_gif_frames": "evidence",  # green r9+r10
     "multimodal_gif_resize": "evidence",  # green r9+r10
     "multimodal_image_features": "evidence",  # green r9+r10
-    "multimodal_phash_pairs": "evidence",  # green r5+r8
     "multimodal_wav_stats": "evidence",  # green r9+r10
-    "orc_catalog_roundtrip": "evidence",  # green r4+r5+r8
     "pack_store_delta_append": "evidence",  # green r9+r10
+    "pack_store_roundtrip": "evidence",  # green r5+r8+r12
     "pack_token_shards": "evidence",  # green r1+r2+r3+r4+r5+r10
     "pipeline_chunk_dedup_pack": "evidence",  # green r3+r4+r11
+    "pipeline_daily_ingest": "evidence",  # green r11+r12
     "pipeline_dedup_shards": "evidence",  # green r2+r3+r4+r10
     "pipeline_quality_mix_pack": "evidence",  # green r3+r4+r5+r11
-    "pipeline_tokenize_pack": "evidence",  # green r5+r8+r9
     "pipeline_training_data": "evidence",  # green r2+r3+r4+r11
     "sample_dsir_select": "evidence",  # green r3+r4+r5+r11
     "sample_eval_carve": "evidence",  # green r3+r4+r11
     "sample_hash_deterministic": "evidence",  # green r1+r2+r10
-    "sample_pps_systematic": "evidence",  # green r5+r8+r9
     "sample_stratified_by_lang": "evidence",  # green r3+r4+r11
     "sample_target_mix": "evidence",  # green r3+r4+r11
+    "sample_temperature_mix": "evidence",  # green r5+r8+r12
     "sample_top_share_quality": "evidence",  # green r3+r4+r5+r11
     "search_bm25_topk": "evidence",  # green r3+r4+r11
+    "search_hybrid_rrf": "evidence",  # green r11+r12
+    "search_tfidf_cosine": "evidence",  # green r3+r4+r5+r8+r12
     "sim_ann_lsh": "evidence",  # green r2+r3+r4+r11
     "sim_ivf_delta_append": "evidence",  # green r9+r10
     "sim_ivf_kmeans_topk": "evidence",  # green r3+r4+r5+r10
     "sim_ivf_topk": "evidence",  # green r2+r3+r4+r11
     "sim_kmeans_assign": "evidence",  # green r2+r3+r4+r11
+    "sim_kmeans_refresh": "evidence",  # green r11+r12
     "sim_knn_bruteforce": "evidence",  # green r2+r10
     "sim_knn_graph": "evidence",  # green r3+r4+r5+r10
     "sim_knn_int8_dot": "evidence",  # green r2+r3+r4+r11
     "sim_knn_pandas_gemm": "evidence",  # green r3+r4+r11
+    "sim_mmr_rerank": "evidence",  # green r11+r12
+    "sim_pq_adc_topk": "evidence",  # green r3+r4+r5+r8+r12
     "sketch_bloom_decontaminate": "evidence",  # green r5+r8+r11
+    "sketch_cms_heavy_hitters": "evidence",  # green r5+r8+r12
+    "sketch_histogram_quantiles": "evidence",  # green r5+r8+r12
+    "sketch_hll_distinct": "evidence",  # green r5+r8+r12
+    "sketch_hll_merge": "evidence",  # green r5+r8+r12
     "sketch_incremental_stats": "evidence",  # green r9+r10
+    "sketch_kmv_distinct": "evidence",  # green r5+r8+r12
+    "sketch_kmv_overlap": "evidence",  # green r5+r8+r12
     "sketch_stats_cdc_table": "evidence",  # green r10+r11
+    "split_leakage_safe": "evidence",  # green r11+r12
     "split_train_valid_test": "evidence",  # green r1+r2+r10
+    "stream_changefeed_emission": "evidence",  # green r11+r12
     "stream_cluster_maintenance": "evidence",  # green r10+r11
+    "stream_dedup_ingest": "evidence",  # green r5+r8+r12
+    "stream_hll_distinct": "evidence",  # green r5+r8+r12
+    "stream_interval_join": "evidence",  # green r5+r8+r12
     "stream_lsh_dedup": "evidence",  # green r9+r10
     "stream_static_enrich": "evidence",  # green r1+r9+r10
     "stream_windowed_counts": "evidence",  # green r1+r9+r10
     "text_bigram_logprob": "evidence",  # green r3+r4+r5+r10
+    "text_boilerplate_incremental": "evidence",  # green r11+r12
+    "text_boilerplate_lines": "evidence",  # green r11+r12
     "text_bpe_encode": "evidence",  # green r3+r4+r5+r11
-    "text_bpe_encode_ids": "evidence",  # green r5+r8+r9
     "text_bpe_pair_stats": "evidence",  # green r3+r4+r5+r11
     "text_chunk_windows": "evidence",  # green r3+r4+r11
+    "text_clean_lines": "evidence",  # green r4+r5+r8+r12
     "text_fingerprint": "evidence",  # green r2+r3+r10+r11
     "text_gopher_filter": "evidence",  # green r3+r4+r11
     "text_lang_id": "evidence",  # green r2+r3+r4+r11
+    "text_perplexity_buckets": "evidence",  # green r5+r8+r12
     "text_quality_classifier": "evidence",  # green r3+r4+r5+r11
     "text_quality_score": "evidence",  # green r2+r3+r4+r11
     "text_redact_pii": "evidence",  # green r3+r4+r11
     "text_repetition_metrics": "evidence",  # green r3+r4+r11
     "text_stats": "evidence",  # green r2+r3+r4+r11
     "text_unigram_logprob": "evidence",  # green r3+r4+r11
+    "timeseries_gap_fill": "evidence",  # green r5+r8+r12
+    "timeseries_interpolate": "evidence",  # green r11+r12
+    "timeseries_max_concurrency": "evidence",  # green r5+r8+r12
+    "tsv_round_trip": "evidence",  # green r4+r5+r8+r12
 }
 
 #: one query per SURVEY section-2 operator family. The in-window
 #: representative set; everything else in the parity core must carry
 #: green rows in >= 2 rounds (EVIDENCE.json) to sit outside.
 PARITY_CORE_IN_WINDOW = {
-    # round-10: the parity core earned its third green round in r9
-    # (every member green r1+r2+r9), so all but one representative
-    # ceded their slots to the round-10 operators and stale-extension
-    # rotation; pattern_c keeps the reference-pattern family in-window
-    "pattern_c_collection_refresh",
+    # round-13: the r8-stale parity core rotated back IN for re-green
+    # (pattern_a/pattern_b/q1/sessionize - the flagship set); pattern_c
+    # cedes its slot after r11+r12 greens
+    "pattern_a_snapshot_upsert",
+    "pattern_b_array_child",
+    "q1_pricing_summary",
+    "sessionize_events",
 }
 
 PARITY_CORE_ROTATED_OUT = {
-    "pattern_a_snapshot_upsert",
-    "pattern_b_array_child",
-    # beyond its green rows, q1 remains driver-RUN every round as the
-    # entry() flagship smoke check
-    "q1_pricing_summary",
-    "sessionize_events",
-    # round-10 rotation: triple-green (r1+r2+r9) parity core, ceding
-    # slots to the round-10 new operators + stale-extension rotation
-    "pattern_d_traffic_series",
-    "pattern_e_version_log",
-    "w1_latest_event_per_user",
-    "w2_distinct_keys",
-    "p1_eq_filter",
-    "p2_like_filter",
-    "p3_isin_filter",
-    "p5_string_predicates",
-    "j1_inner_join_agg",
-    "j3_join_chain_q5",
-    "j4_semi_join",
-    "a1_collect_reassembly",
-    "a4_union_all_agg",
-    "f1_json_extract",
-    "f3_pii_pseudonymize",
-    "f10_greatest_last_touched",
-    "x3_posexplode_tokens",
+    # round-13 derived state: parity-core queries currently outside
+    # the window - every one holds >= 2 green driver rounds
+    "pattern_c_collection_refresh",  # green r1+r2+r9+r10+r11+r12
 }
 
 
