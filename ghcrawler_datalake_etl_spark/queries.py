@@ -3485,6 +3485,141 @@ def dim_minmax_ivm(spark, sf_dir):
     return cat.read("X").select("g", "n", "n_vals", "min_v", "max_v")
 
 
+#: per-invocation sequence for the streaming-join-IVM query
+_SJIVM_SEQ = _itertools.count()
+
+
+@register(
+    "stream_join_ivm",
+    """
+    WITH o AS (
+      SELECT o_orderkey AS k, o_custkey AS ck0,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey IS NOT NULL
+    ), c AS (
+      SELECT c_custkey AS ck, c_nationkey AS nat,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS acct
+      FROM customer WHERE c_custkey IS NOT NULL
+    ), a_final AS (
+      -- after trigger 1: inserts k%3=0; FK MOVES + cents+5 where
+      -- k%7=0; deletes k%11=0 (k%3<>0, k%7<>0)
+      SELECT k,
+             CASE WHEN k % 3 <> 0 AND k % 7 = 0
+                  THEN CASE WHEN ck0 % 2 = 0 THEN ck0 + 1
+                            ELSE ck0 - 1 END
+                  ELSE ck0 END AS ck,
+             CASE WHEN k % 3 <> 0 AND k % 7 = 0 THEN cents + 5
+                  ELSE cents END AS cents
+      FROM o
+      WHERE k % 3 = 0 OR NOT (k % 7 <> 0 AND k % 11 = 0)
+    )
+    SELECT a.k, a.ck, a.cents, b.nat, b.acct
+    FROM a_final a JOIN c b ON a.ck = b.ck
+    """,
+)
+def stream_join_ivm(spark, sf_dir):
+    """Round-13: STREAMING join-shaped IVM
+    (streaming/ingest.stream_join_ivm) - the foreachBatch arm of
+    fold_changes_into_join, closing the CDC loop for a materialized
+    join end-to-end: each micro-batch of (op, key, row) CDC rows on
+    the fact side applies to the merged A table, emits the version
+    diff as a PREIMAGE feed (exactly-once under replay via the
+    per-trigger version ledger), and folds it into the standing join +
+    A-by-join-key index against the static customer dimension. Two
+    REAL sequential availableNow runs: trigger 0 BOOTSTRAPS everything
+    from nothing (whole first snapshot as inserts - no pre-staging),
+    trigger 1 carries inserts, FK-moving updates, and deletes. The
+    oracle is the from-scratch join of the final fact state against
+    the dimension."""
+    import os
+    import re
+    import shutil
+
+    from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
+    from ghcrawler_datalake_etl_spark.streaming.ingest import (
+        stream_join_ivm as _sji,
+    )
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey").isNotNull())
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_custkey").isNotNull()
+    )
+    k = F.col("o_orderkey")
+    ck0 = F.col("o_custkey")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    op = F.lit("I")
+    day0 = o.filter(k % 3 != 0).select(
+        op.alias("op"), k.alias("k"), ck0.alias("ck"),
+        cents.alias("cents"),
+    )
+    moved_ck = F.when(ck0 % 2 == 0, ck0 + 1).otherwise(ck0 - 1)
+    day1 = (
+        o.filter(k % 3 == 0)
+        .select(
+            F.lit("I").alias("op"), k.alias("k"), ck0.alias("ck"),
+            cents.alias("cents"),
+        )
+        .unionByName(
+            o.filter((k % 3 != 0) & (k % 7 == 0)).select(
+                F.lit("U").alias("op"), k.alias("k"),
+                moved_ck.alias("ck"), (cents + 5).alias("cents"),
+            )
+        )
+        .unionByName(
+            o.filter((k % 3 != 0) & (k % 7 != 0) & (k % 11 == 0)).select(
+                F.lit("D").alias("op"), k.alias("k"), ck0.alias("ck"),
+                cents.alias("cents"),
+            )
+        )
+    )
+    global _SJIVM_STAGED
+    try:
+        _SJIVM_STAGED
+    except NameError:
+        _SJIVM_STAGED = set()
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    sroot = _run_tmp(f"sjivm_{tag}")
+    if sf_dir not in _SJIVM_STAGED:
+        for i, day in enumerate((day0, day1)):
+            day.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(sroot, f"day{i}")
+            )
+        _SJIVM_STAGED.add(sf_dir)
+
+    def _day_file(i: int) -> str:
+        d = os.path.join(sroot, f"day{i}")
+        return os.path.join(
+            d, next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        )
+
+    seq = next(_SJIVM_SEQ)
+    root = _run_tmp(f"sjivm_{tag}_{seq}")
+    sdir = os.path.join(root, "in")
+    os.makedirs(sdir, exist_ok=True)
+    cat = ParquetCatalog(spark, os.path.join(root, "wh"), retain=3)
+    cat.merge_upsert(
+        c.select(
+            F.col("c_custkey").alias("ck"),
+            F.col("c_nationkey").alias("nat"),
+            F.floor(F.col("c_acctbal") * 100).cast("long").alias("acct"),
+        ),
+        "B", ["ck"], num_buckets=16,
+    )
+    SCHEMA = "op string, k long, ck long, cents long"
+    for i in range(2):
+        try:
+            os.link(_day_file(i), os.path.join(sdir, f"day{i}.parquet"))
+        except OSError:
+            shutil.copy(_day_file(i), os.path.join(sdir, f"day{i}.parquet"))
+        _sji(
+            spark.readStream.schema(SCHEMA).parquet(sdir),
+            cat, "A", "J", "AIdx", "B", ["k"], ["ck"],
+            os.path.join(root, "feed"), os.path.join(root, "ck"),
+            num_buckets=16,
+        ).awaitTermination()
+    return cat.read("J").select("k", "ck", "cents", "nat", "acct")
+
+
 # invocation counter for stream_changefeed_emission's per-run state
 _CFE_SEQ = _itertools.count()
 
@@ -9629,6 +9764,7 @@ _DRIVER_ORDER = [
     "dim_join_ivm",
     "dim_minmax_ivm",
     "stream_bm25_maintenance",
+    "stream_join_ivm",
     # -- newest-r8 cohort (oldest evidence; parity core re-green) --
     "dim_scd2_user_state",
     "j7_edit_distance_join",
@@ -9673,7 +9809,6 @@ _DRIVER_ORDER = [
     # -- newest-r10 fill (fewest green rounds first) --
     "dedup_exact_groups",
     "dedup_incremental_index",
-    "dedup_prefix_jaccard",
     # ---------------- position 51+: past the driver window ----------
     # Everything below holds >= 2 green driver rounds in EVIDENCE.json;
     # extension-prefixed names have OUT_OF_WINDOW_OK entries in
@@ -9698,6 +9833,7 @@ _DRIVER_ORDER = [
     "dedup_minhash_clusters",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_prefix_jaccard",
     "dedup_remove_substrings",
     "dedup_semantic_prune",
     "dedup_simhash_values",

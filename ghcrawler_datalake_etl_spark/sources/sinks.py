@@ -764,10 +764,20 @@ class ParquetCatalog:
         Group keys must be non-null (the merge layout's key contract);
         coalesce upstream. Cost per fold is O(feed + touched groups),
         independent of the stats table's total size - min/max-style
-        non-retractable aggregates deliberately excluded."""
+        non-retractable aggregates deliberately excluded.
+
+        Round-13: the standing side arrives through :meth:`read_pruned`
+        (the stats table is merged on the group key, so it is
+        group-bucketed by construction) - the prior-values read now
+        SCANS only the touched groups' buckets instead of filtering a
+        full scan, on top of the existing broadcast-semi prune."""
+        standing = (
+            self.read_pruned(stats_table, feed.select(*group_cols))
+            if self.exists(stats_table)
+            else None
+        )
         folded = fold_stats_delta(
-            feed, self.read_or_none(stats_table),
-            group_cols, value_col, op_col,
+            feed, standing, group_cols, value_col, op_col,
         )
         ups = folded.filter(F.col("n") > 0)
         dels = folded.filter(F.col("n") <= 0).select(*group_cols).distinct()
@@ -945,9 +955,13 @@ class ParquetCatalog:
                 f"be merged with bucket_cols={group_cols!r} (have "
                 f"{None if meta is None else meta.get('bucket_cols', meta['key_cols'])!r})"
             )
+        standing = (
+            self.read_pruned(stats_table, feed.select(*group_cols))
+            if self.exists(stats_table)
+            else None
+        )
         folded = fold_extrema_delta(
-            feed, self.read_or_none(stats_table),
-            group_cols, value_col, op_col,
+            feed, standing, group_cols, value_col, op_col,
         ).persist()
         folded.count()  # eager: referenced by ups, dels, and rederive
         try:

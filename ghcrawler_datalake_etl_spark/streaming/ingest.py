@@ -124,6 +124,7 @@ def _merge_and_emit_changes(
     op_col: str,
     seq_col: str | None,
     num_buckets: int,
+    with_preimages: bool = False,
 ) -> None:
     """One trigger of stream_apply_changes_feed: apply the micro-batch
     CDC rows to the merged table, then emit the version diff to
@@ -152,7 +153,10 @@ def _merge_and_emit_changes(
     out = os.path.join(feed_root, f"micro_batch={micro_batch}")
     try:
         feed = (
-            catalog.table_changes(name, rec["from"], rec["to"], op_col=op_col)
+            catalog.table_changes(
+                name, rec["from"], rec["to"], op_col=op_col,
+                with_preimages=with_preimages,
+            )
             if rec["from"] is not None
             else catalog.read(name, version=rec["to"]).selectExpr(
                 f"'I' AS {op_col}", "*"
@@ -849,6 +853,68 @@ def stream_semantic_dedup(
 
     return (
         stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_join_ivm(
+    stream: DataFrame,
+    catalog,
+    a_table: str,
+    join_table: str,
+    index_table: str,
+    b_table: str,
+    a_key_cols: list[str],
+    join_cols: list[str],
+    feed_root: str,
+    checkpoint: str,
+    op_col: str = "op",
+    seq_col: str | None = None,
+    num_buckets: int = 16,
+) -> StreamingQuery:
+    """Streaming join-shaped IVM - the foreachBatch arm of
+    ParquetCatalog.fold_changes_into_join, closing the CDC loop for a
+    materialized join the way stream_apply_changes_feed closed it for
+    the table itself. Per micro-batch of (op, key, row) CDC rows on
+    upstream A: apply to the merged A table (bucket-pruned), emit the
+    version diff as a PREIMAGE feed to ``feed_root/micro_batch=N``
+    (exactly-once under replay via the same per-trigger version
+    ledger), then fold that feed into the standing join + A-by-join-key
+    index against the STATIC dimension ``b_table``. The fold is
+    idempotent over an identical feed (upserts re-land the same rows,
+    deletes of deleted keys no-op), so a crash replay at any point
+    re-derives the recorded diff and re-folds to the same state.
+
+    Bootstrap: the first trigger against a missing A table emits the
+    whole snapshot as inserts, which builds J and the index from
+    nothing - no pre-staging step. B evolves out-of-band via the
+    batch fold (fold_changes_into_join's feed_b arm); this arm is the
+    A-side stream, the production fact-stream shape."""
+    _require_driver_local(feed_root, "stream_join_ivm")
+
+    def _apply(bdf: DataFrame, micro_batch: int) -> None:
+        import os
+
+        if not bdf.head(1):
+            return
+        _merge_and_emit_changes(
+            catalog, bdf, micro_batch, a_table, list(a_key_cols),
+            feed_root, op_col, seq_col, num_buckets,
+            with_preimages=True,
+        )
+        feed = bdf.sparkSession.read.parquet(
+            os.path.join(feed_root, f"micro_batch={micro_batch}")
+        )
+        catalog.fold_changes_into_join(
+            feed, None, join_table, index_table, b_table,
+            list(a_key_cols), list(join_cols),
+            op_col=op_col, num_buckets=num_buckets,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

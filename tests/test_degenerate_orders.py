@@ -64,6 +64,11 @@ ORDERS_ONLY = [
     # (re-derived through the group-bucketed upstream) and one of a
     # tied pair (max survives)
     "dim_minmax_ivm",
+    # round-13 streaming join IVM: trigger 0 bootstraps from the tiny
+    # fact slice (NULL-custkey order 5 sits in the index, never
+    # joins); trigger 1's lone FK move (key 7, 10 -> 11) must land
+    # through the preimage feed against the static dimension
+    "stream_join_ivm",
 ]
 
 

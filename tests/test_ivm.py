@@ -448,3 +448,70 @@ def test_stream_bm25_replayed_trigger_never_double_appends(
         ).collect()
     ]
     assert got == want
+
+
+# ---------------------------------------------------------------------
+# streaming join IVM
+# ---------------------------------------------------------------------
+
+
+def test_stream_join_ivm_bootstrap_replay_and_identity(spark, tmp_path):
+    """The streaming arm of fold_changes_into_join: trigger 0
+    BOOTSTRAPS table, index, and join from nothing; a crash replay
+    (lost checkpoint commit) re-derives the recorded diff and re-folds
+    idempotently; trigger 1's FK moves and deletes land; the final
+    join equals the from-scratch join."""
+    from ghcrawler_datalake_etl_spark.streaming.ingest import (
+        stream_join_ivm,
+    )
+
+    cat = _cat(spark, tmp_path)
+    b = spark.createDataFrame(
+        [(10, "b10"), (20, "b20")], "fk long, bv string"
+    )
+    cat.merge_upsert(b, "B", ["fk"], num_buckets=4)
+    SCHEMA = "op string, k long, fk long, av string"
+    sdir = str(tmp_path / "in")
+    os.makedirs(sdir)
+    feed_root = str(tmp_path / "feed")
+    ck = str(tmp_path / "ck")
+
+    def run():
+        stream_join_ivm(
+            spark.readStream.schema(SCHEMA).option(
+                "recursiveFileLookup", "true"
+            ).parquet(sdir),
+            cat, "A", "J", "AIdx", "B", ["k"], ["fk"], feed_root, ck,
+            num_buckets=4,
+        ).awaitTermination()
+
+    spark.createDataFrame(
+        [("I", 1, 10, "a1"), ("I", 2, 10, "a2"), ("I", 3, 20, "a3"),
+         ("I", 4, 99, "a4")], SCHEMA
+    ).coalesce(1).write.parquet(os.path.join(sdir, "day0"))
+    run()
+    j0 = {r["k"]: (r["fk"], r["bv"]) for r in cat.read("J").collect()}
+    assert j0 == {1: (10, "b10"), 2: (10, "b10"), 3: (20, "b20")}
+
+    # crash replay: drop the commit, restart - same state, no doubles
+    os.remove(os.path.join(ck, "commits", "0"))
+    crc = os.path.join(ck, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+    assert {
+        r["k"]: (r["fk"], r["bv"]) for r in cat.read("J").collect()
+    } == j0
+
+    spark.createDataFrame(
+        [("U", 1, 20, "a1"), ("D", 2, 10, "a2"), ("U", 4, 10, "a4")],
+        SCHEMA,
+    ).coalesce(1).write.parquet(os.path.join(sdir, "day1"))
+    run()
+    j = {r["k"]: (r["fk"], r["bv"]) for r in cat.read("J").collect()}
+    assert j == {1: (20, "b20"), 3: (20, "b20"), 4: (10, "b10")}
+    full = {
+        r["k"]: (r["fk"], r["bv"])
+        for r in cat.read("A").join(cat.read("B"), "fk").collect()
+    }
+    assert full == j

@@ -110,6 +110,7 @@ OUT_OF_WINDOW_OK = {
     "dedup_minhash_clusters": "evidence",  # green r3+r4+r11
     "dedup_minhash_lsh": "evidence",  # green r2+r3+r4+r5+r10
     "dedup_ngram_jaccard": "evidence",  # green r2+r3+r4+r10
+    "dedup_prefix_jaccard": "evidence",  # green r9+r10
     "dedup_remove_substrings": "evidence",  # green r10+r11
     "dedup_semantic_prune": "evidence",  # green r3+r4+r11
     "dedup_simhash_values": "evidence",  # green r2+r3+r4+r10
