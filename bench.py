@@ -463,6 +463,104 @@ def bench_scaling(spark) -> dict:
                 time.perf_counter() - t0, 3
             )
 
+        # round-13: the IVM folds' batch-proportionality at 10x - a
+        # 150k-row fact table (32 group-buckets / join-buckets) folded
+        # with a 600-key feed. The standing sides arrive through
+        # read_pruned (partition-pruned point reads), so the fold must
+        # track the FEED, not the table. Honest read: at this size the
+        # fold numbers are action-count x fixed local latency (several
+        # merges + pruned collects per fold), NOT data - the signal is
+        # that they stay flat as the fact table grows; an O(table)
+        # regression adds a visible 150k-row scan per fold.
+        import tempfile as _tf2
+
+        from ghcrawler_datalake_etl_spark.sources.sinks import (
+            ParquetCatalog,
+        )
+
+        ivm_root = _tf2.mkdtemp(prefix="bench_ivm_")
+        try:
+            cat = ParquetCatalog(spark, ivm_root, retain=3)
+            n_fact = 150_000
+            fact = spark.range(n_fact).selectExpr(
+                "id AS k",
+                "id % 1000 AS fk",
+                "id % 37 AS g",
+                "id * 3 AS cents",
+            )
+            dim = spark.range(1_000).selectExpr(
+                "id AS fk", "id % 25 AS nat"
+            )
+            cat.merge_upsert(fact, "A", ["k"], num_buckets=32)
+            cat.merge_upsert(dim, "B", ["fk"], num_buckets=32)
+            cat.merge_upsert(
+                fact.select("k", "g", "cents"), "U", ["k"],
+                num_buckets=32, bucket_cols=["g"],
+            )
+            t0 = time.perf_counter()
+            cat.fold_changes_into_join(
+                fact.selectExpr("'I' AS op", "k", "fk", "cents"),
+                dim.selectExpr("'I' AS op", "fk", "nat"),
+                "J", "AIdx", "B", ["k"], ["fk"], num_buckets=32,
+            )
+            out["ivm_join_bootstrap_150k_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
+            # the recurring cost: 600 keys' worth of moves/deletes
+            feed_a = fact.filter("k % 250 = 0").selectExpr(
+                "'U_pre' AS op", "k", "fk", "cents"
+            ).unionByName(
+                fact.filter("k % 250 = 0").selectExpr(
+                    "'U_post' AS op", "k",
+                    "(fk + 1) % 1000 AS fk", "cents + 5 AS cents",
+                )
+            )
+            t0 = time.perf_counter()
+            cat.fold_changes_into_join(
+                feed_a, None, "J", "AIdx", "B", ["k"], ["fk"],
+                num_buckets=32,
+            )
+            out["ivm_join_fold_600_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
+            t0 = time.perf_counter()
+            cat.fold_changes_into_extrema(
+                fact.selectExpr("'I' AS op", "k", "g", "cents"),
+                "U", "X", ["g"], "cents", num_buckets=32,
+            )
+            out["ivm_extrema_bootstrap_150k_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
+            # retract 600 values incl. a group maximum (forces the
+            # touched-group re-derivation through the pruned read);
+            # the deletes land on the upstream FIRST - the rederive
+            # reads the post-state (untimed: the upstream merge is the
+            # day's own cost, the fold is what this arm measures)
+            feed_x = fact.filter("k % 250 = 0").selectExpr(
+                "'D' AS op", "k", "g", "cents"
+            ).unionByName(
+                spark.range(1).selectExpr(
+                    "'D' AS op",
+                    f"{n_fact - 1} AS k",
+                    f"{(n_fact - 1) % 37} AS g",
+                    f"{(n_fact - 1) * 3} AS cents",
+                )
+            )
+            cat.merge_upsert(
+                spark.createDataFrame([], "k long, g long, cents long"),
+                "U", ["k"], num_buckets=32, bucket_cols=["g"],
+                delete_keys=feed_x.selectExpr("k", "g"),
+            )
+            t0 = time.perf_counter()
+            cat.fold_changes_into_extrema(
+                feed_x, "U", "X", ["g"], "cents", num_buckets=32,
+            )
+            out["ivm_extrema_fold_600_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
+        finally:
+            shutil.rmtree(ivm_root, ignore_errors=True)
+
         out["n_vectors"] = n_vec
         out["n_docs"] = n_docs
     finally:
