@@ -3620,6 +3620,143 @@ def stream_join_ivm(spark, sf_dir):
     return cat.read("J").select("k", "ck", "cents", "nat", "acct")
 
 
+#: per-invocation sequence for the streaming-aggregate-IVM query
+_SAGG_SEQ = _itertools.count()
+
+
+@register(
+    "stream_aggregate_ivm",
+    """
+    WITH o AS (
+      SELECT o_orderkey AS k, coalesce(o_orderstatus, '') AS g,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey IS NOT NULL
+    ), u_final AS (
+      -- after trigger 1: inserts k%3=0; cents doubled where k%7=0;
+      -- group moves to 'M' where k%11=0 (k%7<>0); deletes k%5=0
+      SELECT k,
+             CASE WHEN k % 3 <> 0 AND k % 7 <> 0 AND k % 11 = 0
+                  THEN 'M' ELSE g END AS g,
+             CASE WHEN k % 3 <> 0 AND k % 7 = 0 THEN cents * 2
+                  ELSE cents END AS c
+      FROM o
+      WHERE k % 3 = 0
+         OR NOT (k % 7 <> 0 AND k % 11 <> 0 AND k % 5 = 0)
+    )
+    SELECT g, count(*) AS n, count(c) AS n_vals,
+           CAST(sum(c) AS BIGINT) AS sum_v,
+           min(c) AS min_v, max(c) AS max_v
+    FROM u_final GROUP BY g
+    """,
+)
+def stream_aggregate_ivm(spark, sf_dir):
+    """Round-13: STREAMING downstream-aggregate IVM
+    (streaming/ingest.stream_aggregate_ivm) - the foreachBatch arm of
+    BOTH aggregate folds (fold_changes_into_stats +
+    fold_changes_into_extrema), completing their batch -> streaming
+    lifecycle the way stream_join_ivm completed the join fold's. Per
+    trigger: CDC micro-batch applies to the key-bucketed upstream, the
+    version diff emits as a preimage feed, a GROUP-BUCKETED replica is
+    maintained from the feed (the extrema re-derivation's pruned-read
+    target), and the feed folds into standing stats AND extrema
+    tables. Exactly-once is LEDGERED PER DOWNSTREAM TABLE (the
+    arithmetic stats fold would double-count on replay - each fold is
+    one atomic version flip, so 'version advanced' == 'already
+    applied'). Two REAL availableNow runs: bootstrap inserts, then
+    inserts + doubled values + group moves + deletes. Returns stats
+    joined with extrema per group; oracle = full recompute from the
+    final upstream state."""
+    import os
+    import re
+    import shutil
+
+    from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
+    from ghcrawler_datalake_etl_spark.streaming.ingest import (
+        stream_aggregate_ivm as _sai,
+    )
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey").isNotNull())
+    k = F.col("o_orderkey")
+    g = F.coalesce(F.col("o_orderstatus"), F.lit(""))
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    day0 = o.filter(k % 3 != 0).select(
+        F.lit("I").alias("op"), k.alias("k"), g.alias("g"),
+        cents.alias("cents"),
+    )
+    day1 = (
+        o.filter(k % 3 == 0)
+        .select(
+            F.lit("I").alias("op"), k.alias("k"), g.alias("g"),
+            cents.alias("cents"),
+        )
+        .unionByName(
+            o.filter((k % 3 != 0) & (k % 7 == 0)).select(
+                F.lit("U").alias("op"), k.alias("k"), g.alias("g"),
+                (cents * 2).alias("cents"),
+            )
+        )
+        .unionByName(
+            o.filter((k % 3 != 0) & (k % 7 != 0) & (k % 11 == 0)).select(
+                F.lit("U").alias("op"), k.alias("k"),
+                F.lit("M").alias("g"), cents.alias("cents"),
+            )
+        )
+        .unionByName(
+            o.filter(
+                (k % 3 != 0) & (k % 7 != 0) & (k % 11 != 0) & (k % 5 == 0)
+            ).select(
+                F.lit("D").alias("op"), k.alias("k"), g.alias("g"),
+                cents.alias("cents"),
+            )
+        )
+    )
+    global _SAGG_STAGED
+    try:
+        _SAGG_STAGED
+    except NameError:
+        _SAGG_STAGED = set()
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    sroot = _run_tmp(f"saggivm_{tag}")
+    if sf_dir not in _SAGG_STAGED:
+        for i, day in enumerate((day0, day1)):
+            day.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(sroot, f"day{i}")
+            )
+        _SAGG_STAGED.add(sf_dir)
+
+    def _day_file(i: int) -> str:
+        d = os.path.join(sroot, f"day{i}")
+        return os.path.join(
+            d, next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        )
+
+    seq = next(_SAGG_SEQ)
+    root = _run_tmp(f"saggivm_{tag}_{seq}")
+    sdir = os.path.join(root, "in")
+    os.makedirs(sdir, exist_ok=True)
+    cat = ParquetCatalog(spark, os.path.join(root, "wh"), retain=3)
+    SCHEMA = "op string, k long, g string, cents long"
+    for i in range(2):
+        try:
+            os.link(_day_file(i), os.path.join(sdir, f"day{i}.parquet"))
+        except OSError:
+            shutil.copy(_day_file(i), os.path.join(sdir, f"day{i}.parquet"))
+        _sai(
+            spark.readStream.schema(SCHEMA).parquet(sdir),
+            cat, "A", "AIdx", "S", "X", ["k"], ["g"], "cents",
+            os.path.join(root, "feed"), os.path.join(root, "ck"),
+            num_buckets=16,
+        ).awaitTermination()
+    return (
+        cat.read("S")
+        .select("g", "n", "n_vals", "sum_v")
+        .join(
+            cat.read("X").select("g", "min_v", "max_v"), "g", "inner"
+        )
+        .select("g", "n", "n_vals", "sum_v", "min_v", "max_v")
+    )
+
+
 # invocation counter for stream_changefeed_emission's per-run state
 _CFE_SEQ = _itertools.count()
 
@@ -9765,6 +9902,7 @@ _DRIVER_ORDER = [
     "dim_minmax_ivm",
     "stream_bm25_maintenance",
     "stream_join_ivm",
+    "stream_aggregate_ivm",
     # -- newest-r8 cohort (oldest evidence; parity core re-green) --
     "dim_scd2_user_state",
     "j7_edit_distance_join",
@@ -9808,7 +9946,6 @@ _DRIVER_ORDER = [
     "x3_posexplode_tokens",
     # -- newest-r10 fill (fewest green rounds first) --
     "dedup_exact_groups",
-    "dedup_incremental_index",
     # ---------------- position 51+: past the driver window ----------
     # Everything below holds >= 2 green driver rounds in EVIDENCE.json;
     # extension-prefixed names have OUT_OF_WINDOW_OK entries in
@@ -9826,6 +9963,7 @@ _DRIVER_ORDER = [
     "dedup_drop_paragraphs",
     "dedup_embedding_cosine",
     "dedup_incremental_clusters",
+    "dedup_incremental_index",
     "dedup_incremental_paragraphs",
     "dedup_incremental_spans",
     "dedup_incremental_substrings",

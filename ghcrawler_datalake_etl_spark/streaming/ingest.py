@@ -921,6 +921,110 @@ def stream_join_ivm(
     )
 
 
+def _fold_version_advanced(catalog, name: str, pre) -> bool:
+    """True when ``name`` gained a version since ``pre`` was recorded -
+    the per-downstream-table exactly-once test: every fold lands as ONE
+    atomic version flip, so 'version advanced' == 'this trigger's fold
+    already applied' (single-maintainer contract)."""
+    cur = catalog._current_version(name)
+    if pre is None:
+        return cur is not None
+    return cur is not None and cur > pre
+
+
+def stream_aggregate_ivm(
+    stream: DataFrame,
+    catalog,
+    a_table: str,
+    index_table: str,
+    stats_table: str,
+    extrema_table: str,
+    key_cols: list[str],
+    group_cols: list[str],
+    value_col: str,
+    feed_root: str,
+    checkpoint: str,
+    op_col: str = "op",
+    seq_col: str | None = None,
+    num_buckets: int = 16,
+) -> StreamingQuery:
+    """Streaming downstream-aggregate IVM - the foreachBatch arm of
+    fold_changes_into_stats AND fold_changes_into_extrema, completing
+    the aggregate folds' batch -> streaming lifecycle (the join fold
+    got its arm in stream_join_ivm). Per micro-batch of (op, key, row)
+    CDC rows: apply to the merged upstream, emit the version diff as a
+    PREIMAGE feed, maintain a GROUP-BUCKETED replica of the upstream
+    (``index_table`` - the extrema re-derivation's pruned-read target;
+    the primary stays key-bucketed for CDC applies, the replica's
+    preimages come from the feed), then fold the feed into the
+    standing stats and extrema tables.
+
+    Exactly-once is LEDGERED PER DOWNSTREAM TABLE: unlike the
+    key-level join fold (idempotent over an identical feed), the stats
+    fold is arithmetic - replaying it double-counts. Before the first
+    fold attempt the trigger records each downstream table's CURRENT
+    version in the feed manifest's txn ledger; every fold lands as one
+    atomic version flip, so on replay a table whose version advanced
+    past its recorded pre-version is SKIPPED and the rest re-run -
+    crash at any point (before the replica merge, between the two
+    folds, before the checkpoint commit) replays to the exact state.
+    Single-maintainer contract: nothing else may write these tables
+    mid-stream."""
+    import os
+
+    _require_driver_local(feed_root, "stream_aggregate_ivm")
+
+    def _apply(bdf: DataFrame, micro_batch: int) -> None:
+        if not bdf.head(1):
+            return
+        _merge_and_emit_changes(
+            catalog, bdf, micro_batch, a_table, list(key_cols),
+            feed_root, op_col, seq_col, num_buckets,
+            with_preimages=True,
+        )
+        feed = bdf.sparkSession.read.parquet(
+            os.path.join(feed_root, f"micro_batch={micro_batch}")
+        )
+        man = _read_delta_manifest(feed_root, "feed")
+        rec = man["txn"][str(micro_batch)]
+        if "folds" not in rec:
+            rec["folds"] = {
+                n: catalog._current_version(n)
+                for n in (index_table, stats_table, extrema_table)
+            }
+            _write_delta_manifest(feed_root, man)
+        pre = rec["folds"]
+        if not _fold_version_advanced(catalog, index_table, pre[index_table]):
+            posts = feed.filter(
+                F.col(op_col).isin("I", "U_post")
+            ).drop(op_col)
+            pres = feed.filter(F.col(op_col).isin("D", "U_pre"))
+            catalog.merge_upsert(
+                posts, index_table, list(key_cols),
+                num_buckets=num_buckets, bucket_cols=list(group_cols),
+                delete_keys=pres.select(*key_cols, *group_cols),
+            )
+        if not _fold_version_advanced(catalog, stats_table, pre[stats_table]):
+            catalog.fold_changes_into_stats(
+                feed, stats_table, list(group_cols), value_col,
+                op_col=op_col, num_buckets=num_buckets,
+            )
+        if not _fold_version_advanced(
+            catalog, extrema_table, pre[extrema_table]
+        ):
+            catalog.fold_changes_into_extrema(
+                feed, index_table, extrema_table, list(group_cols),
+                value_col, op_col=op_col, num_buckets=num_buckets,
+            )
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_bm25_maintenance(
     stream_df: DataFrame,
     store_root: str,

@@ -69,6 +69,12 @@ ORDERS_ONLY = [
     # joins); trigger 1's lone FK move (key 7, 10 -> 11) must land
     # through the preimage feed against the static dimension
     "stream_join_ivm",
+    # round-13 streaming aggregate IVM: the NULL-price key (4) rides
+    # the NULL-cents arm through the stats fold, key 7's doubled
+    # cents emits a genuine U pair, key 5 deletes - both downstream
+    # tables (stats + extrema) must land on the recompute through
+    # the per-table version ledger
+    "stream_aggregate_ivm",
 ]
 
 

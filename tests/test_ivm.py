@@ -515,3 +515,77 @@ def test_stream_join_ivm_bootstrap_replay_and_identity(spark, tmp_path):
         for r in cat.read("A").join(cat.read("B"), "fk").collect()
     }
     assert full == j
+
+
+def test_stream_aggregate_ivm_replay_never_double_counts(
+    spark, tmp_path
+):
+    """The streaming arm of BOTH aggregate folds: the arithmetic stats
+    fold is NOT idempotent, so exactly-once rides the per-downstream-
+    table version ledger - a replayed trigger (lost checkpoint commit)
+    must skip already-applied folds. Group moves retract extrema
+    through the feed-maintained group-bucketed replica; the final
+    stats/extrema equal the recompute from the maintained upstream."""
+    from ghcrawler_datalake_etl_spark.streaming.ingest import (
+        stream_aggregate_ivm,
+    )
+
+    cat = _cat(spark, tmp_path)
+    SCHEMA = "op string, k long, g string, cents long"
+    sdir = str(tmp_path / "in")
+    os.makedirs(sdir)
+    feed_root = str(tmp_path / "feed")
+    ck = str(tmp_path / "ck")
+
+    def run():
+        stream_aggregate_ivm(
+            spark.readStream.schema(SCHEMA).option(
+                "recursiveFileLookup", "true"
+            ).parquet(sdir),
+            cat, "A", "AIdx", "S", "X", ["k"], ["g"], "cents",
+            feed_root, ck, num_buckets=4,
+        ).awaitTermination()
+
+    spark.createDataFrame(
+        [("I", 1, "a", 10), ("I", 2, "a", 30), ("I", 3, "b", 7),
+         ("I", 4, "b", None)], SCHEMA
+    ).coalesce(1).write.parquet(os.path.join(sdir, "day0"))
+    run()
+
+    def snap(t):
+        return {r["g"]: tuple(r)[1:] for r in cat.read(t).collect()}
+
+    s0, x0 = snap("S"), snap("X")
+    assert s0 == {"a": (2, 2, 40), "b": (2, 1, 7)}
+    assert x0 == {"a": (2, 2, 10, 30), "b": (2, 1, 7, 7)}
+
+    os.remove(os.path.join(ck, "commits", "0"))
+    crc = os.path.join(ck, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()  # replay: arithmetic folds must not double
+    assert snap("S") == s0 and snap("X") == x0
+
+    # k=2 moves a->b (retracts a's max), k=3 deleted (b's min AND
+    # max), k=5 inserted
+    spark.createDataFrame(
+        [("U", 2, "b", 30), ("D", 3, "b", 7), ("I", 5, "a", 4)], SCHEMA
+    ).coalesce(1).write.parquet(os.path.join(sdir, "day1"))
+    run()
+    s, x = snap("S"), snap("X")
+    assert s == {"a": (2, 2, 14), "b": (2, 1, 30)}
+    assert x == {"a": (2, 2, 4, 10), "b": (2, 1, 30, 30)}
+    want = {
+        r["g"]: tuple(r)[1:]
+        for r in cat.read("A")
+        .groupBy("g")
+        .agg(
+            F.count("*").alias("n"), F.count("cents").alias("nv"),
+            F.sum("cents").alias("s"), F.min("cents").alias("mn"),
+            F.max("cents").alias("mx"),
+        )
+        .collect()
+    }
+    assert want == {
+        g: (s[g][0], s[g][1], s[g][2], x[g][2], x[g][3]) for g in s
+    }

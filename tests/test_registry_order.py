@@ -103,6 +103,7 @@ OUT_OF_WINDOW_OK = {
     "dedup_drop_paragraphs": "evidence",  # green r10+r11
     "dedup_embedding_cosine": "evidence",  # green r2+r3+r4+r10
     "dedup_incremental_clusters": "evidence",  # green r10+r11
+    "dedup_incremental_index": "evidence",  # green r9+r10
     "dedup_incremental_paragraphs": "evidence",  # green r10+r11
     "dedup_incremental_spans": "evidence",  # green r10+r11
     "dedup_incremental_substrings": "evidence",  # green r11+r12
