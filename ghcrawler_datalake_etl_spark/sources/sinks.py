@@ -828,9 +828,15 @@ class ParquetCatalog:
         J, inner-join semantics); a feed-b D removes every J row whose
         join key died, discovered through the pruned index read.
         Bootstrap: fold all-'I' feeds of the initial snapshots (the
-        :meth:`fold_changes_into_stats` idiom). A plain post-image-only
-        ``'U'`` in either feed raises loudly (folding it would leave
-        the moved FK's old row behind).
+        :meth:`fold_changes_into_stats` idiom) - correct at any size
+        (feed-side joins carry no static broadcast hint; AQE picks the
+        strategy from runtime sizes), but at warehouse scale prefer
+        constructing the initial J and index DIRECTLY (one join + two
+        merges) and reserving the fold path for daily delta-sized
+        feeds, whose probes are what :meth:`read_pruned`'s broadcast
+        is sized for. A plain post-image-only ``'U'`` in either feed
+        raises loudly (folding it would leave the moved FK's old row
+        behind).
 
         Cost per fold is O(feeds + touched buckets); the standing
         join, index, and B tables are each touched only through
@@ -857,12 +863,15 @@ class ParquetCatalog:
                 num_buckets=num_buckets, bucket_cols=join_cols,
                 delete_keys=a_pres.select(*a_key_cols, *join_cols),
             )
-            # 2. dA JOIN B_new - bucket-pruned probe of the CURRENT B
+            # 2. dA JOIN B_new - bucket-pruned probe of the CURRENT B.
+            # No static broadcast hint on the feed side: a DAILY feed
+            # is small (AQE broadcasts it at runtime from real sizes),
+            # but a BOOTSTRAP all-'I' feed is the whole table - a
+            # forced broadcast there would ship the table to every
+            # executor; AQE picks the right strategy for both.
             b_pruned = self.read_pruned(b_table, a_posts)
             if b_pruned is not None:
-                ups_j = F.broadcast(a_posts).join(
-                    b_pruned, join_cols, "inner"
-                )
+                ups_j = a_posts.join(b_pruned, join_cols, "inner")
             del_j = a_pres.select(*a_key_cols).distinct()
 
         if feed_b is not None:
@@ -875,12 +884,13 @@ class ParquetCatalog:
                 *join_cols
             ).distinct()
             # 3. A_new JOIN dB - pruned read of the index AFTER step 1
+            # (feed-side broadcast left to AQE, same bootstrap rationale)
             a_side = self.read_pruned(index_table, feed_b)
             if a_side is not None:
-                jb = a_side.join(F.broadcast(b_posts), join_cols, "inner")
+                jb = a_side.join(b_posts, join_cols, "inner")
                 ups_j = jb if ups_j is None else ups_j.unionByName(jb)
                 dead = a_side.join(
-                    F.broadcast(b_dels), join_cols, "semi"
+                    b_dels, join_cols, "semi"
                 ).select(*a_key_cols).distinct()
                 del_j = (
                     dead if del_j is None
