@@ -3285,11 +3285,15 @@ def dim_join_ivm(spark, sf_dir):
     )
     cat.merge_upsert(a0, "A", ["k"], num_buckets=16)
     cat.merge_upsert(b0, "B", ["ck"], num_buckets=16)
-    cat.fold_changes_into_join(
-        a0.select(F.lit("I").alias("op"), "*"),
-        b0.select(F.lit("I").alias("op"), "*"),
-        "J", "AIdx", "B", ["k"], ["ck"], num_buckets=16,
+    # DIRECT bootstrap (the warehouse-scale recipe the fold docstring
+    # recommends): one join + two merges build the initial view and
+    # index; the fold path serves the daily delta-sized feeds below.
+    # (The all-'I'-feed bootstrap computes the same state - the unit
+    # and property suites pin that arm.)
+    cat.merge_upsert(
+        a0, "AIdx", ["k"], num_buckets=16, bucket_cols=["ck"]
     )
+    cat.merge_upsert(a0.join(b0, "ck"), "J", ["k"], num_buckets=16)
     # day 1 upstream A: inserts, FK moves (+5 cents), deletes
     moved_ck = F.when(ck0 % 2 == 0, ck0 + 1).otherwise(ck0 - 1)
     a1 = (
@@ -3419,9 +3423,17 @@ def dim_minmax_ivm(spark, sf_dir):
         spark, _run_tmp(f"mmx_wh_{tag}_{next(_MMX_SEQ)}"), retain=3
     )
     cat.merge_upsert(u0, "U", ["k"], num_buckets=16, bucket_cols=["g"])
-    cat.fold_changes_into_extrema(
-        u0.select(F.lit("I").alias("op"), "*"), "U", "X", ["g"], "v",
-        num_buckets=8,
+    # DIRECT bootstrap: the initial stats are one aggregate + one
+    # merge (the fold path serves the daily feeds; the all-'I'
+    # bootstrap arm is pinned by the unit/property suites)
+    cat.merge_upsert(
+        u0.groupBy("g").agg(
+            F.count("*").alias("n"),
+            F.count("v").alias("n_vals"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        ),
+        "X", ["g"], num_buckets=8,
     )
     # day 1: inserts + sentinels + value doubles + group moves; deletes
     sent = spark.createDataFrame(
