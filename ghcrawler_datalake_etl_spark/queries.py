@@ -3632,6 +3632,122 @@ def stream_join_ivm(spark, sf_dir):
     return cat.read("J").select("k", "ck", "cents", "nat", "acct")
 
 
+#: per-invocation sequence for the chained-IVM gold query
+_GOLD_SEQ = _itertools.count()
+
+
+@register(
+    "pipeline_ivm_gold",
+    """
+    WITH o AS (
+      SELECT o_orderkey AS k, o_custkey AS ck0,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey IS NOT NULL
+    ), c AS (
+      SELECT c_custkey AS ck, coalesce(c_nationkey, -1) AS nat
+      FROM customer WHERE c_custkey IS NOT NULL
+    ), a_final AS (
+      -- after day 1: inserts k%3=0; FK MOVES + cents+5 where k%7=0;
+      -- deletes k%11=0 (k%3<>0, k%7<>0)
+      SELECT k,
+             CASE WHEN k % 3 <> 0 AND k % 7 = 0
+                  THEN CASE WHEN ck0 % 2 = 0 THEN ck0 + 1
+                            ELSE ck0 - 1 END
+                  ELSE ck0 END AS ck,
+             CASE WHEN k % 3 <> 0 AND k % 7 = 0 THEN cents + 5
+                  ELSE cents END AS cents
+      FROM o
+      WHERE k % 3 = 0 OR NOT (k % 7 <> 0 AND k % 11 = 0)
+    )
+    SELECT b.nat, count(*) AS n, count(a.cents) AS n_vals,
+           CAST(sum(a.cents) AS BIGINT) AS sum_v
+    FROM a_final a JOIN c b USING (ck)
+    GROUP BY b.nat
+    """,
+)
+def pipeline_ivm_gold(spark, sf_dir):
+    """Round-13: CHAINED IVM - the bronze -> silver -> gold Delta Live
+    Tables pipeline closed as a pure COMPOSITION of the round's
+    operators, no new machinery: the fact feed folds into the
+    materialized join (silver, fold_changes_into_join), and the GOLD
+    per-nation stats table subscribes to the SILVER TABLE'S OWN
+    CHANGEFEED (table_changes on J with preimages ->
+    fold_changes_into_stats) - the downstream aggregate never reads
+    the join, let alone the upstreams. One upstream day of inserts,
+    FK moves, and deletes propagates through two IVM hops; every hop
+    is feed- or touched-bucket-sized. Oracle = the from-scratch
+    join + aggregate of the final states."""
+    import re
+
+    from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey").isNotNull())
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_custkey").isNotNull()
+    )
+    k = F.col("o_orderkey")
+    ck0 = F.col("o_custkey")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    a0 = o.filter(k % 3 != 0).select(
+        k.alias("k"), ck0.alias("ck"), cents.alias("cents")
+    )
+    b0 = c.select(
+        F.col("c_custkey").alias("ck"),
+        F.coalesce(F.col("c_nationkey"), F.lit(-1)).alias("nat"),
+    )
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    cat = ParquetCatalog(
+        spark, _run_tmp(f"gold_wh_{tag}_{next(_GOLD_SEQ)}"), retain=3
+    )
+    cat.merge_upsert(a0, "A", ["k"], num_buckets=16)
+    cat.merge_upsert(b0, "B", ["ck"], num_buckets=16)
+    # silver + index bootstrap: direct construction (day 0)
+    cat.merge_upsert(
+        a0, "AIdx", ["k"], num_buckets=16, bucket_cols=["ck"]
+    )
+    j0 = a0.join(b0, "ck")
+    cat.merge_upsert(j0, "J", ["k"], num_buckets=16)
+    # gold bootstrap: one aggregate of the silver snapshot
+    cat.merge_upsert(
+        j0.groupBy("nat").agg(
+            F.count("*").alias("n"),
+            F.count("cents").alias("n_vals"),
+            F.sum("cents").alias("sum_v"),
+        ),
+        "G", ["nat"], num_buckets=8,
+    )
+    # day 1 on the fact side: inserts, FK moves (+5 cents), deletes
+    moved_ck = F.when(ck0 % 2 == 0, ck0 + 1).otherwise(ck0 - 1)
+    a1 = (
+        o.filter(k % 3 == 0)
+        .select(k.alias("k"), ck0.alias("ck"), cents.alias("cents"))
+        .unionByName(
+            o.filter((k % 3 != 0) & (k % 7 == 0)).select(
+                k.alias("k"), moved_ck.alias("ck"),
+                (cents + 5).alias("cents"),
+            )
+        )
+    )
+    dels_a1 = o.filter(
+        (k % 3 != 0) & (k % 7 != 0) & (k % 11 == 0)
+    ).select(k.alias("k"))
+    cat.merge_upsert(a1, "A", ["k"], num_buckets=16, delete_keys=dels_a1)
+    j_pre = cat._current_version("J")
+    # hop 1: fact feed -> silver join
+    cat.fold_changes_into_join(
+        cat.table_changes("A", 0, 1, with_preimages=True),
+        None, "J", "AIdx", "B", ["k"], ["ck"], num_buckets=16,
+    )
+    # hop 2: the SILVER table's own changefeed -> gold stats
+    cat.fold_changes_into_stats(
+        cat.table_changes(
+            "J", j_pre, cat._current_version("J"), with_preimages=True
+        ),
+        "G", ["nat"], "cents", num_buckets=8,
+    )
+    return cat.read("G").select("nat", "n", "n_vals", "sum_v")
+
+
 #: per-invocation sequence for the streaming-aggregate-IVM query
 _SAGG_SEQ = _itertools.count()
 
@@ -9915,6 +10031,7 @@ _DRIVER_ORDER = [
     "stream_bm25_maintenance",
     "stream_join_ivm",
     "stream_aggregate_ivm",
+    "pipeline_ivm_gold",
     # -- newest-r8 cohort (oldest evidence; parity core re-green) --
     "dim_scd2_user_state",
     "j7_edit_distance_join",
@@ -9957,7 +10074,6 @@ _DRIVER_ORDER = [
     "w5_sliding_hour_frame",
     "x3_posexplode_tokens",
     # -- newest-r10 fill (fewest green rounds first) --
-    "dedup_exact_groups",
     # ---------------- position 51+: past the driver window ----------
     # Everything below holds >= 2 green driver rounds in EVIDENCE.json;
     # extension-prefixed names have OUT_OF_WINDOW_OK entries in
@@ -9974,6 +10090,7 @@ _DRIVER_ORDER = [
     "dedup_clusters",
     "dedup_drop_paragraphs",
     "dedup_embedding_cosine",
+    "dedup_exact_groups",
     "dedup_incremental_clusters",
     "dedup_incremental_index",
     "dedup_incremental_paragraphs",

@@ -75,6 +75,11 @@ ORDERS_ONLY = [
     # tables (stats + extrema) must land on the recompute through
     # the per-table version ledger
     "stream_aggregate_ivm",
+    # round-13 chained gold: key 7's FK move shifts its row between
+    # NATION groups through TWO IVM hops (fact feed -> join; the
+    # join's own changefeed -> gold stats); the NULL-nationkey
+    # customer coalesces to the -1 group
+    "pipeline_ivm_gold",
 ]
 
 

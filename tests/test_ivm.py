@@ -589,3 +589,62 @@ def test_stream_aggregate_ivm_replay_never_double_counts(
     assert want == {
         g: (s[g][0], s[g][1], s[g][2], x[g][2], x[g][3]) for g in s
     }
+
+
+def test_chained_ivm_gold_subscribes_to_silver_changefeed(
+    spark, tmp_path
+):
+    """The bronze -> silver -> gold chain: the gold aggregate is
+    maintained ONLY from the silver join table's own changefeed (hop
+    2 never reads the join or the upstreams). An FK move that shifts
+    a row between gold groups must retract from one and add to the
+    other through two IVM hops."""
+    cat = _cat(spark, tmp_path)
+    a0 = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 250), (3, 20, 40)],
+        "k long, fk long, cents long",
+    )
+    b0 = spark.createDataFrame(
+        [(10, 1), (20, 2)], "fk long, nat long"
+    )
+    cat.merge_upsert(a0, "A", ["k"], num_buckets=4)
+    cat.merge_upsert(b0, "B", ["fk"], num_buckets=4)
+    cat.merge_upsert(a0, "AIdx", ["k"], num_buckets=4, bucket_cols=["fk"])
+    j0 = a0.join(b0, "fk")
+    cat.merge_upsert(j0, "J", ["k"], num_buckets=4)
+    cat.merge_upsert(
+        j0.groupBy("nat").agg(
+            F.count("*").alias("n"),
+            F.count("cents").alias("n_vals"),
+            F.sum("cents").alias("sum_v"),
+        ),
+        "G", ["nat"], num_buckets=2,
+    )
+    # day 1: k=1 moves fk 10 -> 20 (gold group 1 -> 2), k=3 deleted
+    cat.merge_upsert(
+        spark.createDataFrame([(1, 20, 100)], "k long, fk long, cents long"),
+        "A", ["k"], num_buckets=4,
+        delete_keys=spark.createDataFrame([(3,)], "k long"),
+    )
+    j_pre = cat._current_version("J")
+    cat.fold_changes_into_join(
+        cat.table_changes("A", 0, 1, with_preimages=True),
+        None, "J", "AIdx", "B", ["k"], ["fk"], num_buckets=4,
+    )
+    cat.fold_changes_into_stats(
+        cat.table_changes(
+            "J", j_pre, cat._current_version("J"), with_preimages=True
+        ),
+        "G", ["nat"], "cents", num_buckets=2,
+    )
+    got = {r["nat"]: (r["n"], r["sum_v"]) for r in cat.read("G").collect()}
+    assert got == {1: (1, 250), 2: (1, 100)}, got
+    want = {
+        r["nat"]: (r["n"], r["sum_v"])
+        for r in cat.read("A")
+        .join(cat.read("B"), "fk")
+        .groupBy("nat")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("sum_v"))
+        .collect()
+    }
+    assert want == got

@@ -102,6 +102,7 @@ OUT_OF_WINDOW_OK = {
     "dedup_clusters": "evidence",  # green r2+r3+r4+r5+r8+r12
     "dedup_drop_paragraphs": "evidence",  # green r10+r11
     "dedup_embedding_cosine": "evidence",  # green r2+r3+r4+r10
+    "dedup_exact_groups": "evidence",  # green r2+r10
     "dedup_incremental_clusters": "evidence",  # green r10+r11
     "dedup_incremental_index": "evidence",  # green r9+r10
     "dedup_incremental_paragraphs": "evidence",  # green r10+r11
