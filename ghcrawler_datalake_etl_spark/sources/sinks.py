@@ -770,12 +770,25 @@ class ParquetCatalog:
         (the stats table is merged on the group key, so it is
         group-bucketed by construction) - the prior-values read now
         SCANS only the touched groups' buckets instead of filtering a
-        full scan, on top of the existing broadcast-semi prune."""
-        standing = (
-            self.read_pruned(stats_table, feed.select(*group_cols))
-            if self.exists(stats_table)
-            else None
-        )
+        full scan, on top of the existing broadcast-semi prune. A
+        stats table that exists WITHOUT merge metadata (bootstrapped
+        via :meth:`overwrite`) degrades to the pre-round-13
+        broadcast-semi-pruned full read for this one fold; the merge
+        below re-buckets it, so every later fold takes the pruned
+        path (ADVICE r13: the read_pruned switch must not reject
+        externally-bootstrapped tables the old path accepted)."""
+        if not self.exists(stats_table):
+            standing = None
+        elif self._merge_meta(stats_table) is not None:
+            standing = self.read_pruned(
+                stats_table, feed.select(*group_cols)
+            )
+        else:
+            standing = self.read_or_none(stats_table).join(
+                F.broadcast(feed.select(*group_cols).distinct()),
+                list(group_cols),
+                "semi",
+            )
         folded = fold_stats_delta(
             feed, standing, group_cols, value_col, op_col,
         )
@@ -848,75 +861,93 @@ class ParquetCatalog:
         ups_j: DataFrame | None = None
         del_j: DataFrame | None = None
 
-        if feed_a is not None:
-            feed_a = feed_a.withColumn(op_col, guard).persist()
-            feed_a.count()
-            a_posts = feed_a.filter(
-                F.col(op_col).isin("I", "U_post")
-            ).drop(op_col)
-            a_pres = feed_a.filter(F.col(op_col).isin("D", "U_pre"))
-            # 1. maintain the secondary index (A keyed by pk, bucketed
-            # by join key); preimages carry the OLD join key so a
-            # moved row's old bucket is rewritten too
-            self.merge_upsert(
-                a_posts, index_table, a_key_cols,
-                num_buckets=num_buckets, bucket_cols=join_cols,
-                delete_keys=a_pres.select(*a_key_cols, *join_cols),
-            )
-            # 2. dA JOIN B_new - bucket-pruned probe of the CURRENT B.
-            # No static broadcast hint on the feed side: a DAILY feed
-            # is small (AQE broadcasts it at runtime from real sizes),
-            # but a BOOTSTRAP all-'I' feed is the whole table - a
-            # forced broadcast there would ship the table to every
-            # executor; AQE picks the right strategy for both.
-            b_pruned = self.read_pruned(b_table, a_posts)
-            if b_pruned is not None:
-                ups_j = a_posts.join(b_pruned, join_cols, "inner")
-            del_j = a_pres.select(*a_key_cols).distinct()
-
-        if feed_b is not None:
-            feed_b = feed_b.withColumn(op_col, guard).persist()
-            feed_b.count()
-            b_posts = feed_b.filter(
-                F.col(op_col).isin("I", "U_post")
-            ).drop(op_col)
-            b_dels = feed_b.filter(F.col(op_col) == "D").select(
-                *join_cols
-            ).distinct()
-            # 3. A_new JOIN dB - pruned read of the index AFTER step 1
-            # (feed-side broadcast left to AQE, same bootstrap rationale)
-            a_side = self.read_pruned(index_table, feed_b)
-            if a_side is not None:
-                jb = a_side.join(b_posts, join_cols, "inner")
-                ups_j = jb if ups_j is None else ups_j.unionByName(jb)
-                dead = a_side.join(
-                    b_dels, join_cols, "semi"
-                ).select(*a_key_cols).distinct()
-                del_j = (
-                    dead if del_j is None
-                    else del_j.unionByName(dead).distinct()
+        try:
+            if feed_a is not None:
+                feed_a = feed_a.withColumn(op_col, guard).persist()
+                feed_a.count()
+                a_posts = feed_a.filter(
+                    F.col(op_col).isin("I", "U_post")
+                ).drop(op_col)
+                a_pres = feed_a.filter(F.col(op_col).isin("D", "U_pre"))
+                # 1. maintain the secondary index (A keyed by pk,
+                # bucketed by join key); preimages carry the OLD join
+                # key so a moved row's old bucket is rewritten too
+                self.merge_upsert(
+                    a_posts, index_table, a_key_cols,
+                    num_buckets=num_buckets, bucket_cols=join_cols,
+                    delete_keys=a_pres.select(*a_key_cols, *join_cols),
                 )
+                # 2. dA JOIN B_new - bucket-pruned probe of the CURRENT
+                # B. No static broadcast hint on the feed side: a DAILY
+                # feed is small (AQE broadcasts it at runtime from real
+                # sizes), but a BOOTSTRAP all-'I' feed is the whole
+                # table - a forced broadcast there would ship the table
+                # to every executor; AQE picks the right strategy for
+                # both. A B table that does not exist yet (two-upstream
+                # streaming bootstrap: the A stream's first trigger may
+                # run before B's) joins nothing - dB will produce these
+                # J rows when B arrives.
+                b_pruned = (
+                    self.read_pruned(b_table, a_posts)
+                    if self._merge_meta(b_table) is not None
+                    else None
+                )
+                if b_pruned is not None:
+                    ups_j = a_posts.join(b_pruned, join_cols, "inner")
+                del_j = a_pres.select(*a_key_cols).distinct()
 
-        if ups_j is None and del_j is None:
-            return
-        if ups_j is not None:
-            # the dA JOIN dB overlap arrives via BOTH terms with
-            # identical values - dedup by J's key before the merge
-            # (merge_upsert unions every delta row per key)
-            ups_j = ups_j.dropDuplicates(a_key_cols)
-            self.merge_upsert(
-                ups_j, join_table, a_key_cols,
-                num_buckets=num_buckets, delete_keys=del_j,
-            )
-        elif del_j is not None and self.exists(join_table):
-            empty = self.read(join_table).limit(0)
-            self.merge_upsert(
-                empty, join_table, a_key_cols,
-                num_buckets=num_buckets, delete_keys=del_j,
-            )
-        for f in (feed_a, feed_b):
-            if f is not None:
-                f.unpersist(blocking=False)
+            if feed_b is not None:
+                feed_b = feed_b.withColumn(op_col, guard).persist()
+                feed_b.count()
+                b_posts = feed_b.filter(
+                    F.col(op_col).isin("I", "U_post")
+                ).drop(op_col)
+                b_dels = feed_b.filter(F.col(op_col) == "D").select(
+                    *join_cols
+                ).distinct()
+                # 3. A_new JOIN dB - pruned read of the index AFTER
+                # step 1 (feed-side broadcast left to AQE, same
+                # bootstrap rationale); a missing index = no A rows yet
+                a_side = (
+                    self.read_pruned(index_table, feed_b)
+                    if self._merge_meta(index_table) is not None
+                    else None
+                )
+                if a_side is not None:
+                    jb = a_side.join(b_posts, join_cols, "inner")
+                    ups_j = jb if ups_j is None else ups_j.unionByName(jb)
+                    dead = a_side.join(
+                        b_dels, join_cols, "semi"
+                    ).select(*a_key_cols).distinct()
+                    del_j = (
+                        dead if del_j is None
+                        else del_j.unionByName(dead).distinct()
+                    )
+
+            if ups_j is None and del_j is None:
+                return
+            if ups_j is not None:
+                # the dA JOIN dB overlap arrives via BOTH terms with
+                # identical values - dedup by J's key before the merge
+                # (merge_upsert unions every delta row per key)
+                ups_j = ups_j.dropDuplicates(a_key_cols)
+                self.merge_upsert(
+                    ups_j, join_table, a_key_cols,
+                    num_buckets=num_buckets, delete_keys=del_j,
+                )
+            elif del_j is not None and self.exists(join_table):
+                empty = self.read(join_table).limit(0)
+                self.merge_upsert(
+                    empty, join_table, a_key_cols,
+                    num_buckets=num_buckets, delete_keys=del_j,
+                )
+        finally:
+            # unpersist on EVERY exit - the early returns and a failed
+            # merge must not pin feed-sized frames in executor memory
+            # (ADVICE r13)
+            for f in (feed_a, feed_b):
+                if f is not None:
+                    f.unpersist(blocking=False)
 
     def fold_changes_into_extrema(
         self,
@@ -995,6 +1026,19 @@ class ParquetCatalog:
                     .select(*incremental.columns)
                 )
                 ups = incremental.unionByName(redone)
+            elif rederive.limit(1).count() > 0:
+                # groups NEED re-deriving but the upstream has no
+                # current version (e.g. a crashed bootstrap between the
+                # meta write and the pointer flip): silently folding
+                # only the incremental arm would leave those groups'
+                # extrema stale - the "fold after landing the
+                # upstream's day" precondition is violated (ADVICE r13)
+                raise ValueError(
+                    f"fold_changes_into_extrema: {upstream_table!r} has "
+                    "no current version but the feed retracts standing "
+                    "extrema that must re-derive from it - land the "
+                    "upstream's day before folding"
+                )
             else:
                 ups = incremental
             self.merge_upsert(

@@ -648,3 +648,124 @@ def test_chained_ivm_gold_subscribes_to_silver_changefeed(
         .collect()
     }
     assert want == got
+
+
+# ---------------------------------------------------------------------
+# ADVICE r13 pinning: fold robustness on every exit path
+# ---------------------------------------------------------------------
+
+
+def test_stats_fold_accepts_overwrite_bootstrapped_table(spark, tmp_path):
+    """A stats table that exists WITHOUT merge metadata (bootstrapped
+    via plain overwrite()) must still fold: the read_pruned switch
+    degrades to the broadcast-semi-pruned full read for that one fold
+    and the merge re-buckets the table, so later folds take the pruned
+    path (ADVICE r13 - the round-13 switch must not reject tables the
+    old read_or_none path accepted)."""
+    cat = _cat(spark, tmp_path)
+    cat.overwrite(
+        spark.createDataFrame(
+            [("a", 2, 2, 30)],
+            "grp string, n long, n_vals long, sum_v long",
+        ),
+        "St",
+    )
+    assert cat._merge_meta("St") is None
+    feed = spark.createDataFrame(
+        [("I", 3, "a", 5), ("I", 4, "b", 7)],
+        "op string, pk long, grp string, v long",
+    )
+    cat.fold_changes_into_stats(feed, "St", ["grp"], "v")
+    got = {
+        r["grp"]: (r["n"], r["sum_v"]) for r in cat.read("St").collect()
+    }
+    assert got == {"a": (3, 35), "b": (1, 7)}
+    # the merge re-bucketed the table: pruned path from now on
+    assert cat._merge_meta("St") is not None
+    cat.fold_changes_into_stats(
+        spark.createDataFrame(
+            [("I", 5, "a", 1)], "op string, pk long, grp string, v long"
+        ),
+        "St", ["grp"], "v",
+    )
+    got = {
+        r["grp"]: (r["n"], r["sum_v"]) for r in cat.read("St").collect()
+    }
+    assert got == {"a": (4, 36), "b": (1, 7)}
+
+
+def test_extrema_fold_raises_when_rederive_has_no_upstream(
+    spark, tmp_path
+):
+    """A retraction that ties the standing extremum NEEDS the upstream
+    post-state; when the upstream has merge metadata but no current
+    version (crashed bootstrap between meta write and pointer flip)
+    the fold must raise loudly, never silently keep stale extrema
+    (ADVICE r13)."""
+    cat = _cat(spark, tmp_path)
+    up = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 5.0)], "pk long, grp string, v double"
+    )
+    cat.merge_upsert(up, "Up", ["pk"], num_buckets=4, bucket_cols=["grp"])
+    boot = spark.createDataFrame(
+        [("I", 1, "a", 10.0), ("I", 2, "a", 5.0)],
+        "op string, pk long, grp string, v double",
+    )
+    cat.fold_changes_into_extrema(boot, "Up", "X", ["grp"], "v")
+    # simulate the crashed bootstrap: meta present, pointer gone
+    os.remove(str(tmp_path / "wh" / "Up" / "_CURRENT"))
+    retract_max = spark.createDataFrame(
+        [("D", 1, "a", 10.0)], "op string, pk long, grp string, v double"
+    )
+    with pytest.raises(ValueError, match="no current version"):
+        cat.fold_changes_into_extrema(
+            retract_max, "Up", "X", ["grp"], "v"
+        )
+    # a retraction that does NOT tie an extremum still folds fine
+    retract_mid = spark.createDataFrame(
+        [("I", 3, "a", 7.0)], "op string, pk long, grp string, v double"
+    )
+    cat.fold_changes_into_extrema(retract_mid, "Up", "X", ["grp"], "v")
+    row = cat.read("X").collect()[0]
+    assert (row["n"], row["min_v"], row["max_v"]) == (3, 5.0, 10.0)
+
+
+def test_join_fold_unpersists_feeds_on_every_exit(spark, tmp_path):
+    """The fold persists both feeds eagerly; the early no-op return
+    (feed_b given, nothing standing to fold) and a failing merge must
+    both release them - RDD-id SET tracking, isolated from the async
+    ContextCleaner (ADVICE r13)."""
+    sc = spark.sparkContext
+    cat = _cat(spark, tmp_path)
+
+    def _persisted_ids() -> set[int]:
+        return {
+            int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()
+        }
+
+    # exit 1: early return - feed_b only, no index/join tables exist
+    before = _persisted_ids()
+    feed_b = spark.createDataFrame(
+        [("I", 5, 1)], "op string, fk long, w long"
+    )
+    cat.fold_changes_into_join(
+        None, feed_b, "J", "AIdx", "B", ["pk"], ["fk"], num_buckets=4
+    )
+    leaked = _persisted_ids() - before
+    assert not leaked, leaked
+
+    # exit 2: a failing fold (post-image-only 'U' raises in the merge)
+    cat.merge_upsert(
+        spark.createDataFrame([(1, 2)], "fk long, w long"),
+        "B", ["fk"], num_buckets=4,
+    )
+    before = _persisted_ids()
+    bad = spark.createDataFrame(
+        [("U", 1, 1, 9)], "op string, pk long, fk long, cents long"
+    )
+    with pytest.raises(Exception, match="preimage feed"):
+        cat.fold_changes_into_join(
+            bad, None, "J", "AIdx", "B", ["pk"], ["fk"], num_buckets=4
+        )
+    leaked = _persisted_ids() - before
+    assert not leaked, leaked
