@@ -3497,6 +3497,194 @@ def dim_minmax_ivm(spark, sf_dir):
     return cat.read("X").select("g", "n", "n_vals", "min_v", "max_v")
 
 
+#: per-invocation sequence for the COUNT DISTINCT-IVM query
+_HLLIVM_SEQ = _itertools.count()
+
+_HLL_EMPTY_REGSUM = SK.HLL_M * (1 << SK._HLL_RHO_MAX)
+
+@register(
+    "dim_distinct_ivm",
+    f"""
+    WITH o AS (
+      SELECT o_orderkey AS k, coalesce(o_orderstatus, '') AS g,
+             o_custkey AS v
+      FROM orders WHERE o_orderkey IS NOT NULL
+    ), mx AS (SELECT max(k) AS mk FROM o),
+    u1 AS (
+      -- after day 1: inserts k%3=0; value CHANGES (v+1000000) where
+      -- k%7=0; group moves to 'M' where k%11=0; deletes k%5=0
+      SELECT k,
+             CASE WHEN k % 3 <> 0 AND k % 7 <> 0 AND k % 11 = 0
+                  THEN 'M' ELSE g END AS g,
+             CASE WHEN k % 3 <> 0 AND k % 7 = 0 THEN v + 1000000
+                  ELSE v END AS v
+      FROM o
+      WHERE k % 3 = 0
+         OR NOT (k % 7 <> 0 AND k % 11 <> 0 AND k % 5 = 0)
+      UNION ALL
+      -- day-1 sentinels: a LAST-COPY value next to a surviving one,
+      -- a value carried by TWO rows, an all-NULL group
+      SELECT mk + 1, 'SS', 777701 FROM mx
+      UNION ALL SELECT mk + 5, 'SS', 777702 FROM mx
+      UNION ALL SELECT mk + 2, 'XX', 999992 FROM mx
+      UNION ALL SELECT mk + 3, 'XX', 999992 FROM mx
+      UNION ALL SELECT mk + 4, 'NN', CAST(NULL AS BIGINT) FROM mx
+    ), u2 AS (
+      -- day 2: delete the LAST copy of 777701 (its register must
+      -- drop - re-derivation) and ONE of 999992's two copies (its
+      -- register must survive); 'NN' gains its first value
+      SELECT u1.* FROM u1 CROSS JOIN mx
+      WHERE u1.k NOT IN (mx.mk + 1, mx.mk + 2)
+      UNION ALL SELECT mk + 6, 'NN', 424242 FROM mx
+    ),
+    {SK.hll_oracle_sql("u2", "v", ["g"])},
+    cnts AS (
+      SELECT g, count(*) AS n, count(v) AS n_vals,
+             cast(count(DISTINCT v) AS BIGINT) AS exact_distinct
+      FROM u2 GROUP BY g
+    )
+    SELECT c.g, c.n, c.n_vals,
+           coalesce(h.n_registers, 0) AS n_registers,
+           coalesce(h.register_sum, {_HLL_EMPTY_REGSUM}) AS register_sum,
+           coalesce(floor(h.hll_estimate * 100) / 100, 0.0) AS hll_est,
+           c.exact_distinct
+    FROM cnts c LEFT JOIN hll_est h ON c.g = h.g
+    """,
+)
+def dim_distinct_ivm(spark, sf_dir):
+    """Round-14 (VERDICT r13 #4): per-group COUNT DISTINCT IVM - the
+    remaining non-retractable aggregate family, closed with
+    HLL-register folds (ParquetCatalog.fold_changes_into_hll). A
+    standing (g, n, n_vals, regs) sketch table subscribes to preimage
+    changefeeds of the group-bucketed upstream: counts fold
+    retractably, inserts only RAISE registers (per-bucket max - the
+    same monotonicity that makes hll_merge lossless), and exactly the
+    groups where a retracted value's rho TIES its bucket's standing
+    register max re-derive through a bucket-pruned read of the
+    post-state upstream (the fold_changes_into_extrema idiom). Day 1:
+    inserts, value changes (U_pre retractions), group moves, deletes,
+    plus sentinels pinning the edge set (a last-copy value, a value
+    carried by two rows, an all-NULL group). Day 2 deletes the last
+    copy (register drops - re-derivation) and one of the tied pair
+    (register survives), and the all-NULL group gains its first
+    value. Oracle = the register algebra replayed in DuckDB over the
+    final upstream state (identical md5 bucket/rho split -
+    hll_oracle_sql) plus exact COUNT(DISTINCT) and count arms."""
+    import re
+
+    from ghcrawler_datalake_etl_spark.operators.sketches import (
+        hll_estimate_from_registers,
+    )
+    from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey").isNotNull())
+    k = F.col("o_orderkey")
+    g = F.coalesce(F.col("o_orderstatus"), F.lit(""))
+    v = F.col("o_custkey")
+    mk = o.agg(F.max(k)).collect()[0][0]
+    mk = 0 if mk is None else mk  # empty-table robustness
+    u0 = o.filter(k % 3 != 0).select(
+        k.alias("k"), g.alias("g"), v.alias("v")
+    )
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    cat = ParquetCatalog(
+        spark, _run_tmp(f"hll_wh_{tag}_{next(_HLLIVM_SEQ)}"), retain=3
+    )
+    cat.merge_upsert(u0, "U", ["k"], num_buckets=16, bucket_cols=["g"])
+    # bootstrap the sketch table via the all-'I' fold arm (the
+    # extrema/stats queries pin the DIRECT-construction arm; this one
+    # exercises the fold's own bootstrap path)
+    cat.fold_changes_into_hll(
+        u0.selectExpr("'I' AS op", "*"), "U", "H", ["g"], "v",
+        num_buckets=8,
+    )
+    # day 1: inserts + sentinels + value changes + group moves; deletes
+    sent = spark.createDataFrame(
+        [
+            (mk + 1, "SS", 777701),
+            (mk + 5, "SS", 777702),
+            (mk + 2, "XX", 999992),
+            (mk + 3, "XX", 999992),
+            (mk + 4, "NN", None),
+        ],
+        "k long, g string, v long",
+    )
+    d1 = (
+        o.filter(k % 3 == 0)
+        .select(k.alias("k"), g.alias("g"), v.alias("v"))
+        .unionByName(sent)
+        .unionByName(
+            o.filter((k % 3 != 0) & (k % 7 == 0)).select(
+                k.alias("k"), g.alias("g"), (v + 1000000).alias("v")
+            )
+        )
+        .unionByName(
+            o.filter((k % 3 != 0) & (k % 7 != 0) & (k % 11 == 0)).select(
+                k.alias("k"), F.lit("M").alias("g"), v.alias("v")
+            )
+        )
+    )
+    pre1 = (
+        o.filter((k % 3 != 0) & (k % 7 != 0) & (k % 11 == 0))
+        .select(k.alias("k"), g.alias("g"))
+        .unionByName(
+            o.filter(
+                (k % 3 != 0) & (k % 7 != 0) & (k % 11 != 0) & (k % 5 == 0)
+            ).select(k.alias("k"), g.alias("g"))
+        )
+    )
+    cat.merge_upsert(
+        d1, "U", ["k"], num_buckets=16, bucket_cols=["g"],
+        delete_keys=pre1,
+    )
+    cat.fold_changes_into_hll(
+        cat.table_changes("U", 0, 1, with_preimages=True),
+        "U", "H", ["g"], "v", num_buckets=8,
+    )
+    # day 2: last-copy + tied-copy retractions; 'NN' gains a value
+    d2 = spark.createDataFrame(
+        [(mk + 6, "NN", 424242)], "k long, g string, v long"
+    )
+    pre2 = spark.createDataFrame(
+        [(mk + 1, "SS"), (mk + 2, "XX")], "k long, g string"
+    )
+    cat.merge_upsert(
+        d2, "U", ["k"], num_buckets=16, bucket_cols=["g"],
+        delete_keys=pre2,
+    )
+    cat.fold_changes_into_hll(
+        cat.table_changes("U", 1, 2, with_preimages=True),
+        "U", "H", ["g"], "v", num_buckets=8,
+    )
+    h = cat.read("H")
+    est = hll_estimate_from_registers(
+        h.select("g", F.explode("regs").alias("bucket", "m_rho")), ["g"]
+    )
+    exact = (
+        cat.read("U")
+        .filter(F.col("v").isNotNull())
+        .groupBy("g")
+        .agg(F.countDistinct("v").alias("_exact"))
+    )
+    return (
+        h.join(est, ["g"], "left")
+        .join(exact, ["g"], "left")
+        .select(
+            "g",
+            "n",
+            "n_vals",
+            F.coalesce("n_registers", F.lit(0)).alias("n_registers"),
+            F.coalesce(
+                "register_sum", F.lit(_HLL_EMPTY_REGSUM)
+            ).alias("register_sum"),
+            quantize(
+                F.coalesce("hll_estimate", F.lit(0.0)), 2
+            ).alias("hll_est"),
+            F.coalesce("_exact", F.lit(0)).alias("exact_distinct"),
+        )
+    )
+
+
 #: per-invocation sequence for the streaming-join-IVM query
 _SJIVM_SEQ = _itertools.count()
 
@@ -10032,6 +10220,8 @@ _DRIVER_ORDER = [
     "stream_join_ivm",
     "stream_aggregate_ivm",
     "pipeline_ivm_gold",
+    # -- round-14 NEW operators --
+    "dim_distinct_ivm",
     # -- newest-r8 cohort (oldest evidence; parity core re-green) --
     "dim_scd2_user_state",
     "j7_edit_distance_join",

@@ -1048,6 +1048,209 @@ class ParquetCatalog:
         finally:
             folded.unpersist(blocking=False)
 
+    def fold_changes_into_hll(
+        self,
+        feed: DataFrame,
+        upstream_table: str,
+        hll_table: str,
+        group_cols: Sequence[str],
+        value_col: str,
+        op_col: str = "op",
+        num_buckets: int = 16,
+    ) -> None:
+        """IVM of a standing per-group COUNT DISTINCT sketch table
+        (group, n, n_vals, regs map<bucket, m_rho>) from a preimage
+        changefeed - the remaining non-retractable aggregate family
+        after :meth:`fold_changes_into_stats` (count/sum) and
+        :meth:`fold_changes_into_extrema` (min/max). The registers are
+        the HyperLogLog state of ``operators/sketches.hll_registers``
+        (identical hashing), so the maintained table estimates
+        ``COUNT(DISTINCT value)`` per group on demand via
+        ``hll_estimate_from_registers`` without ever rescanning the
+        upstream.
+
+        The fold follows the extrema idiom - incremental everywhere
+        the register algebra is exact, re-derive ONLY where it is not:
+
+        * ``n`` / ``n_vals`` fold retractably (+1/-1, exact under any
+          order);
+        * an INSERT only ever RAISES registers: the new value's
+          (bucket, rho) folds as ``m_rho = greatest(prior, rho)`` -
+          register max is monotone, exactly the property that makes
+          HLL registers mergeable (``hll_merge``);
+        * a D/U_pre whose rho TIES its bucket's standing ``m_rho`` may
+          have been the last value attaining that register (a register
+          cannot retract - deleting the max-rho value says nothing
+          about the runner-up): exactly those groups re-derive their
+          registers with a :meth:`read_pruned` point read of the
+          POST-state upstream, which must therefore be maintained with
+          ``bucket_cols=group_cols`` - O(touched groups), never an
+          upstream scan. A retraction whose rho sits strictly below
+          the register max folds as a pure count change (another value
+          still attains the register). Groups whose count reaches
+          zero are deleted.
+
+        Fold AFTER landing the upstream's day (the re-derivation reads
+        the post-state; re-deriving with no upstream current version
+        raises loudly). A plain post-image-only 'U' raises loudly.
+        Values of any type (hashed as strings, the sketch convention);
+        NULL values never touch registers, mirroring the
+        ``WHERE value IS NOT NULL`` of every HLL oracle."""
+        from ghcrawler_datalake_etl_spark.operators.sketches import (
+            _empty_regs,
+            hll_bucket_rho,
+            hll_registers,
+        )
+
+        group_cols = list(group_cols)
+        meta = self._merge_meta(upstream_table)
+        if meta is None or (
+            meta.get("bucket_cols") or meta["key_cols"]
+        ) != group_cols:
+            raise ValueError(
+                "fold_changes_into_hll re-derives tied groups through "
+                f"bucket-pruned reads: {upstream_table!r} must be "
+                f"merged with bucket_cols={group_cols!r} (have "
+                f"{None if meta is None else meta.get('bucket_cols', meta['key_cols'])!r})"
+            )
+        guard = _preimage_op_guard(op_col, "fold_changes_into_hll")
+        feed = feed.withColumn(op_col, guard).persist()
+        feed.count()  # eager: counts, insert regs, and retractions
+        try:
+            ins = F.col(op_col).isin("I", "U_post")
+            rem = F.col(op_col).isin("D", "U_pre")
+            sign = F.when(ins, F.lit(1)).otherwise(F.lit(-1))
+            v = F.col(value_col)
+            counts = feed.groupBy(*group_cols).agg(
+                F.sum(sign).cast("long").alias("_dn"),
+                F.sum(F.when(v.isNotNull(), sign).otherwise(F.lit(0)))
+                .cast("long")
+                .alias("_dnv"),
+            )
+            ireg = hll_registers(feed.filter(ins), value_col, group_cols)
+            bucket, rho = hll_bucket_rho(v)
+            rreg = (
+                feed.filter(rem & v.isNotNull())
+                .select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+                .groupBy(*group_cols, "bucket")
+                .agg(F.max("rho").alias("_r_rho"))
+            )
+            standing = (
+                self.read_pruned(hll_table, feed.select(*group_cols))
+                if self.exists(hll_table)
+                else None
+            )
+            if standing is not None:
+                sregs = standing.select(
+                    *group_cols, F.explode("regs").alias("bucket", "m_rho")
+                )
+                scounts = standing.select(
+                    *group_cols,
+                    F.col("n").alias("_pn"),
+                    F.col("n_vals").alias("_pnv"),
+                )
+                # a retraction whose rho ties (or, inconsistently,
+                # exceeds/misses) its bucket's standing register max
+                # invalidates the register - the group re-derives
+                red_groups = (
+                    rreg.join(sregs, [*group_cols, "bucket"], "left")
+                    .filter(
+                        F.col("m_rho").isNull()
+                        | (F.col("_r_rho") >= F.col("m_rho"))
+                    )
+                    .select(*group_cols)
+                    .distinct()
+                )
+            else:
+                scounts = None
+                sregs = None
+                red_groups = rreg.select(*group_cols).limit(0)
+            if scounts is not None:
+                folded = counts.join(F.broadcast(scounts), group_cols, "left")
+            else:
+                folded = counts.withColumn(
+                    "_pn", F.lit(None).cast("long")
+                ).withColumn("_pnv", F.lit(None).cast("long"))
+            folded = folded.select(
+                *group_cols,
+                (F.coalesce(F.col("_pn"), F.lit(0)) + F.col("_dn")).alias(
+                    "n"
+                ),
+                (F.coalesce(F.col("_pnv"), F.lit(0)) + F.col("_dnv")).alias(
+                    "n_vals"
+                ),
+            ).persist()
+            folded.count()  # eager: live, dels, and both register arms
+            try:
+                live = folded.filter(F.col("n") > 0)
+                dels = (
+                    folded.filter(F.col("n") <= 0)
+                    .select(*group_cols)
+                    .distinct()
+                )
+                red_groups = red_groups.join(
+                    live.select(*group_cols), group_cols, "semi"
+                )
+                # incremental arm: registers = per-bucket max of the
+                # standing registers union the insert registers
+                inc = live.join(red_groups, group_cols, "left_anti")
+                reg_src = ireg if sregs is None else sregs.unionByName(
+                    ireg.select(*sregs.columns)
+                )
+                inc_regs = (
+                    reg_src.join(
+                        F.broadcast(inc.select(*group_cols)),
+                        group_cols,
+                        "semi",
+                    )
+                    .groupBy(*group_cols, "bucket")
+                    .agg(F.max("m_rho").alias("m_rho"))
+                    .groupBy(*group_cols)
+                    .agg(
+                        F.map_from_entries(
+                            F.collect_list(F.struct("bucket", "m_rho"))
+                        ).alias("regs")
+                    )
+                )
+                ups = inc.join(inc_regs, group_cols, "left").withColumn(
+                    "regs", F.coalesce("regs", _empty_regs())
+                )
+                # re-derive arm: fresh registers from the post-state
+                # upstream, read bucket-pruned (touched groups only)
+                pruned = self.read_pruned(upstream_table, red_groups)
+                if pruned is not None:
+                    fresh = (
+                        hll_registers(pruned, value_col, group_cols)
+                        .groupBy(*group_cols)
+                        .agg(
+                            F.map_from_entries(
+                                F.collect_list(F.struct("bucket", "m_rho"))
+                            ).alias("regs")
+                        )
+                    )
+                    red = (
+                        live.join(red_groups, group_cols, "semi")
+                        .join(F.broadcast(fresh), group_cols, "left")
+                        .withColumn("regs", F.coalesce("regs", _empty_regs()))
+                    )
+                    ups = ups.unionByName(red.select(*ups.columns))
+                elif red_groups.limit(1).count() > 0:
+                    raise ValueError(
+                        f"fold_changes_into_hll: {upstream_table!r} has "
+                        "no current version but the feed retracts "
+                        "standing register maxima that must re-derive "
+                        "from it - land the upstream's day before "
+                        "folding"
+                    )
+                self.merge_upsert(
+                    ups, hll_table, group_cols,
+                    num_buckets=num_buckets, delete_keys=dels,
+                )
+            finally:
+                folded.unpersist(blocking=False)
+        finally:
+            feed.unpersist(blocking=False)
+
     def compact(
         self,
         name: str,

@@ -769,3 +769,135 @@ def test_join_fold_unpersists_feeds_on_every_exit(spark, tmp_path):
         )
     leaked = _persisted_ids() - before
     assert not leaked, leaked
+
+
+# ---------------------------------------------------------------------
+# COUNT DISTINCT IVM: fold_changes_into_hll (round 14)
+# ---------------------------------------------------------------------
+
+
+def _hll_state(cat):
+    return {
+        r["g"]: (r["n"], r["n_vals"], dict(r["regs"]))
+        for r in cat.read("H").collect()
+    }
+
+
+def _hll_want(df):
+    from ghcrawler_datalake_etl_spark.operators.sketches import (
+        hll_registers,
+    )
+
+    regs = {}
+    for r in hll_registers(df, "v", ["g"]).collect():
+        regs.setdefault(r["g"], {})[r["bucket"]] = r["m_rho"]
+    return {
+        r["g"]: (r["n"], r["nv"], regs.get(r["g"], {}))
+        for r in df.groupBy("g").agg(
+            F.count("*").alias("n"), F.count("v").alias("nv")
+        ).collect()
+    }
+
+
+def test_hll_ivm_scenario_last_copy_tied_copy_moves_and_emptying(
+    spark, tmp_path
+):
+    """The COUNT DISTINCT fold's edge set in one evolution: deleting
+    the LAST copy of a value must drop its register contribution
+    (re-derivation), deleting ONE of two copies of the same value must
+    leave the register standing (the re-derived post-state still
+    attains it), a group-moving update retracts from the old group and
+    raises the new one, NULL values never touch registers, and an
+    emptied group's row is deleted."""
+    cat = _cat(spark, tmp_path)
+    up0 = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "y"), (3, "a", "x"), (4, "b", "z"),
+         (5, "b", None)],
+        "pk long, g string, v string",
+    )
+    cat.merge_upsert(up0, "U", ["pk"], num_buckets=4, bucket_cols=["g"])
+    cat.fold_changes_into_hll(
+        up0.selectExpr("'I' AS op", "*"), "U", "H", ["g"], "v"
+    )
+    assert _hll_state(cat) == _hll_want(cat.read("U"))
+
+    # day 1: last-copy delete ('y'), tied-copy delete (one 'x'),
+    # group move (pk 4: b -> a), insert, NULL insert
+    cat.merge_upsert(
+        spark.createDataFrame(
+            [(6, "b", "w"), (4, "a", "z"), (7, "b", None)],
+            "pk long, g string, v string",
+        ),
+        "U", ["pk"], num_buckets=4, bucket_cols=["g"],
+        delete_keys=spark.createDataFrame(
+            [(2, "a"), (1, "a"), (4, "b")], "pk long, g string"
+        ),
+    )
+    cat.fold_changes_into_hll(
+        cat.table_changes("U", 0, 1, with_preimages=True),
+        "U", "H", ["g"], "v",
+    )
+    assert _hll_state(cat) == _hll_want(cat.read("U"))
+
+    # day 2: empty group 'a' entirely - its H row must vanish
+    cat.merge_upsert(
+        cat.read("U").limit(0), "U", ["pk"], num_buckets=4,
+        bucket_cols=["g"],
+        delete_keys=spark.createDataFrame(
+            [(3, "a"), (4, "a")], "pk long, g string"
+        ),
+    )
+    cat.fold_changes_into_hll(
+        cat.table_changes("U", 1, 2, with_preimages=True),
+        "U", "H", ["g"], "v",
+    )
+    got = _hll_state(cat)
+    assert got == _hll_want(cat.read("U"))
+    assert "a" not in got
+
+
+def test_hll_ivm_requires_group_bucketed_upstream(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    up = spark.createDataFrame(
+        [(1, "a", "x")], "pk long, g string, v string"
+    )
+    cat.merge_upsert(up, "U", ["pk"], num_buckets=4)  # key-bucketed
+    with pytest.raises(ValueError, match="bucket_cols"):
+        cat.fold_changes_into_hll(
+            up.selectExpr("'I' AS op", "*"), "U", "H", ["g"], "v"
+        )
+
+
+def test_hll_ivm_raises_when_rederive_has_no_upstream(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    up = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "y")], "pk long, g string, v string"
+    )
+    cat.merge_upsert(up, "U", ["pk"], num_buckets=4, bucket_cols=["g"])
+    cat.fold_changes_into_hll(
+        up.selectExpr("'I' AS op", "*"), "U", "H", ["g"], "v"
+    )
+    os.remove(str(tmp_path / "wh" / "U" / "_CURRENT"))
+    with pytest.raises(ValueError, match="no current version"):
+        cat.fold_changes_into_hll(
+            spark.createDataFrame(
+                [("D", 1, "a", "x")], "op string, pk long, g string, v string"
+            ),
+            "U", "H", ["g"], "v",
+        )
+
+
+def test_hll_ivm_rejects_post_image_only_feed(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    up = spark.createDataFrame(
+        [(1, "a", "x")], "pk long, g string, v string"
+    )
+    cat.merge_upsert(up, "U", ["pk"], num_buckets=4, bucket_cols=["g"])
+    with pytest.raises(Exception, match="preimage feed"):
+        cat.fold_changes_into_hll(
+            spark.createDataFrame(
+                [("U", 1, "a", "q")],
+                "op string, pk long, g string, v string",
+            ),
+            "U", "H", ["g"], "v",
+        )

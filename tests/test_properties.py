@@ -1561,3 +1561,88 @@ def test_mmr_rerank_matches_bruteforce(spark, cands, lam):
         sel.append((best[0], (best[2], nrm(best[2]))))
         want.append((best[0], rank, best[1]))
     assert got == want
+
+
+@settings(max_examples=5, deadline=None, derandomize=True)
+@given(
+    st.lists(  # initial table: (key, group, value-or-null)
+        st.tuples(st.integers(0, 15), st.integers(0, 2),
+                  st.one_of(st.none(), st.integers(0, 4))),
+        min_size=0, max_size=8, unique_by=lambda t: t[0],
+    ),
+    st.lists(  # days of ops: (key, group, value-or-null, is_delete)
+        st.lists(
+            st.tuples(st.integers(0, 15), st.integers(0, 2),
+                      st.one_of(st.none(), st.integers(0, 4)),
+                      st.booleans()),
+            min_size=0, max_size=6, unique_by=lambda t: t[0],
+        ),
+        min_size=1, max_size=3,
+    ),
+)
+def test_hll_fold_matches_recompute_property(spark, init, days):
+    """Round-14 COUNT DISTINCT-IVM property: for ANY upstream evolution
+    (inserts, group-moving updates, deletes incl. of the last copy of a
+    value and of missing keys, duplicate values within a group, NULL
+    values, groups emptying and reappearing), a standing (n, n_vals,
+    regs) HLL table maintained purely by folding preimage changefeeds -
+    with tied-register re-derivation through the group-bucketed
+    upstream - must carry registers BIT-IDENTICAL to hll_registers over
+    the final upstream state (and exact retractable counts). The small
+    value domain (0..4) forces heavy duplicate-value collisions, the
+    case where a retraction must NOT drop a register another copy
+    still attains."""
+    import tempfile
+
+    from ghcrawler_datalake_etl_spark.operators.sketches import (
+        hll_registers,
+    )
+    from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
+
+    SCHEMA = "k long, g long, v long"
+    cat = ParquetCatalog(
+        spark, tempfile.mkdtemp(prefix="hll_prop_"), retain=2
+    )
+    state = {k: (g, v) for k, g, v in init}
+    s0 = spark.createDataFrame(init, SCHEMA)
+    cat.merge_upsert(s0, "U", ["k"], num_buckets=4, bucket_cols=["g"])
+    cat.fold_changes_into_hll(
+        s0.select(F.lit("I").alias("op"), "k", "g", "v"),
+        "U", "H", ["g"], "v", num_buckets=2,
+    )
+    for v_i, ops in enumerate(days):
+        ups = [(k, g, val) for k, g, val, d in ops if not d]
+        touched = [k for k, g, val, d in ops]
+        pre = [(k, state[k][0]) for k in touched if k in state]
+        cat.merge_upsert(
+            spark.createDataFrame(ups, SCHEMA), "U", ["k"],
+            num_buckets=4, bucket_cols=["g"],
+            delete_keys=spark.createDataFrame(pre, "k long, g long"),
+        )
+        for k, g, val, d in ops:
+            if d:
+                state.pop(k, None)
+            else:
+                state[k] = (g, val)
+        cat.fold_changes_into_hll(
+            cat.table_changes("U", v_i, v_i + 1, with_preimages=True),
+            "U", "H", ["g"], "v", num_buckets=2,
+        )
+    got = {
+        r["g"]: (r["n"], r["n_vals"], tuple(sorted(r["regs"].items())))
+        for r in cat.read("H").collect()
+    }
+    final = cat.read("U")
+    regs = {}
+    for r in hll_registers(final, "v", ["g"]).collect():
+        regs.setdefault(r["g"], {})[r["bucket"]] = r["m_rho"]
+    want = {
+        r["g"]: (
+            r["n"], r["n_vals"],
+            tuple(sorted(regs.get(r["g"], {}).items())),
+        )
+        for r in final.groupBy("g").agg(
+            F.count("*").alias("n"), F.count("v").alias("n_vals")
+        ).collect()
+    }
+    assert got == want
