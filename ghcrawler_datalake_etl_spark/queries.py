@@ -3820,6 +3820,188 @@ def stream_join_ivm(spark, sf_dir):
     return cat.read("J").select("k", "ck", "cents", "nat", "acct")
 
 
+#: per-invocation sequence for the two-upstream streaming-join-IVM query
+_SJIVM2_SEQ = _itertools.count()
+
+
+@register(
+    "stream_join_ivm_two_upstream",
+    """
+    WITH o AS (
+      SELECT o_orderkey AS k, o_custkey AS ck0,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey IS NOT NULL
+    ), c AS (
+      SELECT c_custkey AS ck, c_nationkey AS nat,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS acct
+      FROM customer WHERE c_custkey IS NOT NULL
+    ), a_final AS (
+      -- A after its day 1: inserts k%3=0; FK MOVES + cents+5 where
+      -- k%7=0; deletes k%11=0 (k%3<>0, k%7<>0)
+      SELECT k,
+             CASE WHEN k % 3 <> 0 AND k % 7 = 0
+                  THEN CASE WHEN ck0 % 2 = 0 THEN ck0 + 1
+                            ELSE ck0 - 1 END
+                  ELSE ck0 END AS ck,
+             CASE WHEN k % 3 <> 0 AND k % 7 = 0 THEN cents + 5
+                  ELSE cents END AS cents
+      FROM o
+      WHERE k % 3 = 0 OR NOT (k % 7 <> 0 AND k % 11 = 0)
+    ), b_final AS (
+      -- B after its day 1: deletes ck%9=0; acct DOUBLES where ck%4=0
+      SELECT ck, nat,
+             CASE WHEN ck % 4 = 0 THEN acct * 2 ELSE acct END AS acct
+      FROM c WHERE ck % 9 <> 0
+    )
+    SELECT a.k, a.ck, a.cents, b.nat, b.acct
+    FROM a_final a JOIN b_final b ON a.ck = b.ck
+    """,
+)
+def stream_join_ivm_two_upstream(spark, sf_dir):
+    """Round-14 (VERDICT r13 #3): TWO-UPSTREAM streaming join IVM -
+    the fact arm (streaming/ingest.stream_join_ivm) and the new
+    dimension arm (stream_join_ivm_dim) ALTERNATE under the
+    serialized-alternation contract, so BOTH upstreams of the standing
+    materialized join evolve through streams. Four REAL availableNow
+    runs: (1) the fact stream bootstraps A and its join-key index
+    while B does not exist yet (the fold tolerates the missing side -
+    J stays empty); (2) the dimension stream bootstraps B and J
+    materializes entirely through the dB-probes-index term; (3) the
+    fact stream's CDC day lands inserts, FK-moving updates, and
+    deletes against the streamed B; (4) the dimension stream's CDC day
+    doubles accounts and deletes keys, cascading through the index on
+    an A-quiet run. Each arm keeps its own per-trigger version ledger
+    (exactly-once under replay). The oracle is the from-scratch join
+    of BOTH final upstream states - the VERDICT's done-criterion."""
+    import os
+    import re
+    import shutil
+
+    from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
+    from ghcrawler_datalake_etl_spark.streaming.ingest import (
+        stream_join_ivm as _sji,
+        stream_join_ivm_dim as _sjd,
+    )
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey").isNotNull())
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_custkey").isNotNull()
+    )
+    k = F.col("o_orderkey")
+    ck0 = F.col("o_custkey")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    ckc = F.col("c_custkey")
+    nat = F.col("c_nationkey")
+    acct = F.floor(F.col("c_acctbal") * 100).cast("long")
+    a_day0 = o.filter(k % 3 != 0).select(
+        F.lit("I").alias("op"), k.alias("k"), ck0.alias("ck"),
+        cents.alias("cents"),
+    )
+    moved_ck = F.when(ck0 % 2 == 0, ck0 + 1).otherwise(ck0 - 1)
+    a_day1 = (
+        o.filter(k % 3 == 0)
+        .select(
+            F.lit("I").alias("op"), k.alias("k"), ck0.alias("ck"),
+            cents.alias("cents"),
+        )
+        .unionByName(
+            o.filter((k % 3 != 0) & (k % 7 == 0)).select(
+                F.lit("U").alias("op"), k.alias("k"),
+                moved_ck.alias("ck"), (cents + 5).alias("cents"),
+            )
+        )
+        .unionByName(
+            o.filter((k % 3 != 0) & (k % 7 != 0) & (k % 11 == 0)).select(
+                F.lit("D").alias("op"), k.alias("k"), ck0.alias("ck"),
+                cents.alias("cents"),
+            )
+        )
+    )
+    b_day0 = c.select(
+        F.lit("I").alias("op"), ckc.alias("ck"), nat.alias("nat"),
+        acct.alias("acct"),
+    )
+    b_day1 = (
+        c.filter((ckc % 9 != 0) & (ckc % 4 == 0)).select(
+            F.lit("U").alias("op"), ckc.alias("ck"), nat.alias("nat"),
+            (acct * 2).alias("acct"),
+        )
+        .unionByName(
+            c.filter(ckc % 9 == 0).select(
+                F.lit("D").alias("op"), ckc.alias("ck"),
+                nat.alias("nat"), acct.alias("acct"),
+            )
+        )
+    )
+    global _SJIVM2_STAGED
+    try:
+        _SJIVM2_STAGED
+    except NameError:
+        _SJIVM2_STAGED = set()
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    sroot = _run_tmp(f"sjivm2_{tag}")
+    if sf_dir not in _SJIVM2_STAGED:
+        for nm, day in (
+            ("a0", a_day0), ("a1", a_day1), ("b0", b_day0), ("b1", b_day1)
+        ):
+            day.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(sroot, nm)
+            )
+        _SJIVM2_STAGED.add(sf_dir)
+
+    def _day_file(nm: str) -> str:
+        d = os.path.join(sroot, nm)
+        return os.path.join(
+            d, next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        )
+
+    seq = next(_SJIVM2_SEQ)
+    root = _run_tmp(f"sjivm2_{tag}_{seq}")
+    a_in = os.path.join(root, "a_in")
+    b_in = os.path.join(root, "b_in")
+    os.makedirs(a_in, exist_ok=True)
+    os.makedirs(b_in, exist_ok=True)
+    cat = ParquetCatalog(spark, os.path.join(root, "wh"), retain=3)
+    A_SCHEMA = "op string, k long, ck long, cents long"
+    B_SCHEMA = "op string, ck long, nat long, acct long"
+
+    def _stage(dirname: str, nm: str) -> None:
+        try:
+            os.link(_day_file(nm), os.path.join(dirname, f"{nm}.parquet"))
+        except OSError:
+            shutil.copy(
+                _day_file(nm), os.path.join(dirname, f"{nm}.parquet")
+            )
+
+    def _run_a() -> None:
+        _sji(
+            spark.readStream.schema(A_SCHEMA).parquet(a_in),
+            cat, "A", "J", "AIdx", "B", ["k"], ["ck"],
+            os.path.join(root, "a_feed"), os.path.join(root, "a_ck"),
+            num_buckets=16,
+        ).awaitTermination()
+
+    def _run_b() -> None:
+        _sjd(
+            spark.readStream.schema(B_SCHEMA).parquet(b_in),
+            cat, "B", "J", "AIdx", ["k"], ["ck"],
+            os.path.join(root, "b_feed"), os.path.join(root, "b_ck"),
+            num_buckets=16,
+        ).awaitTermination()
+
+    # serialized alternation: A0 (B absent), B0 (J materializes via
+    # dB), A1 (CDC vs streamed B), B1 (CDC cascading via the index)
+    _stage(a_in, "a0")
+    _run_a()
+    _stage(b_in, "b0")
+    _run_b()
+    _stage(a_in, "a1")
+    _run_a()
+    _stage(b_in, "b1")
+    _run_b()
+    return cat.read("J").select("k", "ck", "cents", "nat", "acct")
+
+
 #: per-invocation sequence for the chained-IVM gold query
 _GOLD_SEQ = _itertools.count()
 
@@ -10222,6 +10404,7 @@ _DRIVER_ORDER = [
     "pipeline_ivm_gold",
     # -- round-14 NEW operators --
     "dim_distinct_ivm",
+    "stream_join_ivm_two_upstream",
     # -- newest-r8 cohort (oldest evidence; parity core re-green) --
     "dim_scd2_user_state",
     "j7_edit_distance_join",

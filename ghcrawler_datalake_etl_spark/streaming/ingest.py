@@ -890,8 +890,11 @@ def stream_join_ivm(
     Bootstrap: the first trigger against a missing A table emits the
     whole snapshot as inserts, which builds J and the index from
     nothing - no pre-staging step. B evolves out-of-band via the
-    batch fold (fold_changes_into_join's feed_b arm); this arm is the
-    A-side stream, the production fact-stream shape."""
+    batch fold (fold_changes_into_join's feed_b arm) or through its
+    own streaming arm (:func:`stream_join_ivm_dim` - the two-upstream
+    composition, whose serialized-alternation contract is documented
+    there); this arm is the A-side stream, the production
+    fact-stream shape."""
     _require_driver_local(feed_root, "stream_join_ivm")
 
     def _apply(bdf: DataFrame, micro_batch: int) -> None:
@@ -909,6 +912,79 @@ def stream_join_ivm(
         )
         catalog.fold_changes_into_join(
             feed, None, join_table, index_table, b_table,
+            list(a_key_cols), list(join_cols),
+            op_col=op_col, num_buckets=num_buckets,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_join_ivm_dim(
+    stream: DataFrame,
+    catalog,
+    b_table: str,
+    join_table: str,
+    index_table: str,
+    a_key_cols: list[str],
+    join_cols: list[str],
+    feed_root: str,
+    checkpoint: str,
+    op_col: str = "op",
+    seq_col: str | None = None,
+    num_buckets: int = 16,
+) -> StreamingQuery:
+    """The DIMENSION-side streaming arm of the join IVM - together
+    with :func:`stream_join_ivm` (the fact-side arm) it closes the
+    TWO-UPSTREAM CDC loop: BOTH upstreams of a standing materialized
+    FK equi-join can now evolve through streams, each arm maintaining
+    the same join + secondary-index pair. Per micro-batch of (op, key,
+    row) CDC rows on dimension B: apply to the merged B table (keyed
+    by ``join_cols`` - B's primary key IS the join key, the FK-join
+    contract), emit the version diff as a PREIMAGE feed (exactly-once
+    under replay via the per-trigger version ledger), fold it through
+    ``fold_changes_into_join``'s feed_b arm: dB post-images probe the
+    standing A-by-join-key index (a bucket-pruned point read, never an
+    A scan) and dB deletes cascade every dead join key's J rows.
+
+    ORDERING CONTRACT (two-upstream composition): the two arms are
+    SERIALIZED, never concurrent - run each availableNow stream to
+    completion before starting the other (the single-maintainer
+    contract of every catalog table, now spanning both arms because
+    each fold reads the OTHER side's current state). A crashed run
+    must be replayed (restart the SAME arm) before the other arm's
+    next run: within that window the other side's tables are
+    untouched, the ledger re-emits the identical recorded diff, and
+    the key-level fold is idempotent over an identical feed - the
+    crash-replay test drops the checkpoint commit and lands on the
+    same state. Either arm may run first at bootstrap: a missing
+    index/B table folds as "no matching rows yet" and the other arm's
+    first trigger supplies them (fold_changes_into_join tolerates
+    not-yet-created standing tables).
+
+    Cross-trigger ordering per key rides ``seq_col`` exactly as in
+    :func:`stream_apply_changes_feed`."""
+    _require_driver_local(feed_root, "stream_join_ivm_dim")
+
+    def _apply(bdf: DataFrame, micro_batch: int) -> None:
+        import os
+
+        if not bdf.head(1):
+            return
+        _merge_and_emit_changes(
+            catalog, bdf, micro_batch, b_table, list(join_cols),
+            feed_root, op_col, seq_col, num_buckets,
+            with_preimages=True,
+        )
+        feed = bdf.sparkSession.read.parquet(
+            os.path.join(feed_root, f"micro_batch={micro_batch}")
+        )
+        catalog.fold_changes_into_join(
+            None, feed, join_table, index_table, b_table,
             list(a_key_cols), list(join_cols),
             op_col=op_col, num_buckets=num_buckets,
         )
