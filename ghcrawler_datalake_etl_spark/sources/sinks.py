@@ -531,10 +531,23 @@ class ParquetCatalog:
           ordered - which row lands is partition-order dependent -
           matching the reference contract that duplicate sequence
           numbers for one key are a caller error (ADVICE r8 scoped
-          this claim). The sequence column is an
-          ordinary data column: it lands in the table when the table
-          schema carries it, and is projected away by the merge's
-          schema alignment when it does not.
+          this claim). ACROSS feeds (triggers): when the table's
+          schema carries ``seq_col``, a late-arriving op whose
+          sequence does not exceed the standing row's is dropped as
+          stale - out-of-order delivery across triggers folds to the
+          in-order state (the cross-trigger SEQUENCE BY contract,
+          round-14). Exception, documented and test-pinned: a DELETE
+          keeps no tombstone, so a later-trigger lower-sequence op on
+          a deleted key re-applies as first contact - feeds must stay
+          per-key ordered around deletes (or carry the sequence in a
+          table column and re-insert-tolerate). When the table does
+          NOT carry ``seq_col`` the reduction stays within-feed only
+          - the legacy contract (the sequence is then projected away
+          by the merge's schema alignment and nothing remains to
+          compare against). The sequence column is an ordinary data
+          column: it lands in the table when the table schema carries
+          it, and is projected away by the merge's schema alignment
+          when it does not.
         - ``seq_col`` omitted (legacy behavior): when one key carries
           BOTH a delete and an upsert, the upsert wins - the delete
           removes the key's OLD row (anti-join) and the upsert row
@@ -558,6 +571,46 @@ class ParquetCatalog:
                 .where(F.col("__cdc_rn") == 1)
                 .drop("__cdc_rn")
             )
+            # CROSS-TRIGGER ordering (round-14, VERDICT r13 #5): when
+            # the standing table CARRIES the sequence column, an
+            # arriving op whose sequence does not EXCEED the standing
+            # row's is STALE - a late delivery of an op the table has
+            # already moved past - and is dropped, so out-of-order
+            # feeds across triggers fold to the same state as the
+            # in-order replay (the Delta APPLY CHANGES ... SEQUENCE BY
+            # contract, extended from within-feed to across-feed).
+            # The standing-seq read is a bucket-pruned point read of
+            # exactly the feed's keys. LIMIT of the contract: a key
+            # DELETED at sequence S keeps no tombstone, so a
+            # later-trigger op with sequence < S re-applies as if
+            # first contact - cross-trigger ordering around deletes
+            # needs per-key-ordered feeds (the docstring contract).
+            # A table NOT carrying the sequence column keeps the
+            # legacy within-feed-only semantics.
+            meta = self._merge_meta(name)
+            if meta is not None and meta.get("schema"):
+                schema_cols = [
+                    f["name"] for f in json.loads(meta["schema"])["fields"]
+                ]
+                if seq_col in schema_cols:
+                    standing = self.read_pruned(
+                        name, changes.select(*list(key_cols))
+                    )
+                    if standing is not None:
+                        prior = standing.select(
+                            *list(key_cols),
+                            F.col(seq_col).alias("__prior_seq"),
+                        )
+                        changes = (
+                            changes.join(
+                                F.broadcast(prior), list(key_cols), "left"
+                            )
+                            .where(
+                                F.col("__prior_seq").isNull()
+                                | (F.col(seq_col) > F.col("__prior_seq"))
+                            )
+                            .drop("__prior_seq")
+                        )
         ups = changes.where(op != "D").drop(op_col)
         dels = changes.where(op == "D").select(*list(key_cols)).distinct()
         return self.merge_upsert(

@@ -996,3 +996,118 @@ def test_stream_join_ivm_two_upstream_alternating_arms(spark, tmp_path):
         for r in cat.read("A").join(cat.read("B"), "fk").collect()
     }
     assert full == j
+
+
+# ---------------------------------------------------------------------
+# Cross-trigger CDC ordering (round 14): late ops under seq_col
+# ---------------------------------------------------------------------
+
+
+def test_apply_changes_cross_trigger_stale_ops_dropped(spark, tmp_path):
+    """Round-14 (VERDICT r13 #5): when the table carries the sequence
+    column, a later-trigger op whose sequence does not exceed the
+    standing row's is STALE and must be dropped - out-of-order
+    delivery across triggers folds to the in-order state. Mixed-order
+    rigor: stale update, fresh delete, stale update below base, fresh
+    insert, equal-seq re-delivery, and the documented tombstone
+    limitation (a delete keeps no sequence, so a later lower-seq op
+    re-applies as first contact)."""
+    cat = _cat(spark, tmp_path)
+    base = spark.createDataFrame(
+        [(1, 10, 5), (2, 20, 5), (3, 30, 5)], "k long, v long, seq long"
+    )
+    cat.merge_upsert(base, "T", ["k"], num_buckets=4)
+
+    # trigger N+1 arrives first: k=1 moves to seq 7
+    cat.apply_changes(
+        spark.createDataFrame([(1, 17, 7, "U")],
+                              "k long, v long, seq long, op string"),
+        "T", ["k"], seq_col="seq", num_buckets=4,
+    )
+    # trigger N arrives LATE: k=1 seq 6 (stale), k=2 delete seq 6
+    # (fresh), k=3 seq 4 (stale - below its base row), k=4 new
+    cat.apply_changes(
+        spark.createDataFrame(
+            [(1, 16, 6, "U"), (2, None, 6, "D"), (3, 29, 4, "U"),
+             (4, 40, 1, "I")],
+            "k long, v long, seq long, op string",
+        ),
+        "T", ["k"], seq_col="seq", num_buckets=4,
+    )
+    got = {r["k"]: (r["v"], r["seq"]) for r in cat.read("T").collect()}
+    assert got[1] == (17, 7), "stale update must not overwrite"
+    assert 2 not in got, "fresh delete applies"
+    assert got[3] == (30, 5), "update below base sequence is stale"
+    assert got[4] == (40, 1), "new key applies"
+
+    # equal-sequence re-delivery across triggers is stale too
+    cat.apply_changes(
+        spark.createDataFrame([(1, 99, 7, "U")],
+                              "k long, v long, seq long, op string"),
+        "T", ["k"], seq_col="seq", num_buckets=4,
+    )
+    assert {
+        r["k"]: r["v"] for r in cat.read("T").collect()
+    }[1] == 17
+
+    # pinned LIMITATION: no tombstones - delete at seq 8, then a late
+    # seq-6 op re-applies as first contact (docstring contract)
+    cat.apply_changes(
+        spark.createDataFrame([(4, None, 8, "D")],
+                              "k long, v long, seq long, op string"),
+        "T", ["k"], seq_col="seq", num_buckets=4,
+    )
+    cat.apply_changes(
+        spark.createDataFrame([(4, 41, 6, "U")],
+                              "k long, v long, seq long, op string"),
+        "T", ["k"], seq_col="seq", num_buckets=4,
+    )
+    assert {
+        r["k"]: (r["v"], r["seq"]) for r in cat.read("T").collect()
+    }[4] == (41, 6)
+
+
+def test_stream_cdc_feed_cross_trigger_stale_op(spark, tmp_path):
+    """The streaming CDC arm under a cross-trigger late op: the stale
+    op produces NO table change and therefore no feed row, while the
+    fresh op in the same late trigger lands and emits - the r13
+    streaming IVM arms' in-order assumption, closed under seq_col."""
+    from ghcrawler_datalake_etl_spark.streaming.ingest import (
+        stream_apply_changes_feed,
+    )
+
+    cat = _cat(spark, tmp_path)
+    SCHEMA = "op string, k long, v long, seq long"
+    sdir = str(tmp_path / "in")
+    os.makedirs(sdir)
+    feed_root = str(tmp_path / "feed")
+    ck = str(tmp_path / "ck")
+
+    def run():
+        stream_apply_changes_feed(
+            spark.readStream.schema(SCHEMA).option(
+                "recursiveFileLookup", "true"
+            ).parquet(sdir),
+            cat, "T", ["k"], feed_root, ck, seq_col="seq",
+            num_buckets=4,
+        ).awaitTermination()
+
+    spark.createDataFrame(
+        [("I", 1, 10, 5), ("I", 2, 20, 5)], SCHEMA
+    ).coalesce(1).write.parquet(os.path.join(sdir, "day0"))
+    run()
+    spark.createDataFrame(
+        [("U", 1, 11, 7)], SCHEMA
+    ).coalesce(1).write.parquet(os.path.join(sdir, "day1"))
+    run()
+    # late trigger: k=1 at seq 6 is STALE (standing seq 7); k=2 at
+    # seq 6 is fresh
+    spark.createDataFrame(
+        [("U", 1, 16, 6), ("U", 2, 26, 6)], SCHEMA
+    ).coalesce(1).write.parquet(os.path.join(sdir, "day2"))
+    run()
+    got = {r["k"]: (r["v"], r["seq"]) for r in cat.read("T").collect()}
+    assert got == {1: (11, 7), 2: (26, 6)}
+    feed2 = spark.read.parquet(os.path.join(feed_root, "micro_batch=2"))
+    ks = {r["k"] for r in feed2.collect()}
+    assert ks == {2}, ks  # the stale op emitted nothing downstream
