@@ -1111,3 +1111,71 @@ def test_stream_cdc_feed_cross_trigger_stale_op(spark, tmp_path):
     feed2 = spark.read.parquet(os.path.join(feed_root, "micro_batch=2"))
     ks = {r["k"] for r in feed2.collect()}
     assert ks == {2}, ks  # the stale op emitted nothing downstream
+
+
+# ---------------------------------------------------------------------
+# Vacuum / retention over hardlink-shared versions (round 14)
+# ---------------------------------------------------------------------
+
+
+def test_vacuum_never_corrupts_hardlink_shared_current_snapshot(
+    spark, tmp_path
+):
+    """merge_upsert re-links untouched buckets file-by-file, so
+    retained versions SHARE inodes; vacuum of old versions must only
+    drop link counts, never bytes the current snapshot still reaches
+    - and the orphan cleanup of a failed fold must compose with
+    retention (no version list corruption, merges keep working)."""
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"), retain=4)
+    base = spark.createDataFrame(
+        [(i, i % 8, i * 10) for i in range(64)], "k long, g long, v long"
+    )
+    cat.merge_upsert(base, "T", ["k"], num_buckets=8)
+    # three sparse merges: each touches ONE key -> 7 buckets re-linked
+    for day in range(3):
+        cat.merge_upsert(
+            spark.createDataFrame(
+                [(day, day % 8, 999 + day)], "k long, g long, v long"
+            ),
+            "T", ["k"], num_buckets=8,
+        )
+    tdir = str(tmp_path / "wh" / "T")
+    vdirs = sorted(d for d in os.listdir(tdir) if d.startswith("v"))
+    assert len(vdirs) == 4  # retain=4 kept all
+    # PROVE inode sharing across retained versions
+    def inodes(vd):
+        out = {}
+        for root, _, files in os.walk(os.path.join(tdir, vd)):
+            for f in files:
+                if not f.startswith((".", "_")):
+                    out[os.stat(os.path.join(root, f)).st_ino] = f
+        return out
+    shared = set(inodes(vdirs[-1])) & set(inodes(vdirs[0]))
+    assert shared, "expected hardlink-shared files across versions"
+
+    want = {(r["k"], r["g"], r["v"]) for r in cat.read("T").collect()}
+
+    # a failed fold leaves no orphan version dir between merges
+    with pytest.raises(Exception, match="preimage feed"):
+        cat.fold_changes_into_stats(
+            spark.createDataFrame(
+                [("U", 1, 0, 5)], "op string, k long, g long, v long"
+            ),
+            "TS", ["g"], "v",
+        )
+
+    dropped = cat.vacuum("T", keep_last=1)
+    assert dropped and sorted(
+        d for d in os.listdir(tdir) if d.startswith("v")
+    ) == [vdirs[-1]]
+    # the current snapshot is byte-reachable and value-identical
+    got = {(r["k"], r["g"], r["v"]) for r in cat.read("T").collect()}
+    assert got == want
+
+    # merges keep working after the sweep (re-link from current)
+    cat.merge_upsert(
+        spark.createDataFrame([(63, 7, 1)], "k long, g long, v long"),
+        "T", ["k"], num_buckets=8,
+    )
+    got2 = {(r["k"], r["g"], r["v"]) for r in cat.read("T").collect()}
+    assert got2 == (want - {(63, 7, 630)}) | {(63, 7, 1)}
