@@ -4255,6 +4255,172 @@ def stream_aggregate_ivm(spark, sf_dir):
     )
 
 
+#: per-invocation sequence for the streaming COUNT DISTINCT-IVM query
+_SDIS_SEQ = _itertools.count()
+
+
+@register(
+    "stream_distinct_ivm",
+    f"""
+    WITH o AS (
+      SELECT o_orderkey AS k, coalesce(o_orderstatus, '') AS g,
+             o_custkey AS v
+      FROM orders WHERE o_orderkey IS NOT NULL
+    ), u2 AS (
+      -- after trigger 1: inserts k%3=0; value changes (v+1000000)
+      -- where k%7=0; group moves to 'M' where k%11=0; deletes k%5=0
+      SELECT k,
+             CASE WHEN k % 3 <> 0 AND k % 7 <> 0 AND k % 11 = 0
+                  THEN 'M' ELSE g END AS g,
+             CASE WHEN k % 3 <> 0 AND k % 7 = 0 THEN v + 1000000
+                  ELSE v END AS v
+      FROM o
+      WHERE k % 3 = 0
+         OR NOT (k % 7 <> 0 AND k % 11 <> 0 AND k % 5 = 0)
+    ),
+    {SK.hll_oracle_sql("u2", "v", ["g"])},
+    cnts AS (
+      SELECT g, count(*) AS n, count(v) AS n_vals,
+             cast(count(DISTINCT v) AS BIGINT) AS exact_distinct
+      FROM u2 GROUP BY g
+    )
+    SELECT c.g, c.n, c.n_vals,
+           coalesce(h.n_registers, 0) AS n_registers,
+           coalesce(h.register_sum, {_HLL_EMPTY_REGSUM}) AS register_sum,
+           coalesce(floor(h.hll_estimate * 100) / 100, 0.0) AS hll_est,
+           c.exact_distinct
+    FROM cnts c LEFT JOIN hll_est h ON c.g = h.g
+    """,
+)
+def stream_distinct_ivm(spark, sf_dir):
+    """Round-14: STREAMING COUNT DISTINCT IVM
+    (streaming/ingest.stream_distinct_ivm) - the foreachBatch arm of
+    fold_changes_into_hll, completing the round's fold family's
+    batch -> streaming lifecycle exactly as stream_aggregate_ivm
+    completed the stats/extrema folds'. Per trigger: the CDC
+    micro-batch applies to the key-bucketed upstream, the version diff
+    emits as a preimage feed, a GROUP-BUCKETED replica is maintained
+    from the feed (the register re-derivation's pruned-read target),
+    and the feed folds into the standing per-group HLL sketch table.
+    Exactly-once is ledgered per downstream table (the count
+    components are arithmetic - replay would double-count). Two REAL
+    availableNow runs: bootstrap inserts, then inserts + value changes
+    + group moves + deletes - the value changes retract old custkeys
+    whose rho may tie standing registers, exercising the re-derive
+    path under streaming. Oracle = the register algebra replayed in
+    DuckDB over the final upstream state plus exact arms."""
+    import os
+    import re
+    import shutil
+
+    from ghcrawler_datalake_etl_spark.operators.sketches import (
+        hll_estimate_from_registers,
+    )
+    from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
+    from ghcrawler_datalake_etl_spark.streaming.ingest import (
+        stream_distinct_ivm as _sdi,
+    )
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey").isNotNull())
+    k = F.col("o_orderkey")
+    g = F.coalesce(F.col("o_orderstatus"), F.lit(""))
+    v = F.col("o_custkey")
+    day0 = o.filter(k % 3 != 0).select(
+        F.lit("I").alias("op"), k.alias("k"), g.alias("g"), v.alias("v")
+    )
+    day1 = (
+        o.filter(k % 3 == 0)
+        .select(
+            F.lit("I").alias("op"), k.alias("k"), g.alias("g"),
+            v.alias("v"),
+        )
+        .unionByName(
+            o.filter((k % 3 != 0) & (k % 7 == 0)).select(
+                F.lit("U").alias("op"), k.alias("k"), g.alias("g"),
+                (v + 1000000).alias("v"),
+            )
+        )
+        .unionByName(
+            o.filter((k % 3 != 0) & (k % 7 != 0) & (k % 11 == 0)).select(
+                F.lit("U").alias("op"), k.alias("k"),
+                F.lit("M").alias("g"), v.alias("v"),
+            )
+        )
+        .unionByName(
+            o.filter(
+                (k % 3 != 0) & (k % 7 != 0) & (k % 11 != 0) & (k % 5 == 0)
+            ).select(
+                F.lit("D").alias("op"), k.alias("k"), g.alias("g"),
+                v.alias("v"),
+            )
+        )
+    )
+    global _SDIS_STAGED
+    try:
+        _SDIS_STAGED
+    except NameError:
+        _SDIS_STAGED = set()
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    sroot = _run_tmp(f"sdis_{tag}")
+    if sf_dir not in _SDIS_STAGED:
+        for i, day in enumerate((day0, day1)):
+            day.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(sroot, f"day{i}")
+            )
+        _SDIS_STAGED.add(sf_dir)
+
+    def _day_file(i: int) -> str:
+        d = os.path.join(sroot, f"day{i}")
+        return os.path.join(
+            d, next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        )
+
+    seq = next(_SDIS_SEQ)
+    root = _run_tmp(f"sdis_{tag}_{seq}")
+    sdir = os.path.join(root, "in")
+    os.makedirs(sdir, exist_ok=True)
+    cat = ParquetCatalog(spark, os.path.join(root, "wh"), retain=3)
+    SCHEMA = "op string, k long, g string, v long"
+    for i in range(2):
+        try:
+            os.link(_day_file(i), os.path.join(sdir, f"day{i}.parquet"))
+        except OSError:
+            shutil.copy(_day_file(i), os.path.join(sdir, f"day{i}.parquet"))
+        _sdi(
+            spark.readStream.schema(SCHEMA).parquet(sdir),
+            cat, "A", "AIdx", "H", ["k"], ["g"], "v",
+            os.path.join(root, "feed"), os.path.join(root, "ck"),
+            num_buckets=16,
+        ).awaitTermination()
+    h = cat.read("H")
+    est = hll_estimate_from_registers(
+        h.select("g", F.explode("regs").alias("bucket", "m_rho")), ["g"]
+    )
+    exact = (
+        cat.read("A")
+        .filter(F.col("v").isNotNull())
+        .groupBy("g")
+        .agg(F.countDistinct("v").alias("_exact"))
+    )
+    return (
+        h.join(est, ["g"], "left")
+        .join(exact, ["g"], "left")
+        .select(
+            "g",
+            "n",
+            "n_vals",
+            F.coalesce("n_registers", F.lit(0)).alias("n_registers"),
+            F.coalesce(
+                "register_sum", F.lit(_HLL_EMPTY_REGSUM)
+            ).alias("register_sum"),
+            quantize(
+                F.coalesce("hll_estimate", F.lit(0.0)), 2
+            ).alias("hll_est"),
+            F.coalesce("_exact", F.lit(0)).alias("exact_distinct"),
+        )
+    )
+
+
 # invocation counter for stream_changefeed_emission's per-run state
 _CFE_SEQ = _itertools.count()
 
@@ -10405,6 +10571,7 @@ _DRIVER_ORDER = [
     # -- round-14 NEW operators --
     "dim_distinct_ivm",
     "stream_join_ivm_two_upstream",
+    "stream_distinct_ivm",
     # -- newest-r8 cohort (oldest evidence; parity core re-green) --
     "dim_scd2_user_state",
     "j7_edit_distance_join",

@@ -1101,6 +1101,87 @@ def stream_aggregate_ivm(
     )
 
 
+def stream_distinct_ivm(
+    stream: DataFrame,
+    catalog,
+    a_table: str,
+    index_table: str,
+    hll_table: str,
+    key_cols: list[str],
+    group_cols: list[str],
+    value_col: str,
+    feed_root: str,
+    checkpoint: str,
+    op_col: str = "op",
+    seq_col: str | None = None,
+    num_buckets: int = 16,
+) -> StreamingQuery:
+    """Streaming COUNT DISTINCT IVM - the foreachBatch arm of
+    ParquetCatalog.fold_changes_into_hll, completing the round-14 fold
+    family's batch -> streaming lifecycle exactly as
+    :func:`stream_aggregate_ivm` did for the stats/extrema folds. Per
+    micro-batch of (op, key, row) CDC rows: apply to the merged
+    upstream, emit the version diff as a PREIMAGE feed, maintain the
+    GROUP-BUCKETED replica (``index_table`` - the register
+    re-derivation's pruned-read target), then fold the feed into the
+    standing per-group HLL sketch table.
+
+    Exactly-once is LEDGERED PER DOWNSTREAM TABLE (the
+    stream_aggregate_ivm mechanism): the count components of the HLL
+    fold are arithmetic - replaying them double-counts - so each
+    downstream table's pre-version is recorded in the feed manifest
+    BEFORE folding; every fold lands as one atomic version flip, and
+    on replay a table whose version advanced is skipped while the
+    rest re-run. Single-maintainer contract: nothing else may write
+    these tables mid-stream."""
+    import os
+
+    _require_driver_local(feed_root, "stream_distinct_ivm")
+
+    def _apply(bdf: DataFrame, micro_batch: int) -> None:
+        if not bdf.head(1):
+            return
+        _merge_and_emit_changes(
+            catalog, bdf, micro_batch, a_table, list(key_cols),
+            feed_root, op_col, seq_col, num_buckets,
+            with_preimages=True,
+        )
+        feed = bdf.sparkSession.read.parquet(
+            os.path.join(feed_root, f"micro_batch={micro_batch}")
+        )
+        man = _read_delta_manifest(feed_root, "feed")
+        rec = man["txn"][str(micro_batch)]
+        if "folds" not in rec:
+            rec["folds"] = {
+                n: catalog._current_version(n)
+                for n in (index_table, hll_table)
+            }
+            _write_delta_manifest(feed_root, man)
+        pre = rec["folds"]
+        if not _fold_version_advanced(catalog, index_table, pre[index_table]):
+            posts = feed.filter(
+                F.col(op_col).isin("I", "U_post")
+            ).drop(op_col)
+            pres = feed.filter(F.col(op_col).isin("D", "U_pre"))
+            catalog.merge_upsert(
+                posts, index_table, list(key_cols),
+                num_buckets=num_buckets, bucket_cols=list(group_cols),
+                delete_keys=pres.select(*key_cols, *group_cols),
+            )
+        if not _fold_version_advanced(catalog, hll_table, pre[hll_table]):
+            catalog.fold_changes_into_hll(
+                feed, index_table, hll_table, list(group_cols),
+                value_col, op_col=op_col, num_buckets=num_buckets,
+            )
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_bm25_maintenance(
     stream_df: DataFrame,
     store_root: str,

@@ -1179,3 +1179,84 @@ def test_vacuum_never_corrupts_hardlink_shared_current_snapshot(
     )
     got2 = {(r["k"], r["g"], r["v"]) for r in cat.read("T").collect()}
     assert got2 == (want - {(63, 7, 630)}) | {(63, 7, 1)}
+
+
+def test_stream_distinct_ivm_replay_never_double_counts(spark, tmp_path):
+    """The streaming arm of the COUNT DISTINCT fold: counts are
+    arithmetic, so exactly-once rides the per-downstream-table version
+    ledger - a replayed trigger (lost checkpoint commit) must skip
+    already-applied folds. Group moves and last-copy deletes retract
+    registers through the feed-maintained group-bucketed replica; the
+    final sketch equals the recompute from the maintained upstream."""
+    from ghcrawler_datalake_etl_spark.streaming.ingest import (
+        stream_distinct_ivm,
+    )
+
+    cat = _cat(spark, tmp_path)
+    SCHEMA = "op string, k long, g string, v string"
+    sdir = str(tmp_path / "in")
+    os.makedirs(sdir)
+
+    def run():
+        stream_distinct_ivm(
+            spark.readStream.schema(SCHEMA).option(
+                "recursiveFileLookup", "true"
+            ).parquet(sdir),
+            cat, "A", "AIdx", "H", ["k"], ["g"], "v",
+            str(tmp_path / "feed"), str(tmp_path / "ck"),
+            num_buckets=4,
+        ).awaitTermination()
+
+    spark.createDataFrame(
+        [("I", 1, "a", "x"), ("I", 2, "a", "y"), ("I", 3, "a", "x"),
+         ("I", 4, "b", "z"), ("I", 5, "b", None)], SCHEMA
+    ).coalesce(1).write.parquet(os.path.join(sdir, "day0"))
+    run()
+
+    def snap():
+        return {
+            r["g"]: (r["n"], r["n_vals"], tuple(sorted(r["regs"].items())))
+            for r in cat.read("H").collect()
+        }
+
+    def want():
+        from ghcrawler_datalake_etl_spark.operators.sketches import (
+            hll_registers,
+        )
+
+        up = cat.read("A")
+        regs = {}
+        for r in hll_registers(up, "v", ["g"]).collect():
+            regs.setdefault(r["g"], {})[r["bucket"]] = r["m_rho"]
+        return {
+            r["g"]: (
+                r["n"], r["nv"],
+                tuple(sorted(regs.get(r["g"], {}).items())),
+            )
+            for r in up.groupBy("g").agg(
+                F.count("*").alias("n"), F.count("v").alias("nv")
+            ).collect()
+        }
+
+    s0 = snap()
+    assert s0 == want()
+    assert s0["a"][:2] == (3, 3) and s0["b"][:2] == (2, 1)
+
+    # crash replay: arithmetic counts must not double
+    os.remove(str(tmp_path / "ck" / "commits" / "0"))
+    crc = str(tmp_path / "ck" / "commits" / ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+    assert snap() == s0
+
+    # day 1: delete the last copy of 'y' (register retracts via the
+    # replica), move k=4 b->a, insert a new value
+    spark.createDataFrame(
+        [("D", 2, "a", "y"), ("U", 4, "a", "z"), ("I", 6, "b", "w")],
+        SCHEMA,
+    ).coalesce(1).write.parquet(os.path.join(sdir, "day1"))
+    run()
+    s1 = snap()
+    assert s1 == want()
+    assert s1["a"][:2] == (3, 3) and s1["b"][:2] == (2, 1)
