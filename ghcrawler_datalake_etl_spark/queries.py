@@ -10546,156 +10546,148 @@ def dim_apply_changes(spark, sf_dir):
 # via SPARK_GRAFT_ORACLE_SF_DIR).
 
 _DRIVER_ORDER = [
-    # ============ driver window (first 50): what round 13 verifies ====
-    # Round-13 rotation (VERDICT r12 #3): the five single-green
-    # round-12 newcomers stay; the three round-13 NEW operators
-    # (join IVM, min/max IVM, streaming BM25) take the next slots;
-    # the entire newest-r8 cohort rotates in (the oldest evidence
-    # on record, incl. the parity core pattern_a/pattern_b/q1);
-    # the newest-r9 cohort fills the rest, plus three newest-r10
-    # queries (fewest greens first). Every leaver holds >= 2 green
-    # driver rounds (EVIDENCE.json).
-    # -- round-12 single-green newcomers (must stay) --
-    "dedup_semantic_incremental",
-    "stream_boilerplate_screen",
-    "dim_changefeed_consume",
-    "stream_semantic_dedup",
-    "search_bm25_incremental",
-    # -- round-13 NEW operators --
+    # ============ driver window (first 50): what round 14 verifies ====
+    # Round-14 rotation (VERDICT r13 #2): the six single-green
+    # round-13 newcomers stay; the three round-14 NEW operators
+    # (COUNT DISTINCT IVM batch + streaming, two-upstream streaming
+    # join IVM) take the next slots; the ENTIRE newest-r10 cohort
+    # (the oldest evidence on record, 41 queries incl. the two that
+    # ceded their r13 slots) rotates in fewest-greens-first - it
+    # fits exactly. Every leaver holds >= 2 green driver rounds
+    # (EVIDENCE.json; the whole r13 window re-greened in r13).
     "dim_join_ivm",
     "dim_minmax_ivm",
     "stream_bm25_maintenance",
     "stream_join_ivm",
     "stream_aggregate_ivm",
     "pipeline_ivm_gold",
-    # -- round-14 NEW operators --
     "dim_distinct_ivm",
     "stream_join_ivm_two_upstream",
     "stream_distinct_ivm",
-    # -- newest-r8 cohort (oldest evidence; parity core re-green) --
-    "dim_scd2_user_state",
-    "j7_edit_distance_join",
-    "multimodal_phash_pairs",
-    "orc_catalog_roundtrip",
-    "pattern_a_snapshot_upsert",
-    "pattern_b_array_child",
-    "q1_pricing_summary",
-    "range_interval_join",
-    "sessionize_events",
-    "topk_orders_per_segment",
-    # -- newest-r9 cohort --
-    "a1_collect_reassembly",
-    "a4_union_all_agg",
-    "corpus_fertility_by_lang",
-    "cube_status_priority",
-    "dim_apply_changes",
-    "f10_greatest_last_touched",
-    "f1_json_extract",
-    "f3_pii_pseudonymize",
-    "graph_pagerank_transitions",
-    "j1_inner_join_agg",
-    "j3_join_chain_q5",
-    "j4_semi_join",
-    "p1_eq_filter",
-    "p2_like_filter",
-    "p3_isin_filter",
-    "p5_string_predicates",
-    "pattern_d_traffic_series",
-    "pattern_e_version_log",
-    "pipeline_tokenize_pack",
-    "q18_large_quantity_orders",
-    "q3_unshipped_topk",
-    "sample_pps_systematic",
-    "subquery_lineitem_count",
-    "text_bpe_encode_ids",
-    "w1_latest_event_per_user",
-    "w2_distinct_keys",
-    "w4_rank_quartiles",
-    "w5_sliding_hour_frame",
-    "x3_posexplode_tokens",
-    # -- newest-r10 fill (fewest green rounds first) --
-    # ---------------- position 51+: past the driver window ----------
-    # Everything below holds >= 2 green driver rounds in EVIDENCE.json;
-    # extension-prefixed names have OUT_OF_WINDOW_OK entries in
-    # tests/test_registry_order.py, parity-core names sit in
-    # PARITY_CORE_ROTATED_OUT there. Sorted for diff stability.
-    "a5_distinct_count_two_stage",
-    "agg_rollup_daily",
-    "agg_value_percentiles",
-    "asof_last_purchase",
-    "asof_next_purchase",
-    "corpus_source_report",
-    "corpus_vocabulary_topk",
-    "decontaminate_eval_overlap",
-    "dedup_clusters",
-    "dedup_drop_paragraphs",
-    "dedup_embedding_cosine",
     "dedup_exact_groups",
-    "dedup_incremental_clusters",
     "dedup_incremental_index",
-    "dedup_incremental_paragraphs",
-    "dedup_incremental_spans",
-    "dedup_incremental_substrings",
-    "dedup_keep_best_quality",
-    "dedup_minhash_clusters",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
     "dedup_prefix_jaccard",
-    "dedup_remove_substrings",
-    "dedup_semantic_prune",
-    "dedup_simhash_values",
-    "dedup_span_first_occurrence",
-    "dim_table_changes",
-    "dq_drift_by_day",
-    "dq_validate_orders",
-    "embedding_quantize_int8",
-    "embedding_random_projection",
-    "funnel_click_to_purchase",
-    "j2_anti_join",
-    "j5_salted_skew_join",
-    "j6_bloom_prefilter_join",
-    "j8_edit_distance2_join",
-    "jsonl_round_trip",
-    "layout_compact_roundtrip",
-    "layout_zorder_buckets",
-    "locf_fill_forward",
-    "multimodal_audio_chunks",
-    "multimodal_audio_stats",
-    "multimodal_features",
-    "multimodal_frames",
     "multimodal_gif_frames",
     "multimodal_gif_resize",
     "multimodal_image_features",
     "multimodal_wav_stats",
     "pack_store_delta_append",
-    "pack_store_roundtrip",
+    "sim_ivf_delta_append",
+    "sim_knn_bruteforce",
+    "sketch_incremental_stats",
+    "stream_lsh_dedup",
+    "a5_distinct_count_two_stage",
+    "agg_value_percentiles",
+    "asof_next_purchase",
+    "dedup_span_first_occurrence",
+    "j8_edit_distance2_join",
+    "multimodal_frames",
+    "pivot_user_event_matrix",
+    "sample_hash_deterministic",
+    "setop_user_cohorts",
+    "split_train_valid_test",
+    "stream_static_enrich",
+    "stream_windowed_counts",
+    "w1_maxby_latest_event_per_user",
+    "w3_lag_event_gaps",
+    "corpus_source_report",
+    "decontaminate_eval_overlap",
+    "dedup_embedding_cosine",
+    "dedup_keep_best_quality",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_values",
+    "embedding_quantize_int8",
+    "multimodal_audio_chunks",
+    "multimodal_features",
+    "pipeline_dedup_shards",
+    "sim_ivf_kmeans_topk",
+    "sim_knn_graph",
+    "text_bigram_logprob",
+    "dedup_minhash_lsh",
     "pack_token_shards",
+    # ---------------- position 51+: past the driver window ----------
+    # Everything below holds >= 2 green driver rounds in EVIDENCE.json;
+    # extension-prefixed names have OUT_OF_WINDOW_OK entries in
+    # tests/test_registry_order.py, parity-core names sit in
+    # PARITY_CORE_ROTATED_OUT there. Sorted for diff stability.
+    "a1_collect_reassembly",
+    "a4_union_all_agg",
+    "agg_rollup_daily",
+    "asof_last_purchase",
+    "corpus_fertility_by_lang",
+    "corpus_vocabulary_topk",
+    "cube_status_priority",
+    "dedup_clusters",
+    "dedup_drop_paragraphs",
+    "dedup_incremental_clusters",
+    "dedup_incremental_paragraphs",
+    "dedup_incremental_spans",
+    "dedup_incremental_substrings",
+    "dedup_minhash_clusters",
+    "dedup_remove_substrings",
+    "dedup_semantic_incremental",
+    "dedup_semantic_prune",
+    "dim_apply_changes",
+    "dim_changefeed_consume",
+    "dim_scd2_user_state",
+    "dim_table_changes",
+    "dq_drift_by_day",
+    "dq_validate_orders",
+    "embedding_random_projection",
+    "f10_greatest_last_touched",
+    "f1_json_extract",
+    "f3_pii_pseudonymize",
+    "funnel_click_to_purchase",
+    "graph_pagerank_transitions",
+    "j1_inner_join_agg",
+    "j2_anti_join",
+    "j3_join_chain_q5",
+    "j4_semi_join",
+    "j5_salted_skew_join",
+    "j6_bloom_prefilter_join",
+    "j7_edit_distance_join",
+    "jsonl_round_trip",
+    "layout_compact_roundtrip",
+    "layout_zorder_buckets",
+    "locf_fill_forward",
+    "multimodal_audio_stats",
+    "multimodal_phash_pairs",
+    "orc_catalog_roundtrip",
+    "p1_eq_filter",
+    "p2_like_filter",
+    "p3_isin_filter",
+    "p5_string_predicates",
+    "pack_store_roundtrip",
+    "pattern_a_snapshot_upsert",
+    "pattern_b_array_child",
     "pattern_c_collection_refresh",
+    "pattern_d_traffic_series",
+    "pattern_e_version_log",
     "pipeline_chunk_dedup_pack",
     "pipeline_daily_ingest",
-    "pipeline_dedup_shards",
     "pipeline_quality_mix_pack",
+    "pipeline_tokenize_pack",
     "pipeline_training_data",
-    "pivot_user_event_matrix",
+    "q18_large_quantity_orders",
+    "q1_pricing_summary",
+    "q3_unshipped_topk",
+    "range_interval_join",
     "sample_dsir_select",
     "sample_eval_carve",
-    "sample_hash_deterministic",
+    "sample_pps_systematic",
     "sample_stratified_by_lang",
     "sample_target_mix",
     "sample_temperature_mix",
     "sample_top_share_quality",
+    "search_bm25_incremental",
     "search_bm25_topk",
     "search_hybrid_rrf",
     "search_tfidf_cosine",
-    "setop_user_cohorts",
+    "sessionize_events",
     "sim_ann_lsh",
-    "sim_ivf_delta_append",
-    "sim_ivf_kmeans_topk",
     "sim_ivf_topk",
     "sim_kmeans_assign",
     "sim_kmeans_refresh",
-    "sim_knn_bruteforce",
-    "sim_knn_graph",
     "sim_knn_int8_dot",
     "sim_knn_pandas_gemm",
     "sim_mmr_rerank",
@@ -10705,24 +10697,22 @@ _DRIVER_ORDER = [
     "sketch_histogram_quantiles",
     "sketch_hll_distinct",
     "sketch_hll_merge",
-    "sketch_incremental_stats",
     "sketch_kmv_distinct",
     "sketch_kmv_overlap",
     "sketch_stats_cdc_table",
     "split_leakage_safe",
-    "split_train_valid_test",
+    "stream_boilerplate_screen",
     "stream_changefeed_emission",
     "stream_cluster_maintenance",
     "stream_dedup_ingest",
     "stream_hll_distinct",
     "stream_interval_join",
-    "stream_lsh_dedup",
-    "stream_static_enrich",
-    "stream_windowed_counts",
-    "text_bigram_logprob",
+    "stream_semantic_dedup",
+    "subquery_lineitem_count",
     "text_boilerplate_incremental",
     "text_boilerplate_lines",
     "text_bpe_encode",
+    "text_bpe_encode_ids",
     "text_bpe_pair_stats",
     "text_chunk_windows",
     "text_clean_lines",
@@ -10739,9 +10729,13 @@ _DRIVER_ORDER = [
     "timeseries_gap_fill",
     "timeseries_interpolate",
     "timeseries_max_concurrency",
+    "topk_orders_per_segment",
     "tsv_round_trip",
-    "w1_maxby_latest_event_per_user",
-    "w3_lag_event_gaps",
+    "w1_latest_event_per_user",
+    "w2_distinct_keys",
+    "w4_rank_quartiles",
+    "w5_sliding_hour_frame",
+    "x3_posexplode_tokens",
 ]
 
 

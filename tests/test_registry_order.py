@@ -91,74 +91,59 @@ EXTENSION_PREFIXES = (
 #: or "evidence" - the query must then hold a green driver row in
 #: EVIDENCE.json. Adding here requires one of the two kinds.
 OUT_OF_WINDOW_OK = {
-    # Round-13 regeneration: derived state - exactly the extension-
+    # Round-14 regeneration: derived state - exactly the extension-
     # prefixed queries outside the current driver window, each
     # carrying its green driver rounds (from EVIDENCE.json, the
     # single source of rotation truth) in the trailing comment.
     # Every entry is "evidence"-kind; rotation narrative lives in
     # git history and the NOTES_r*.md changelogs.
-    "corpus_source_report": "evidence",  # green r2+r3+r4+r10
+    "corpus_fertility_by_lang": "evidence",  # green r5+r8+r9+r13
     "corpus_vocabulary_topk": "evidence",  # green r3+r4+r11
     "dedup_clusters": "evidence",  # green r2+r3+r4+r5+r8+r12
     "dedup_drop_paragraphs": "evidence",  # green r10+r11
-    "dedup_embedding_cosine": "evidence",  # green r2+r3+r4+r10
-    "dedup_exact_groups": "evidence",  # green r2+r10
     "dedup_incremental_clusters": "evidence",  # green r10+r11
-    "dedup_incremental_index": "evidence",  # green r9+r10
     "dedup_incremental_paragraphs": "evidence",  # green r10+r11
     "dedup_incremental_spans": "evidence",  # green r10+r11
     "dedup_incremental_substrings": "evidence",  # green r11+r12
-    "dedup_keep_best_quality": "evidence",  # green r3+r4+r5+r10
     "dedup_minhash_clusters": "evidence",  # green r3+r4+r11
-    "dedup_minhash_lsh": "evidence",  # green r2+r3+r4+r5+r10
-    "dedup_ngram_jaccard": "evidence",  # green r2+r3+r4+r10
-    "dedup_prefix_jaccard": "evidence",  # green r9+r10
     "dedup_remove_substrings": "evidence",  # green r10+r11
+    "dedup_semantic_incremental": "evidence",  # green r12+r13
     "dedup_semantic_prune": "evidence",  # green r3+r4+r11
-    "dedup_simhash_values": "evidence",  # green r2+r3+r4+r10
-    "dedup_span_first_occurrence": "evidence",  # green r2+r3+r10
+    "dim_apply_changes": "evidence",  # green r5+r8+r9+r13
+    "dim_changefeed_consume": "evidence",  # green r12+r13
+    "dim_scd2_user_state": "evidence",  # green r5+r8+r13
     "dim_table_changes": "evidence",  # green r11+r12
     "dq_drift_by_day": "evidence",  # green r11+r12
     "dq_validate_orders": "evidence",  # green r5+r8+r12
-    "embedding_quantize_int8": "evidence",  # green r2+r3+r4+r10
     "embedding_random_projection": "evidence",  # green r5+r8+r12
+    "graph_pagerank_transitions": "evidence",  # green r5+r8+r9+r13
     "jsonl_round_trip": "evidence",  # green r5+r8+r12
     "layout_compact_roundtrip": "evidence",  # green r5+r8+r12
     "layout_zorder_buckets": "evidence",  # green r5+r8+r12
-    "multimodal_audio_chunks": "evidence",  # green r2+r3+r4+r10
     "multimodal_audio_stats": "evidence",  # green r5+r8+r12
-    "multimodal_features": "evidence",  # green r2+r3+r4+r10
-    "multimodal_frames": "evidence",  # green r2+r3+r10
-    "multimodal_gif_frames": "evidence",  # green r9+r10
-    "multimodal_gif_resize": "evidence",  # green r9+r10
-    "multimodal_image_features": "evidence",  # green r9+r10
-    "multimodal_wav_stats": "evidence",  # green r9+r10
-    "pack_store_delta_append": "evidence",  # green r9+r10
+    "multimodal_phash_pairs": "evidence",  # green r5+r8+r13
+    "orc_catalog_roundtrip": "evidence",  # green r4+r5+r8+r13
     "pack_store_roundtrip": "evidence",  # green r5+r8+r12
-    "pack_token_shards": "evidence",  # green r1+r2+r3+r4+r5+r10
     "pipeline_chunk_dedup_pack": "evidence",  # green r3+r4+r11
     "pipeline_daily_ingest": "evidence",  # green r11+r12
-    "pipeline_dedup_shards": "evidence",  # green r2+r3+r4+r10
     "pipeline_quality_mix_pack": "evidence",  # green r3+r4+r5+r11
+    "pipeline_tokenize_pack": "evidence",  # green r5+r8+r9+r13
     "pipeline_training_data": "evidence",  # green r2+r3+r4+r11
     "sample_dsir_select": "evidence",  # green r3+r4+r5+r11
     "sample_eval_carve": "evidence",  # green r3+r4+r11
-    "sample_hash_deterministic": "evidence",  # green r1+r2+r10
+    "sample_pps_systematic": "evidence",  # green r5+r8+r9+r13
     "sample_stratified_by_lang": "evidence",  # green r3+r4+r11
     "sample_target_mix": "evidence",  # green r3+r4+r11
     "sample_temperature_mix": "evidence",  # green r5+r8+r12
     "sample_top_share_quality": "evidence",  # green r3+r4+r5+r11
+    "search_bm25_incremental": "evidence",  # green r12+r13
     "search_bm25_topk": "evidence",  # green r3+r4+r11
     "search_hybrid_rrf": "evidence",  # green r11+r12
     "search_tfidf_cosine": "evidence",  # green r3+r4+r5+r8+r12
     "sim_ann_lsh": "evidence",  # green r2+r3+r4+r11
-    "sim_ivf_delta_append": "evidence",  # green r9+r10
-    "sim_ivf_kmeans_topk": "evidence",  # green r3+r4+r5+r10
     "sim_ivf_topk": "evidence",  # green r2+r3+r4+r11
     "sim_kmeans_assign": "evidence",  # green r2+r3+r4+r11
     "sim_kmeans_refresh": "evidence",  # green r11+r12
-    "sim_knn_bruteforce": "evidence",  # green r2+r10
-    "sim_knn_graph": "evidence",  # green r3+r4+r5+r10
     "sim_knn_int8_dot": "evidence",  # green r2+r3+r4+r11
     "sim_knn_pandas_gemm": "evidence",  # green r3+r4+r11
     "sim_mmr_rerank": "evidence",  # green r11+r12
@@ -168,24 +153,21 @@ OUT_OF_WINDOW_OK = {
     "sketch_histogram_quantiles": "evidence",  # green r5+r8+r12
     "sketch_hll_distinct": "evidence",  # green r5+r8+r12
     "sketch_hll_merge": "evidence",  # green r5+r8+r12
-    "sketch_incremental_stats": "evidence",  # green r9+r10
     "sketch_kmv_distinct": "evidence",  # green r5+r8+r12
     "sketch_kmv_overlap": "evidence",  # green r5+r8+r12
     "sketch_stats_cdc_table": "evidence",  # green r10+r11
     "split_leakage_safe": "evidence",  # green r11+r12
-    "split_train_valid_test": "evidence",  # green r1+r2+r10
+    "stream_boilerplate_screen": "evidence",  # green r12+r13
     "stream_changefeed_emission": "evidence",  # green r11+r12
     "stream_cluster_maintenance": "evidence",  # green r10+r11
     "stream_dedup_ingest": "evidence",  # green r5+r8+r12
     "stream_hll_distinct": "evidence",  # green r5+r8+r12
     "stream_interval_join": "evidence",  # green r5+r8+r12
-    "stream_lsh_dedup": "evidence",  # green r9+r10
-    "stream_static_enrich": "evidence",  # green r1+r9+r10
-    "stream_windowed_counts": "evidence",  # green r1+r9+r10
-    "text_bigram_logprob": "evidence",  # green r3+r4+r5+r10
+    "stream_semantic_dedup": "evidence",  # green r12+r13
     "text_boilerplate_incremental": "evidence",  # green r11+r12
     "text_boilerplate_lines": "evidence",  # green r11+r12
     "text_bpe_encode": "evidence",  # green r3+r4+r5+r11
+    "text_bpe_encode_ids": "evidence",  # green r5+r8+r9+r13
     "text_bpe_pair_stats": "evidence",  # green r3+r4+r5+r11
     "text_chunk_windows": "evidence",  # green r3+r4+r11
     "text_clean_lines": "evidence",  # green r4+r5+r8+r12
@@ -209,19 +191,24 @@ OUT_OF_WINDOW_OK = {
 #: representative set; everything else in the parity core must carry
 #: green rows in >= 2 rounds (EVIDENCE.json) to sit outside.
 PARITY_CORE_IN_WINDOW = {
-    # round-13: the r8-stale parity core rotated back IN for re-green
-    # (pattern_a/pattern_b/q1/sessionize - the flagship set); pattern_c
-    # cedes its slot after r11+r12 greens
-    "pattern_a_snapshot_upsert",
-    "pattern_b_array_child",
-    "q1_pricing_summary",
-    "sessionize_events",
+    # round-14: the r13-re-greened flagship set (pattern_a/b, q1,
+    # sessionize) cedes its in-window slots to the newest-r10 cohort;
+    # the in-window representatives are the cohort's own parity
+    # variants (A/J/W families + the pivot composite)
+    "a5_distinct_count_two_stage",
+    "j8_edit_distance2_join",
+    "w1_maxby_latest_event_per_user",
+    "pivot_user_event_matrix",
 }
 
 PARITY_CORE_ROTATED_OUT = {
-    # round-13 derived state: parity-core queries currently outside
+    # round-14 derived state: parity-core queries currently outside
     # the window - every one holds >= 2 green driver rounds
+    "pattern_a_snapshot_upsert",  # green r1+r2+r3+r4+r5+r8+r13
+    "pattern_b_array_child",  # green r1+r2+r8+r13
     "pattern_c_collection_refresh",  # green r1+r2+r9+r10+r11+r12
+    "q1_pricing_summary",  # green r1+r2+r8+r13
+    "sessionize_events",  # green r1+r2+r8+r13
 }
 
 
