@@ -350,19 +350,21 @@ class ParquetCatalog:
         # side of the merged write. A day's delta is small by
         # definition; persist it once instead of recomputing the parse
         # per reference (measured 11.6s -> ~3s on the 6-key bench case).
+        # Round-14 job-count trim: the cache materializes on the FIRST
+        # action - the affected-bucket collect on the pruned path (it
+        # scans the whole delta), an explicit count on the bootstrap
+        # path - instead of always paying a separate eager-count job;
+        # the anti-key set stays unpersisted (two references, both
+        # over the cached delta plus a feed-sized delete frame).
         delta = delta.persist()
-        delta.count()  # eager, so concurrent consumers never race
         delta_b = delta.withColumn(_BUCKET_COL, bucket)
         # the anti-join key set: upserted keys, plus deleted keys when
         # a CDC feed rides along (deletes never reach the union side)
         anti_keys = delta.select(*key_cols).distinct()
         if delete_keys is not None:
-            anti_keys = (
-                anti_keys.unionByName(
-                    delete_keys.select(*key_cols)
-                ).distinct().persist()
-            )
-            anti_keys.count()
+            anti_keys = anti_keys.unionByName(
+                delete_keys.select(*key_cols)
+            ).distinct()
         # the affected-bucket probe: with bucket_cols == key_cols the
         # key set IS the probe; with a secondary-index layout the
         # buckets derive from bucket_cols values (delta rows carry the
@@ -379,6 +381,7 @@ class ParquetCatalog:
         try:
             if old_version is None or not compatible:
                 # bootstrap (or re-bucket): full write, partitioned layout
+                delta.count()  # eager: the write references the cache 2x
                 current = self.read_or_none(name)
                 if current is not None:
                     merged = current.join(
@@ -466,8 +469,6 @@ class ParquetCatalog:
             # snapshot is untouched either way.
             shutil.rmtree(out, ignore_errors=True)
             delta.unpersist(blocking=False)
-            if delete_keys is not None:
-                anti_keys.unpersist(blocking=False)
             raise
 
         tmp_meta = os.path.join(tdir, _MERGE_META + ".tmp")
@@ -494,8 +495,6 @@ class ParquetCatalog:
         os.replace(tmp_ptr, os.path.join(tdir, _POINTER))  # atomic flip
         self.vacuum(name, keep_last=self.retain)
         delta.unpersist(blocking=False)
-        if delete_keys is not None:
-            anti_keys.unpersist(blocking=False)
         return stats
 
     def apply_changes(
@@ -916,8 +915,10 @@ class ParquetCatalog:
 
         try:
             if feed_a is not None:
+                # persist only: the index merge's affected-bucket
+                # collect is the first action and scans both filter
+                # arms, materializing the cache (round-14 job trim)
                 feed_a = feed_a.withColumn(op_col, guard).persist()
-                feed_a.count()
                 a_posts = feed_a.filter(
                     F.col(op_col).isin("I", "U_post")
                 ).drop(op_col)
@@ -951,7 +952,6 @@ class ParquetCatalog:
 
             if feed_b is not None:
                 feed_b = feed_b.withColumn(op_col, guard).persist()
-                feed_b.count()
                 b_posts = feed_b.filter(
                     F.col(op_col).isin("I", "U_post")
                 ).drop(op_col)
@@ -1167,8 +1167,10 @@ class ParquetCatalog:
                 f"{None if meta is None else meta.get('bucket_cols', meta['key_cols'])!r})"
             )
         guard = _preimage_op_guard(op_col, "fold_changes_into_hll")
+        # persist only: the standing read's probe collect (or, on the
+        # first fold, the folded-counts materialization) is the first
+        # action and scans the feed, populating the cache
         feed = feed.withColumn(op_col, guard).persist()
-        feed.count()  # eager: counts, insert regs, and retractions
         try:
             ins = F.col(op_col).isin("I", "U_post")
             rem = F.col(op_col).isin("D", "U_pre")
