@@ -23,6 +23,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType
 
 _POINTER = "_CURRENT"
 _MERGE_META = "_MERGE_META.json"
@@ -1299,6 +1300,241 @@ class ParquetCatalog:
                     )
                 self.merge_upsert(
                     ups, hll_table, group_cols,
+                    num_buckets=num_buckets, delete_keys=dels,
+                )
+            finally:
+                folded.unpersist(blocking=False)
+        finally:
+            feed.unpersist(blocking=False)
+
+    def fold_changes_into_topk(
+        self,
+        feed: DataFrame,
+        upstream_table: str,
+        topk_table: str,
+        group_cols: Sequence[str],
+        value_col: str,
+        k: int,
+        op_col: str = "op",
+        num_buckets: int = 16,
+    ) -> None:
+        """IVM of a standing per-group TOP-K table (group, n, n_vals,
+        topk array<value>) from a preimage changefeed - the general
+        leaderboard view of the non-retractable family
+        (:meth:`fold_changes_into_extrema` is its ``k = 1`` max arm).
+        ``topk`` holds the ``k`` largest non-NULL values DESCENDING,
+        duplicates included, under one standing INVARIANT: when the
+        array is SHORTER than ``k`` it is the group's COMPLETE live
+        value multiset. ``k`` is part of the table's contract - keep
+        it constant for a table's lifetime (a standing array longer
+        than ``k`` raises loudly).
+
+        The fold is incremental everywhere the array algebra is exact
+        and re-derives ONLY where it is not:
+
+        * ``n`` / ``n_vals`` fold retractably (+1/-1, any order);
+        * INSERTS are always exact: the true top-k of
+          ``old multiset UNION inserts`` only ever draws from the old
+          top-k and the batch's own top-k, so
+          ``sort_desc(old_topk || batch_topk)[:k]`` is the new array
+          (merge-and-truncate is monotone - the reason a top-k cache
+          is maintainable at all);
+        * a retraction STRICTLY BELOW a FULL array's minimum never
+          touches the array (k larger values still stand) - pure count
+          change;
+        * a retraction from a SHORT (= complete) array removes exactly
+          one copy in place (``aggregate`` over the retraction list,
+          first-occurrence ``filter`` - the multiset difference is
+          exact because nothing is hidden below a short array);
+        * ONLY a retraction that ties-or-exceeds a FULL array's
+          minimum re-derives its group - the runner-up below the
+          truncation horizon is unknowable, the same blind spot as
+          the extrema fold's tied max - via a :meth:`read_pruned`
+          point read of the POST-state upstream, which must therefore
+          be maintained with ``bucket_cols=group_cols`` (the
+          secondary-index merge layout): O(touched groups), never an
+          upstream scan. Groups whose count reaches zero are deleted.
+
+        Fold AFTER landing the upstream's day (the re-derivation reads
+        the post-state; re-deriving with no upstream current version
+        raises loudly). A plain post-image-only 'U' raises loudly.
+        NULL values never enter the array (``collect_list`` semantics,
+        mirroring every top-k oracle's ``WHERE value IS NOT NULL``);
+        retractions of values absent from a complete array are a
+        count-only degradation, the extrema fold's tolerance.
+
+        Cost per fold is O(feed + touched groups): the standing side
+        arrives through a bucket-pruned read, the re-derivation reads
+        only re-derived groups' buckets, and every array is at most
+        ``k + batch`` elements (the interpreted higher-order lambdas
+        run over k-bounded arrays, never corpus-sized ones)."""
+        if k < 1:
+            raise ValueError(f"fold_changes_into_topk: k must be >= 1, got {k}")
+        group_cols = list(group_cols)
+        meta = self._merge_meta(upstream_table)
+        if meta is None or (
+            meta.get("bucket_cols") or meta["key_cols"]
+        ) != group_cols:
+            raise ValueError(
+                "fold_changes_into_topk re-derives truncated groups "
+                f"through bucket-pruned reads: {upstream_table!r} must "
+                f"be merged with bucket_cols={group_cols!r} (have "
+                f"{None if meta is None else meta.get('bucket_cols', meta['key_cols'])!r})"
+            )
+        guard = _preimage_op_guard(op_col, "fold_changes_into_topk")
+        # persist only: the standing read's probe collect (or, on the
+        # first fold, the folded-frame materialization) is the first
+        # action and scans the feed, populating the cache
+        feed = feed.withColumn(op_col, guard).persist()
+        try:
+            ins = F.col(op_col).isin("I", "U_post")
+            rem = F.col(op_col).isin("D", "U_pre")
+            sign = F.when(ins, F.lit(1)).otherwise(F.lit(-1))
+            v = F.col(value_col)
+            vtype = feed.schema[value_col].dataType
+            empty_arr = F.lit(None).cast(ArrayType(vtype))
+            delta = feed.groupBy(*group_cols).agg(
+                F.sum(sign).cast("long").alias("_dn"),
+                F.sum(F.when(v.isNotNull(), sign).otherwise(F.lit(0)))
+                .cast("long")
+                .alias("_dnv"),
+                # the batch's own top-k of the insert side (collect_list
+                # drops NULLs); truncating here is exact - see docstring
+                F.slice(
+                    F.sort_array(
+                        F.collect_list(F.when(ins, v)), asc=False
+                    ),
+                    1,
+                    k,
+                ).alias("_ins"),
+                F.sort_array(
+                    F.collect_list(F.when(rem, v)), asc=False
+                ).alias("_rets"),
+            )
+            standing = (
+                self.read_pruned(topk_table, feed.select(*group_cols))
+                if self.exists(topk_table)
+                else None
+            )
+            if standing is not None:
+                folded = delta.join(
+                    F.broadcast(
+                        standing.select(
+                            *group_cols,
+                            F.col("n").alias("_pn"),
+                            F.col("n_vals").alias("_pnv"),
+                            F.col("topk").alias("_ptop"),
+                        )
+                    ),
+                    group_cols,
+                    "left",
+                )
+            else:
+                folded = (
+                    delta.withColumn("_pn", F.lit(None).cast("long"))
+                    .withColumn("_pnv", F.lit(None).cast("long"))
+                    .withColumn("_ptop", empty_arr)
+                )
+            ptop = F.coalesce(F.col("_ptop"), F.array().cast(ArrayType(vtype)))
+            folded = folded.select(
+                *group_cols,
+                (F.coalesce(F.col("_pn"), F.lit(0)) + F.col("_dn")).alias("n"),
+                (F.coalesce(F.col("_pnv"), F.lit(0)) + F.col("_dnv")).alias(
+                    "n_vals"
+                ),
+                ptop.alias("_ptop"),
+                F.col("_ins"),
+                F.col("_rets"),
+            ).persist()
+            try:
+                # a standing array LONGER than k means the caller's k
+                # shrank mid-lifetime - the short-array completeness
+                # invariant no longer holds; fail loudly (driver-local
+                # scalar, not a data collect)
+                if (
+                    folded.filter(F.size("_ptop") > k).limit(1).count() > 0
+                ):
+                    raise ValueError(
+                        f"fold_changes_into_topk: {topk_table!r} holds "
+                        f"arrays longer than k={k} - k must stay "
+                        "constant for a table's lifetime"
+                    )
+                live = folded.filter(F.col("n") > 0)
+                dels = (
+                    folded.filter(F.col("n") <= 0)
+                    .select(*group_cols)
+                    .distinct()
+                )
+                # re-derive: a retraction ties-or-exceeds a FULL
+                # array's min - the truncation horizon hides the
+                # runner-up (short arrays are complete: never re-derive)
+                need_red = (
+                    (F.size("_ptop") >= k)
+                    & (F.size("_rets") > 0)
+                    & (
+                        F.element_at("_rets", 1)
+                        >= F.element_at("_ptop", k)
+                    )
+                )
+                red_groups = live.filter(need_red).select(*group_cols)
+                inc = live.filter(~need_red)
+
+                def _remove_one(acc, x):
+                    pos = F.array_position(acc, x)
+                    return F.when(
+                        pos > 0,
+                        F.filter(acc, lambda e, i: i != pos - 1),
+                    ).otherwise(acc)
+
+                new_top = F.slice(
+                    F.sort_array(
+                        F.concat(
+                            F.aggregate("_rets", F.col("_ptop"), _remove_one),
+                            F.col("_ins"),
+                        ),
+                        asc=False,
+                    ),
+                    1,
+                    k,
+                )
+                ups = inc.select(
+                    *group_cols, "n", "n_vals", new_top.alias("topk")
+                )
+                pruned = self.read_pruned(
+                    upstream_table, red_groups
+                )
+                if pruned is not None:
+                    fresh = pruned.groupBy(*group_cols).agg(
+                        F.slice(
+                            F.sort_array(
+                                F.collect_list(F.col(value_col)), asc=False
+                            ),
+                            1,
+                            k,
+                        ).alias("topk")
+                    )
+                    red = (
+                        live.filter(need_red)
+                        .select(*group_cols, "n", "n_vals")
+                        .join(F.broadcast(fresh), group_cols, "left")
+                        .withColumn(
+                            "topk",
+                            F.coalesce(
+                                "topk", F.array().cast(ArrayType(vtype))
+                            ),
+                        )
+                    )
+                    ups = ups.unionByName(red.select(*ups.columns))
+                elif red_groups.limit(1).count() > 0:
+                    raise ValueError(
+                        f"fold_changes_into_topk: {upstream_table!r} has "
+                        "no current version but the feed retracts "
+                        "values at standing truncation horizons that "
+                        "must re-derive from it - land the upstream's "
+                        "day before folding"
+                    )
+                self.merge_upsert(
+                    ups, topk_table, group_cols,
                     num_buckets=num_buckets, delete_keys=dels,
                 )
             finally:

@@ -1260,3 +1260,136 @@ def test_stream_distinct_ivm_replay_never_double_counts(spark, tmp_path):
     s1 = snap()
     assert s1 == want()
     assert s1["a"][:2] == (3, 3) and s1["b"][:2] == (2, 1)
+
+
+# ---------------------------------------------------------------------
+# top-k IVM (fold_changes_into_topk) - round 14
+# ---------------------------------------------------------------------
+
+
+def test_topk_ivm_scenario_horizon_ties_short_arrays_and_emptying(
+    spark, tmp_path
+):
+    """The edge set the operator exists for: a retraction TYING a full
+    array's truncation horizon (re-derived through the pruned upstream
+    read - the hidden runner-up below the horizon must surface), a
+    retraction from a SHORT array (complete multiset - removed in
+    place, never re-derived), a retraction strictly below a full
+    array's min (array untouched), duplicate values inside the array,
+    an all-NULL group (empty array, n_vals=0), an emptied group (row
+    deleted), and a group move via preimage changefeed."""
+    cat = _cat(spark, tmp_path)
+    rows0 = [(1, "a", 10.0), (2, "a", 9.0), (3, "a", 8.0), (4, "a", 8.0),
+             (5, "a", 3.0), (6, "b", 5.0), (7, "b", 2.0),
+             (8, "n", None)]
+    up0 = spark.createDataFrame(rows0, "k long, g string, v double")
+    cat.merge_upsert(up0, "U", ["k"], num_buckets=4, bucket_cols=["g"])
+    cat.fold_changes_into_topk(
+        up0.select(F.lit("I").alias("op"), "*"), "U", "T", ["g"], "v",
+        k=3, num_buckets=4,
+    )
+    t = {r["g"]: (r["n"], r["n_vals"], r["topk"]) for r in cat.read("T").collect()}
+    assert t == {"a": (5, 5, [10.0, 9.0, 8.0]),
+                 "b": (2, 2, [5.0, 2.0]),
+                 "n": (1, 0, [])}
+
+    # day 1: retract ONE tied 8 from a (== horizon -> rederive; the
+    # OTHER 8 must surface), retract b's 5 (short array, in place),
+    # retract a's 3.0 (strictly below horizon - count-only), move k=7
+    # b->a at 2.0 (b empties), and the NULL group gains a value
+    cat.merge_upsert(
+        spark.createDataFrame(
+            [(7, "a", 2.0), (9, "n", 4.0)], "k long, g string, v double"
+        ),
+        "U", ["k"], num_buckets=4, bucket_cols=["g"],
+        delete_keys=spark.createDataFrame(
+            [(3, "a"), (5, "a"), (6, "b"), (7, "b")], "k long, g string"
+        ),
+    )
+    cat.fold_changes_into_topk(
+        cat.table_changes("U", 0, 1, with_preimages=True),
+        "U", "T", ["g"], "v", k=3, num_buckets=4,
+    )
+    t = {r["g"]: (r["n"], r["n_vals"], r["topk"]) for r in cat.read("T").collect()}
+    assert t == {"a": (4, 4, [10.0, 9.0, 8.0]),
+                 "n": (2, 1, [4.0])}
+
+    # final state must equal the from-scratch top-k of the upstream
+    want = {
+        r["g"]: (r["n"], r["n_vals"], r["topk"])
+        for r in cat.read("U").groupBy("g").agg(
+            F.count("*").alias("n"), F.count("v").alias("n_vals"),
+            F.slice(F.sort_array(F.collect_list("v"), asc=False), 1, 3)
+            .alias("topk"),
+        ).collect()
+    }
+    assert t == want
+
+
+def test_topk_ivm_requires_group_bucketed_upstream(spark, tmp_path):
+    """The re-derivation reads the upstream through read_pruned by
+    GROUP - a key-bucketed upstream must be rejected up front."""
+    cat = _cat(spark, tmp_path)
+    up0 = spark.createDataFrame([(1, "a", 5.0)], "k long, g string, v double")
+    cat.merge_upsert(up0, "U", ["k"], num_buckets=4)  # key-bucketed
+    with pytest.raises(ValueError, match="bucket_cols"):
+        cat.fold_changes_into_topk(
+            up0.select(F.lit("I").alias("op"), "*"), "U", "T", ["g"], "v", k=2
+        )
+
+
+def test_topk_ivm_raises_when_rederive_has_no_upstream(spark, tmp_path):
+    """A retraction at a full array's horizon with no upstream current
+    version (crashed bootstrap between meta write and pointer flip)
+    must raise loudly, never silently keep a stale array."""
+    cat = _cat(spark, tmp_path)
+    up0 = spark.createDataFrame(
+        [(1, "a", 9.0), (2, "a", 8.0), (3, "a", 7.0)],
+        "k long, g string, v double",
+    )
+    cat.merge_upsert(up0, "U", ["k"], num_buckets=4, bucket_cols=["g"])
+    cat.fold_changes_into_topk(
+        up0.select(F.lit("I").alias("op"), "*"), "U", "T", ["g"], "v",
+        k=2, num_buckets=4,
+    )
+    # simulate the crash: meta survives, the version pointer is gone
+    os.remove(str(tmp_path / "wh" / "U" / "_CURRENT"))
+    feed = spark.createDataFrame(
+        [("D", 1, "a", 9.0)], "op string, k long, g string, v double"
+    )
+    with pytest.raises(ValueError, match="no current version"):
+        cat.fold_changes_into_topk(
+            feed, "U", "T", ["g"], "v", k=2, num_buckets=4
+        )
+
+
+def test_topk_ivm_rejects_post_image_only_feed_and_shrunk_k(
+    spark, tmp_path
+):
+    """A plain post-image-only 'U' cannot fold (the moved value's old
+    copy would linger) - raise loudly; and a standing array LONGER
+    than k means k shrank mid-lifetime, breaking the short-array
+    completeness invariant - raise loudly too."""
+    cat = _cat(spark, tmp_path)
+    up0 = spark.createDataFrame(
+        [(1, "a", 9.0), (2, "a", 8.0)], "k long, g string, v double"
+    )
+    cat.merge_upsert(up0, "U", ["k"], num_buckets=4, bucket_cols=["g"])
+    with pytest.raises(Exception, match="preimage feed"):
+        cat.fold_changes_into_topk(
+            spark.createDataFrame(
+                [("U", 1, "a", 9.5)], "op string, k long, g string, v double"
+            ),
+            "U", "T", ["g"], "v", k=2, num_buckets=4,
+        )
+    cat.fold_changes_into_topk(
+        up0.select(F.lit("I").alias("op"), "*"), "U", "T", ["g"], "v",
+        k=2, num_buckets=4,
+    )
+    with pytest.raises(ValueError, match="k must stay constant"):
+        cat.fold_changes_into_topk(
+            spark.createDataFrame(
+                [("I", 3, "a", 1.0)], "op string, k long, g string, v double"
+            ),
+            "U", "T", ["g"], "v", k=1, num_buckets=4,
+        )

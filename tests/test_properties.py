@@ -1646,3 +1646,84 @@ def test_hll_fold_matches_recompute_property(spark, init, days):
         ).collect()
     }
     assert got == want
+
+
+@settings(max_examples=5, deadline=None, derandomize=True)
+@given(
+    st.lists(  # initial table: (key, group, value-or-null)
+        st.tuples(st.integers(0, 15), st.integers(0, 2),
+                  st.one_of(st.none(), st.integers(-3, 3))),
+        min_size=0, max_size=8, unique_by=lambda t: t[0],
+    ),
+    st.lists(  # days of ops: (key, group, value-or-null, is_delete)
+        st.lists(
+            st.tuples(st.integers(0, 15), st.integers(0, 2),
+                      st.one_of(st.none(), st.integers(-3, 3)),
+                      st.booleans()),
+            min_size=0, max_size=6, unique_by=lambda t: t[0],
+        ),
+        min_size=1, max_size=3,
+    ),
+)
+def test_topk_fold_matches_recompute_property(spark, init, days):
+    """Round-14 top-k-IVM property: for ANY upstream evolution
+    (inserts, group-moving updates, deletes incl. at and below the
+    truncation horizon, duplicate values tying the horizon, NULL
+    values, groups emptying and reappearing), a standing (n, n_vals,
+    topk) table maintained purely by folding preimage changefeeds -
+    short arrays subtracted in place, horizon retractions re-derived
+    through the group-bucketed upstream - must equal the from-scratch
+    per-group top-k of the final state. k=2 against a [-3,3] value
+    domain forces truncation AND horizon ties."""
+    import tempfile
+
+    from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
+
+    SCHEMA = "k long, g long, v long"
+    K = 2
+    cat = ParquetCatalog(
+        spark, tempfile.mkdtemp(prefix="topk_prop_"), retain=2
+    )
+    state = {k: (g, v) for k, g, v in init}
+    s0 = spark.createDataFrame(init, SCHEMA)
+    cat.merge_upsert(s0, "U", ["k"], num_buckets=4, bucket_cols=["g"])
+    cat.fold_changes_into_topk(
+        s0.select(F.lit("I").alias("op"), "k", "g", "v"),
+        "U", "T", ["g"], "v", k=K, num_buckets=2,
+    )
+    for v_i, ops in enumerate(days):
+        ups = [(k, g, val) for k, g, val, d in ops if not d]
+        touched = [k for k, g, val, d in ops]
+        pre = [(k, state[k][0]) for k in touched if k in state]
+        cat.merge_upsert(
+            spark.createDataFrame(ups, SCHEMA), "U", ["k"],
+            num_buckets=4, bucket_cols=["g"],
+            delete_keys=spark.createDataFrame(pre, "k long, g long"),
+        )
+        for k, g, val, d in ops:
+            if d:
+                state.pop(k, None)
+            else:
+                state[k] = (g, val)
+        cat.fold_changes_into_topk(
+            cat.table_changes("U", v_i, v_i + 1, with_preimages=True),
+            "U", "T", ["g"], "v", k=K, num_buckets=2,
+        )
+    got = {
+        (r["g"], r["n"], r["n_vals"], tuple(r["topk"]))
+        for r in cat.read("T").collect()
+    }
+    want = {
+        (r["g"], r["n"], r["n_vals"], tuple(r["topk"]))
+        for r in cat.read("U")
+        .groupBy("g")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("v").alias("n_vals"),
+            F.slice(
+                F.sort_array(F.collect_list("v"), asc=False), 1, K
+            ).alias("topk"),
+        )
+        .collect()
+    }
+    assert got == want
