@@ -3685,6 +3685,184 @@ def dim_distinct_ivm(spark, sf_dir):
     )
 
 
+#: per-invocation sequence for the top-k-IVM query
+_TOPK_SEQ = _itertools.count()
+
+
+@register(
+    "dim_topk_ivm",
+    """
+    WITH o AS (
+      SELECT o_orderkey AS k, coalesce(o_orderstatus, '') AS g,
+             o_totalprice AS v
+      FROM orders WHERE o_orderkey IS NOT NULL
+    ), mx AS (SELECT max(k) AS mk, max(v) AS mv FROM o),
+    u1 AS (
+      -- after day 1: inserts k%3=0; v doubled where k%7=0; group moves
+      -- to 'M' where k%11=0; deletes k%5=0
+      SELECT k,
+             CASE WHEN k % 3 <> 0 AND k % 7 <> 0 AND k % 11 = 0
+                  THEN 'M' ELSE g END AS g,
+             CASE WHEN k % 3 <> 0 AND k % 7 = 0 THEN v * 2 ELSE v END AS v
+      FROM o
+      WHERE k % 3 = 0
+         OR NOT (k % 7 <> 0 AND k % 11 <> 0 AND k % 5 = 0)
+      UNION ALL
+      -- day-1 sentinels: four values crowning group 'O' (array fills
+      -- to k=3, horizon mv*8, hidden runner-up mv*7), a SHORT group
+      -- 'S' (complete multiset), an all-NULL group
+      SELECT mk + 1, 'O', mv * 10 FROM mx
+      UNION ALL SELECT mk + 2, 'O', mv * 9 FROM mx
+      UNION ALL SELECT mk + 3, 'O', mv * 8 FROM mx
+      UNION ALL SELECT mk + 4, 'O', mv * 7 FROM mx
+      UNION ALL SELECT mk + 5, 'S', 5.0 FROM mx
+      UNION ALL SELECT mk + 6, 'S', 3.0 FROM mx
+      UNION ALL SELECT mk + 7, 'NN', CAST(NULL AS DOUBLE) FROM mx
+    ), u2 AS (
+      -- day 2: retract the value TYING 'O's truncation horizon (the
+      -- runner-up below it must surface - re-derivation) and one of
+      -- short 'S' (in-place subtract); 'NN' gains its first value
+      SELECT u1.* FROM u1 CROSS JOIN mx
+      WHERE u1.k NOT IN (mx.mk + 3, mx.mk + 6)
+      UNION ALL SELECT mk + 8, 'NN', 1.0 FROM mx
+    ),
+    stats AS (
+      SELECT g, count(*) AS n, count(v) AS n_vals FROM u2 GROUP BY g
+    ),
+    ranked AS (
+      SELECT g, v,
+             CAST(row_number() OVER (PARTITION BY g ORDER BY v DESC)
+                  AS BIGINT) AS rnk
+      FROM u2 WHERE v IS NOT NULL
+    )
+    SELECT s.g, s.n, s.n_vals, r.rnk, r.v
+    FROM stats s
+    LEFT JOIN (SELECT * FROM ranked WHERE rnk <= 3) r ON s.g = r.g
+    """,
+)
+def dim_topk_ivm(spark, sf_dir):
+    """Round-14: per-group TOP-K IVM - a standing leaderboard table
+    (g, n, n_vals, topk array DESC) maintained from preimage
+    changefeeds (ParquetCatalog.fold_changes_into_topk), the
+    k-generalization of the extrema fold (k=1 max). Counts fold
+    retractably; inserts merge-and-truncate exactly (the new top-k
+    only ever draws from the old top-k and the batch's own); a SHORT
+    array is the group's complete multiset and subtracts in place;
+    ONLY a retraction tying-or-exceeding a FULL array's truncation
+    horizon re-derives its group, through a bucket-pruned read of the
+    group-bucketed post-state upstream (bucket_cols=['g'], the
+    secondary-index layout - O(touched groups), never a scan). Day 1:
+    bulk inserts, doubled values (U_pre retractions), group moves,
+    deletes, plus sentinels - group 'O' crowned with four values so
+    its array truncates at mv*8 hiding mv*7, a two-value SHORT group
+    'S', an all-NULL group. Day 2 retracts the horizon value (mv*7
+    must surface via re-derivation), one short-group value (in-place),
+    and the NULL group gains its first value. The result explodes the
+    arrays to (g, rnk, v) rows; oracle = from-scratch per-group
+    row_number ranking of the final upstream state - rank r's value is
+    the r-th largest of the multiset, well-defined under ties."""
+    import re
+
+    from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
+
+    K = 3
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey").isNotNull())
+    k = F.col("o_orderkey")
+    g = F.coalesce(F.col("o_orderstatus"), F.lit(""))
+    v = F.col("o_totalprice")
+    mk, mv = o.agg(F.max(k), F.max(v)).collect()[0]
+    mk = 0 if mk is None else mk
+    mv = 0.0 if mv is None else mv
+    u0 = o.filter(k % 3 != 0).select(
+        k.alias("k"), g.alias("g"), v.alias("v")
+    )
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    cat = ParquetCatalog(
+        spark, _run_tmp(f"topk_wh_{tag}_{next(_TOPK_SEQ)}"), retain=3
+    )
+    cat.merge_upsert(u0, "U", ["k"], num_buckets=16, bucket_cols=["g"])
+    # DIRECT bootstrap: one aggregate + one merge (the fold path
+    # serves the daily feeds; the all-'I' bootstrap arm is pinned by
+    # the unit/property suites)
+    cat.merge_upsert(
+        u0.groupBy("g").agg(
+            F.count("*").alias("n"),
+            F.count("v").alias("n_vals"),
+            F.slice(
+                F.sort_array(F.collect_list("v"), asc=False), 1, K
+            ).alias("topk"),
+        ),
+        "T", ["g"], num_buckets=8,
+    )
+    sent = spark.createDataFrame(
+        [
+            (mk + 1, "O", mv * 10),
+            (mk + 2, "O", mv * 9),
+            (mk + 3, "O", mv * 8),
+            (mk + 4, "O", mv * 7),
+            (mk + 5, "S", 5.0),
+            (mk + 6, "S", 3.0),
+            (mk + 7, "NN", None),
+        ],
+        "k long, g string, v double",
+    )
+    d1 = (
+        o.filter(k % 3 == 0)
+        .select(k.alias("k"), g.alias("g"), v.alias("v"))
+        .unionByName(sent)
+        .unionByName(
+            o.filter((k % 3 != 0) & (k % 7 == 0)).select(
+                k.alias("k"), g.alias("g"), (v * 2).alias("v")
+            )
+        )
+        .unionByName(
+            o.filter((k % 3 != 0) & (k % 7 != 0) & (k % 11 == 0)).select(
+                k.alias("k"), F.lit("M").alias("g"), v.alias("v")
+            )
+        )
+    )
+    pre1 = (
+        o.filter((k % 3 != 0) & (k % 7 != 0) & (k % 11 == 0))
+        .select(k.alias("k"), g.alias("g"))
+        .unionByName(
+            o.filter(
+                (k % 3 != 0) & (k % 7 != 0) & (k % 11 != 0) & (k % 5 == 0)
+            ).select(k.alias("k"), g.alias("g"))
+        )
+    )
+    cat.merge_upsert(
+        d1, "U", ["k"], num_buckets=16, bucket_cols=["g"],
+        delete_keys=pre1,
+    )
+    cat.fold_changes_into_topk(
+        cat.table_changes("U", 0, 1, with_preimages=True),
+        "U", "T", ["g"], "v", k=K, num_buckets=8,
+    )
+    # day 2: retract 'O's horizon value + one of short 'S'; 'NN' gains
+    d2 = spark.createDataFrame(
+        [(mk + 8, "NN", 1.0)], "k long, g string, v double"
+    )
+    pre2 = spark.createDataFrame(
+        [(mk + 3, "O"), (mk + 6, "S")], "k long, g string"
+    )
+    cat.merge_upsert(
+        d2, "U", ["k"], num_buckets=16, bucket_cols=["g"],
+        delete_keys=pre2,
+    )
+    cat.fold_changes_into_topk(
+        cat.table_changes("U", 1, 2, with_preimages=True),
+        "U", "T", ["g"], "v", k=K, num_buckets=8,
+    )
+    t = cat.read("T").select(
+        "g", "n", "n_vals",
+        F.posexplode_outer("topk").alias("pos", "v"),
+    )
+    return t.select(
+        "g", "n", "n_vals",
+        (F.col("pos") + 1).cast("long").alias("rnk"), "v",
+    )
+
+
 #: per-invocation sequence for the streaming-join-IVM query
 _SJIVM_SEQ = _itertools.count()
 
@@ -10548,12 +10726,14 @@ def dim_apply_changes(spark, sf_dir):
 _DRIVER_ORDER = [
     # ============ driver window (first 50): what round 14 verifies ====
     # Round-14 rotation (VERDICT r13 #2): the six single-green
-    # round-13 newcomers stay; the three round-14 NEW operators
+    # round-13 newcomers stay; the four round-14 NEW operators
     # (COUNT DISTINCT IVM batch + streaming, two-upstream streaming
-    # join IVM) take the next slots; the ENTIRE newest-r10 cohort
+    # join IVM, top-k IVM) take the next slots; the newest-r10 cohort
     # (the oldest evidence on record, 41 queries incl. the two that
-    # ceded their r13 slots) rotates in fewest-greens-first - it
-    # fits exactly. Every leaver holds >= 2 green driver rounds
+    # ceded their r13 slots) rotates in fewest-greens-first - 40 of
+    # 41 fit; pack_token_shards (the cohort's MOST-green member, 6
+    # driver rounds) cedes the last slot to dim_topk_ivm and heads
+    # the r15 rotation. Every leaver holds >= 2 green driver rounds
     # (EVIDENCE.json; the whole r13 window re-greened in r13).
     "dim_join_ivm",
     "dim_minmax_ivm",
@@ -10564,6 +10744,7 @@ _DRIVER_ORDER = [
     "dim_distinct_ivm",
     "stream_join_ivm_two_upstream",
     "stream_distinct_ivm",
+    "dim_topk_ivm",
     "dedup_exact_groups",
     "dedup_incremental_index",
     "dedup_prefix_jaccard",
@@ -10604,7 +10785,6 @@ _DRIVER_ORDER = [
     "sim_knn_graph",
     "text_bigram_logprob",
     "dedup_minhash_lsh",
-    "pack_token_shards",
     # ---------------- position 51+: past the driver window ----------
     # Everything below holds >= 2 green driver rounds in EVIDENCE.json;
     # extension-prefixed names have OUT_OF_WINDOW_OK entries in
@@ -10658,6 +10838,7 @@ _DRIVER_ORDER = [
     "p3_isin_filter",
     "p5_string_predicates",
     "pack_store_roundtrip",
+    "pack_token_shards",
     "pattern_a_snapshot_upsert",
     "pattern_b_array_child",
     "pattern_c_collection_refresh",

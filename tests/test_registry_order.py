@@ -124,6 +124,7 @@ OUT_OF_WINDOW_OK = {
     "multimodal_phash_pairs": "evidence",  # green r5+r8+r13
     "orc_catalog_roundtrip": "evidence",  # green r4+r5+r8+r13
     "pack_store_roundtrip": "evidence",  # green r5+r8+r12
+    "pack_token_shards": "evidence",  # green r1+r2+r3+r4+r5+r10
     "pipeline_chunk_dedup_pack": "evidence",  # green r3+r4+r11
     "pipeline_daily_ingest": "evidence",  # green r11+r12
     "pipeline_quality_mix_pack": "evidence",  # green r3+r4+r5+r11
