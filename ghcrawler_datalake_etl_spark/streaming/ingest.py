@@ -1182,6 +1182,89 @@ def stream_distinct_ivm(
     )
 
 
+def stream_topk_ivm(
+    stream: DataFrame,
+    catalog,
+    a_table: str,
+    index_table: str,
+    topk_table: str,
+    key_cols: list[str],
+    group_cols: list[str],
+    value_col: str,
+    k: int,
+    feed_root: str,
+    checkpoint: str,
+    op_col: str = "op",
+    seq_col: str | None = None,
+    num_buckets: int = 16,
+) -> StreamingQuery:
+    """Streaming TOP-K IVM - the foreachBatch arm of
+    ParquetCatalog.fold_changes_into_topk, completing the leaderboard
+    fold's batch -> streaming lifecycle (the round-13/14 pattern:
+    every fold family ships both arms). Per micro-batch of (op, key,
+    row) CDC rows: apply to the merged upstream, emit the version diff
+    as a PREIMAGE feed, maintain the GROUP-BUCKETED replica
+    (``index_table`` - the horizon re-derivation's pruned-read
+    target), then fold the feed into the standing per-group top-k
+    table.
+
+    Exactly-once is LEDGERED PER DOWNSTREAM TABLE (the
+    stream_aggregate_ivm mechanism): the top-k fold is NOT idempotent
+    - replaying an identical insert feed re-merges the same values
+    into an array that already holds them, and the counts
+    double-count - so each downstream table's pre-version is recorded
+    in the feed manifest BEFORE folding; every fold lands as one
+    atomic version flip, and on replay a table whose version advanced
+    is skipped while the rest re-run. Single-maintainer contract:
+    nothing else may write these tables mid-stream."""
+    import os
+
+    _require_driver_local(feed_root, "stream_topk_ivm")
+
+    def _apply(bdf: DataFrame, micro_batch: int) -> None:
+        if not bdf.head(1):
+            return
+        _merge_and_emit_changes(
+            catalog, bdf, micro_batch, a_table, list(key_cols),
+            feed_root, op_col, seq_col, num_buckets,
+            with_preimages=True,
+        )
+        feed = bdf.sparkSession.read.parquet(
+            os.path.join(feed_root, f"micro_batch={micro_batch}")
+        )
+        man = _read_delta_manifest(feed_root, "feed")
+        rec = man["txn"][str(micro_batch)]
+        if "folds" not in rec:
+            rec["folds"] = {
+                n: catalog._current_version(n)
+                for n in (index_table, topk_table)
+            }
+            _write_delta_manifest(feed_root, man)
+        pre = rec["folds"]
+        if not _fold_version_advanced(catalog, index_table, pre[index_table]):
+            posts = feed.filter(
+                F.col(op_col).isin("I", "U_post")
+            ).drop(op_col)
+            pres = feed.filter(F.col(op_col).isin("D", "U_pre"))
+            catalog.merge_upsert(
+                posts, index_table, list(key_cols),
+                num_buckets=num_buckets, bucket_cols=list(group_cols),
+                delete_keys=pres.select(*key_cols, *group_cols),
+            )
+        if not _fold_version_advanced(catalog, topk_table, pre[topk_table]):
+            catalog.fold_changes_into_topk(
+                feed, index_table, topk_table, list(group_cols),
+                value_col, k=k, op_col=op_col, num_buckets=num_buckets,
+            )
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_bm25_maintenance(
     stream_df: DataFrame,
     store_root: str,

@@ -1393,3 +1393,80 @@ def test_topk_ivm_rejects_post_image_only_feed_and_shrunk_k(
             ),
             "U", "T", ["g"], "v", k=1, num_buckets=4,
         )
+
+
+def test_stream_topk_ivm_replay_never_remerges(spark, tmp_path):
+    """The streaming arm of the top-k fold: merge-and-truncate is NOT
+    idempotent (a replayed insert re-enters an array that already
+    holds it) and the counts are arithmetic, so exactly-once rides the
+    per-downstream-table version ledger - a replayed trigger (lost
+    checkpoint commit) must skip already-applied folds. A horizon
+    retraction re-derives through the feed-maintained group-bucketed
+    replica; the final table equals the recompute from the maintained
+    upstream."""
+    from ghcrawler_datalake_etl_spark.streaming.ingest import (
+        stream_topk_ivm,
+    )
+
+    cat = _cat(spark, tmp_path)
+    SCHEMA = "op string, k long, g string, v double"
+    K = 2
+    sdir = str(tmp_path / "in")
+    os.makedirs(sdir)
+
+    def run():
+        stream_topk_ivm(
+            spark.readStream.schema(SCHEMA).option(
+                "recursiveFileLookup", "true"
+            ).parquet(sdir),
+            cat, "A", "AIdx", "T", ["k"], ["g"], "v", K,
+            str(tmp_path / "feed"), str(tmp_path / "ck"),
+            num_buckets=4,
+        ).awaitTermination()
+
+    spark.createDataFrame(
+        [("I", 1, "a", 9.0), ("I", 2, "a", 8.0), ("I", 3, "a", 7.0),
+         ("I", 4, "b", 5.0), ("I", 5, "b", None)], SCHEMA
+    ).coalesce(1).write.parquet(os.path.join(sdir, "day0"))
+    run()
+
+    def snap():
+        return {
+            r["g"]: (r["n"], r["n_vals"], tuple(r["topk"]))
+            for r in cat.read("T").collect()
+        }
+
+    def want():
+        return {
+            r["g"]: (r["n"], r["n_vals"], tuple(r["topk"]))
+            for r in cat.read("A").groupBy("g").agg(
+                F.count("*").alias("n"), F.count("v").alias("n_vals"),
+                F.slice(
+                    F.sort_array(F.collect_list("v"), asc=False), 1, K
+                ).alias("topk"),
+            ).collect()
+        }
+
+    s0 = snap()
+    assert s0 == want()
+    assert s0 == {"a": (3, 3, (9.0, 8.0)), "b": (2, 1, (5.0,))}
+
+    # crash replay: a re-merged array would read (9.0, 9.0)
+    os.remove(str(tmp_path / "ck" / "commits" / "0"))
+    crc = str(tmp_path / "ck" / "commits" / ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+    assert snap() == s0
+
+    # day 1: retract a's horizon value 8.0 (the hidden 7.0 must
+    # surface through the replica re-derivation), move k=4 b->a at a
+    # new value, insert into b
+    spark.createDataFrame(
+        [("D", 2, "a", 8.0), ("U", 4, "a", 10.0), ("I", 6, "b", 1.0)],
+        SCHEMA,
+    ).coalesce(1).write.parquet(os.path.join(sdir, "day1"))
+    run()
+    s1 = snap()
+    assert s1 == want()
+    assert s1 == {"a": (3, 3, (10.0, 9.0)), "b": (2, 1, (1.0,))}
