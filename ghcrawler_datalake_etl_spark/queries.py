@@ -4599,6 +4599,151 @@ def stream_distinct_ivm(spark, sf_dir):
     )
 
 
+#: per-invocation sequence for the streaming top-k-IVM query
+_STOPK_SEQ = _itertools.count()
+
+
+@register(
+    "stream_topk_ivm",
+    """
+    WITH o AS (
+      SELECT o_orderkey AS k, coalesce(o_orderstatus, '') AS g,
+             o_totalprice AS v
+      FROM orders WHERE o_orderkey IS NOT NULL
+    ), u2 AS (
+      -- after trigger 1: inserts k%3=0; v doubled where k%7=0; group
+      -- moves to 'M' where k%11=0; deletes k%5=0
+      SELECT k,
+             CASE WHEN k % 3 <> 0 AND k % 7 <> 0 AND k % 11 = 0
+                  THEN 'M' ELSE g END AS g,
+             CASE WHEN k % 3 <> 0 AND k % 7 = 0 THEN v * 2 ELSE v END AS v
+      FROM o
+      WHERE k % 3 = 0
+         OR NOT (k % 7 <> 0 AND k % 11 <> 0 AND k % 5 = 0)
+    ),
+    stats AS (
+      SELECT g, count(*) AS n, count(v) AS n_vals FROM u2 GROUP BY g
+    ),
+    ranked AS (
+      SELECT g, v,
+             CAST(row_number() OVER (PARTITION BY g ORDER BY v DESC)
+                  AS BIGINT) AS rnk
+      FROM u2 WHERE v IS NOT NULL
+    )
+    SELECT s.g, s.n, s.n_vals, r.rnk, r.v
+    FROM stats s
+    LEFT JOIN (SELECT * FROM ranked WHERE rnk <= 3) r ON s.g = r.g
+    """,
+)
+def stream_topk_ivm(spark, sf_dir):
+    """Round-14: STREAMING TOP-K IVM
+    (streaming/ingest.stream_topk_ivm) - the foreachBatch arm of
+    fold_changes_into_topk, shipping the leaderboard fold's streaming
+    lifecycle in the same round as its batch form (the r13/r14
+    pattern). Per trigger: the CDC micro-batch applies to the
+    key-bucketed upstream, the version diff emits as a preimage feed,
+    a GROUP-BUCKETED replica is maintained from the feed (the horizon
+    re-derivation's pruned-read target), and the feed folds into the
+    standing per-group top-3 table. Exactly-once is ledgered per
+    downstream table (merge-and-truncate is NOT idempotent - a
+    replayed insert re-enters an array that already holds it). Two
+    REAL availableNow runs: bootstrap inserts, then inserts + value
+    doubles + group moves + deletes - the doubles retract high values
+    that sit inside standing arrays, exercising in-place subtraction
+    AND horizon re-derivation under streaming. The arrays explode to
+    (g, rnk, v) rows; oracle = from-scratch per-group row_number
+    ranking of the final upstream state."""
+    import os
+    import re
+    import shutil
+
+    from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
+    from ghcrawler_datalake_etl_spark.streaming.ingest import (
+        stream_topk_ivm as _stk,
+    )
+
+    K = 3
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey").isNotNull())
+    k = F.col("o_orderkey")
+    g = F.coalesce(F.col("o_orderstatus"), F.lit(""))
+    v = F.col("o_totalprice")
+    day0 = o.filter(k % 3 != 0).select(
+        F.lit("I").alias("op"), k.alias("k"), g.alias("g"), v.alias("v")
+    )
+    day1 = (
+        o.filter(k % 3 == 0)
+        .select(
+            F.lit("I").alias("op"), k.alias("k"), g.alias("g"),
+            v.alias("v"),
+        )
+        .unionByName(
+            o.filter((k % 3 != 0) & (k % 7 == 0)).select(
+                F.lit("U").alias("op"), k.alias("k"), g.alias("g"),
+                (v * 2).alias("v"),
+            )
+        )
+        .unionByName(
+            o.filter((k % 3 != 0) & (k % 7 != 0) & (k % 11 == 0)).select(
+                F.lit("U").alias("op"), k.alias("k"),
+                F.lit("M").alias("g"), v.alias("v"),
+            )
+        )
+        .unionByName(
+            o.filter(
+                (k % 3 != 0) & (k % 7 != 0) & (k % 11 != 0) & (k % 5 == 0)
+            ).select(
+                F.lit("D").alias("op"), k.alias("k"), g.alias("g"),
+                v.alias("v"),
+            )
+        )
+    )
+    global _STOPK_STAGED
+    try:
+        _STOPK_STAGED
+    except NameError:
+        _STOPK_STAGED = set()
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    sroot = _run_tmp(f"stopk_{tag}")
+    if sf_dir not in _STOPK_STAGED:
+        for i, day in enumerate((day0, day1)):
+            day.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(sroot, f"day{i}")
+            )
+        _STOPK_STAGED.add(sf_dir)
+
+    def _day_file(i: int) -> str:
+        d = os.path.join(sroot, f"day{i}")
+        return os.path.join(
+            d, next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        )
+
+    seq = next(_STOPK_SEQ)
+    root = _run_tmp(f"stopk_{tag}_{seq}")
+    sdir = os.path.join(root, "in")
+    os.makedirs(sdir, exist_ok=True)
+    cat = ParquetCatalog(spark, os.path.join(root, "wh"), retain=3)
+    SCHEMA = "op string, k long, g string, v double"
+    for i in range(2):
+        try:
+            os.link(_day_file(i), os.path.join(sdir, f"day{i}.parquet"))
+        except OSError:
+            shutil.copy(_day_file(i), os.path.join(sdir, f"day{i}.parquet"))
+        _stk(
+            spark.readStream.schema(SCHEMA).parquet(sdir),
+            cat, "A", "AIdx", "T", ["k"], ["g"], "v", K,
+            os.path.join(root, "feed"), os.path.join(root, "ck"),
+            num_buckets=16,
+        ).awaitTermination()
+    t = cat.read("T").select(
+        "g", "n", "n_vals",
+        F.posexplode_outer("topk").alias("pos", "v"),
+    )
+    return t.select(
+        "g", "n", "n_vals",
+        (F.col("pos") + 1).cast("long").alias("rnk"), "v",
+    )
+
+
 # invocation counter for stream_changefeed_emission's per-run state
 _CFE_SEQ = _itertools.count()
 
@@ -10726,14 +10871,15 @@ def dim_apply_changes(spark, sf_dir):
 _DRIVER_ORDER = [
     # ============ driver window (first 50): what round 14 verifies ====
     # Round-14 rotation (VERDICT r13 #2): the six single-green
-    # round-13 newcomers stay; the four round-14 NEW operators
+    # round-13 newcomers stay; the five round-14 NEW operators
     # (COUNT DISTINCT IVM batch + streaming, two-upstream streaming
-    # join IVM, top-k IVM) take the next slots; the newest-r10 cohort
-    # (the oldest evidence on record, 41 queries incl. the two that
-    # ceded their r13 slots) rotates in fewest-greens-first - 40 of
-    # 41 fit; pack_token_shards (the cohort's MOST-green member, 6
-    # driver rounds) cedes the last slot to dim_topk_ivm and heads
-    # the r15 rotation. Every leaver holds >= 2 green driver rounds
+    # join IVM, top-k IVM batch + streaming) take the next slots; the
+    # newest-r10 cohort (the oldest evidence on record, 41 queries
+    # incl. the two that ceded their r13 slots) rotates in
+    # fewest-greens-first - 39 of 41 fit; pack_token_shards (6 driver
+    # rounds) and dedup_minhash_lsh (5), the cohort's MOST-green
+    # members, cede the last slots to the top-k pair and head the r15
+    # rotation. Every leaver holds >= 2 green driver rounds
     # (EVIDENCE.json; the whole r13 window re-greened in r13).
     "dim_join_ivm",
     "dim_minmax_ivm",
@@ -10745,6 +10891,7 @@ _DRIVER_ORDER = [
     "stream_join_ivm_two_upstream",
     "stream_distinct_ivm",
     "dim_topk_ivm",
+    "stream_topk_ivm",
     "dedup_exact_groups",
     "dedup_incremental_index",
     "dedup_prefix_jaccard",
@@ -10784,7 +10931,6 @@ _DRIVER_ORDER = [
     "sim_ivf_kmeans_topk",
     "sim_knn_graph",
     "text_bigram_logprob",
-    "dedup_minhash_lsh",
     # ---------------- position 51+: past the driver window ----------
     # Everything below holds >= 2 green driver rounds in EVIDENCE.json;
     # extension-prefixed names have OUT_OF_WINDOW_OK entries in
@@ -10804,6 +10950,7 @@ _DRIVER_ORDER = [
     "dedup_incremental_spans",
     "dedup_incremental_substrings",
     "dedup_minhash_clusters",
+    "dedup_minhash_lsh",
     "dedup_remove_substrings",
     "dedup_semantic_incremental",
     "dedup_semantic_prune",

@@ -106,6 +106,7 @@ OUT_OF_WINDOW_OK = {
     "dedup_incremental_spans": "evidence",  # green r10+r11
     "dedup_incremental_substrings": "evidence",  # green r11+r12
     "dedup_minhash_clusters": "evidence",  # green r3+r4+r11
+    "dedup_minhash_lsh": "evidence",  # green r2+r3+r4+r5+r10
     "dedup_remove_substrings": "evidence",  # green r10+r11
     "dedup_semantic_incremental": "evidence",  # green r12+r13
     "dedup_semantic_prune": "evidence",  # green r3+r4+r11
