@@ -558,6 +558,58 @@ def bench_scaling(spark) -> dict:
             out["ivm_extrema_fold_600_sec"] = round(
                 time.perf_counter() - t0, 3
             )
+            # round-14: the two new non-retractable fold families at
+            # the same 10x scale - per-group HLL registers (COUNT
+            # DISTINCT IVM) and per-group top-10 leaderboards. Same
+            # signal as above: the folds must track the FEED. The
+            # standing state bootstraps from the CURRENT post-state of
+            # U (the prior arms' deletes applied), then one 600-key
+            # delete feed - including the current global max row, so
+            # its group's horizon re-derivation path fires - folds
+            # into both tables.
+            u_now = cat.read("U").select("k", "g", "cents")
+            t0 = time.perf_counter()
+            cat.fold_changes_into_hll(
+                u_now.selectExpr("'I' AS op", "k", "g", "cents"),
+                "U", "H", ["g"], "cents", num_buckets=32,
+            )
+            out["ivm_hll_bootstrap_150k_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
+            t0 = time.perf_counter()
+            cat.fold_changes_into_topk(
+                u_now.selectExpr("'I' AS op", "k", "g", "cents"),
+                "U", "T", ["g"], "cents", k=10, num_buckets=32,
+            )
+            out["ivm_topk_bootstrap_150k_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
+            mx = n_fact - 2  # n_fact-1 died in the extrema arm
+            feed2 = u_now.filter("k % 250 = 1").unionByName(
+                spark.range(1).selectExpr(
+                    f"{mx} AS k", f"{mx % 37} AS g",
+                    f"{mx} * 3 AS cents",
+                )
+            ).selectExpr("'D' AS op", "k", "g", "cents")
+            cat.merge_upsert(
+                spark.createDataFrame([], "k long, g long, cents long"),
+                "U", ["k"], num_buckets=32, bucket_cols=["g"],
+                delete_keys=feed2.selectExpr("k", "g"),
+            )
+            t0 = time.perf_counter()
+            cat.fold_changes_into_hll(
+                feed2, "U", "H", ["g"], "cents", num_buckets=32,
+            )
+            out["ivm_hll_fold_600_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
+            t0 = time.perf_counter()
+            cat.fold_changes_into_topk(
+                feed2, "U", "T", ["g"], "cents", k=10, num_buckets=32,
+            )
+            out["ivm_topk_fold_600_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
         finally:
             shutil.rmtree(ivm_root, ignore_errors=True)
 
