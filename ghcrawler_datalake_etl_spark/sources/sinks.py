@@ -1367,7 +1367,15 @@ class ParquetCatalog:
         arrives through a bucket-pruned read, the re-derivation reads
         only re-derived groups' buckets, and every array is at most
         ``k + batch`` elements (the interpreted higher-order lambdas
-        run over k-bounded arrays, never corpus-sized ones)."""
+        run over k-bounded arrays, never corpus-sized ones).
+
+        The fold is TYPE-GENERIC over any orderable ``value_col`` -
+        in particular a STRUCT of (score, pk, payload...) turns the
+        array into an arg-top-k leaderboard (rows, not bare values)
+        under Spark's lexicographic struct order, with the pk field
+        as a deterministic tie-break; preimage feeds carry the exact
+        struct, so in-place subtraction and the horizon comparison
+        hold unchanged (test-pinned)."""
         if k < 1:
             raise ValueError(f"fold_changes_into_topk: k must be >= 1, got {k}")
         group_cols = list(group_cols)

@@ -1470,3 +1470,63 @@ def test_stream_topk_ivm_replay_never_remerges(spark, tmp_path):
     s1 = snap()
     assert s1 == want()
     assert s1 == {"a": (3, 3, (10.0, 9.0)), "b": (2, 1, (1.0,))}
+
+
+def test_topk_ivm_struct_values_argmax_leaderboard(spark, tmp_path):
+    """The fold is type-generic: a STRUCT value column turns the
+    top-k value array into an arg-top-k leaderboard - rows of
+    (score, pk, payload) ordered by score with pk as a deterministic
+    tie-break, the production 'top-k docs by quality per language'
+    shape. Struct ordering is Spark's lexicographic field order, so
+    the merge-and-truncate, in-place subtraction (preimages carry the
+    exact struct), and horizon comparison all hold unchanged."""
+    cat = _cat(spark, tmp_path)
+    rows = [(1, "a", 9.0, "p1"), (2, "a", 7.0, "p2"), (3, "a", 7.0, "p3"),
+            (4, "a", 1.0, "p4"), (5, "b", 5.0, "p5")]
+    up0 = spark.createDataFrame(
+        rows, "k long, g string, score double, payload string"
+    ).select(
+        "k", "g",
+        F.struct("score", "k", "payload").alias("v"),
+    )
+    cat.merge_upsert(up0, "U", ["k"], num_buckets=4, bucket_cols=["g"])
+    cat.fold_changes_into_topk(
+        up0.select(F.lit("I").alias("op"), "*"), "U", "T", ["g"], "v",
+        k=2, num_buckets=4,
+    )
+
+    def arrays():
+        return {
+            r["g"]: [(e["score"], e["k"], e["payload"]) for e in r["topk"]]
+            for r in cat.read("T").collect()
+        }
+
+    # tie at 7.0 broken by pk DESC: k=3 beats k=2
+    assert arrays() == {"a": [(9.0, 1, "p1"), (7.0, 3, "p3")],
+                        "b": [(5.0, 5, "p5")]}
+
+    # retract the horizon entry (7.0, 3) - the OTHER 7.0 must surface
+    # through the pruned re-derivation; retract b's only entry in place
+    cat.merge_upsert(
+        spark.createDataFrame([], "k long, g string, score double, payload string")
+        .select("k", "g", F.struct("score", "k", "payload").alias("v")),
+        "U", ["k"], num_buckets=4, bucket_cols=["g"],
+        delete_keys=spark.createDataFrame(
+            [(3, "a"), (5, "b")], "k long, g string"
+        ),
+    )
+    cat.fold_changes_into_topk(
+        cat.table_changes("U", 0, 1, with_preimages=True),
+        "U", "T", ["g"], "v", k=2, num_buckets=4,
+    )
+    assert arrays() == {"a": [(9.0, 1, "p1"), (7.0, 2, "p2")]}
+
+    # final state == from-scratch arg-top-k of the upstream
+    want = {
+        r["g"]: [(e["score"], e["k"], e["payload"]) for e in r["topk"]]
+        for r in cat.read("U").groupBy("g").agg(
+            F.slice(F.sort_array(F.collect_list("v"), asc=False), 1, 2)
+            .alias("topk")
+        ).collect()
+    }
+    assert arrays() == want
