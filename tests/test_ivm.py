@@ -1530,3 +1530,88 @@ def test_topk_ivm_struct_values_argmax_leaderboard(spark, tmp_path):
         ).collect()
     }
     assert arrays() == want
+
+
+def test_histogram_quantile_ivm_is_a_stats_fold_composition(spark, tmp_path):
+    """Histogram (and therefore quantile) IVM needs ZERO new machinery:
+    per-(group, bin) counts are fully retractable, so folding the
+    preimage changefeed with group_cols=[g, bin] - the bin derived
+    from the value by fixed-width bucketing, on the feed itself -
+    maintains the standing histogram; quantiles read off the folded
+    cumulative counts exactly as sketch_histogram_quantiles does from
+    a batch histogram. Pins the composition: two days of evolution
+    (inserts, value moves across bins, deletes, a bin emptying) ==
+    the from-scratch histogram, and the median read off the standing
+    table equals the exact percentile."""
+    cat = _cat(spark, tmp_path)
+    W = 10.0  # fixed bin width
+
+    def binned(feed):
+        return feed.withColumn(
+            "bin", F.floor(F.col("v") / W).cast("long")
+        )
+
+    rows0 = [(1, "a", 5.0), (2, "a", 15.0), (3, "a", 25.0),
+             (4, "a", 27.0), (5, "b", 95.0)]
+    up0 = spark.createDataFrame(rows0, "k long, g string, v double")
+    cat.merge_upsert(up0, "U", ["k"], num_buckets=4)
+    cat.fold_changes_into_stats(
+        binned(up0.select(F.lit("I").alias("op"), "*")).withColumn(
+            "one", F.lit(1)
+        ),
+        "HIST", ["g", "bin"], "one", num_buckets=4,
+    )
+
+    def hist():
+        return {(r["g"], r["bin"]): r["n"] for r in cat.read("HIST").collect()}
+
+    assert hist() == {("a", 0): 1, ("a", 1): 1, ("a", 2): 2, ("b", 9): 1}
+
+    # day 1: value moves across bins (25->35), delete 27 (bin 2 keeps
+    # one), delete b's only row (bin row must vanish), insert 8.0
+    cat.merge_upsert(
+        spark.createDataFrame(
+            [(3, "a", 35.0), (6, "a", 8.0)], "k long, g string, v double"
+        ),
+        "U", ["k"], num_buckets=4,
+        delete_keys=spark.createDataFrame(
+            [(4, "a"), (5, "b")], "k long, g string"
+        ),
+    )
+    cat.fold_changes_into_stats(
+        binned(
+            cat.table_changes("U", 0, 1, with_preimages=True)
+        ).withColumn("one", F.lit(1)),
+        "HIST", ["g", "bin"], "one", num_buckets=4,
+    )
+    assert hist() == {("a", 0): 2, ("a", 1): 1, ("a", 3): 1}
+
+    # equals the from-scratch histogram of the final state
+    want = {
+        (r["g"], r["bin"]): r["n"]
+        for r in binned(cat.read("U")).groupBy("g", "bin").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert hist() == want
+
+    # median of group a read off the standing histogram: cumulative
+    # counts give the median BIN exactly (values 5,8,15,35 -> the
+    # 50th-percentile mass sits in bin 0 [lower-interpolation], the
+    # exact percentile's bin)
+    import math
+
+    h = sorted(
+        (b, n) for (g, b), n in hist().items() if g == "a"
+    )
+    total = sum(n for _, n in h)
+    target = math.ceil(total * 0.5)
+    cum = 0
+    for b, n in h:
+        cum += n
+        if cum >= target:
+            med_bin = b
+            break
+    exact = [5.0, 8.0, 15.0, 35.0]
+    exact_median_lower = sorted(exact)[math.ceil(len(exact) * 0.5) - 1]
+    assert med_bin == math.floor(exact_median_lower / W)
