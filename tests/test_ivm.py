@@ -1615,3 +1615,94 @@ def test_histogram_quantile_ivm_is_a_stats_fold_composition(spark, tmp_path):
     exact = [5.0, 8.0, 15.0, 35.0]
     exact_median_lower = sorted(exact)[math.ceil(len(exact) * 0.5) - 1]
     assert med_bin == math.floor(exact_median_lower / W)
+
+
+def test_chained_gold_nonretractable_folds_via_silver_replica(spark, tmp_path):
+    """The r13 chained-gold pattern (gold subscribes to the SILVER
+    join table's own changefeed) extends to the whole NON-RETRACTABLE
+    fold family with zero new machinery: the silver feed maintains a
+    group-bucketed silver REPLICA (the batch analog of the streaming
+    arms' index_table), and extrema, HLL-distinct, and top-k gold
+    views all fold from the same feed, re-deriving tied groups
+    through the replica. Day 1 retracts one group's max by DELETE and
+    the other's max by FK MOVE (both horizon re-derivations), moves a
+    group minimum by value update, and inserts a new global max -
+    every gold view must equal its from-scratch recompute."""
+    from ghcrawler_datalake_etl_spark.operators.sketches import (
+        hll_registers,
+    )
+
+    cat = _cat(spark, tmp_path)
+    b = spark.createDataFrame(
+        [(ck, ck % 2) for ck in (1, 2, 3, 4)], "ck long, nat long"
+    )
+    a0 = spark.createDataFrame(
+        [(1, 1, 100), (2, 2, 200), (3, 3, 300), (4, 4, 400), (5, 1, 50)],
+        "k long, ck long, cents long",
+    )
+    cat.merge_upsert(a0, "A", ["k"], num_buckets=4)
+    cat.merge_upsert(b, "B", ["ck"], num_buckets=4)
+    cat.merge_upsert(a0, "AIdx", ["k"], num_buckets=4, bucket_cols=["ck"])
+    j0 = a0.join(b, "ck").select("k", "ck", "cents", "nat")
+    cat.merge_upsert(j0, "J", ["k"], num_buckets=4)
+    # the group-bucketed silver replica - the re-derivation target
+    cat.merge_upsert(j0, "JRep", ["k"], num_buckets=4, bucket_cols=["nat"])
+    feed0 = j0.select(F.lit("I").alias("op"), "*")
+    cat.fold_changes_into_extrema(feed0, "JRep", "GX", ["nat"], "cents",
+                                  num_buckets=4)
+    cat.fold_changes_into_hll(feed0, "JRep", "GH", ["nat"], "cents",
+                              num_buckets=4)
+    cat.fold_changes_into_topk(feed0, "JRep", "GT", ["nat"], "cents",
+                               k=2, num_buckets=4)
+
+    # day 1 on the fact side: delete k4 (nat0's max), FK-move k3 3->2
+    # (nat1 -> nat0: retracts nat1's max), value-update k5 50->60
+    # (retracts nat1's min), insert k6 (new nat0 max)
+    cat.merge_upsert(
+        spark.createDataFrame(
+            [(3, 2, 300), (5, 1, 60), (6, 4, 500)],
+            "k long, ck long, cents long",
+        ),
+        "A", ["k"], num_buckets=4,
+        delete_keys=spark.createDataFrame([(4,)], "k long"),
+    )
+    j_pre = cat._current_version("J")
+    cat.fold_changes_into_join(
+        cat.table_changes("A", 0, 1, with_preimages=True),
+        None, "J", "AIdx", "B", ["k"], ["ck"], num_buckets=4,
+    )
+    feed1 = cat.table_changes(
+        "J", j_pre, cat._current_version("J"), with_preimages=True
+    ).persist()
+    posts = feed1.filter(F.col("op").isin("I", "U_post")).drop("op")
+    pres = feed1.filter(F.col("op").isin("D", "U_pre"))
+    # replica FIRST (the folds' re-derivations read its post-state)
+    cat.merge_upsert(
+        posts, "JRep", ["k"], num_buckets=4, bucket_cols=["nat"],
+        delete_keys=pres.select("k", "nat"),
+    )
+    cat.fold_changes_into_extrema(feed1, "JRep", "GX", ["nat"], "cents",
+                                  num_buckets=4)
+    cat.fold_changes_into_hll(feed1, "JRep", "GH", ["nat"], "cents",
+                              num_buckets=4)
+    cat.fold_changes_into_topk(feed1, "JRep", "GT", ["nat"], "cents",
+                               k=2, num_buckets=4)
+    feed1.unpersist()
+
+    final = cat.read("A").join(cat.read("B"), "ck")
+    gx = {r["nat"]: (r["n"], r["min_v"], r["max_v"])
+          for r in cat.read("GX").collect()}
+    assert gx == {0: (3, 200, 500), 1: (2, 60, 100)}
+    assert gx == {
+        r["nat"]: (r["n"], r["min_v"], r["max_v"])
+        for r in final.groupBy("nat").agg(
+            F.count("*").alias("n"), F.min("cents").alias("min_v"),
+            F.max("cents").alias("max_v")).collect()
+    }
+    gt = {r["nat"]: tuple(r["topk"]) for r in cat.read("GT").collect()}
+    assert gt == {0: (500, 300), 1: (100, 60)}
+    want_regs = {}
+    for r in hll_registers(final, "cents", ["nat"]).collect():
+        want_regs.setdefault(r["nat"], {})[r["bucket"]] = r["m_rho"]
+    got_regs = {r["nat"]: dict(r["regs"]) for r in cat.read("GH").collect()}
+    assert got_regs == want_regs
