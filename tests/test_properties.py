@@ -1727,3 +1727,85 @@ def test_topk_fold_matches_recompute_property(spark, init, days):
         .collect()
     }
     assert got == want
+
+
+@settings(max_examples=4, deadline=None, derandomize=True)
+@given(
+    st.lists(  # initial table: (key, group, score)
+        st.tuples(st.integers(0, 15), st.integers(0, 1),
+                  st.integers(-2, 2)),
+        min_size=0, max_size=6, unique_by=lambda t: t[0],
+    ),
+    st.lists(  # days of ops: (key, group, score, is_delete)
+        st.lists(
+            st.tuples(st.integers(0, 15), st.integers(0, 1),
+                      st.integers(-2, 2), st.booleans()),
+            min_size=0, max_size=5, unique_by=lambda t: t[0],
+        ),
+        min_size=1, max_size=2,
+    ),
+)
+def test_topk_fold_struct_values_property(spark, init, days):
+    """Arg-top-k twin of the value-array property: the fold over a
+    (score, pk) STRUCT column - lexicographic struct order, pk as the
+    tie-break - must equal the from-scratch struct top-k under ANY
+    evolution. The [-2,2] score domain forces score ties, so the
+    deterministic pk tie-break and the horizon comparison on structs
+    are both exercised; the preimage feed carries the exact struct,
+    so in-place subtraction must find it."""
+    import tempfile
+
+    from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
+
+    SCHEMA = "k long, g long, s long"
+    K = 2
+
+    def structify(df):
+        return df.select(
+            "k", "g", F.struct("s", "k").alias("v")
+        )
+
+    cat = ParquetCatalog(
+        spark, tempfile.mkdtemp(prefix="topk_sprop_"), retain=2
+    )
+    state = {k: (g, s) for k, g, s in init}
+    s0 = structify(spark.createDataFrame(init, SCHEMA))
+    cat.merge_upsert(s0, "U", ["k"], num_buckets=4, bucket_cols=["g"])
+    cat.fold_changes_into_topk(
+        s0.select(F.lit("I").alias("op"), "*"),
+        "U", "T", ["g"], "v", k=K, num_buckets=2,
+    )
+    for v_i, ops in enumerate(days):
+        ups = [(k, g, s) for k, g, s, d in ops if not d]
+        pre = [(k, state[k][0]) for k, g, s, d in ops if k in state]
+        cat.merge_upsert(
+            structify(spark.createDataFrame(ups, SCHEMA)), "U", ["k"],
+            num_buckets=4, bucket_cols=["g"],
+            delete_keys=spark.createDataFrame(pre, "k long, g long"),
+        )
+        for k, g, s, d in ops:
+            if d:
+                state.pop(k, None)
+            else:
+                state[k] = (g, s)
+        cat.fold_changes_into_topk(
+            cat.table_changes("U", v_i, v_i + 1, with_preimages=True),
+            "U", "T", ["g"], "v", k=K, num_buckets=2,
+        )
+    got = {
+        (r["g"], r["n"], tuple((e["s"], e["k"]) for e in r["topk"]))
+        for r in cat.read("T").collect()
+    }
+    want = {
+        (r["g"], r["n"], tuple((e["s"], e["k"]) for e in r["topk"]))
+        for r in cat.read("U")
+        .groupBy("g")
+        .agg(
+            F.count("*").alias("n"),
+            F.slice(
+                F.sort_array(F.collect_list("v"), asc=False), 1, K
+            ).alias("topk"),
+        )
+        .collect()
+    }
+    assert got == want
