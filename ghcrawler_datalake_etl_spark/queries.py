@@ -32,6 +32,9 @@ from ghcrawler_datalake_etl_spark.functions.core import (
     pii_hash,
     quantize,
 )
+from ghcrawler_datalake_etl_spark.functions.concurrency import (
+    run_concurrently,
+)
 from ghcrawler_datalake_etl_spark.operators import clustering as CL
 from ghcrawler_datalake_etl_spark.operators import dedup as DD
 from ghcrawler_datalake_etl_spark.operators import sampling as SP
@@ -3148,12 +3151,6 @@ def dim_changefeed_consume(spark, sf_dir):
         spark, _run_tmp(f"cfc_wh_{tag}_{seq}"), retain=3
     )
     cat.merge_upsert(s0, "T", ["k"], num_buckets=16)
-    # downstream bootstrap = day-0's insert feed; after this the stats
-    # table sees the upstream ONLY through table_changes feeds
-    cat.fold_changes_into_stats(
-        s0.select(F.lit("I").alias("op"), "k", "g", "cents"),
-        "S", ["g"], "cents", num_buckets=8,
-    )
     # day 1: inserts (k%3=0), doubled cents (k%7=0), deletes (k%4=0)
     day1 = (
         o.filter(k % 3 == 0)
@@ -3167,10 +3164,20 @@ def dim_changefeed_consume(spark, sf_dir):
     dels1 = o.filter((k % 3 != 0) & (k % 4 == 0) & (k % 7 != 0)).select(
         k.alias("k")
     )
-    cat.merge_upsert(day1, "T", ["k"], num_buckets=16, delete_keys=dels1)
-    cat.fold_changes_into_stats(
-        cat.table_changes("T", 0, 1, with_preimages=True),
-        "S", ["g"], "cents", num_buckets=8,
+    # downstream bootstrap = day-0's insert feed; after this the stats
+    # table sees the upstream ONLY through table_changes feeds. The
+    # stats fold never reads T (retractable algebra - no re-derivation),
+    # so folding day k into S and merging day k+1 into T are independent
+    # jobs: overlap them (guide 2.6). retain=3 keeps every version a
+    # later diff needs.
+    run_concurrently(
+        lambda: cat.fold_changes_into_stats(
+            s0.select(F.lit("I").alias("op"), "k", "g", "cents"),
+            "S", ["g"], "cents", num_buckets=8,
+        ),
+        lambda: cat.merge_upsert(
+            day1, "T", ["k"], num_buckets=16, delete_keys=dels1
+        ),
     )
     # day 2 against the post-day-1 state: status flips (GROUP MOVES),
     # deletes, re-inserts of a day-1-deleted slice
@@ -3189,7 +3196,17 @@ def dim_changefeed_consume(spark, sf_dir):
         )
     )
     dels2 = o.filter(memb1 & (k % 5 == 0)).select(k.alias("k"))
-    cat.merge_upsert(day2, "T", ["k"], num_buckets=16, delete_keys=dels2)
+    # same overlap as above: day-1 fold into S reads only the immutable
+    # v0/v1 dirs while day 2 merges into T
+    run_concurrently(
+        lambda: cat.fold_changes_into_stats(
+            cat.table_changes("T", 0, 1, with_preimages=True),
+            "S", ["g"], "cents", num_buckets=8,
+        ),
+        lambda: cat.merge_upsert(
+            day2, "T", ["k"], num_buckets=16, delete_keys=dels2
+        ),
+    )
     cat.fold_changes_into_stats(
         cat.table_changes("T", 1, 2, with_preimages=True),
         "S", ["g"], "cents", num_buckets=8,
@@ -3283,17 +3300,30 @@ def dim_join_ivm(spark, sf_dir):
     cat = ParquetCatalog(
         spark, _run_tmp(f"jivm_wh_{tag}_{next(_JIVM_SEQ)}"), retain=3
     )
-    cat.merge_upsert(a0, "A", ["k"], num_buckets=16)
-    cat.merge_upsert(b0, "B", ["ck"], num_buckets=16)
     # DIRECT bootstrap (the warehouse-scale recipe the fold docstring
     # recommends): one join + two merges build the initial view and
     # index; the fold path serves the daily delta-sized feeds below.
     # (The all-'I'-feed bootstrap computes the same state - the unit
-    # and property suites pin that arm.)
-    cat.merge_upsert(
-        a0, "AIdx", ["k"], num_buckets=16, bucket_cols=["ck"]
+    # and property suites pin that arm.) The four bootstrap merges
+    # write four DISTINCT tables from source-derived frames - run them
+    # concurrently (guide 2.6: overlap independent jobs); a0/b0 are
+    # referenced by 3/2 of the merges, so persist them once instead of
+    # re-parsing the source per reference (block-level locking shares
+    # the computation across the concurrent jobs).
+    a0 = a0.persist()
+    b0 = b0.persist()
+    run_concurrently(
+        lambda: cat.merge_upsert(a0, "A", ["k"], num_buckets=16),
+        lambda: cat.merge_upsert(b0, "B", ["ck"], num_buckets=16),
+        lambda: cat.merge_upsert(
+            a0, "AIdx", ["k"], num_buckets=16, bucket_cols=["ck"]
+        ),
+        lambda: cat.merge_upsert(
+            a0.join(b0, "ck"), "J", ["k"], num_buckets=16
+        ),
     )
-    cat.merge_upsert(a0.join(b0, "ck"), "J", ["k"], num_buckets=16)
+    a0.unpersist(blocking=False)
+    b0.unpersist(blocking=False)
     # day 1 upstream A: inserts, FK moves (+5 cents), deletes
     moved_ck = F.when(ck0 % 2 == 0, ck0 + 1).otherwise(ck0 - 1)
     a1 = (
@@ -3309,7 +3339,6 @@ def dim_join_ivm(spark, sf_dir):
     dels_a1 = o.filter(
         (k % 3 != 0) & (k % 7 != 0) & (k % 11 == 0)
     ).select(k.alias("k"))
-    cat.merge_upsert(a1, "A", ["k"], num_buckets=16, delete_keys=dels_a1)
     # day 1 upstream B: value updates, deletes, missing-slice inserts
     b1 = (
         c.filter((ckc % 5 != 0) & (ckc % 4 == 0))
@@ -3323,7 +3352,15 @@ def dim_join_ivm(spark, sf_dir):
     dels_b1 = c.filter(
         (ckc % 5 != 0) & (ckc % 4 != 0) & (ckc % 9 == 0)
     ).select(ckc.alias("ck"))
-    cat.merge_upsert(b1, "B", ["ck"], num_buckets=16, delete_keys=dels_b1)
+    # the two day-1 upstream merges are independent (distinct tables)
+    run_concurrently(
+        lambda: cat.merge_upsert(
+            a1, "A", ["k"], num_buckets=16, delete_keys=dels_a1
+        ),
+        lambda: cat.merge_upsert(
+            b1, "B", ["ck"], num_buckets=16, delete_keys=dels_b1
+        ),
+    )
     cat.fold_changes_into_join(
         cat.table_changes("A", 0, 1, with_preimages=True),
         cat.table_changes("B", 0, 1, with_preimages=True),
@@ -4247,23 +4284,32 @@ def pipeline_ivm_gold(spark, sf_dir):
     cat = ParquetCatalog(
         spark, _run_tmp(f"gold_wh_{tag}_{next(_GOLD_SEQ)}"), retain=3
     )
-    cat.merge_upsert(a0, "A", ["k"], num_buckets=16)
-    cat.merge_upsert(b0, "B", ["ck"], num_buckets=16)
-    # silver + index bootstrap: direct construction (day 0)
-    cat.merge_upsert(
-        a0, "AIdx", ["k"], num_buckets=16, bucket_cols=["ck"]
-    )
-    j0 = a0.join(b0, "ck")
-    cat.merge_upsert(j0, "J", ["k"], num_buckets=16)
-    # gold bootstrap: one aggregate of the silver snapshot
-    cat.merge_upsert(
-        j0.groupBy("nat").agg(
-            F.count("*").alias("n"),
-            F.count("cents").alias("n_vals"),
-            F.sum("cents").alias("sum_v"),
+    # bronze/silver/index/gold bootstrap: direct construction (day 0).
+    # Five merges into five DISTINCT tables, all from source-derived
+    # frames - run concurrently (guide 2.6); a0 feeds 3 merges and j0
+    # feeds 2, so persist both (shared across the concurrent jobs via
+    # block-level locking) instead of re-deriving per reference.
+    a0 = a0.persist()
+    j0 = a0.join(b0, "ck").persist()
+    run_concurrently(
+        lambda: cat.merge_upsert(a0, "A", ["k"], num_buckets=16),
+        lambda: cat.merge_upsert(b0, "B", ["ck"], num_buckets=16),
+        lambda: cat.merge_upsert(
+            a0, "AIdx", ["k"], num_buckets=16, bucket_cols=["ck"]
         ),
-        "G", ["nat"], num_buckets=8,
+        lambda: cat.merge_upsert(j0, "J", ["k"], num_buckets=16),
+        # gold bootstrap: one aggregate of the silver snapshot
+        lambda: cat.merge_upsert(
+            j0.groupBy("nat").agg(
+                F.count("*").alias("n"),
+                F.count("cents").alias("n_vals"),
+                F.sum("cents").alias("sum_v"),
+            ),
+            "G", ["nat"], num_buckets=8,
+        ),
     )
+    a0.unpersist(blocking=False)
+    j0.unpersist(blocking=False)
     # day 1 on the fact side: inserts, FK moves (+5 cents), deletes
     moved_ck = F.when(ck0 % 2 == 0, ck0 + 1).otherwise(ck0 - 1)
     a1 = (

@@ -25,6 +25,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType
 
+from ghcrawler_datalake_etl_spark.functions.concurrency import (
+    run_concurrently,
+)
+
 _POINTER = "_CURRENT"
 _MERGE_META = "_MERGE_META.json"
 _BUCKET_COL = "_kb"
@@ -177,14 +181,44 @@ class ParquetCatalog:
         data files: a transiently-unreadable but non-empty snapshot
         must re-raise, never silently read as an empty table (a merge
         bootstrapping off that empty read would persist the emptiness
-        as the next version - silent data loss)."""
-        from pyspark.errors import AnalysisException
-        from pyspark.sql.types import StructType
+        as the next version - silent data loss).
 
+        Merged tables supply the EXPLICIT schema from the merge
+        metadata (logical columns + the ``_kb`` partition column):
+        schema inference reads a parquet footer on the driver per
+        ``spark.read.load`` (~60 ms each, measured), and the catalog
+        pipelines open snapshots dozens of times per run - the
+        persisted schema makes every one of those opens metadata-only.
+        An all-empty snapshot then simply reads as an empty frame, the
+        same answer the inference-failure fallback produced."""
+        from pyspark.errors import AnalysisException
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        meta = self._merge_meta(name)
+        # the explicit-schema path applies exactly to snapshots
+        # merge_upsert wrote (the _kb= layout on disk is the
+        # signature): their metadata schema is rewritten by every
+        # merge, so it cannot be stale. A plain-overwrite snapshot
+        # (no _kb dirs - e.g. an external bootstrap being re-bucketed)
+        # keeps the inference path, where the file footers are the
+        # only truth.
+        bucketed_on_disk = os.path.isdir(path) and any(
+            d.startswith(f"{_BUCKET_COL}=") for d in os.listdir(path)
+        )
+        if meta and meta.get("schema") and bucketed_on_disk:
+            logical = StructType.fromJson(json.loads(meta["schema"]))
+            physical = StructType(
+                [f for f in logical.fields if f.name != _BUCKET_COL]
+                + [StructField(_BUCKET_COL, IntegerType())]
+            )
+            return (
+                self.spark.read.format(self.data_format)
+                .schema(physical)
+                .load(path)
+            )
         try:
             return self._read_files(path)
         except AnalysisException:
-            meta = self._merge_meta(name)
             if meta and meta.get("schema") and not self._has_data_files(path):
                 return self.spark.createDataFrame(
                     [], StructType.fromJson(json.loads(meta["schema"]))
@@ -357,7 +391,16 @@ class ParquetCatalog:
         # path - instead of always paying a separate eager-count job;
         # the anti-key set stays unpersisted (two references, both
         # over the cached delta plus a feed-sized delete frame).
-        delta = delta.persist()
+        # Opt-round trim: a FRESH-table bootstrap (no current version)
+        # references the delta exactly once - the write's union side
+        # (anti_keys/bucket_probe stay unexecuted, the schema access is
+        # driver-side) - so persist + eager count there bought nothing
+        # and cost one extra full pass of the delta subtree per
+        # bootstrap; skip both (guide section 5: cache only reused
+        # frames).
+        fresh = old_version is None
+        if not fresh:
+            delta = delta.persist()
         delta_b = delta.withColumn(_BUCKET_COL, bucket)
         # the anti-join key set: upserted keys, plus deleted keys when
         # a CDC feed rides along (deletes never reach the union side)
@@ -382,7 +425,8 @@ class ParquetCatalog:
         try:
             if old_version is None or not compatible:
                 # bootstrap (or re-bucket): full write, partitioned layout
-                delta.count()  # eager: the write references the cache 2x
+                if not fresh:
+                    delta.count()  # eager: the write references the cache 2x
                 current = self.read_or_none(name)
                 if current is not None:
                     merged = current.join(
@@ -728,8 +772,13 @@ class ParquetCatalog:
             ]
             if not dirs:
                 return self.spark.createDataFrame([], logical).select(*cols)
+            # explicit schema: the logical columns are the metadata's
+            # truth for every merged snapshot - skips the per-load
+            # driver footer read (schema inference), one per diff side
             return (
                 self.spark.read.format(self.data_format)
+                .schema(StructType([f for f in logical.fields
+                                    if f.name != _BUCKET_COL]))
                 .load(dirs)
                 .select(*cols)
             )
@@ -914,6 +963,24 @@ class ParquetCatalog:
         ups_j: DataFrame | None = None
         del_j: DataFrame | None = None
 
+        def _merge_j(ups: DataFrame | None, dels: DataFrame | None) -> None:
+            if ups is None and dels is None:
+                return
+            if ups is not None:
+                # the dA JOIN dB overlap arrives via BOTH terms with
+                # identical values - dedup by J's key before the merge
+                # (merge_upsert unions every delta row per key)
+                self.merge_upsert(
+                    ups.dropDuplicates(a_key_cols), join_table, a_key_cols,
+                    num_buckets=num_buckets, delete_keys=dels,
+                )
+            elif dels is not None and self.exists(join_table):
+                empty = self.read(join_table).limit(0)
+                self.merge_upsert(
+                    empty, join_table, a_key_cols,
+                    num_buckets=num_buckets, delete_keys=dels,
+                )
+
         try:
             if feed_a is not None:
                 # persist only: the index merge's affected-bucket
@@ -924,14 +991,17 @@ class ParquetCatalog:
                     F.col(op_col).isin("I", "U_post")
                 ).drop(op_col)
                 a_pres = feed_a.filter(F.col(op_col).isin("D", "U_pre"))
+
                 # 1. maintain the secondary index (A keyed by pk,
                 # bucketed by join key); preimages carry the OLD join
                 # key so a moved row's old bucket is rewritten too
-                self.merge_upsert(
-                    a_posts, index_table, a_key_cols,
-                    num_buckets=num_buckets, bucket_cols=join_cols,
-                    delete_keys=a_pres.select(*a_key_cols, *join_cols),
-                )
+                def _index_merge() -> None:
+                    self.merge_upsert(
+                        a_posts, index_table, a_key_cols,
+                        num_buckets=num_buckets, bucket_cols=join_cols,
+                        delete_keys=a_pres.select(*a_key_cols, *join_cols),
+                    )
+
                 # 2. dA JOIN B_new - bucket-pruned probe of the CURRENT
                 # B. No static broadcast hint on the feed side: a DAILY
                 # feed is small (AQE broadcasts it at runtime from real
@@ -942,11 +1012,37 @@ class ParquetCatalog:
                 # streaming bootstrap: the A stream's first trigger may
                 # run before B's) joins nothing - dB will produce these
                 # J rows when B arrives.
-                b_pruned = (
-                    self.read_pruned(b_table, a_posts)
-                    if self._merge_meta(b_table) is not None
-                    else None
-                )
+                def _b_read() -> DataFrame | None:
+                    return (
+                        self.read_pruned(b_table, a_posts)
+                        if self._merge_meta(b_table) is not None
+                        else None
+                    )
+
+                if feed_b is None:
+                    # A-side-only fold (the daily fact feed / streaming
+                    # fact arm): the J chain reads B and writes J, the
+                    # index merge reads/writes only the index - two
+                    # fully disjoint table sets sharing one persisted
+                    # feed. Run the WHOLE chains concurrently (guide
+                    # 2.6): the J merge no longer waits for the index
+                    # merge it never reads.
+                    def _j_chain() -> None:
+                        b_pruned = _b_read()
+                        ups = (
+                            a_posts.join(b_pruned, join_cols, "inner")
+                            if b_pruned is not None
+                            else None
+                        )
+                        _merge_j(
+                            ups, a_pres.select(*a_key_cols).distinct()
+                        )
+
+                    run_concurrently(_index_merge, _j_chain)
+                    return
+                # both feeds: the dB term reads the index AFTER its
+                # merge, so only the B-side probe overlaps step 1
+                _, b_pruned = run_concurrently(_index_merge, _b_read)
                 if b_pruned is not None:
                     ups_j = a_posts.join(b_pruned, join_cols, "inner")
                 del_j = a_pres.select(*a_key_cols).distinct()
@@ -978,23 +1074,7 @@ class ParquetCatalog:
                         else del_j.unionByName(dead).distinct()
                     )
 
-            if ups_j is None and del_j is None:
-                return
-            if ups_j is not None:
-                # the dA JOIN dB overlap arrives via BOTH terms with
-                # identical values - dedup by J's key before the merge
-                # (merge_upsert unions every delta row per key)
-                ups_j = ups_j.dropDuplicates(a_key_cols)
-                self.merge_upsert(
-                    ups_j, join_table, a_key_cols,
-                    num_buckets=num_buckets, delete_keys=del_j,
-                )
-            elif del_j is not None and self.exists(join_table):
-                empty = self.read(join_table).limit(0)
-                self.merge_upsert(
-                    empty, join_table, a_key_cols,
-                    num_buckets=num_buckets, delete_keys=del_j,
-                )
+            _merge_j(ups_j, del_j)
         finally:
             # unpersist on EVERY exit - the early returns and a failed
             # merge must not pin feed-sized frames in executor memory

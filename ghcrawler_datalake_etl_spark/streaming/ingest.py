@@ -14,6 +14,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from ghcrawler_datalake_etl_spark.functions.concurrency import (
+    run_concurrently,
+)
+
 
 def stream_stage_available_now(
     spark: SparkSession,
@@ -1070,21 +1074,35 @@ def stream_aggregate_ivm(
             }
             _write_delta_manifest(feed_root, man)
         pre = rec["folds"]
-        if not _fold_version_advanced(catalog, index_table, pre[index_table]):
-            posts = feed.filter(
-                F.col(op_col).isin("I", "U_post")
-            ).drop(op_col)
-            pres = feed.filter(F.col(op_col).isin("D", "U_pre"))
-            catalog.merge_upsert(
-                posts, index_table, list(key_cols),
-                num_buckets=num_buckets, bucket_cols=list(group_cols),
-                delete_keys=pres.select(*key_cols, *group_cols),
-            )
-        if not _fold_version_advanced(catalog, stats_table, pre[stats_table]):
-            catalog.fold_changes_into_stats(
-                feed, stats_table, list(group_cols), value_col,
-                op_col=op_col, num_buckets=num_buckets,
-            )
+
+        def _index_merge() -> None:
+            if not _fold_version_advanced(
+                catalog, index_table, pre[index_table]
+            ):
+                posts = feed.filter(
+                    F.col(op_col).isin("I", "U_post")
+                ).drop(op_col)
+                pres = feed.filter(F.col(op_col).isin("D", "U_pre"))
+                catalog.merge_upsert(
+                    posts, index_table, list(key_cols),
+                    num_buckets=num_buckets, bucket_cols=list(group_cols),
+                    delete_keys=pres.select(*key_cols, *group_cols),
+                )
+
+        def _stats_fold() -> None:
+            if not _fold_version_advanced(
+                catalog, stats_table, pre[stats_table]
+            ):
+                catalog.fold_changes_into_stats(
+                    feed, stats_table, list(group_cols), value_col,
+                    op_col=op_col, num_buckets=num_buckets,
+                )
+
+        # the replica merge and the stats fold touch distinct tables
+        # and the stats fold never reads the replica (retractable
+        # algebra) - overlap them (guide 2.6); only the extrema fold
+        # needs the replica's post-state for its re-derivation reads
+        run_concurrently(_index_merge, _stats_fold)
         if not _fold_version_advanced(
             catalog, extrema_table, pre[extrema_table]
         ):
