@@ -3459,18 +3459,24 @@ def dim_minmax_ivm(spark, sf_dir):
     cat = ParquetCatalog(
         spark, _run_tmp(f"mmx_wh_{tag}_{next(_MMX_SEQ)}"), retain=3
     )
-    cat.merge_upsert(u0, "U", ["k"], num_buckets=16, bucket_cols=["g"])
     # DIRECT bootstrap: the initial stats are one aggregate + one
     # merge (the fold path serves the daily feeds; the all-'I'
-    # bootstrap arm is pinned by the unit/property suites)
-    cat.merge_upsert(
-        u0.groupBy("g").agg(
-            F.count("*").alias("n"),
-            F.count("v").alias("n_vals"),
-            F.min("v").alias("min_v"),
-            F.max("v").alias("max_v"),
+    # bootstrap arm is pinned by the unit/property suites). The U and
+    # X bootstraps are independent (distinct tables, both from the
+    # source frame) - overlap them (guide 2.6).
+    run_concurrently(
+        lambda: cat.merge_upsert(
+            u0, "U", ["k"], num_buckets=16, bucket_cols=["g"]
         ),
-        "X", ["g"], num_buckets=8,
+        lambda: cat.merge_upsert(
+            u0.groupBy("g").agg(
+                F.count("*").alias("n"),
+                F.count("v").alias("n_vals"),
+                F.min("v").alias("min_v"),
+                F.max("v").alias("max_v"),
+            ),
+            "X", ["g"], num_buckets=8,
+        ),
     )
     # day 1: inserts + sentinels + value doubles + group moves; deletes
     sent = spark.createDataFrame(
@@ -3512,10 +3518,6 @@ def dim_minmax_ivm(spark, sf_dir):
         d1, "U", ["k"], num_buckets=16, bucket_cols=["g"],
         delete_keys=pre1,
     )
-    cat.fold_changes_into_extrema(
-        cat.table_changes("U", 0, 1, with_preimages=True),
-        "U", "X", ["g"], "v", num_buckets=8,
-    )
     # day 2: retract the lone max + one of the tied pair; 'NN' gains 1.0
     d2 = spark.createDataFrame(
         [(mk + 5, "NN", 1.0)], "k long, g string, v double"
@@ -3523,9 +3525,21 @@ def dim_minmax_ivm(spark, sf_dir):
     pre2 = spark.createDataFrame(
         [(mk + 1, "O"), (mk + 2, "XX")], "k long, g string"
     )
-    cat.merge_upsert(
-        d2, "U", ["k"], num_buckets=16, bucket_cols=["g"],
-        delete_keys=pre2,
+    # fold day 1 while merging day 2: the fold's upstream re-derivation
+    # read is PINNED to the post-day-1 version (snapshot isolation -
+    # read_pruned(version=...)), its feed reads the immutable v0/v1
+    # dirs, and the day-2 merge writes only v2 (retain=3 keeps all
+    # three) - fully independent jobs (guide 2.6)
+    u_v1 = cat._current_version("U")
+    run_concurrently(
+        lambda: cat.fold_changes_into_extrema(
+            cat.table_changes("U", 0, 1, with_preimages=True),
+            "U", "X", ["g"], "v", num_buckets=8, upstream_version=u_v1,
+        ),
+        lambda: cat.merge_upsert(
+            d2, "U", ["k"], num_buckets=16, bucket_cols=["g"],
+            delete_keys=pre2,
+        ),
     )
     cat.fold_changes_into_extrema(
         cat.table_changes("U", 1, 2, with_preimages=True),
@@ -3628,13 +3642,6 @@ def dim_distinct_ivm(spark, sf_dir):
         spark, _run_tmp(f"hll_wh_{tag}_{next(_HLLIVM_SEQ)}"), retain=3
     )
     cat.merge_upsert(u0, "U", ["k"], num_buckets=16, bucket_cols=["g"])
-    # bootstrap the sketch table via the all-'I' fold arm (the
-    # extrema/stats queries pin the DIRECT-construction arm; this one
-    # exercises the fold's own bootstrap path)
-    cat.fold_changes_into_hll(
-        u0.selectExpr("'I' AS op", "*"), "U", "H", ["g"], "v",
-        num_buckets=8,
-    )
     # day 1: inserts + sentinels + value changes + group moves; deletes
     sent = spark.createDataFrame(
         [
@@ -3670,13 +3677,22 @@ def dim_distinct_ivm(spark, sf_dir):
             ).select(k.alias("k"), g.alias("g"))
         )
     )
-    cat.merge_upsert(
-        d1, "U", ["k"], num_buckets=16, bucket_cols=["g"],
-        delete_keys=pre1,
-    )
-    cat.fold_changes_into_hll(
-        cat.table_changes("U", 0, 1, with_preimages=True),
-        "U", "H", ["g"], "v", num_buckets=8,
+    # bootstrap the sketch table via the all-'I' fold arm (the
+    # extrema/stats queries pin the DIRECT-construction arm; this one
+    # exercises the fold's own bootstrap path). The bootstrap fold's
+    # upstream read is pinned to v0 (its all-insert feed re-derives
+    # nothing, so the pin is belt-and-braces snapshot isolation) and
+    # overlaps the day-1 merge into U - independent jobs (guide 2.6).
+    u_v0 = cat._current_version("U")
+    run_concurrently(
+        lambda: cat.fold_changes_into_hll(
+            u0.selectExpr("'I' AS op", "*"), "U", "H", ["g"], "v",
+            num_buckets=8, upstream_version=u_v0,
+        ),
+        lambda: cat.merge_upsert(
+            d1, "U", ["k"], num_buckets=16, bucket_cols=["g"],
+            delete_keys=pre1,
+        ),
     )
     # day 2: last-copy + tied-copy retractions; 'NN' gains a value
     d2 = spark.createDataFrame(
@@ -3685,9 +3701,18 @@ def dim_distinct_ivm(spark, sf_dir):
     pre2 = spark.createDataFrame(
         [(mk + 1, "SS"), (mk + 2, "XX")], "k long, g string"
     )
-    cat.merge_upsert(
-        d2, "U", ["k"], num_buckets=16, bucket_cols=["g"],
-        delete_keys=pre2,
+    # fold day 1 while merging day 2 (upstream read pinned to the
+    # post-day-1 version; feed reads immutable v0/v1 dirs; retain=3)
+    u_v1 = cat._current_version("U")
+    run_concurrently(
+        lambda: cat.fold_changes_into_hll(
+            cat.table_changes("U", 0, 1, with_preimages=True),
+            "U", "H", ["g"], "v", num_buckets=8, upstream_version=u_v1,
+        ),
+        lambda: cat.merge_upsert(
+            d2, "U", ["k"], num_buckets=16, bucket_cols=["g"],
+            delete_keys=pre2,
+        ),
     )
     cat.fold_changes_into_hll(
         cat.table_changes("U", 1, 2, with_preimages=True),
@@ -3817,19 +3842,24 @@ def dim_topk_ivm(spark, sf_dir):
     cat = ParquetCatalog(
         spark, _run_tmp(f"topk_wh_{tag}_{next(_TOPK_SEQ)}"), retain=3
     )
-    cat.merge_upsert(u0, "U", ["k"], num_buckets=16, bucket_cols=["g"])
     # DIRECT bootstrap: one aggregate + one merge (the fold path
     # serves the daily feeds; the all-'I' bootstrap arm is pinned by
-    # the unit/property suites)
-    cat.merge_upsert(
-        u0.groupBy("g").agg(
-            F.count("*").alias("n"),
-            F.count("v").alias("n_vals"),
-            F.slice(
-                F.sort_array(F.collect_list("v"), asc=False), 1, K
-            ).alias("topk"),
+    # the unit/property suites). U and T bootstraps are independent
+    # (distinct tables, both from the source frame) - overlap them.
+    run_concurrently(
+        lambda: cat.merge_upsert(
+            u0, "U", ["k"], num_buckets=16, bucket_cols=["g"]
         ),
-        "T", ["g"], num_buckets=8,
+        lambda: cat.merge_upsert(
+            u0.groupBy("g").agg(
+                F.count("*").alias("n"),
+                F.count("v").alias("n_vals"),
+                F.slice(
+                    F.sort_array(F.collect_list("v"), asc=False), 1, K
+                ).alias("topk"),
+            ),
+            "T", ["g"], num_buckets=8,
+        ),
     )
     sent = spark.createDataFrame(
         [
@@ -3871,10 +3901,6 @@ def dim_topk_ivm(spark, sf_dir):
         d1, "U", ["k"], num_buckets=16, bucket_cols=["g"],
         delete_keys=pre1,
     )
-    cat.fold_changes_into_topk(
-        cat.table_changes("U", 0, 1, with_preimages=True),
-        "U", "T", ["g"], "v", k=K, num_buckets=8,
-    )
     # day 2: retract 'O's horizon value + one of short 'S'; 'NN' gains
     d2 = spark.createDataFrame(
         [(mk + 8, "NN", 1.0)], "k long, g string, v double"
@@ -3882,9 +3908,20 @@ def dim_topk_ivm(spark, sf_dir):
     pre2 = spark.createDataFrame(
         [(mk + 3, "O"), (mk + 6, "S")], "k long, g string"
     )
-    cat.merge_upsert(
-        d2, "U", ["k"], num_buckets=16, bucket_cols=["g"],
-        delete_keys=pre2,
+    # fold day 1 while merging day 2: upstream read pinned to the
+    # post-day-1 version (snapshot isolation), feed reads immutable
+    # v0/v1 dirs, day-2 merge writes only v2 (retain=3) - independent
+    u_v1 = cat._current_version("U")
+    run_concurrently(
+        lambda: cat.fold_changes_into_topk(
+            cat.table_changes("U", 0, 1, with_preimages=True),
+            "U", "T", ["g"], "v", k=K, num_buckets=8,
+            upstream_version=u_v1,
+        ),
+        lambda: cat.merge_upsert(
+            d2, "U", ["k"], num_buckets=16, bucket_cols=["g"],
+            delete_keys=pre2,
+        ),
     )
     cat.fold_changes_into_topk(
         cat.table_changes("U", 1, 2, with_preimages=True),
@@ -4985,6 +5022,9 @@ def stream_changefeed_emission(spark, sf_dir):
 
 _DAILY_BUDGET = 500  # tokens per shard for the daily-ingest pack stage
 
+#: per-invocation sequence for the daily-ingest store dirs
+_DAILY_SEQ = _itertools.count()
+
 
 def _daily_ingest_oracle(
     chunk: int = _PARA_CHUNK,
@@ -5182,17 +5222,26 @@ def pipeline_daily_ingest(spark, sf_dir):
     corpus = pdf.filter(F.col("doc_id") * 5 < 4 * cut)
     batch = pdf.filter(F.col("doc_id") * 5 >= 4 * cut)
     tag = re.sub(r"\W+", "_", sf_dir).strip("_")
-    root = _run_tmp(f"daily_{tag}")
-    # the three standing stores: persisted, then READ BACK
-    DD.paragraph_hash_index(corpus, "doc_id", "text").write.mode(
-        "overwrite"
-    ).parquet(f"{root}/para")
-    DD.winnow_index(corpus, "doc_id", "text").write.mode(
-        "overwrite"
-    ).parquet(f"{root}/winnow")
-    DD.lsh_band_index(
-        corpus, "doc_id", "text", n=3, num_hashes=32, bands=8
-    ).write.mode("overwrite").parquet(f"{root}/lsh")
+    # unique root per invocation: the store dirs are written and read
+    # back within one run, and re-running into the SAME dirs can serve
+    # a reader a stale file listing from the session's file-status
+    # cache once the writes land from worker threads
+    root = _run_tmp(f"daily_{tag}_{next(_DAILY_SEQ)}")
+    # the three standing stores: persisted, then READ BACK. Three
+    # independent writes sharing the corpus frame (whose paragraph
+    # reassembly expression is the expensive part) - persist it once
+    # and overlap the builds (guide 2.6); it is read again by the
+    # stage-3 LSH verify, so it stays cached until then.
+    corpus = corpus.persist()
+    run_concurrently(
+        lambda: DD.paragraph_hash_index(corpus, "doc_id", "text")
+        .write.mode("overwrite").parquet(f"{root}/para"),
+        lambda: DD.winnow_index(corpus, "doc_id", "text")
+        .write.mode("overwrite").parquet(f"{root}/winnow"),
+        lambda: DD.lsh_band_index(
+            corpus, "doc_id", "text", n=3, num_hashes=32, bands=8
+        ).write.mode("overwrite").parquet(f"{root}/lsh"),
+    )
     pstore = spark.read.parquet(f"{root}/para")
     wstore = spark.read.parquet(f"{root}/winnow")
     lidx = spark.read.parquet(f"{root}/lsh")
@@ -5223,6 +5272,7 @@ def pipeline_daily_ingest(spark, sf_dir):
     )
     best.persist()
     best.count()
+    corpus.unpersist(blocking=False)
     # stage 4: pack the kept docs into ~token-budget shards
     kept = surv.join(
         best.select(F.col("batch_id").alias("doc_id")), "doc_id",

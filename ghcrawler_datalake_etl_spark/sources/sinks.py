@@ -133,7 +133,12 @@ class ParquetCatalog:
         df = self._read_snapshot(name, path)
         return df.drop(_BUCKET_COL) if _BUCKET_COL in df.columns else df
 
-    def read_pruned(self, name: str, probe: DataFrame) -> DataFrame | None:
+    def read_pruned(
+        self,
+        name: str,
+        probe: DataFrame,
+        version: int | None = None,
+    ) -> DataFrame | None:
         """Read ONLY the hash buckets the probe's bucket-column values
         land in - the partition-pruned point-lookup over a merged table
         (primary-key layout, or a ``bucket_cols`` secondary-index
@@ -147,7 +152,15 @@ class ParquetCatalog:
         100 TB this is the point of the layout: a fold's standing-side
         read costs O(touched buckets), never a table scan. Returns
         None for a table with no current version (mirrors
-        :meth:`read_or_none`)."""
+        :meth:`read_or_none`).
+
+        ``version`` pins the read to a RETAINED snapshot version
+        instead of the current pointer - snapshot isolation for a
+        reader that must not observe a concurrent merge's pointer
+        flip (the fold-day-k-while-merging-day-k+1 overlap). The
+        version must still be retained (see ``retain`` / ``vacuum``);
+        a vacuumed version raises FileNotFoundError like
+        :meth:`read`."""
         meta = self._merge_meta(name)
         if meta is None:
             raise ValueError(
@@ -159,9 +172,17 @@ class ParquetCatalog:
             F.xxhash64(*[F.col(c) for c in bucket_cols]),
             F.lit(meta["num_buckets"]),
         ).cast("int")
-        path = self.current_path(name)
-        if path is None:
-            return None
+        if version is None:
+            path = self.current_path(name)
+            if path is None:
+                return None
+        else:
+            path = os.path.join(self._table_dir(name), f"v{version}")
+            if not os.path.isdir(path):
+                raise FileNotFoundError(
+                    f"table {name} version {version} not retained "
+                    f"(have {self.versions(name)})"
+                )
         vals = probe.select(*bucket_cols).distinct()
         ids = [
             r[0]
@@ -1092,6 +1113,7 @@ class ParquetCatalog:
         value_col: str,
         op_col: str = "op",
         num_buckets: int = 16,
+        upstream_version: int | None = None,
     ) -> None:
         """IVM of a standing per-group EXTREMA table (group, n,
         n_vals, min_v, max_v) from a preimage changefeed - the
@@ -1118,7 +1140,14 @@ class ParquetCatalog:
           scan. Groups whose count reaches zero are deleted.
 
         Fold AFTER landing the upstream's day (the re-derivation reads
-        the post-state). A plain post-image-only 'U' raises loudly."""
+        the post-state). A plain post-image-only 'U' raises loudly.
+
+        ``upstream_version`` pins the re-derivation's upstream read to
+        a retained snapshot version (snapshot isolation): capture the
+        post-day version BEFORE overlapping this fold with the next
+        day's upstream merge (guide 2.6), so the concurrent pointer
+        flip can never be observed mid-fold. Default None reads the
+        current pointer - the sequential behavior."""
         group_cols = list(group_cols)
         meta = self._merge_meta(upstream_table)
         if meta is None or (
@@ -1147,7 +1176,8 @@ class ParquetCatalog:
             rederive = live.filter(F.col("_rederive"))
             incremental = live.filter(~F.col("_rederive")).drop("_rederive")
             pruned = self.read_pruned(
-                upstream_table, rederive.select(*group_cols)
+                upstream_table, rederive.select(*group_cols),
+                version=upstream_version,
             )
             if pruned is not None:
                 v = F.col(value_col)
@@ -1191,6 +1221,7 @@ class ParquetCatalog:
         value_col: str,
         op_col: str = "op",
         num_buckets: int = 16,
+        upstream_version: int | None = None,
     ) -> None:
         """IVM of a standing per-group COUNT DISTINCT sketch table
         (group, n, n_vals, regs map<bucket, m_rho>) from a preimage
@@ -1229,7 +1260,14 @@ class ParquetCatalog:
         raises loudly). A plain post-image-only 'U' raises loudly.
         Values of any type (hashed as strings, the sketch convention);
         NULL values never touch registers, mirroring the
-        ``WHERE value IS NOT NULL`` of every HLL oracle."""
+        ``WHERE value IS NOT NULL`` of every HLL oracle.
+
+        ``upstream_version`` pins the re-derivation's upstream read to
+        a retained snapshot version (snapshot isolation): capture the
+        post-day version BEFORE overlapping this fold with the next
+        day's upstream merge (guide 2.6), so the concurrent pointer
+        flip can never be observed mid-fold. Default None reads the
+        current pointer - the sequential behavior."""
         from ghcrawler_datalake_etl_spark.operators.sketches import (
             _empty_regs,
             hll_bucket_rho,
@@ -1353,7 +1391,9 @@ class ParquetCatalog:
                 )
                 # re-derive arm: fresh registers from the post-state
                 # upstream, read bucket-pruned (touched groups only)
-                pruned = self.read_pruned(upstream_table, red_groups)
+                pruned = self.read_pruned(
+                    upstream_table, red_groups, version=upstream_version,
+                )
                 if pruned is not None:
                     fresh = (
                         hll_registers(pruned, value_col, group_cols)
@@ -1397,6 +1437,7 @@ class ParquetCatalog:
         k: int,
         op_col: str = "op",
         num_buckets: int = 16,
+        upstream_version: int | None = None,
     ) -> None:
         """IVM of a standing per-group TOP-K table (group, n, n_vals,
         topk array<value>) from a preimage changefeed - the general
@@ -1455,7 +1496,14 @@ class ParquetCatalog:
         under Spark's lexicographic struct order, with the pk field
         as a deterministic tie-break; preimage feeds carry the exact
         struct, so in-place subtraction and the horizon comparison
-        hold unchanged (test-pinned)."""
+        hold unchanged (test-pinned).
+
+        ``upstream_version`` pins the re-derivation's upstream read to
+        a retained snapshot version (snapshot isolation): capture the
+        post-day version BEFORE overlapping this fold with the next
+        day's upstream merge (guide 2.6), so the concurrent pointer
+        flip can never be observed mid-fold. Default None reads the
+        current pointer - the sequential behavior."""
         if k < 1:
             raise ValueError(f"fold_changes_into_topk: k must be >= 1, got {k}")
         group_cols = list(group_cols)
@@ -1589,7 +1637,7 @@ class ParquetCatalog:
                     *group_cols, "n", "n_vals", new_top.alias("topk")
                 )
                 pruned = self.read_pruned(
-                    upstream_table, red_groups
+                    upstream_table, red_groups, version=upstream_version,
                 )
                 if pruned is not None:
                     fresh = pruned.groupBy(*group_cols).agg(

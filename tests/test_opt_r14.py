@@ -1,0 +1,158 @@
+"""Round-14 optimization internals: version-pinned pruned reads, the
+fresh-bootstrap merge trim, explicit-schema snapshot reads, and the
+driver-thread overlap helper.
+
+Each test pins the CONTRACT an optimization leaned on, so a future
+change that silently breaks the lean (e.g. a fold observing a
+concurrent merge's pointer flip) fails here rather than only in a
+noisy bench."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ghcrawler_datalake_etl_spark.functions.concurrency import (
+    run_concurrently,
+)
+from ghcrawler_datalake_etl_spark.sources.sinks import ParquetCatalog
+
+
+@pytest.fixture
+def cat(spark, tmp_path):
+    return ParquetCatalog(spark, str(tmp_path / "wh"), retain=3)
+
+
+def test_read_pruned_version_pin(spark, cat):
+    """read_pruned(version=N) reads the RETAINED version N, immune to
+    later merges - the snapshot isolation the fold-while-merging
+    overlap relies on."""
+    base = spark.range(100).selectExpr("id AS k", "id % 7 AS g", "id AS v")
+    cat.merge_upsert(base, "U", ["k"], num_buckets=8, bucket_cols=["g"])
+    cat.merge_upsert(
+        spark.createDataFrame([(1000, 3, 999_999)], "k long, g long, v long"),
+        "U", ["k"], num_buckets=8, bucket_cols=["g"],
+    )
+    probe = spark.createDataFrame([(3,)], "g long")
+    pinned = cat.read_pruned("U", probe, version=0)
+    current = cat.read_pruned("U", probe)
+    assert pinned.filter("k = 1000").count() == 0
+    assert current.filter("k = 1000").count() == 1
+    # pinned still returns exactly v0's group-3 rows
+    assert pinned.count() == base.filter("g = 3").count()
+    with pytest.raises(FileNotFoundError):
+        cat.read_pruned("U", probe, version=99)
+
+
+def test_fold_pinned_upstream_equals_sequential(spark, cat):
+    """Folding day-1 with upstream_version pinned to the post-day-1
+    version AFTER day 2 already merged lands on the same stats table
+    as the strictly sequential fold - the exact overlap the dim_*_ivm
+    queries run (here serialized, so the equivalence is
+    deterministic)."""
+    day0 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 5.0)],
+        "k long, g string, v double",
+    )
+
+    def build(warehouse):
+        c = ParquetCatalog(spark, warehouse, retain=3)
+        c.merge_upsert(day0, "U", ["k"], num_buckets=4, bucket_cols=["g"])
+        c.merge_upsert(
+            day0.groupBy("g").agg(
+                F.count("*").alias("n"), F.count("v").alias("n_vals"),
+                F.min("v").alias("min_v"), F.max("v").alias("max_v"),
+            ),
+            "X", ["g"], num_buckets=4,
+        )
+        # day 1 retracts the group-a max (forces re-derivation)
+        c.merge_upsert(
+            spark.createDataFrame([], "k long, g string, v double"),
+            "U", ["k"], num_buckets=4, bucket_cols=["g"],
+            delete_keys=spark.createDataFrame([(2, "a")], "k long, g string"),
+        )
+        return c
+
+    seq = build(cat.warehouse + "_seq")
+    seq.fold_changes_into_extrema(
+        seq.table_changes("U", 0, 1, with_preimages=True),
+        "U", "X", ["g"], "v", num_buckets=4,
+    )
+
+    pin = build(cat.warehouse + "_pin")
+    v1 = pin._current_version("U")
+    # day 2 merges BEFORE the day-1 fold runs (the overlap's worst case)
+    pin.merge_upsert(
+        spark.createDataFrame([(9, "a", 77.0)], "k long, g string, v double"),
+        "U", ["k"], num_buckets=4, bucket_cols=["g"],
+    )
+    pin.fold_changes_into_extrema(
+        pin.table_changes("U", 0, 1, with_preimages=True),
+        "U", "X", ["g"], "v", num_buckets=4, upstream_version=v1,
+    )
+
+    a = sorted(map(tuple, seq.read("X").collect()))
+    b = sorted(map(tuple, pin.read("X").collect()))
+    assert a == b
+    # group a's max re-derived to 10.0 from the PINNED v1, not 77.0
+    row = dict((r["g"], r["max_v"]) for r in pin.read("X").collect())
+    assert row["a"] == 10.0
+
+
+def test_fresh_bootstrap_merge_unchanged(spark, cat):
+    """The fresh-table bootstrap (no persist / eager count) still lands
+    identical state, reports every non-empty bucket rewritten, and the
+    very next merge is incremental against it."""
+    delta = spark.range(50).selectExpr("id AS k", "id AS v")
+    stats = cat.merge_upsert(delta, "T", ["k"], num_buckets=8)
+    assert stats["linked"] == 0 and stats["rewritten"] >= 1
+    assert sorted(r["k"] for r in cat.read("T").collect()) == list(range(50))
+    stats2 = cat.merge_upsert(
+        spark.createDataFrame([(1, 100)], "k long, v long"),
+        "T", ["k"], num_buckets=8,
+    )
+    assert stats2["rewritten"] == 1 and stats2["linked"] >= 1
+    assert cat.read("T").filter("k = 1").collect()[0]["v"] == 100
+
+
+def test_explicit_schema_read_matches_inference(spark, cat):
+    """Merged snapshots (explicit metadata schema) read back the same
+    rows/columns/types as the delta that produced them; a
+    plain-overwrite snapshot with a STALE merge metadata file (no _kb
+    layout on disk) keeps the inference path and its own schema."""
+    delta = spark.createDataFrame(
+        [(1, "x", 1.5), (2, None, 2.5)], "k long, s string, d double"
+    )
+    cat.merge_upsert(delta, "M", ["k"], num_buckets=4)
+    got = cat.read("M")
+    assert dict(got.dtypes) == dict(delta.dtypes)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, delta.collect()))
+    # overwrite with a DIFFERENT schema: meta is now stale - the read
+    # must surface the overwrite's actual columns, not the stale schema
+    other = spark.createDataFrame([(7, True)], "k long, flag boolean")
+    cat.overwrite(other, "M")
+    got2 = cat.read("M")
+    assert dict(got2.dtypes) == dict(other.dtypes)
+    assert got2.collect()[0]["flag"] is True
+
+
+def test_run_concurrently_results_and_errors(spark):
+    out = run_concurrently(lambda: 1, lambda: 2, lambda: 3)
+    assert out == [1, 2, 3]
+
+    def boom():
+        raise RuntimeError("thunk failed")
+
+    with pytest.raises(RuntimeError, match="thunk failed"):
+        run_concurrently(lambda: 1, boom)
+    # concurrent Spark actions from two threads both complete
+    a = spark.range(1000).selectExpr("sum(id) AS s")
+    b = spark.range(2000).selectExpr("count(*) AS c")
+    ra, rb = run_concurrently(
+        lambda: a.collect()[0]["s"], lambda: rb_count(b)
+    )
+    assert ra == 499500 and rb == 2000
+
+
+def rb_count(df):
+    return df.collect()[0]["c"]
