@@ -540,16 +540,30 @@ class ParquetCatalog:
         tmp_meta = os.path.join(tdir, _MERGE_META + ".tmp")
         with open(tmp_meta, "w") as f:
             # the logical (bucket-less) schema rides in the metadata so
-            # an all-empty snapshot stays readable: parquet carries no
-            # footer when zero part files land (an empty bootstrap /
-            # fully-deleted table), and schema inference would throw
-            # where an empty typed frame is the correct answer
+            # an all-empty snapshot stays readable (parquet carries no
+            # footer when zero part files land) and so snapshot opens
+            # can skip footer inference (_read_snapshot). It must be
+            # the schema of the frame actually WRITTEN - the merge's
+            # schema alignment projects a delta to the standing
+            # table's columns, so a delta carrying extra columns (e.g.
+            # an apply_changes feed whose seq column the table does
+            # not store) is WIDER than the table; recording the delta
+            # schema here would later surface phantom columns on read.
+            from pyspark.sql.types import StructType as _ST
+
+            written = _ST(
+                [
+                    fld
+                    for fld in merged.schema.fields
+                    if fld.name != _BUCKET_COL
+                ]
+            )
             json.dump(
                 {
                     "key_cols": key_cols,
                     "num_buckets": num_buckets,
                     "bucket_cols": bucket_cols,
-                    "schema": delta.schema.json(),
+                    "schema": written.json(),
                 },
                 f,
             )

@@ -136,6 +136,35 @@ def test_explicit_schema_read_matches_inference(spark, cat):
     assert got2.collect()[0]["flag"] is True
 
 
+def test_meta_schema_is_written_schema_not_delta(spark, cat):
+    """A delta WIDER than the standing table (apply_changes feed whose
+    seq column the table does not store) is projected to the table's
+    columns at write time; the metadata schema must record that
+    written shape, or later snapshot opens surface a phantom column
+    and the next merge fails to align (regression: dim_apply_changes
+    under the explicit-schema read)."""
+    cat.merge_upsert(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"),
+        "D", ["k"], num_buckets=4,
+    )
+    # feed carries seq; table does not - alignment drops it
+    cat.apply_changes(
+        spark.createDataFrame(
+            [("U", 1, "a2", 10), ("I", 3, "c", 11)],
+            "op string, k long, s string, seq long",
+        ),
+        "D", ["k"], seq_col="seq", num_buckets=4,
+    )
+    assert cat.read("D").columns == ["k", "s"]
+    # the failing sequence: another plain merge must align cleanly
+    cat.merge_upsert(
+        spark.createDataFrame([(2, "b2")], "k long, s string"),
+        "D", ["k"], num_buckets=4,
+    )
+    got = {r["k"]: r["s"] for r in cat.read("D").collect()}
+    assert got == {1: "a2", 2: "b2", 3: "c"}
+
+
 def test_run_concurrently_results_and_errors(spark):
     out = run_concurrently(lambda: 1, lambda: 2, lambda: 3)
     assert out == [1, 2, 3]
