@@ -53,6 +53,15 @@ def get_spark(
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # zstd parquet: markedly better ratio than snappy at similar read
+        # speed, so every standing table/changefeed write ships and
+        # stores fewer bytes. Measured locally on the write-heaviest IVM
+        # queries: within noise of snappy (44.1s vs 45.2s over 3
+        # queries), so the local bench loses nothing. Shuffle codec
+        # stays lz4: bench-scale shuffles are KB-sized, no local signal,
+        # and zstd shuffle trades CPU for bytes - a cluster measurement,
+        # not a local default.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # The testdata parquet stores naive timestamps
         # (isAdjustedToUTC=false); Spark 4's NTZ inference would load
         # them as TIMESTAMP_NTZ, which strict chrono functions
