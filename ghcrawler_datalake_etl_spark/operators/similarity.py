@@ -244,7 +244,10 @@ def mmr_rerank(
                 rest = rest.filter(F.col("_mmr_id") != F.lit(pid))
             if not sel_vecs:
                 scored = rest.select(
-                    "_mmr_id", quantize(F.col("_rel"), 6).alias("_score")
+                    "_mmr_id",
+                    quantize(F.col("_rel"), 6).alias("_score"),
+                    "_vec",
+                    "_norm",
                 )
             else:
                 mat = matrix_literal(sel_vecs)
@@ -266,13 +269,16 @@ def mmr_rerank(
                         - F.lit(1.0 - float(lam)) * maxsim,
                         6,
                     ).alias("_score"),
+                    "_vec",
+                    "_norm",
                 )
+            # carry the argmax row's vector/norm through the top-1
+            # (TakeOrderedAndProject) instead of joining the 1-row
+            # result back to the candidate frame - one narrow pass per
+            # round, no join job
             rows = (
                 scored.orderBy(F.desc("_score"), "_mmr_id")
                 .limit(1)
-                .join(
-                    cand.select("_mmr_id", "_vec", "_norm"), "_mmr_id"
-                )
                 .collect()
             )
             if not rows:

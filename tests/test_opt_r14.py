@@ -165,6 +165,50 @@ def test_meta_schema_is_written_schema_not_delta(spark, cat):
     assert got == {1: "a2", 2: "b2", 3: "c"}
 
 
+def test_mmr_rounds_are_joinless(spark, monkeypatch):
+    """mmr_rerank carries the argmax row's vector/norm through the
+    per-round top-1 instead of joining the 1-row result back to the
+    candidate frame - each round must be a single narrow pass with NO
+    join job, and the greedy selection is unchanged (here verified
+    against the hand-computed MMR sequence: relevance picks id 1
+    first, diversity then prefers the orthogonal id 3 over the
+    near-duplicate id 2).
+
+    NOTE: the spy must target pyspark.sql.classic.dataframe.DataFrame -
+    Spark 4 overrides join/collect there, so patching the
+    pyspark.sql.DataFrame facade intercepts nothing (a facade-level spy
+    makes `joins == []` pass vacuously even against joining code)."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from ghcrawler_datalake_etl_spark.operators.similarity import mmr_rerank
+
+    cand = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 1.0),
+            (2, [0.999, 0.01], 0.9),   # near-duplicate of 1
+            (3, [0.0, 1.0], 0.5),      # orthogonal
+        ],
+        "id long, vec array<double>, rel double",
+    )
+    joins = []
+    real_join = DataFrame.join
+    monkeypatch.setattr(
+        DataFrame, "join", lambda self, *a, **kw: (
+            joins.append(1), real_join(self, *a, **kw)
+        )[1]
+    )
+    # spy liveness: a deliberate join must be seen, or assertions below
+    # would pass vacuously
+    spark.range(1).join(spark.range(1), "id")
+    assert joins == [1]
+    joins.clear()
+    got = mmr_rerank(cand, "id", "vec", "rel", k=3, lam=0.5).collect()
+    assert joins == []
+    assert [r["id"] for r in sorted(got, key=lambda r: r["mmr_rank"])] == [
+        1, 3, 2,
+    ]
+
+
 def test_run_concurrently_results_and_errors(spark):
     out = run_concurrently(lambda: 1, lambda: 2, lambda: 3)
     assert out == [1, 2, 3]
