@@ -1617,15 +1617,21 @@ def duplicate_span_fraction(
     Downstream either drops high-``dup_frac`` docs or rewrites them; the
     report form keeps the operator composable with either policy.
 
-    Scale: one explode -> one map-side-combinable min() per shingle ->
-    one equi-join back on the shingle hash (co-partitioned with the
-    aggregate's exchange) -> one count per doc. No pairwise candidate
-    blow-up, no shingle strings past the first projection.
+    Scale: one explode -> one whole-partition window min() per shingle
+    hash (a single exchange; the index subtree is computed once, not on
+    both sides of an agg+join) -> one count per doc. No pairwise
+    candidate blow-up, no shingle strings past the first projection.
     """
     _, inv = _shingle_index(df, id_col, text_col, n)
-    first = inv.groupBy("shingle").agg(F.min("doc_id").alias("first_id"))
+    # first-occurrence id via a whole-partition window min instead of
+    # groupBy + join back: the explode+hash inverted-index subtree used
+    # to be computed on both sides of that self-join; the window
+    # computes it once with one Exchange on the shingle hash
     return (
-        inv.join(first, "shingle")
+        inv.withColumn(
+            "first_id",
+            F.min("doc_id").over(Window.partitionBy("shingle")),
+        )
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_shingles"),
@@ -1674,10 +1680,11 @@ def remove_duplicate_substrings(
     docs) pass through untouched with n_removed = 0.
 
     Scale: gram digesting is array-side per row (O(tokens x
-    min_tokens) work, no shuffle); the global first-occurrence pass is
-    one map-side-combinable min() per distinct window digest plus one
-    equi-join back on the digest (a 32-char string - 4x the shuffle
-    bytes of a long key, the price of collision-safety); coverage is
+    min_tokens) work, no shuffle, computed ONCE); the global
+    first-occurrence pass is one whole-partition window min() over the
+    digest - a single exchange keyed on the digest (a 32-char string -
+    4x the shuffle bytes of a long key, the price of
+    collision-safety); coverage is
     one per-doc window over token rows (rows = corpus token count,
     partitioned by doc). No pairwise blow-up anywhere - the
     corpus-wide work is linear in total tokens, the same budget as the
@@ -1686,11 +1693,16 @@ def remove_duplicate_substrings(
     k = min_tokens
     base = _substr_base(df, id_col, text_col)
     grams = _substr_grams(base, k)
-    first = grams.groupBy("gh").agg(
-        F.min(F.struct("doc_id", "pos")).alias("fst")
-    )
+    # first-occurrence via a whole-partition window min instead of
+    # groupBy + join back: the gram-digest subtree (O(tokens x k) md5s)
+    # used to sit on BOTH sides of that self-join and was computed
+    # twice per action; the window computes it once and needs one
+    # Exchange on gh instead of two (agg + join)
+    w_gh = Window.partitionBy("gh")
     dup_starts = (
-        grams.join(first, "gh")
+        grams.withColumn(
+            "fst", F.min(F.struct("doc_id", "pos")).over(w_gh)
+        )
         .filter(
             (F.col("doc_id") != F.col("fst.doc_id"))
             | (F.col("pos") != F.col("fst.pos"))
@@ -1828,11 +1840,15 @@ def remove_duplicate_substrings_incremental(
     k = min_tokens
     base = _substr_base(batch, id_col, text_col)
     grams = _substr_grams(base, k)
-    first = grams.groupBy("gh").agg(
-        F.min(F.struct("doc_id", "pos")).alias("fst")
-    )
+    # within-batch first occurrence via a whole-partition window min
+    # (one gram-digest computation, one Exchange on gh - see
+    # remove_duplicate_substrings); the standing-store probe stays an
+    # equi-join on the digest
+    w_gh = Window.partitionBy("gh")
     dup_starts = (
-        grams.join(first, "gh")
+        grams.withColumn(
+            "fst", F.min(F.struct("doc_id", "pos")).over(w_gh)
+        )
         .join(
             index.select(F.col("gh"), F.lit(1).alias("_in_idx")),
             "gh",

@@ -209,6 +209,47 @@ def test_mmr_rounds_are_joinless(spark, monkeypatch):
     ]
 
 
+def test_first_occurrence_is_window_not_self_join(spark):
+    """The ExactSubstr/span first-occurrence pass is a whole-partition
+    window min, not a groupBy + join back of the digest subtree (which
+    computed the O(tokens x k) digesting on both join sides). Pins the
+    plan shape - duplicate_span_fraction is joinless, and
+    remove_duplicate_substrings keeps only the coverage join and the
+    pass-through restore join - and the hand-computed results."""
+    import re
+
+    from ghcrawler_datalake_etl_spark.operators.dedup import (
+        duplicate_span_fraction,
+        remove_duplicate_substrings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d e"),      # full duplicate of 1
+            (3, "x y z a b"),      # fresh
+        ],
+        "doc_id long, text string",
+    )
+
+    def njoins(df):
+        tree = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        ).split("\n\n")[0]
+        return len(re.findall(r"Join", tree))
+
+    span = duplicate_span_fraction(docs, "doc_id", "text", n=2)
+    assert njoins(span) == 0
+    got = {r["doc_id"]: r["n_dup"] for r in span.collect()}
+    assert got == {1: 0, 2: 4, 3: 1}  # doc3 shares only 'a b'
+
+    rm = remove_duplicate_substrings(docs, "doc_id", "text", min_tokens=3)
+    assert njoins(rm) == 2  # coverage join + pass-through restore only
+    out = {r["doc_id"]: r["text_clean"] for r in rm.collect()}
+    assert out[1] == "a b c d e" and out[2] == ""
+    assert out[3] == "x y z a b"  # its 3-windows are all first-seen
+
+
 def test_run_concurrently_results_and_errors(spark):
     out = run_concurrently(lambda: 1, lambda: 2, lambda: 3)
     assert out == [1, 2, 3]
