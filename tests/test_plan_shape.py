@@ -709,18 +709,23 @@ def test_bpe_encode_ids_broadcasts_symbol_table(spark, queries):
 
 
 def test_remove_substrings_plan_shape(spark, queries):
-    """Round-10: the Lee-et-al substring remover must be pure JVM
-    (gram hashing is Column-side array algebra - no Python anywhere),
-    take its first-occurrence from a map-side-combinable min() on the
-    window hash (never a cartesian pair-up), and join coverage flags
-    back by equi-join."""
+    """Round-10 (shape updated by the round-14 optimization): the
+    Lee-et-al substring remover must be pure JVM (gram hashing is
+    Column-side array algebra - no Python anywhere), take its
+    first-occurrence from a whole-partition window min on the window
+    hash (ONE exchange on the digest; the round-10 groupBy(min) +
+    join-back computed the digest subtree twice - never a cartesian
+    pair-up either way), and join coverage flags back by equi-join."""
     p = plan(queries["dedup_remove_substrings"](spark, SF_DIR), "simple")
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
     assert "InPandas" not in p, p
     assert "HashJoin" in p or "SortMergeJoin" in p, p
-    assert "partial_min" in p, p  # first-occurrence combines map-side
+    # first-occurrence is a window min over the digest partition (one
+    # digest computation), not an agg + self-join (two)
+    assert "windowspecdefinition(gh" in p, p
+    assert "partial_min" not in p, p
 
 
 def test_incremental_substrings_plan_shape(spark, queries):
@@ -734,7 +739,10 @@ def test_incremental_substrings_plan_shape(spark, queries):
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
     assert "InPandas" not in p, p
-    assert "partial_min" in p, p
+    # round-14 optimization: first-occurrence is a window min on the
+    # digest, not the round-11 agg + self-join (see the batch twin)
+    assert "windowspecdefinition(gh" in p, p
+    assert "partial_min" not in p, p
     assert "HashJoin" in p or "SortMergeJoin" in p, p
 
 
