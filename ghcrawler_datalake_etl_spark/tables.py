@@ -10,6 +10,8 @@ double division would lose precision above 2^53).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -27,9 +29,33 @@ TABLES = (
 )
 
 
+#: (path, size, mtime_ns) -> inferred StructType. Schema inference reads
+#: a parquet footer ON THE DRIVER per ``spark.read.parquet`` call
+#: (measured 65-90 ms vs ~13 ms with an explicit schema on this host);
+#: the query inventory opens the same immutable scale-factor files
+#: hundreds of times per bench run, so the inferred schema is memoized
+#: and later opens pass it explicitly. METADATA only - every open still
+#: lists and scans the parquet data itself (no result caching). The
+#: size+mtime key invalidates the memo if a file is ever replaced;
+#: schemas are plain Python StructTypes, valid across sessions.
+_SCHEMA_MEMO: dict[tuple[str, int, int], object] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        st = os.stat(path)
+        key = (path, st.st_size, st.st_mtime_ns)
+    except OSError:
+        key = None
+    schema = _SCHEMA_MEMO.get(key) if key is not None else None
+    if schema is not None:
+        df = spark.read.schema(schema).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if key is not None:
+            _SCHEMA_MEMO[key] = df.schema
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
