@@ -298,3 +298,35 @@ def test_load_table_schema_memo(spark, tmp_path):
     assert dict(reread.dtypes) == {"k": "bigint", "v": "double"}
     assert [tuple(r) for r in reread.collect()] == [(3, 1.5)]
     assert any(k[0] == str(p) for k in _SCHEMA_MEMO)
+
+
+def test_fan_out_memo_matches_direct_probe(spark, tmp_path):
+    """fan_out memoizes the under-split decision per (input files,
+    target) - the RDD-conversion probe costs 60-80ms of driver work
+    per call. Pins: memoized and direct decisions agree, repeat calls
+    reuse the memo, file-less frames keep the direct probe, and the
+    repartition still fires (row counts and contents unchanged)."""
+    from ghcrawler_datalake_etl_spark.functions.core import (
+        _FAN_OUT_MEMO,
+        fan_out,
+    )
+
+    p = str(tmp_path / "docs.parquet")
+    spark.range(100).selectExpr(
+        "id AS doc_id", "repeat('x', 10) AS text"
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+    _FAN_OUT_MEMO.clear()
+    out = fan_out(df, partitions=8)
+    assert out.rdd.getNumPartitions() == 8  # 1-file scan fans out
+    assert len(_FAN_OUT_MEMO) == 1 and not next(iter(_FAN_OUT_MEMO.values()))
+    # second call takes the memo path and produces the same frame shape
+    again = fan_out(df.select("doc_id"), partitions=8)
+    assert again.rdd.getNumPartitions() == 8
+    assert sorted(r[0] for r in again.collect()) == list(range(100))
+    # already-parallel-enough frame is untouched (memoized separately)
+    assert fan_out(df, partitions=1) is df
+    # a file-less frame (createDataFrame) keeps the direct probe
+    mem = spark.createDataFrame([(1,)], "a long")
+    assert fan_out(mem, partitions=64).rdd.getNumPartitions() == 64
+    assert len(_FAN_OUT_MEMO) == 2  # nothing memoized for it
