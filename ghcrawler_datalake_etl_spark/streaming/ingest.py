@@ -129,7 +129,7 @@ def _merge_and_emit_changes(
     seq_col: str | None,
     num_buckets: int,
     with_preimages: bool = False,
-) -> None:
+) -> DataFrame:
     """One trigger of stream_apply_changes_feed: apply the micro-batch
     CDC rows to the merged table, then emit the version diff to
     ``feed_root/micro_batch=N``. Replay-safe via a per-trigger version
@@ -138,7 +138,13 @@ def _merge_and_emit_changes(
     spurious version whose self-diff is empty, and the overwrite would
     ERASE the first attempt's feed rows) and re-emits the recorded
     from/to diff instead - crash at any point between the merge and
-    the checkpoint commit replays to the identical feed."""
+    the checkpoint commit replays to the identical feed.
+
+    Returns the emitted feed READ BACK from the trigger dir (the
+    materialized rows every fold consumer must see - never the live
+    diff lineage), with the diff's schema passed explicitly so the
+    re-open skips the driver-side footer inference (guide 1.4 idiom,
+    the _read_snapshot rationale)."""
     import os
 
     man = _read_delta_manifest(feed_root, "feed")
@@ -173,9 +179,10 @@ def _merge_and_emit_changes(
         # IS the emitted feed, keep it (re-raise if it is missing -
         # that would be real state loss, not a replay)
         if os.path.isdir(out):
-            return
+            return catalog.spark.read.parquet(out)
         raise
     feed.write.mode("overwrite").parquet(out)
+    return catalog.spark.read.schema(feed.schema).parquet(out)
 
 
 def stream_apply_changes_feed(
@@ -902,17 +909,12 @@ def stream_join_ivm(
     _require_driver_local(feed_root, "stream_join_ivm")
 
     def _apply(bdf: DataFrame, micro_batch: int) -> None:
-        import os
-
         if not bdf.head(1):
             return
-        _merge_and_emit_changes(
+        feed = _merge_and_emit_changes(
             catalog, bdf, micro_batch, a_table, list(a_key_cols),
             feed_root, op_col, seq_col, num_buckets,
             with_preimages=True,
-        )
-        feed = bdf.sparkSession.read.parquet(
-            os.path.join(feed_root, f"micro_batch={micro_batch}")
         )
         catalog.fold_changes_into_join(
             feed, None, join_table, index_table, b_table,
@@ -975,17 +977,12 @@ def stream_join_ivm_dim(
     _require_driver_local(feed_root, "stream_join_ivm_dim")
 
     def _apply(bdf: DataFrame, micro_batch: int) -> None:
-        import os
-
         if not bdf.head(1):
             return
-        _merge_and_emit_changes(
+        feed = _merge_and_emit_changes(
             catalog, bdf, micro_batch, b_table, list(join_cols),
             feed_root, op_col, seq_col, num_buckets,
             with_preimages=True,
-        )
-        feed = bdf.sparkSession.read.parquet(
-            os.path.join(feed_root, f"micro_batch={micro_batch}")
         )
         catalog.fold_changes_into_join(
             None, feed, join_table, index_table, b_table,
@@ -1057,13 +1054,10 @@ def stream_aggregate_ivm(
     def _apply(bdf: DataFrame, micro_batch: int) -> None:
         if not bdf.head(1):
             return
-        _merge_and_emit_changes(
+        feed = _merge_and_emit_changes(
             catalog, bdf, micro_batch, a_table, list(key_cols),
             feed_root, op_col, seq_col, num_buckets,
             with_preimages=True,
-        )
-        feed = bdf.sparkSession.read.parquet(
-            os.path.join(feed_root, f"micro_batch={micro_batch}")
         )
         man = _read_delta_manifest(feed_root, "feed")
         rec = man["txn"][str(micro_batch)]
@@ -1159,13 +1153,10 @@ def stream_distinct_ivm(
     def _apply(bdf: DataFrame, micro_batch: int) -> None:
         if not bdf.head(1):
             return
-        _merge_and_emit_changes(
+        feed = _merge_and_emit_changes(
             catalog, bdf, micro_batch, a_table, list(key_cols),
             feed_root, op_col, seq_col, num_buckets,
             with_preimages=True,
-        )
-        feed = bdf.sparkSession.read.parquet(
-            os.path.join(feed_root, f"micro_batch={micro_batch}")
         )
         man = _read_delta_manifest(feed_root, "feed")
         rec = man["txn"][str(micro_batch)]
@@ -1242,13 +1233,10 @@ def stream_topk_ivm(
     def _apply(bdf: DataFrame, micro_batch: int) -> None:
         if not bdf.head(1):
             return
-        _merge_and_emit_changes(
+        feed = _merge_and_emit_changes(
             catalog, bdf, micro_batch, a_table, list(key_cols),
             feed_root, op_col, seq_col, num_buckets,
             with_preimages=True,
-        )
-        feed = bdf.sparkSession.read.parquet(
-            os.path.join(feed_root, f"micro_batch={micro_batch}")
         )
         man = _read_delta_manifest(feed_root, "feed")
         rec = man["txn"][str(micro_batch)]
