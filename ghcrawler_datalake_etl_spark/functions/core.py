@@ -11,6 +11,8 @@ whole-stage codegen; zero Python UDFs, per SURVEY.md section 2.8).
 
 from __future__ import annotations
 
+import weakref
+
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -203,16 +205,30 @@ def quantize(col: Column, digits: int) -> Column:
     return F.floor(col * scale) / scale
 
 
-#: (input files, target) -> whether the frame already meets the target
-#: parallelism. The probe behind fan_out (``df.rdd.getNumPartitions()``)
-#: converts the WHOLE plan to an RDD on the driver - measured 57-80 ms
-#: per call vs ~20 ms for ``inputFiles()`` - and the query inventory
-#: probes the same scan dozens of times per bench run. Scan parallelism
-#: is a pure function of (files, split confs), so the decision memoizes
-#: on the file set. Contract (matches fan_out's docstring): the frame
-#: is a file scan plus narrow ops - a shuffle-derived frame's
-#: parallelism is not file-determined and must not rely on this helper.
-_FAN_OUT_MEMO: dict[tuple[tuple[str, ...], int], bool] = {}
+#: frame -> parallelism fan_out has already ensured for it (identity
+#: keys, weak so plans are collectable). A frame fan_out returned - or
+#: passed through as already wide enough - need not be probed again:
+#: operators re-fan_out the frames queries hand them, and the probe
+#: behind the decision (``df.rdd.getNumPartitions()``) converts the
+#: WHOLE plan to an RDD on the driver, measured 57-80 ms per call.
+_FAN_OUT_ENSURED: "weakref.WeakKeyDictionary[DataFrame, int]" = (
+    weakref.WeakKeyDictionary()
+)
+
+#: frame -> stat key of the file it scans, set by tables.load_table on
+#: the BARE scans it returns (identity keys, weak). Scan parallelism is
+#: a pure function of (file, split confs), so fan_out's under-split
+#: decision memoizes per (stat key, target) for exactly these frames -
+#: a DERIVED frame (filter/union/shuffle of a scan) shares the file set
+#: but not necessarily the partitioning, so it never takes the memo
+#: (learned the hard way: a files-keyed memo re-fired the repartition
+#: on already-fanned frames, adding a redundant Exchange).
+_SCAN_SOURCE: "weakref.WeakKeyDictionary[DataFrame, tuple]" = (
+    weakref.WeakKeyDictionary()
+)
+
+#: (scan stat key, target) -> whether that bare scan meets the target.
+_SCAN_FAN_MEMO: dict[tuple, bool] = {}
 
 
 def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
@@ -226,26 +242,32 @@ def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
     and this is a no-op; the repartition only fires on under-split
     inputs, where shuffling them is cheap by construction.
 
-    Contract: ``df`` is a file scan plus narrow ops (every repo call
-    site). The under-split decision is memoized per (input files,
-    target) - scan parallelism is file-determined, and the RDD
-    conversion that probes it is ~60-80 ms of driver work per call. A
-    frame with no input files (e.g. ``createDataFrame``, or a union
-    adding in-memory rows) keeps the direct probe, unmemoized.
+    The ~60-80 ms driver-side RDD-conversion probe is skipped when the
+    answer is already known: frames fan_out itself produced or passed
+    through (identity, so an operator re-fanning the frame its caller
+    fanned is free), and bare ``load_table`` scans, whose parallelism
+    is file-determined (memoized per file stat + target). Every other
+    frame keeps the direct probe - decisions are bit-identical to
+    probing every time.
     """
     target = partitions or df.sparkSession.sparkContext.defaultParallelism
-    files = df.inputFiles()
-    if files:
-        key = (tuple(sorted(files)), target)
-        enough = _FAN_OUT_MEMO.get(key)
+    if _FAN_OUT_ENSURED.get(df, 0) >= target:
+        return df
+    src = _SCAN_SOURCE.get(df)
+    if src is not None:
+        key = (src, target)
+        enough = _SCAN_FAN_MEMO.get(key)
         if enough is None:
             enough = df.rdd.getNumPartitions() >= target
-            _FAN_OUT_MEMO[key] = enough
+            _SCAN_FAN_MEMO[key] = enough
     else:
         enough = df.rdd.getNumPartitions() >= target
     if enough:
+        _FAN_OUT_ENSURED[df] = max(target, _FAN_OUT_ENSURED.get(df, 0))
         return df
-    return df.repartition(target)
+    out = df.repartition(target)
+    _FAN_OUT_ENSURED[out] = target
+    return out
 
 
 def stable_long_hash(col: ColumnOrName, seed: int = 0) -> Column:

@@ -15,6 +15,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ghcrawler_datalake_etl_spark.functions.core import _SCAN_SOURCE
+
 TABLES = (
     "region",
     "nation",
@@ -58,6 +60,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             _SCHEMA_MEMO[key] = df.schema
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if key is not None:
+        # tag the bare scan (withColumn is narrow - same partitioning)
+        # so fan_out can memoize its file-determined under-split
+        # decision instead of paying the ~60-80 ms RDD-conversion probe
+        _SCAN_SOURCE[df] = key
     return df
 
 

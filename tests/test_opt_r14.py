@@ -300,33 +300,56 @@ def test_load_table_schema_memo(spark, tmp_path):
     assert any(k[0] == str(p) for k in _SCHEMA_MEMO)
 
 
-def test_fan_out_memo_matches_direct_probe(spark, tmp_path):
-    """fan_out memoizes the under-split decision per (input files,
-    target) - the RDD-conversion probe costs 60-80ms of driver work
-    per call. Pins: memoized and direct decisions agree, repeat calls
-    reuse the memo, file-less frames keep the direct probe, and the
-    repartition still fires (row counts and contents unchanged)."""
+def test_fan_out_probe_skips_are_decision_identical(spark, tmp_path):
+    """fan_out's RDD-conversion probe (~60-80ms of driver work per
+    call) is skipped exactly where the answer is already known: frames
+    fan_out itself returned (identity - so an operator re-fanning its
+    caller's frame adds NO second Exchange), and bare load_table scans
+    (file-determined parallelism, memoized per stat key). Every other
+    frame - notably a DERIVED frame sharing a fanned scan's file set -
+    keeps the direct probe, so decisions are bit-identical to probing
+    every time (the files-keyed memo this replaces re-fired the
+    repartition on already-fanned frames)."""
     from ghcrawler_datalake_etl_spark.functions.core import (
-        _FAN_OUT_MEMO,
+        _SCAN_FAN_MEMO,
         fan_out,
     )
+    from ghcrawler_datalake_etl_spark.tables import load_table
 
     p = str(tmp_path / "docs.parquet")
     spark.range(100).selectExpr(
         "id AS doc_id", "repeat('x', 10) AS text"
     ).coalesce(1).write.mode("overwrite").parquet(p)
+
+    # (a) double fan_out is a no-op on the second call: same object,
+    # ONE round-robin exchange in the plan
     df = spark.read.parquet(p)
-    _FAN_OUT_MEMO.clear()
-    out = fan_out(df, partitions=8)
-    assert out.rdd.getNumPartitions() == 8  # 1-file scan fans out
-    assert len(_FAN_OUT_MEMO) == 1 and not next(iter(_FAN_OUT_MEMO.values()))
-    # second call takes the memo path and produces the same frame shape
-    again = fan_out(df.select("doc_id"), partitions=8)
-    assert again.rdd.getNumPartitions() == 8
-    assert sorted(r[0] for r in again.collect()) == list(range(100))
-    # already-parallel-enough frame is untouched (memoized separately)
-    assert fan_out(df, partitions=1) is df
-    # a file-less frame (createDataFrame) keeps the direct probe
+    fanned = fan_out(df, partitions=8)
+    assert fanned.rdd.getNumPartitions() == 8
+    assert fan_out(fanned, partitions=8) is fanned
+    plan = fanned._sc._jvm.PythonSQLUtils.explainString(
+        fan_out(fanned, partitions=8)._jdf.queryExecution(), "simple"
+    ).split("== Initial Plan ==")[0]  # AQE repeats the tree there
+    assert plan.count("RoundRobinPartitioning") == 1, plan
+
+    # (b) bare load_table scans memoize the decision per file stat
+    _SCAN_FAN_MEMO.clear()
+    t1 = fan_out(load_table(spark, str(tmp_path), "docs"), partitions=8)
+    assert t1.rdd.getNumPartitions() == 8
+    assert len(_SCAN_FAN_MEMO) == 1
+    t2 = fan_out(load_table(spark, str(tmp_path), "docs"), partitions=8)
+    assert sorted(r[0] for r in t2.select("doc_id").collect()) == list(
+        range(100)
+    )
+
+    # (c) a DERIVED frame of an already-fanned scan does NOT reuse the
+    # scan's memo: direct probe sees 8 partitions, no second exchange
+    derived = fan_out(t1.select("doc_id"), partitions=8)
+    dplan = derived._sc._jvm.PythonSQLUtils.explainString(
+        derived._jdf.queryExecution(), "simple"
+    ).split("== Initial Plan ==")[0]
+    assert dplan.count("RoundRobinPartitioning") == 1, dplan
+
+    # (d) file-less frames keep the direct probe and still fan out
     mem = spark.createDataFrame([(1,)], "a long")
-    assert fan_out(mem, partitions=64).rdd.getNumPartitions() == 64
-    assert len(_FAN_OUT_MEMO) == 2  # nothing memoized for it
+    assert fan_out(mem, partitions=16).rdd.getNumPartitions() == 16
