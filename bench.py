@@ -828,14 +828,23 @@ def main() -> None:
     sidecar_path = Path(__file__).resolve().parent / sidecar_name
     sidecar_path.write_text(json.dumps(sidecar, indent=1) + "\n")
 
-    top = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:8]
-    )
+    # r15 (VERDICT r14 #2): print as many per-query timings as fit the
+    # driver's tail capture. The capture is 2000 chars (every BENCH_r*
+    # artifact: len(tail)==2000; BENCH_r01 is the proof a long line
+    # breaks it - its 72-entry line overflowed and parsed:null), so
+    # printing all 178 entries (~6 KB) would lose the whole record.
+    # Instead entries are added SLOWEST-FIRST until the serialized line
+    # reaches a conservative budget: the top-8 the driver compared in
+    # r13/r14 are always present (additions only, per the contract) and
+    # the line now covers every query above the noise floor (~45
+    # entries), so PERF's common set and the low-core scaling probe see
+    # compute-bound queries, not just the driver-bound IVM pipelines.
+    # The full inventory stays in BENCH_FULL.json (`full_timings`).
     summary = {
         "metric": "total_query_time",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": top,
+        "queries": {},
         "sf": sf_val,
         "n_queries": len(timings),
         "full_timings": sidecar_path.name,
@@ -848,6 +857,16 @@ def main() -> None:
             min(sentinel_readings), max(sentinel_readings)
         ]
         summary["n_outlier_reruns"] = len(outlier_reruns)
+    summary["n_queries_printed"] = 0  # reserve line budget for the count
+    line_budget = 1800  # 2000-char tail minus slack for trailing output
+    for name, sec in sorted(
+        timings.items(), key=lambda kv: kv[1], reverse=True
+    ):
+        summary["queries"][name] = sec
+        if len(json.dumps(summary)) > line_budget:
+            del summary["queries"][name]
+            break
+    summary["n_queries_printed"] = len(summary["queries"])
     print(json.dumps(summary))
 
 
