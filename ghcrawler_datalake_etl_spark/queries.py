@@ -95,6 +95,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _store(df: DataFrame, path: str) -> DataFrame:
+    """Materialize ``df`` as parquet at ``path`` and read it back under
+    the WRITER's schema - the stateful queries' staged-store idiom.
+    Threading the known schema into the re-open skips the per-load
+    driver footer read (~60 ms of schema inference each, guide section
+    6; at warehouse scale the same footer read is a remote GET). The
+    re-open is deliberate: downstream consumers must scan the
+    MATERIALIZED store (the standing-state contract), not the lineage
+    that produced it."""
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.schema(df.schema).parquet(path)
+
+
 # DuckDB oracle fragments shared across document queries (defined early:
 # f-string oracles below evaluate at import time)
 _SH_SQL = (
@@ -2313,8 +2326,7 @@ def dedup_incremental_index(spark, sf_dir):
     # under a still-lazy first result
     tag = re.sub(r"\W+", "_", sf_dir).strip("_")
     path = _run_tmp(f"lsh_index_{tag}")
-    idx.write.mode("overwrite").parquet(path)
-    index = spark.read.parquet(path)
+    index = _store(idx, path)
     return DD.incremental_lsh_dedup(
         batch, index, corpus, "doc_id", "text",
         n=3, num_hashes=32, bands=8, threshold=0.5,
@@ -2370,8 +2382,7 @@ def dedup_incremental_clusters(spark, sf_dir):
     standing = DD.connected_components(corpus_pairs)
     tag = re.sub(r"\W+", "_", sf_dir).strip("_")
     path = _run_tmp(f"cc_standing_{tag}")
-    standing.write.mode("overwrite").parquet(path)
-    standing_back = spark.read.parquet(path)
+    standing_back = _store(standing, path)
     return DD.incremental_components(standing_back, new_edges).select(
         F.col("node").alias("doc_id"), "cluster_id"
     )
@@ -2662,16 +2673,16 @@ def text_boilerplate_incremental(spark, sf_dir):
 
     lpath = os.path.join(root, "lines")
     spath = os.path.join(root, "sources")
-    TX.boilerplate_line_stats(corpus, "doc_id", "text", "source").write.mode(
-        "overwrite"
-    ).parquet(lpath)
-    TX.source_doc_counts(corpus, "doc_id", "source").write.mode(
-        "overwrite"
-    ).parquet(spath)
+    lines_back = _store(
+        TX.boilerplate_line_stats(corpus, "doc_id", "text", "source"), lpath
+    )
+    sources_back = _store(
+        TX.source_doc_counts(corpus, "doc_id", "source"), spath
+    )
     return TX.remove_boilerplate_lines_incremental(
         batch,
-        spark.read.parquet(lpath),
-        spark.read.parquet(spath),
+        lines_back,
+        sources_back,
         "doc_id", "text", "source", min_docs=2, min_frac=0.3,
     )
 
@@ -2884,10 +2895,9 @@ def dedup_incremental_paragraphs(spark, sf_dir):
     batch = pdf.filter(F.col("doc_id") * 5 >= 4 * cut)
     tag = re.sub(r"\W+", "_", sf_dir).strip("_")
     path = _run_tmp(f"para_idx_{tag}")
-    DD.paragraph_hash_index(corpus, "doc_id", "text").write.mode(
-        "overwrite"
-    ).parquet(path)
-    store = spark.read.parquet(path)
+    store = _store(
+        DD.paragraph_hash_index(corpus, "doc_id", "text"), path
+    )
     return DD.drop_duplicate_paragraphs(
         corpus, "doc_id", "text", sep="\n"
     ).unionByName(
@@ -2962,10 +2972,7 @@ def dedup_incremental_spans(spark, sf_dir):
     batch = d.filter(F.col("doc_id") % 10 >= 8)
     tag = re.sub(r"\W+", "_", sf_dir).strip("_")
     path = _run_tmp(f"winnow_idx_{tag}")
-    DD.winnow_index(corpus, "doc_id", "text").write.mode(
-        "overwrite"
-    ).parquet(path)
-    store = spark.read.parquet(path)
+    store = _store(DD.winnow_index(corpus, "doc_id", "text"), path)
     return DD.span_overlap_against_index(batch, store, "doc_id", "text")
 
 
@@ -2996,10 +3003,12 @@ def dedup_incremental_substrings(spark, sf_dir):
     batch = d.filter(F.col("doc_id") * 5 >= 4 * cut)
     tag = re.sub(r"\W+", "_", sf_dir).strip("_")
     path = _run_tmp(f"substr_idx_{tag}")
-    DD.substring_window_index(
-        corpus, "doc_id", "text", min_tokens=_SUBSTR_K
-    ).write.mode("overwrite").parquet(path)
-    store = spark.read.parquet(path)
+    store = _store(
+        DD.substring_window_index(
+            corpus, "doc_id", "text", min_tokens=_SUBSTR_K
+        ),
+        path,
+    )
     return DD.remove_duplicate_substrings(
         corpus, "doc_id", "text", min_tokens=_SUBSTR_K
     ).unionByName(
@@ -5233,18 +5242,21 @@ def pipeline_daily_ingest(spark, sf_dir):
     # and overlap the builds (guide 2.6); it is read again by the
     # stage-3 LSH verify, so it stays cached until then.
     corpus = corpus.persist()
-    run_concurrently(
-        lambda: DD.paragraph_hash_index(corpus, "doc_id", "text")
-        .write.mode("overwrite").parquet(f"{root}/para"),
-        lambda: DD.winnow_index(corpus, "doc_id", "text")
-        .write.mode("overwrite").parquet(f"{root}/winnow"),
-        lambda: DD.lsh_band_index(
-            corpus, "doc_id", "text", n=3, num_hashes=32, bands=8
-        ).write.mode("overwrite").parquet(f"{root}/lsh"),
+    pstore, wstore, lidx = run_concurrently(
+        lambda: _store(
+            DD.paragraph_hash_index(corpus, "doc_id", "text"),
+            f"{root}/para",
+        ),
+        lambda: _store(
+            DD.winnow_index(corpus, "doc_id", "text"), f"{root}/winnow"
+        ),
+        lambda: _store(
+            DD.lsh_band_index(
+                corpus, "doc_id", "text", n=3, num_hashes=32, bands=8
+            ),
+            f"{root}/lsh",
+        ),
     )
-    pstore = spark.read.parquet(f"{root}/para")
-    wstore = spark.read.parquet(f"{root}/winnow")
-    lidx = spark.read.parquet(f"{root}/lsh")
     # stage 1: paragraph screen -> cleaned text (feeds everything)
     cleaned = DD.drop_duplicate_paragraphs_incremental(
         batch, pstore, "doc_id", "text", sep="\n"
@@ -5681,13 +5693,16 @@ def sim_ivf_delta_append(spark, sf_dir):
     # and share it across build, append and probe - the same pattern
     # ivf_topk uses internally (round-9 review)
     cents = SIM._resolve_centroids(None, base, "vec_id", "embedding", 16)
-    SIM.ivf_postings(
+    base_post = SIM.ivf_postings(
         base, "vec_id", "embedding", centroids_resolved=cents
-    ).write.mode("overwrite").parquet(path)
+    )
+    base_post.write.mode("overwrite").parquet(path)
     SIM.ivf_postings(
         delta, "vec_id", "embedding", centroids_resolved=cents
     ).write.mode("append").parquet(path)
-    postings = spark.read.parquet(path)
+    # read back under the writer's schema (both waves share it) -
+    # skips the footer-inference open (guide section 6)
+    postings = spark.read.schema(base_post.schema).parquet(path)
     queries_df = e.filter(F.col("vec_id") < 10)
     return SIM.ivf_topk_postings(
         postings, queries_df, "vec_id", "embedding",
@@ -5927,13 +5942,11 @@ def sim_kmeans_refresh(spark, sf_dir):
     tag = re.sub(r"\W+", "_", sf_dir).strip("_")
     root = _run_tmp(f"kmstats_{tag}")
     spath = os.path.join(root, "stats")
-    CL.kmeans_stats(corpus, "embedding", cents).write.mode(
-        "overwrite"
-    ).parquet(spath)
+    stats_back = _store(CL.kmeans_stats(corpus, "embedding", cents), spath)
     return CL.kmeans_refresh(
         spark,
         cents,
-        spark.read.parquet(spath),
+        stats_back,
         CL.kmeans_stats(batch, "embedding", cents),
     )
 
@@ -8883,10 +8896,15 @@ def sketch_incremental_stats(spark, sf_dir):
     parts = []
     for day in range(3):
         p = os.path.join(root, f"d{day}")
-        SK.stats_state(
-            ev.filter(F.col("event_id") % 3 == day), keys, "value", "user_id"
-        ).write.mode("overwrite").parquet(p)
-        parts.append(spark.read.parquet(p))
+        parts.append(
+            _store(
+                SK.stats_state(
+                    ev.filter(F.col("event_id") % 3 == day),
+                    keys, "value", "user_id",
+                ),
+                p,
+            )
+        )
     states = parts[0].unionByName(parts[1]).unionByName(parts[2])
     fin = SK.stats_finalize(SK.stats_merge(states, keys), keys)
     return fin.select(

@@ -133,11 +133,59 @@ class ParquetCatalog:
         df = self._read_snapshot(name, path)
         return df.drop(_BUCKET_COL) if _BUCKET_COL in df.columns else df
 
+    def _bucket_ids_multi(
+        self,
+        df: DataFrame,
+        specs: Sequence[tuple[Sequence[str], int]],
+    ) -> list[list[int]]:
+        """ONE collect job computing, for each ``(cols, num_buckets)``
+        spec, the distinct bucket ids ``df``'s rows land in - the
+        fused form of the per-consumer probe collects the IVM folds
+        used to pay one driver-blocking job each for (round-15,
+        VERDICT r14 #1: the folds' cost is action count x fixed
+        per-job latency). Output size is bounded by
+        ``sum(num_buckets)`` ints, never by ``df``."""
+        parts = []
+        for i, (cols, n) in enumerate(specs):
+            b = F.pmod(
+                F.xxhash64(*[F.col(c) for c in cols]), F.lit(n)
+            ).cast("int")
+            parts.append(
+                df.select(F.lit(i).alias("_s"), b.alias("_b")).distinct()
+            )
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        out: list[set[int]] = [set() for _ in specs]
+        for r in u.collect():
+            out[r[0]].add(r[1])
+        return [sorted(s) for s in out]
+
+    def _pruned_ids_ok(
+        self,
+        name: str,
+        bucket_cols: Sequence[str],
+        num_buckets: int,
+    ) -> bool:
+        """True when ``name``'s merge layout matches the given bucket
+        columns and count - the precondition for handing a
+        pre-collected bucket-id set to :meth:`read_pruned` /
+        :meth:`merge_upsert` (ids computed under a different layout
+        would prune the wrong directories)."""
+        meta = self._merge_meta(name)
+        return (
+            meta is not None
+            and meta.get("num_buckets") == num_buckets
+            and (meta.get("bucket_cols") or meta["key_cols"])
+            == list(bucket_cols)
+        )
+
     def read_pruned(
         self,
         name: str,
         probe: DataFrame,
         version: int | None = None,
+        bucket_ids: Sequence[int] | None = None,
     ) -> DataFrame | None:
         """Read ONLY the hash buckets the probe's bucket-column values
         land in - the partition-pruned point-lookup over a merged table
@@ -160,7 +208,16 @@ class ParquetCatalog:
         flip (the fold-day-k-while-merging-day-k+1 overlap). The
         version must still be retained (see ``retain`` / ``vacuum``);
         a vacuumed version raises FileNotFoundError like
-        :meth:`read`."""
+        :meth:`read`.
+
+        ``bucket_ids`` (round-15): a pre-collected bucket-id set for
+        the probe - skips this method's own driver-blocking collect
+        (the IVM folds batch several consumers' id sets into ONE job
+        via :meth:`_bucket_ids_multi`). Must be computed under THIS
+        table's bucket layout (:meth:`_pruned_ids_ok`) and cover
+        every bucket the probe's rows land in; a SUPERSET is safe
+        (extra buckets are scanned, the semi join still returns
+        exactly the probe's matches)."""
         meta = self._merge_meta(name)
         if meta is None:
             raise ValueError(
@@ -184,10 +241,13 @@ class ParquetCatalog:
                     f"(have {self.versions(name)})"
                 )
         vals = probe.select(*bucket_cols).distinct()
-        ids = [
-            r[0]
-            for r in vals.select(bucket.alias("_b")).distinct().collect()
-        ]
+        if bucket_ids is not None:
+            ids = sorted(set(bucket_ids))
+        else:
+            ids = [
+                r[0]
+                for r in vals.select(bucket.alias("_b")).distinct().collect()
+            ]
         df = self._read_snapshot(name, path)
         if _BUCKET_COL in df.columns:
             df = df.filter(F.col(_BUCKET_COL).isin(ids)).drop(_BUCKET_COL)
@@ -306,6 +366,7 @@ class ParquetCatalog:
         dense_rewrite_fraction: float = 0.5,
         delete_keys: DataFrame | None = None,
         bucket_cols: Sequence[str] | None = None,
+        affected_buckets: Sequence[int] | None = None,
     ) -> dict[str, int]:
         """Key-level upsert that rewrites ONLY the hash buckets the delta
         touches - the incremental alternative to ``overwrite`` for the
@@ -363,6 +424,18 @@ class ParquetCatalog:
         row's bucket_cols must ship its preimage (key + old
         bucket_cols) in ``delete_keys``, else the old copy survives in
         its old bucket and the key silently duplicates across buckets.
+
+        ``affected_buckets`` (round-15): a pre-collected affected
+        bucket-id set - skips this merge's own driver-blocking probe
+        collect on the incremental path (the IVM folds batch the id
+        sets of a fold's several merges/reads into ONE job). It MUST
+        cover every bucket the delta's rows and the deleted keys'
+        preimages land in, under THIS table's layout
+        (:meth:`_pruned_ids_ok`); a SUPERSET is safe - the extra
+        buckets are rewritten with unchanged content instead of
+        hard-linked (correct, marginally more write I/O). Ignored on
+        the bootstrap/re-bucket path, which derives nothing from the
+        affected set.
 
         Returns {"rewritten": n, "linked": m} bucket counts (a full
         rewrite reports every non-empty bucket as rewritten).
@@ -468,13 +541,16 @@ class ParquetCatalog:
                     1 for d in os.listdir(out) if d.startswith(f"{_BUCKET_COL}=")
                 )
             else:
-                affected = sorted(
-                    r[0]
-                    for r in bucket_probe.withColumn(_BUCKET_COL, bucket)
-                    .select(_BUCKET_COL)
-                    .distinct()
-                    .collect()
-                )
+                if affected_buckets is not None:
+                    affected = sorted(set(affected_buckets))
+                else:
+                    affected = sorted(
+                        r[0]
+                        for r in bucket_probe.withColumn(_BUCKET_COL, bucket)
+                        .select(_BUCKET_COL)
+                        .distinct()
+                        .collect()
+                    )
                 cur_path = self.current_path(name)
                 old_df = self._read_snapshot(name, cur_path)
                 if _BUCKET_COL not in old_df.columns:
@@ -818,19 +894,98 @@ class ParquetCatalog:
                 .select(*cols)
             )
 
-        o = _side(paths[from_version], old_b).select(
-            F.lit(1).alias("_o_present"),
-            *[F.col(c).alias(f"_o_{c}") for c in cols],
-        )
-        n = _side(paths[to_version], new_b).select(
-            F.lit(1).alias("_n_present"),
-            *[F.col(c).alias(f"_n_{c}") for c in cols],
-        )
-        cond = None
-        for k in key_cols:
-            eq = F.col(f"_o_{k}").eqNullSafe(F.col(f"_n_{k}"))
-            cond = eq if cond is None else (cond & eq)
-        j = o.join(n, cond, "full_outer")
+        # The two sides pair up by key as a FULL-OUTER diff. A full
+        # outer join can never broadcast a side (Spark supports it
+        # only via sort-merge / shuffled-hash), so the join form
+        # always costs TWO Exchanges plus two sorts. Keys are UNIQUE
+        # per side (the merge sink's invariant), so the same pairing
+        # is ONE tagged union aggregated by key - one Exchange, hash
+        # aggregation, no sort (guide 2.4: remove shuffles outright).
+        # The pivot is COLUMN-WISE max(when(side, c)): with at most
+        # one row per side per key, max-over-one-value reconstructs
+        # each side exactly, and the presence flags disambiguate a
+        # present-but-NULL value from an absent row. max keeps the
+        # aggregate hash-based (a struct-valued first() would force
+        # SortAggregate - measured 25-45% SLOWER than the join form;
+        # negative result recorded in OPTIMIZATION_r15.md). Map-typed
+        # columns are not orderable, so such tables keep the join
+        # form. groupBy treats NULL keys as one group, matching the
+        # join form's eqNullSafe key equality.
+        def _orderable(dt) -> bool:
+            from pyspark.sql.types import (
+                ArrayType as _AT,
+                MapType as _MT,
+                StructType as _ST,
+            )
+
+            if isinstance(dt, _MT):
+                return False
+            if isinstance(dt, _AT):
+                return _orderable(dt.elementType)
+            if isinstance(dt, _ST):
+                return all(_orderable(f.dataType) for f in dt.fields)
+            return True
+
+        if all(
+            _orderable(f.dataType)
+            for f in logical.fields
+            if f.name != _BUCKET_COL
+        ):
+            tag = F.col("_o_side")
+            o = _side(paths[from_version], old_b).select(
+                F.lit(True).alias("_o_side"), *cols
+            )
+            n = _side(paths[to_version], new_b).select(
+                F.lit(False).alias("_o_side"), *cols
+            )
+            j = (
+                o.unionByName(n)
+                .groupBy(*[F.col(k) for k in key_cols])
+                .agg(
+                    F.max(F.when(tag, F.lit(1))).alias("_o_present"),
+                    F.max(F.when(~tag, F.lit(1))).alias("_n_present"),
+                    *[
+                        F.max(F.when(tag, F.col(c))).alias(f"_o_{c}")
+                        for c in val_cols
+                    ],
+                    *[
+                        F.max(F.when(~tag, F.col(c))).alias(f"_n_{c}")
+                        for c in val_cols
+                    ],
+                )
+                .select(
+                    F.col("_o_present"),
+                    F.col("_n_present"),
+                    *[
+                        F.when(
+                            F.col("_o_present").isNotNull(), F.col(k)
+                        ).alias(f"_o_{k}")
+                        for k in key_cols
+                    ],
+                    *[
+                        F.when(
+                            F.col("_n_present").isNotNull(), F.col(k)
+                        ).alias(f"_n_{k}")
+                        for k in key_cols
+                    ],
+                    *[F.col(f"_o_{c}") for c in val_cols],
+                    *[F.col(f"_n_{c}") for c in val_cols],
+                )
+            )
+        else:
+            o = _side(paths[from_version], old_b).select(
+                F.lit(1).alias("_o_present"),
+                *[F.col(c).alias(f"_o_{c}") for c in cols],
+            )
+            n = _side(paths[to_version], new_b).select(
+                F.lit(1).alias("_n_present"),
+                *[F.col(c).alias(f"_n_{c}") for c in cols],
+            )
+            cond = None
+            for k in key_cols:
+                eq = F.col(f"_o_{k}").eqNullSafe(F.col(f"_n_{k}"))
+                cond = eq if cond is None else (cond & eq)
+            j = o.join(n, cond, "full_outer")
         differs = ~F.struct(
             *[F.col(f"_o_{c}") for c in val_cols]
         ).eqNullSafe(F.struct(*[F.col(f"_n_{c}") for c in val_cols]))
@@ -914,27 +1069,52 @@ class ParquetCatalog:
         below re-buckets it, so every later fold takes the pruned
         path (ADVICE r13: the read_pruned switch must not reject
         externally-bootstrapped tables the old path accepted)."""
-        if not self.exists(stats_table):
-            standing = None
-        elif self._merge_meta(stats_table) is not None:
-            standing = self.read_pruned(
-                stats_table, feed.select(*group_cols)
+        group_cols = list(group_cols)
+        # round-15 (VERDICT r14 #1): one fused id collect serves BOTH
+        # the standing read's bucket prune and the merge's affected
+        # set - the folded output's groups are exactly the feed's
+        # touched groups, so the set is EXACT for the merge too. The
+        # feed (a table_changes diff subtree) is persisted across the
+        # collect and the write instead of recomputing per action.
+        feed = feed.persist()
+        try:
+            affected: list[int] | None = None
+            if not self.exists(stats_table):
+                standing = None
+            elif self._pruned_ids_ok(stats_table, group_cols, num_buckets):
+                [ids] = self._bucket_ids_multi(
+                    feed, [(group_cols, num_buckets)]
+                )
+                standing = self.read_pruned(
+                    stats_table, feed.select(*group_cols), bucket_ids=ids
+                )
+                meta_s = self._merge_meta(stats_table)
+                if meta_s and meta_s.get("key_cols") == group_cols:
+                    affected = ids
+            elif self._merge_meta(stats_table) is not None:
+                standing = self.read_pruned(
+                    stats_table, feed.select(*group_cols)
+                )
+            else:
+                standing = self.read_or_none(stats_table).join(
+                    F.broadcast(feed.select(*group_cols).distinct()),
+                    list(group_cols),
+                    "semi",
+                )
+            folded = fold_stats_delta(
+                feed, standing, group_cols, value_col, op_col,
             )
-        else:
-            standing = self.read_or_none(stats_table).join(
-                F.broadcast(feed.select(*group_cols).distinct()),
-                list(group_cols),
-                "semi",
+            ups = folded.filter(F.col("n") > 0)
+            dels = folded.filter(F.col("n") <= 0).select(
+                *group_cols
+            ).distinct()
+            self.merge_upsert(
+                ups, stats_table, group_cols,
+                num_buckets=num_buckets, delete_keys=dels,
+                affected_buckets=affected,
             )
-        folded = fold_stats_delta(
-            feed, standing, group_cols, value_col, op_col,
-        )
-        ups = folded.filter(F.col("n") > 0)
-        dels = folded.filter(F.col("n") <= 0).select(*group_cols).distinct()
-        self.merge_upsert(
-            ups, stats_table, group_cols,
-            num_buckets=num_buckets, delete_keys=dels,
-        )
+        finally:
+            feed.unpersist(blocking=False)
 
     def fold_changes_into_join(
         self,
@@ -998,7 +1178,11 @@ class ParquetCatalog:
         ups_j: DataFrame | None = None
         del_j: DataFrame | None = None
 
-        def _merge_j(ups: DataFrame | None, dels: DataFrame | None) -> None:
+        def _merge_j(
+            ups: DataFrame | None,
+            dels: DataFrame | None,
+            affected: Sequence[int] | None = None,
+        ) -> None:
             if ups is None and dels is None:
                 return
             if ups is not None:
@@ -1008,24 +1192,58 @@ class ParquetCatalog:
                 self.merge_upsert(
                     ups.dropDuplicates(a_key_cols), join_table, a_key_cols,
                     num_buckets=num_buckets, delete_keys=dels,
+                    affected_buckets=affected,
                 )
             elif dels is not None and self.exists(join_table):
                 empty = self.read(join_table).limit(0)
                 self.merge_upsert(
                     empty, join_table, a_key_cols,
                     num_buckets=num_buckets, delete_keys=dels,
+                    affected_buckets=affected,
                 )
 
         try:
             if feed_a is not None:
-                # persist only: the index merge's affected-bucket
-                # collect is the first action and scans both filter
-                # arms, materializing the cache (round-14 job trim)
+                # persist only: the fused id collect below is the
+                # first action and scans both filter arms,
+                # materializing the cache (round-14 job trim)
                 feed_a = feed_a.withColumn(op_col, guard).persist()
                 a_posts = feed_a.filter(
                     F.col(op_col).isin("I", "U_post")
                 ).drop(op_col)
                 a_pres = feed_a.filter(F.col(op_col).isin("D", "U_pre"))
+
+                # round-15 (VERDICT r14 #1): ONE collect job computes
+                # the whole feed's bucket ids under BOTH layouts -
+                # join-key buckets (exact affected set of the index
+                # merge: posts' new keys + preimages' old keys ARE the
+                # feed; also a superset probe for the pruned B read)
+                # and A-key buckets (affected superset for the J
+                # merge: every J upsert/delete key is a feed key; keys
+                # whose post-image matched nothing in B rewrite their
+                # J bucket unchanged - feed-sized extra write I/O,
+                # never a scan). This replaces the index merge's
+                # probe collect, the B read's probe collect, and (in
+                # the A-only fold) the J merge's probe collect - three
+                # driver-blocking jobs - with one.
+                jc_ids, ak_ids = self._bucket_ids_multi(
+                    feed_a,
+                    [(join_cols, num_buckets), (a_key_cols, num_buckets)],
+                )
+                idx_affected = (
+                    jc_ids
+                    if self._pruned_ids_ok(
+                        index_table, join_cols, num_buckets
+                    )
+                    else None
+                )
+                j_affected = (
+                    ak_ids
+                    if self._pruned_ids_ok(
+                        join_table, a_key_cols, num_buckets
+                    )
+                    else None
+                )
 
                 # 1. maintain the secondary index (A keyed by pk,
                 # bucketed by join key); preimages carry the OLD join
@@ -1035,6 +1253,7 @@ class ParquetCatalog:
                         a_posts, index_table, a_key_cols,
                         num_buckets=num_buckets, bucket_cols=join_cols,
                         delete_keys=a_pres.select(*a_key_cols, *join_cols),
+                        affected_buckets=idx_affected,
                     )
 
                 # 2. dA JOIN B_new - bucket-pruned probe of the CURRENT
@@ -1046,12 +1265,20 @@ class ParquetCatalog:
                 # both. A B table that does not exist yet (two-upstream
                 # streaming bootstrap: the A stream's first trigger may
                 # run before B's) joins nothing - dB will produce these
-                # J rows when B arrives.
+                # J rows when B arrives. With the fused ids the read
+                # plans lazily - no driver-blocking job of its own.
                 def _b_read() -> DataFrame | None:
-                    return (
-                        self.read_pruned(b_table, a_posts)
-                        if self._merge_meta(b_table) is not None
+                    if self._merge_meta(b_table) is None:
+                        return None
+                    b_ids = (
+                        jc_ids
+                        if self._pruned_ids_ok(
+                            b_table, join_cols, num_buckets
+                        )
                         else None
+                    )
+                    return self.read_pruned(
+                        b_table, a_posts, bucket_ids=b_ids
                     )
 
                 if feed_b is None:
@@ -1070,14 +1297,17 @@ class ParquetCatalog:
                             else None
                         )
                         _merge_j(
-                            ups, a_pres.select(*a_key_cols).distinct()
+                            ups, a_pres.select(*a_key_cols).distinct(),
+                            affected=j_affected,
                         )
 
                     run_concurrently(_index_merge, _j_chain)
                     return
                 # both feeds: the dB term reads the index AFTER its
-                # merge, so only the B-side probe overlaps step 1
-                _, b_pruned = run_concurrently(_index_merge, _b_read)
+                # merge; the B-side probe plans lazily off the fused
+                # ids, so only the index write occupies this slot
+                _index_merge()
+                b_pruned = _b_read()
                 if b_pruned is not None:
                     ups_j = a_posts.join(b_pruned, join_cols, "inner")
                 del_j = a_pres.select(*a_key_cols).distinct()
@@ -1092,12 +1322,22 @@ class ParquetCatalog:
                 ).distinct()
                 # 3. A_new JOIN dB - pruned read of the index AFTER
                 # step 1 (feed-side broadcast left to AQE, same
-                # bootstrap rationale); a missing index = no A rows yet
-                a_side = (
-                    self.read_pruned(index_table, feed_b)
-                    if self._merge_meta(index_table) is not None
-                    else None
-                )
+                # bootstrap rationale); a missing index = no A rows
+                # yet. One id collect serves the probe (exact: the
+                # probe IS feed_b's join-col values).
+                a_side = None
+                if self._merge_meta(index_table) is not None:
+                    if self._pruned_ids_ok(
+                        index_table, join_cols, num_buckets
+                    ):
+                        [b_jc_ids] = self._bucket_ids_multi(
+                            feed_b, [(join_cols, num_buckets)]
+                        )
+                        a_side = self.read_pruned(
+                            index_table, feed_b, bucket_ids=b_jc_ids
+                        )
+                    else:
+                        a_side = self.read_pruned(index_table, feed_b)
                 if a_side is not None:
                     jb = a_side.join(b_posts, join_cols, "inner")
                     ups_j = jb if ups_j is None else ups_j.unionByName(jb)
@@ -1108,6 +1348,10 @@ class ParquetCatalog:
                         dead if del_j is None
                         else del_j.unionByName(dead).distinct()
                     )
+                # the B-side terms' J keys come from the index read -
+                # unknowable driver-side without executing the join,
+                # so the J merge keeps its own probe collect here
+                # (it doubles as the cache materializer for ups_j)
 
             _merge_j(ups_j, del_j)
         finally:
@@ -1173,15 +1417,34 @@ class ParquetCatalog:
                 f"be merged with bucket_cols={group_cols!r} (have "
                 f"{None if meta is None else meta.get('bucket_cols', meta['key_cols'])!r})"
             )
-        standing = (
-            self.read_pruned(stats_table, feed.select(*group_cols))
-            if self.exists(stats_table)
-            else None
-        )
+        # round-15 (VERDICT r14 #1): one fused id collect serves the
+        # standing read's prune AND the merge's affected set (folded
+        # groups = the feed's touched groups, exact); the feed is
+        # persisted across them. The folded frame's eager count is
+        # gone: the re-derivation probe collect (or the merge write)
+        # is the next action and materializes the cache - actions
+        # within one fold are sequential, so nothing races it.
+        feed = feed.persist()
+        affected: list[int] | None = None
+        if not self.exists(stats_table):
+            standing = None
+        elif self._pruned_ids_ok(stats_table, group_cols, num_buckets):
+            [ids] = self._bucket_ids_multi(
+                feed, [(group_cols, num_buckets)]
+            )
+            standing = self.read_pruned(
+                stats_table, feed.select(*group_cols), bucket_ids=ids
+            )
+            meta_s = self._merge_meta(stats_table)
+            if meta_s and meta_s.get("key_cols") == group_cols:
+                affected = ids
+        else:
+            standing = self.read_pruned(
+                stats_table, feed.select(*group_cols)
+            )
         folded = fold_extrema_delta(
             feed, standing, group_cols, value_col, op_col,
         ).persist()
-        folded.count()  # eager: referenced by ups, dels, and rederive
         try:
             live = folded.filter(F.col("n") > 0)
             dels = folded.filter(F.col("n") <= 0).select(
@@ -1222,9 +1485,11 @@ class ParquetCatalog:
             self.merge_upsert(
                 ups, stats_table, group_cols,
                 num_buckets=num_buckets, delete_keys=dels,
+                affected_buckets=affected,
             )
         finally:
             folded.unpersist(blocking=False)
+            feed.unpersist(blocking=False)
 
     def fold_changes_into_hll(
         self,
@@ -1323,11 +1588,26 @@ class ParquetCatalog:
                 .groupBy(*group_cols, "bucket")
                 .agg(F.max("rho").alias("_r_rho"))
             )
-            standing = (
-                self.read_pruned(hll_table, feed.select(*group_cols))
-                if self.exists(hll_table)
-                else None
-            )
+            # round-15 (VERDICT r14 #1): one fused id collect serves
+            # the standing read's prune AND the merge's affected set
+            # (folded groups = the feed's touched groups, exact)
+            hll_affected: list[int] | None = None
+            if not self.exists(hll_table):
+                standing = None
+            elif self._pruned_ids_ok(hll_table, group_cols, num_buckets):
+                [ids] = self._bucket_ids_multi(
+                    feed, [(group_cols, num_buckets)]
+                )
+                standing = self.read_pruned(
+                    hll_table, feed.select(*group_cols), bucket_ids=ids
+                )
+                meta_s = self._merge_meta(hll_table)
+                if meta_s and meta_s.get("key_cols") == group_cols:
+                    hll_affected = ids
+            else:
+                standing = self.read_pruned(
+                    hll_table, feed.select(*group_cols)
+                )
             if standing is not None:
                 sregs = standing.select(
                     *group_cols, F.explode("regs").alias("bucket", "m_rho")
@@ -1368,7 +1648,10 @@ class ParquetCatalog:
                     "n_vals"
                 ),
             ).persist()
-            folded.count()  # eager: live, dels, and both register arms
+            # no eager count (round-15): the re-derivation probe
+            # collect (or, on the no-upstream error path, the
+            # limit(1) guard) is the next action and materializes
+            # the cache - actions within one fold are sequential
             try:
                 live = folded.filter(F.col("n") > 0)
                 dels = (
@@ -1435,6 +1718,7 @@ class ParquetCatalog:
                 self.merge_upsert(
                     ups, hll_table, group_cols,
                     num_buckets=num_buckets, delete_keys=dels,
+                    affected_buckets=hll_affected,
                 )
             finally:
                 folded.unpersist(blocking=False)
@@ -1561,11 +1845,26 @@ class ParquetCatalog:
                     F.collect_list(F.when(rem, v)), asc=False
                 ).alias("_rets"),
             )
-            standing = (
-                self.read_pruned(topk_table, feed.select(*group_cols))
-                if self.exists(topk_table)
-                else None
-            )
+            # round-15 (VERDICT r14 #1): one fused id collect serves
+            # the standing read's prune AND the merge's affected set
+            # (folded groups = the feed's touched groups, exact)
+            topk_affected: list[int] | None = None
+            if not self.exists(topk_table):
+                standing = None
+            elif self._pruned_ids_ok(topk_table, group_cols, num_buckets):
+                [ids] = self._bucket_ids_multi(
+                    feed, [(group_cols, num_buckets)]
+                )
+                standing = self.read_pruned(
+                    topk_table, feed.select(*group_cols), bucket_ids=ids
+                )
+                meta_s = self._merge_meta(topk_table)
+                if meta_s and meta_s.get("key_cols") == group_cols:
+                    topk_affected = ids
+            else:
+                standing = self.read_pruned(
+                    topk_table, feed.select(*group_cols)
+                )
             if standing is not None:
                 folded = delta.join(
                     F.broadcast(
@@ -1686,6 +1985,7 @@ class ParquetCatalog:
                 self.merge_upsert(
                     ups, topk_table, group_cols,
                     num_buckets=num_buckets, delete_keys=dels,
+                    affected_buckets=topk_affected,
                 )
             finally:
                 folded.unpersist(blocking=False)
