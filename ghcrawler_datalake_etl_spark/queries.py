@@ -3314,16 +3314,20 @@ def dim_join_ivm(spark, sf_dir):
     # index; the fold path serves the daily delta-sized feeds below.
     # (The all-'I'-feed bootstrap computes the same state - the unit
     # and property suites pin that arm.) The four bootstrap merges
-    # write four DISTINCT tables from source-derived frames - run them
-    # concurrently (guide 2.6: overlap independent jobs); a0/b0 are
-    # referenced by 3/2 of the merges, so persist them once instead of
-    # re-parsing the source per reference (block-level locking shares
-    # the computation across the concurrent jobs).
+    # write four DISTINCT tables from source-derived frames. Round-15
+    # (VERDICT r14 #4): the 4-way overlap ran all four writes against
+    # a COLD a0/b0 cache, so each job raced to recompute the shared
+    # source-parse subtrees (~4x duplicate work in the driver's cold
+    # runs - the per-action profile showed four ~2.4s saves). Two
+    # waves instead: wave 1 (A, B) materializes a0/b0 through its own
+    # writes, wave 2 (AIdx, J) overlaps on warm cache hits.
     a0 = a0.persist()
     b0 = b0.persist()
     run_concurrently(
         lambda: cat.merge_upsert(a0, "A", ["k"], num_buckets=16),
         lambda: cat.merge_upsert(b0, "B", ["ck"], num_buckets=16),
+    )
+    run_concurrently(
         lambda: cat.merge_upsert(
             a0, "AIdx", ["k"], num_buckets=16, bucket_cols=["ck"]
         ),
@@ -4332,14 +4336,20 @@ def pipeline_ivm_gold(spark, sf_dir):
     )
     # bronze/silver/index/gold bootstrap: direct construction (day 0).
     # Five merges into five DISTINCT tables, all from source-derived
-    # frames - run concurrently (guide 2.6); a0 feeds 3 merges and j0
-    # feeds 2, so persist both (shared across the concurrent jobs via
-    # block-level locking) instead of re-deriving per reference.
+    # frames. Round-15 (VERDICT r14 #4): a single 5-way overlap ran
+    # every write against a COLD a0/j0 cache, so the jobs raced to
+    # recompute the shared subtrees. Two waves: wave 1 (A, B)
+    # materializes a0 through its own write, wave 2 (AIdx, J, G)
+    # overlaps on a warm a0 - and J's write materializes j0 while G
+    # aggregates it (j0 is join-shaped off the cached a0, so the
+    # race left is one cheap cached-join recompute, not a re-parse).
     a0 = a0.persist()
     j0 = a0.join(b0, "ck").persist()
     run_concurrently(
         lambda: cat.merge_upsert(a0, "A", ["k"], num_buckets=16),
         lambda: cat.merge_upsert(b0, "B", ["ck"], num_buckets=16),
+    )
+    run_concurrently(
         lambda: cat.merge_upsert(
             a0, "AIdx", ["k"], num_buckets=16, bucket_cols=["ck"]
         ),
