@@ -127,6 +127,7 @@ def test_merge_upsert_failed_write_leaves_no_orphan_version(
 # ---------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_join_ivm_scenario_fk_moves_deletes_and_quiet_day(
     spark, tmp_path
 ):
@@ -799,6 +800,7 @@ def _hll_want(df):
     }
 
 
+@pytest.mark.slow
 def test_hll_ivm_scenario_last_copy_tied_copy_moves_and_emptying(
     spark, tmp_path
 ):
@@ -903,6 +905,7 @@ def test_hll_ivm_rejects_post_image_only_feed(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_stream_join_ivm_two_upstream_alternating_arms(spark, tmp_path):
     """Round-14 (VERDICT r13 #3): BOTH upstreams of the materialized
     join evolve through streams - the fact arm (stream_join_ivm) and
@@ -1267,6 +1270,7 @@ def test_stream_distinct_ivm_replay_never_double_counts(spark, tmp_path):
 # ---------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_topk_ivm_scenario_horizon_ties_short_arrays_and_emptying(
     spark, tmp_path
 ):

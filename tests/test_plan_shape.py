@@ -60,6 +60,7 @@ def test_whole_stage_codegen_covers_agg(spark, queries):
     assert "partial_sum" in simple
 
 
+@pytest.mark.slow
 def test_parity_paths_have_no_python(spark, queries):
     """Every reference-parity operator must stay JVM-side (SURVEY.md 2.8);
     Python is allowed only in the explicitly-pandas extension paths."""

@@ -409,6 +409,7 @@ def test_top_share_floor_property(spark, rows, share_ppm):
     st.integers(1, 4),
     st.integers(1, 5),
 )
+@pytest.mark.slow
 def test_knn_graph_equals_bruteforce_property(spark, rows, num_blocks, k):
     """For ANY corpus (duplicates, ties, zero vectors), the blocked
     local-top-k merge equals brute-force cosine_topk with the corpus as
@@ -471,6 +472,7 @@ def _bpe_reference(word_freq: dict, num_merges: int):
     ),
     st.integers(1, 5),
 )
+@pytest.mark.slow
 def test_bpe_trainer_matches_python_reference(spark, words, num_merges):
     """BOTH trainer strategies must reproduce the classic in-memory
     Sennrich algorithm exactly: same merges in the same order with the
@@ -579,6 +581,7 @@ def test_sql_literal_vectors_are_bit_identical_to_lit(spark, xs):
     ),
     st.integers(1, 6),
 )
+@pytest.mark.slow
 def test_pack_shards_string_keys_equal_single_window_form(
     spark, rows, num_bins
 ):
@@ -823,6 +826,7 @@ def test_deletion_neighborhood_d2_is_complete_and_4_bounded(a, b):
     ),
     st.integers(2, 4),
 )
+@pytest.mark.slow
 def test_stats_state_split_invariant(spark, rows, n_parts):
     """Round-9 mergeable state: splitting the rows into ANY number of
     per-day parts and folding the per-part states equals building the
@@ -868,6 +872,7 @@ def test_stats_state_split_invariant(spark, rows, n_parts):
         min_size=1, max_size=4,
     ),
 )
+@pytest.mark.slow
 def test_incremental_dedup_equals_cross_pairs_of_union(
     spark, corpus_texts, batch_texts
 ):
@@ -943,6 +948,7 @@ def test_prefix_jaccard_equals_inverted_index(spark, token_lists, t):
     st.lists(st.tuples(st.integers(0, 19), st.integers(0, 19)),
              min_size=0, max_size=10),
 )
+@pytest.mark.slow
 def test_incremental_components_equals_full_rerun(spark, base, batch):
     """Round-10: folding a batch of edges into a standing cluster table
     (incremental_components) must be row-identical to re-running
@@ -1040,6 +1046,7 @@ def test_remove_duplicate_substrings_matches_bruteforce(
     st.integers(2, 3),
     st.integers(0, 8),
 )
+@pytest.mark.slow
 def test_incremental_substring_removal_matches_global(
     spark, token_lists, k, cut
 ):
@@ -1170,6 +1177,7 @@ def test_incremental_paragraphs_union_equals_global(
         min_size=1, max_size=3,
     ),
 )
+@pytest.mark.slow
 def test_changefeed_fold_matches_recompute_property(spark, init, days):
     """Round-12 IVM property: for ANY upstream evolution (inserts,
     updates incl. group moves, deletes of existing or missing keys,
@@ -1247,6 +1255,7 @@ def test_changefeed_fold_matches_recompute_property(spark, init, days):
         min_size=1, max_size=3,
     ),
 )
+@pytest.mark.slow
 def test_join_ivm_fold_matches_recompute_property(
     spark, init_a, init_b, days
 ):
@@ -1326,6 +1335,7 @@ def test_join_ivm_fold_matches_recompute_property(
         min_size=1, max_size=3,
     ),
 )
+@pytest.mark.slow
 def test_extrema_fold_matches_recompute_property(spark, init, days):
     """Round-13 extrema-IVM property: for ANY upstream evolution
     (inserts, group-moving updates, deletes incl. of extrema and of
@@ -1400,6 +1410,7 @@ def test_extrema_fold_matches_recompute_property(spark, init, days):
     ),
     st.integers(0, 10),
 )
+@pytest.mark.slow
 def test_incremental_semantic_union_equals_global(spark, vec_rows, cut):
     """Round-12: for ANY id-threshold split under a FIXED standing
     quantizer, the corpus's own SemDeDup unioned with the batch's
@@ -1446,6 +1457,7 @@ def test_incremental_semantic_union_equals_global(spark, vec_rows, cut):
     ),
     st.integers(0, 10),
 )
+@pytest.mark.slow
 def test_incremental_boilerplate_equals_global_batch_slice(
     spark, docs, cut
 ):
@@ -1580,6 +1592,7 @@ def test_mmr_rerank_matches_bruteforce(spark, cands, lam):
         min_size=1, max_size=3,
     ),
 )
+@pytest.mark.slow
 def test_hll_fold_matches_recompute_property(spark, init, days):
     """Round-14 COUNT DISTINCT-IVM property: for ANY upstream evolution
     (inserts, group-moving updates, deletes incl. of the last copy of a
@@ -1665,6 +1678,7 @@ def test_hll_fold_matches_recompute_property(spark, init, days):
         min_size=1, max_size=3,
     ),
 )
+@pytest.mark.slow
 def test_topk_fold_matches_recompute_property(spark, init, days):
     """Round-14 top-k-IVM property: for ANY upstream evolution
     (inserts, group-moving updates, deletes incl. at and below the
@@ -1745,6 +1759,7 @@ def test_topk_fold_matches_recompute_property(spark, init, days):
         min_size=1, max_size=2,
     ),
 )
+@pytest.mark.slow
 def test_topk_fold_struct_values_property(spark, init, days):
     """Arg-top-k twin of the value-array property: the fold over a
     (score, pk) STRUCT column - lexicographic struct order, pk as the
