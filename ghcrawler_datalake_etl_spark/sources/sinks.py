@@ -1330,15 +1330,42 @@ class ParquetCatalog:
                     return
                 # both feeds: the dB term reads the index AFTER its
                 # merge; the B-side probe plans lazily off the fused
-                # ids, so only the index write occupies this slot
-                _index_merge()
+                # ids. feed_b's OWN id collect is independent of the
+                # index write (it only scans the persisted feed), so
+                # the two share this slot (guide 2.6). On the
+                # bootstrap fold the index table's meta lands
+                # concurrently - the probe then simply reports
+                # unfused (None) and the later read does its own
+                # collect; correctness is unaffected (os.replace
+                # makes the meta read atomic either way).
+                feed_b = feed_b.withColumn(op_col, guard).persist()
+
+                def _b_feed_ids() -> list[int] | None:
+                    if not self._pruned_ids_ok(
+                        index_table, join_cols, num_buckets
+                    ):
+                        return None
+                    [i2] = self._bucket_ids_multi(
+                        feed_b, [(join_cols, num_buckets)]
+                    )
+                    return i2
+
+                _, b_feed_ids = run_concurrently(_index_merge, _b_feed_ids)
                 b_pruned = _b_read()
                 if b_pruned is not None:
                     ups_j = a_posts.join(b_pruned, join_cols, "inner")
                 del_j = a_pres.select(*a_key_cols).distinct()
 
             if feed_b is not None:
-                feed_b = feed_b.withColumn(op_col, guard).persist()
+                if feed_a is None:
+                    feed_b = feed_b.withColumn(op_col, guard).persist()
+                    b_feed_ids = None
+                    if self._pruned_ids_ok(
+                        index_table, join_cols, num_buckets
+                    ):
+                        [b_feed_ids] = self._bucket_ids_multi(
+                            feed_b, [(join_cols, num_buckets)]
+                        )
                 b_posts = feed_b.filter(
                     F.col(op_col).isin("I", "U_post")
                 ).drop(op_col)
@@ -1348,21 +1375,13 @@ class ParquetCatalog:
                 # 3. A_new JOIN dB - pruned read of the index AFTER
                 # step 1 (feed-side broadcast left to AQE, same
                 # bootstrap rationale); a missing index = no A rows
-                # yet. One id collect serves the probe (exact: the
-                # probe IS feed_b's join-col values).
+                # yet. The probe's id set is exact (the probe IS
+                # feed_b's join-col values), collected above.
                 a_side = None
                 if self._merge_meta(index_table) is not None:
-                    if self._pruned_ids_ok(
-                        index_table, join_cols, num_buckets
-                    ):
-                        [b_jc_ids] = self._bucket_ids_multi(
-                            feed_b, [(join_cols, num_buckets)]
-                        )
-                        a_side = self.read_pruned(
-                            index_table, feed_b, bucket_ids=b_jc_ids
-                        )
-                    else:
-                        a_side = self.read_pruned(index_table, feed_b)
+                    a_side = self.read_pruned(
+                        index_table, feed_b, bucket_ids=b_feed_ids
+                    )
                 if a_side is not None:
                     jb = a_side.join(b_posts, join_cols, "inner")
                     ups_j = jb if ups_j is None else ups_j.unionByName(jb)
